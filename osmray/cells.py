@@ -1,0 +1,124 @@
+"""From-scratch hierarchical cell index (H3/S2-style int64 ids).
+
+The reference's only hierarchy is the z18/z19 tile pyramid itself
+(parent tile = ``tx >> 1``; ``scale = 1 << z`` at lib/layers.py:34).
+The engine generalizes that into a proper cell index on the Mercator
+lattice, pure numpy, no h3/s2 dependency:
+
+- a cell at resolution ``r`` is the slippy tile ``(x, y)`` at zoom
+  ``r`` on the PLAIN scheme (no provider offsets — cells are a
+  partitioning construct, not an imagery construct);
+- packed id layout (int64): ``res`` in bits 58..63, ``x`` in bits
+  29..57, ``y`` in bits 0..28 — the same packing as tile keys but
+  without the negative-index bias (cells are always in range);
+- ``parent / children`` walk the quadtree; ``k_ring`` returns the
+  Chebyshev-distance-<=k neighborhood with x wrapped modulo 2^res
+  (antimeridian) and y clipped (poles).
+
+Cells are the engine's partition / shuffle / salt key: features and
+images are co-bucketed by a coarse cell (default ``COARSE_RES`` = 12)
+for spatial joins, and hot cells are salted for skew control.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 29
+COARSE_RES = 12  # default co-partitioning resolution for spatial joins
+
+_XY_MASK = (1 << 29) - 1
+
+
+def pack(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    return (np.int64(res) << 58) | (x << 29) | y
+
+
+def unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    return (cell >> 29) & _XY_MASK, cell & _XY_MASK, cell >> 58
+
+
+def cell_at(lat: np.ndarray, lng: np.ndarray, res: int) -> np.ndarray:
+    """WGS84 point -> containing cell id at resolution ``res``."""
+    from osmray.tilemath import tile_at_wgs
+
+    tx, ty, _, _ = tile_at_wgs(lat, lng, res)
+    n = np.int64(1) << res
+    tx = np.mod(tx, n)  # wrap antimeridian
+    ty = np.clip(ty, 0, n - 1)
+    return pack(tx, ty, res)
+
+
+def cell_of_tile(tx: np.ndarray, ty: np.ndarray, z: int, res: int) -> np.ndarray:
+    """Containing cell (res <= z) of a tile at zoom z — pure bit math,
+    the scale-out generalization of parent = tx >> 1."""
+    if res > z:
+        raise ValueError(f"cell res {res} finer than tile zoom {z}")
+    tx = np.asarray(tx, dtype=np.int64) >> (z - res)
+    ty = np.asarray(ty, dtype=np.int64) >> (z - res)
+    n = np.int64(1) << res
+    return pack(np.mod(tx, n), np.clip(ty, 0, n - 1), res)
+
+
+def parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    x, y, res = unpack(cell)
+    new_res = res - steps
+    if np.any(new_res < 0):
+        raise ValueError("parent below resolution 0")
+    return (new_res << 58) | ((x >> steps) << 29) | (y >> steps)
+
+
+def children(cell: int) -> np.ndarray:
+    """The 4 direct children of a single cell."""
+    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    xs = np.array([2 * x, 2 * x + 1, 2 * x, 2 * x + 1], dtype=np.int64)
+    ys = np.array([2 * y, 2 * y, 2 * y + 1, 2 * y + 1], dtype=np.int64)
+    return pack(xs, ys, res + 1)
+
+
+def k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the (2k+1)^2 block),
+    x wrapped, y clipped; sorted, deduplicated."""
+    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    n = 1 << res
+    dx, dy = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1))
+    xs = np.mod(x + dx.ravel(), n)
+    ys = y + dy.ravel()
+    keep = (ys >= 0) & (ys < n)
+    return np.unique(pack(xs[keep], ys[keep], res))
+
+
+def ring(cell: int, k: int) -> np.ndarray:
+    """The hollow ring at exactly Chebyshev distance k (k=0 -> the cell
+    itself) — the expansion unit for kNN search."""
+    if k == 0:
+        return np.asarray([cell], dtype=np.int64)
+    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    n = 1 << res
+    offs = []
+    for d in range(-k, k + 1):
+        offs.append((d, -k))
+        offs.append((d, k))
+    for d in range(-k + 1, k):
+        offs.append((-k, d))
+        offs.append((k, d))
+    arr = np.array(offs, dtype=np.int64)
+    xs = np.mod(x + arr[:, 0], n)
+    ys = y + arr[:, 1]
+    keep = (ys >= 0) & (ys < n)
+    return np.unique(pack(xs[keep], ys[keep], res))
+
+
+def salted(cell: np.ndarray, salt_src: np.ndarray, num_salts: int) -> np.ndarray:
+    """Skew control: spread one hot cell over ``num_salts`` sub-keys.
+    ``salt_src`` is any int64 column (e.g. hashed image_id); the salt
+    only balances map-side work — unsalt (parent of the salted key is
+    the cell) before any per-cell aggregate."""
+    mixed = np.asarray(salt_src, dtype=np.int64).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    salt = (mixed % np.uint64(num_salts)).astype(np.int64)
+    return np.asarray(cell, dtype=np.int64) * np.int64(num_salts) + salt

@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from osmray import cells, tilemath
+
+
+def test_pack_unpack():
+    x = np.array([0, 5, (1 << 12) - 1])
+    y = np.array([3, 0, (1 << 12) - 1])
+    c = cells.pack(x, y, 12)
+    x2, y2, r2 = cells.unpack(c)
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    assert (r2 == 12).all()
+    assert (c >= 0).all()
+
+
+def test_cell_at_is_plain_tile():
+    lat = np.array([53.9, 0.0, -45.0])
+    lng = np.array([27.55, 0.0, 170.0])
+    c = cells.cell_at(lat, lng, 12)
+    tx, ty, _, _ = tilemath.tile_at_wgs(lat, lng, 12, tilemath.PLAIN)
+    x, y, r = cells.unpack(c)
+    np.testing.assert_array_equal(x, tx)
+    np.testing.assert_array_equal(y, ty)
+
+
+def test_cell_of_tile_consistent_with_cell_at():
+    lat = np.array([53.85, 53.92])
+    lng = np.array([27.5, 27.6])
+    tx, ty, _, _ = tilemath.tile_at_wgs(lat, lng, 19, tilemath.PLAIN)
+    np.testing.assert_array_equal(
+        cells.cell_of_tile(tx, ty, 19, 12), cells.cell_at(lat, lng, 12)
+    )
+    with pytest.raises(ValueError):
+        cells.cell_of_tile(tx, ty, 10, 12)
+
+
+def test_parent_children_roundtrip():
+    c = cells.cell_at(np.array([53.9]), np.array([27.55]), 12)[0]
+    kids = cells.children(c)
+    assert len(kids) == 4
+    assert (cells.parent(kids) == c).all()
+    gp = cells.parent(np.array([c]), steps=3)[0]
+    _, _, r = cells.unpack(np.array([gp]))
+    assert r[0] == 9
+
+
+def test_k_ring_sizes_and_containment():
+    c = int(cells.cell_at(np.array([53.9]), np.array([27.55]), 12)[0])
+    assert len(cells.k_ring(c, 0)) == 1
+    assert len(cells.k_ring(c, 1)) == 9
+    assert len(cells.k_ring(c, 2)) == 25
+    r2 = set(cells.ring(c, 2).tolist())
+    assert len(r2) == 16
+    assert set(cells.k_ring(c, 1).tolist()) | r2 == set(cells.k_ring(c, 2).tolist())
+    assert c in set(cells.k_ring(c, 1).tolist())
+    assert c not in r2
+
+
+def test_k_ring_clips_poles_wraps_antimeridian():
+    # top-left corner cell at res 4
+    c = int(cells.pack(np.array([0]), np.array([0]), 4)[0])
+    kr = cells.k_ring(c, 1)
+    # y=-1 clipped, x=-1 wraps to 15 -> 6 cells
+    assert len(kr) == 6
+    xs, ys, _ = cells.unpack(kr)
+    assert (ys >= 0).all() and 15 in xs.tolist()
+
+
+def test_salted_spreads_and_unsalts():
+    c = cells.cell_at(np.array([53.9] * 1000), np.array([27.55] * 1000), 12)
+    src = np.arange(1000)
+    s = cells.salted(c, src, 8)
+    assert len(np.unique(s)) == 8
+    np.testing.assert_array_equal(s // 8, c)
