@@ -114,11 +114,29 @@ def ring(cell: int, k: int) -> np.ndarray:
 
 def salted(cell: np.ndarray, salt_src: np.ndarray, num_salts: int) -> np.ndarray:
     """Skew control: spread one hot cell over ``num_salts`` sub-keys.
+
     ``salt_src`` is any int64 column (e.g. hashed image_id); the salt
-    only balances map-side work — unsalt (parent of the salted key is
-    the cell) before any per-cell aggregate."""
+    only balances map-side work — ``unsalt`` before any per-cell
+    aggregate.  Compact reversible layout (requires the coarse-cell
+    regime, res <= 24 and num_salts <= 1024, which partition keys
+    always satisfy): ``((x * 2^res + y) * num_salts + salt) * 32 + res``.
+    """
+    x, y, res = unpack(cell)
+    if np.any(res > 24) or num_salts > 1024:
+        raise ValueError("salted keys are for coarse partition cells (res<=24, salts<=1024)")
     mixed = np.asarray(salt_src, dtype=np.int64).astype(np.uint64) * np.uint64(
         0x9E3779B97F4A7C15
     )
     salt = (mixed % np.uint64(num_salts)).astype(np.int64)
-    return np.asarray(cell, dtype=np.int64) * np.int64(num_salts) + salt
+    flat = (x << res) + y
+    return (flat * np.int64(num_salts) + salt) * np.int64(32) + res
+
+
+def unsalt(key: np.ndarray, num_salts: int) -> np.ndarray:
+    """Recover the unsalted cell id from a ``salted`` key."""
+    key = np.asarray(key, dtype=np.int64)
+    res = key % 32
+    flat = (key // 32) // np.int64(num_salts)
+    y = flat & ((np.int64(1) << res) - 1)
+    x = flat >> res
+    return (res << 58) | (x << 29) | y

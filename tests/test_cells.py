@@ -73,4 +73,8 @@ def test_salted_spreads_and_unsalts():
     src = np.arange(1000)
     s = cells.salted(c, src, 8)
     assert len(np.unique(s)) == 8
-    np.testing.assert_array_equal(s // 8, c)
+    np.testing.assert_array_equal(cells.unsalt(s, 8), c)
+    # distinct cells never collide after salting
+    c2 = cells.cell_at(np.array([53.83] * 1000), np.array([27.7] * 1000), 12)
+    s2 = cells.salted(c2, src, 8)
+    assert not set(s.tolist()) & set(s2.tolist())
