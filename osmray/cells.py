@@ -73,7 +73,7 @@ def parent(cell: np.ndarray, steps: int = 1) -> np.ndarray:
 
 def children(cell: int) -> np.ndarray:
     """The 4 direct children of a single cell."""
-    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    x, y, res = (int(v[0]) for v in unpack(np.asarray([cell])))
     xs = np.array([2 * x, 2 * x + 1, 2 * x, 2 * x + 1], dtype=np.int64)
     ys = np.array([2 * y, 2 * y, 2 * y + 1, 2 * y + 1], dtype=np.int64)
     return pack(xs, ys, res + 1)
@@ -82,7 +82,7 @@ def children(cell: int) -> np.ndarray:
 def k_ring(cell: int, k: int) -> np.ndarray:
     """All cells within Chebyshev distance k (the (2k+1)^2 block),
     x wrapped, y clipped; sorted, deduplicated."""
-    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    x, y, res = (int(v[0]) for v in unpack(np.asarray([cell])))
     n = 1 << res
     dx, dy = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1))
     xs = np.mod(x + dx.ravel(), n)
@@ -96,7 +96,7 @@ def ring(cell: int, k: int) -> np.ndarray:
     itself) — the expansion unit for kNN search."""
     if k == 0:
         return np.asarray([cell], dtype=np.int64)
-    x, y, res = (int(v) for v in unpack(np.asarray([cell])))
+    x, y, res = (int(v[0]) for v in unpack(np.asarray([cell])))
     n = 1 << res
     offs = []
     for d in range(-k, k + 1):

@@ -185,17 +185,15 @@ def phash(img: np.ndarray) -> np.int64:
     signed so it fits the Arrow int64 column)."""
     img = np.asarray(img)
     if img.ndim == 3:
-        img = img.mean(axis=2)
+        img = img.sum(axis=2, dtype=np.int64)
     h, w = img.shape
     bh, bw = h // 8, w // 8
     if bh == 0 or bw == 0:
         raise ValueError("image smaller than 8x8")
-    cells = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    cells = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3), dtype=np.int64)
     bits = (cells > cells.mean()).ravel()
-    val = np.uint64(0)
-    for bit in bits:
-        val = (val << np.uint64(1)) | np.uint64(bit)
-    return val.astype(np.int64)
+    packed = int.from_bytes(np.packbits(bits).tobytes(), "big")  # MSB-first
+    return np.uint64(packed).astype(np.int64)
 
 
 def phash_batch(imgs: list[np.ndarray]) -> np.ndarray:

@@ -1,0 +1,242 @@
+"""Vector geometry: bbox aggregates, analytic point-in-polygon,
+point-segment distances, and the cell-bucketed feature index used by
+the stateful join/mask/kNN actors.
+
+The reference had no analytic PIP (polygon membership existed only via
+the cv2 raster path, lib/helpers.py:90-94); the north_rule adds it:
+"prepared-geometry point-in-polygon (ray-casting over STRtree-bucketed
+cells)" and "cell-ring-expansion kNN for nearest-feature lookup".
+
+Design notes for scale:
+- The index buckets features by coarse cell (osmray.cells.COARSE_RES)
+  — the STRtree role is played by the cell grid itself, which is also
+  the shuffle/partition key, so an actor can hold ONLY the buckets its
+  partition needs.
+- "Prepared" means per-polygon edge tables are precomputed as numpy
+  arrays once (at index build), so each PIP probe is a vectorized
+  crossing count, not a Python loop over vertices.
+- All candidate lookups are half-open even-odd semantics identical to
+  ``oracle.point_in_polygon``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from osmray import cells as cellmod
+from osmray.tilemath import project2web
+
+
+def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    """(W, S, E, N) of an (n, 2) [lat, lng] ring — the reference's
+    min/max window aggregate (lib/layers.py:249-256)."""
+    lat = ring[:, 0]
+    lng = ring[:, 1]
+    return float(lng.min()), float(lat.min()), float(lng.max()), float(lat.max())
+
+
+def points_in_ring(lat: np.ndarray, lng: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray-cast: which of the points fall inside
+    the (n, 2) [lat, lng] ring. Horizontal ray towards +lng; half-open
+    edge rule (la0 <= lat < la1), matching oracle.point_in_polygon."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    la0 = ring[:, 0]
+    ln0 = ring[:, 1]
+    la1 = np.roll(la0, -1)
+    ln1 = np.roll(ln0, -1)
+    keep = la0 != la1
+    la0, ln0, la1, ln1 = la0[keep], ln0[keep], la1[keep], ln1[keep]
+    if len(la0) == 0:
+        return np.zeros(lat.shape, dtype=bool)
+    # (points, edges) crossing matrix
+    lo = np.minimum(la0, la1)
+    hi = np.maximum(la0, la1)
+    spans = (lat[:, None] >= lo[None, :]) & (lat[:, None] < hi[None, :])
+    t = (lat[:, None] - la0[None, :]) / (la1 - la0)[None, :]
+    xcross = ln0[None, :] + t * (ln1 - ln0)[None, :]
+    crossings = (spans & (xcross > lng[:, None])).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def point_segment_dist2_web(
+    pwx: float, pwy: float, swx: np.ndarray, swy: np.ndarray, ewx: np.ndarray, ewy: np.ndarray
+) -> np.ndarray:
+    """Squared distance (in unscaled web units) from one point to each
+    of N segments — the exact-ranking kernel behind kNN."""
+    dx = ewx - swx
+    dy = ewy - swy
+    len2 = dx * dx + dy * dy
+    t = np.where(len2 > 0, ((pwx - swx) * dx + (pwy - swy) * dy) / np.where(len2 > 0, len2, 1), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx = swx + t * dx
+    cy = swy + t * dy
+    return (pwx - cx) ** 2 + (pwy - cy) ** 2
+
+
+@dataclass
+class _Bucket:
+    feature_ids: list = field(default_factory=list)
+    kinds: list = field(default_factory=list)
+    geoms_web: list = field(default_factory=list)  # (n, 2) [wx, wy]
+    geoms_wgs: list = field(default_factory=list)  # (n, 2) [lat, lng]
+
+
+class FeatureIndex:
+    """Cell-bucketed prepared feature index.
+
+    Built ONCE (driver side or actor ``__init__`` from a broadcast
+    ref); each feature is registered in every coarse cell its bbox
+    touches, with geometry pre-projected to web coordinates. Probes:
+
+    - ``pip(lat, lng)``      -> polygon feature_ids containing each point
+    - ``knn(lat, lng, k)``   -> k nearest features by exact
+      web-coordinate distance, found by expanding cell rings until
+      the ring lower-bound exceeds the current k-th best (so results
+      equal brute force).
+    """
+
+    def __init__(self, res: int = cellmod.COARSE_RES):
+        self.res = res
+        self.buckets: dict[int, _Bucket] = {}
+        self.n_features = 0
+
+    def add(self, feature_id: int, kind: str, geom_latlng: np.ndarray) -> None:
+        geom_latlng = np.asarray(geom_latlng, dtype=np.float64).reshape(-1, 2)
+        wx, wy = project2web(geom_latlng[:, 0], geom_latlng[:, 1])
+        web = np.stack([wx, wy], axis=1)
+        W, S, E, N = ring_bbox(geom_latlng)
+        c0 = cellmod.cell_at(np.array([N]), np.array([W]), self.res)
+        c1 = cellmod.cell_at(np.array([S]), np.array([E]), self.res)
+        x0, y0, _ = cellmod.unpack(c0)
+        x1, y1, _ = cellmod.unpack(c1)
+        for cx in range(int(x0[0]), int(x1[0]) + 1):
+            for cy in range(int(y0[0]), int(y1[0]) + 1):
+                key = int(cellmod.pack(np.array([cx]), np.array([cy]), self.res)[0])
+                b = self.buckets.setdefault(key, _Bucket())
+                b.feature_ids.append(feature_id)
+                b.kinds.append(kind)
+                b.geoms_web.append(web)
+                b.geoms_wgs.append(geom_latlng)
+        self.n_features += 1
+
+    @classmethod
+    def from_table(cls, feats: "object", res: int = cellmod.COARSE_RES) -> "FeatureIndex":
+        """Build from an Arrow table / dict-of-arrays with columns
+        (feature_id, kind, geom_lat: list<f64>, geom_lng: list<f64>)."""
+        idx = cls(res)
+        fid = np.asarray(feats["feature_id"])
+        kind = feats["kind"]
+        kind = kind.to_pylist() if hasattr(kind, "to_pylist") else list(kind)
+        glat = feats["geom_lat"]
+        glng = feats["geom_lng"]
+        glat = glat.to_pylist() if hasattr(glat, "to_pylist") else list(glat)
+        glng = glng.to_pylist() if hasattr(glng, "to_pylist") else list(glng)
+        for i in range(len(fid)):
+            geom = np.stack([np.asarray(glat[i]), np.asarray(glng[i])], axis=1)
+            idx.add(int(fid[i]), kind[i], geom)
+        return idx
+
+    def candidates(self, cell_keys: np.ndarray) -> tuple[np.ndarray, list]:
+        """Distinct features registered in any of the given cells."""
+        seen: dict[int, tuple] = {}
+        for key in np.unique(np.asarray(cell_keys, dtype=np.int64)):
+            b = self.buckets.get(int(key))
+            if b is None:
+                continue
+            for i, f in enumerate(b.feature_ids):
+                if f not in seen:
+                    seen[f] = (b.kinds[i], b.geoms_web[i], b.geoms_wgs[i])
+        ids = np.asarray(sorted(seen), dtype=np.int64)
+        return ids, [seen[int(f)] for f in ids]
+
+    def pip(self, lat: np.ndarray, lng: np.ndarray, kinds=("polygon",)) -> list[np.ndarray]:
+        """For each point, the sorted feature_ids of polygons containing
+        it. Points are grouped by coarse cell so each polygon's
+        crossing test runs once per (cell, polygon) pair, vectorized
+        over the cell's points."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        out: list[list[int]] = [[] for _ in range(len(lat))]
+        cell = cellmod.cell_at(lat, lng, self.res)
+        order = np.argsort(cell, kind="stable")
+        sorted_cells = cell[order]
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        for grp in np.split(order, bounds):
+            key = int(cell[grp[0]])
+            b = self.buckets.get(key)
+            if b is None:
+                continue
+            done: set[int] = set()
+            for i, fid in enumerate(b.feature_ids):
+                if b.kinds[i] not in kinds or fid in done:
+                    continue
+                done.add(fid)
+                hit = points_in_ring(lat[grp], lng[grp], b.geoms_wgs[i])
+                for j in np.flatnonzero(hit):
+                    out[grp[j]].append(fid)
+        return [np.asarray(sorted(o), dtype=np.int64) for o in out]
+
+    def knn(self, lat: float, lng: float, k: int, max_ring: int = 64):
+        """k nearest features to one point: expand cell rings; stop
+        when the ring's guaranteed minimum distance exceeds the k-th
+        best found. Returns (feature_ids, dist2_web) sorted ascending,
+        ties broken by feature_id."""
+        pwx, pwy = project2web(np.array([lat]), np.array([lng]))
+        pwx, pwy = float(pwx[0]), float(pwy[0])
+        cell = int(cellmod.cell_at(np.array([lat]), np.array([lng]), self.res)[0])
+        cell_w = 256.0 / (1 << self.res)  # cell edge length in web units
+        best: dict[int, float] = {}
+        for r in range(max_ring + 1):
+            if len(best) >= k:
+                # lower bound on any feature in ring r: (r-1) cells away
+                lb = ((r - 1) * cell_w) ** 2 if r >= 1 else 0.0
+                kth = sorted(best.values())[k - 1]
+                if lb > kth:
+                    break
+            ids, geoms = self.candidates(cellmod.ring(cell, r))
+            for fid, (_kind, web, _wgs) in zip(ids, geoms):
+                fid = int(fid)
+                if fid in best:
+                    continue
+                if len(web) == 1:
+                    d2 = float((pwx - web[0, 0]) ** 2 + (pwy - web[0, 1]) ** 2)
+                else:
+                    d2 = float(
+                        point_segment_dist2_web(
+                            pwx, pwy, web[:-1, 0], web[:-1, 1], web[1:, 0], web[1:, 1]
+                        ).min()
+                    )
+                best[fid] = d2
+        items = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        return (
+            np.asarray([f for f, _ in items], dtype=np.int64),
+            np.asarray([d for _, d in items], dtype=np.float64),
+        )
+
+    def brute_knn(self, lat: float, lng: float, k: int):
+        """Brute force over every feature — oracle for knn tests."""
+        pwx, pwy = project2web(np.array([lat]), np.array([lng]))
+        pwx, pwy = float(pwx[0]), float(pwy[0])
+        seen: dict[int, float] = {}
+        for b in self.buckets.values():
+            for i, fid in enumerate(b.feature_ids):
+                if fid in seen:
+                    continue
+                web = b.geoms_web[i]
+                if len(web) == 1:
+                    d2 = float((pwx - web[0, 0]) ** 2 + (pwy - web[0, 1]) ** 2)
+                else:
+                    d2 = float(
+                        point_segment_dist2_web(
+                            pwx, pwy, web[:-1, 0], web[:-1, 1], web[1:, 0], web[1:, 1]
+                        ).min()
+                    )
+                seen[fid] = d2
+        items = sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        return (
+            np.asarray([f for f, _ in items], dtype=np.int64),
+            np.asarray([d for _, d in items], dtype=np.float64),
+        )
