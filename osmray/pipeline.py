@@ -1,0 +1,299 @@
+"""Flagship pipelines — the reference's make_* scripts re-expressed as
+Ray Data dataflows over the images table.
+
+The reference builds folder-labeled JPEG training sets one file at a
+time (make_original.py / make_buildings.py traced in SURVEY §3). The
+engine's equivalent contract: a labeled output TABLE
+(image, tile key, cell, label, split, 256x256 label mask, round-tripped
+bytes, caption, lineage partition), computed as:
+
+  read images parquet
+    -> map_batches(assign_tiles)                 [stateless, zero-copy]
+    -> semi-join positives / anti-join negatives [broadcast key sets]
+    -> groupby(tile_key) first-writer dedup      [keyed shuffle]
+    -> map_batches(MaskStage, actor pool)        [broadcast FeatureIndex]
+    -> map_batches(decode_roundtrip)             [psnr/caption gate]
+    -> lancelike.write_dataset(part_id = coarse cell) [resumable sink]
+
+Scale notes (100 TB design intent, single-node tested):
+- The images table is never materialized: it streams. Only key SETS
+  (sampled positives/negatives, bounded by the sampling limits and the
+  canvas size) and the features table are broadcast via ``ray.put``.
+- The painted-tile canvas is bounded by geography (the job bbox), not
+  by image count — the city canvas is ~155k z19 tiles (BASELINE.md).
+  For planet-scale bboxes, partition the canvas by coarse cell and
+  sample negatives per cell; the dataflow below keeps that seam
+  explicit (painted keys / universe / sample are all keyed datasets).
+- Sampling is the engine's seeded replacement for random.shuffle
+  (documented divergence, SURVEY §7.5): order by splitmix64(key, seed)
+  and take the LIMIT smallest — deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osmray import cells as cellmod
+from osmray import lancelike
+from osmray.stages import (
+    MaskStage,
+    decode_roundtrip,
+    hash64,
+    hash_str,
+    make_assign_tiles,
+    make_rasterize_painted,
+)
+from osmray.tilemath import MAXAR, TileScheme, bbox_tiles, pack_tile, tile_at_wgs, edge_ok as edge_ok_fn
+
+BOX = (27.4026, 53.8306, 27.7003, 53.9739)  # the reference whole-city bbox
+
+
+@dataclass
+class LabelJobConfig:
+    """One folder-labeled dataset job (make_original / make_buildings
+    as config, not scripts — SURVEY §2.10 'script-per-task' replaced
+    by a declarative surface)."""
+
+    z: int = 19
+    scheme: TileScheme = MAXAR
+    bbox: tuple = BOX
+    limit: int = 5000
+    seed: int = 42
+    edge: int = 16
+    pos_label: str = "lamp"
+    neg_label: str = "nolamp"
+    positive_kind: str = "node"  # which feature kind yields positives
+    positive_tag: tuple | None = ("highway", "street_lamp")
+    # what the negative painter paints from the FULL features table;
+    # sampled positives are painted via ``extra`` (the reference paints
+    # the TRUNCATED lamp list + all ways, make_original.py:41-44)
+    paint_kinds: tuple = ("way",)
+    way_width: int = 2
+    polygon_width: int = 1
+    train_frac: float = 0.8  # hash split (make_expand's 4000/1000)
+    mask_batch: int = 256
+    mask_concurrency: int = 4
+
+
+BUILDINGS = LabelJobConfig(
+    z=18,
+    edge=24,  # make_buildings.py:40
+    pos_label="yes",
+    neg_label="no",
+    positive_kind="polygon",
+    positive_tag=None,
+    paint_kinds=("polygon", "exclusion"),  # outlines + filled exclusions
+)
+
+
+def _tags_get(tags_col, key: str) -> list:
+    """tags map column -> list of values for ``key`` (None if absent)."""
+    out = []
+    for row in tags_col.to_pylist():
+        d = dict(row) if row is not None else {}
+        out.append(d.get(key))
+    return out
+
+
+def filter_features(feats: pa.Table, kind: str | None = None, tag: tuple | None = None) -> pa.Table:
+    """Predicate surface over the features table (the engine's version
+    of the reference's Overpass query templates, lib/loaders.py:19,37-49)."""
+    if kind is not None:
+        feats = feats.filter(pc.equal(feats["kind"], kind))
+    if tag is not None:
+        key, val = tag
+        vals = _tags_get(feats["tags"], key)
+        feats = feats.filter(pa.array([v == val for v in vals], pa.bool_()))
+    return feats
+
+
+def sample_smallest(keys: np.ndarray, limit: int, seed: int) -> np.ndarray:
+    """Seeded deterministic 'shuffle + take limit': order by
+    hash64(key, seed), break ties by key."""
+    h = hash64(keys, seed)
+    order = np.lexsort((keys, h))
+    return keys[order[:limit]]
+
+
+def positive_feature_tiles(
+    feats: pa.Table, cfg: LabelJobConfig
+) -> tuple[pa.Table, np.ndarray]:
+    """Select + sample positive features; return (sampled features,
+    their edge-passing tile keys).
+
+    - nodes (make_original): one point each; sample LIMIT features,
+      tile per node, skipedge filter (lib/layers.py:120-143).
+    - polygons (make_buildings): EVERY vertex of every way emits its
+      tile (make_buildings.py:36-47), skipedge(edge=24), dedup; the
+      engine samples deterministically instead of the reference's
+      order-dependent count>=LIMIT break (documented divergence).
+    """
+    pos = filter_features(feats, cfg.positive_kind, cfg.positive_tag)
+    fid = pos["feature_id"].to_numpy(zero_copy_only=False)
+    if cfg.positive_kind == "node":
+        sampled_ids = sample_smallest(fid, cfg.limit, cfg.seed)
+        pos = pos.filter(pc.is_in(pos["feature_id"], pa.array(sampled_ids)))
+        lat = np.asarray([g[0] for g in pos["geom_lat"].to_pylist()])
+        lng = np.asarray([g[0] for g in pos["geom_lng"].to_pylist()])
+    else:
+        lat = np.concatenate([np.asarray(g) for g in pos["geom_lat"].to_pylist()])
+        lng = np.concatenate([np.asarray(g) for g in pos["geom_lng"].to_pylist()])
+    tx, ty, rx, ry = tile_at_wgs(lat, lng, cfg.z, cfg.scheme)
+    ok = edge_ok_fn(rx, ry, cfg.edge)
+    keys = np.unique(pack_tile(tx[ok], ty[ok], cfg.z))
+    if cfg.positive_kind != "node":
+        keys = sample_smallest(keys, cfg.limit, cfg.seed)
+    return pos, keys
+
+
+def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | None = None) -> np.ndarray:
+    """The distributed painter: rasterize the paint features (sampled
+    positives + the configured paint kinds) and return the unique
+    painted tile keys within the bbox canvas."""
+    import ray.data
+
+    window = bbox_tiles(*cfg.bbox, cfg.z, cfg.scheme)
+    txmin, tymin, txmax, tymax = window
+    paint = feats.filter(pc.is_in(feats["kind"], pa.array(list(cfg.paint_kinds))))
+    if extra is not None and extra.num_rows:
+        paint = pa.concat_tables([paint, extra.select(paint.schema.names)])
+    if paint.num_rows == 0:
+        return np.array([], dtype=np.int64)
+    raster_fn = make_rasterize_painted(
+        cfg.z,
+        cfg.scheme,
+        (txmin, tymin, txmax, tymax),
+        kinds_widths={"node": 1, "way": cfg.way_width, "polygon": cfg.polygon_width},
+    )
+    ds = ray.data.from_arrow(paint).map_batches(raster_fn, batch_format="pyarrow")
+    keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
+    return np.unique(keys)
+
+
+def sample_negative_tiles(
+    painted: np.ndarray, cfg: LabelJobConfig, n: int | None = None
+) -> np.ndarray:
+    """Complement sampling as dataflow (replaces the mutable
+    busy/free-dict rejection sampler, lib/helpers.py:157-215): tile
+    universe of the bbox canvas, anti-join the painted set, take the
+    LIMIT hash-smallest. 'Without replacement' is free — each key
+    appears once."""
+    import ray
+    import ray.data
+
+    n = n or cfg.limit
+    txmin, tymin, txmax, tymax = bbox_tiles(*cfg.bbox, cfg.z, cfg.scheme)
+    width = txmax - txmin + 1
+    height = tymax - tymin + 1
+    painted_ref = ray.put(np.sort(painted))
+    seed = cfg.seed
+    z = cfg.z
+
+    def flat_to_key(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        tx = txmin + (i % width)
+        ty = tymin + (i // width)
+        key = pack_tile(tx, ty, z)
+        p = ray.get(painted_ref)
+        free = ~np.isin(key, p, assume_unique=False)
+        key = key[free]
+        return pa.table({"tile_key": pa.array(key), "h": pa.array(hash64(key, seed))})
+
+    universe = ray.data.range(width * height)
+    free = universe.map_batches(flat_to_key, batch_format="pyarrow")
+    # global smallest-n by seeded hash = deterministic uniform sample
+    sample = free.sort("h").limit(n).to_pandas()
+    return np.sort(sample["tile_key"].to_numpy())
+
+
+def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig):
+    """Semi-join the streaming images table against the broadcast
+    positive/negative key sets; first-writer-wins dedup per tile
+    (keyed shuffle); hash train/valid split."""
+    import ray
+
+    pos_ref = ray.put(np.sort(pos_keys))
+    neg_ref = ray.put(np.sort(neg_keys))
+    pos_label, neg_label = cfg.pos_label, cfg.neg_label
+    train_frac, seed = cfg.train_frac, cfg.seed
+
+    def label_batch(batch: pa.Table) -> pa.Table:
+        key = batch["tile_key"].to_numpy(zero_copy_only=False)
+        is_pos = np.isin(key, ray.get(pos_ref))
+        is_neg = np.isin(key, ray.get(neg_ref))
+        keep = is_pos | is_neg
+        batch = batch.filter(pa.array(keep))
+        lab = np.where(is_pos[keep], pos_label, neg_label)
+        h = hash_str(batch["image_id"], seed + 1)
+        split = np.where(
+            (h.astype(np.uint64) % np.uint64(1000)) < np.uint64(int(train_frac * 1000)),
+            "train",
+            "valid",
+        )
+        return batch.append_column("label", pa.array(lab, pa.string())).append_column(
+            "split", pa.array(split, pa.string())
+        )
+
+    labeled = images_ds.map_batches(label_batch, batch_format="pyarrow")
+
+    # exact dedup: one image per tile, smallest image_id wins
+    # (deterministic twin of the reference's first-file-wins,
+    # make_buildings.py:45-46)
+    def first_per_tile(g):
+        return g.sort_values("image_id").head(1)
+
+    return labeled.groupby("tile_key").map_groups(first_per_tile, batch_format="pandas")
+
+
+def run_label_job(
+    images_ds,
+    feats: pa.Table,
+    cfg: LabelJobConfig = LabelJobConfig(),
+    out_dir: str | None = None,
+    mask: bool = True,
+    roundtrip: bool = True,
+):
+    """End-to-end flagship: returns (dataset, lineage_df_or_None)."""
+    import ray
+
+    pos_feats, pos_keys = positive_feature_tiles(feats, cfg)
+    painted = painted_tile_set(feats, cfg, extra=pos_feats if cfg.positive_kind == "node" else None)
+    neg_keys = sample_negative_tiles(painted, cfg)
+
+    assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
+    ds = images_ds.map_batches(assign, batch_format="pyarrow")
+    ds = label_images(ds, pos_keys, neg_keys, cfg)
+
+    if mask:
+        # mask features: what the painter painted + the positives
+        mask_feats = feats.filter(
+            pc.is_in(feats["kind"], pa.array(list(set(cfg.paint_kinds) | {cfg.positive_kind})))
+        )
+        feats_ref = ray.put(mask_feats)
+        ds = ds.map_batches(
+            MaskStage,
+            fn_constructor_kwargs={"features_ref": feats_ref, "z": cfg.z, "scheme": cfg.scheme},
+            batch_format="pyarrow",
+            batch_size=cfg.mask_batch,
+            concurrency=cfg.mask_concurrency,
+            num_cpus=1,
+        )
+    if roundtrip:
+        ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
+
+    # partition key for the sink: coarse cell of the tile
+    def add_part(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part_id", pa.array(cell.astype(np.int64)))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+
+    lineage = None
+    if out_dir is not None:
+        lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
+        ds = lancelike.read_dataset(out_dir)
+    return ds, lineage

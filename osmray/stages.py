@@ -1,0 +1,307 @@
+"""Ray Data stage kernels and actor classes.
+
+Every per-record transform of the reference becomes a vectorized
+``map_batches`` kernel over Arrow batches here; every stateful thing
+(the reference's MercatorPainter canvas, lib/helpers.py:36-215) becomes
+either a broadcast immutable index read in an actor pool's
+``__init__`` or explicit keyed dataflow (groupby / anti-join /
+deterministic sampling) — never shared mutable state.
+
+Kernels (stateless tasks):
+  assign_tiles        point -> (tx, ty, rx, ry, tile_key, cell, edge_ok)
+                      (lib/layers.py:107-143 semantics)
+  rasterize_painted   features batch -> painted tile keys
+                      (the distributed MercatorPainter)
+  decode_roundtrip    bytes -> pixels -> bytes (+ psnr / phash verify)
+
+Actors (stateful pools):
+  MaskStage           holds the broadcast FeatureIndex; emits per-tile
+                      256x256 label masks + PIP / kNN columns
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmray import cells as cellmod
+from osmray import codecs, raster
+from osmray.geom import FeatureIndex
+from osmray.tilemath import (
+    TILESIZE,
+    PLAIN,
+    TileScheme,
+    edge_ok,
+    pack_tile,
+    project2web,
+    tile_at_wgs,
+)
+
+# splitmix64-style integer hash: the engine's deterministic stand-in for
+# the reference's random.shuffle (seeded sampling must be reproducible
+# across parallelism levels; SURVEY §2.7)
+_H1 = np.uint64(0xBF58476D1CE4E5B9)
+_H2 = np.uint64(0x94D049BB133111EB)
+
+
+def hash64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    v = np.asarray(x, dtype=np.int64).astype(np.uint64) + np.uint64(
+        (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    )
+    v ^= v >> np.uint64(30)
+    v *= _H1
+    v ^= v >> np.uint64(27)
+    v *= _H2
+    v ^= v >> np.uint64(31)
+    return v.astype(np.int64)
+
+
+def hash_str(ids, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of a string column (crc32 pair mix —
+    stable across processes, unlike Python's hash())."""
+    import zlib
+
+    vals = np.asarray(
+        [
+            (zlib.crc32(s.encode()) << 32) | zlib.crc32(s.encode()[::-1])
+            for s in (ids.to_pylist() if hasattr(ids, "to_pylist") else ids)
+        ],
+        dtype=np.uint64,
+    ).astype(np.int64)
+    return hash64(vals, seed)
+
+
+def make_assign_tiles(z: int, scheme: TileScheme = PLAIN, edge: int = 16, res: int = cellmod.COARSE_RES):
+    """Stage factory: append tile-assignment columns to an images batch
+    (requires lat/lng columns). Pure numpy; zero-copy Arrow in/out."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        tx, ty, rx, ry = tile_at_wgs(lat, lng, z, scheme)
+        cell = cellmod.cell_of_tile(tx, ty, z, res)
+        return (
+            batch.append_column("z", pa.array(np.full(len(tx), z, dtype=np.int8)))
+            .append_column("tx", pa.array(tx))
+            .append_column("ty", pa.array(ty))
+            .append_column("rx", pa.array(rx))
+            .append_column("ry", pa.array(ry))
+            .append_column("tile_key", pa.array(pack_tile(tx, ty, z)))
+            .append_column("cell", pa.array(cell))
+            .append_column("edge_ok", pa.array(edge_ok(rx, ry, edge)))
+        )
+
+    return assign
+
+
+def geom_arrays(batch: pa.Table) -> tuple[np.ndarray, list, list[np.ndarray]]:
+    """Unpack a features batch into (feature_id, kind, [(n,2) latlng])."""
+    fid = batch["feature_id"].to_numpy(zero_copy_only=False)
+    kinds = batch["kind"].to_pylist()
+    glat = batch["geom_lat"].to_pylist()
+    glng = batch["geom_lng"].to_pylist()
+    geoms = [np.stack([np.asarray(a), np.asarray(b)], axis=1) for a, b in zip(glat, glng)]
+    return fid, kinds, geoms
+
+
+def make_rasterize_painted(
+    z: int,
+    scheme: TileScheme,
+    canvas_window: tuple[int, int, int, int],
+    kinds_widths: dict[str, int] | None = None,
+    fill_exclusions: bool = True,
+):
+    """Stage factory: features batch -> painted (tx, ty, tile_key) rows.
+
+    The distributed MercatorPainter: each batch rasterizes its features
+    onto a LOCAL canvas covering only the union bbox of the batch's
+    geometry (clipped to the global canvas window), then emits painted
+    tile keys; downstream dedups with a shuffle-free ``unique`` on the
+    packed key. ``canvas_window`` = (txmin, tymin, txmax, tymax)
+    inclusive, the reference's whole-bbox canvas (lib/helpers.py:42-55)
+    — painting outside it is dropped, matching the canvas bounds.
+    """
+    kinds_widths = kinds_widths or {"node": 1, "way": 2, "polygon": 1}
+    txmin, tymin, txmax, tymax = canvas_window
+
+    def rasterize(batch: pa.Table) -> pa.Table:
+        _, kinds, geoms = geom_arrays(batch)
+        keep_kinds, tile_pts = [], []
+        gxmin = gymin = 1 << 60
+        gxmax = gymax = -(1 << 60)
+        for kind, g in zip(kinds, geoms):
+            if kind == "exclusion" and not fill_exclusions:
+                continue
+            if kind not in ("node", "way", "polygon", "exclusion"):
+                continue
+            tx, ty, _, _ = tile_at_wgs(g[:, 0], g[:, 1], z, scheme)
+            pts = np.stack([tx, ty], axis=1)
+            keep_kinds.append(kind)
+            tile_pts.append(pts)
+            gxmin = min(gxmin, int(tx.min()))
+            gxmax = max(gxmax, int(tx.max()))
+            gymin = min(gymin, int(ty.min()))
+            gymax = max(gymax, int(ty.max()))
+        if not keep_kinds:
+            return pa.table({"tx": pa.array([], pa.int64()), "ty": pa.array([], pa.int64()),
+                             "tile_key": pa.array([], pa.int64())})
+        # local window = batch bbox (pad for stroke width) clipped to canvas
+        pad = 2
+        wx0 = max(txmin, gxmin - pad)
+        wy0 = max(tymin, gymin - pad)
+        wx1 = min(txmax, gxmax + pad)
+        wy1 = min(tymax, gymax + pad)
+        if wx1 < wx0 or wy1 < wy0:
+            return pa.table({"tx": pa.array([], pa.int64()), "ty": pa.array([], pa.int64()),
+                             "tile_key": pa.array([], pa.int64())})
+        local = [p - np.array([wx0, wy0]) for p in tile_pts]
+        painted = raster.painted_tile_keys(
+            keep_kinds,
+            local,
+            x_off=wx0,
+            y_off=wy0,
+            width=wx1 - wx0 + 1,
+            height=wy1 - wy0 + 1,
+            line_width_ways=kinds_widths.get("way", 2),
+            line_width_polygons=kinds_widths.get("polygon", 1),
+        )
+        tx = painted[:, 0]
+        ty = painted[:, 1]
+        return pa.table(
+            {"tx": pa.array(tx), "ty": pa.array(ty), "tile_key": pa.array(pack_tile(tx, ty, z))}
+        )
+
+    return rasterize
+
+
+def decode_roundtrip(batch: pa.Table) -> pa.Table:
+    """Decode -> verify phash -> re-encode. Appends ``psnr_ok`` (the
+    >=40 dB input_hint gate; lossless formats round-trip bit-exact) and
+    ``phash_ok``; replaces ``bytes`` with the re-encoded pixels so the
+    output provably went through the decoder."""
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    phs = batch["phash"].to_numpy(zero_copy_only=False)
+    out_blobs, psnr_ok, phash_ok = [], [], []
+    for blob, fmt, ph in zip(blobs, fmts, phs):
+        img = codecs.decode(blob, fmt)
+        out = codecs.encode(img, fmt)
+        back = codecs.decode(out, fmt)
+        psnr_ok.append(codecs.psnr(img, back) >= 40.0)
+        phash_ok.append(int(codecs.phash(img)) == int(ph))
+        out_blobs.append(out)
+    i = batch.schema.get_field_index("bytes")
+    return (
+        batch.set_column(i, "bytes", pa.array(out_blobs, pa.binary()))
+        .append_column("psnr_ok", pa.array(psnr_ok, pa.bool_()))
+        .append_column("phash_ok", pa.array(phash_ok, pa.bool_()))
+    )
+
+
+class MaskStage:
+    """Actor-pool stage: per-tile 256x256 label masks.
+
+    ``__init__`` runs once per actor: fetch the broadcast features
+    table ref, build the cell-bucketed FeatureIndex (the prepared
+    MercatorPainter successor). ``__call__`` runs per batch: for each
+    image row, collect candidate features from the tile's coarse cell
+    (k_ring(1) so strokes crossing cell borders aren't missed),
+    project geometry to in-tile pixel coordinates at zoom z, rasterize
+    (dots / width-2 ways / outline polygons / filled exclusions) and
+    emit the PNG-encoded mask plus ``mask_any`` (tile touched by any
+    feature).
+    """
+
+    def __init__(self, features_ref, z: int, scheme: TileScheme = PLAIN, res: int = cellmod.COARSE_RES):
+        import ray
+
+        feats = ray.get(features_ref) if not isinstance(features_ref, pa.Table) else features_ref
+        self.index = FeatureIndex.from_table(feats, res)
+        self.z = z
+        self.scheme = scheme
+        self.res = res
+
+    def _mask_for_tile(self, tx: int, ty: int) -> np.ndarray:
+        scale = float(1 << self.z)
+        cell = cellmod.cell_of_tile(np.array([tx]), np.array([ty]), self.z, self.res)[0]
+        ids, cands = self.index.candidates(cellmod.k_ring(int(cell), 1))
+        canvas = np.zeros((TILESIZE, TILESIZE), dtype=np.uint8)
+        for fid, (kind, web, _wgs) in zip(ids, cands):
+            px = (web[:, 0] + self.scheme.offsetx) * scale - tx * TILESIZE
+            py = (web[:, 1] + self.scheme.offsety) * scale - ty * TILESIZE
+            # quick reject: geometry nowhere near this tile
+            if px.max() < -2 or px.min() > TILESIZE + 2 or py.max() < -2 or py.min() > TILESIZE + 2:
+                continue
+            pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
+            if kind == "node":
+                raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
+            elif kind == "way":
+                raster.draw_polyline(canvas, pts, width=2, closed=True)
+            elif kind == "polygon":
+                raster.draw_polyline(canvas, pts, width=1, closed=True)
+            elif kind == "exclusion":
+                raster.fill_poly(canvas, pts)
+        return canvas
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txs = batch["tx"].to_numpy(zero_copy_only=False)
+        tys = batch["ty"].to_numpy(zero_copy_only=False)
+        masks, any_flags = [], []
+        cache: dict[tuple[int, int], tuple[bytes, bool]] = {}
+        for tx, ty in zip(txs, tys):
+            key = (int(tx), int(ty))
+            hit = cache.get(key)
+            if hit is None:
+                canvas = self._mask_for_tile(*key)
+                hit = (codecs.png_encode(canvas), bool(canvas.any()))
+                cache[key] = hit
+            masks.append(hit[0])
+            any_flags.append(hit[1])
+        return batch.append_column("mask", pa.array(masks, pa.binary())).append_column(
+            "mask_any", pa.array(any_flags, pa.bool_())
+        )
+
+
+class KnnStage:
+    """Actor-pool stage: k nearest features per image point via cell
+    ring expansion (north_rule's nearest-feature lookup). Emits
+    ``knn_ids: list<int64>`` and ``knn_d2: list<float64>``."""
+
+    def __init__(self, features_ref, k: int = 3, res: int = cellmod.COARSE_RES):
+        import ray
+
+        feats = ray.get(features_ref) if not isinstance(features_ref, pa.Table) else features_ref
+        self.index = FeatureIndex.from_table(feats, res)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        ids_col, d2_col = [], []
+        for la, ln in zip(lat, lng):
+            ids, d2 = self.index.knn(float(la), float(ln), self.k)
+            ids_col.append(ids.tolist())
+            d2_col.append(d2.tolist())
+        return batch.append_column(
+            "knn_ids", pa.array(ids_col, pa.list_(pa.int64()))
+        ).append_column("knn_d2", pa.array(d2_col, pa.list_(pa.float64())))
+
+
+class PipStage:
+    """Actor-pool stage: analytic point-in-polygon against the
+    broadcast index; emits ``pip_ids: list<int64>`` of containing
+    polygon features per image point."""
+
+    def __init__(self, features_ref, res: int = cellmod.COARSE_RES):
+        import ray
+
+        feats = ray.get(features_ref) if not isinstance(features_ref, pa.Table) else features_ref
+        self.index = FeatureIndex.from_table(feats, res)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        hits = self.index.pip(lat, lng)
+        return batch.append_column(
+            "pip_ids", pa.array([h.tolist() for h in hits], pa.list_(pa.int64()))
+        )

@@ -63,35 +63,60 @@ def image_pixels(image_id: str, h: int = 256, w: int = 256) -> np.ndarray:
     return tmpl + base
 
 
-def _edge_snapped_points(rng: np.random.Generator, n: int):
-    """Uniform points with ~5 % within 16 px and ~2 % within 24 px of a
-    z19 tile edge (exercises skipedge, lib/layers.py:135-141)."""
+def dense_window(n_tiles: int, z: int = 19):
+    """A rectangular tile window of ~``n_tiles`` z-level tiles centered
+    in the city canvas, returned as a WGS bbox (W, S, E, N) whose
+    corner points are TILE CENTERS — so ``bbox_tiles`` recovers exactly
+    this window under the MAXAR scheme.
+
+    The fixture is TILE-DENSE over this window (one image per tile,
+    extras cycling) because that is the real input shape: the imagery
+    table covers every tile of the job bbox; sampled positive /
+    negative tiles must actually join against image rows.
+    """
     from osmray import tilemath
 
-    W, S, E, N = BOX
-    lat = rng.uniform(S, N, n)
-    lng = rng.uniform(W, E, n)
-    # snap a slice of points into edge bands by nudging their in-tile px
-    wx, wy = tilemath.project2web(lat, lng)
-    scale = float(1 << 19)
-    px = wx * scale
-    py = wy * scale
+    txmin, tymin, txmax, tymax = tilemath.bbox_tiles(*BOX, z, tilemath.MAXAR)
+    w = int(np.ceil(np.sqrt(n_tiles)))
+    h = int(np.ceil(n_tiles / w))
+    cx, cy = (txmin + txmax) // 2, (tymin + tymax) // 2
+    tx0, ty0 = cx - w // 2, cy - h // 2
+    latN, lngW = tilemath.wgs_at_tile(np.array([tx0]), np.array([ty0]), z)
+    latS, lngE = tilemath.wgs_at_tile(np.array([tx0 + w - 1]), np.array([ty0 + h - 1]), z)
+    return (float(lngW[0]), float(latS[0]), float(lngE[0]), float(latN[0]))
+
+
+def _tile_dense_points(rng: np.random.Generator, n: int, bbox, z: int = 19):
+    """One point per canvas tile of ``bbox`` (row-major, cycling when
+    n exceeds the tile count -> exercises per-tile dedup), with the
+    in-tile pixel uniform except ~5 % forced within 16 px and ~2 %
+    within 16-24 px of the tile's x-edge (exercises skipedge,
+    lib/layers.py:135-141). Inverted through the MAXAR offsets so tile
+    assignment in the pipeline lands exactly on the intended tile."""
+    from osmray import tilemath
+
+    scheme = tilemath.MAXAR
+    txmin, tymin, txmax, tymax = tilemath.bbox_tiles(*bbox, z, scheme)
+    width = txmax - txmin + 1
+    height = tymax - tymin + 1
+    i = np.arange(n) % (width * height)
+    tx = txmin + (i % width)
+    ty = tymin + (i // width)
+    rx = rng.uniform(0, 256, n)
+    ry = rng.uniform(0, 256, n)
     u = rng.uniform(0, 1, n)
-    band16 = u < 0.05
-    band24 = (u >= 0.05) & (u < 0.07)
-    off16 = rng.uniform(0, 16, n)
-    off24 = rng.uniform(16, 24, n)
-    tx = np.floor(px / 256)
-    px = np.where(band16, tx * 256 + off16, px)
-    px = np.where(band24, tx * 256 + off24, px)
-    # invert back to lng (x only; y untouched keeps things simple)
-    lng = (px / scale / 256.0 - 0.5) * 360.0
-    return lat, lng
+    rx = np.where(u < 0.05, rng.uniform(0, 16, n), rx)
+    rx = np.where((u >= 0.05) & (u < 0.07), rng.uniform(16, 24, n), rx)
+    scale = float(1 << z)
+    wx = (tx * 256.0 + rx) / scale - scheme.offsetx
+    wy = (ty * 256.0 + ry) / scale - scheme.offsety
+    return tilemath.web2wgs(wx, wy)
 
 
-def make_images(n: int, rng: np.random.Generator | None = None) -> pa.Table:
+def make_images(n: int, rng: np.random.Generator | None = None, bbox=None) -> pa.Table:
     rng = rng or np.random.default_rng(SEED)
-    lat, lng = _edge_snapped_points(rng, n)
+    bbox = bbox or dense_window(max(64, (n * 3) // 5))
+    lat, lng = _tile_dense_points(rng, n, bbox)
     ids = [f"img{i:08d}" for i in range(n)]
     fmts = ["png" if i % 2 == 0 else "raw" for i in range(n)]
     # ~1 % exact duplicates: row i copies the pixels of row i-1
@@ -120,34 +145,43 @@ def make_images(n: int, rng: np.random.Generator | None = None) -> pa.Table:
     )
 
 
-def _skewed_center(rng: np.random.Generator):
+def _skewed_center(rng: np.random.Generator, bbox=None):
+    W, S, E, N = bbox or BOX
     if rng.uniform() < 0.5:
-        W, S, E, N = _URBAN
-    else:
-        W, S, E, N = BOX
+        # urban skew window: central ~2 % of the bbox area
+        cx, cy = (W + E) / 2, (S + N) / 2
+        W, E = cx - (E - W) * 0.07, cx + (E - W) * 0.07
+        S, N = cy - (N - S) * 0.07, cy + (N - S) * 0.07
     return rng.uniform(S, N), rng.uniform(W, E)
 
 
-def _exclusion_rings() -> list[list[tuple[float, float]]]:
-    """The reference's literal exclusion rings when available (pins WKT
-    parsing parity, lib/helpers.py:217-226); synthetic boxes otherwise."""
+def _exclusion_rings(bbox=None) -> list[list[tuple[float, float]]]:
+    """In-window synthetic exclusion boxes, plus (when available) the
+    reference's literal WKT rings — pins WKT parsing parity with
+    lib/helpers.py:217-226 even though those rings usually fall outside
+    a small fixture window."""
+    W, S, E, N = bbox or BOX
+    rng = np.random.default_rng(SEED + 7)
+    out = []
+    for _ in range(4):
+        la, ln = _skewed_center(rng, bbox)
+        dla, dln = (N - S) * 0.03, (E - W) * 0.03
+        out.append([(la, ln), (la, ln + dln), (la + dla, ln + dln), (la + dla, ln), (la, ln)])
     wkt_path = "/root/reference/make_buildings_except.wkt"
     if os.path.exists(wkt_path):
         from osmray.oracle import latlngs_from_wkt
 
         with open(wkt_path) as fh:
-            return latlngs_from_wkt(fh.read())
-    rng = np.random.default_rng(SEED + 7)
-    out = []
-    for _ in range(8):
-        la, ln = _skewed_center(rng)
-        d = 0.002
-        out.append([(la, ln), (la, ln + d), (la + d, ln + d), (la + d, ln), (la, ln)])
+            out.extend(latlngs_from_wkt(fh.read()))
     return out
 
 
 def make_features(
-    n_nodes: int, n_ways: int, n_polygons: int, rng: np.random.Generator | None = None
+    n_nodes: int,
+    n_ways: int,
+    n_polygons: int,
+    rng: np.random.Generator | None = None,
+    bbox=None,
 ) -> pa.Table:
     rng = rng or np.random.default_rng(SEED + 1)
     rows = []
@@ -163,22 +197,25 @@ def make_features(
             }
         )
 
+    W, S, E, N = bbox or BOX
+    step_m = min(400.0, (N - S) * _M_PER_DEG_LAT / 8.0)
+
     for _ in range(n_nodes):
-        la, ln = _skewed_center(rng)
+        la, ln = _skewed_center(rng, bbox)
         add("node", {"highway": "street_lamp"}, [(la, ln)])
 
     for i in range(n_ways):
-        la, ln = _skewed_center(rng)
+        la, ln = _skewed_center(rng, bbox)
         k = int(rng.integers(3, 13))
         ring = [(la, ln)]
         for _ in range(k - 1):
-            la = la + rng.uniform(-400, 400) / _M_PER_DEG_LAT
-            ln = ln + rng.uniform(-400, 400) / _M_PER_DEG_LNG
+            la = la + rng.uniform(-step_m, step_m) / _M_PER_DEG_LAT
+            ln = ln + rng.uniform(-step_m, step_m) / _M_PER_DEG_LNG
             ring.append((la, ln))
         add("way", {"highway": HIGHWAY_CLASSES[i % len(HIGHWAY_CLASSES)]}, ring)
 
     for i in range(n_polygons):
-        la, ln = _skewed_center(rng)
+        la, ln = _skewed_center(rng, bbox)
         k = int(rng.integers(4, 11))
         radius_m = rng.uniform(10, 100)
         angles = np.sort(rng.uniform(0, 2 * np.pi, k))
@@ -195,7 +232,7 @@ def make_features(
             tags["roof:shape"] = ROOF_SHAPES[i % 3]
         add("polygon", tags, ring)
 
-    for ring in _exclusion_rings():
+    for ring in _exclusion_rings(bbox):
         add("exclusion", {}, ring)
 
     return pa.table(
@@ -222,14 +259,17 @@ def write_fixture(
     """Write images (sharded into ``n_image_files`` row-group-friendly
     parquet files so Ray reads parallelize) + features under out_dir.
     Idempotent: skips if the manifest marker matches the request."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, ".synth")
-    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v1"
+    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v2"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == want:
                 return
-    images = make_images(n_images)
+    bbox = dense_window(max(64, (n_images * 3) // 5))
+    images = make_images(n_images, bbox=bbox)
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     per = (n_images + n_image_files - 1) // n_image_files
@@ -238,7 +278,17 @@ def write_fixture(
         if len(part):
             pq.write_table(part, os.path.join(img_dir, f"part-{s:04d}.parquet"))
     pq.write_table(
-        make_features(n_nodes, n_ways, n_polygons), os.path.join(out_dir, "features.parquet")
+        make_features(n_nodes, n_ways, n_polygons, bbox=bbox),
+        os.path.join(out_dir, "features.parquet"),
     )
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump({"bbox": list(bbox), "z": 19, "n_images": n_images, "seed": SEED}, fh)
     with open(marker, "w") as fh:
         fh.write(want)
+
+
+def fixture_bbox(out_dir: str) -> tuple[float, float, float, float]:
+    import json
+
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        return tuple(json.load(fh)["bbox"])

@@ -73,6 +73,17 @@ def project2web(lat: np.ndarray, lng: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return wx, wy
 
 
+def web2wgs(wx: np.ndarray, wy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of project2web (exact for |lat| below the siny clamp)."""
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    lng = (wx / TILESIZE - 0.5) * 360.0
+    lat = 180.0 / np.pi * (
+        2.0 * np.arctan(np.exp((1.0 - 2.0 * (wy / TILESIZE)) * np.pi)) - np.pi / 2.0
+    )
+    return lat, lng
+
+
 def wgs_at_tile(tx: np.ndarray, ty: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
     """Tile index -> WGS84 of the tile CENTER (lib/layers.py:32-39).
 

