@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``) and every batch does one numpy matmul against it
+(vectorized, no per-row loop).
+
+Scale path: LSH-bucketed search — random-hyperplane signatures
+partition vectors into buckets; queries probe their own bucket plus
+``n_probe`` neighboring buckets (signature bit flips), so each query
+touches a small fraction of the corpus. Recall is tunable via
+(n_planes, n_probe); exactness is NOT guaranteed — that is the
+documented trade (use brute force when k-exactness is required).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding"):
+    """Brute-force cosine top-k of each corpus batch against the
+    (q, d) query matrix; per-batch partial top-k then a tiny global
+    merge — the corpus streams, only (q * k) rows shuffle.
+
+    Returns a Dataset of (query_id, vec_id, rank, cosine) after the
+    global merge (driver-side merge of partials: q*k per block)."""
+    import ray
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        sims = q @ m.T  # (q, batch)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(len(q)), kk)
+        vi = top.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qi.astype(np.int64)),
+                id_col: pa.array(ids[vi]),
+                "cosine": pa.array(sims[qi, vi], pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    # global merge: q*k rows per block -> tiny; groupby query, take k
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class LshIndexStage:
+    """Actor-pool stage for bucketed ANN: holds hyperplanes + the
+    bucketed corpus (built once per actor from a broadcast ref)."""
+
+    def __init__(self, corpus_ref, n_planes: int = 12, seed: int = 7, k: int = 10,
+                 id_col="vec_id", vec_col="embedding", n_probe: int = 8):
+        import ray
+
+        ids, mat = ray.get(corpus_ref)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_probe = n_probe
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, mat.shape[1]))
+        self.norm = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        self.ids = ids
+        sigs = self._sig(self.norm)
+        order = np.argsort(sigs, kind="stable")
+        self.sorted_sigs = sigs[order]
+        self.order = order
+        self.starts = np.searchsorted(self.sorted_sigs, np.arange(1 << n_planes))
+
+    def _sig(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits @ (1 << np.arange(self.planes.shape[0]))).astype(np.int64)
+
+    def _bucket(self, sig: int) -> np.ndarray:
+        lo = np.searchsorted(self.sorted_sigs, sig, side="left")
+        hi = np.searchsorted(self.sorted_sigs, sig, side="right")
+        return self.order[lo:hi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        q = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
+        sigs = self._sig(q)
+        n_planes = self.planes.shape[0]
+        out_q, out_v, out_c, out_r = [], [], [], []
+        for i in range(len(q)):
+            cand = [self._bucket(int(sigs[i]))]
+            for p in range(min(self.n_probe, n_planes)):  # probe 1-bit flips
+                cand.append(self._bucket(int(sigs[i]) ^ (1 << p)))
+            cand = np.unique(np.concatenate(cand))
+            if len(cand) == 0:
+                continue
+            sims = self.norm[cand] @ q[i]
+            kk = min(self.k, len(cand))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            order = top[np.lexsort((self.ids[cand][top], -sims[top]))]
+            out_q.extend([int(qids[i])] * len(order))
+            out_v.extend(self.ids[cand][order].tolist())
+            out_c.extend(sims[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )

@@ -1,0 +1,759 @@
+"""Driver-facing query registry: one Ray Data pipeline per implemented
+operator (SURVEY.md §2 + the training-data extras), each with an
+ANSI-SQL twin that DuckDB runs on the same parquet tables.
+
+Cross-engine exactness design: the geospatial queries derive synthetic
+web-mercator coordinates from integer keys with ONLY dyadic-rational
+arithmetic (``m / 2^18`` style), so every projected coordinate, tile
+index, residual and squared distance is bit-exact in both numpy and
+DuckDB — no trig in any SQL-checked value (the trig path is verified
+against the scalar oracle in pytest instead). Aggregates are integer
+(counts, int-cast cents) so summation order cannot perturb hashes.
+
+Derivations (the "footprint" of row ``pid``):
+    m1 = (key1 % 2^26);  wx = m1 / 2^18   in [0, 256)
+    m2 = (key2 % 2^26);  wy = m2 / 2^18
+    z18 PLAIN : px = m1        -> tx = m1 // 256, rx = m1 % 256
+    z19 MAXAR : px = 2*m1 - 30 -> tx = floor(px/256), rx = px - 256*tx
+                py = 2*m2 + 10    (offsets -30/+10 px @ z19,
+                                   reference lib/layers.py:277-278)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmray import cells as cellmod
+from osmray.tilemath import MAXAR, PLAIN, tile_at_web, edge_ok as edge_ok_fn
+
+M26 = 67108864  # 2^26
+W18 = 262144.0  # 2^18
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _li_points(batch: pa.Table) -> dict:
+    ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pid = ok * 10 + ln
+    m1 = (ok * 7919 + ln * 104729) % M26
+    m2 = (ok * 6151 + ln * 99991) % M26
+    return {"pid": pid, "m1": m1, "m2": m2, "wx": m1 / W18, "wy": m2 / W18}
+
+_LI_SQL = (
+    "SELECT l_orderkey * 10 + l_linenumber AS pid, "
+    "(l_orderkey * 7919 + l_linenumber * 104729) % 67108864 AS m1, "
+    "(l_orderkey * 6151 + l_linenumber * 99991) % 67108864 AS m2, "
+    "l_quantity, l_extendedprice, l_discount, l_returnflag FROM lineitem"
+)
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign(sf_dir: str):
+    """Core op: point -> z18 PLAIN and z19 MAXAR tile assignment +
+    residuals + edge predicates, via the engine's vectorized kernels
+    (semantics of lib/layers.py:107-143)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        tx18, ty18, rx18, ry18 = tile_at_web(p["wx"], p["wy"], 18, PLAIN)
+        tx19, ty19, rx19, ry19 = tile_at_web(p["wx"], p["wy"], 19, MAXAR)
+        return pa.table(
+            {
+                "pid": pa.array(p["pid"]),
+                "tx18": pa.array(tx18),
+                "ty18": pa.array(ty18),
+                "rx18": pa.array(rx18),
+                "tx19": pa.array(tx19),
+                "ty19": pa.array(ty19),
+                "rx19": pa.array(rx19),
+                "ry19": pa.array(ry19),
+                "edge_ok16": pa.array(edge_ok_fn(rx19, ry19, 16)),
+                "edge_ok24": pa.array(edge_ok_fn(rx19, ry19, 24)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+Q_TILE_ASSIGN_SQL = f"""
+WITH p AS ({_LI_SQL})
+SELECT pid,
+  m1 // 256 AS tx18, m2 // 256 AS ty18, CAST(m1 % 256 AS DOUBLE) AS rx18,
+  CAST(floor((2*m1 - 30) / 256.0) AS BIGINT) AS tx19,
+  CAST(floor((2*m2 + 10) / 256.0) AS BIGINT) AS ty19,
+  (2*m1 - 30) - 256.0 * floor((2*m1 - 30) / 256.0) AS rx19,
+  (2*m2 + 10) - 256.0 * floor((2*m2 + 10) / 256.0) AS ry19,
+  ((2*m1 - 30) - 256 * floor((2*m1 - 30) / 256.0)) BETWEEN 16 AND 239
+    AND ((2*m2 + 10) - 256 * floor((2*m2 + 10) / 256.0)) BETWEEN 16 AND 239 AS edge_ok16,
+  ((2*m1 - 30) - 256 * floor((2*m1 - 30) / 256.0)) BETWEEN 24 AND 231
+    AND ((2*m2 + 10) - 256 * floor((2*m2 + 10) / 256.0)) BETWEEN 24 AND 231 AS edge_ok24
+FROM p
+"""
+
+
+def q_cell_agg(sf_dir: str):
+    """Shuffle/aggregate: group points by packed res-12 cell id,
+    integer aggregates only (count, qty, revenue cents). Pre-aggregates
+    inside map_batches (partial) before the small groupby — the
+    at-scale pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        p = _li_points(batch)
+        tx18 = p["m1"] // 256
+        ty18 = p["m2"] // 256
+        cell = cellmod.pack(tx18 >> 6, ty18 >> 6, 12)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"cell12": cell, "qty": qty, "rev": rev})
+        g = df.groupby("cell12", as_index=False).agg(
+            cnt=("qty", "size"), sum_qty=("qty", "sum"), rev_cents=("rev", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("cell12").aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("rev_cents", alias_name="rev_cents"),
+    )
+
+
+Q_CELL_AGG_SQL = f"""
+WITH p AS ({_LI_SQL})
+SELECT 12 * 288230376151711744 + (m1 // 256 // 64) * 536870912 + (m2 // 256 // 64) AS cell12,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM p GROUP BY 1
+"""
+
+
+def q_edge_filter(sf_dir: str):
+    """Filter + count by flag: the skipedge drop rate per returnflag."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        rx19 = (2 * p["m1"] - 30) - 256 * np.floor((2 * p["m1"] - 30) / 256.0)
+        ry19 = (2 * p["m2"] + 10) - 256 * np.floor((2 * p["m2"] + 10) / 256.0)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "edge_ok16": pa.array(edge_ok_fn(rx19, ry19, 16)),
+            }
+        )
+
+    return (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby(["l_returnflag", "edge_ok16"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+
+Q_EDGE_FILTER_SQL = f"""
+WITH p AS ({_LI_SQL})
+SELECT l_returnflag,
+  ((2*m1 - 30) - 256 * floor((2*m1 - 30) / 256.0)) BETWEEN 16 AND 239
+    AND ((2*m2 + 10) - 256 * floor((2*m2 + 10) / 256.0)) BETWEEN 16 AND 239 AS edge_ok16,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2
+"""
+
+
+def _part_points(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    fx = ((pk * 48271) % M26) / W18
+    fy = ((pk * 16807) % M26) / W18
+    return pk, fx, fy
+
+_PART_SQL = (
+    "SELECT p_partkey, ((p_partkey * 48271) % 67108864) / 262144.0 AS fx, "
+    "((p_partkey * 16807) % 67108864) / 262144.0 AS fy FROM part"
+)
+
+
+def q_knn(sf_dir: str):
+    """Brute-force-exact kNN (k=3) of a query subset against the
+    broadcast feature points; squared web distances are dyadic ->
+    bit-exact ranking in both engines. (The cell-ring-expansion kNN
+    actor is equivalence-tested against brute force in pytest.)"""
+    import pandas as pd
+    import ray
+
+    pk, fx, fy = _part_points(sf_dir)
+    ref = ray.put((pk, fx, fy))
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def subset(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 97 == 0
+        return pa.table(
+            {"pid": pa.array(p["pid"][sel]), "wx": pa.array(p["wx"][sel]),
+             "wy": pa.array(p["wy"][sel])}
+        )
+
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem:
+    # dedup pids (same pid -> identical derived point) before the kNN
+    queries = (
+        ds.map_batches(subset, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def knn(batch: pa.Table) -> pa.Table:
+        fpk, fwx, fwy = ray.get(ref)
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        wx = batch["wx"].to_numpy(zero_copy_only=False)
+        wy = batch["wy"].to_numpy(zero_copy_only=False)
+        if len(pid) == 0:
+            return pa.table(
+                {"pid": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+                 "p_partkey": pa.array([], pa.int64()), "d2": pa.array([], pa.float64())}
+            )
+        d2 = (wx[:, None] - fwx[None, :]) ** 2 + (wy[:, None] - fwy[None, :]) ** 2
+        # top-3 by (d2, p_partkey)
+        order = np.lexsort((np.broadcast_to(fpk, d2.shape), d2), axis=1)[:, :3]
+        rows = len(pid)
+        return pa.table(
+            {
+                "pid": pa.array(np.repeat(pid, 3)),
+                "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), rows)),
+                "p_partkey": pa.array(fpk[order].ravel()),
+                "d2": pa.array(np.take_along_axis(d2, order, axis=1).ravel()),
+            }
+        )
+
+    return queries.map_batches(knn, batch_format="pyarrow")
+
+
+Q_KNN_SQL = f"""
+WITH p AS ({_LI_SQL}), f AS ({_PART_SQL}),
+q AS (SELECT DISTINCT pid, m1 / 262144.0 AS wx, m2 / 262144.0 AS wy FROM p WHERE pid % 97 = 0),
+d AS (
+  SELECT q.pid, f.p_partkey,
+    (q.wx - f.fx) * (q.wx - f.fx) + (q.wy - f.fy) * (q.wy - f.fy) AS d2,
+    ROW_NUMBER() OVER (PARTITION BY q.pid ORDER BY
+      (q.wx - f.fx) * (q.wx - f.fx) + (q.wy - f.fy) * (q.wy - f.fy), f.p_partkey) AS rank
+  FROM q CROSS JOIN f
+)
+SELECT pid, CAST(rank AS BIGINT) AS rank, p_partkey, d2 FROM d WHERE rank <= 3
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Spatial range join: query points vs broadcast feature boxes
+    (half-open containment), all comparisons dyadic-exact."""
+    import ray
+
+    pk, fx, fy = _part_points(sf_dir)
+    h = (1 + pk % 8).astype(np.float64)
+    ref = ray.put((pk, fx, fy, h))
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def subset(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 13 == 0
+        return pa.table(
+            {"pid": pa.array(p["pid"][sel]), "wx": pa.array(p["wx"][sel]),
+             "wy": pa.array(p["wy"][sel])}
+        )
+
+    queries = (
+        ds.map_batches(subset, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        fpk, bx, by, bh = ray.get(ref)
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        wx = batch["wx"].to_numpy(zero_copy_only=False)
+        wy = batch["wy"].to_numpy(zero_copy_only=False)
+        hit = (
+            (wx[:, None] >= bx[None, :] - bh[None, :])
+            & (wx[:, None] < bx[None, :] + bh[None, :])
+            & (wy[:, None] >= by[None, :] - bh[None, :])
+            & (wy[:, None] < by[None, :] + bh[None, :])
+        )
+        qi, fi = np.nonzero(hit)
+        return pa.table({"pid": pa.array(pid[qi]), "p_partkey": pa.array(fpk[fi])})
+
+    return queries.map_batches(join, batch_format="pyarrow")
+
+
+Q_RANGE_JOIN_SQL = f"""
+WITH p AS ({_LI_SQL}), f AS ({_PART_SQL}),
+q AS (SELECT DISTINCT pid, m1 / 262144.0 AS wx, m2 / 262144.0 AS wy FROM p WHERE pid % 13 = 0),
+b AS (SELECT p_partkey, fx, fy, CAST(1 + p_partkey % 8 AS DOUBLE) AS h FROM f)
+SELECT q.pid, b.p_partkey
+FROM q, b
+WHERE q.wx >= b.fx - b.h AND q.wx < b.fx + b.h
+  AND q.wy >= b.fy - b.h AND q.wy < b.fy + b.h
+"""
+
+
+def q_negative_pool(sf_dir: str):
+    """Complement sampling as dataflow: res-9 cell universe minus
+    occupied cells, 200 hash-smallest survivors (the engine's seeded
+    replacement for MercatorPainter.random_negative,
+    lib/helpers.py:157-215)."""
+    import ray
+    import ray.data
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def occ(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        key = (p["m1"] >> 17) * 512 + (p["m2"] >> 17)
+        return pa.table({"key": pa.array(np.unique(key))})
+
+    occupied = np.unique(
+        ds.map_batches(occ, batch_format="pyarrow").to_pandas()["key"].to_numpy()
+    )
+    occ_ref = ray.put(occupied)
+
+    def free_keys(batch: pa.Table) -> pa.Table:
+        k = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[~np.isin(k, ray.get(occ_ref))]
+        return pa.table({"key": pa.array(k), "h": pa.array((k * 2654435761) % 1000000007)})
+
+    sample = (
+        ray.data.range(512 * 512)
+        .map_batches(free_keys, batch_format="pyarrow")
+        .sort(["h", "key"])
+        .limit(200)
+    )
+    return sample
+
+
+Q_NEGATIVE_POOL_SQL = f"""
+WITH p AS ({_LI_SQL}),
+occ AS (SELECT DISTINCT (m1 // 131072) * 512 + (m2 // 131072) AS key FROM p),
+u AS (SELECT range AS key FROM range(262144)),
+free AS (SELECT key, (key * 2654435761) % 1000000007 AS h FROM u
+         WHERE key NOT IN (SELECT key FROM occ))
+SELECT key, h FROM free ORDER BY h, key LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / text queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from osmray.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_stats(sf_dir: str):
+    from osmray.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_stats, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_punct", "n_chars_actual"]
+    )
+
+
+Q_DOC_STATS_SQL = """
+SELECT doc_id,
+  CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_lang_count(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="cnt"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+Q_LANG_COUNT_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_top_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+Q_TOP_DOCS_SQL = """
+SELECT doc_id, n_chars, lang FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# events / orders queries
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate (streaming-shaped workload:
+    event-time bucketing via integer arithmetic)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = (us // 1_000_000) // 3600
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "bucket": pa.array(b), "cents": pa.array(cents)}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+Q_EVENTS_WINDOW_SQL = """
+SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic ~5 % sample (seeded-hash filter — reproducible at
+    any parallelism, the engine's random_sample)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((k * 2654435761) % 1000000 < 50000))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_SAMPLE_HASH_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE (o_orderkey * 2654435761) % 1000000 < 50000
+"""
+
+
+def q_split_counts(sf_dir: str):
+    """Deterministic train/valid split sizes (make_expand's 4000/1000
+    protocol as hash dataflow)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = np.where((k * 2654435761) % 1000 < 800, "train", "valid")
+        return pa.table({"split": pa.array(split, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("split").aggregate(
+        Count(alias_name="cnt")
+    )
+
+
+Q_SPLIT_COUNTS_SQL = """
+SELECT CASE WHEN (o_orderkey * 2654435761) % 1000 < 800 THEN 'train' ELSE 'valid' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """Union + distinct (make_roofshapes' two-city union,
+    make_roofshapes.py:22-24)."""
+    import pyarrow.compute as pc
+
+    high = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    pri = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    return (
+        high.union(pri).groupby("o_orderkey").aggregate(Count(alias_name="n_sources"))
+    )
+
+
+Q_UNION_DISTINCT_SQL = """
+SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_sources FROM (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) GROUP BY 1
+"""
+
+
+def q_hash_join(sf_dir: str):
+    """Broadcast hash join (the reference's node-id->coords dict join,
+    lib/loaders.py:52-61, as dataflow): orders x customer nation key."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    lut_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    )
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        ck = batch["o_custkey"].to_pylist()
+        nk = np.asarray([lut.get(c, -1) for c in ck], dtype=np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"c_nationkey": pa.array(nk), "cents": pa.array(cents)})
+        return t.filter(pa.array(nk >= 0))
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+Q_HASH_JOIN_SQL = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 5 query vectors (ANN baseline);
+    output ranks only (integers) — similarity VALUES may differ by ulps
+    between summation orders, ranks must not."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        emb.filter(lambda r: r["vec_id"] < 5)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+
+    from osmray.ann import cosine_topk
+
+    out = cosine_topk(emb, queries, k=10)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+Q_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only pipelines (no SQL twin: heuristic / sketch / image ops)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup candidates over documents, verified with
+    exact n-gram Jaccard (threshold 0.5)."""
+    import pyarrow.parquet as pq
+
+    from osmray.dedup import minhash_lsh_candidates, verify_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lut = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return verify_pairs(cands, lut, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit simhash signatures per document."""
+    from osmray.dedup import simhash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        sigs = np.asarray([simhash64(t) for t in batch["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sigs)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic n-gram language ID vs the labeled lang column."""
+    from ray.data.aggregate import Count
+
+    from osmray.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch["text"].to_pylist())
+        return pa.table(
+            {"lang": batch["lang"], "pred": pa.array(pred, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby(["lang", "pred"]).aggregate(
+        Count(alias_name="cnt")
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints."""
+    from osmray.text import rolling_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fp = rolling_fingerprint(batch["text"].to_pylist())
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fp)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold 0.95)."""
+    from osmray.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def q_lsh_ann(sf_dir: str):
+    """LSH-bucketed ANN (scale path) for the same 5 queries."""
+    import ray
+
+    from osmray.ann import LshIndexStage
+    from osmray.dedup import _normalized_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mat, ids = _normalized_matrix(emb, "vec_id", "embedding")
+    corpus_ref = ray.put((ids, mat))
+    queries = emb.filter(lambda r: r["vec_id"] < 5)
+    return queries.map_batches(
+        LshIndexStage,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "k": 10},
+        batch_format="pyarrow",
+        concurrency=1,
+        num_cpus=1,
+    )
+
+
+def q_image_label_job(sf_dir: str):
+    """The flagship image pipeline at fixture scale (images table
+    synthesized deterministically under /tmp, seeded; features seeded)
+    — rows-only check; its semantics are oracle-locked in pytest."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+
+    n = 512 if "0.001" in sf_dir else 2048
+    root = f"/tmp/osmray_fixture_{n}"
+    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
+                        n_polygons=n // 8)
+    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root), limit=max(50, n // 8))
+    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
+    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    ds, _ = pipeline.run_label_job(images, feats, cfg)
+    return ds.select_columns(
+        ["image_id", "tile_key", "tx", "ty", "cell", "label", "split", "caption", "phash"]
+    )
+
+
+def registry():
+    """name -> (ray_fn, sql_or_None)"""
+    return {
+        "q_tile_assign": (q_tile_assign, Q_TILE_ASSIGN_SQL),
+        "q_cell_agg": (q_cell_agg, Q_CELL_AGG_SQL),
+        "q_edge_filter": (q_edge_filter, Q_EDGE_FILTER_SQL),
+        "q_knn": (q_knn, Q_KNN_SQL),
+        "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
+        "q_negative_pool": (q_negative_pool, Q_NEGATIVE_POOL_SQL),
+        "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+        "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
+        "q_lang_count": (q_lang_count, Q_LANG_COUNT_SQL),
+        "q_top_docs": (q_top_docs, Q_TOP_DOCS_SQL),
+        "q_events_window": (q_events_window, Q_EVENTS_WINDOW_SQL),
+        "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
+        "q_split_counts": (q_split_counts, Q_SPLIT_COUNTS_SQL),
+        "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
+        "q_hash_join": (q_hash_join, Q_HASH_JOIN_SQL),
+        "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+        "q_minhash_lsh": (q_minhash_lsh, None),
+        "q_simhash": (q_simhash, None),
+        "q_lang_id": (q_lang_id, None),
+        "q_fingerprint": (q_fingerprint, None),
+        "q_embedding_dups": (q_embedding_dups, None),
+        "q_lsh_ann": (q_lsh_ann, None),
+        "q_image_label_job": (q_image_label_job, None),
+    }
