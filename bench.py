@@ -1,0 +1,170 @@
+"""Benchmark harness.
+
+Headline: the flagship tiles+label-masks pipeline (read -> decode ->
+assign -> join -> mask -> roundtrip -> resumable sink) over a
+deterministic input_hint-shaped images table sized to the scale
+factor, measured end-to-end in images/sec. Plus per-query timings of
+the driver registry over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the identical job in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` and report both throughputs plus
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
+note this box has 1 physical CPU, so logical-CPU scaling saturates;
+raw numbers are reported honestly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# images per scale factor (kept wall-clock sane on a 1-physical-CPU box)
+_SIZES = {"sf0.001": 2048, "sf0.01": 8192, "sf0.1": 32768, "sf1": 262144}
+
+# queries that are too slow to repeat in the per-round bench loop
+_SKIP_QUERIES = {"q_image_label_job"}  # it IS the headline
+
+
+def _sf_token(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def flagship(n_images: int, seed_tag: str):
+    """Run the flagship label job over the cached bench fixture;
+    returns (seconds, out_rows, n_images)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+
+    root = f"/tmp/osmray_bench_{n_images}"
+    synth.write_fixture(
+        root,
+        n_images=n_images,
+        n_nodes=max(256, n_images // 8),
+        n_ways=max(32, n_images // 80),
+        n_polygons=max(64, n_images // 32),
+        n_image_files=32,
+    )
+    cfg = pipeline.LabelJobConfig(
+        bbox=synth.fixture_bbox(root),
+        limit=max(256, n_images // 8),
+        mask_concurrency=max(2, NUM_CPUS // 4),
+        mask_batch=256,
+    )
+    files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
+    # warm OS page cache so we measure compute+shuffle, not first read
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    out_dir = f"/tmp/osmray_bench_out_{seed_tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    images = ray.data.read_parquet(files)
+    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    t0 = time.perf_counter()
+    ds, lineage = pipeline.run_label_job(images, feats, cfg, out_dir=out_dir)
+    rows = int(lineage["rows_out"].sum())
+    sec = time.perf_counter() - t0
+    return sec, rows, n_images
+
+
+def run(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from osmray import queries as Q
+
+    token = _sf_token(SF_DIR)
+    n_images = _SIZES.get(token, 32768)
+
+    head_sec, out_rows, n_in = flagship(n_images, f"{token}_{num_cpus}")
+
+    qtimes: dict[str, float] = {}
+    for name, (fn, _sql) in Q.registry().items():
+        if name in _SKIP_QUERIES:
+            continue
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "tiles+label-masks flagship wall sec (images/sec in images_per_sec)",
+        "value": round(head_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(token[2:]) if token[2:].replace(".", "").isdigit() else token,
+        "num_cpus": num_cpus,
+        "images_in": n_in,
+        "rows_out": out_rows,
+        "images_per_sec": round(n_in / head_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["images_per_sec"]
+    tp_hi = r_hi["images_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "N->4N scaling (num_cpus 8 vs 32, fresh processes, same input)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "images_per_sec_lo": tp_lo,
+        "images_per_sec_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "note": "1 physical CPU visible in this sandbox; logical-CPU scaling saturates",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(run(NUM_CPUS)))

@@ -86,50 +86,61 @@ def dense_window(n_tiles: int, z: int = 19):
     return (float(lngW[0]), float(latS[0]), float(lngE[0]), float(latN[0]))
 
 
-def _tile_dense_points(rng: np.random.Generator, n: int, bbox, z: int = 19):
-    """One point per canvas tile of ``bbox`` (row-major, cycling when
-    n exceeds the tile count -> exercises per-tile dedup), with the
-    in-tile pixel uniform except ~5 % forced within 16 px and ~2 %
-    within 16-24 px of the tile's x-edge (exercises skipedge,
-    lib/layers.py:135-141). Inverted through the MAXAR offsets so tile
-    assignment in the pipeline lands exactly on the intended tile."""
+def _u01(idx: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform [0,1) as a PURE function of row index —
+    generation parallelizes across Ray tasks and stays byte-identical
+    at any parallelism (no sequential RNG stream)."""
+    from osmray.stages import hash64
+
+    h = hash64(np.asarray(idx, dtype=np.int64), SEED * 1000 + salt).astype(np.uint64)
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _tile_dense_points(idx: np.ndarray, bbox, z: int = 19):
+    """One point per canvas tile of ``bbox`` (row-major by index,
+    cycling when indices exceed the tile count -> exercises per-tile
+    dedup), with the in-tile pixel uniform except ~5 % forced within
+    16 px and ~2 % within 16-24 px of the tile's x-edge (exercises
+    skipedge, lib/layers.py:135-141). Inverted through the MAXAR
+    offsets so pipeline tile assignment lands on the intended tile."""
     from osmray import tilemath
 
     scheme = tilemath.MAXAR
     txmin, tymin, txmax, tymax = tilemath.bbox_tiles(*bbox, z, scheme)
     width = txmax - txmin + 1
     height = tymax - tymin + 1
-    i = np.arange(n) % (width * height)
+    i = np.asarray(idx, dtype=np.int64) % (width * height)
     tx = txmin + (i % width)
     ty = tymin + (i // width)
-    rx = rng.uniform(0, 256, n)
-    ry = rng.uniform(0, 256, n)
-    u = rng.uniform(0, 1, n)
-    rx = np.where(u < 0.05, rng.uniform(0, 16, n), rx)
-    rx = np.where((u >= 0.05) & (u < 0.07), rng.uniform(16, 24, n), rx)
+    rx = 256.0 * _u01(idx, 1)
+    ry = 256.0 * _u01(idx, 2)
+    u = _u01(idx, 3)
+    rx = np.where(u < 0.05, 16.0 * _u01(idx, 4), rx)
+    rx = np.where((u >= 0.05) & (u < 0.07), 16.0 + 8.0 * _u01(idx, 4), rx)
     scale = float(1 << z)
     wx = (tx * 256.0 + rx) / scale - scheme.offsetx
     wy = (ty * 256.0 + ry) / scale - scheme.offsety
     return tilemath.web2wgs(wx, wy)
 
 
-def make_images(n: int, rng: np.random.Generator | None = None, bbox=None) -> pa.Table:
-    rng = rng or np.random.default_rng(SEED)
-    bbox = bbox or dense_window(max(64, (n * 3) // 5))
-    lat, lng = _tile_dense_points(rng, n, bbox)
-    ids = [f"img{i:08d}" for i in range(n)]
-    fmts = ["png" if i % 2 == 0 else "raw" for i in range(n)]
+def image_rows(idx: np.ndarray, bbox) -> pa.Table:
+    """The images table rows for the given indices — a pure function
+    of (idx, bbox); the unit of parallel generation."""
+    idx = np.asarray(idx, dtype=np.int64)
+    n = len(idx)
+    lat, lng = _tile_dense_points(idx, bbox)
+    ids = [f"img{i:08d}" for i in idx]
+    fmts = ["png" if i % 2 == 0 else "raw" for i in idx]
     # ~1 % exact duplicates: row i copies the pixels of row i-1
-    dup = rng.uniform(0, 1, n) < 0.01
-    dup[0] = False
+    dup = (_u01(idx, 5) < 0.01) & (idx > 0)
     blobs: list[bytes] = []
     hashes = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        src_id = ids[i - 1] if dup[i] else ids[i]
+    for j in range(n):
+        src_id = f"img{idx[j] - 1:08d}" if dup[j] else ids[j]
         img = image_pixels(src_id)
-        blobs.append(codecs.encode(img, fmts[i]))
-        hashes[i] = codecs.phash(img)
-    captions = [f"tile at lat={lat[i]:.6f} lng={lng[i]:.6f} #{i}" for i in range(n)]
+        blobs.append(codecs.encode(img, fmts[j]))
+        hashes[j] = codecs.phash(img)
+    captions = [f"tile at lat={lat[j]:.6f} lng={lng[j]:.6f} #{idx[j]}" for j in range(n)]
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -143,6 +154,11 @@ def make_images(n: int, rng: np.random.Generator | None = None, bbox=None) -> pa
             "lng": pa.array(lng, pa.float64()),
         }
     )
+
+
+def make_images(n: int, bbox=None) -> pa.Table:
+    bbox = bbox or dense_window(max(64, (n * 3) // 5))
+    return image_rows(np.arange(n), bbox)
 
 
 def _skewed_center(rng: np.random.Generator, bbox=None):
@@ -263,20 +279,44 @@ def write_fixture(
 
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, ".synth")
-    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v2"
+    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v3"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == want:
                 return
     bbox = dense_window(max(64, (n_images * 3) // 5))
-    images = make_images(n_images, bbox=bbox)
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
-    per = (n_images + n_image_files - 1) // n_image_files
-    for s in range(n_image_files):
-        part = images.slice(s * per, per)
-        if len(part):
-            pq.write_table(part, os.path.join(img_dir, f"part-{s:04d}.parquet"))
+    import ray
+
+    if ray.is_initialized() and n_images >= 8192:
+        # parallel generation: rows are pure functions of index, so any
+        # task layout yields identical content
+        import ray.data
+
+        per = (n_images + n_image_files - 1) // n_image_files
+
+        @ray.remote
+        def gen_shard(s: int) -> None:
+            lo = s * per
+            hi = min(n_images, lo + per)
+            if hi > lo:
+                pq.write_table(
+                    image_rows(np.arange(lo, hi), bbox),
+                    os.path.join(img_dir, f"part-{s:04d}.parquet"),
+                )
+
+        ray.get([gen_shard.remote(s) for s in range(n_image_files)])
+    else:
+        per = (n_images + n_image_files - 1) // n_image_files
+        for s in range(n_image_files):
+            lo = s * per
+            hi = min(n_images, lo + per)
+            if hi > lo:
+                pq.write_table(
+                    image_rows(np.arange(lo, hi), bbox),
+                    os.path.join(img_dir, f"part-{s:04d}.parquet"),
+                )
     pq.write_table(
         make_features(n_nodes, n_ways, n_polygons, bbox=bbox),
         os.path.join(out_dir, "features.parquet"),
