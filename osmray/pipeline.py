@@ -77,6 +77,10 @@ class LabelJobConfig:
     train_frac: float = 0.8  # hash split (make_expand's 4000/1000)
     mask_batch: int = 256
     mask_concurrency: int = 4
+    # feature-index bucketing resolution for the mask stage: z-2 (a
+    # cell = 4x4 tiles) keeps per-tile candidate lists ~O(local
+    # features); None -> z-2
+    mask_res: int | None = None
 
 
 BUILDINGS = LabelJobConfig(
@@ -212,9 +216,19 @@ def sample_negative_tiles(
 
 def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig):
     """Semi-join the streaming images table against the broadcast
-    positive/negative key sets; first-writer-wins dedup per tile
-    (keyed shuffle); hash train/valid split."""
+    positive/negative key sets; first-writer-wins dedup per tile;
+    hash train/valid split.
+
+    Dedup strategy (scale-aware): the matched subset is bounded by the
+    sampling limits, so it is materialized once; the winner per tile is
+    a NATIVE ``groupby(tile_key).aggregate(Min(dedup_h))`` over two
+    int64 columns (no per-group Python, no image-bytes shuffle), and
+    the winner set is broadcast back as a filter. The deterministic
+    winner is the hash-smallest image_id per tile (the engine's twin of
+    the reference's order-dependent first-file-wins,
+    make_buildings.py:45-46)."""
     import ray
+    from ray.data.aggregate import Min
 
     pos_ref = ray.put(np.sort(pos_keys))
     neg_ref = ray.put(np.sort(neg_keys))
@@ -234,19 +248,29 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
             "train",
             "valid",
         )
-        return batch.append_column("label", pa.array(lab, pa.string())).append_column(
-            "split", pa.array(split, pa.string())
+        return (
+            batch.append_column("label", pa.array(lab, pa.string()))
+            .append_column("split", pa.array(split, pa.string()))
+            .append_column("dedup_h", pa.array(hash_str(batch["image_id"], seed + 2)))
         )
 
-    labeled = images_ds.map_batches(label_batch, batch_format="pyarrow")
+    matched = images_ds.map_batches(label_batch, batch_format="pyarrow").materialize()
+    winners = (
+        matched.select_columns(["tile_key", "dedup_h"])
+        .groupby("tile_key")
+        .aggregate(Min("dedup_h", alias_name="win_h"))
+        .to_pandas()
+    )
+    win_ref = ray.put(dict(zip(winners["tile_key"].to_numpy(), winners["win_h"].to_numpy())))
 
-    # exact dedup: one image per tile, smallest image_id wins
-    # (deterministic twin of the reference's first-file-wins,
-    # make_buildings.py:45-46)
-    def first_per_tile(g):
-        return g.sort_values("image_id").head(1)
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        lut = ray.get(win_ref)
+        key = batch["tile_key"].to_numpy(zero_copy_only=False)
+        h = batch["dedup_h"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([lut.get(k) == hh for k, hh in zip(key, h)])
+        return batch.filter(pa.array(keep)).drop_columns(["dedup_h"])
 
-    return labeled.groupby("tile_key").map_groups(first_per_tile, batch_format="pandas")
+    return matched.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def run_label_job(
@@ -276,7 +300,12 @@ def run_label_job(
         feats_ref = ray.put(mask_feats)
         ds = ds.map_batches(
             MaskStage,
-            fn_constructor_kwargs={"features_ref": feats_ref, "z": cfg.z, "scheme": cfg.scheme},
+            fn_constructor_kwargs={
+                "features_ref": feats_ref,
+                "z": cfg.z,
+                "scheme": cfg.scheme,
+                "res": cfg.mask_res if cfg.mask_res is not None else cfg.z - 2,
+            },
             batch_format="pyarrow",
             batch_size=cfg.mask_batch,
             concurrency=cfg.mask_concurrency,
