@@ -326,3 +326,161 @@ def run_label_job(
         lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
         ds = lancelike.read_dataset(out_dir)
     return ds, lineage
+
+
+def run_expand_job(
+    images_ds,
+    feats: pa.Table,
+    cfg: LabelJobConfig = LabelJobConfig(),
+    train: int | None = None,
+    valid: int | None = None,
+):
+    """make_expand re-expressed (SURVEY §3.2): hash-split lamps into
+    train/valid; TRAIN positives/negatives become centered mosaic
+    CROPS (256x256), VALID sets stay raw tiles — the train/valid
+    asymmetry is part of the reference's output contract
+    (make_expand.py:42-62,78-93).
+
+    Returns a Dataset (req_id, label, split, kind, crop, crop_h,
+    crop_w, n_missing).
+    """
+    import ray.data
+
+    from osmray import mosaic
+    from osmray.tilemath import wgs_at_tile
+
+    train = train or int(cfg.limit * cfg.train_frac)
+    valid = valid or cfg.limit - train
+
+    # lamps: deterministic shuffle, first TRAIN are train, rest valid
+    pos = filter_features(feats, "node", cfg.positive_tag)
+    fid = pos["feature_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((fid, hash64(fid, cfg.seed)))
+    lat_all = np.asarray([g[0] for g in pos["geom_lat"].to_pylist()])[order]
+    lng_all = np.asarray([g[0] for g in pos["geom_lng"].to_pylist()])[order]
+    fid = fid[order]
+    t_lat, t_lng, t_id = lat_all[:train], lng_all[:train], fid[:train]
+    v_lat, v_lng, v_id = lat_all[train : train + valid], lng_all[train : train + valid], fid[
+        train : train + valid
+    ]
+
+    # negatives: painter complement, one sample split positionally into
+    # the (disjoint) train then valid sets
+    from osmray.tilemath import unpack_tile
+
+    painted = painted_tile_set(feats, cfg, extra=pos)
+    neg = sample_negative_tiles(painted, cfg, n=train + valid)
+    ntx, nty, _ = unpack_tile(neg)
+    n_lat, n_lng = wgs_at_tile(ntx, nty, cfg.z)  # tile-center re-centering
+
+    # request table: req ids are small disjoint ranges (idx*4 + lane)
+    reqs = [
+        ("lamp", "train", "crop", np.arange(len(t_id)) * 4 + 0, t_lat, t_lng),
+        ("lamp", "valid", "tile", np.arange(len(v_id)) * 4 + 1, v_lat, v_lng),
+        ("nolamp", "train", "crop", np.arange(train) * 4 + 2, n_lat[:train], n_lng[:train]),
+        ("nolamp", "valid", "tile", np.arange(len(neg) - train) * 4 + 3, n_lat[train:], n_lng[train:]),
+    ]
+
+    assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
+    imgs = images_ds.map_batches(assign, batch_format="pyarrow")
+
+    window_tables = []
+    tags = {}
+    for label, split, kind, rid, la, ln in reqs:
+        if len(rid) == 0:
+            continue
+        if kind == "crop":
+            windows = mosaic.point_windows(rid, la, ln, 256, 256, cfg.z, cfg.scheme)
+        else:
+            # raw containing tile; valid POSITIVES apply skipedge
+            # (make_expand.py:55); valid negatives are raw downloads
+            if label == cfg.pos_label:
+                _, _, rx, ry = tile_at_wgs(la, ln, cfg.z, cfg.scheme)
+                ok = edge_ok_fn(rx, ry, cfg.edge)
+                rid, la, ln = rid[ok], la[ok], ln[ok]
+            windows = mosaic.tile_windows(rid, la, ln, cfg.z, cfg.scheme)
+        window_tables.append(windows)
+        for r in rid.tolist():
+            tags[int(r)] = (label, split, kind)
+
+    # ONE gather over the streaming images table for all four lanes
+    ds = mosaic.gather_crops(imgs, pa.concat_tables(window_tables), cfg.z, cfg.scheme)
+
+    import ray
+
+    tag_ref = ray.put(tags)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(tag_ref)
+        rids = batch["req_id"].to_pylist()
+        labs, spls, kinds = zip(*(lut[int(r)] for r in rids))
+        return (
+            batch.append_column("label", pa.array(labs, pa.string()))
+            .append_column("split", pa.array(spls, pa.string()))
+            .append_column("kind", pa.array(kinds, pa.string()))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def run_roofshapes_job(
+    images_ds,
+    feats: pa.Table,
+    cfg: LabelJobConfig | None = None,
+    cap_to_min: bool = False,
+):
+    """make_roofshapes re-expressed (SURVEY §3.3 footnote): per-way
+    padded mosaics for each roof:shape class, size-gated 128<=h,w<1024,
+    with class counts (and optional balancing cap,
+    make_roofshapes.py:27-43).
+
+    Returns (crops_ds with label column, counts DataFrame).
+    """
+    import ray
+
+    from osmray import mosaic
+    from osmray.pipeline import filter_features
+
+    cfg = cfg or LabelJobConfig()
+    polys = filter_features(feats, "polygon")
+    tags_col = _tags_get(polys["tags"], "roof:shape")
+    keep = pa.array([t is not None for t in tags_col], pa.bool_())
+    polys = polys.filter(keep)
+    labels = [t for t in tags_col if t is not None]
+
+    fid = polys["feature_id"].to_numpy(zero_copy_only=False)
+    glat = polys["geom_lat"].to_pylist()
+    glng = polys["geom_lng"].to_pylist()
+    geoms = [np.stack([np.asarray(a), np.asarray(b)], axis=1) for a, b in zip(glat, glng)]
+
+    import pandas as pd
+
+    counts = (
+        pd.Series(labels).value_counts().rename_axis("label").reset_index(name="n_ways")
+    ).sort_values("n_ways")
+    if cap_to_min and len(counts):
+        cap = int(counts["n_ways"].min())
+        sel_idx = []
+        per: dict[str, int] = {}
+        for i, lab in enumerate(labels):
+            if per.get(lab, 0) < cap:
+                per[lab] = per.get(lab, 0) + 1
+                sel_idx.append(i)
+        fid = fid[sel_idx]
+        geoms = [geoms[i] for i in sel_idx]
+        labels = [labels[i] for i in sel_idx]
+
+    windows = mosaic.way_windows(fid.tolist(), geoms, cfg.z, cfg.scheme)
+    assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
+    imgs = images_ds.map_batches(assign, batch_format="pyarrow")
+    crops = mosaic.size_gate(mosaic.gather_crops(imgs, windows, cfg.z, cfg.scheme, max_grid=8))
+
+    lab_ref = ray.put({int(f): l for f, l in zip(fid, labels)})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lab_ref)
+        return batch.append_column(
+            "label", pa.array([lut[int(r)] for r in batch["req_id"].to_pylist()], pa.string())
+        )
+
+    return crops.map_batches(tag, batch_format="pyarrow"), counts

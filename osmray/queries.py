@@ -730,6 +730,51 @@ def q_image_label_job(sf_dir: str):
     )
 
 
+def q_expand_crops(sf_dir: str):
+    """make_expand as dataflow: train mosaic crops + valid raw tiles
+    for both classes (rows-only; mosaic parity is oracle-locked in
+    pytest)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+
+    n = 512 if "0.001" in sf_dir else 2048
+    root = f"/tmp/osmray_fixture_{n}"
+    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
+                        n_polygons=n // 8)
+    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root))
+    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
+    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    ds = pipeline.run_expand_job(images, feats, cfg, train=64, valid=16)
+    return ds.select_columns(["req_id", "label", "split", "kind", "crop_h", "crop_w", "n_missing"])
+
+
+def q_roofshapes(sf_dir: str):
+    """make_roofshapes as dataflow: per-way padded mosaics with the
+    128<=h,w<1024 size gate (rows-only)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+
+    n = 512 if "0.001" in sf_dir else 2048
+    root = f"/tmp/osmray_fixture_{n}"
+    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
+                        n_polygons=n // 8)
+    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root))
+    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
+    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    ds, _counts = pipeline.run_roofshapes_job(images, feats, cfg)
+    return ds.select_columns(["req_id", "label", "crop_h", "crop_w", "n_missing"])
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -756,4 +801,6 @@ def registry():
         "q_embedding_dups": (q_embedding_dups, None),
         "q_lsh_ann": (q_lsh_ann, None),
         "q_image_label_job": (q_image_label_job, None),
+        "q_expand_crops": (q_expand_crops, None),
+        "q_roofshapes": (q_roofshapes, None),
     }
