@@ -6,9 +6,9 @@ once (``ray.put``) and every batch does one numpy matmul against it
 
 Scale path: LSH-bucketed search — random-hyperplane signatures
 partition vectors into buckets; queries probe their own bucket plus
-``n_probe`` neighboring buckets (signature bit flips), so each query
-touches a small fraction of the corpus. Recall is tunable via
-(n_planes, n_probe); exactness is NOT guaranteed — that is the
+all buckets within ``probe_bits`` signature-bit flips (multi-probe),
+so each query touches a small fraction of the corpus. Recall is
+tunable via (n_planes, probe_bits); exactness is NOT guaranteed — the
 documented trade (use brute force when k-exactness is required).
 """
 
@@ -66,15 +66,25 @@ class LshIndexStage:
     """Actor-pool stage for bucketed ANN: holds hyperplanes + the
     bucketed corpus (built once per actor from a broadcast ref)."""
 
-    def __init__(self, corpus_ref, n_planes: int = 12, seed: int = 7, k: int = 10,
-                 id_col="vec_id", vec_col="embedding", n_probe: int = 8):
+    def __init__(self, corpus_ref, n_planes: int = 10, seed: int = 7, k: int = 10,
+                 id_col="vec_id", vec_col="embedding", probe_bits: int = 2):
+        import itertools
+
         import ray
 
         ids, mat = ray.get(corpus_ref)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
-        self.n_probe = n_probe
+        # multi-probe: all signature flips of <= probe_bits bits
+        masks = [0]
+        for r in range(1, probe_bits + 1):
+            for combo in itertools.combinations(range(n_planes), r):
+                m = 0
+                for b in combo:
+                    m |= 1 << b
+                masks.append(m)
+        self.probe_masks = masks
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_planes, mat.shape[1]))
         self.norm = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
@@ -99,12 +109,9 @@ class LshIndexStage:
         q = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
         q = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
         sigs = self._sig(q)
-        n_planes = self.planes.shape[0]
         out_q, out_v, out_c, out_r = [], [], [], []
         for i in range(len(q)):
-            cand = [self._bucket(int(sigs[i]))]
-            for p in range(min(self.n_probe, n_planes)):  # probe 1-bit flips
-                cand.append(self._bucket(int(sigs[i]) ^ (1 << p)))
+            cand = [self._bucket(int(sigs[i]) ^ m) for m in self.probe_masks]
             cand = np.unique(np.concatenate(cand))
             if len(cand) == 0:
                 continue

@@ -730,6 +730,165 @@ def q_image_label_job(sf_dir: str):
     )
 
 
+def _fixture(sf_dir: str):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+
+    n = 512 if "0.001" in sf_dir else 2048
+    root = f"/tmp/osmray_fixture_{n}"
+    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
+                        n_polygons=n // 8)
+    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root))
+    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
+    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    return images, feats, cfg
+
+
+def q_pip(sf_dir: str):
+    """Analytic point-in-polygon join (actor pool holding the
+    cell-bucketed prepared index): which polygons contain each image
+    footprint. Rows-only here; PIP parity vs the scalar oracle is
+    pytest-locked (tests/test_geom.py)."""
+    import ray
+
+    from osmray.stages import PipStage
+
+    images, feats, cfg = _fixture(sf_dir)
+    feats_ref = ray.put(feats)
+    out = images.map_batches(
+        PipStage,
+        fn_constructor_kwargs={"features_ref": feats_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fids = [], []
+        for i, hits in enumerate(batch["pip_ids"].to_pylist()):
+            for f in hits:
+                ids.append(batch["image_id"][i].as_py())
+                fids.append(f)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()), "feature_id": pa.array(fids, pa.int64())}
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def q_knn_cells(sf_dir: str):
+    """Cell-ring-expansion kNN (k=3) per image footprint via the
+    stateful index actor (equivalent to brute force; pytest-locked)."""
+    import ray
+
+    from osmray.stages import KnnStage
+
+    images, feats, cfg = _fixture(sf_dir)
+    feats_ref = ray.put(feats)
+    out = images.limit(256).map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"features_ref": feats_ref, "k": 3},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, ranks, fids = [], [], []
+        for i, hits in enumerate(batch["knn_ids"].to_pylist()):
+            for r, f in enumerate(hits):
+                ids.append(batch["image_id"][i].as_py())
+                ranks.append(r + 1)
+                fids.append(f)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "feature_id": pa.array(fids, pa.int64()),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def q_phash_dedup(sf_dir: str):
+    """Exact image dedup on the input table's phash column: survivor +
+    duplicate count per hash (the fixture injects ~1 % dups)."""
+    from ray.data.aggregate import Count, Min
+
+    images, _feats, _cfg = _fixture(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        return pa.table(
+            {"phash": batch["phash"], "img_h": pa.array(hash_str(batch["image_id"]))}
+        )
+
+    return (
+        images.map_batches(keyed, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(Min("img_h", alias_name="survivor_h"), Count(alias_name="n_images"))
+    )
+
+
+def q_minimap(sf_dir: str):
+    """Diagnostic: mean color per tile (minimap.py:25-33 as an
+    aggregate over decoded pixels)."""
+    from osmray import codecs
+    from osmray.pipeline import make_assign_tiles
+    from osmray.tilemath import MAXAR
+
+    images, _feats, cfg = _fixture(sf_dir)
+    assign = make_assign_tiles(cfg.z, MAXAR)
+
+    def mean_color(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        means = np.asarray(
+            [codecs.decode(b, f).mean(axis=(0, 1)) for b, f in zip(blobs, fmts)]
+        )
+        return pa.table(
+            {
+                "tile_key": batch["tile_key"],
+                "mean_b": pa.array(means[:, 0]),
+                "mean_g": pa.array(means[:, 1]),
+                "mean_r": pa.array(means[:, 2]),
+            }
+        )
+
+    from ray.data.aggregate import Mean
+
+    return (
+        images.limit(512)
+        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(mean_color, batch_format="pyarrow")
+        .groupby("tile_key")
+        .aggregate(Mean("mean_b", alias_name="b"), Mean("mean_g", alias_name="g"),
+                   Mean("mean_r", alias_name="r"))
+    )
+
+
+def q_buildings_label_job(sf_dir: str):
+    """make_buildings as dataflow: polygon-vertex positives (edge=24),
+    outline painting, filled exclusions removed from negatives."""
+    import dataclasses
+
+    from osmray import pipeline
+
+    images, feats, cfg = _fixture(sf_dir)
+    bcfg = dataclasses.replace(
+        pipeline.BUILDINGS, z=19, bbox=cfg.bbox, limit=max(50, cfg.limit // 2)
+    )
+    ds, _ = pipeline.run_label_job(images, feats, bcfg, mask=False, roundtrip=True)
+    return ds.select_columns(["image_id", "tile_key", "label", "split", "caption", "phash"])
+
+
 def q_expand_crops(sf_dir: str):
     """make_expand as dataflow: train mosaic crops + valid raw tiles
     for both classes (rows-only; mosaic parity is oracle-locked in
@@ -803,4 +962,9 @@ def registry():
         "q_image_label_job": (q_image_label_job, None),
         "q_expand_crops": (q_expand_crops, None),
         "q_roofshapes": (q_roofshapes, None),
+        "q_buildings_label_job": (q_buildings_label_job, None),
+        "q_pip": (q_pip, None),
+        "q_knn_cells": (q_knn_cells, None),
+        "q_phash_dedup": (q_phash_dedup, None),
+        "q_minimap": (q_minimap, None),
     }

@@ -1,0 +1,184 @@
+import numpy as np
+import pytest
+
+from osmray import codecs, dedup, text
+
+
+def test_md5_matches_duckdb():
+    import duckdb
+
+    texts = ["hello world", "héllo wörld", "", "a\nb\tc"]
+    got = text.md5_hex(texts)
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        (want,) = con.execute("select md5(?)", [t]).fetchone()
+        assert g == want
+
+
+def test_token_counts():
+    texts = ["a b  c", "", "  ", "one", "x y z w"]
+    np.testing.assert_array_equal(text.ws_token_count(texts), [3, 0, 0, 1, 4])
+    assert text.bpe_ish_token_count(["don't stop 123!"])[0] == 6  # don ' t stop 123 !
+
+
+def test_punct_and_quality():
+    import pyarrow as pa
+
+    batch = pa.table({"doc_id": [1], "text": ["Hi, there! How are you?"]})
+    out = text.quality_stats(batch)
+    assert out["n_punct"][0].as_py() == 3
+    assert out["n_tokens"][0].as_py() == 5
+    assert out["n_chars_actual"][0].as_py() == 23
+
+
+def test_lang_id_heuristic():
+    preds = text.lang_id(
+        [
+            "the cat and the dog are in the house of the king",
+            "der Hund und die Katze sind schön, ich liebe sie",
+            "zzzz qqqq",
+        ]
+    )
+    assert preds[0] == "en"
+    assert preds[1] == "de"
+    assert preds[2] == "und"
+
+
+def test_fingerprint_properties():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = "PREFIX " + a  # shared content, shifted position
+    c = "completely different content with other words entirely"
+    fa, fb, fc = text.rolling_fingerprint([a, b, c])
+    assert fa == text.rolling_fingerprint([a])[0]  # deterministic
+    assert fa == fb  # min rolling hash robust to shift
+    assert fa != fc
+    short = text.rolling_fingerprint(["tiny"])[0]
+    assert isinstance(int(short), int)
+
+
+def test_minhash_jaccard_correlation():
+    a = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    b = "the quick brown fox jumps over the lazy cat and runs far away into the woods"
+    c = "unrelated text about databases and distributed systems at scale"
+    sa = dedup.minhash_signature(a)
+    sb = dedup.minhash_signature(b)
+    sc = dedup.minhash_signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    jac_ab = dedup.ngram_jaccard(a, b)
+    assert sim_ab > 0.4 and sim_ac < 0.2
+    assert 0.3 < jac_ab < 0.95
+    assert dedup.ngram_jaccard(a, a) == 1.0
+    # banding: near-dups share at least one band, far docs share none
+    ba, bb, bc = (dedup.minhash_bands(s) for s in (sa, sb, sc))
+    assert (ba == bb).any()
+    assert not (ba == bc).any()
+
+
+def test_simhash_hamming():
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = dedup.simhash64("the quick brown fox jumps over the lazy cat " * 4)
+    c = dedup.simhash64("totally different words appear here instead now")
+    h_ab = codecs.hamming64(np.array([a]), np.array([b]))[0]
+    h_ac = codecs.hamming64(np.array([a]), np.array([c]))[0]
+    assert h_ab < h_ac
+    assert h_ab <= 16
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 3, "text": "same"},
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "other"},
+        ]
+    )
+    out = dedup.exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out.set_index("doc_id")["n_dups"].to_dict() == {1: 2, 2: 1}
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep woods tonight"
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("dog", "cat")},
+        {"doc_id": 2, "text": "completely different material on another topic entirely with many words"},
+        {"doc_id": 3, "text": base},
+    ]
+    ds = ray.data.from_items(docs)
+    cands = dedup.minhash_lsh_candidates(ds)
+    lut = {d["doc_id"]: d["text"] for d in docs}
+    verified = dedup.verify_pairs(cands, lut, threshold=0.5).to_pandas()
+    pairs = set(zip(verified["a"], verified["b"]))
+    assert (0, 3) in pairs  # exact dup
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup
+    assert not any(2 in p for p in pairs)
+
+
+def test_cosine_topk_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+    )
+    queries = mat[:3].astype(np.float64)
+    from osmray.ann import cosine_topk
+
+    out = cosine_topk(ds, queries, k=5).to_pandas()
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for q in range(3):
+        want = np.argsort(-sims[q], kind="stable")[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_lsh_ann_recall(ray_session):
+    import ray
+
+    from osmray.ann import LshIndexStage
+
+    # clustered corpus: LSH's honest use case (isotropic gaussians
+    # have no neighbor structure for ANY hashing scheme)
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((25, 32))
+    mat = np.repeat(centers, 20, axis=0) + 0.15 * rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    stage = LshIndexStage(ray.put((ids, mat)), n_planes=8, k=10, probe_bits=2)
+    import pyarrow as pa
+
+    batch = pa.table({"vec_id": ids[:5], "embedding": [mat[i].tolist() for i in range(5)]})
+    out = stage(batch).to_pandas()
+    # self is always found at rank 1 (own bucket)
+    r1 = out[out["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+    # recall vs brute force: at least half the true top-10 found
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(5):
+        true = set(np.argsort(-(mn @ mn[q]))[:10].tolist())
+        got = set(out[out["query_id"] == q]["vec_id"].tolist())
+        assert len(true & got) >= 5, q
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8))
+    mat[7] = mat[3] * 2.0  # same direction -> cosine 1
+    mat[9] = mat[3] + rng.standard_normal(8) * 0.01  # near dup
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(50)]
+    )
+    out = dedup.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (3, 7) in pairs and (3, 9) in pairs
