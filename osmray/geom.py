@@ -29,6 +29,19 @@ from osmray import cells as cellmod
 from osmray.tilemath import project2web
 
 
+def latlngs_from_wkt(string: str) -> list[list[tuple[float, float]]]:
+    """Parse one WKT POLYGON per line into rings of (lat, lng) —
+    preserving the reference's quirks (regex float extraction; WKT's
+    lon-lat order swapped into lat-lng; lib/helpers.py:217-226)."""
+    import re
+
+    out = []
+    for line in string.splitlines():
+        nums = [float(s) for s in re.findall(r"[-]?\d*\.\d+|\d+", line)]
+        out.append(list(zip(nums[1::2], nums[::2])))
+    return out
+
+
 def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     """(W, S, E, N) of an (n, 2) [lat, lng] ring — the reference's
     min/max window aggregate (lib/layers.py:249-256)."""

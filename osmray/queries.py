@@ -614,6 +614,166 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10
 """
 
 
+def q_way_resolve(sf_dir: str):
+    """The OSM node-id -> coords resolve join (lib/loaders.py:52-61)
+    as dataflow: synthetic ways (refs derived from orders keys) probed
+    against the broadcast lineitem-derived node table; inner-join
+    semantics, exploded (way_id, seq, node_id, wx, wy)."""
+    import ray
+
+    # node table: distinct pid -> (wx, wy)
+    nds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        return pa.table({"pid": pa.array(p["pid"]), "wx": pa.array(p["wx"]), "wy": pa.array(p["wy"])})
+
+    ndf = (
+        nds.map_batches(nodes, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    node_ids = ndf["pid"].to_numpy(dtype=np.int64)
+    order = np.argsort(node_ids)
+    node_ids = node_ids[order]
+    nwx = ndf["wx"].to_numpy()[order]
+    nwy = ndf["wy"].to_numpy()[order]
+    ref = ray.put((node_ids, nwx, nwy))
+
+    ways = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        ids_sorted, wxs, wys = ray.get(ref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # each way references 4 candidate node ids: orderkey*10 + 1..4
+        refs = ok[:, None] * 10 + np.arange(1, 5)[None, :]
+        pos = np.clip(np.searchsorted(ids_sorted, refs), 0, len(ids_sorted) - 1)
+        found = ids_sorted[pos] == refs
+        wi, si = np.nonzero(found)
+        return pa.table(
+            {
+                "way_id": pa.array(ok[wi]),
+                "seq": pa.array((si + 1).astype(np.int64)),
+                "node_id": pa.array(refs[wi, si]),
+                "wx": pa.array(wxs[pos[wi, si]]),
+                "wy": pa.array(wys[pos[wi, si]]),
+            }
+        )
+
+    return ways.map_batches(resolve, batch_format="pyarrow")
+
+
+Q_WAY_RESOLVE_SQL = f"""
+WITH p AS ({_LI_SQL}),
+n AS (SELECT DISTINCT pid, m1 / 262144.0 AS wx, m2 / 262144.0 AS wy FROM p),
+w AS (SELECT o_orderkey AS way_id, i.range AS seq, o_orderkey * 10 + i.range AS node_id
+      FROM orders CROSS JOIN range(1, 5) i)
+SELECT w.way_id, w.seq, w.node_id, n.wx, n.wy
+FROM w JOIN n ON w.node_id = n.pid
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream: a new session starts
+    after a >30 min gap per user; emits per-user session counts +
+    event counts (ordered, partitioned window — the streaming-shaped
+    op, SURVEY §2.9 note)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy() // 1_000_000
+        us.sort()
+        new_sess = np.ones(len(us), dtype=np.int64)
+        new_sess[1:] = (np.diff(us) > 1800).astype(np.int64)
+        return pd.DataFrame(
+            [{"user_id": int(g["user_id"].iloc[0]), "n_sessions": int(new_sess.sum()),
+              "n_events": len(us)}]
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1, -10000000000)
+              OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+"""
+
+
+def q_running_sum(sf_dir: str):
+    """Cumulative per-key window: running event-count and value-cents
+    per user in ts order (first 3 events per user emitted)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g["running_cents"] = np.cumsum(cents)
+        g["row_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out = g.head(3)[["event_id", "user_id", "row_n", "running_cents"]].copy()
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_RUNNING_SUM_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_n,
+    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS running_cents
+  FROM events
+)
+SELECT event_id, user_id, CAST(row_n AS BIGINT) AS row_n,
+       CAST(running_cents AS BIGINT) AS running_cents
+FROM e WHERE row_n <= 3
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 orders per customer by (totalprice desc, orderkey) — the
+    grouped top-k window."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+Q_TOPK_PER_GROUP_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only pipelines (no SQL twin: heuristic / sketch / image ops)
 # ---------------------------------------------------------------------------
@@ -953,6 +1113,10 @@ def registry():
         "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
         "q_hash_join": (q_hash_join, Q_HASH_JOIN_SQL),
         "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+        "q_way_resolve": (q_way_resolve, Q_WAY_RESOLVE_SQL),
+        "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+        "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
+        "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_minhash_lsh": (q_minhash_lsh, None),
         "q_simhash": (q_simhash, None),
         "q_lang_id": (q_lang_id, None),

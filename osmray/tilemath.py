@@ -58,6 +58,21 @@ MAXAR = TileScheme("maxar", flipy=True, offsetx=-30 / (1 << 19), offsety=10 / (1
 PLAIN = TileScheme("plain")
 
 
+def mil(x: np.ndarray) -> np.ndarray:
+    """Quantize degrees to integer micro-degrees, ``floor(x * 1e6)`` —
+    the reference's cache-key / filename quantizer (duplicated at
+    lib/loaders.py:7-8, lib/helpers.py:13-14, make_buildings.py:13-14);
+    the engine's basis for deterministic ids."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6).astype(np.int64)
+
+
+def osm_edit_url(tx: int, ty: int, z: int) -> str:
+    """Lineage/debug helper: OSM iD-editor deep link for a tile
+    (lib/helpers.py:16-19)."""
+    lat, lng = wgs_at_tile(np.asarray([tx]), np.asarray([ty]), z)
+    return f"https://www.openstreetmap.org/edit#map={z}/{lat[0]}/{lng[0]}"
+
+
 def project2web(lat: np.ndarray, lng: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """EPSG:4326 degrees -> unscaled EPSG:3857 world units in 0..256.
 
