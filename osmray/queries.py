@@ -572,6 +572,79 @@ GROUP BY 1
 """
 
 
+def q_large_join(sf_dir: str):
+    """Both-sides-large hash join: lineitem x orders on orderkey via
+    Ray's hash-partitioned Dataset.join, then an integer aggregate per
+    order status."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.joins import large_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "qty": pa.array(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = large_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+    return joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="cnt"), Sum("qty", alias_name="sum_qty")
+    )
+
+
+Q_LARGE_JOIN_SQL = """
+SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def q_bucketed_join(sf_dir: str):
+    """The explicit portable hash join (bucket + cogroup + per-bucket
+    merge) over the same inputs — must agree with q_large_join's SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.joins import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "qty": pa.array(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = bucketed_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=8,
+    )
+    return joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="cnt"), Sum("qty", alias_name="sum_qty")
+    )
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for 5 query vectors (ANN baseline);
     output ranks only (integers) — similarity VALUES may differ by ulps
@@ -839,10 +912,15 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs (threshold 0.95)."""
+    """Embedding-cosine near-dup pairs. The synthetic embeddings have
+    no true dups (max pairwise cosine ~0.51), so the demo threshold is
+    0.45 — production dedup would use ~0.95 (dedup.embedding_dup_pairs
+    default, exercised with injected dups in pytest)."""
     from osmray.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45
+    )
 
 
 def q_lsh_ann(sf_dir: str):
@@ -1114,6 +1192,8 @@ def registry():
         "q_hash_join": (q_hash_join, Q_HASH_JOIN_SQL),
         "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
         "q_way_resolve": (q_way_resolve, Q_WAY_RESOLVE_SQL),
+        "q_large_join": (q_large_join, Q_LARGE_JOIN_SQL),
+        "q_bucketed_join": (q_bucketed_join, Q_LARGE_JOIN_SQL),
         "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
