@@ -63,7 +63,7 @@ def flagship(n_images: int, seed_tag: str):
     cfg = pipeline.LabelJobConfig(
         bbox=synth.fixture_bbox(root),
         limit=max(256, n_images // 8),
-        mask_concurrency=max(2, NUM_CPUS // 4),
+        mask_concurrency=max(2, NUM_CPUS // 2),
         mask_batch=256,
     )
     files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))

@@ -81,6 +81,10 @@ class LabelJobConfig:
     # cell = 4x4 tiles) keeps per-tile candidate lists ~O(local
     # features); None -> z-2
     mask_res: int | None = None
+    # output partition resolution: fragments = cells at this res.
+    # Finer than the join's COARSE_RES so the sink parallelizes and a
+    # restart re-does small units; z-4 (16x16-tile cells) by default.
+    part_res: int | None = None
 
 
 BUILDINGS = LabelJobConfig(
@@ -314,10 +318,14 @@ def run_label_job(
     if roundtrip:
         ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
 
-    # partition key for the sink: coarse cell of the tile
+    # partition key for the sink: cell (at part_res) of the tile
+    part_res = cfg.part_res if cfg.part_res is not None else cfg.z - 4
+
     def add_part(batch: pa.Table) -> pa.Table:
-        cell = batch["cell"].to_numpy(zero_copy_only=False)
-        return batch.append_column("part_id", pa.array(cell.astype(np.int64)))
+        tx = batch["tx"].to_numpy(zero_copy_only=False)
+        ty = batch["ty"].to_numpy(zero_copy_only=False)
+        part = cellmod.cell_of_tile(tx, ty, cfg.z, part_res)
+        return batch.append_column("part_id", pa.array(part.astype(np.int64)))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
 

@@ -152,6 +152,72 @@ FROM p GROUP BY 1
 """
 
 
+def q_cell_agg_salted(sf_dir: str):
+    """Skew-handled variant of q_cell_agg (north_rule: 'salted H3-cell
+    repartitioning'): phase 1 groups by the SALTED cell key (hot cells
+    spread over up to 8 sub-keys, so no single reducer owns a dense
+    urban cell), phase 2 unsalts and combines. Must equal the plain
+    aggregate bit-for-bit (same SQL oracle)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from osmray import cells as cm
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cell = cm.pack((p["m1"] // 256) >> 6, (p["m2"] // 256) >> 6, 12)
+        skey = cm.salted(cell, p["pid"], 8)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"skey": skey, "qty": qty, "rev": rev})
+        g = df.groupby("skey", as_index=False).agg(
+            cnt=("qty", "size"), sum_qty=("qty", "sum"), rev_cents=("rev", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    phase1 = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("skey")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("rev_cents", alias_name="rev_cents"),
+        )
+    )
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        cell = cm.unsalt(batch["skey"].to_numpy(zero_copy_only=False), 8)
+        return pa.table(
+            {
+                "cell12": pa.array(cell),
+                "cnt": batch["cnt"],
+                "sum_qty": batch["sum_qty"],
+                "rev_cents": batch["rev_cents"],
+            }
+        )
+
+    return (
+        phase1.map_batches(unsalt, batch_format="pyarrow")
+        .groupby("cell12")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("rev_cents", alias_name="rev_cents"),
+        )
+    )
+
+
 def q_edge_filter(sf_dir: str):
     """Filter + count by flag: the skipedge drop rate per returnflag."""
     from ray.data.aggregate import Count
@@ -1177,6 +1243,7 @@ def registry():
     return {
         "q_tile_assign": (q_tile_assign, Q_TILE_ASSIGN_SQL),
         "q_cell_agg": (q_cell_agg, Q_CELL_AGG_SQL),
+        "q_cell_agg_salted": (q_cell_agg_salted, Q_CELL_AGG_SQL),
         "q_edge_filter": (q_edge_filter, Q_EDGE_FILTER_SQL),
         "q_knn": (q_knn, Q_KNN_SQL),
         "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
