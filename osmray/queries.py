@@ -288,11 +288,14 @@ def q_knn(sf_dir: str):
         )
 
     # (orderkey, linenumber) is NOT unique in the synthetic lineitem:
-    # dedup pids (same pid -> identical derived point) before the kNN
+    # dedup pids before the kNN. pid determines (wx, wy), so dedup is a
+    # NATIVE aggregate (Min of identical values) — no per-group Python
+    from ray.data.aggregate import Min
+
     queries = (
         ds.map_batches(subset, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("wx", alias_name="wx"), Min("wy", alias_name="wy"))
     )
 
     def knn(batch: pa.Table) -> pa.Table:
@@ -353,10 +356,12 @@ def q_range_join(sf_dir: str):
              "wy": pa.array(p["wy"][sel])}
         )
 
+    from ray.data.aggregate import Min
+
     queries = (
         ds.map_batches(subset, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("wx", alias_name="wx"), Min("wy", alias_name="wy"))
     )
 
     def join(batch: pa.Table) -> pa.Table:
@@ -767,10 +772,12 @@ def q_way_resolve(sf_dir: str):
         p = _li_points(batch)
         return pa.table({"pid": pa.array(p["pid"]), "wx": pa.array(p["wx"]), "wy": pa.array(p["wy"])})
 
+    from ray.data.aggregate import Min
+
     ndf = (
         nds.map_batches(nodes, batch_format="pyarrow")
         .groupby("pid")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("wx", alias_name="wx"), Min("wy", alias_name="wy"))
         .to_pandas()
     )
     node_ids = ndf["pid"].to_numpy(dtype=np.int64)
