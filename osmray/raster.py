@@ -77,7 +77,14 @@ def draw_polyline(
     closed: bool = True,
     value: int = 255,
 ) -> None:
-    """Closed/open polyline through int pixel points (N x 2 array)."""
+    """Closed/open polyline through int pixel points (N x 2 array).
+
+    Segments whose bbox cannot touch the canvas are skipped before
+    pixel generation — EXACT, because a 4-connected walk's pixels lie
+    within the endpoints' bbox and a width-w stamp spills at most w
+    pixels. A geometry many times larger than the canvas (a long way
+    crossing one tile) costs O(segments near the tile), not O(total
+    length)."""
     pts = np.asarray(pts, dtype=np.int64)
     n = len(pts)
     if n == 0:
@@ -85,12 +92,26 @@ def draw_polyline(
     if n == 1:
         stamp(canvas, pts[:1, 0], pts[:1, 1], width, value)
         return
-    segs = range(n if closed else n - 1)
+    h, w = canvas.shape
+    pad = width + 1
+    x0 = pts[:, 0]
+    y0 = pts[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    if not closed:
+        x0, y0, x1, y1 = x0[:-1], y0[:-1], x1[:-1], y1[:-1]
+    near = (
+        (np.maximum(x0, x1) >= -pad)
+        & (np.minimum(x0, x1) < w + pad)
+        & (np.maximum(y0, y1) >= -pad)
+        & (np.minimum(y0, y1) < h + pad)
+    )
+    idx = np.flatnonzero(near)
+    if len(idx) == 0:
+        return
     all_x, all_y = [], []
-    for i in segs:
-        x0, y0 = pts[i]
-        x1, y1 = pts[(i + 1) % n]
-        xs, ys = line4_pixels(int(x0), int(y0), int(x1), int(y1))
+    for i in idx:
+        xs, ys = line4_pixels(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
         all_x.append(xs)
         all_y.append(ys)
     stamp(canvas, np.concatenate(all_x), np.concatenate(all_y), width, value)
@@ -112,20 +133,24 @@ def fill_poly(canvas: np.ndarray, pts: np.ndarray, value: int = 255) -> None:
     keep = y0 != y1
     x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
     if len(x0):
-        rows = np.arange(h, dtype=np.float64)
-        # edge e crosses row y iff min(y0,y1) <= y < max(y0,y1) (half-open)
-        ymin = np.minimum(y0, y1)
-        ymax = np.maximum(y0, y1)
-        cross = (rows[:, None] >= ymin[None, :]) & (rows[:, None] < ymax[None, :])
-        t = (rows[:, None] - y0[None, :]) / (y1 - y0)[None, :]
-        xcross = x0[None, :] + t * (x1 - x0)[None, :]
-        for y in range(h):
-            xs = np.sort(xcross[y][cross[y]])
-            for j in range(0, len(xs) - 1, 2):
-                xa = max(0, int(np.ceil(xs[j])))
-                xb = min(w - 1, int(np.floor(xs[j + 1])))
-                if xb >= xa:
-                    canvas[y, xa : xb + 1] = value
+        # only rows the polygon can cross (clip to canvas)
+        ylo = max(0, int(np.ceil(np.minimum(y0, y1).min())))
+        yhi = min(h - 1, int(np.floor(np.maximum(y0, y1).max())))
+        if yhi >= ylo:
+            rows = np.arange(ylo, yhi + 1, dtype=np.float64)
+            # edge e crosses row y iff min(y0,y1) <= y < max(y0,y1) (half-open)
+            ymin = np.minimum(y0, y1)
+            ymax = np.maximum(y0, y1)
+            cross = (rows[:, None] >= ymin[None, :]) & (rows[:, None] < ymax[None, :])
+            t = (rows[:, None] - y0[None, :]) / (y1 - y0)[None, :]
+            xcross = x0[None, :] + t * (x1 - x0)[None, :]
+            for ri, y in enumerate(range(ylo, yhi + 1)):
+                xs = np.sort(xcross[ri][cross[ri]])
+                for j in range(0, len(xs) - 1, 2):
+                    xa = max(0, int(np.ceil(xs[j])))
+                    xb = min(w - 1, int(np.floor(xs[j + 1])))
+                    if xb >= xa:
+                        canvas[y, xa : xb + 1] = value
     draw_polyline(canvas, np.asarray(pts, dtype=np.int64), width=1, closed=True, value=value)
 
 

@@ -227,23 +227,44 @@ class MaskStage:
         self._cand_cache: dict[int, tuple] = {}
 
     def _candidates_for_cell(self, cell: int):
+        """Per-cell candidate set with PRECOMPUTED per-feature pixel
+        bboxes (at zoom z, offsets applied) so the per-tile reject is
+        one vectorized comparison over all candidates — dense urban
+        cells (hundreds of features) would otherwise pay a Python
+        iteration per feature per tile."""
         hit = self._cand_cache.get(cell)
         if hit is None:
-            hit = self.index.candidates(cellmod.k_ring(cell, 1))
+            ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
+            scale = float(1 << self.z)
+            n = len(ids)
+            bbox_px = np.empty((n, 4), dtype=np.float64)  # xmin, xmax, ymin, ymax
+            for i, (_kind, web, _wgs) in enumerate(cands):
+                px = (web[:, 0] + self.scheme.offsetx) * scale
+                py = (web[:, 1] + self.scheme.offsety) * scale
+                bbox_px[i] = (px.min(), px.max(), py.min(), py.max())
+            hit = (ids, cands, bbox_px)
             self._cand_cache[cell] = hit
         return hit
 
     def _mask_for_tile(self, tx: int, ty: int) -> np.ndarray:
         scale = float(1 << self.z)
         cell = int(cellmod.cell_of_tile(np.array([tx]), np.array([ty]), self.z, self.res)[0])
-        ids, cands = self._candidates_for_cell(cell)
+        ids, cands, bbox_px = self._candidates_for_cell(cell)
         canvas = np.zeros((TILESIZE, TILESIZE), dtype=np.uint8)
-        for fid, (kind, web, _wgs) in zip(ids, cands):
-            px = (web[:, 0] + self.scheme.offsetx) * scale - tx * TILESIZE
-            py = (web[:, 1] + self.scheme.offsety) * scale - ty * TILESIZE
-            # quick reject: geometry nowhere near this tile
-            if px.max() < -2 or px.min() > TILESIZE + 2 or py.max() < -2 or py.min() > TILESIZE + 2:
-                continue
+        if len(ids) == 0:
+            return canvas
+        x0 = tx * TILESIZE
+        y0 = ty * TILESIZE
+        near = (
+            (bbox_px[:, 1] >= x0 - 2)
+            & (bbox_px[:, 0] <= x0 + TILESIZE + 2)
+            & (bbox_px[:, 3] >= y0 - 2)
+            & (bbox_px[:, 2] <= y0 + TILESIZE + 2)
+        )
+        for i in np.flatnonzero(near):
+            kind, web, _wgs = cands[i]
+            px = (web[:, 0] + self.scheme.offsetx) * scale - x0
+            py = (web[:, 1] + self.scheme.offsety) * scale - y0
             pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
             if kind == "node":
                 raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
