@@ -51,6 +51,10 @@ from osmray.tilemath import MAXAR, TileScheme, bbox_tiles, pack_tile, tile_at_wg
 
 BOX = (27.4026, 53.8306, 27.7003, 53.9739)  # the reference whole-city bbox
 
+# canvases up to this many tiles sample negatives driver-side (same
+# formula as the distributed path; tests pin the two paths equal)
+DRIVER_UNIVERSE_MAX = 1 << 22
+
 
 @dataclass
 class LabelJobConfig:
@@ -197,9 +201,21 @@ def sample_negative_tiles(
     txmin, tymin, txmax, tymax = bbox_tiles(*cfg.bbox, cfg.z, cfg.scheme)
     width = txmax - txmin + 1
     height = tymax - tymin + 1
-    painted_ref = ray.put(np.sort(painted))
     seed = cfg.seed
     z = cfg.z
+
+    if width * height <= DRIVER_UNIVERSE_MAX:
+        # small canvas: the whole universe fits trivially in driver
+        # memory — identical formula, no Ray job round-trips. The
+        # dataflow path below handles planet-scale canvases.
+        i = np.arange(width * height, dtype=np.int64)
+        key = pack_tile(txmin + (i % width), tymin + (i // width), z)
+        key = key[~np.isin(key, np.sort(painted))]
+        h = hash64(key, seed)
+        order = np.lexsort((key, h))[:n]
+        return np.sort(key[order])
+
+    painted_ref = ray.put(np.sort(painted))
 
     def flat_to_key(batch: pa.Table) -> pa.Table:
         i = batch["id"].to_numpy(zero_copy_only=False)

@@ -87,6 +87,17 @@ def test_positive_tiles_match_oracle(feats, CFG):
     assert set(pos_keys.tolist()) == want
 
 
+def test_negative_sampling_paths_agree(ray_session, feats, CFG, monkeypatch):
+    """Driver-side and distributed complement samplers are the same
+    formula; pin them equal."""
+    pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
+    painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    small = pipeline.sample_negative_tiles(painted, CFG)
+    monkeypatch.setattr(pipeline, "DRIVER_UNIVERSE_MAX", 0)
+    dist = pipeline.sample_negative_tiles(painted, CFG)
+    np.testing.assert_array_equal(small, dist)
+
+
 def test_negative_sampling_deterministic_and_unpainted(ray_session, feats, CFG):
     pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
     painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
