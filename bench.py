@@ -12,9 +12,12 @@ Prints ONE JSON line:
 
 ``--scaling``: run the identical job in fresh processes at
 ``num_cpus=8`` and ``num_cpus=32`` and report both throughputs plus
-efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
-note this box has 1 physical CPU, so logical-CPU scaling saturates;
-raw numbers are reported honestly).
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion;
+32 cores are genuinely usable on this box). The scaling input is
+LARGER than the per-round headline (``GRAFT_SCALING_IMAGES``, default
+131072) so fixed per-job costs (~seconds of Ray startup / driver
+steps) amortize the way they would on a minutes-long cluster job; raw
+numbers at both sizes are reported honestly.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ def flagship(n_images: int, seed_tag: str):
         bbox=synth.fixture_bbox(root),
         limit=max(256, n_images // 8),
         mask_concurrency=max(2, NUM_CPUS // 2),
-        mask_batch=256,
+        mask_batch=64,
     )
     files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
     # warm OS page cache so we measure compute+shuffle, not first read
@@ -102,12 +105,13 @@ def run(num_cpus: int) -> dict:
     from osmray import queries as Q
 
     token = _sf_token(SF_DIR)
-    n_images = _SIZES.get(token, 32768)
+    n_images = int(os.environ.get("GRAFT_BENCH_IMAGES", _SIZES.get(token, 32768)))
 
     head_sec, out_rows, n_in = flagship(n_images, f"{token}_{num_cpus}")
 
     qtimes: dict[str, float] = {}
-    for name, (fn, _sql) in Q.registry().items():
+    registry = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else Q.registry()
+    for name, (fn, _sql) in registry.items():
         if name in _SKIP_QUERIES:
             continue
         t0 = time.perf_counter()
@@ -133,7 +137,7 @@ def run(num_cpus: int) -> dict:
 
 def scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -145,6 +149,7 @@ def scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    os.environ.setdefault("GRAFT_BENCH_IMAGES", os.environ.get("GRAFT_SCALING_IMAGES", "131072"))
     r_lo = one(lo)
     r_hi = one(hi)
     tp_lo = r_lo["images_per_sec"]
@@ -159,7 +164,8 @@ def scaling() -> dict:
         "images_per_sec_lo": tp_lo,
         "images_per_sec_hi": tp_hi,
         "scaling_efficiency": round(eff, 3),
-        "note": "1 physical CPU visible in this sandbox; logical-CPU scaling saturates",
+        "images": int(os.environ.get("GRAFT_BENCH_IMAGES", "131072")),
+        "note": "fresh ray.init(num_cpus=N) processes on one 32-core node; same input both runs",
     }
 
 

@@ -248,7 +248,6 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
     the reference's order-dependent first-file-wins,
     make_buildings.py:45-46)."""
     import ray
-    from ray.data.aggregate import Min
 
     pos_ref = ray.put(np.sort(pos_keys))
     neg_ref = ray.put(np.sort(neg_keys))
@@ -275,13 +274,14 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
         )
 
     matched = images_ds.map_batches(label_batch, batch_format="pyarrow").materialize()
-    winners = (
-        matched.select_columns(["tile_key", "dedup_h"])
-        .groupby("tile_key")
-        .aggregate(Min("dedup_h", alias_name="win_h"))
-        .to_pandas()
-    )
-    win_ref = ray.put(dict(zip(winners["tile_key"].to_numpy(), winners["win_h"].to_numpy())))
+    # winner per tile: the matched subset is bounded by the sampling
+    # limits, so its KEY COLUMNS (two int64s) are collected and reduced
+    # driver-side — cheaper than a distributed aggregate round at this
+    # cardinality; swap for groupby().aggregate(Min) when the matched
+    # set is unbounded (see joins.large_join for that regime)
+    keys = matched.select_columns(["tile_key", "dedup_h"]).to_pandas()
+    winners = keys.groupby("tile_key", as_index=False)["dedup_h"].min()
+    win_ref = ray.put(dict(zip(winners["tile_key"].to_numpy(), winners["dedup_h"].to_numpy())))
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         lut = ray.get(win_ref)
@@ -302,22 +302,46 @@ def run_label_job(
     roundtrip: bool = True,
 ):
     """End-to-end flagship: returns (dataset, lineage_df_or_None)."""
+    import os
+    import time
+
     import ray
 
+    prof = os.environ.get("OSMRAY_PROF")
+    marks = [("start", time.perf_counter())]
+
+    def mark(name):
+        marks.append((name, time.perf_counter()))
+        if prof:
+            import sys
+
+            print(
+                f"[prof] {name}: {marks[-1][1] - marks[-2][1]:.2f}s", file=sys.stderr, flush=True
+            )
+
     pos_feats, pos_keys = positive_feature_tiles(feats, cfg)
+    mark("positives")
     painted = painted_tile_set(feats, cfg, extra=pos_feats if cfg.positive_kind == "node" else None)
+    mark("painted")
     neg_keys = sample_negative_tiles(painted, cfg)
+    mark("negatives")
 
     assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
     ds = images_ds.map_batches(assign, batch_format="pyarrow")
     ds = label_images(ds, pos_keys, neg_keys, cfg)
+    mark("label+dedup")
 
     if mask:
-        # mask features: what the painter painted + the positives
+        # mask features: what the painter painted + the positives;
+        # prepared index built ONCE on the driver, broadcast to actors
+        from osmray.geom import FeatureIndex
+
         mask_feats = feats.filter(
             pc.is_in(feats["kind"], pa.array(list(set(cfg.paint_kinds) | {cfg.positive_kind})))
         )
-        feats_ref = ray.put(mask_feats)
+        mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
+        feats_ref = ray.put(FeatureIndex.from_table(mask_feats, mask_res))
+        mark("mask-index")
         ds = ds.map_batches(
             MaskStage,
             fn_constructor_kwargs={
@@ -348,6 +372,7 @@ def run_label_job(
     lineage = None
     if out_dir is not None:
         lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
+        mark("sink")
         ds = lancelike.read_dataset(out_dir)
     return ds, lineage
 

@@ -219,11 +219,16 @@ class MaskStage:
     def __init__(self, features_ref, z: int, scheme: TileScheme = PLAIN, res: int = cellmod.COARSE_RES):
         import ray
 
-        feats = ray.get(features_ref) if not isinstance(features_ref, pa.Table) else features_ref
-        self.index = FeatureIndex.from_table(feats, res)
+        obj = ray.get(features_ref) if not isinstance(features_ref, (pa.Table, FeatureIndex)) else features_ref
+        if isinstance(obj, FeatureIndex):
+            # prebuilt index broadcast from the driver: build once,
+            # fetch per actor (cheaper ramp-up than rebuilding)
+            self.index = obj
+        else:
+            self.index = FeatureIndex.from_table(obj, res)
         self.z = z
         self.scheme = scheme
-        self.res = res
+        self.res = self.index.res if isinstance(obj, FeatureIndex) else res
         self._cand_cache: dict[int, tuple] = {}
 
     def _candidates_for_cell(self, cell: int):
