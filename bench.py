@@ -77,7 +77,10 @@ def flagship(n_images: int, seed_tag: str):
                 pass
     out_dir = f"/tmp/osmray_bench_out_{seed_tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    images = ray.data.read_parquet(files)
+    # one block per file so the read FUSES with the assign/label maps
+    # (a split read materializes every decoded image through the
+    # object store before the filter can drop the ~80% non-matches)
+    images = ray.data.read_parquet(files, override_num_blocks=len(files))
     feats = pq.read_table(os.path.join(root, "features.parquet"))
     t0 = time.perf_counter()
     ds, lineage = pipeline.run_label_job(images, feats, cfg, out_dir=out_dir)

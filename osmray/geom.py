@@ -138,7 +138,10 @@ class FeatureIndex:
     @classmethod
     def from_table(cls, feats: "object", res: int = cellmod.COARSE_RES) -> "FeatureIndex":
         """Build from an Arrow table / dict-of-arrays with columns
-        (feature_id, kind, geom_lat: list<f64>, geom_lng: list<f64>)."""
+        (feature_id, kind, geom_lat: list<f64>, geom_lng: list<f64>).
+        Vertex projection and bbox/cell math are ONE vectorized pass
+        over all features (the per-feature Python work is only the
+        bucket appends)."""
         idx = cls(res)
         fid = np.asarray(feats["feature_id"])
         kind = feats["kind"]
@@ -147,9 +150,40 @@ class FeatureIndex:
         glng = feats["geom_lng"]
         glat = glat.to_pylist() if hasattr(glat, "to_pylist") else list(glat)
         glng = glng.to_pylist() if hasattr(glng, "to_pylist") else list(glng)
-        for i in range(len(fid)):
-            geom = np.stack([np.asarray(glat[i]), np.asarray(glng[i])], axis=1)
-            idx.add(int(fid[i]), kind[i], geom)
+        n = len(fid)
+        if n == 0:
+            return idx
+        lens = np.asarray([len(g) for g in glat], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat_lat = np.concatenate([np.asarray(g, dtype=np.float64) for g in glat])
+        flat_lng = np.concatenate([np.asarray(g, dtype=np.float64) for g in glng])
+        wx, wy = project2web(flat_lat, flat_lng)
+        # per-feature bbox via reduceat (empty geoms impossible: lens>=1)
+        la_min = np.minimum.reduceat(flat_lat, offs[:-1])
+        la_max = np.maximum.reduceat(flat_lat, offs[:-1])
+        ln_min = np.minimum.reduceat(flat_lng, offs[:-1])
+        ln_max = np.maximum.reduceat(flat_lng, offs[:-1])
+        c0 = cellmod.cell_at(la_max, ln_min, res)  # NW corner
+        c1 = cellmod.cell_at(la_min, ln_max, res)  # SE corner
+        x0, y0, _ = cellmod.unpack(c0)
+        x1, y1, _ = cellmod.unpack(c1)
+        for i in range(n):
+            web = np.stack([wx[offs[i] : offs[i + 1]], wy[offs[i] : offs[i + 1]]], axis=1)
+            wgs = np.stack(
+                [flat_lat[offs[i] : offs[i + 1]], flat_lng[offs[i] : offs[i + 1]]], axis=1
+            )
+            f = int(fid[i])
+            k = kind[i]
+            base = res << 58
+            for cx in range(int(x0[i]), int(x1[i]) + 1):
+                for cy in range(int(y0[i]), int(y1[i]) + 1):
+                    key = base | (cx << 29) | cy
+                    b = idx.buckets.setdefault(key, _Bucket())
+                    b.feature_ids.append(f)
+                    b.kinds.append(k)
+                    b.geoms_web.append(web)
+                    b.geoms_wgs.append(wgs)
+        idx.n_features = n
         return idx
 
     def candidates(self, cell_keys: np.ndarray) -> tuple[np.ndarray, list]:

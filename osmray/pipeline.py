@@ -181,7 +181,11 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
         (txmin, tymin, txmax, tymax),
         kinds_widths={"node": 1, "way": cfg.way_width, "polygon": cfg.polygon_width},
     )
-    ds = ray.data.from_arrow(paint).map_batches(raster_fn, batch_format="pyarrow")
+    ds = (
+        ray.data.from_arrow(paint)
+        .repartition(8)  # parallelize the painter across tasks
+        .map_batches(raster_fn, batch_format="pyarrow")
+    )
     keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
     return np.unique(keys)
 
@@ -342,19 +346,51 @@ def run_label_job(
         mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
         feats_ref = ray.put(FeatureIndex.from_table(mask_feats, mask_res))
         mark("mask-index")
-        ds = ds.map_batches(
+
+        # masks depend only on the tile, so rasterize the DISTINCT
+        # tiles (a keys-only table, bounded by the sampling limits),
+        # sorted by mask cell so each actor's per-cell canvas is
+        # rasterized once and sliced for all its tiles — the image
+        # bytes never pass through the mask stage. The mask table is
+        # then broadcast and attached. (For an unbounded tile set,
+        # attach via joins.large_join on tile_key instead.)
+        tiles = ds.select_columns(["tile_key", "tx", "ty"]).to_pandas().drop_duplicates(
+            "tile_key"
+        )
+        mcell = cellmod.cell_of_tile(
+            tiles["tx"].to_numpy(), tiles["ty"].to_numpy(), cfg.z, mask_res
+        )
+        tiles = tiles.iloc[np.argsort(mcell, kind="stable")].reset_index(drop=True)
+        tiles_ds = ray.data.from_arrow(
+            pa.Table.from_pandas(tiles, preserve_index=False)
+        ).repartition(max(2, cfg.mask_concurrency * 2))  # order-preserving split
+        mask_rows = tiles_ds.map_batches(
             MaskStage,
             fn_constructor_kwargs={
                 "features_ref": feats_ref,
                 "z": cfg.z,
                 "scheme": cfg.scheme,
-                "res": cfg.mask_res if cfg.mask_res is not None else cfg.z - 2,
+                "res": mask_res,
             },
             batch_format="pyarrow",
             batch_size=cfg.mask_batch,
             concurrency=cfg.mask_concurrency,
             num_cpus=1,
+        ).select_columns(["tile_key", "mask", "mask_any"])
+        mdf = mask_rows.to_pandas()
+        mark("masks")
+        mask_ref = ray.put(
+            dict(zip(mdf["tile_key"].to_numpy(), zip(mdf["mask"], mdf["mask_any"])))
         )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lut = ray.get(mask_ref)
+            rows = [lut[int(k)] for k in batch["tile_key"].to_pylist()]
+            return batch.append_column(
+                "mask", pa.array([r[0] for r in rows], pa.binary())
+            ).append_column("mask_any", pa.array([r[1] for r in rows], pa.bool_()))
+
+        ds = ds.map_batches(attach, batch_format="pyarrow")
     if roundtrip:
         ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
 

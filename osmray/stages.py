@@ -229,45 +229,64 @@ class MaskStage:
         self.z = z
         self.scheme = scheme
         self.res = self.index.res if isinstance(obj, FeatureIndex) else res
-        self._cand_cache: dict[int, tuple] = {}
+        self._cell_cache: dict[int, tuple] = {}
 
-    def _candidates_for_cell(self, cell: int):
-        """Per-cell candidate set with PRECOMPUTED per-feature pixel
-        bboxes (at zoom z, offsets applied) so the per-tile reject is
-        one vectorized comparison over all candidates — dense urban
-        cells (hundreds of features) would otherwise pay a Python
-        iteration per feature per tile."""
-        hit = self._cand_cache.get(cell)
+    def _cell_canvas(self, cell: int) -> tuple[np.ndarray, int, int]:
+        """Rasterize ALL candidate features of a cell ONCE onto a
+        canvas covering the whole cell (cell_tiles x 256 px per side);
+        every tile's mask is then a memcpy slice. Exact: the pixel walk
+        and stamps are translation-invariant, and raster clipping means
+        paint inside the cell can only come from k_ring(1) candidates
+        (feature bboxes register features in every cell they touch).
+        Dense urban cells amortize hundreds of features over up to
+        cell_tiles^2 tiles instead of paying them per tile."""
+        hit = self._cell_cache.get(cell)
         if hit is None:
+            x, y, res = (int(v[0]) for v in cellmod.unpack(np.asarray([cell])))
+            span = 1 << (self.z - res)  # tiles per cell edge
+            cx0 = x * span * TILESIZE  # global px of cell origin at z
+            cy0 = y * span * TILESIZE
+            size = span * TILESIZE
+            canvas = np.zeros((size, size), dtype=np.uint8)
             ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
             scale = float(1 << self.z)
-            n = len(ids)
-            bbox_px = np.empty((n, 4), dtype=np.float64)  # xmin, xmax, ymin, ymax
-            for i, (_kind, web, _wgs) in enumerate(cands):
-                px = (web[:, 0] + self.scheme.offsetx) * scale
-                py = (web[:, 1] + self.scheme.offsety) * scale
-                bbox_px[i] = (px.min(), px.max(), py.min(), py.max())
-            hit = (ids, cands, bbox_px)
-            self._cand_cache[cell] = hit
+            for _fid, (kind, web, _wgs) in zip(ids, cands):
+                px = (web[:, 0] + self.scheme.offsetx) * scale - cx0
+                py = (web[:, 1] + self.scheme.offsety) * scale - cy0
+                pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
+                if kind == "node":
+                    raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
+                elif kind == "way":
+                    raster.draw_polyline(canvas, pts, width=2, closed=True)
+                elif kind == "polygon":
+                    raster.draw_polyline(canvas, pts, width=1, closed=True)
+                elif kind == "exclusion":
+                    raster.fill_poly(canvas, pts)
+            if len(self._cell_cache) > 8:  # bound actor memory
+                self._cell_cache.clear()
+            hit = (canvas, cx0, cy0)
+            self._cell_cache[cell] = hit
         return hit
 
     def _mask_for_tile(self, tx: int, ty: int) -> np.ndarray:
-        scale = float(1 << self.z)
         cell = int(cellmod.cell_of_tile(np.array([tx]), np.array([ty]), self.z, self.res)[0])
-        ids, cands, bbox_px = self._candidates_for_cell(cell)
+        if self.z - self.res <= 4:
+            canvas, cx0, cy0 = self._cell_canvas(cell)
+            ox = tx * TILESIZE - cx0
+            oy = ty * TILESIZE - cy0
+            return canvas[oy : oy + TILESIZE, ox : ox + TILESIZE]
+        return self._mask_for_tile_direct(tx, ty, cell)
+
+    def _mask_for_tile_direct(self, tx: int, ty: int, cell: int) -> np.ndarray:
+        """Per-tile rasterization for COARSE bucket resolutions where a
+        full cell canvas would not fit in memory (cells wider than 16
+        tiles). Identical output (translation invariance + clipping)."""
+        scale = float(1 << self.z)
+        ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
         canvas = np.zeros((TILESIZE, TILESIZE), dtype=np.uint8)
-        if len(ids) == 0:
-            return canvas
         x0 = tx * TILESIZE
         y0 = ty * TILESIZE
-        near = (
-            (bbox_px[:, 1] >= x0 - 2)
-            & (bbox_px[:, 0] <= x0 + TILESIZE + 2)
-            & (bbox_px[:, 3] >= y0 - 2)
-            & (bbox_px[:, 2] <= y0 + TILESIZE + 2)
-        )
-        for i in np.flatnonzero(near):
-            kind, web, _wgs = cands[i]
+        for _fid, (kind, web, _wgs) in zip(ids, cands):
             px = (web[:, 0] + self.scheme.offsetx) * scale - x0
             py = (web[:, 1] + self.scheme.offsety) * scale - y0
             pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
@@ -286,15 +305,20 @@ class MaskStage:
         tys = batch["ty"].to_numpy(zero_copy_only=False)
         masks, any_flags = [], []
         cache: dict[tuple[int, int], tuple[bytes, bool]] = {}
-        for tx, ty in zip(txs, tys):
-            key = (int(tx), int(ty))
+        # visit tiles in cell order so the per-cell canvas cache hits;
+        # emit in the batch's row order
+        masks = [b""] * len(txs)
+        any_flags = [False] * len(txs)
+        order = np.argsort(cellmod.cell_of_tile(txs, tys, self.z, self.res), kind="stable")
+        for j in order:
+            key = (int(txs[j]), int(tys[j]))
             hit = cache.get(key)
             if hit is None:
                 canvas = self._mask_for_tile(*key)
                 hit = (codecs.png_encode(canvas, level=1), bool(canvas.any()))
                 cache[key] = hit
-            masks.append(hit[0])
-            any_flags.append(hit[1])
+            masks[j] = hit[0]
+            any_flags[j] = hit[1]
         return batch.append_column("mask", pa.array(masks, pa.binary())).append_column(
             "mask_any", pa.array(any_flags, pa.bool_())
         )
