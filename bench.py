@@ -66,7 +66,10 @@ def flagship(n_images: int, seed_tag: str):
     cfg = pipeline.LabelJobConfig(
         bbox=synth.fixture_bbox(root),
         limit=max(256, n_images // 8),
-        mask_concurrency=max(2, NUM_CPUS // 2),
+        # leave CPUs for the task stages alongside the actor pool: an
+        # actor pool that reserves every CPU starves the read/write
+        # stages (observed: a num_cpus=2 run crawled with 2 actors)
+        mask_concurrency=max(1, min(NUM_CPUS - 2, NUM_CPUS // 2)),
         mask_batch=64,
     )
     files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
@@ -151,7 +154,8 @@ def scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     os.environ.setdefault("GRAFT_BENCH_IMAGES", os.environ.get("GRAFT_SCALING_IMAGES", "131072"))
     r_lo = one(lo)
     r_hi = one(hi)
