@@ -304,6 +304,7 @@ def run_label_job(
     out_dir: str | None = None,
     mask: bool = True,
     roundtrip: bool = True,
+    mask_attach: str = "broadcast",  # "broadcast" (bounded) | "join" (unbounded)
 ):
     """End-to-end flagship: returns (dataset, lineage_df_or_None)."""
     import os
@@ -377,20 +378,31 @@ def run_label_job(
             concurrency=cfg.mask_concurrency,
             num_cpus=1,
         ).select_columns(["tile_key", "mask", "mask_any"])
-        mdf = mask_rows.to_pandas()
-        mark("masks")
-        mask_ref = ray.put(
-            dict(zip(mdf["tile_key"].to_numpy(), zip(mdf["mask"], mdf["mask_any"])))
-        )
+        if mask_attach == "join":
+            # unbounded tile sets: hash-partitioned join instead of a
+            # broadcast dict (both sides shuffle on tile_key)
+            from osmray.joins import large_join
 
-        def attach(batch: pa.Table) -> pa.Table:
-            lut = ray.get(mask_ref)
-            rows = [lut[int(k)] for k in batch["tile_key"].to_pylist()]
-            return batch.append_column(
-                "mask", pa.array([r[0] for r in rows], pa.binary())
-            ).append_column("mask_any", pa.array([r[1] for r in rows], pa.bool_()))
+            mark("masks")
+            # join aggregators are actors: size them UNDER the
+            # cluster's CPUs or they starve the producing stages
+            n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+            ds = large_join(ds, mask_rows, on="tile_key", num_partitions=n_parts)
+        else:
+            mdf = mask_rows.to_pandas()
+            mark("masks")
+            mask_ref = ray.put(
+                dict(zip(mdf["tile_key"].to_numpy(), zip(mdf["mask"], mdf["mask_any"])))
+            )
 
-        ds = ds.map_batches(attach, batch_format="pyarrow")
+            def attach(batch: pa.Table) -> pa.Table:
+                lut = ray.get(mask_ref)
+                rows = [lut[int(k)] for k in batch["tile_key"].to_pylist()]
+                return batch.append_column(
+                    "mask", pa.array([r[0] for r in rows], pa.binary())
+                ).append_column("mask_any", pa.array([r[1] for r in rows], pa.bool_()))
+
+            ds = ds.map_batches(attach, batch_format="pyarrow")
     if roundtrip:
         ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
 

@@ -157,6 +157,15 @@ def test_end_to_end_labels_masks_roundtrip(ray_session, images_ds, feats, tmp_pa
     # construction (tile was unpainted at 1px/tile)
 
 
+def test_mask_attach_join_equals_broadcast(ray_session, images_ds, feats, CFG):
+    a = pipeline.run_label_job(images_ds, feats, CFG, roundtrip=False)[0].to_pandas()
+    b = pipeline.run_label_job(images_ds, feats, CFG, roundtrip=False, mask_attach="join")[0].to_pandas()
+    cols = ["image_id", "tile_key", "label", "mask"]
+    a = a[cols].sort_values("image_id").reset_index(drop=True)
+    b = b[cols].sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_resume_skips_completed(ray_session, images_ds, feats, tmp_path, CFG):
     out = str(tmp_path / "labeled2")
     ds1, lin1 = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out, mask=False, roundtrip=False)

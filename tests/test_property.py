@@ -1,0 +1,84 @@
+"""Property-based conformance (hypothesis): random inputs, engine ==
+scalar oracle — SURVEY §5's property tier."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from osmray import oracle, raster, tilemath
+from osmray.tilemath import MAXAR, PLAIN
+
+
+lat_st = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False)
+lng_st = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_st, lng=lng_st, z=st.integers(min_value=0, max_value=22),
+       maxar=st.booleans())
+def test_tile_assignment_matches_oracle(lat, lng, z, maxar):
+    scheme = MAXAR if maxar else PLAIN
+    tx, ty, rx, ry = tilemath.tile_at_wgs(np.array([lat]), np.array([lng]), z, scheme)
+    otx, oty, orx, ory = oracle.tile_at_wgs(lat, lng, z, scheme.offsetx, scheme.offsety)
+    assert (int(tx[0]), int(ty[0])) == (otx, oty)
+    assert abs(rx[0] - orx) < 1e-6 and abs(ry[0] - ory) < 1e-6
+    for edge in (16, 24):
+        assert bool(tilemath.edge_ok(rx, ry, edge)[0]) == oracle.edge_ok(orx, ory, edge)
+
+
+@settings(max_examples=150, deadline=None)
+@given(x0=st.integers(-40, 40), y0=st.integers(-40, 40),
+       x1=st.integers(-40, 40), y1=st.integers(-40, 40))
+def test_line_walk_matches_oracle(x0, y0, x1, y1):
+    xs, ys = raster.line4_pixels(x0, y0, x1, y1)
+    # 4-connected, complete, endpoint-inclusive
+    assert len(xs) == abs(x1 - x0) + abs(y1 - y0) + 1
+    assert (xs[0], ys[0]) == (x0, y0) and (xs[-1], ys[-1]) == (x1, y1)
+    if len(xs) > 1:
+        assert (np.abs(np.diff(xs)) + np.abs(np.diff(ys)) == 1).all()
+    # oracle parity on a shifted canvas
+    ox, oy = min(x0, x1), min(y0, y1)
+    w, h = max(x0, x1) - ox + 1, max(y0, y1) - oy + 1
+    got = np.zeros((h, w), dtype=np.uint8)
+    raster.stamp(got, xs - ox, ys - oy, 1)
+    ref = [[0] * w for _ in range(h)]
+    oracle.draw_line4(ref, x0 - ox, y0 - oy, x1 - ox, y1 - oy, 1)
+    np.testing.assert_array_equal(got, np.asarray(ref, dtype=np.uint8))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=3, max_size=8))
+def test_fill_matches_oracle(pts):
+    got = np.zeros((31, 31), dtype=np.uint8)
+    raster.fill_poly(got, np.array(pts, dtype=float))
+    ref = [[0] * 31 for _ in range(31)]
+    oracle.fill_poly(ref, pts)
+    np.testing.assert_array_equal(got, np.asarray(ref, dtype=np.uint8))
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=lat_st, lng=lng_st, res=st.integers(0, 24))
+def test_cell_hierarchy_properties(lat, lng, res):
+    from osmray import cells
+
+    c = int(cells.cell_at(np.array([lat]), np.array([lng]), res)[0])
+    if res > 0:
+        p = int(cells.parent(np.array([c]))[0])
+        kids = cells.children(p)
+        assert c in set(kids.tolist())
+        # the point's cell at res-1 IS the parent
+        assert p == int(cells.cell_at(np.array([lat]), np.array([lng]), res - 1)[0])
+    kr = cells.k_ring(c, 1)
+    assert c in set(kr.tolist())
+    assert len(kr) <= 9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**25), st.integers(1, 1 << 20))
+def test_hash_sampling_deterministic_and_uniformish(seed, n):
+    from osmray.stages import hash64
+
+    keys = np.arange(min(n, 4096), dtype=np.int64)
+    h1 = hash64(keys, seed)
+    h2 = hash64(keys, seed)
+    np.testing.assert_array_equal(h1, h2)
+    assert len(np.unique(h1)) == len(keys)  # injective on small ranges
