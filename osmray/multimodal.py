@@ -1,0 +1,182 @@
+"""Multimodal columns: image / audio / video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+Per the build brief: the image path is fully real (our own codecs);
+audio/video DECODE is stubbed behind clearly-marked
+``NotImplementedError`` (no media libraries exist in this container)
+with a deterministic fake behind ``allow_fake=True`` so the Ray-side
+plumbing — schema, batch shapes, actor signatures, output layout — is
+real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from osmray import codecs
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),  # 'wav' | 'flac' | ... (all stubbed)
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+    ]
+)
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact block-mean downscale when dimensions divide; otherwise
+    nearest-neighbor index sampling. Pure numpy, deterministic."""
+    h, w = img.shape[:2]
+    if h % out_h == 0 and w % out_w == 0:
+        bh, bw = h // out_h, w // out_w
+        if img.ndim == 3:
+            return (
+                img.reshape(out_h, bh, out_w, bw, img.shape[2])
+                .mean(axis=(1, 3))
+                .round()
+                .astype(np.uint8)
+            )
+        return img.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3)).round().astype(np.uint8)
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode -> resize -> re-encode. Fully real."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64, out_fmt: str = "png"):
+        self.out_h, self.out_w, self.out_fmt = out_h, out_w, out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            out.append(codecs.encode(resize_block_mean(img, self.out_h, self.out_w), self.out_fmt))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(out, pa.binary()),
+                "fmt": pa.array([self.out_fmt] * len(out), pa.string()),
+                "w": pa.array([self.out_w] * len(out), pa.int32()),
+                "h": pa.array([self.out_h] * len(out), pa.int32()),
+            }
+        )
+
+
+def _fake_pcm(media_id: str, n: int) -> np.ndarray:
+    """Deterministic stand-in decode: a seeded int16 waveform."""
+    base = zlib.crc32(media_id.encode())
+    t = np.arange(n, dtype=np.float64)
+    wave = 3000 * np.sin(2 * np.pi * (220 + base % 200) * t / 16000)
+    return wave.astype(np.int16)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio binary column -> fixed-length feature
+    vector (frame RMS energies + zero-crossing rate).
+
+    DECODE IS A STUB: real wav/flac decoding is NotImplementedError in
+    this container; ``allow_fake=True`` substitutes a deterministic
+    seeded waveform so the dataflow (schema, batching, actor state,
+    output layout) runs for real.
+    """
+
+    def __init__(self, frame: int = 1024, n_frames: int = 16, allow_fake: bool = False):
+        self.frame = frame
+        self.n_frames = n_frames
+        self.allow_fake = allow_fake
+
+    def _decode(self, media_id: str, blob: bytes, fmt: str, n_samples: int) -> np.ndarray:
+        if not self.allow_fake:
+            raise NotImplementedError(
+                f"audio codec {fmt!r} is stubbed in this environment "
+                "(no audio libraries); pass allow_fake=True for the "
+                "deterministic plumbing-test waveform"
+            )
+        return _fake_pcm(media_id, n_samples)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for mid, blob, fmt, n in zip(
+            batch["media_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["n_samples"].to_pylist(),
+        ):
+            pcm = self._decode(mid, blob, fmt, int(n)).astype(np.float64)
+            need = self.frame * self.n_frames
+            pcm = np.pad(pcm, (0, max(0, need - len(pcm))))[:need]
+            frames = pcm.reshape(self.n_frames, self.frame)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+            feats.append(np.concatenate([rms, zcr]).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video binary column -> k sampled frames as
+    encoded images. DECODE IS A STUB (NotImplementedError without
+    ``allow_fake=True``, which synthesizes deterministic frames)."""
+
+    def __init__(self, k: int = 4, out_fmt: str = "png", allow_fake: bool = False):
+        self.k = k
+        self.out_fmt = out_fmt
+        self.allow_fake = allow_fake
+
+    def _decode_frame(self, media_id: str, idx: int, w: int, h: int) -> np.ndarray:
+        if not self.allow_fake:
+            raise NotImplementedError(
+                "video decoding is stubbed in this environment (no video "
+                "libraries); pass allow_fake=True for deterministic fake frames"
+            )
+        base = (zlib.crc32(media_id.encode()) + idx * 31) % 256
+        y, x = np.mgrid[0:h, 0:w]
+        return ((x + y * 2 + base) % 256).astype(np.uint8)[..., None].repeat(3, axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, nf, w, h in zip(
+            batch["media_id"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+        ):
+            step = max(1, int(nf) // self.k)
+            for j in range(0, min(int(nf), self.k * step), step):
+                ids.append(mid)
+                fidx.append(j)
+                frames.append(
+                    codecs.encode(self._decode_frame(mid, j, int(w), int(h)), self.out_fmt)
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )

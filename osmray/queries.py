@@ -1245,6 +1245,77 @@ def q_roofshapes(sf_dir: str):
     return ds.select_columns(["req_id", "label", "crop_h", "crop_w", "n_missing"])
 
 
+def q_image_resize(sf_dir: str):
+    """Multimodal: decode -> block-mean resize -> re-encode actor
+    stage over the images fixture (fully real path)."""
+    from osmray.multimodal import ImageResizeStage
+
+    images, _f, _c = _fixture(sf_dir)
+    return images.limit(256).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"out_h": 64, "out_w": 64},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(["image_id", "fmt", "w", "h"])
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal plumbing: audio binary column -> RMS/ZCR feature
+    vectors via an actor pool (decode is the documented deterministic
+    STUB — no audio libs in this container)."""
+    import ray.data
+
+    from osmray.multimodal import AudioFeatureStage
+
+    n = 128
+    rows = [
+        {
+            "media_id": f"aud{i:05d}",
+            "bytes": b"\x00" * 32,
+            "fmt": "wav",
+            "sample_rate": 16000,
+            "n_samples": 16384 + (i % 7) * 1000,
+        }
+        for i in range(n)
+    ]
+    return ray.data.from_items(rows).map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal plumbing: video binary column -> k sampled frames
+    (decode is the documented deterministic STUB)."""
+    import ray.data
+
+    from osmray.multimodal import FrameSampleStage
+
+    rows = [
+        {
+            "media_id": f"vid{i:04d}",
+            "bytes": b"\x00",
+            "fmt": "mp4",
+            "n_frames": 60 + i % 40,
+            "fps": 30.0,
+            "w": 64,
+            "h": 48,
+        }
+        for i in range(64)
+    ]
+    return ray.data.from_items(rows).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"k": 4, "allow_fake": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(["media_id", "frame_idx"])
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -1285,4 +1356,7 @@ def registry():
         "q_knn_cells": (q_knn_cells, None),
         "q_phash_dedup": (q_phash_dedup, None),
         "q_minimap": (q_minimap, None),
+        "q_image_resize": (q_image_resize, None),
+        "q_audio_features": (q_audio_features, None),
+        "q_frame_sample": (q_frame_sample, None),
     }

@@ -1,0 +1,88 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osmray import codecs, multimodal, synth
+
+
+def test_qzl_codec_psnr_gate():
+    img = synth.image_pixels("img00000042")
+    back = codecs.qzl_decode(codecs.qzl_encode(img))
+    assert codecs.psnr(img, back) >= 40.0
+    assert len(codecs.qzl_encode(img)) < img.nbytes // 4
+    # registry path
+    assert codecs.decode(codecs.encode(img, "qzl"), "qzl").shape == img.shape
+
+
+def test_resize_block_mean():
+    img = synth.image_pixels("img00000001")
+    small = multimodal.resize_block_mean(img, 64, 64)
+    assert small.shape == (64, 64, 3)
+    # exact block mean for one block
+    assert small[0, 0, 0] == round(img[:4, :4, 0].mean())
+    odd = multimodal.resize_block_mean(img, 100, 60)
+    assert odd.shape == (100, 60, 3)
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth.make_images(8))
+    out = ds.map_batches(
+        multimodal.ImageResizeStage,
+        fn_constructor_kwargs={"out_h": 32, "out_w": 32},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    assert len(out) == 8
+    img = codecs.decode(out.iloc[0]["bytes"], out.iloc[0]["fmt"])
+    assert img.shape == (32, 32, 3)
+
+
+def _audio_batch(n=3):
+    return pa.table(
+        {
+            "media_id": pa.array([f"aud{i}" for i in range(n)], pa.string()),
+            "bytes": pa.array([b"\x00" * 64] * n, pa.binary()),
+            "fmt": pa.array(["wav"] * n, pa.string()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_samples": pa.array([20000] * n, pa.int64()),
+        }
+    )
+
+
+def test_audio_stage_stub_and_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatureStage()( _audio_batch())
+    out = multimodal.AudioFeatureStage(allow_fake=True)(_audio_batch())
+    feats = out["features"].to_pylist()
+    assert len(feats) == 3 and len(feats[0]) == 32
+    # deterministic
+    out2 = multimodal.AudioFeatureStage(allow_fake=True)(_audio_batch())
+    assert feats == out2["features"].to_pylist()
+
+
+def test_frame_sample_stage_stub_and_fake():
+    batch = pa.table(
+        {
+            "media_id": pa.array(["vid0"], pa.string()),
+            "bytes": pa.array([b"x"], pa.binary()),
+            "fmt": pa.array(["mp4"], pa.string()),
+            "n_frames": pa.array([100], pa.int32()),
+            "fps": pa.array([30.0], pa.float32()),
+            "w": pa.array([64], pa.int32()),
+            "h": pa.array([48], pa.int32()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.FrameSampleStage()(batch)
+    out = multimodal.FrameSampleStage(k=4, allow_fake=True)(batch)
+    assert out.num_rows == 4
+    f = codecs.png_decode(out["frame"][0].as_py())
+    assert f.shape == (48, 64, 3)
+    assert out["frame_idx"].to_pylist() == [0, 25, 50, 75]
+
+
+def test_schemas_declared():
+    assert "sample_rate" in multimodal.AUDIO_SCHEMA.names
+    assert "n_frames" in multimodal.VIDEO_SCHEMA.names
