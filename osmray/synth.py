@@ -130,7 +130,10 @@ def image_rows(idx: np.ndarray, bbox) -> pa.Table:
     n = len(idx)
     lat, lng = _tile_dense_points(idx, bbox)
     ids = [f"img{i:08d}" for i in idx]
-    fmts = ["png" if i % 2 == 0 else "raw" for i in idx]
+    # lossless png/raw + the from-scratch LOSSY qzl (exercises the
+    # PSNR>=40 gate with real loss)
+    _FMTS = ["png", "raw", "png", "qzl"]
+    fmts = [_FMTS[i % 4] for i in idx]
     # ~1 % exact duplicates: row i copies the pixels of row i-1
     dup = (_u01(idx, 5) < 0.01) & (idx > 0)
     blobs: list[bytes] = []
@@ -138,8 +141,11 @@ def image_rows(idx: np.ndarray, bbox) -> pa.Table:
     for j in range(n):
         src_id = f"img{idx[j] - 1:08d}" if dup[j] else ids[j]
         img = image_pixels(src_id)
-        blobs.append(codecs.encode(img, fmts[j]))
-        hashes[j] = codecs.phash(img)
+        blob = codecs.encode(img, fmts[j])
+        blobs.append(blob)
+        # phash describes the STORED image (what a consumer decodes),
+        # so lossy rows hash the decoded pixels
+        hashes[j] = codecs.phash(codecs.decode(blob, fmts[j]) if fmts[j] == "qzl" else img)
     captions = [f"tile at lat={lat[j]:.6f} lng={lng[j]:.6f} #{idx[j]}" for j in range(n)]
     return pa.table(
         {
@@ -279,7 +285,7 @@ def write_fixture(
 
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, ".synth")
-    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v3"
+    want = f"{n_images},{n_nodes},{n_ways},{n_polygons},{n_image_files},v4"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == want:
