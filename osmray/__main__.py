@@ -1,0 +1,112 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+    ray job submit -- python -m osmray label \
+        --images '/data/images/*.parquet' --features /data/features.parquet \
+        --out /data/labeled --bbox 27.4026,53.8306,27.7003,53.9739 \
+        --z 19 --limit 5000
+
+Subcommands: ``label`` (flagship make_original/make_buildings job),
+``expand`` (train crops + valid tiles), ``roofshapes`` (per-way
+mosaics). Re-running with the same ``--out`` resumes: completed
+partitions are skipped (lancelike manifest).
+
+This script OWNS its Ray session (guarded init — inside ``ray job
+submit`` the cluster is already there).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--images", required=True, help="glob of images parquet files")
+    p.add_argument("--features", required=True, help="features parquet file")
+    p.add_argument("--bbox", required=True, help="W,S,E,N")
+    p.add_argument("--z", type=int, default=19)
+    p.add_argument("--limit", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--edge", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local-mode CPU count (ignored on a cluster)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="osmray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("label", "expand", "roofshapes"):
+        p = sub.add_parser(name)
+        _common(p)
+        if name == "label":
+            p.add_argument("--out", required=True)
+            p.add_argument("--buildings", action="store_true",
+                           help="polygon positives / edge 24 / exclusion semantics")
+            p.add_argument("--mask-attach", choices=["broadcast", "join"], default="broadcast")
+        else:
+            p.add_argument("--out", required=False, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import dataclasses
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline
+
+    bbox = tuple(float(v) for v in args.bbox.split(","))
+    files = sorted(glob.glob(args.images))
+    if not files:
+        print(f"error: no files match {args.images}", file=sys.stderr)
+        return 2
+    images = ray.data.read_parquet(files, override_num_blocks=max(1, len(files)))
+    feats = pq.read_table(args.features)
+    base = pipeline.BUILDINGS if getattr(args, "buildings", False) else pipeline.LabelJobConfig()
+    cfg = dataclasses.replace(
+        base, bbox=bbox, z=args.z, limit=args.limit, seed=args.seed,
+        edge=args.edge if not getattr(args, "buildings", False) else base.edge,
+    )
+
+    if args.cmd == "label":
+        ds, lineage = pipeline.run_label_job(
+            images, feats, cfg, out_dir=args.out, mask_attach=args.mask_attach
+        )
+        summary = {
+            "cmd": "label",
+            "rows_out": int(lineage["rows_out"].sum()),
+            "partitions": len(lineage),
+            "skipped": int(lineage["skipped"].sum()),
+            "out": args.out,
+        }
+    elif args.cmd == "expand":
+        ds = pipeline.run_expand_job(images, feats, cfg)
+        df = ds.to_pandas()
+        if args.out:
+            df.to_parquet(args.out)
+        summary = {"cmd": "expand", "rows_out": len(df)}
+    else:
+        ds, counts = pipeline.run_roofshapes_job(images, feats, cfg)
+        df = ds.to_pandas()
+        if args.out:
+            df.to_parquet(args.out)
+        summary = {"cmd": "roofshapes", "rows_out": len(df),
+                   "class_counts": counts.set_index("label")["n_ways"].to_dict()}
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
