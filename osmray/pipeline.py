@@ -365,6 +365,10 @@ def run_label_job(
         tiles_ds = ray.data.from_arrow(
             pa.Table.from_pandas(tiles, preserve_index=False)
         ).repartition(max(2, cfg.mask_concurrency * 2))  # order-preserving split
+        # clamp the pool under the cluster CPUs: an actor pool that
+        # reserves every CPU starves the producing task stages
+        total_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
         mask_rows = tiles_ds.map_batches(
             MaskStage,
             fn_constructor_kwargs={
@@ -375,7 +379,7 @@ def run_label_job(
             },
             batch_format="pyarrow",
             batch_size=cfg.mask_batch,
-            concurrency=cfg.mask_concurrency,
+            concurrency=concurrency,
             num_cpus=1,
         ).select_columns(["tile_key", "mask", "mask_any"])
         if mask_attach == "join":
