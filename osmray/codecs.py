@@ -203,9 +203,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
-def encode(img: np.ndarray, fmt: str) -> bytes:
+def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "png":
-        return png_encode(img)
+        return png_encode(img, level)
     if fmt == "raw":
         return raw_encode(img)
     if fmt == "qzl":

@@ -174,18 +174,34 @@ def make_rasterize_painted(
     return rasterize
 
 
-def decode_roundtrip(batch: pa.Table) -> pa.Table:
+def decode_roundtrip(batch: pa.Table, strict: bool = False) -> pa.Table:
     """Decode -> verify phash -> re-encode. Appends ``psnr_ok`` (the
-    >=40 dB input_hint gate; lossless formats round-trip bit-exact) and
-    ``phash_ok``; replaces ``bytes`` with the re-encoded pixels so the
-    output provably went through the decoder."""
+    >=40 dB input_hint gate; lossless formats round-trip bit-exact),
+    ``phash_ok`` and ``decode_ok``; replaces ``bytes`` with the
+    re-encoded pixels so the output provably went through the decoder.
+
+    Resilience: a 10^12-row job must not die on one corrupt blob —
+    by default decode failures keep the row with ``decode_ok=False``
+    and the ORIGINAL bytes (quarantine downstream on the flag);
+    ``strict=True`` re-raises instead."""
     blobs = batch["bytes"].to_pylist()
     fmts = batch["fmt"].to_pylist()
     phs = batch["phash"].to_numpy(zero_copy_only=False)
-    out_blobs, psnr_ok, phash_ok = [], [], []
+    out_blobs, psnr_ok, phash_ok, dec_ok = [], [], [], []
     for blob, fmt, ph in zip(blobs, fmts, phs):
-        img = codecs.decode(blob, fmt)
-        out = codecs.encode(img, fmt)
+        try:
+            img = codecs.decode(blob, fmt)
+        except NotImplementedError:
+            raise  # stubbed codecs are a configuration error, not data
+        except Exception:
+            if strict:
+                raise
+            out_blobs.append(blob)
+            psnr_ok.append(False)
+            phash_ok.append(False)
+            dec_ok.append(False)
+            continue
+        out = codecs.encode(img, fmt, level=1)  # fast deflate; still valid PNG
         if fmt in ("png", "raw"):
             # lossless codecs round-trip bit-exact by construction
             # (locked by tests/test_codecs.py); PSNR is trivially inf
@@ -193,12 +209,14 @@ def decode_roundtrip(batch: pa.Table) -> pa.Table:
         else:
             psnr_ok.append(codecs.psnr(img, codecs.decode(out, fmt)) >= 40.0)
         phash_ok.append(int(codecs.phash(img)) == int(ph))
+        dec_ok.append(True)
         out_blobs.append(out)
     i = batch.schema.get_field_index("bytes")
     return (
         batch.set_column(i, "bytes", pa.array(out_blobs, pa.binary()))
         .append_column("psnr_ok", pa.array(psnr_ok, pa.bool_()))
         .append_column("phash_ok", pa.array(phash_ok, pa.bool_()))
+        .append_column("decode_ok", pa.array(dec_ok, pa.bool_()))
     )
 
 

@@ -120,3 +120,24 @@ def test_hamming64():
     a = np.array([0, -1, 0b1011], dtype=np.int64)
     b = np.array([0, 0, 0b0010], dtype=np.int64)
     np.testing.assert_array_equal(codecs.hamming64(a, b), [0, 64, 2])
+
+
+def test_decode_roundtrip_resilient_to_corrupt_rows():
+    import pyarrow as pa
+
+    from osmray import synth
+    from osmray.stages import decode_roundtrip
+
+    t = synth.make_images(4)
+    blobs = t["bytes"].to_pylist()
+    blobs[2] = b"\x89PNG\r\n\x1a\nGARBAGE"  # corrupt
+    t = t.set_column(t.schema.get_field_index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+    out = decode_roundtrip(t)
+    ok = out["decode_ok"].to_pylist()
+    assert ok == [True, True, False, True]
+    assert out["bytes"][2].as_py() == blobs[2]  # original kept for quarantine
+    assert not out["psnr_ok"][2].as_py()
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        decode_roundtrip(t, strict=True)
