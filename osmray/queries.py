@@ -716,6 +716,58 @@ def q_bucketed_join(sf_dir: str):
     )
 
 
+def q_semi_join_large(sf_dir: str):
+    """Unbounded tile semi-join: image points whose z18 tile contains
+    ANY feature point — both sides as Datasets through the
+    hash-partitioned join (the non-broadcast path for when the painted
+    set is not collectible). Emits distinct matching pids."""
+    from ray.data.aggregate import Count
+
+    from osmray.joins import large_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def img_tiles(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        # coarse cells (res-8-equivalent grid) so the join has hits
+        tile = (p["m1"] >> 18) * 100_000 + (p["m2"] >> 18)
+        return pa.table({"pid": pa.array(p["pid"]), "tile": pa.array(tile)})
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def feat_tiles(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fx = (pk * 48271) % M26
+        fy = (pk * 16807) % M26
+        tile = (fx >> 18) * 100_000 + (fy >> 18)
+        return pa.table({"ftile": pa.array(np.unique(tile))})
+
+    feats = (
+        part.map_batches(feat_tiles, batch_format="pyarrow")
+        .groupby("ftile")
+        .aggregate(Count(alias_name="nf"))
+    )
+    joined = large_join(
+        li.map_batches(img_tiles, batch_format="pyarrow"),
+        feats,
+        on="tile",
+        right_on="ftile",
+        num_partitions=8,
+    )
+    return joined.groupby("pid").aggregate(Count(alias_name="n_hits"))
+
+
+Q_SEMI_JOIN_LARGE_SQL = f"""
+WITH p AS ({_LI_SQL}),
+img AS (SELECT pid, (m1 // 262144) * 100000 + (m2 // 262144) AS tile FROM p),
+f AS (SELECT DISTINCT ((p_partkey * 48271) % 67108864 // 262144) * 100000
+        + ((p_partkey * 16807) % 67108864 // 262144) AS tile FROM part)
+SELECT img.pid, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM img JOIN f ON img.tile = f.tile
+GROUP BY img.pid
+"""
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for 5 query vectors (ANN baseline);
     output ranks only (integers) — similarity VALUES may differ by ulps
@@ -1338,6 +1390,7 @@ def registry():
         "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
         "q_way_resolve": (q_way_resolve, Q_WAY_RESOLVE_SQL),
         "q_large_join": (q_large_join, Q_LARGE_JOIN_SQL),
+        "q_semi_join_large": (q_semi_join_large, Q_SEMI_JOIN_LARGE_SQL),
         "q_bucketed_join": (q_bucketed_join, Q_LARGE_JOIN_SQL),
         "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
