@@ -64,10 +64,14 @@ LABELED = pa.schema(
         ("label", pa.string()),
         ("split", pa.string()),
         ("mask", pa.binary()),  # png-encoded 256x256 uint8 label mask
+        ("mask_any", pa.bool_()),  # tile touched by any feature
         ("bytes", pa.binary()),  # round-tripped encoded pixels
         ("fmt", pa.string()),
         ("caption", pa.string()),
         ("phash", pa.int64()),
+        ("psnr_ok", pa.bool_()),  # >=40 dB gate (inf for lossless)
+        ("phash_ok", pa.bool_()),  # stored phash matches decoded pixels
+        ("decode_ok", pa.bool_()),  # False = quarantined corrupt blob
         ("part_id", pa.int64()),
     ]
 )
