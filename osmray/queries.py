@@ -103,7 +103,7 @@ FROM p
 
 
 def q_cell_agg(sf_dir: str):
-    """Shuffle/aggregate: group points by packed res-12 cell id,
+    """Shuffle/aggregate: group points by packed res-8 cell id,
     integer aggregates only (count, qty, revenue cents). Pre-aggregates
     inside map_batches (partial) before the small groupby — the
     at-scale pattern."""
@@ -120,7 +120,7 @@ def q_cell_agg(sf_dir: str):
         p = _li_points(batch)
         tx18 = p["m1"] // 256
         ty18 = p["m2"] // 256
-        cell = cellmod.pack(tx18 >> 6, ty18 >> 6, 12)
+        cell = cellmod.pack(tx18 >> 10, ty18 >> 10, 8)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = np.floor(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -128,14 +128,14 @@ def q_cell_agg(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame({"cell12": cell, "qty": qty, "rev": rev})
-        g = df.groupby("cell12", as_index=False).agg(
+        df = pd.DataFrame({"cell8": cell, "qty": qty, "rev": rev})
+        g = df.groupby("cell8", as_index=False).agg(
             cnt=("qty", "size"), sum_qty=("qty", "sum"), rev_cents=("rev", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("cell12").aggregate(
+    return partials.groupby("cell8").aggregate(
         Sum("cnt", alias_name="cnt"),
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("rev_cents", alias_name="rev_cents"),
@@ -144,7 +144,7 @@ def q_cell_agg(sf_dir: str):
 
 Q_CELL_AGG_SQL = f"""
 WITH p AS ({_LI_SQL})
-SELECT 12 * 288230376151711744 + (m1 // 256 // 64) * 536870912 + (m2 // 256 // 64) AS cell12,
+SELECT 8 * 288230376151711744 + (m1 // 256 // 1024) * 536870912 + (m2 // 256 // 1024) AS cell8,
   CAST(COUNT(*) AS BIGINT) AS cnt,
   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
@@ -171,7 +171,7 @@ def q_cell_agg_salted(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         p = _li_points(batch)
-        cell = cm.pack((p["m1"] // 256) >> 6, (p["m2"] // 256) >> 6, 12)
+        cell = cm.pack((p["m1"] // 256) >> 10, (p["m2"] // 256) >> 10, 8)
         skey = cm.salted(cell, p["pid"], 8)
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = np.floor(
@@ -200,7 +200,7 @@ def q_cell_agg_salted(sf_dir: str):
         cell = cm.unsalt(batch["skey"].to_numpy(zero_copy_only=False), 8)
         return pa.table(
             {
-                "cell12": pa.array(cell),
+                "cell8": pa.array(cell),
                 "cnt": batch["cnt"],
                 "sum_qty": batch["sum_qty"],
                 "rev_cents": batch["rev_cents"],
@@ -209,7 +209,7 @@ def q_cell_agg_salted(sf_dir: str):
 
     return (
         phase1.map_batches(unsalt, batch_format="pyarrow")
-        .groupby("cell12")
+        .groupby("cell8")
         .aggregate(
             Sum("cnt", alias_name="cnt"),
             Sum("sum_qty", alias_name="sum_qty"),
