@@ -169,11 +169,12 @@ def gather_crops(
     def match(batch: pa.Table) -> pa.Table:
         lut = ray.get(want_ref)
         keys = batch["tile_key"].to_numpy(zero_copy_only=False)
-        out = {"req_id": [], "col": [], "row": [], "bytes": [], "fmt": []}
+        out = {"req_id": [], "col": [], "row": [], "bytes": [], "fmt": [], "image_id": []}
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         ids = batch["image_id"].to_pylist()
-        # first-winner per tile deterministically: smallest image_id
+        # per-BLOCK winner: smallest image_id; the cross-block winner
+        # is resolved deterministically in assemble (same rule)
         order = np.argsort(np.asarray(ids))
         seen: set[int] = set()
         for j in order:
@@ -188,6 +189,7 @@ def gather_crops(
                 out["row"].append(row)
                 out["bytes"].append(blobs[j])
                 out["fmt"].append(fmts[j])
+                out["image_id"].append(ids[j])
         return pa.table(
             {
                 "req_id": pa.array(out["req_id"], pa.int64()),
@@ -195,6 +197,7 @@ def gather_crops(
                 "row": pa.array(out["row"], pa.int32()),
                 "bytes": pa.array(out["bytes"], pa.binary()),
                 "fmt": pa.array(out["fmt"], pa.string()),
+                "image_id": pa.array(out["image_id"], pa.string()),
             }
         )
 
@@ -204,8 +207,9 @@ def gather_crops(
         txmin, tymin, wtiles, htiles, x0, x1, y0, y1 = m[rid]
         canvas = np.zeros((htiles * TILESIZE, wtiles * TILESIZE, 3), dtype=np.uint8)
         filled = set()
-        # within-tile dedup across blocks: keep the first (rows arrive
-        # pre-deduped per block; cross-block dups resolved here)
+        # cross-block dedup must be DETERMINISTIC (group rows arrive in
+        # arbitrary block order): smallest image_id wins per slot
+        g = g.sort_values("image_id", kind="stable")
         for _, r in g.iterrows():
             slot = (int(r["row"]), int(r["col"]))
             if slot in filled:
