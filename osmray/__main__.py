@@ -93,13 +93,13 @@ def main(argv=None) -> int:
         }
     elif args.cmd == "expand":
         ds = pipeline.run_expand_job(images, feats, cfg)
-        df = ds.to_pandas()
+        df = ds.to_pandas().sort_values("req_id").reset_index(drop=True)
         if args.out:
             df.to_parquet(args.out)
         summary = {"cmd": "expand", "rows_out": len(df)}
     else:
         ds, counts = pipeline.run_roofshapes_job(images, feats, cfg)
-        df = ds.to_pandas()
+        df = ds.to_pandas().sort_values("req_id").reset_index(drop=True)
         if args.out:
             df.to_parquet(args.out)
         summary = {"cmd": "roofshapes", "rows_out": len(df),
