@@ -94,17 +94,15 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
 
     ``ds`` is a ray.data.Dataset containing ``part_col``.
     """
-    import pandas as pd
-
     os.makedirs(root, exist_ok=True)
 
-    def _write_group(g: pd.DataFrame) -> pd.DataFrame:
-        part_id = int(g[part_col].iloc[0])
-        table = pa.Table.from_pandas(g, preserve_index=False)
+    def _write_group(table: pa.Table) -> pa.Table:
+        # arrow-native group: no pandas round-trip of the binary payload
+        part_id = int(table[part_col][0].as_py())
         rec = write_fragment(root, part_id, table, sort_key)
-        return pd.DataFrame([rec])
+        return pa.Table.from_pylist([{k: v for k, v in rec.items()}])
 
-    lineage = ds.groupby(part_col).map_groups(_write_group, batch_format="pandas")
+    lineage = ds.groupby(part_col).map_groups(_write_group, batch_format="pyarrow")
     ldf = lineage.to_pandas()  # one row per partition: small by design
     manifest = {
         "format": "osmray-lancelike-v1",
