@@ -534,6 +534,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_distinct_count(sf_dir: str):
+    """Exact distinct count per group as two-stage keyed aggregation
+    (the shuffle-friendly COUNT(DISTINCT) pattern: dedup on the pair
+    key, then count per group)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        p = _li_points(batch)
+        df = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_pylist(), "pid": p["pid"]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    stage1 = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l_returnflag", "pid"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        stage1.select_columns(["l_returnflag"])
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_distinct_pids"))
+    )
+
+
+Q_DISTINCT_COUNT_SQL = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+  AS n_distinct_pids
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic ~5 % sample (seeded-hash filter — reproducible at
     any parallelism, the engine's random_sample)."""
@@ -1384,6 +1420,7 @@ def registry():
         "q_top_docs": (q_top_docs, Q_TOP_DOCS_SQL),
         "q_events_window": (q_events_window, Q_EVENTS_WINDOW_SQL),
         "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
+        "q_distinct_count": (q_distinct_count, Q_DISTINCT_COUNT_SQL),
         "q_split_counts": (q_split_counts, Q_SPLIT_COUNTS_SQL),
         "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
         "q_hash_join": (q_hash_join, Q_HASH_JOIN_SQL),
