@@ -80,7 +80,13 @@ def _checksum(table: pa.Table, sort_key: str | None) -> int:
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.int64)
     else:
-        v = np.asarray([hash(s) for s in col.to_pylist()], dtype=np.int64)
+        import zlib
+
+        # process-stable string hash (builtin hash() is randomized per
+        # process, which would break cross-run checksum comparison)
+        v = np.asarray(
+            [zlib.crc32(str(s).encode()) for s in col.to_pylist()], dtype=np.int64
+        )
     mixed = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(
         0xDEADBEEFCAFEF00D
     )
