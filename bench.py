@@ -107,6 +107,9 @@ def run(num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # fine output blocks: the flagship's decode/re-encode chain is
+    # straggler-bound on coarse per-file blocks (see pipeline.py)
+    ctx.target_max_block_size = 16 * 1024 * 1024
 
     from osmray import queries as Q
 

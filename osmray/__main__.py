@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # fine output blocks: the flagship's decode/re-encode chain is
+    # straggler-bound on coarse per-file blocks (see pipeline.py)
+    DataContext.get_current().target_max_block_size = 16 * 1024 * 1024
 
     import dataclasses
 

@@ -6,11 +6,12 @@
   No shuffle. (Used throughout pipeline.py.)
 - ``large_join``         — both sides large: Ray's hash-partitioned
   ``Dataset.join`` (shuffles both sides on the key).
-- ``bucketed_join``      — the portable explicit variant: add
-  ``bucket = hash(key) % B`` to both sides, tag, union, group by
-  bucket, pandas-merge per bucket. Same shuffle shape, no dependence
-  on Dataset.join; B and skew handling are explicit (salt hot keys by
-  raising B).
+- ``bucketed_join``      — the portable explicit variant: a grace
+  hash join. Build side spills per-bucket parquet blocks straight
+  from ``map_batches`` (no shuffle); probe side shuffles once keyed
+  by ``hash(key) % B``; per-bucket arrow-native merge. No dependence
+  on Dataset.join; B and skew handling are explicit (split hot keys
+  by raising B).
 """
 
 from __future__ import annotations
@@ -47,72 +48,99 @@ def large_join(left, right, on: str, right_on: str | None = None, how: str = "in
     )
 
 
-def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 32):
-    """Explicit partitioned hash join: bucket both sides, one keyed
-    shuffle, vectorized pandas merge per bucket. Inner join."""
-    import pandas as pd
+def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 64,
+                  spill_root: str | None = None):
+    """Explicit partitioned (grace) hash join, inner, on int64 keys.
+
+    The BUILD side (``right``) never enters a Ray shuffle: each
+    ``map_batches`` task splits its batch by ``hash(key) % B`` and
+    appends one parquet block per bucket to a spill directory (the
+    same no-shuffle pattern as the lancelike sink). The PROBE side
+    (``left``) shuffles once, keyed by bucket; each bucket group then
+    loads its spilled build partition and merges arrow-native
+    (argsort + searchsorted + vectorized pair expansion) — no pandas,
+    no null-padding, int dtypes preserved.
+
+    Partitioning assumption: ``spill_root`` must be visible to every
+    node (shared FS or object-store URI) on a multi-node cluster —
+    the standard grace-join staging requirement. Skew handling is
+    explicit: raise ``num_buckets`` to split hot buckets.
+    """
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
 
     right_on = right_on or on
+    spill = spill_root or tempfile.mkdtemp(prefix="osmray_grace_")
 
-    def add_bucket(col):
-        def f(batch: pa.Table) -> pa.Table:
-            k = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
-            return batch.append_column(
-                "__bucket", pa.array(np.abs(hash64(k, 77)) % num_buckets)
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        return np.abs(hash64(keys.astype(np.int64), 77)) % num_buckets
+
+    def spill_blocks(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[right_on].to_numpy(zero_copy_only=False))
+        order = np.argsort(b, kind="stable")
+        batch = batch.take(pa.array(order))
+        bs = b[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(bs)) + 1, [len(bs)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"bucket={int(bs[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"bucket": int(bs[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
+
+    # materialize the build-side spill (barrier, like any hash-join build)
+    right.map_batches(spill_blocks, batch_format="pyarrow").count()
+    r_schema = pa.schema([f for f in right.schema().base_schema])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[on].to_numpy(zero_copy_only=False))
+        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    rename = {
+        c: (c + "_r" if c in set(left.schema().names) else c) for c in r_schema.names
+    }
+
+    def merge(g: pa.Table) -> pa.Table:
+        bucket = int(g["__bucket"][0].as_py())
+        g = g.drop_columns(["__bucket"])
+        files = sorted(_glob.glob(os.path.join(spill, f"bucket={bucket}", "block-*.parquet")))
+        out_fields = [(f.name, f.type) for f in g.schema] + [
+            (rename[f.name], f.type) for f in r_schema
+        ]
+        if not files:
+            return pa.table(
+                {n: pa.array([], type=t) for n, t in out_fields}
             )
+        r = pa.concat_tables([pq.read_table(f) for f in files])
+        lk = g[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = r[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
+        lo = np.searchsorted(rks, lk, "left")
+        hi = np.searchsorted(rks, lk, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(lk)), cnt)
+        offsets = np.concatenate(([0], np.cumsum(cnt)))
+        within = np.arange(total) - np.repeat(offsets[:-1], cnt)
+        ri = order[np.repeat(lo, cnt) + within]
+        lt = g.take(pa.array(li))
+        rt = r.take(pa.array(ri))
+        cols = {n: lt[n] for n in lt.schema.names}
+        for n in rt.schema.names:
+            cols[rename[n]] = rt[n]
+        return pa.table(cols)
 
-        return f
-
-    lt = left.map_batches(add_bucket(on), batch_format="pyarrow").map_batches(
-        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
-        batch_format="pyarrow",
+    return (
+        left.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pyarrow")
     )
-    # align schemas for union: rename the right key onto its own column set
-    rt = right.map_batches(add_bucket(right_on), batch_format="pyarrow").map_batches(
-        lambda t: t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-
-    int_cols = set()
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][lcols + ["__bucket"]].dropna(axis=1, how="all")
-        rg = g[g["__side"] == 1][rcols].dropna(axis=1, how="all")
-        if len(lg) == 0 or len(rg) == 0:
-            return pd.DataFrame()
-        out = lg.drop(columns="__bucket").merge(
-            rg, left_on=on, right_on=right_on, how="inner", suffixes=("", "_r")
-        )
-        # null-padding for the union turns int columns float; restore
-        for c in out.columns:
-            if c in int_cols and str(out[c].dtype).startswith("float"):
-                out[c] = out[c].astype(np.int64)
-        return out
-
-    # tag-and-union needs identical schemas: pad each side with the
-    # other's columns as nulls
-    def pad(cols_missing):
-        def f(batch: pa.Table) -> pa.Table:
-            for c, typ in cols_missing:
-                batch = batch.append_column(c, pa.nulls(len(batch), typ))
-            return batch
-
-        return f
-
-    lschema = {f.name: f.type for f in left.schema().base_schema}
-    rschema = {f.name: f.type for f in right.schema().base_schema}
-    for name, typ in list(lschema.items()) + list(rschema.items()):
-        if pa.types.is_integer(typ):
-            int_cols.add(name)
-    lt = lt.map_batches(pad([(c, t) for c, t in rschema.items() if c not in lschema]),
-                        batch_format="pyarrow")
-    rt = rt.map_batches(pad([(c, t) for c, t in lschema.items() if c not in rschema]),
-                        batch_format="pyarrow")
-    # column order must match for union
-    all_cols = sorted(set(lschema) | set(rschema)) + ["__bucket", "__side"]
-    lt = lt.select_columns(all_cols)
-    rt = rt.select_columns(all_cols)
-    return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -8,22 +8,38 @@ lib/loaders.py:14-16): rerunning a script resumes where it left off.
 The engine formalizes that for distributed output (north_rule:
 "resumable from checkpoint with per-partition lineage + metrics"):
 
-- one fragment per partition key (``part_id``), written ATOMICALLY
-  (tmp file + rename) to ``<root>/part=<id>/data.parquet``;
-- a fragment that already exists is skipped on rerun (first writer
-  wins — the distributed analogue of ``if not os.path.isfile(dst)``,
-  make_buildings.py:45-46), recorded in lineage as ``skipped``;
+- each partition (``part_id``) is a directory ``<root>/part=<id>/``
+  holding one or more BLOCK fragments ``block-<tag>.parquet``; a block
+  is written ATOMICALLY (tmp file + rename) straight from the
+  ``map_batches`` task that produced its rows — the sink performs NO
+  shuffle: image payloads stream from the producing stage to storage
+  without an all-to-all exchange (this was round 1's dominant scaling
+  residual);
+- the block tag is derived from the block's content checksum, so an
+  identical rerun produces the identical file set and a task retry
+  that finds its block already published skips the write (the
+  distributed analogue of ``if not os.path.isfile(dst)``,
+  make_buildings.py:45-46);
+- resume is PART-granular: ``manifest.json`` (written by the driver
+  after all blocks land) records each part's block list + rows +
+  checksum; on rerun, parts whose manifest entry is intact on disk are
+  filtered out of the pipeline by a broadcast keys-only filter
+  (``completed_parts``/``pending_filter``), and stale blocks of
+  incomplete parts are deleted before rewriting;
 - every partition emits exactly one lineage record (part_id, rows,
-  wall_ms, checksum); the driver assembles ``manifest.json`` from the
-  small lineage table after the run.
+  wall_ms, checksum, n_blocks, skipped); for skipped parts the record
+  is taken from the manifest, i.e. it describes the bytes ON DISK,
+  not a recomputation.
 
 Layout is pyarrow-parquet behind a narrow adapter seam: on a cluster
-with pylance installed, ``write_fragment``/``read_dataset`` are the
-only functions to swap.
+with pylance installed, ``write_block``/``read_dataset`` are the only
+functions to swap. On a multi-node cluster ``root`` must be shared
+storage (NFS / object store URI) — same assumption as any file sink.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -32,48 +48,24 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+MANIFEST = "manifest.json"
+FORMAT = "osmray-lancelike-v2"
 
-def fragment_path(root: str, part_id: int) -> str:
-    return os.path.join(root, f"part={part_id}", "data.parquet")
+
+def part_dir(root: str, part_id: int) -> str:
+    return os.path.join(root, f"part={part_id}")
 
 
-def write_fragment(root: str, part_id: int, table: pa.Table, sort_key: str | None = None) -> dict:
-    """Write one partition atomically; skip if the fragment exists.
-    Returns the lineage record. Rows are sorted by ``sort_key`` inside
-    the fragment so output is deterministic under any parallelism."""
-    t0 = time.perf_counter()
-    dst = fragment_path(root, part_id)
-    rows_in = table.num_rows
-    if sort_key is not None and rows_in:
-        table = table.sort_by(sort_key)
-    if os.path.exists(dst):
-        return {
-            "part_id": part_id,
-            "fragment": dst,
-            "rows_in": rows_in,
-            "rows_out": pq.ParquetFile(dst).metadata.num_rows,
-            "wall_ms": 0.0,
-            "checksum": _checksum(table, sort_key),
-            "skipped": True,
-        }
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    tmp = dst + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, dst)  # atomic publish
-    return {
-        "part_id": part_id,
-        "fragment": dst,
-        "rows_in": rows_in,
-        "rows_out": rows_in,
-        "wall_ms": (time.perf_counter() - t0) * 1e3,
-        "checksum": _checksum(table, sort_key),
-        "skipped": False,
-    }
+def part_files(root: str, part_id: int) -> list[str]:
+    """Block fragments currently on disk for one partition."""
+    return sorted(glob.glob(os.path.join(part_dir(root, part_id), "block-*.parquet")))
 
 
 def _checksum(table: pa.Table, sort_key: str | None) -> int:
-    """Order-insensitive content checksum over the key column (or row
-    count when keyless) — cheap lineage integrity, not cryptographic."""
+    """Order- and partition-insensitive content checksum over the key
+    column (or row count when keyless) — cheap lineage integrity, not
+    cryptographic. XOR-reduced, so the checksum of a part equals the
+    XOR of its blocks' checksums regardless of how rows were split."""
     if sort_key is None or sort_key not in table.schema.names or not table.num_rows:
         return table.num_rows
     col = table[sort_key]
@@ -93,61 +85,164 @@ def _checksum(table: pa.Table, sort_key: str | None) -> int:
     return int(np.bitwise_xor.reduce(mixed).astype(np.int64))
 
 
-def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None = None):
-    """Distributed resumable sink: shuffle by partition key, write one
-    fragment per partition (atomically, skip-if-done), return the
-    lineage table (small — one row per partition).
-
-    ``ds`` is a ray.data.Dataset containing ``part_col``.
-    """
-    os.makedirs(root, exist_ok=True)
-
-    def _write_group(table: pa.Table) -> pa.Table:
-        # arrow-native group: no pandas round-trip of the binary payload
-        part_id = int(table[part_col][0].as_py())
-        rec = write_fragment(root, part_id, table, sort_key)
-        return pa.Table.from_pylist([{k: v for k, v in rec.items()}])
-
-    lineage = ds.groupby(part_col).map_groups(_write_group, batch_format="pyarrow")
-    ldf = lineage.to_pandas()  # one row per partition: small by design
-    manifest = {
-        "format": "osmray-lancelike-v1",
-        "part_col": part_col,
-        "partitions": sorted(
-            ldf.drop(columns=["fragment"]).to_dict("records"), key=lambda r: r["part_id"]
-        ),
+def write_block(root: str, part_id: int, table: pa.Table, sort_key: str | None = None) -> dict:
+    """Write one block fragment atomically; idempotent under task
+    retry (a block whose deterministic name already exists is not
+    rewritten). Rows are sorted by ``sort_key`` inside the block so
+    output is deterministic under any parallelism."""
+    t0 = time.perf_counter()
+    if sort_key is not None and table.num_rows:
+        table = table.sort_by(sort_key)
+    csum = _checksum(table, sort_key)
+    tag = f"{np.uint64(csum):016x}-{table.num_rows}"
+    dst = os.path.join(part_dir(root, part_id), f"block-{tag}.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, dst)  # atomic publish
+    return {
+        "part_id": part_id,
+        "block": os.path.basename(dst),
+        "rows": table.num_rows,
+        "wall_ms": (time.perf_counter() - t0) * 1e3,
+        "checksum": csum,
     }
-    with open(os.path.join(root, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, default=int)
-    return ldf
-
-
-def read_dataset(root: str, columns: list[str] | None = None):
-    """Read a lancelike dataset back as a ray.data.Dataset."""
-    import glob
-
-    import ray.data
-
-    frags = sorted(glob.glob(os.path.join(root, "part=*", "data.parquet")))
-    return ray.data.read_parquet(frags, columns=columns)
 
 
 def read_manifest(root: str) -> dict | None:
-    p = os.path.join(root, "manifest.json")
+    p = os.path.join(root, MANIFEST)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
         return json.load(fh)
 
 
-def completed_parts(root: str) -> set[int]:
-    import glob
-    import re
+def _manifest_parts(root: str) -> dict[int, dict]:
+    m = read_manifest(root)
+    if not m:
+        return {}
+    return {int(rec["part_id"]): rec for rec in m.get("partitions", [])}
 
+
+def completed_parts(root: str) -> set[int]:
+    """Parts whose manifest entry is intact on disk (every recorded
+    block file present). A part with a missing/deleted block is NOT
+    complete and will be rewritten on resume."""
     out = set()
-    for d in glob.glob(os.path.join(root, "part=*")):
-        if os.path.exists(os.path.join(d, "data.parquet")):
-            m = re.search(r"part=(-?\d+)$", d)
-            if m:
-                out.add(int(m.group(1)))
+    for pid, rec in _manifest_parts(root).items():
+        blocks = rec.get("blocks", [])
+        if blocks and all(
+            os.path.exists(os.path.join(part_dir(root, pid), b)) for b in blocks
+        ):
+            out.add(pid)
     return out
+
+
+def pending_filter(ds, root: str, part_col: str = "part_id"):
+    """Drop rows belonging to already-completed partitions — a
+    broadcast keys-only filter, applied as early as the partition key
+    exists so resumed runs skip the downstream compute too."""
+    done = completed_parts(root)
+    if not done:
+        return ds
+    import ray
+
+    ref = ray.put(np.sort(np.fromiter(done, dtype=np.int64)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch[part_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(k, ray.get(ref))))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None = None):
+    """Distributed resumable sink with NO shuffle: every ``map_batches``
+    task groups its batch by partition key (a local arrow sort over the
+    batch, not an exchange) and writes one block fragment per group
+    directly; the driver then compacts the small per-block lineage into
+    ``manifest.json``. Completed parts (per the existing manifest) are
+    filtered out up front and reported as ``skipped`` with their
+    on-disk lineage. Returns the per-part lineage DataFrame.
+
+    ``ds`` is a ray.data.Dataset containing ``part_col``.
+    """
+    import pandas as pd
+
+    os.makedirs(root, exist_ok=True)
+    prior = _manifest_parts(root)
+    done = completed_parts(root)
+
+    # stale blocks of incomplete parts (crashed run / deleted file /
+    # different parallelism) would duplicate rows — clear them first
+    for d in glob.glob(os.path.join(root, "part=*")):
+        try:
+            pid = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if pid not in done:
+            for f in glob.glob(os.path.join(d, "block-*.parquet")):
+                os.remove(f)
+
+    ds = pending_filter(ds, root, part_col)
+
+    def write_blocks(batch: pa.Table) -> pa.Table:
+        order = np.argsort(batch[part_col].to_numpy(zero_copy_only=False), kind="stable")
+        batch = batch.take(pa.array(order))
+        parts = batch[part_col].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(parts)) + 1, [len(parts)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            recs.append(
+                write_block(root, int(parts[lo]), batch.slice(lo, hi - lo), sort_key)
+            )
+        return pa.Table.from_pylist(recs)
+
+    bds = ds.map_batches(write_blocks, batch_format="pyarrow")
+    bdf = bds.to_pandas()
+    if os.environ.get("OSMRAY_STATS"):
+        import sys
+
+        print(bds.stats(), file=sys.stderr, flush=True)
+
+    partitions = []
+    for pid in sorted(done):
+        rec = dict(prior[pid])
+        rec["skipped"] = True
+        partitions.append(rec)
+    if len(bdf):
+        for pid, g in bdf.groupby("part_id"):
+            partitions.append(
+                {
+                    "part_id": int(pid),
+                    "rows_in": int(g["rows"].sum()),
+                    "rows_out": int(g["rows"].sum()),
+                    "wall_ms": float(g["wall_ms"].sum()),
+                    "checksum": int(np.bitwise_xor.reduce(g["checksum"].to_numpy().astype(np.uint64)).astype(np.int64))
+                    if sort_key is not None
+                    else int(g["rows"].sum()),
+                    "n_blocks": int(len(g)),
+                    "blocks": sorted(g["block"].tolist()),
+                    "skipped": False,
+                }
+            )
+    partitions.sort(key=lambda r: r["part_id"])
+    manifest = {"format": FORMAT, "part_col": part_col, "partitions": partitions}
+    tmp = os.path.join(root, MANIFEST + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, default=int)
+    os.replace(tmp, os.path.join(root, MANIFEST))
+    ldf = pd.DataFrame(
+        [{k: v for k, v in rec.items() if k != "blocks"} for rec in partitions]
+    )
+    return ldf
+
+
+def read_dataset(root: str, columns: list[str] | None = None):
+    """Read a lancelike dataset back as a ray.data.Dataset."""
+    import ray.data
+
+    frags = sorted(glob.glob(os.path.join(root, "part=*", "block-*.parquet")))
+    return ray.data.read_parquet(frags, columns=columns)

@@ -181,9 +181,12 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
         (txmin, tymin, txmax, tymax),
         kinds_widths={"node": 1, "way": cfg.way_width, "polygon": cfg.polygon_width},
     )
+    import ray
+
+    n_tasks = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
     ds = (
         ray.data.from_arrow(paint)
-        .repartition(8)  # parallelize the painter across tasks
+        .repartition(n_tasks)  # parallelize the painter across tasks
         .map_batches(raster_fn, batch_format="pyarrow")
     )
     keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
@@ -277,6 +280,15 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
             .append_column("dedup_h", pa.array(hash_str(batch["image_id"], seed + 2)))
         )
 
+    # the matched subset is bounded (≤ 2×limit tiles): materialize it
+    # once so dedup + mask-attach + sink consume it without re-reading
+    # the full images table. NOTE for callers: the downstream
+    # decode/re-encode chain is straggler-bound on coarse uneven
+    # blocks (observed 3× task-wall skew on per-file read blocks) —
+    # set ``DataContext.target_max_block_size`` to ~16 MB BEFORE
+    # creating ``images_ds`` (the CLI and bench do) so the label scan
+    # emits fine blocks via dynamic block splitting, which costs
+    # nothing vs a repartition pass over the payload.
     matched = images_ds.map_batches(label_batch, batch_format="pyarrow").materialize()
     # winner per tile: the matched subset is bounded by the sampling
     # limits, so its KEY COLUMNS (two int64s) are collected and reduced
@@ -285,13 +297,17 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
     # set is unbounded (see joins.large_join for that regime)
     keys = matched.select_columns(["tile_key", "dedup_h"]).to_pandas()
     winners = keys.groupby("tile_key", as_index=False)["dedup_h"].min()
-    win_ref = ray.put(dict(zip(winners["tile_key"].to_numpy(), winners["dedup_h"].to_numpy())))
+    wk = winners["tile_key"].to_numpy()
+    worder = np.argsort(wk, kind="stable")
+    win_ref = ray.put((wk[worder], winners["dedup_h"].to_numpy()[worder]))
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        lut = ray.get(win_ref)
+        skeys, shash = ray.get(win_ref)
         key = batch["tile_key"].to_numpy(zero_copy_only=False)
         h = batch["dedup_h"].to_numpy(zero_copy_only=False)
-        keep = np.asarray([lut.get(k) == hh for k, hh in zip(key, h)])
+        # every key is present (matched ⊆ winners' key set): a sorted
+        # lookup, no per-row Python
+        keep = shash[np.searchsorted(skeys, key)] == h
         return batch.filter(pa.array(keep)).drop_columns(["dedup_h"])
 
     return matched.map_batches(keep_winners, batch_format="pyarrow")
@@ -331,11 +347,16 @@ def run_label_job(
     neg_keys = sample_negative_tiles(painted, cfg)
     mark("negatives")
 
-    assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
-    ds = images_ds.map_batches(assign, batch_format="pyarrow")
-    ds = label_images(ds, pos_keys, neg_keys, cfg)
-    mark("label+dedup")
+    part_res = cfg.part_res if cfg.part_res is not None else cfg.z - 4
+    mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
+    done_parts = (
+        np.sort(np.fromiter(lancelike.completed_parts(out_dir), dtype=np.int64))
+        if out_dir is not None
+        else np.array([], dtype=np.int64)
+    )
 
+    mask_thread = None
+    mask_box: dict = {}
     if mask:
         # mask features: what the painter painted + the positives;
         # prepared index built ONCE on the driver, broadcast to actors
@@ -344,44 +365,104 @@ def run_label_job(
         mask_feats = feats.filter(
             pc.is_in(feats["kind"], pa.array(list(set(cfg.paint_kinds) | {cfg.positive_kind})))
         )
-        mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
-        feats_ref = ray.put(FeatureIndex.from_table(mask_feats, mask_res))
-        mark("mask-index")
+        mark("mask-prep")
 
-        # masks depend only on the tile, so rasterize the DISTINCT
-        # tiles (a keys-only table, bounded by the sampling limits),
-        # sorted by mask cell so each actor's per-cell canvas is
-        # rasterized once and sliced for all its tiles — the image
-        # bytes never pass through the mask stage. The mask table is
-        # then broadcast and attached. (For an unbounded tile set,
-        # attach via joins.large_join on tile_key instead.)
-        tiles = ds.select_columns(["tile_key", "tx", "ty"]).to_pandas().drop_duplicates(
-            "tile_key"
+        # masks depend only on the tile key, and the candidate tile
+        # universe is ALREADY ON THE DRIVER: the sampled positive +
+        # negative key sets (every labeled image's tile is one of
+        # them). Rasterizing from the key sets (a) avoids re-executing
+        # the labeled pipeline just to list its distinct tiles and
+        # (b) lets the mask actor pool run CONCURRENTLY with the label
+        # scan (background thread below) instead of after it. Tiles
+        # are sorted by mask cell so each actor's per-cell canvas is
+        # rasterized once and sliced for all its tiles — image bytes
+        # never pass through the mask stage.
+        from osmray.tilemath import unpack_tile
+
+        cand = np.unique(np.concatenate([pos_keys, neg_keys]))
+        ctx, cty, _ = unpack_tile(cand)
+        if len(done_parts):
+            # resume: parts already on disk need no masks either
+            cpart = cellmod.cell_of_tile(ctx, cty, cfg.z, part_res)
+            keep = ~np.isin(cpart, done_parts)
+            cand, ctx, cty = cand[keep], ctx[keep], cty[keep]
+        if len(cand) == 0:
+            mask = False  # fully-resumed run: nothing to rasterize
+    if mask:
+        mcell = cellmod.cell_of_tile(ctx, cty, cfg.z, mask_res)
+        order = np.argsort(mcell, kind="stable")
+        tiles_tbl = pa.table(
+            {
+                "tile_key": pa.array(cand[order]),
+                "tx": pa.array(ctx[order]),
+                "ty": pa.array(cty[order]),
+            }
         )
-        mcell = cellmod.cell_of_tile(
-            tiles["tx"].to_numpy(), tiles["ty"].to_numpy(), cfg.z, mask_res
-        )
-        tiles = tiles.iloc[np.argsort(mcell, kind="stable")].reset_index(drop=True)
-        tiles_ds = ray.data.from_arrow(
-            pa.Table.from_pandas(tiles, preserve_index=False)
-        ).repartition(max(2, cfg.mask_concurrency * 2))  # order-preserving split
+        tiles_ds = ray.data.from_arrow(tiles_tbl).repartition(
+            max(2, cfg.mask_concurrency * 2)
+        )  # order-preserving split
         # clamp the pool under the cluster CPUs: an actor pool that
         # reserves every CPU starves the producing task stages
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
-        mask_rows = tiles_ds.map_batches(
-            MaskStage,
-            fn_constructor_kwargs={
-                "features_ref": feats_ref,
-                "z": cfg.z,
-                "scheme": cfg.scheme,
-                "res": mask_res,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.mask_batch,
-            concurrency=concurrency,
-            num_cpus=1,
-        ).select_columns(["tile_key", "mask", "mask_any"])
+
+        import threading
+
+        # index built in a RAY TASK (not on the driver: a driver-thread
+        # build would steal the GIL from the streaming executor): it
+        # only needs the features table, so it overlaps the label scan
+        # instead of sitting on the critical path
+        @ray.remote(num_cpus=1)
+        def _build_index(tbl: pa.Table, res: int):
+            return FeatureIndex.from_table(tbl, res)
+
+        feats_ref = _build_index.remote(mask_feats, mask_res)
+
+        def _run_masks():
+            try:
+                mask_rows = tiles_ds.map_batches(
+                    MaskStage,
+                    fn_constructor_kwargs={
+                        "features_ref": feats_ref,
+                        "z": cfg.z,
+                        "scheme": cfg.scheme,
+                        "res": mask_res,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=cfg.mask_batch,
+                    concurrency=concurrency,
+                    num_cpus=1,
+                ).select_columns(["tile_key", "mask", "mask_any"])
+                mask_box["rows"] = mask_rows.materialize()
+            except BaseException as e:  # surfaced on join
+                mask_box["err"] = e
+
+        mask_thread = threading.Thread(target=_run_masks, daemon=True)
+        mask_thread.start()
+
+    assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
+    ds = images_ds.map_batches(assign, batch_format="pyarrow")
+    ds = label_images(ds, pos_keys, neg_keys, cfg)
+    mark("label+dedup")
+
+    # partition key for the sink: cell (at part_res) of the tile.
+    # Added EARLY so resume (completed parts per the manifest) prunes
+    # rows before the expensive mask/roundtrip stages, not after.
+    def add_part(batch: pa.Table) -> pa.Table:
+        tx = batch["tx"].to_numpy(zero_copy_only=False)
+        ty = batch["ty"].to_numpy(zero_copy_only=False)
+        part = cellmod.cell_of_tile(tx, ty, cfg.z, part_res)
+        return batch.append_column("part_id", pa.array(part.astype(np.int64)))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    if out_dir is not None:
+        ds = lancelike.pending_filter(ds, out_dir)
+
+    if mask:
+        mask_thread.join()
+        if "err" in mask_box:
+            raise mask_box["err"]
+        mask_rows = mask_box["rows"]
         if mask_attach == "join":
             # unbounded tile sets: hash-partitioned join instead of a
             # broadcast dict (both sides shuffle on tile_key)
@@ -395,31 +476,27 @@ def run_label_job(
         else:
             mdf = mask_rows.to_pandas()
             mark("masks")
+            mkeys = mdf["tile_key"].to_numpy()
+            morder = np.argsort(mkeys, kind="stable")
             mask_ref = ray.put(
-                dict(zip(mdf["tile_key"].to_numpy(), zip(mdf["mask"], mdf["mask_any"])))
+                (
+                    mkeys[morder],
+                    mdf["mask"].to_numpy()[morder],
+                    mdf["mask_any"].to_numpy()[morder],
+                )
             )
 
             def attach(batch: pa.Table) -> pa.Table:
-                lut = ray.get(mask_ref)
-                rows = [lut[int(k)] for k in batch["tile_key"].to_pylist()]
+                skeys, smask, sany = ray.get(mask_ref)
+                k = batch["tile_key"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(skeys, k)
                 return batch.append_column(
-                    "mask", pa.array([r[0] for r in rows], pa.binary())
-                ).append_column("mask_any", pa.array([r[1] for r in rows], pa.bool_()))
+                    "mask", pa.array(smask[idx], pa.binary())
+                ).append_column("mask_any", pa.array(sany[idx], pa.bool_()))
 
             ds = ds.map_batches(attach, batch_format="pyarrow")
     if roundtrip:
         ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
-
-    # partition key for the sink: cell (at part_res) of the tile
-    part_res = cfg.part_res if cfg.part_res is not None else cfg.z - 4
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        tx = batch["tx"].to_numpy(zero_copy_only=False)
-        ty = batch["ty"].to_numpy(zero_copy_only=False)
-        part = cellmod.cell_of_tile(tx, ty, cfg.z, part_res)
-        return batch.append_column("part_id", pa.array(part.astype(np.int64)))
-
-    ds = ds.map_batches(add_part, batch_format="pyarrow")
 
     lineage = None
     if out_dir is not None:

@@ -745,7 +745,7 @@ def q_bucketed_join(sf_dir: str):
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=8,
+        num_buckets=64,
     )
     return joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="cnt"), Sum("qty", alias_name="sum_qty")

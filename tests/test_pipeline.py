@@ -172,10 +172,12 @@ def test_resume_skips_completed(ray_session, images_ds, feats, tmp_path, CFG):
     df1 = ds1.to_pandas().sort_values("image_id").reset_index(drop=True)
     assert not lin1["skipped"].any()
 
-    # delete one partition, rerun: only that partition is rewritten
+    # delete one block of one partition, rerun: only that partition is
+    # rewritten (part-granular resume; a partially-present part is
+    # cleaned and fully rewritten)
     parts = sorted(lancelike.completed_parts(out))
     victim = parts[0]
-    os.remove(lancelike.fragment_path(out, victim))
+    os.remove(lancelike.part_files(out, victim)[0])
     ds2, lin2 = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out, mask=False, roundtrip=False)
     lin2 = lin2.set_index("part_id")
     assert not lin2.loc[victim, "skipped"]
