@@ -49,7 +49,7 @@ def large_join(left, right, on: str, right_on: str | None = None, how: str = "in
 
 
 def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 64,
-                  spill_root: str | None = None):
+                  spill_root: str | None = None, right_dedup: bool = False):
     """Explicit partitioned (grace) hash join, inner, on int64 keys.
 
     The BUILD side (``right``) never enters a Ray shuffle: each
@@ -65,6 +65,14 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     node (shared FS or object-store URI) on a multi-node cluster —
     the standard grace-join staging requirement. Skew handling is
     explicit: raise ``num_buckets`` to split hot buckets.
+
+    ``right_dedup=True`` keeps one row per build-side key, applied
+    PER BUCKET (hash partitioning co-locates every row of a key, so
+    bucket-local dedup is globally exact) — this replaces an upstream
+    all-to-all ``groupby`` dedup with zero extra shuffles. Use when
+    the non-key columns are functionally dependent on the key (any
+    representative row is the same row); otherwise the winner among
+    differing duplicates is unspecified.
     """
     import glob as _glob
     import os
@@ -96,8 +104,10 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
             recs.append({"bucket": int(bs[lo]), "rows": hi - lo})
         return pa.Table.from_pylist(recs)
 
-    # materialize the build-side spill (barrier, like any hash-join build)
-    right.map_batches(spill_blocks, batch_format="pyarrow").count()
+    # materialize the build-side spill (barrier, like any hash-join
+    # build); batch_size=None = one batch per block, so the spill
+    # writes ≤ num_buckets files per BLOCK, not per 1024-row batch
+    right.map_batches(spill_blocks, batch_format="pyarrow", batch_size=None).count()
     r_schema = pa.schema([f for f in right.schema().base_schema])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -120,6 +130,11 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
                 {n: pa.array([], type=t) for n, t in out_fields}
             )
         r = pa.concat_tables([pq.read_table(f) for f in files])
+        if right_dedup:
+            rk0 = r[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+            srt = np.argsort(rk0, kind="stable")
+            first = srt[np.unique(rk0[srt], return_index=True)[1]]
+            r = r.take(pa.array(first))
         lk = g[on].to_numpy(zero_copy_only=False).astype(np.int64)
         rk = r[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(rk, kind="stable")

@@ -860,42 +860,42 @@ def q_way_resolve(sf_dir: str):
         p = _li_points(batch)
         return pa.table({"pid": pa.array(p["pid"]), "wx": pa.array(p["wx"]), "wy": pa.array(p["wy"])})
 
-    from ray.data.aggregate import Min
-
-    ndf = (
-        nds.map_batches(nodes, batch_format="pyarrow")
-        .groupby("pid")
-        .aggregate(Min("wx", alias_name="wx"), Min("wy", alias_name="wy"))
-        .to_pandas()
-    )
-    node_ids = ndf["pid"].to_numpy(dtype=np.int64)
-    order = np.argsort(node_ids)
-    node_ids = node_ids[order]
-    nwx = ndf["wx"].to_numpy()[order]
-    nwy = ndf["wy"].to_numpy()[order]
-    ref = ray.put((node_ids, nwx, nwy))
+    # NO groupby dedup here: (wx, wy) is a pure function of pid, so
+    # the duplicate (orderkey, linenumber) pairs in the testdata are
+    # eliminated per bucket inside the grace join (right_dedup) —
+    # zero extra shuffles instead of a ~600k-group aggregate
+    node_ds = nds.map_batches(nodes, batch_format="pyarrow")
 
     ways = _read(sf_dir, "orders", ["o_orderkey"])
 
-    def resolve(batch: pa.Table) -> pa.Table:
-        ids_sorted, wxs, wys = ray.get(ref)
+    def explode(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         # each way references 4 candidate node ids: orderkey*10 + 1..4
-        refs = ok[:, None] * 10 + np.arange(1, 5)[None, :]
-        pos = np.clip(np.searchsorted(ids_sorted, refs), 0, len(ids_sorted) - 1)
-        found = ids_sorted[pos] == refs
-        wi, si = np.nonzero(found)
+        refs = (ok[:, None] * 10 + np.arange(1, 5)[None, :]).ravel()
         return pa.table(
             {
-                "way_id": pa.array(ok[wi]),
-                "seq": pa.array((si + 1).astype(np.int64)),
-                "node_id": pa.array(refs[wi, si]),
-                "wx": pa.array(wxs[pos[wi, si]]),
-                "wy": pa.array(wys[pos[wi, si]]),
+                "way_id": pa.array(np.repeat(ok, 4)),
+                "seq": pa.array(np.tile(np.arange(1, 5, dtype=np.int64), len(ok))),
+                "node_id": pa.array(refs),
             }
         )
 
-    return ways.map_batches(resolve, batch_format="pyarrow")
+    # refs exploded as a Dataset, resolved via the grace hash join —
+    # the node table spills per-bucket from map_batches (no shuffle)
+    # and only the exploded refs shuffle once; neither side is
+    # materialized on the driver (the round-1 broadcast-array variant
+    # lives on in sources.resolve_ways for genuinely small node tables)
+    from osmray.joins import bucketed_join
+
+    joined = bucketed_join(
+        ways.map_batches(explode, batch_format="pyarrow"),
+        node_ds,
+        on="node_id",
+        right_on="pid",
+        num_buckets=64,
+        right_dedup=True,
+    )
+    return joined.select_columns(["way_id", "seq", "node_id", "wx", "wy"])
 
 
 Q_WAY_RESOLVE_SQL = f"""
