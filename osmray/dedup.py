@@ -44,14 +44,19 @@ def _token_hashes(text: str) -> np.ndarray:
     )
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles, vectorized: per-token crc32 mixed with
-    position-in-shingle constants and summed across the window."""
+def _padded_token_hashes(text: str, k: int) -> np.ndarray:
     th = _token_hashes(text)
     if len(th) == 0:
         th = np.asarray([np.uint64(1)], dtype=np.uint64)
     if len(th) < k:
         th = np.concatenate([th, np.full(k - len(th), np.uint64(17), dtype=np.uint64)])
+    return th
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashed k-word shingles, vectorized: per-token crc32 mixed with
+    position-in-shingle constants and summed across the window."""
+    th = _padded_token_hashes(text, k)
     acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
     for j in range(k):
         acc = acc * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j] * _SHINGLE_MIX[j % 5]
@@ -110,6 +115,70 @@ def simhash64(text: str) -> np.int64:
     return out.astype(np.int64)
 
 
+def minhash_signatures(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
+    """Batch minhash: identical output to ``minhash_signature`` per
+    text, computed as ONE set of vector ops over the concatenated
+    token stream (reduceat per doc) — no per-doc numpy-call overhead
+    in the hot ``map_batches`` path."""
+    if not len(texts):
+        return np.zeros((0, n_hashes), dtype=np.int64)
+    ths = [_padded_token_hashes(t, k) for t in texts]
+    lens = np.asarray([len(t) for t in ths], dtype=np.int64)
+    TH = np.concatenate(ths)
+    n = len(TH)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1099511628211) + TH[j : n - k + 1 + j] * _SHINGLE_MIX[j % 5]
+    # valid (non-boundary-crossing) window starts per doc
+    tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_sh = lens - k + 1  # >= 1: _padded_token_hashes pads to >= k tokens
+    total = int(n_sh.sum())
+    sh_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    pos = (np.arange(total) - np.repeat(sh_off, n_sh)) + np.repeat(tok_starts, n_sh)
+    sh = acc[pos]
+    a, b = _mh_coeffs(n_hashes)
+    vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return np.minimum.reduceat(vals, sh_off, axis=0).astype(np.int64)
+
+
+def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """(n, n_hashes) signatures -> (n, n_bands) bucket hashes;
+    identical per row to ``minhash_bands``."""
+    rows = sigs.shape[1] // n_bands
+    s = sigs.astype(np.uint64)[:, : n_bands * rows].reshape(len(sigs), n_bands, rows)
+    out = np.full((len(sigs), n_bands), 1469598103934665603, dtype=np.uint64)
+    for j in range(rows):
+        out = (out ^ s[:, :, j]) * np.uint64(1099511628211)
+    return out.astype(np.int64)
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Batch simhash64: identical per text to ``simhash64``, one
+    reduceat over the concatenated token stream."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not len(texts):
+        return out
+    ths = [_token_hashes(t) for t in texts]
+    lens = np.asarray([len(t) for t in ths], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty) == 0:
+        return out
+    TH = np.concatenate([ths[i] for i in nonempty])
+    v = TH * np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(29)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(32)
+    bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    offs = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+    votes = 2 * np.add.reduceat(bits, offs, axis=0) - lens[nonempty][:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sig = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sig.astype(np.int64)
+    return out
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard — the verification kernel behind
     MinHash candidates."""
@@ -143,44 +212,96 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def minhash_lsh_candidates(docs_ds, text_col="text", id_col="doc_id", n_hashes=64, n_bands=16, k=3):
-    """shingle -> minhash -> band explode -> groupby(band, bucket) ->
-    candidate pairs (a < b), deduplicated. The shuffle moves only
-    (band, bucket, id) triples."""
+N_PAIR_SHARDS = 256
+
+
+def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
+    """(band, bucket, id) rows -> candidate pair Dataset (a, b).
+
+    Buckets are hashes, so grouping directly on (band, bucket) makes
+    one Ray group per mostly-singleton bucket (~1 Python call per
+    group — the map_groups-per-tiny-group trap). Instead the rows are
+    sharded by ``bucket % N_PAIR_SHARDS``: each shard task handles
+    thousands of buckets at once with one lexsort + run detection,
+    and only runs of >= 2 ids emit pairs. Buckets larger than
+    ``max_bucket`` are DROPPED (logged) — an uncapped hot bucket
+    emits O(n^2) pairs in one task, the classic LSH skew failure."""
+    import logging
+
     import pandas as pd
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_id, out_band, out_bucket = [], [], []
-        for i, t in zip(ids, texts):
-            bands = minhash_bands(minhash_signature(t, n_hashes, k), n_bands)
-            out_id.extend([i] * n_bands)
-            out_band.extend(range(n_bands))
-            out_bucket.extend(bands.tolist())
-        return pa.table(
-            {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-            }
+    log = logging.getLogger("osmray.dedup")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__shard", pa.array((b % np.uint64(N_PAIR_SHARDS)).astype(np.int64))
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+        band = g["band"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids = band[order], bucket[order], ids[order]
+        new_run = np.concatenate(
+            ([True], (np.diff(band.astype(np.int64)) != 0) | (np.diff(bucket) != 0))
+        )
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate((starts, [len(ids)])))
+        out_a, out_b = [], []
+        for s, n in zip(starts[lens >= 2], lens[lens >= 2]):
+            run = np.unique(ids[s : s + n])
+            if len(run) < 2:
+                continue
+            if len(run) > max_bucket:
+                log.warning(
+                    "dropping degenerate LSH bucket: %d ids > max_bucket=%d "
+                    "(raise n_bands/band width or max_bucket)", len(run), max_bucket
+                )
+                continue
+            ai, bi = np.triu_indices(len(run), k=1)
+            out_a.append(run[ai])
+            out_b.append(run[bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    cand = (
-        docs_ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
+    return (
+        sig_ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
         .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def minhash_lsh_candidates(docs_ds, text_col="text", id_col="doc_id", n_hashes=64,
+                           n_bands=16, k=3, max_bucket=64):
+    """shingle -> minhash -> band explode -> groupby(band, bucket) ->
+    candidate pairs (a < b), deduplicated. The shuffle moves only
+    (band, bucket, id) triples; buckets over ``max_bucket`` ids are
+    dropped (logged) instead of exploding quadratically."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bands = minhash_bands_batch(
+            minhash_signatures(batch[text_col].to_pylist(), n_hashes, k), n_bands
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, n_bands)),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
+                ),
+                "bucket": pa.array(bands.ravel()),
+            }
+        )
+
+    cand = _sharded_bucket_pairs(
+        docs_ds.map_batches(sig_rows, batch_format="pyarrow"), id_col, max_bucket
     )
     # dedup pairs discovered in multiple bands
     from ray.data.aggregate import Count
@@ -190,7 +311,9 @@ def minhash_lsh_candidates(docs_ds, text_col="text", id_col="doc_id", n_hashes=6
 
 def verify_pairs(pairs_ds, id_to_text: dict, threshold: float = 0.8, k: int = 3):
     """Exact-Jaccard verification of candidate pairs against a
-    broadcast id->text lookup (small side)."""
+    broadcast id->text lookup — the SMALL-corpus convenience variant
+    (the dict must fit in the object store). For unbounded corpora use
+    ``verify_pairs_joined``, which never materializes the documents."""
     import ray
 
     ref = ray.put(id_to_text)
@@ -206,37 +329,248 @@ def verify_pairs(pairs_ds, id_to_text: dict, threshold: float = 0.8, k: int = 3)
     return pairs_ds.map_batches(check, batch_format="pyarrow")
 
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col="vec_id", vec_col="embedding"):
-    """Embedding-cosine near-dup: all pairs (a < b) with cosine >=
-    threshold. Small-side broadcast of the normalized matrix; each
-    batch does one matmul against it (brute-force baseline — the
-    LSH-bucketed variant is the scale path, see ann.py)."""
-    import ray
+def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
+                        threshold: float = 0.8, k: int = 3, num_buckets: int = 32):
+    """Distributed exact-Jaccard verification: the candidate pairs are
+    joined back to the documents table on ``a`` then ``b`` (grace hash
+    join — the documents spill bucketed from ``map_batches``, only the
+    small pair table shuffles), then each joined row is verified.
+    No driver-side id->text materialization anywhere."""
+    import tempfile
 
-    mat, ids = _normalized_matrix(emb_ds, id_col, vec_col)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
+    from osmray.joins import bucketed_join
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        m = ray.get(mat_ref)
-        all_ids = ray.get(ids_ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    docs = docs_ds.select_columns([id_col, text_col])
+
+    def _rename(old: str, new: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new if c == old else c for c in batch.schema.names]
+            )
+
+        return f
+
+    # the docs spill is built ONCE and probed by both id columns
+    spill = tempfile.mkdtemp(prefix="osmray_verify_")
+    j1 = bucketed_join(pairs_ds, docs, on="a", right_on=id_col, num_buckets=num_buckets,
+                       spill_root=spill)
+    j1 = j1.map_batches(_rename(text_col, "__text_a"), batch_format="pyarrow").drop_columns(
+        [id_col]
+    )
+    j2 = bucketed_join(j1, docs, on="b", right_on=id_col, num_buckets=num_buckets,
+                       spill_root=spill, prebuilt=True)
+
+    def check(batch: pa.Table) -> pa.Table:
+        ta = batch["__text_a"].to_pylist()
+        tb = batch[text_col].to_pylist()
+        jac = np.asarray([ngram_jaccard(x, y, k) for x, y in zip(ta, tb)])
+        t = (
+            batch.drop_columns(["__text_a", text_col, id_col])
+            .append_column("jaccard", pa.array(jac))
+        )
+        return t.filter(pa.array(jac >= threshold))
+
+    return j2.map_batches(check, batch_format="pyarrow")
+
+
+def _srp_planes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Shared signed-random-projection hyperplanes (seeded, so every
+    task derives the same planes without any broadcast)."""
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col="vec_id", vec_col="embedding",
+                        mode: str = "auto", n_bands: int = 8, band_bits: int = 8,
+                        seed: int = 7, n_groups: int = 16, max_bucket: int = 256):
+    """Embedding-cosine near-dup: pairs (a < b) with cosine >=
+    threshold, as (a, b, cosine). Two distributed modes, neither of
+    which materializes the corpus on the driver or broadcasts it:
+
+    - ``lsh`` (default for threshold >= 0.8, the 100-TB path):
+      signed-random-projection band signatures per vector (seeded
+      planes — computed in ``map_batches``, keys-only shuffle of
+      (band, bucket, id)), capped bucket pair-gen, then the candidate
+      pairs join their two vectors back via the grace hash join and
+      verify exact cosine. Recall < 1 by LSH nature; tunable via
+      (n_bands, band_bits).
+    - ``exact`` (default below 0.8, where LSH prefilters pass almost
+      nothing): distributed all-pairs grid — vectors spill into
+      ``n_groups`` hash groups straight from ``map_batches`` (no
+      shuffle) and one task per group-pair does the cross matmul.
+      O(N^2 / n_groups) per task: exact, for bounded corpora only.
+    """
+    if mode == "auto":
+        mode = "lsh" if threshold >= 0.8 else "exact"
+    if mode == "exact":
+        return _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups)
+
+    n_bits = n_bands * band_bits
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         v = _to_matrix(batch[vec_col])
-        v = v / np.linalg.norm(v, axis=1, keepdims=True).clip(min=1e-12)
-        sims = v @ m.T
-        ai, bj = np.nonzero(sims >= threshold)
-        a = bids[ai]
-        b = all_ids[bj]
-        keep = a < b
+        planes = _srp_planes(v.shape[1], n_bits, seed)
+        bits = (v @ planes.T) > 0  # (n, n_bits)
+        w = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))[None, None, :]
+        bucket = (
+            (bits.reshape(len(ids), n_bands, band_bits).astype(np.uint64) * w)
+            .sum(axis=2, dtype=np.uint64)
+            .astype(np.int64)
+        )
         return pa.table(
             {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(sims[ai, bj][keep], pa.float64()),
+                id_col: pa.array(np.repeat(ids, n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
+                "bucket": pa.array(bucket.ravel()),
             }
         )
 
-    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+    cand = _sharded_bucket_pairs(
+        emb_ds.map_batches(sig_rows, batch_format="pyarrow"), id_col, max_bucket
+    )
+    from ray.data.aggregate import Count
+
+    cand = cand.groupby(["a", "b"]).aggregate(Count(alias_name="__nb"))
+    return _verify_vector_pairs(cand, emb_ds, threshold, id_col, vec_col)
+
+
+def _verify_vector_pairs(pairs_ds, emb_ds, threshold, id_col, vec_col, num_buckets: int = 32):
+    """Join each candidate pair's two vectors back (grace hash join —
+    vectors spill bucketed, only the pair table shuffles) and keep
+    exact cosine >= threshold."""
+    import tempfile
+
+    from osmray.joins import bucketed_join
+
+    vecs = emb_ds.select_columns([id_col, vec_col])
+
+    def _rename(old: str, new: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new if c == old else c for c in batch.schema.names]
+            )
+
+        return f
+
+    # the vector spill is built ONCE and probed by both id columns
+    spill = tempfile.mkdtemp(prefix="osmray_vverify_")
+    j1 = bucketed_join(pairs_ds, vecs, on="a", right_on=id_col, num_buckets=num_buckets,
+                       spill_root=spill)
+    j1 = j1.map_batches(_rename(vec_col, "__vec_a"), batch_format="pyarrow").drop_columns(
+        [id_col]
+    )
+    j2 = bucketed_join(j1, vecs, on="b", right_on=id_col, num_buckets=num_buckets,
+                       spill_root=spill, prebuilt=True)
+
+    def check(batch: pa.Table) -> pa.Table:
+        va = _to_matrix(batch["__vec_a"])
+        vb = _to_matrix(batch[vec_col])
+        va = va / np.linalg.norm(va, axis=1, keepdims=True).clip(min=1e-12)
+        vb = vb / np.linalg.norm(vb, axis=1, keepdims=True).clip(min=1e-12)
+        cos = (va * vb).sum(axis=1)
+        t = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(cos >= threshold))
+
+    return j2.map_batches(check, batch_format="pyarrow")
+
+
+def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
+    """Exact distributed all-pairs: spill vectors into hash groups
+    from ``map_batches`` (no shuffle), then one task per group-pair
+    (gi <= gj) cross-matmuls the two spilled groups."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    spill = tempfile.mkdtemp(prefix="osmray_embgrid_")
+
+    def spill_groups(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        g = (ids % n_groups).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        batch = batch.take(pa.array(order))
+        gs = g[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(gs)) + 1, [len(gs)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"g={int(gs[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"g": int(gs[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
+
+    emb_ds.select_columns([id_col, vec_col]).map_batches(
+        spill_groups, batch_format="pyarrow", batch_size=None
+    ).count()
+
+    def _load(g: int):
+        files = sorted(glob.glob(os.path.join(spill, f"g={g}", "block-*.parquet")))
+        if not files:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, 1))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = _to_matrix(t[vec_col])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        return ids, m
+
+    def cross(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for gi, gj in zip(batch["gi"].to_pylist(), batch["gj"].to_pylist()):
+            ia, ma = _load(gi)
+            ib, mb = (ia, ma) if gi == gj else _load(gj)
+            if not len(ia) or not len(ib):
+                continue
+            sims = ma @ mb.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ia[ai], ib[bj]
+            c = sims[ai, bj]
+            if gi == gj:
+                keep = a < b  # upper triangle within a group
+                a, b, c = a[keep], b[keep], c[keep]
+            else:
+                # cross-group: each unordered pair is seen exactly once
+                # (in the task of its two groups) — normalize (a < b)
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(c)
+        if not out_a:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    grid = [
+        {"gi": gi, "gj": gj}
+        for gi in range(n_groups)
+        for gj in range(gi, n_groups)
+    ]
+    return ray.data.from_items(grid).map_batches(
+        cross, batch_format="pyarrow", batch_size=1
+    )
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -244,9 +578,3 @@ def _to_matrix(col) -> np.ndarray:
     return np.asarray(lst, dtype=np.float64)
 
 
-def _normalized_matrix(emb_ds, id_col, vec_col):
-    df = emb_ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = df[id_col].to_numpy(dtype=np.int64)
-    mat = np.asarray(df[vec_col].tolist(), dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
-    return mat, ids

@@ -49,7 +49,8 @@ def large_join(left, right, on: str, right_on: str | None = None, how: str = "in
 
 
 def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 64,
-                  spill_root: str | None = None, right_dedup: bool = False):
+                  spill_root: str | None = None, right_dedup: bool = False,
+                  prebuilt: bool = False):
     """Explicit partitioned (grace) hash join, inner, on int64 keys.
 
     The BUILD side (``right``) never enters a Ray shuffle: each
@@ -73,6 +74,11 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     the non-key columns are functionally dependent on the key (any
     representative row is the same row); otherwise the winner among
     differing duplicates is unspecified.
+
+    ``prebuilt=True`` skips the build-side spill and reuses the
+    fragments already under ``spill_root`` from a prior call with the
+    same ``right``/``num_buckets`` — e.g. joining a pair table's two
+    id columns against the same dimension table spills it once.
     """
     import glob as _glob
     import os
@@ -107,7 +113,8 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     # materialize the build-side spill (barrier, like any hash-join
     # build); batch_size=None = one batch per block, so the spill
     # writes ≤ num_buckets files per BLOCK, not per 1024-row batch
-    right.map_batches(spill_blocks, batch_format="pyarrow", batch_size=None).count()
+    if not prebuilt:
+        right.map_batches(spill_blocks, batch_format="pyarrow", batch_size=None).count()
     r_schema = pa.schema([f for f in right.schema().base_schema])
 
     def add_bucket(batch: pa.Table) -> pa.Table:

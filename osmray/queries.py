@@ -1015,26 +1015,25 @@ FROM r WHERE rank <= 2
 
 def q_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup candidates over documents, verified with
-    exact n-gram Jaccard (threshold 0.5)."""
-    import pyarrow.parquet as pq
-
-    from osmray.dedup import minhash_lsh_candidates, verify_pairs
+    exact n-gram Jaccard (threshold 0.5). Fully distributed: candidate
+    generation shuffles (band, bucket, id) triples only, and
+    verification joins the pair table back to the documents via the
+    grace hash join — no driver id->text materialization."""
+    from osmray.dedup import minhash_lsh_candidates, verify_pairs_joined
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_lsh_candidates(ds)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lut = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    return verify_pairs(cands, lut, threshold=0.5)
+    return verify_pairs_joined(cands, ds, threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
     """64-bit simhash signatures per document."""
-    from osmray.dedup import simhash64
+    from osmray.dedup import simhash64_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        sigs = np.asarray([simhash64(t) for t in batch["text"].to_pylist()], dtype=np.int64)
+        sigs = simhash64_batch(batch["text"].to_pylist())
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sigs)})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1075,8 +1074,10 @@ def q_fingerprint(sf_dir: str):
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs. The synthetic embeddings have
     no true dups (max pairwise cosine ~0.51), so the demo threshold is
-    0.45 — production dedup would use ~0.95 (dedup.embedding_dup_pairs
-    default, exercised with injected dups in pytest)."""
+    0.45, which routes to the exact distributed grid mode (spilled
+    hash groups + one task per group-pair, no driver materialization);
+    production dedup at ~0.95 routes to the LSH-bucketed mode
+    (exercised with injected dups in pytest)."""
     from osmray.dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
@@ -1085,23 +1086,23 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_lsh_ann(sf_dir: str):
-    """LSH-bucketed ANN (scale path) for the same 5 queries."""
-    import ray
+    """LSH-bucketed ANN (scale path) for the same 5 queries: the
+    corpus STREAMS through signature-filtered partial top-k tasks —
+    only the 5-vector query matrix + probe table are broadcast; the
+    corpus is never collected to the driver or into any actor."""
+    import pyarrow.compute as pc
 
-    from osmray.ann import LshIndexStage
-    from osmray.dedup import _normalized_matrix
+    from osmray.ann import lsh_ann_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    mat, ids = _normalized_matrix(emb, "vec_id", "embedding")
-    corpus_ref = ray.put((ids, mat))
-    queries = emb.filter(lambda r: r["vec_id"] < 5)
-    return queries.map_batches(
-        LshIndexStage,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "k": 10},
-        batch_format="pyarrow",
-        concurrency=1,
-        num_cpus=1,
-    )
+    qt = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        ).to_pandas()
+    )  # bounded: exactly the 5 query rows
+    qids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
+    return lsh_ann_topk(emb, qids, qmat, k=10)
 
 
 def q_image_label_job(sf_dir: str):

@@ -169,6 +169,81 @@ def test_lsh_ann_recall(ray_session):
         assert len(true & got) >= 5, q
 
 
+def test_lsh_ann_partitioned_matches_index_stage(ray_session):
+    """The corpus-streaming lsh_ann_topk must produce the same results
+    as the bounded-corpus LshIndexStage (same planes/probe logic)."""
+    import ray
+    import ray.data
+
+    from osmray.ann import LshIndexStage, lsh_ann_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((25, 32))
+    mat = np.repeat(centers, 20, axis=0) + 0.15 * rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    stage = LshIndexStage(ray.put((ids, mat)), n_planes=10, k=10, probe_bits=2)
+    import pyarrow as pa
+
+    batch = pa.table({"vec_id": ids[:5], "embedding": [mat[i].tolist() for i in range(5)]})
+    want = stage(batch).to_pandas()
+
+    ds = ray.data.from_items(
+        [{"vec_id": int(i), "embedding": mat[i].tolist()} for i in range(500)]
+    )
+    got = lsh_ann_topk(ds, ids[:5], mat[:5], k=10).to_pandas()
+    for q in range(5):
+        w = want[want["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        g = got[got["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(g, w)
+
+
+def test_verify_pairs_joined_matches_dict_variant(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep woods tonight"
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("dog", "cat")},
+        {"doc_id": 2, "text": "completely different material on another topic entirely with many words"},
+        {"doc_id": 3, "text": base},
+    ]
+    ds = ray.data.from_items(docs)
+    cands = dedup.minhash_lsh_candidates(ds)
+    lut = {d["doc_id"]: d["text"] for d in docs}
+    want = (
+        dedup.verify_pairs(cands, lut, threshold=0.5)
+        .to_pandas()[["a", "b", "jaccard"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        dedup.verify_pairs_joined(cands, ds, threshold=0.5)
+        .to_pandas()[["a", "b", "jaccard"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert want.equals(got)
+
+
+def test_embedding_dup_pairs_lsh_and_exact_modes(ray_session):
+    """LSH mode finds the injected high-cosine dups; exact grid mode
+    equals the brute-force answer at a low threshold."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8))
+    mat[7] = mat[3] * 2.0
+    mat[9] = mat[3] + rng.standard_normal(8) * 0.01
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(50)]
+    )
+    out = dedup.embedding_dup_pairs(ds, threshold=0.6, mode="exact").to_pandas()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ai, bj = np.nonzero(np.triu(sims >= 0.6, k=1))
+    assert set(zip(out["a"], out["b"])) == set(zip(ai, bj))
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data
 
