@@ -26,10 +26,14 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--images", required=True, help="glob of images parquet files")
     p.add_argument("--features", required=True, help="features parquet file")
     p.add_argument("--bbox", required=True, help="W,S,E,N")
-    p.add_argument("--z", type=int, default=19)
+    p.add_argument("--z", type=int, default=None,
+                   help="zoom; defaults to the selected base config's z "
+                        "(19, or 18 with --buildings)")
     p.add_argument("--limit", type=int, default=5000)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--edge", type=int, default=16)
+    p.add_argument("--edge", type=int, default=None,
+                   help="edge margin; defaults to the base config's "
+                        "(16, or 24 with --buildings)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local-mode CPU count (ignored on a cluster)")
 
@@ -79,8 +83,9 @@ def main(argv=None) -> int:
     feats = pq.read_table(args.features)
     base = pipeline.BUILDINGS if getattr(args, "buildings", False) else pipeline.LabelJobConfig()
     cfg = dataclasses.replace(
-        base, bbox=bbox, z=args.z, limit=args.limit, seed=args.seed,
-        edge=args.edge if not getattr(args, "buildings", False) else base.edge,
+        base, bbox=bbox, limit=args.limit, seed=args.seed,
+        z=args.z if args.z is not None else base.z,
+        edge=args.edge if args.edge is not None else base.edge,
     )
 
     if args.cmd == "label":

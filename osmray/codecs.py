@@ -195,10 +195,14 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return raw_decode(data)
     if fmt == "qzl":
         return qzl_decode(data)
-    if fmt in ("jpg", "jpeg", "webp"):
+    if fmt in ("jpg", "jpeg"):
+        from osmray.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    if fmt == "webp":
         raise NotImplementedError(
-            f"lossy codec {fmt!r} is stubbed in this environment (no image "
-            "libraries available); plumbing is real, decode is not"
+            "webp is stubbed in this environment (no image libraries "
+            "available); plumbing is real, decode is not"
         )
     raise ValueError(f"unknown image fmt {fmt!r}")
 
@@ -210,6 +214,10 @@ def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
         return raw_encode(img)
     if fmt == "qzl":
         return qzl_encode(img)
+    if fmt in ("jpg", "jpeg"):
+        from osmray.jpeg import jpeg_encode
+
+        return jpeg_encode(img)
     raise NotImplementedError(f"encoder for {fmt!r} not available")
 
 

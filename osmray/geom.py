@@ -175,7 +175,14 @@ class FeatureIndex:
             f = int(fid[i])
             k = kind[i]
             base = res << 58
-            for cx in range(int(x0[i]), int(x1[i]) + 1):
+            # cell_at wraps x modulo 2^res: a bbox crossing the
+            # antimeridian yields x0 > x1 — split the x range so
+            # wrap-spanning features register in every touched cell
+            if int(x0[i]) <= int(x1[i]):
+                xrange = range(int(x0[i]), int(x1[i]) + 1)
+            else:
+                xrange = list(range(int(x0[i]), 1 << res)) + list(range(0, int(x1[i]) + 1))
+            for cx in xrange:
                 for cy in range(int(y0[i]), int(y1[i]) + 1):
                     key = base | (cx << 29) | cy
                     b = idx.buckets.setdefault(key, _Bucket())

@@ -139,9 +139,12 @@ def gather_crops(
     """Assemble + crop every window from the streaming images table.
 
     Returns a Dataset (req_id, crop: binary, crop_h, crop_w,
-    n_tiles, n_missing). Windows wider than ``max_grid`` tiles per
-    axis are rejected (guards runaway mosaics; the reference's
-    roofshapes gate rejects big ones post-hoc, make_roofshapes.py:42).
+    n_tiles, n_missing, rejected). Windows wider than ``max_grid``
+    tiles per axis are rejected (guards runaway mosaics; the
+    reference's roofshapes gate rejects big ones post-hoc,
+    make_roofshapes.py:42) — each rejected request still emits a row
+    (empty crop, n_tiles=0, rejected=True) so no req_id silently
+    vanishes and downstream class counts reconcile.
     """
     import pandas as pd
     import ray
@@ -149,11 +152,13 @@ def gather_crops(
     req = {k: windows[k].to_numpy() for k in windows.schema.names}
     want: dict[int, list[tuple[int, int, int]]] = {}
     meta: dict[int, tuple] = {}
+    rejected_rids: list[int] = []
     for i in range(windows.num_rows):
         rid = int(req["req_id"][i])
         txmin, txmax = int(req["txmin"][i]), int(req["txmax"][i])
         tymin, tymax = int(req["tymin"][i]), int(req["tymax"][i])
         if txmax - txmin + 1 > max_grid or tymax - tymin + 1 > max_grid:
+            rejected_rids.append(rid)
             continue
         meta[rid] = (
             txmin, tymin, txmax - txmin + 1, tymax - tymin + 1,
@@ -230,12 +235,32 @@ def gather_crops(
                     "crop_w": crop.shape[1],
                     "n_tiles": wtiles * htiles,
                     "n_missing": wtiles * htiles - len(filled),
+                    "rejected": False,
                 }
             ]
         )
 
     matched = images_ds.map_batches(match, batch_format="pyarrow")
-    return matched.groupby("req_id").map_groups(assemble, batch_format="pandas")
+    out = matched.groupby("req_id").map_groups(assemble, batch_format="pandas")
+    if rejected_rids:
+        import ray.data
+
+        rej = pd.DataFrame(
+            [
+                {
+                    "req_id": rid,
+                    "crop": b"",
+                    "crop_h": 0,
+                    "crop_w": 0,
+                    "n_tiles": 0,
+                    "n_missing": 0,
+                    "rejected": True,
+                }
+                for rid in rejected_rids
+            ]
+        )
+        out = out.union(ray.data.from_pandas(rej))
+    return out
 
 
 def size_gate(ds, lo: int = 128, hi: int = 1024):

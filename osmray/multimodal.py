@@ -91,14 +91,62 @@ def _fake_pcm(media_id: str, n: int) -> np.ndarray:
     return wave.astype(np.int16)
 
 
+def wav_encode(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono/stereo PCM16 -> RIFF/WAVE bytes. Pure struct+numpy —
+    WAV is a trivial container (RIFF header + fmt + data chunks)."""
+    import struct
+
+    pcm = np.asarray(pcm, dtype=np.int16)
+    ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    data = np.ascontiguousarray(pcm).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (int16 array [(n,) mono or (n, ch)], rate).
+    Walks the chunk list, so extra chunks (LIST/INFO/fact) are fine.
+    Only uncompressed 16-bit PCM (audio format 1) is supported."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    ch = rate = bits = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", payload[:16])
+            if audio_fmt != 1:
+                raise NotImplementedError(f"WAV audio format {audio_fmt} (not PCM)")
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit WAV (only PCM16 supported)")
+        elif tag == b"data":
+            data = payload
+    if ch is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch)
+    return pcm, rate
+
+
 class AudioFeatureStage:
     """Actor-pool stage: audio binary column -> fixed-length feature
     vector (frame RMS energies + zero-crossing rate).
 
-    DECODE IS A STUB: real wav/flac decoding is NotImplementedError in
-    this container; ``allow_fake=True`` substitutes a deterministic
-    seeded waveform so the dataflow (schema, batching, actor state,
-    output layout) runs for real.
+    ``fmt='wav'`` decodes FOR REAL (RIFF/PCM16, ``wav_decode`` above —
+    no library needed). Compressed codecs (flac/mp3/...) remain
+    env-stubbed: NotImplementedError unless ``allow_fake=True``
+    substitutes a deterministic seeded waveform so the dataflow
+    (schema, batching, actor state, output layout) still runs for
+    real. A wav blob that fails to parse falls back the same way.
     """
 
     def __init__(self, frame: int = 1024, n_frames: int = 16, allow_fake: bool = False):
@@ -107,11 +155,16 @@ class AudioFeatureStage:
         self.allow_fake = allow_fake
 
     def _decode(self, media_id: str, blob: bytes, fmt: str, n_samples: int) -> np.ndarray:
+        if fmt == "wav" and blob[:4] == b"RIFF":
+            pcm, _rate = wav_decode(blob)
+            if pcm.ndim == 2:  # mixdown to mono
+                pcm = pcm.mean(axis=1).astype(np.int16)
+            return pcm
         if not self.allow_fake:
             raise NotImplementedError(
                 f"audio codec {fmt!r} is stubbed in this environment "
-                "(no audio libraries); pass allow_fake=True for the "
-                "deterministic plumbing-test waveform"
+                "(no audio libraries; real path exists for RIFF/PCM16 wav); "
+                "pass allow_fake=True for the deterministic plumbing-test waveform"
             )
         return _fake_pcm(media_id, n_samples)
 

@@ -551,12 +551,14 @@ def run_expand_job(
     ntx, nty, _ = unpack_tile(neg)
     n_lat, n_lng = wgs_at_tile(ntx, nty, cfg.z)  # tile-center re-centering
 
-    # request table: req ids are small disjoint ranges (idx*4 + lane)
+    # request table: req ids are small disjoint ranges (idx*4 + lane);
+    # labels come from the config (not literals) so non-default
+    # pos/neg labels keep the valid-positive skipedge branch working
     reqs = [
-        ("lamp", "train", "crop", np.arange(len(t_id)) * 4 + 0, t_lat, t_lng),
-        ("lamp", "valid", "tile", np.arange(len(v_id)) * 4 + 1, v_lat, v_lng),
-        ("nolamp", "train", "crop", np.arange(train) * 4 + 2, n_lat[:train], n_lng[:train]),
-        ("nolamp", "valid", "tile", np.arange(len(neg) - train) * 4 + 3, n_lat[train:], n_lng[train:]),
+        (cfg.pos_label, "train", "crop", np.arange(len(t_id)) * 4 + 0, t_lat, t_lng),
+        (cfg.pos_label, "valid", "tile", np.arange(len(v_id)) * 4 + 1, v_lat, v_lng),
+        (cfg.neg_label, "train", "crop", np.arange(train) * 4 + 2, n_lat[:train], n_lng[:train]),
+        (cfg.neg_label, "valid", "tile", np.arange(len(neg) - train) * 4 + 3, n_lat[train:], n_lng[train:]),
     ]
 
     assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)

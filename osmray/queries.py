@@ -1008,6 +1008,63 @@ FROM r WHERE rank <= 2
 """
 
 
+def q_jpeg_roundtrip(sf_dir: str):
+    """Codec gate as a SQL-checkable pipeline: deterministic 32x32
+    gradient tiles derived from part keys (pure integer ramps, no
+    wraps — so the pixel sum has a DuckDB-expressible closed form) are
+    encoded+decoded through BOTH codecs per row:
+
+    - ``pix_sum`` is computed from the PNG-DECODED pixels, so the
+      hash-checked value proves the lossless path round-trips
+      bit-exact;
+    - ``jpeg_ok`` is the input_hint's lossy acceptance gate (decoded
+      PSNR >= 40 dB through the from-scratch baseline JPEG,
+      osmray/jpeg.py; reference format: lib/layers.py:13,196).
+    """
+    from osmray import codecs
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = pk[pk % 20 == 1]
+        x = np.arange(32)
+        xx, yy = np.meshgrid(x, x)
+        sums, png_ok, jpeg_ok = [], [], []
+        for k in pk:
+            a = 1 + int(k) % 2
+            b = 1 + int(k) % 3
+            img = np.stack(
+                [(a * xx + b * yy + (int(k) * (c + 7)) % 64) for c in range(3)], axis=2
+            ).astype(np.uint8)
+            dec = codecs.png_decode(codecs.png_encode(img))
+            png_ok.append(int(np.array_equal(dec, img)))
+            sums.append(int(dec.astype(np.int64).sum()))
+            jdec = codecs.decode(codecs.encode(img, "jpeg"), "jpeg")
+            jpeg_ok.append(int(codecs.psnr(img, jdec) >= 40.0))
+        return pa.table(
+            {
+                "pid": pa.array(pk),
+                "pix_sum": pa.array(sums, pa.int64()),
+                "png_ok": pa.array(png_ok, pa.int64()),
+                "jpeg_ok": pa.array(jpeg_ok, pa.int64()),
+            }
+        )
+
+    return part.map_batches(roundtrip, batch_format="pyarrow")
+
+
+Q_JPEG_ROUNDTRIP_SQL = """
+SELECT p_partkey AS pid,
+  CAST(3 * 32 * 496 * ((1 + p_partkey % 2) + (1 + p_partkey % 3))
+       + 1024 * ((p_partkey * 7) % 64 + (p_partkey * 8) % 64 + (p_partkey * 9) % 64)
+       AS BIGINT) AS pix_sum,
+  CAST(1 AS BIGINT) AS png_ok,
+  CAST(1 AS BIGINT) AS jpeg_ok
+FROM part WHERE p_partkey % 20 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only pipelines (no SQL twin: heuristic / sketch / image ops)
 # ---------------------------------------------------------------------------
@@ -1350,18 +1407,21 @@ def q_image_resize(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """Multimodal plumbing: audio binary column -> RMS/ZCR feature
-    vectors via an actor pool (decode is the documented deterministic
-    STUB — no audio libs in this container)."""
+    """Multimodal audio: REAL RIFF/PCM16 wav bytes (from-scratch
+    wav_encode/wav_decode, no audio library) -> RMS/ZCR feature
+    vectors via an actor pool; allow_fake is OFF. Compressed codecs
+    (flac/mp3) remain the documented env stub."""
     import ray.data
 
-    from osmray.multimodal import AudioFeatureStage
+    from osmray.multimodal import AudioFeatureStage, _fake_pcm, wav_encode
 
     n = 128
     rows = [
         {
             "media_id": f"aud{i:05d}",
-            "bytes": b"\x00" * 32,
+            "bytes": wav_encode(
+                _fake_pcm(f"aud{i:05d}", 16384 + (i % 7) * 1000), 16000
+            ),
             "fmt": "wav",
             "sample_rate": 16000,
             "n_samples": 16384 + (i % 7) * 1000,
@@ -1370,7 +1430,6 @@ def q_audio_features(sf_dir: str):
     ]
     return ray.data.from_items(rows).map_batches(
         AudioFeatureStage,
-        fn_constructor_kwargs={"allow_fake": True},
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=1,
@@ -1433,6 +1492,7 @@ def registry():
         "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
+        "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_minhash_lsh": (q_minhash_lsh, None),
         "q_simhash": (q_simhash, None),
         "q_lang_id": (q_lang_id, None),

@@ -87,8 +87,11 @@ def test_raw_roundtrip():
 def test_decode_registry():
     img = _pattern()
     np.testing.assert_array_equal(codecs.decode(codecs.encode(img, "png"), "png"), img)
+    # jpg/jpeg route to the from-scratch baseline codec (osmray/jpeg.py)
+    with pytest.raises(ValueError):
+        codecs.decode(b"\xff\xd8\xff", "jpg")  # truncated
     with pytest.raises(NotImplementedError):
-        codecs.decode(b"\xff\xd8\xff", "jpg")
+        codecs.decode(b"RIFFxxxxWEBP", "webp")  # still env-stubbed
     with pytest.raises(ValueError):
         codecs.decode(b"xx", "gif")
 
@@ -141,3 +144,80 @@ def test_decode_roundtrip_resilient_to_corrupt_rows():
 
     with _pt.raises(Exception):
         decode_roundtrip(t, strict=True)
+
+
+# --- from-scratch baseline JPEG (osmray/jpeg.py) ---------------------------
+
+
+def _smooth_tile(seed: int = 0, size: int = 256) -> np.ndarray:
+    x, y = np.meshgrid(np.arange(size), np.arange(size))
+    return np.stack(
+        [
+            (x * 0.7 + y * 0.3 + seed * 11) % 256,
+            128 + 100 * np.sin(x / 23.0) * np.cos(y / 31.0),
+            (x // 2 + 60 + seed) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_psnr_gate():
+    img = _smooth_tile()
+    enc = codecs.encode(img, "jpeg")
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = codecs.decode(enc, "jpeg")
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert codecs.psnr(img, dec) >= 40.0
+    # real compression, not a passthrough
+    assert len(enc) < img.nbytes // 4
+
+
+def test_jpeg_deterministic_and_quality_ladder():
+    from osmray import jpeg
+
+    img = _smooth_tile(3)
+    assert jpeg.jpeg_encode(img, 92) == jpeg.jpeg_encode(img, 92)
+    lo = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 30))
+    hi = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 95))
+    assert codecs.psnr(img, hi) > codecs.psnr(img, lo)
+    assert len(jpeg.jpeg_encode(img, 30)) < len(jpeg.jpeg_encode(img, 95))
+
+
+def test_jpeg_gray_and_odd_dims():
+    from osmray import jpeg
+
+    x, y = np.meshgrid(np.arange(77), np.arange(100))
+    g = ((x + 2 * y) % 250).astype(np.uint8)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(g, 92))
+    assert dec.shape == (100, 77)
+    assert codecs.psnr(g, dec) >= 38.0  # sawtooth wraps ring a little
+    rgb = _smooth_tile()[:99, :34]
+    dec3 = jpeg.jpeg_decode(jpeg.jpeg_encode(rgb, 92))
+    assert dec3.shape == (99, 34, 3)
+    assert codecs.psnr(rgb, dec3) >= 40.0
+
+
+def test_jpeg_noise_survives_stuffing():
+    """Noise maximizes 0xFF-stuffed bytes and entropy-coder stress;
+    the roundtrip must be structurally sound even though PSNR is
+    naturally low on noise."""
+    from osmray import jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 92))
+    assert dec.shape == img.shape
+    assert codecs.psnr(img, dec) > 25.0
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pt
+
+    from osmray import jpeg
+
+    with _pt.raises(ValueError):
+        jpeg.jpeg_decode(b"NOTAJPEG")
+    # progressive SOF2 marker after SOI
+    bogus = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08" + b"\x00\x10\x00\x10\x01" + b"\x01\x11\x00"
+    with _pt.raises(NotImplementedError):
+        jpeg.jpeg_decode(bogus + b"\xff\xd9")

@@ -86,3 +86,55 @@ def test_frame_sample_stage_stub_and_fake():
 def test_schemas_declared():
     assert "sample_rate" in multimodal.AUDIO_SCHEMA.names
     assert "n_frames" in multimodal.VIDEO_SCHEMA.names
+
+
+def test_wav_roundtrip_and_real_decode():
+    import numpy as np
+
+    from osmray.multimodal import AudioFeatureStage, _fake_pcm, wav_decode, wav_encode
+
+    pcm = _fake_pcm("m1", 5000)
+    blob = wav_encode(pcm, 22050)
+    out, rate = wav_decode(blob)
+    assert rate == 22050
+    np.testing.assert_array_equal(out, pcm)
+    # stereo mixdown path
+    st = np.stack([pcm, -pcm], axis=1)
+    out2, _ = wav_decode(wav_encode(st, 8000))
+    assert out2.shape == (5000, 2)
+    # stage decodes real wav with allow_fake OFF
+    import pyarrow as pa
+
+    stage = AudioFeatureStage()
+    batch = pa.table(
+        {
+            "media_id": ["m1"],
+            "bytes": [blob],
+            "fmt": ["wav"],
+            "sample_rate": pa.array([22050], pa.int32()),
+            "n_samples": pa.array([5000], pa.int64()),
+        }
+    )
+    feats = stage(batch)["features"][0].as_py()
+    assert len(feats) == 32 and any(v > 0 for v in feats)
+    # non-wav without allow_fake still raises the documented stub error
+    import pytest as _pt
+
+    bad = pa.table(
+        {
+            "media_id": ["m2"],
+            "bytes": [b"fLaC...."],
+            "fmt": ["flac"],
+            "sample_rate": pa.array([22050], pa.int32()),
+            "n_samples": pa.array([100], pa.int64()),
+        }
+    )
+    with _pt.raises(NotImplementedError):
+        stage(bad)
+    # PCM-only contract: float wav rejected clearly
+    import struct
+
+    hdr = wav_encode(pcm[:10], 8000)
+    broken = hdr[:20] + struct.pack("<H", 3) + hdr[22:]
+    with _pt.raises(NotImplementedError):
+        wav_decode(broken)
