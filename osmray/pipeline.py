@@ -402,7 +402,9 @@ def run_label_job(
             max(2, cfg.mask_concurrency * 2)
         )  # order-preserving split
         # clamp the pool under the cluster CPUs: an actor pool that
-        # reserves every CPU starves the producing task stages
+        # reserves every CPU starves the producing task stages (an
+        # autoscaling (min, max) pool was tried and scales on backlog,
+        # not CPU availability — it starved the concurrent label scan)
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
 

@@ -248,17 +248,48 @@ class MaskStage:
         self.scheme = scheme
         self.res = self.index.res if isinstance(obj, FeatureIndex) else res
         self._cell_cache: dict[int, tuple] = {}
+        self._canvas_cache: dict[int, tuple] = {}
+
+    # stroke widths are <= 2 px and stamps are <= 2x2: a feature whose
+    # projected bbox misses the tile rect by more than this pad cannot
+    # paint any tile pixel (draws clip; bbox of vertices contains every
+    # segment and the fill interior)
+    _BBOX_PAD = 4.0
+
+    def _cell_candidates(self, cell: int):
+        """Per-cell candidate prep, cached per actor: project every
+        k_ring(1) candidate's geometry to GLOBAL z-pixels once, with a
+        per-feature bbox. Each tile then draws only the features whose
+        bbox intersects it (vectorized reject) — sampled tile sets are
+        sparse, so most of a cell's candidates never touch a given
+        tile."""
+        hit = self._cell_cache.get(cell)
+        if hit is None:
+            ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
+            scale = float(1 << self.z)
+            kinds, pxs = [], []
+            bb = np.empty((len(ids), 4), dtype=np.float64)
+            for i, (_fid, (kind, web, _wgs)) in enumerate(zip(ids, cands)):
+                px = (web[:, 0] + self.scheme.offsetx) * scale
+                py = (web[:, 1] + self.scheme.offsety) * scale
+                kinds.append(kind)
+                pxs.append(np.stack([px, py], axis=1))
+                bb[i] = (px.min(), py.min(), px.max(), py.max())
+            if len(self._cell_cache) > 512:  # bound actor memory (entries
+                self._cell_cache.clear()  # are small projected point lists)
+            hit = (kinds, pxs, bb)
+            self._cell_cache[cell] = hit
+        return hit
 
     def _cell_canvas(self, cell: int) -> tuple[np.ndarray, int, int]:
         """Rasterize ALL candidate features of a cell ONCE onto a
         canvas covering the whole cell (cell_tiles x 256 px per side);
         every tile's mask is then a memcpy slice. Exact: the pixel walk
         and stamps are translation-invariant, and raster clipping means
-        paint inside the cell can only come from k_ring(1) candidates
-        (feature bboxes register features in every cell they touch).
-        Dense urban cells amortize hundreds of features over up to
-        cell_tiles^2 tiles instead of paying them per tile."""
-        hit = self._cell_cache.get(cell)
+        paint inside the cell can only come from k_ring(1) candidates.
+        Used for cells DENSE in requested tiles (the canvas cost
+        amortizes); sparse cells take the bbox-pruned per-tile path."""
+        hit = self._canvas_cache.get(cell)
         if hit is None:
             x, y, res = (int(v[0]) for v in cellmod.unpack(np.asarray([cell])))
             span = 1 << (self.z - res)  # tiles per cell edge
@@ -266,12 +297,11 @@ class MaskStage:
             cy0 = y * span * TILESIZE
             size = span * TILESIZE
             canvas = np.zeros((size, size), dtype=np.uint8)
-            ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
-            scale = float(1 << self.z)
-            for _fid, (kind, web, _wgs) in zip(ids, cands):
-                px = (web[:, 0] + self.scheme.offsetx) * scale - cx0
-                py = (web[:, 1] + self.scheme.offsety) * scale - cy0
-                pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
+            kinds, pxs, _bb = self._cell_candidates(cell)
+            for kind, p in zip(kinds, pxs):
+                pts = np.stack(
+                    [np.floor(p[:, 0]) - cx0, np.floor(p[:, 1]) - cy0], axis=1
+                ).astype(np.int64)
                 if kind == "node":
                     raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
                 elif kind == "way":
@@ -280,34 +310,39 @@ class MaskStage:
                     raster.draw_polyline(canvas, pts, width=1, closed=True)
                 elif kind == "exclusion":
                     raster.fill_poly(canvas, pts)
-            if len(self._cell_cache) > 8:  # bound actor memory
-                self._cell_cache.clear()
+            if len(self._canvas_cache) > 8:  # bound actor memory
+                self._canvas_cache.clear()
             hit = (canvas, cx0, cy0)
-            self._cell_cache[cell] = hit
+            self._canvas_cache[cell] = hit
         return hit
 
-    def _mask_for_tile(self, tx: int, ty: int) -> np.ndarray:
+    def _mask_for_tile(self, tx: int, ty: int, n_in_cell: int = 1) -> np.ndarray:
         cell = int(cellmod.cell_of_tile(np.array([tx]), np.array([ty]), self.z, self.res)[0])
-        if self.z - self.res <= 4:
+        if n_in_cell >= 4 and self.z - self.res <= 4:
             canvas, cx0, cy0 = self._cell_canvas(cell)
             ox = tx * TILESIZE - cx0
             oy = ty * TILESIZE - cy0
             return canvas[oy : oy + TILESIZE, ox : ox + TILESIZE]
-        return self._mask_for_tile_direct(tx, ty, cell)
-
-    def _mask_for_tile_direct(self, tx: int, ty: int, cell: int) -> np.ndarray:
-        """Per-tile rasterization for COARSE bucket resolutions where a
-        full cell canvas would not fit in memory (cells wider than 16
-        tiles). Identical output (translation invariance + clipping)."""
-        scale = float(1 << self.z)
-        ids, cands = self.index.candidates(cellmod.k_ring(cell, 1))
+        kinds, pxs, bb = self._cell_candidates(cell)
         canvas = np.zeros((TILESIZE, TILESIZE), dtype=np.uint8)
+        if not kinds:
+            return canvas
         x0 = tx * TILESIZE
         y0 = ty * TILESIZE
-        for _fid, (kind, web, _wgs) in zip(ids, cands):
-            px = (web[:, 0] + self.scheme.offsetx) * scale - x0
-            py = (web[:, 1] + self.scheme.offsety) * scale - y0
-            pts = np.stack([np.floor(px), np.floor(py)], axis=1).astype(np.int64)
+        pad = self._BBOX_PAD
+        keep = np.flatnonzero(
+            (bb[:, 0] <= x0 + TILESIZE - 1 + pad)
+            & (bb[:, 2] >= x0 - pad)
+            & (bb[:, 1] <= y0 + TILESIZE - 1 + pad)
+            & (bb[:, 3] >= y0 - pad)
+        )
+        for i in keep:
+            p = pxs[i]
+            # floor(global) - int origin == floor(global - origin)
+            pts = np.stack(
+                [np.floor(p[:, 0]) - x0, np.floor(p[:, 1]) - y0], axis=1
+            ).astype(np.int64)
+            kind = kinds[i]
             if kind == "node":
                 raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
             elif kind == "way":
@@ -327,12 +362,16 @@ class MaskStage:
         # emit in the batch's row order
         masks = [b""] * len(txs)
         any_flags = [False] * len(txs)
-        order = np.argsort(cellmod.cell_of_tile(txs, tys, self.z, self.res), kind="stable")
+        cells = cellmod.cell_of_tile(txs, tys, self.z, self.res)
+        order = np.argsort(cells, kind="stable")
+        # per-cell batch density decides canvas-vs-pruned rasterization
+        _, counts = np.unique(cells, return_counts=True)
+        n_in_cell = dict(zip(np.unique(cells).tolist(), counts.tolist()))
         for j in order:
             key = (int(txs[j]), int(tys[j]))
             hit = cache.get(key)
             if hit is None:
-                canvas = self._mask_for_tile(*key)
+                canvas = self._mask_for_tile(*key, n_in_cell=n_in_cell[int(cells[j])])
                 hit = (codecs.png_encode(canvas, level=1), bool(canvas.any()))
                 cache[key] = hit
             masks[j] = hit[0]
