@@ -270,6 +270,67 @@ class FeatureIndex:
             np.asarray([d for _, d in items], dtype=np.float64),
         )
 
+    def knn_batch(self, lat: np.ndarray, lng: np.ndarray, k: int, max_ring: int = 64):
+        """Vectorized kNN for a batch of points: points sharing a cell
+        expand rings TOGETHER (one candidate fetch per (cell, ring))
+        and distances are computed as (points x segments) matrix ops.
+        The ring stops when the ring lower bound exceeds the GROUP's
+        worst kth-best — a superset of each point's scalar expansion,
+        so results are identical to ``knn`` (pytest-pinned).
+
+        Returns (list of id arrays, list of d2 arrays), row-aligned."""
+        lat = np.asarray(lat, dtype=np.float64)
+        lng = np.asarray(lng, dtype=np.float64)
+        pwx, pwy = project2web(lat, lng)
+        cells = cellmod.cell_at(lat, lng, self.res)
+        cell_w = 256.0 / (1 << self.res)
+        out_ids: list = [None] * len(lat)
+        out_d2: list = [None] * len(lat)
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]))
+        for gi in range(len(bounds) - 1):
+            idx = order[int(bounds[gi]) : int(bounds[gi + 1])]
+            cell = int(cells[idx[0]])
+            px = pwx[idx][:, None]
+            py = pwy[idx][:, None]
+            fids: list[int] = []
+            dcols: list[np.ndarray] = []
+            seen: set[int] = set()
+            for r in range(max_ring + 1):
+                if len(fids) >= k:
+                    lb = ((r - 1) * cell_w) ** 2 if r >= 1 else 0.0
+                    D = np.stack(dcols, axis=1)
+                    kth = np.partition(D, k - 1, axis=1)[:, k - 1].max()
+                    if lb > kth:
+                        break
+                ids, geoms = self.candidates(cellmod.ring(cell, r))
+                for fid, (_kind, web, _wgs) in zip(ids, geoms):
+                    fid = int(fid)
+                    if fid in seen:
+                        continue
+                    seen.add(fid)
+                    if len(web) == 1:
+                        d2 = (px[:, 0] - web[0, 0]) ** 2 + (py[:, 0] - web[0, 1]) ** 2
+                    else:
+                        d2 = point_segment_dist2_web(
+                            px, py, web[:-1, 0], web[:-1, 1], web[1:, 0], web[1:, 1]
+                        ).min(axis=1)
+                    fids.append(fid)
+                    dcols.append(d2)
+            if not fids:
+                for i in idx:
+                    out_ids[i] = np.zeros(0, dtype=np.int64)
+                    out_d2[i] = np.zeros(0, dtype=np.float64)
+                continue
+            D = np.stack(dcols, axis=1)
+            fid_arr = np.asarray(fids, dtype=np.int64)
+            for li, i in enumerate(idx):
+                o = np.lexsort((fid_arr, D[li]))[:k]
+                out_ids[i] = fid_arr[o]
+                out_d2[i] = D[li][o]
+        return out_ids, out_d2
+
     def brute_knn(self, lat: float, lng: float, k: int):
         """Brute force over every feature — oracle for knn tests."""
         pwx, pwy = project2web(np.array([lat]), np.array([lng]))

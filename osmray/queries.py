@@ -912,12 +912,18 @@ def q_sessionize(sf_dir: str):
     """Session windows over the events stream: a new session starts
     after a >30 min gap per user; emits per-user session counts +
     event counts (ordered, partitioned window — the streaming-shaped
-    op, SURVEY §2.9 note)."""
+    op, SURVEY §2.9 note). Uses the map_groups path: the events table
+    has FEW fat keys (~1.5k users at sf1), where per-group Python
+    beats a global sort (measured 1.55s vs 3.48s at sf0.1). The
+    sort-based option for many-small-keys regimes is
+    ``windows.sessionize_sorted`` — same oracle, pytest-pinned equal
+    to ``sessionize_groups`` below."""
+    return sessionize_groups(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def sessionize_groups(ds):
+    """map_groups reference twin of windows.sessionize_sorted."""
     import pandas as pd
-
-    from ray.data.aggregate import Count, Sum
-
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         us = g["ts"].astype("int64").to_numpy() // 1_000_000
@@ -949,10 +955,19 @@ FROM e GROUP BY user_id
 
 def q_running_sum(sf_dir: str):
     """Cumulative per-key window: running event-count and value-cents
-    per user in ts order (first 3 events per user emitted)."""
-    import pandas as pd
-
+    per user in ts order (first 3 events per user emitted). Uses the
+    map_groups path (few fat keys — measured 0.95s vs the sorted
+    path's 1.91s at sf0.1); ``windows.running_sum_sorted`` is the
+    many-small-keys option, pytest-pinned equal."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return running_sum_groups(ds).select_columns(
+        ["event_id", "user_id", "row_n", "running_cents"]
+    )
+
+
+def running_sum_groups(ds):
+    """map_groups reference twin of windows.running_sum_sorted."""
+    import pandas as pd
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -982,18 +997,16 @@ FROM e WHERE row_n <= 3
 
 def q_topk_per_group(sf_dir: str):
     """Top-2 orders per customer by (totalprice desc, orderkey) — the
-    grouped top-k window."""
-    import pandas as pd
+    grouped top-k window. Sort-based (windows.grouped_topk_sorted):
+    complete in-block runs emit vectorized, only block-boundary keys
+    hit the per-key fix-up, so merge group count is O(#blocks) not
+    O(#customers) — measured 1.9s vs 2.9s (map_groups) at sf0.1."""
+    from osmray.windows import grouped_topk_sorted
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return grouped_topk_sorted(
+        ds, key="o_custkey", val="o_totalprice", tiebreak="o_orderkey", k=2
+    )
 
 
 Q_TOPK_PER_GROUP_SQL = """

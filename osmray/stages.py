@@ -396,14 +396,12 @@ class KnnStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lng = batch["lng"].to_numpy(zero_copy_only=False)
-        ids_col, d2_col = [], []
-        for la, ln in zip(lat, lng):
-            ids, d2 = self.index.knn(float(la), float(ln), self.k)
-            ids_col.append(ids.tolist())
-            d2_col.append(d2.tolist())
+        # batched: points grouped per cell, one ring expansion per
+        # group, (points x segments) vectorized distances
+        ids, d2 = self.index.knn_batch(lat, lng, self.k)
         return batch.append_column(
-            "knn_ids", pa.array(ids_col, pa.list_(pa.int64()))
-        ).append_column("knn_d2", pa.array(d2_col, pa.list_(pa.float64())))
+            "knn_ids", pa.array([v.tolist() for v in ids], pa.list_(pa.int64()))
+        ).append_column("knn_d2", pa.array([v.tolist() for v in d2], pa.list_(pa.float64())))
 
 
 class PipStage:

@@ -1,0 +1,291 @@
+"""Sort-based windowed operators (SURVEY §2.9 streaming-shaped ops).
+
+``groupby(key).map_groups(fn)`` is the readable reference
+implementation of a partitioned ordered window, but it pays one
+Python call per group and shuffles whole rows into per-group tasks —
+fine for hundreds of fat groups, hopeless for millions of small ones.
+
+The operators here are the scale path: a global distributed
+``sort(key, ...)`` (Ray's range sort keeps each key contiguous),
+then VECTORIZED run detection inside ``map_batches`` over whole
+blocks. A run that does not touch its block's edge contains EVERY row
+of its key, so its result is emitted directly with no further
+shuffle; only the ≤ 2 runs touching each block boundary forward
+partials into a tiny fix-up ``groupby`` (group count = O(#blocks),
+independent of key cardinality). Exactness across splits: a sorted
+sequence's consecutive-gap multiset / prefix sums are preserved by
+any split into contiguous ranges, and partials are re-ordered by
+their first row's sort key.
+
+- ``sessionize_sorted``   per-key session counts over a ts order
+- ``running_sum_sorted``  first-k rows per key with running sums
+- ``grouped_topk``        top-k per key with a map-side combiner
+                          (no global sort: local top-k per batch)
+
+The map_groups twins live in osmray/queries.py (``*_groups``),
+pytest-pinned equal on randomized multi-block data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _runs(keys: np.ndarray) -> np.ndarray:
+    """Boundaries of equal-key runs in a sorted array: [0, ..., n]."""
+    return np.concatenate(([0], np.flatnonzero(np.diff(keys)) + 1, [len(keys)]))
+
+
+def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1800):
+    """Per-key session counts: a new session starts after a > gap_sec
+    gap in ts order. Returns (key, n_sessions, n_events)."""
+    sds = ds.sort([key, ts])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        sec = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        b = _runs(k)
+        out = {key: [], "n_sess": [], "n_events": [], "first_sec": [], "last_sec": [],
+               "complete": []}
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            s = sec[lo:hi]
+            out[key].append(int(k[lo]))
+            out["n_sess"].append(1 + int((np.diff(s) > gap_sec).sum()))
+            out["n_events"].append(hi - lo)
+            out["first_sec"].append(int(s[0]))
+            out["last_sec"].append(int(s[-1]))
+            # a run not touching the block edge holds its key entirely
+            out["complete"].append(lo > 0 and hi < len(k))
+        return pa.table(
+            {
+                key: pa.array(out[key], pa.int64()),
+                "n_sess": pa.array(out["n_sess"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "first_sec": pa.array(out["first_sec"], pa.int64()),
+                "last_sec": pa.array(out["last_sec"], pa.int64()),
+                "complete": pa.array(out["complete"], pa.bool_()),
+            }
+        )
+
+    # MATERIALIZED: both branches below consume this small table; a
+    # lazy re-execution could split blocks differently between the
+    # two runs and re-classify a run's completeness (dup/missing keys)
+    parts = sds.map_batches(partials, batch_format="pyarrow", batch_size=None).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        done = batch.filter(batch["complete"])
+        return pa.table(
+            {
+                key: done[key],
+                "n_sessions": done["n_sess"],
+                "n_events": done["n_events"],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_sec", kind="stable")
+        first = g["first_sec"].to_numpy()
+        last = g["last_sec"].to_numpy()
+        # boundary between consecutive partials of one key: same
+        # session unless the gap exceeds gap_sec
+        joins = int((first[1:] - last[:-1] <= gap_sec).sum())
+        return pd.DataFrame(
+            [
+                {
+                    key: int(g[key].iloc[0]),
+                    "n_sessions": int(g["n_sess"].sum()) - joins,
+                    "n_events": int(g["n_events"].sum()),
+                }
+            ]
+        )
+
+    fixup = (
+        parts.filter(lambda r: not r["complete"])
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+    return parts.map_batches(finish, batch_format="pyarrow").union(fixup)
+
+
+def running_sum_sorted(ds, key: str = "user_id", ts: str = "ts", id_col: str = "event_id",
+                       val_col: str = "value", k: int = 3):
+    """First-k rows per key in (ts, id) order with running cents.
+    Returns (event_id, key, row_n, running_cents) like the
+    window-function SQL twin."""
+    sds = ds.sort([key, ts, id_col])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tsv = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch[val_col].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        b = _runs(kk)
+        rows = {c: [] for c in (key, "first_ts", "first_id", "n", "cents_sum",
+                                 "cand_id", "cand_row", "cand_cents", "complete")}
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            c = np.cumsum(cents[lo:hi])
+            take = min(k, hi - lo)
+            rows[key].append(int(kk[lo]))
+            rows["first_ts"].append(int(tsv[lo]))
+            rows["first_id"].append(int(ids[lo]))
+            rows["n"].append(hi - lo)
+            rows["cents_sum"].append(int(c[-1]))
+            rows["cand_id"].append(ids[lo : lo + take].tolist())
+            rows["cand_row"].append(np.arange(1, take + 1, dtype=np.int64).tolist())
+            rows["cand_cents"].append(c[:take].tolist())
+            rows["complete"].append(lo > 0 and hi < len(kk))
+        return pa.table(
+            {
+                key: pa.array(rows[key], pa.int64()),
+                "first_ts": pa.array(rows["first_ts"], pa.int64()),
+                "first_id": pa.array(rows["first_id"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "cents_sum": pa.array(rows["cents_sum"], pa.int64()),
+                "cand_id": pa.array(rows["cand_id"], pa.list_(pa.int64())),
+                "cand_row": pa.array(rows["cand_row"], pa.list_(pa.int64())),
+                "cand_cents": pa.array(rows["cand_cents"], pa.list_(pa.int64())),
+                "complete": pa.array(rows["complete"], pa.bool_()),
+            }
+        )
+
+    # materialized: consumed by two branches (see sessionize_sorted)
+    parts = sds.map_batches(partials, batch_format="pyarrow", batch_size=None).materialize()
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        # partials of one key are contiguous slices of the global
+        # (ts, id) order; their first row's (ts, id) orders them (the
+        # id tiebreak matches the sort key, and ids are unique)
+        g = g.sort_values(["first_ts", "first_id"], kind="stable").reset_index(drop=True)
+        n_off = np.concatenate(([0], np.cumsum(g["n"].to_numpy())[:-1]))
+        c_off = np.concatenate(([0], np.cumsum(g["cents_sum"].to_numpy())[:-1]))
+        out = {"event_id": [], key: [], "row_n": [], "running_cents": []}
+        kv = int(g[key].iloc[0])
+        for i in range(len(g)):
+            if n_off[i] >= k:
+                break  # all candidates of later partials rank > k
+            ids = g["cand_id"].iloc[i]
+            rws = g["cand_row"].iloc[i]
+            cts = g["cand_cents"].iloc[i]
+            for j in range(len(ids)):
+                rn = int(rws[j]) + int(n_off[i])
+                if rn > k:
+                    break
+                out["event_id"].append(int(ids[j]))
+                out[key].append(kv)
+                out["row_n"].append(rn)
+                out["running_cents"].append(int(cts[j]) + int(c_off[i]))
+        return pd.DataFrame(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        done = batch.filter(batch["complete"])
+        ids = done["cand_id"].to_pylist()
+        rws = done["cand_row"].to_pylist()
+        cts = done["cand_cents"].to_pylist()
+        kv = done[key].to_numpy(zero_copy_only=False)
+        lens = np.asarray([len(v) for v in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    [v for row in ids for v in row], pa.int64()
+                ),
+                key: pa.array(np.repeat(kv, lens)),
+                "row_n": pa.array([v for row in rws for v in row], pa.int64()),
+                "running_cents": pa.array(
+                    [v for row in cts for v in row], pa.int64()
+                ),
+            }
+        )
+
+    fixup = (
+        parts.filter(lambda r: not r["complete"])
+        .groupby(key)
+        .map_groups(emit, batch_format="pandas")
+    )
+    return parts.map_batches(finish, batch_format="pyarrow").union(fixup)
+
+
+def grouped_topk(ds, key: str, val: str, tiebreak: str, k: int = 2):
+    """Top-k rows per key by (val desc, tiebreak asc), with rank.
+    Map-side combiner: each batch keeps its local top-k per key (one
+    lexsort), so the per-key merge sees ≤ k rows per key per block."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        vv = batch[val].to_numpy(zero_copy_only=False)
+        tt = batch[tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tt, -vv, kk))  # key asc, val desc, tie asc
+        ks = kk[order]
+        b = _runs(ks)
+        keep = []
+        for i in range(len(b) - 1):
+            lo = int(b[i])
+            keep.extend(order[lo : min(lo + k, int(b[i + 1]))].tolist())
+        return batch.take(pa.array(np.asarray(keep, dtype=np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([val, tiebreak], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def grouped_topk_sorted(ds, key: str, val: str, tiebreak: str, k: int = 2):
+    """Sort-based top-k per key: global sort (key asc, val desc, tie
+    asc); complete in-block runs emit their first k rows directly
+    (vectorized), boundary runs go through a tiny per-key fix-up —
+    merge group count is O(#blocks), not O(#keys). Preferable to
+    ``grouped_topk`` when keys are numerous and small (the map_groups
+    merge would pay one Python call per key)."""
+    sds = ds.sort([key, val, tiebreak], descending=[False, True, False])
+
+    def local(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        b = _runs(kk)
+        n = len(kk)
+        keep, ranks, complete = [], [], []
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            done = lo > 0 and hi < n
+            # boundary runs forward their first <=k rows too: the key's
+            # global top-k lie in its first parts of the global order
+            take = min(k, hi - lo)
+            keep.extend(range(lo, lo + take))
+            ranks.extend(range(1, take + 1))
+            complete.extend([done] * take)
+        out = batch.take(pa.array(np.asarray(keep, dtype=np.int64)))
+        return out.append_column("rank", pa.array(ranks, pa.int64())).append_column(
+            "complete", pa.array(complete, pa.bool_())
+        )
+
+    # materialized: consumed by two branches (see sessionize_sorted);
+    # bounded at <= k rows per key per block
+    rows = sds.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([val, tiebreak], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["complete"])
+
+    done = rows.map_batches(
+        lambda t: t.filter(t["complete"]).drop_columns(["complete"]),
+        batch_format="pyarrow",
+    )
+    fixup = (
+        rows.filter(lambda r: not r["complete"])
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+    return done.union(fixup)

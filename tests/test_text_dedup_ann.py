@@ -257,3 +257,77 @@ def test_embedding_dup_pairs(ray_session):
     out = dedup.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
     pairs = set(zip(out["a"], out["b"]))
     assert (3, 7) in pairs and (3, 9) in pairs
+
+
+def test_windowed_sorted_equals_groups(ray_session):
+    """Sort-based windowing (windows.py) must equal the map_groups
+    reference twins row for row."""
+    import pandas as pd
+    import ray.data
+
+    from osmray import queries as Q
+    from osmray.windows import running_sum_sorted, sessionize_sorted
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    rows = [
+        {
+            "event_id": int(i),
+            "user_id": int(rng.integers(0, 40)),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.Timedelta(seconds=int(rng.integers(0, 400000))),
+            "value": float(rng.uniform(0, 50)),
+        }
+        for i in range(n)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(7)
+
+    a = (
+        sessionize_sorted(ds.select_columns(["user_id", "ts"]))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    b = (
+        Q.sessionize_groups(ds.select_columns(["user_id", "ts"]))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert a[["user_id", "n_sessions", "n_events"]].equals(
+        b[["user_id", "n_sessions", "n_events"]]
+    )
+
+    cols = ["event_id", "user_id", "row_n", "running_cents"]
+    c = (
+        running_sum_sorted(ds).to_pandas()[cols]
+        .sort_values(["user_id", "row_n"]).reset_index(drop=True)
+    )
+    d = (
+        Q.running_sum_groups(ds).to_pandas()[cols]
+        .sort_values(["user_id", "row_n"]).reset_index(drop=True)
+    )
+    assert c.astype("int64").equals(d.astype("int64"))
+
+
+def test_grouped_topk_sorted_equals_combiner(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from osmray.windows import grouped_topk, grouped_topk_sorted
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(20000, dtype=np.int64),
+            "o_custkey": rng.integers(0, 4000, 20000),
+            "o_totalprice": np.round(rng.uniform(10, 1000, 20000), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    cols = ["o_custkey", "rank", "o_orderkey", "o_totalprice"]
+    a = (
+        grouped_topk(ds, "o_custkey", "o_totalprice", "o_orderkey", k=2)
+        .to_pandas()[cols].sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        grouped_topk_sorted(ds, "o_custkey", "o_totalprice", "o_orderkey", k=2)
+        .to_pandas()[cols].sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
