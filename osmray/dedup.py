@@ -212,7 +212,7 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-N_PAIR_SHARDS = 256
+N_PAIR_SHARDS = 64
 
 
 def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
@@ -330,7 +330,7 @@ def verify_pairs(pairs_ds, id_to_text: dict, threshold: float = 0.8, k: int = 3)
 
 
 def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
-                        threshold: float = 0.8, k: int = 3, num_buckets: int = 32):
+                        threshold: float = 0.8, k: int = 3, num_buckets: int = 16):
     """Distributed exact-Jaccard verification: the candidate pairs are
     joined back to the documents table on ``a`` then ``b`` (grace hash
     join — the documents spill bucketed from ``map_batches``, only the

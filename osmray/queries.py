@@ -53,6 +53,43 @@ _LI_SQL = (
 )
 
 
+def _keyed_sums(keys: np.ndarray, vals: dict[str, np.ndarray], key_name: str,
+                cnt: np.ndarray | None = None) -> pa.Table:
+    """Map-side partial aggregation: per distinct key, count (or the
+    sum of an existing ``cnt`` partial) + the sum of each value column
+    — one argsort + reduceat, no pandas."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
+    if cnt is None:
+        counts = np.diff(np.concatenate((bounds, [len(ks)]))).astype(np.int64)
+    else:
+        counts = np.add.reduceat(cnt[order], bounds).astype(np.int64)
+    cols = {key_name: pa.array(ks[bounds]), "cnt": pa.array(counts)}
+    for name, v in vals.items():
+        cols[name] = pa.array(np.add.reduceat(v[order], bounds).astype(np.int64))
+    return pa.table(cols)
+
+
+def _combine_tree(parts, key_name: str, val_names: list[str], n_mid: int = 8):
+    """Combiner tree over keyed partials for BOUNDED key spaces (e.g.
+    res-8 cells: <= 4^8 keys): a mid-level combine over ``n_mid``
+    coalesced blocks, then a root combine — two cheap repartitions of
+    already-aggregated rows instead of Ray's full sort-based groupby
+    of every partial row. Each combined block is bounded by the key
+    space, so the root task is bounded too; for UNBOUNDED key spaces
+    use groupby().aggregate() instead."""
+
+    def comb(batch: pa.Table) -> pa.Table:
+        keys = batch[key_name].to_numpy(zero_copy_only=False)
+        vals = {n: batch[n].to_numpy(zero_copy_only=False) for n in val_names}
+        return _keyed_sums(keys, vals, key_name,
+                           cnt=batch["cnt"].to_numpy(zero_copy_only=False))
+
+    mid = parts.repartition(n_mid).map_batches(comb, batch_format="pyarrow", batch_size=None)
+    return mid.repartition(1).map_batches(comb, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # geospatial queries
 # ---------------------------------------------------------------------------
@@ -115,8 +152,6 @@ def q_cell_agg(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         p = _li_points(batch)
         tx18 = p["m1"] // 256
         ty18 = p["m2"] // 256
@@ -128,18 +163,13 @@ def q_cell_agg(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame({"cell8": cell, "qty": qty, "rev": rev})
-        g = df.groupby("cell8", as_index=False).agg(
-            cnt=("qty", "size"), sum_qty=("qty", "sum"), rev_cents=("rev", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _keyed_sums(cell, {"sum_qty": qty, "rev_cents": rev}, "cell8")
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("cell8").aggregate(
-        Sum("cnt", alias_name="cnt"),
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("rev_cents", alias_name="rev_cents"),
-    )
+    # batch_size=None: one numpy partial per BLOCK, not per 1024 rows;
+    # the res-8 key space is bounded, so a combiner tree replaces the
+    # full sort-based groupby of every partial row
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _combine_tree(partials, "cell8", ["sum_qty", "rev_cents"])
 
 
 Q_CELL_AGG_SQL = f"""
@@ -180,14 +210,10 @@ def q_cell_agg_salted(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame({"skey": skey, "qty": qty, "rev": rev})
-        g = df.groupby("skey", as_index=False).agg(
-            cnt=("qty", "size"), sum_qty=("qty", "sum"), rev_cents=("rev", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _keyed_sums(skey, {"sum_qty": qty, "rev_cents": rev}, "skey")
 
     phase1 = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("skey")
         .aggregate(
             Sum("cnt", alias_name="cnt"),
@@ -207,14 +233,14 @@ def q_cell_agg_salted(sf_dir: str):
             }
         )
 
-    return (
-        phase1.map_batches(unsalt, batch_format="pyarrow")
-        .groupby("cell8")
-        .aggregate(
-            Sum("cnt", alias_name="cnt"),
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("rev_cents", alias_name="rev_cents"),
-        )
+    # phase 2: unsalt and combine. The salted-shuffle demo is phase 1
+    # (groupby(skey) — no single reducer owns a hot cell); phase 2's
+    # input is already aggregated (<= 8 rows per cell), so the bounded
+    # combiner tree replaces a second full groupby
+    return _combine_tree(
+        phase1.map_batches(unsalt, batch_format="pyarrow"),
+        "cell8",
+        ["sum_qty", "rev_cents"],
     )
 
 
@@ -535,31 +561,75 @@ FROM events GROUP BY 1, 2
 
 
 def q_distinct_count(sf_dir: str):
-    """Exact distinct count per group as two-stage keyed aggregation
-    (the shuffle-friendly COUNT(DISTINCT) pattern: dedup on the pair
-    key, then count per group)."""
-    from ray.data.aggregate import Count
+    """Exact distinct count per group, hash-partitioned: (flag, pid)
+    pairs are locally deduped, then spilled into hash(pid) buckets
+    straight from ``map_batches`` (the grace pattern — NO Ray shuffle
+    of the pair table); one task per bucket counts its exact distinct
+    pids per flag (buckets partition pids, so per-flag counts sum);
+    a tiny per-flag combine finishes. Replaces a full sort-based
+    groupby over every pair."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+    spill = tempfile.mkdtemp(prefix="osmray_distinct_")
+    n_buckets = 32
 
-    def pairs(batch: pa.Table) -> pa.Table:
+    def spill_pairs(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         p = _li_points(batch)
         df = pd.DataFrame(
             {"l_returnflag": batch["l_returnflag"].to_pylist(), "pid": p["pid"]}
         ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        b = (df["pid"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        order = np.argsort(b, kind="stable")
+        t = t.take(pa.array(order))
+        bs = b[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(bs)) + 1, [len(bs)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"b={int(bs[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"b": int(bs[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
 
-    stage1 = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["l_returnflag", "pid"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    return (
-        stage1.select_columns(["l_returnflag"])
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_distinct_pids"))
+    ds.map_batches(spill_pairs, batch_format="pyarrow", batch_size=None).count()
+
+    def count_bucket(batch: pa.Table) -> pa.Table:
+        flags, counts = [], []
+        for b in batch["b"].to_pylist():
+            files = sorted(_glob.glob(os.path.join(spill, f"b={b}", "block-*.parquet")))
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            fl = np.asarray(t["l_returnflag"].to_pylist())
+            pid = t["pid"].to_numpy(zero_copy_only=False)
+            for f in np.unique(fl):
+                flags.append(str(f))
+                counts.append(int(np.unique(pid[fl == f]).size))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    buckets = ray.data.from_items([{"b": b} for b in range(n_buckets)])
+    per_bucket = buckets.map_batches(count_bucket, batch_format="pyarrow", batch_size=1)
+    return per_bucket.groupby("l_returnflag").aggregate(
+        Sum("n", alias_name="n_distinct_pids")
     )
 
 

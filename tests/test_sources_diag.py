@@ -79,3 +79,41 @@ def test_minimap_canvas():
     assert canvas.shape == (1, 2, 3)
     assert tuple(canvas[0, 0]) == (10, 30, 50)
     assert tuple(canvas[0, 1]) == (20, 40, 60)
+
+
+def test_avi_roundtrip(ray_session, tmp_path):
+    """MJPG-AVI container: structural roundtrip + decodable frames."""
+    import numpy as np
+
+    from osmray import avi, codecs, synth
+    from osmray.diagnostics import marked_frames
+    from osmray.jpeg import jpeg_decode
+
+    # container-level roundtrip
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    frames = []
+    from osmray.jpeg import jpeg_encode
+
+    for i in range(5):
+        img = ((x + y * 2 + i * 11) % 200).astype(np.uint8)[..., None].repeat(3, axis=2)
+        frames.append(jpeg_encode(img, 90))
+    blob = avi.avi_write(frames, fps=60, w=64, h=48)
+    got, fps, w, h = avi.avi_read(blob)
+    assert (fps, w, h) == (60, 64, 48)
+    assert got == frames
+    dec = jpeg_decode(got[2])
+    assert dec.shape == (48, 64, 3)
+
+    # end-to-end: marked frames dataset -> one AVI file
+    import ray.data
+
+    t = synth.make_images(6)
+    ds = ray.data.from_arrow(t)
+    info = avi.pack_marked_frames(marked_frames(ds, limit=4), str(tmp_path / "review.avi"))
+    assert info["n_frames"] == 4 and info["w"] == 256 and info["h"] == 256
+    fr2, fps2, w2, h2 = avi.avi_read((tmp_path / "review.avi").read_bytes())
+    assert len(fr2) == 4 and (w2, h2) == (256, 256) and fps2 == 60
+    img = jpeg_decode(fr2[0])
+    # the red X marker survives the jpeg trip (center pixel strongly red)
+    c = img[128, 128].astype(int)
+    assert c[2] > 150 and c[0] < 120 and c[1] < 120
