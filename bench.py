@@ -160,8 +160,14 @@ def scaling() -> dict:
     pair = os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(",")
     lo, hi = int(pair[0]), int(pair[1])
     os.environ.setdefault("GRAFT_BENCH_IMAGES", os.environ.get("GRAFT_SCALING_IMAGES", "131072"))
-    r_lo = one(lo)
-    r_hi = one(hi)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    # best-of-N per config (all raw walls reported): single-run walls
+    # swing ±15% on this box (page cache / thermal / plasma state) —
+    # best-of damps one-off noise without hiding the trend
+    runs_lo = [one(lo) for _ in range(reps)]
+    runs_hi = [one(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["images_per_sec"]
     tp_hi = r_hi["images_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -171,11 +177,14 @@ def scaling() -> dict:
         "num_cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        "sec_lo_all": [r["value"] for r in runs_lo],
+        "sec_hi_all": [r["value"] for r in runs_hi],
         "images_per_sec_lo": tp_lo,
         "images_per_sec_hi": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "images": int(os.environ.get("GRAFT_BENCH_IMAGES", "131072")),
-        "note": "fresh ray.init(num_cpus=N) processes on one 32-core node; same input both runs",
+        "note": "fresh ray.init(num_cpus=N) processes on one 32-core node; "
+                f"same input; best of {reps} runs per config (all walls listed)",
     }
 
 

@@ -351,7 +351,10 @@ def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
         return f
 
     # the docs spill is built ONCE and probed by both id columns
+    from osmray.joins import _cleanup_at_exit
+
     spill = tempfile.mkdtemp(prefix="osmray_verify_")
+    _cleanup_at_exit(spill)
     j1 = bucketed_join(pairs_ds, docs, on="a", right_on=id_col, num_buckets=num_buckets,
                        spill_root=spill)
     j1 = j1.map_batches(_rename(text_col, "__text_a"), batch_format="pyarrow").drop_columns(
@@ -453,7 +456,10 @@ def _verify_vector_pairs(pairs_ds, emb_ds, threshold, id_col, vec_col, num_bucke
         return f
 
     # the vector spill is built ONCE and probed by both id columns
+    from osmray.joins import _cleanup_at_exit
+
     spill = tempfile.mkdtemp(prefix="osmray_vverify_")
+    _cleanup_at_exit(spill)
     j1 = bucketed_join(pairs_ds, vecs, on="a", right_on=id_col, num_buckets=num_buckets,
                        spill_root=spill)
     j1 = j1.map_batches(_rename(vec_col, "__vec_a"), batch_format="pyarrow").drop_columns(
@@ -492,7 +498,10 @@ def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
     import pyarrow.parquet as pq
     import ray.data
 
+    from osmray.joins import _cleanup_at_exit
+
     spill = tempfile.mkdtemp(prefix="osmray_embgrid_")
+    _cleanup_at_exit(spill)
 
     def spill_groups(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)

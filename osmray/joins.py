@@ -22,6 +22,15 @@ import pyarrow as pa
 from osmray.stages import hash64
 
 
+def _cleanup_at_exit(path: str) -> None:
+    """Remove a spill directory when the driver exits (grace-join
+    staging is transient; long sessions otherwise accumulate spills)."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
+
+
 def broadcast_filter(ds, key_col: str, keys: np.ndarray, anti: bool = False):
     """Semi (or anti) join against a broadcast key set."""
     import ray
@@ -89,6 +98,8 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
 
     right_on = right_on or on
     spill = spill_root or tempfile.mkdtemp(prefix="osmray_grace_")
+    if spill_root is None:
+        _cleanup_at_exit(spill)
 
     def bucket_of(keys: np.ndarray) -> np.ndarray:
         return np.abs(hash64(keys.astype(np.int64), 77)) % num_buckets

@@ -578,7 +578,10 @@ def q_distinct_count(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+    from osmray.joins import _cleanup_at_exit
+
     spill = tempfile.mkdtemp(prefix="osmray_distinct_")
+    _cleanup_at_exit(spill)
     n_buckets = 32
 
     def spill_pairs(batch: pa.Table) -> pa.Table:
