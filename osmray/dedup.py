@@ -220,62 +220,96 @@ def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
 
     Buckets are hashes, so grouping directly on (band, bucket) makes
     one Ray group per mostly-singleton bucket (~1 Python call per
-    group — the map_groups-per-tiny-group trap). Instead the rows are
-    sharded by ``bucket % N_PAIR_SHARDS``: each shard task handles
-    thousands of buckets at once with one lexsort + run detection,
-    and only runs of >= 2 ids emit pairs. Buckets larger than
-    ``max_bucket`` are DROPPED (logged) — an uncapped hot bucket
-    emits O(n^2) pairs in one task, the classic LSH skew failure."""
+    group — the map_groups-per-tiny-group trap), and even a sharded
+    ``groupby`` pays a full sort shuffle for what is mere hash
+    repartitioning. Instead signature rows SPILL into
+    ``bucket % N_PAIR_SHARDS`` shard files straight from
+    ``map_batches`` (the grace pattern — no Ray shuffle), and one
+    task per shard handles thousands of buckets at once with one
+    lexsort + run detection; only runs of >= 2 ids emit pairs.
+    Buckets larger than ``max_bucket`` are DROPPED (logged) — an
+    uncapped hot bucket emits O(n^2) pairs in one task, the classic
+    LSH skew failure."""
+    import glob as _glob
     import logging
+    import os
+    import tempfile
+    import uuid
 
-    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray.joins import _cleanup_at_exit
 
     log = logging.getLogger("osmray.dedup")
+    spill = tempfile.mkdtemp(prefix="osmray_lshshard_")
+    _cleanup_at_exit(spill)
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "__shard", pa.array((b % np.uint64(N_PAIR_SHARDS)).astype(np.int64))
-        )
+    def spill_shards(batch: pa.Table) -> pa.Table:
+        sh = (
+            batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(N_PAIR_SHARDS)
+        ).astype(np.int64)
+        order = np.argsort(sh, kind="stable")
+        batch = batch.take(pa.array(order))
+        ss = sh[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ss)) + 1, [len(ss)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"s={int(ss[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"s": int(ss[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        band = g["band"].to_numpy()
-        bucket = g["bucket"].to_numpy()
-        ids = g[id_col].to_numpy()
-        order = np.lexsort((ids, bucket, band))
-        band, bucket, ids = band[order], bucket[order], ids[order]
-        new_run = np.concatenate(
-            ([True], (np.diff(band.astype(np.int64)) != 0) | (np.diff(bucket) != 0))
-        )
-        starts = np.flatnonzero(new_run)
-        lens = np.diff(np.concatenate((starts, [len(ids)])))
+    sig_ds.map_batches(spill_shards, batch_format="pyarrow", batch_size=None).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b = [], []
-        for s, n in zip(starts[lens >= 2], lens[lens >= 2]):
-            run = np.unique(ids[s : s + n])
-            if len(run) < 2:
+        for s in batch["s"].to_pylist():
+            files = sorted(_glob.glob(os.path.join(spill, f"s={s}", "block-*.parquet")))
+            if not files:
                 continue
-            if len(run) > max_bucket:
-                log.warning(
-                    "dropping degenerate LSH bucket: %d ids > max_bucket=%d "
-                    "(raise n_bands/band width or max_bucket)", len(run), max_bucket
-                )
-                continue
-            ai, bi = np.triu_indices(len(run), k=1)
-            out_a.append(run[ai])
-            out_b.append(run[bi])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            band = t["band"].to_numpy(zero_copy_only=False)
+            bucket = t["bucket"].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, bucket, band))
+            band, bucket, ids = band[order], bucket[order], ids[order]
+            new_run = np.concatenate(
+                ([True], (np.diff(band.astype(np.int64)) != 0) | (np.diff(bucket) != 0))
             )
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.concatenate((starts, [len(ids)])))
+            for st, n in zip(starts[lens >= 2], lens[lens >= 2]):
+                run = np.unique(ids[st : st + n])
+                if len(run) < 2:
+                    continue
+                if len(run) > max_bucket:
+                    log.warning(
+                        "dropping degenerate LSH bucket: %d ids > max_bucket=%d "
+                        "(raise n_bands/band width or max_bucket)", len(run), max_bucket
+                    )
+                    continue
+                ai, bi = np.triu_indices(len(run), k=1)
+                out_a.append(run[ai])
+                out_b.append(run[bi])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
         )
 
-    return (
-        sig_ds.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("__shard")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    shards = ray.data.from_items([{"s": s} for s in range(N_PAIR_SHARDS)])
+    return shards.map_batches(pairs, batch_format="pyarrow", batch_size=4)
 
 
 def minhash_lsh_candidates(docs_ds, text_col="text", id_col="doc_id", n_hashes=64,
