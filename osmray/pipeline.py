@@ -123,6 +123,14 @@ def filter_features(feats: pa.Table, kind: str | None = None, tag: tuple | None 
     return feats
 
 
+def _slices(table: pa.Table, n: int) -> list[pa.Table]:
+    """Split a driver-resident arrow table into <= n zero-copy slices
+    (one Ray block each via ray.data.from_arrow(list))."""
+    n = max(1, min(n, table.num_rows or 1))
+    step = -(-table.num_rows // n)
+    return [table.slice(i, step) for i in range(0, max(1, table.num_rows), max(1, step))]
+
+
 def sample_smallest(keys: np.ndarray, limit: int, seed: int) -> np.ndarray:
     """Seeded deterministic 'shuffle + take limit': order by
     hash64(key, seed), break ties by key."""
@@ -184,10 +192,10 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
     import ray
 
     n_tasks = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
-    ds = (
-        ray.data.from_arrow(paint)
-        .repartition(n_tasks)  # parallelize the painter across tasks
-        .map_batches(raster_fn, batch_format="pyarrow")
+    # one block per zero-copy slice: parallelizes the painter WITHOUT
+    # a repartition shuffle round-trip (the table is driver-resident)
+    ds = ray.data.from_arrow(_slices(paint, n_tasks)).map_batches(
+        raster_fn, batch_format="pyarrow"
     )
     keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
     return np.unique(keys)
@@ -398,9 +406,11 @@ def run_label_job(
                 "ty": pa.array(cty[order]),
             }
         )
-        tiles_ds = ray.data.from_arrow(tiles_tbl).repartition(
-            max(2, cfg.mask_concurrency * 2)
-        )  # order-preserving split
+        # one block per zero-copy slice (order-preserving split, no
+        # repartition shuffle round-trip)
+        tiles_ds = ray.data.from_arrow(
+            _slices(tiles_tbl, max(2, cfg.mask_concurrency * 2))
+        )
         # clamp the pool under the cluster CPUs: an actor pool that
         # reserves every CPU starves the producing task stages (an
         # autoscaling (min, max) pool was tried and scales on backlog,

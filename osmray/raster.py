@@ -41,17 +41,178 @@ def line4_pixels(x0: int, y0: int, x1: int, y1: int) -> tuple[np.ndarray, np.nda
     sy = 1 if y1 >= y0 else -1
     if dx == 0 and dy == 0:
         return np.asarray([x0], dtype=np.int64), np.asarray([y0], dtype=np.int64)
-    # crossing keys; doubling + parity encodes the "x wins ties" rule
+    # crossing keys; doubling + parity encodes the "x wins ties" rule.
+    # Both key arrays are already sorted, so the combined order is a
+    # MERGE: each y-crossing's slot among the x-crossings comes from
+    # one searchsorted (cheaper than argsort of the concatenation).
     kx = (2 * np.arange(dx, dtype=np.int64) + 1) * dy * 2
     ky = (2 * np.arange(dy, dtype=np.int64) + 1) * dx * 2 + 1
-    order = np.argsort(np.concatenate([kx, ky]), kind="stable")
-    is_y = order >= dx
+    is_y = np.zeros(dx + dy, dtype=bool)
+    is_y[np.searchsorted(kx, ky) + np.arange(dy)] = True
     xs = np.empty(dx + dy + 1, dtype=np.int64)
     ys = np.empty(dx + dy + 1, dtype=np.int64)
     xs[0], ys[0] = x0, y0
     xs[1:] = x0 + sx * np.cumsum(~is_y)
     ys[1:] = y0 + sy * np.cumsum(is_y)
     return xs, ys
+
+
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    return np.concatenate(([0], np.cumsum(a)[:-1]))
+
+
+def lines4_pixels(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray):
+    """Pixels of MANY 4-connected segments in one vectorized pass —
+    identical to concatenating ``line4_pixels`` per segment (each
+    segment's pixels in walk order, segments in input order). One
+    lexsort over all crossings replaces one argsort per segment."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    m = len(x0)
+    dx = np.abs(x1 - x0)
+    dy = np.abs(y1 - y0)
+    sx = np.where(x1 >= x0, 1, -1)
+    sy = np.where(y1 >= y0, 1, -1)
+    steps = dx + dy
+    total = int(steps.sum())
+    pstart = _cumsum0(steps + 1)
+    npix = total + m
+    out_x = np.empty(npix, dtype=np.int64)
+    out_y = np.empty(npix, dtype=np.int64)
+    out_x[pstart] = x0
+    out_y[pstart] = y0
+    if total == 0:
+        return out_x, out_y
+    # crossing keys per segment (x-crossings even, y-crossings odd —
+    # unique within a segment, so ordering by (segment, key) is exact)
+    segx = np.repeat(np.arange(m), dx)
+    jx = np.arange(int(dx.sum())) - np.repeat(_cumsum0(dx), dx)
+    kx = (2 * jx + 1) * dy[segx] * 2
+    segy = np.repeat(np.arange(m), dy)
+    jy = np.arange(int(dy.sum())) - np.repeat(_cumsum0(dy), dy)
+    ky = (2 * jy + 1) * dx[segy] * 2 + 1
+    K = np.concatenate((kx, ky))
+    S = np.concatenate((segx, segy))
+    T = np.concatenate((np.zeros(len(kx), dtype=bool), np.ones(len(ky), dtype=bool)))
+    order = np.lexsort((K, S))
+    is_y = T[order]
+    seg = S[order]  # segment-major, crossing-ascending
+    cx = np.cumsum(~is_y)
+    cy = np.cumsum(is_y)
+    starts = _cumsum0(steps)
+    # cumulative counts just BEFORE each segment's first step
+    cx_before = np.zeros(m, dtype=np.int64)
+    cy_before = np.zeros(m, dtype=np.int64)
+    nz = starts > 0
+    cx_before[nz] = cx[starts[nz] - 1]
+    cy_before[nz] = cy[starts[nz] - 1]
+    pos = np.arange(total)
+    out_idx = pstart[seg] + 1 + (pos - starts[seg])
+    out_x[out_idx] = x0[seg] + sx[seg] * (cx - cx_before[seg])
+    out_y[out_idx] = y0[seg] + sy[seg] * (cy - cy_before[seg])
+    return out_x, out_y
+
+
+def clipped_segment_walks(x0, y0, x1, y1, wx0: int, wx1: int, wy0: int, wy1: int):
+    """Pixels of many 4-connected segment walks RESTRICTED to the
+    window [wx0,wx1]x[wy0,wy1]: a segment thousands of px long that
+    merely crosses a 256-px tile costs O(in-window steps), not
+    O(length). EXACT for canvas drawing: the emitted pixel sequence
+    equals the true walk over the key range where the walk can be
+    inside the window (plus one boundary pixel per end, which the
+    stamp's clip discards), derived in crossing-key space:
+
+    x(k) and y(k) are monotone along the walk, so the in-window
+    portion is one contiguous crossing-key interval (klo, khi);
+    the counts of x/y-crossings with key <= K have closed forms, so
+    the interval's crossing subranges and the entry pixel need no
+    per-pixel work."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    dx = np.abs(x1 - x0)
+    dy = np.abs(y1 - y0)
+    sx = np.where(x1 >= x0, 1, -1)
+    sy = np.where(y1 >= y0, 1, -1)
+    # cnt_x range where x is inside the window (monotone in cnt_x)
+    axlo = np.where(sx > 0, wx0 - x0, x0 - wx1).clip(0, dx)
+    axhi = np.where(sx > 0, wx1 - x0, x0 - wx0).clip(-1, dx)
+    aylo = np.where(sy > 0, wy0 - y0, y0 - wy1).clip(0, dy)
+    ayhi = np.where(sy > 0, wy1 - y0, y0 - wy0).clip(-1, dy)
+    ok = (axlo <= axhi) & (aylo <= ayhi)
+
+    INF = np.int64(1 << 62)
+    tdx = 2 * dx
+    tdy = 2 * dy
+    # crossing keys: kx_j = (2j+1)*2*dy (even), ky_i = (2i+1)*2*dx + 1
+    kx_at = lambda j: (2 * j + 1) * tdy  # noqa: E731
+    ky_at = lambda i: (2 * i + 1) * tdx + 1  # noqa: E731
+    klo = np.maximum(
+        np.where(axlo > 0, kx_at(axlo - 1), -1),
+        np.where(aylo > 0, ky_at(aylo - 1), -1),
+    )
+    khi = np.minimum(
+        np.where(axhi < dx, kx_at(axhi), INF),
+        np.where(ayhi < dy, ky_at(ayhi), INF),
+    )
+
+    def count_kx_le(K):
+        # number of j in [0,dx) with (2j+1)*2*dy <= K
+        with np.errstate(divide="ignore"):
+            q = np.where(tdy > 0, K // np.where(tdy > 0, tdy, 1), INF)
+        c = np.where(K < 0, 0, np.where(tdy > 0, (q - 1) // 2 + 1, dx))
+        return c.clip(0, dx)
+
+    def count_ky_le(K):
+        with np.errstate(divide="ignore"):
+            q = np.where(tdx > 0, (K - 1) // np.where(tdx > 0, tdx, 1), INF)
+        c = np.where(K < 1, 0, np.where(tdx > 0, (q - 1) // 2 + 1, dy))
+        return c.clip(0, dy)
+
+    cx0 = count_kx_le(klo)
+    cy0 = count_ky_le(klo)
+    jx_hi = count_kx_le(khi - 1)
+    jy_hi = count_ky_le(khi - 1)
+    nxs = np.where(ok, x0 + sx * cx0, 0)
+    nys = np.where(ok, y0 + sy * cy0, 0)
+    ndx = np.where(ok, jx_hi - cx0, 0)
+    ndy = np.where(ok, jy_hi - cy0, 0)
+    # walk the ORIGINAL keys over the kept crossing subranges from the
+    # entry pixel: every emitted pixel is a true walk pixel, and every
+    # omitted one is provably outside the window (monotonicity)
+    out_x, out_y = [], []
+    for i in np.flatnonzero(ok):
+        if dx[i] == 0 or dy[i] == 0:
+            # axis-aligned: all crossing keys coincide (degenerate for
+            # the key-space clip) — the clipped walk is a straight run
+            if dy[i] == 0:
+                run = np.arange(axlo[i], axhi[i] + 1, dtype=np.int64)
+                out_x.append(x0[i] + sx[i] * run)
+                out_y.append(np.full(len(run), y0[i], dtype=np.int64))
+            else:
+                run = np.arange(aylo[i], ayhi[i] + 1, dtype=np.int64)
+                out_x.append(np.full(len(run), x0[i], dtype=np.int64))
+                out_y.append(y0[i] + sy[i] * run)
+            continue
+        jx = np.arange(cx0[i], jx_hi[i], dtype=np.int64)
+        jy = np.arange(cy0[i], jy_hi[i], dtype=np.int64)
+        kx = (2 * jx + 1) * tdy[i]
+        ky = (2 * jy + 1) * tdx[i] + 1
+        is_y = np.zeros(len(kx) + len(ky), dtype=bool)
+        is_y[np.searchsorted(kx, ky) + np.arange(len(ky))] = True
+        xs = np.empty(len(is_y) + 1, dtype=np.int64)
+        ys = np.empty(len(is_y) + 1, dtype=np.int64)
+        xs[0], ys[0] = nxs[i], nys[i]
+        xs[1:] = nxs[i] + sx[i] * np.cumsum(~is_y)
+        ys[1:] = nys[i] + sy[i] * np.cumsum(is_y)
+        out_x.append(xs)
+        out_y.append(ys)
+    if not out_x:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(out_x), np.concatenate(out_y)
 
 
 def stamp(
@@ -62,6 +223,16 @@ def stamp(
     matching ``oracle.draw_dot``."""
     h, w = canvas.shape
     off = (width - 1) // 2
+    if width == 1:
+        keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        canvas[ys[keep], xs[keep]] = value
+        return
+    if width == 2:  # hot path (way strokes): one assignment, no loop
+        px = np.concatenate((xs, xs + 1, xs, xs + 1))
+        py = np.concatenate((ys, ys, ys + 1, ys + 1))
+        keep = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        canvas[py[keep], px[keep]] = value
+        return
     for dy in range(width):
         for dx in range(width):
             px = xs + (dx - off)
@@ -96,8 +267,8 @@ def draw_polyline(
     pad = width + 1
     x0 = pts[:, 0]
     y0 = pts[:, 1]
-    x1 = np.roll(x0, -1)
-    y1 = np.roll(y0, -1)
+    x1 = np.concatenate((x0[1:], x0[:1]))  # np.roll is slow for this
+    y1 = np.concatenate((y0[1:], y0[:1]))
     if not closed:
         x0, y0, x1, y1 = x0[:-1], y0[:-1], x1[:-1], y1[:-1]
     near = (
@@ -109,12 +280,63 @@ def draw_polyline(
     idx = np.flatnonzero(near)
     if len(idx) == 0:
         return
-    all_x, all_y = [], []
-    for i in idx:
-        xs, ys = line4_pixels(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
-        all_x.append(xs)
-        all_y.append(ys)
-    stamp(canvas, np.concatenate(all_x), np.concatenate(all_y), width, value)
+    xs, ys = clipped_segment_walks(
+        x0[idx], y0[idx], x1[idx], y1[idx], -pad, w - 1 + pad, -pad, h - 1 + pad
+    )
+    stamp(canvas, xs, ys, width, value)
+
+
+def draw_polylines(
+    canvas: np.ndarray,
+    pts_list: list[np.ndarray],
+    width: int = 1,
+    closed: bool = True,
+    value: int = 255,
+) -> None:
+    """Draw MANY polylines of one stroke width in a single pass: all
+    segments concatenated, near-filtered, walked (``lines4_pixels``)
+    and stamped together. Exact vs per-feature ``draw_polyline`` —
+    every draw writes the same value, so order is irrelevant."""
+    if not pts_list:
+        return
+    h, w = canvas.shape
+    pad = width + 1
+    ax0, ay0, ax1, ay1 = [], [], [], []
+    for pts in pts_list:
+        pts = np.asarray(pts, dtype=np.int64)
+        n = len(pts)
+        if n == 0:
+            continue
+        if n == 1:
+            ax0.append(pts[:, 0]); ay0.append(pts[:, 1])
+            ax1.append(pts[:, 0]); ay1.append(pts[:, 1])
+            continue
+        x0 = pts[:, 0]
+        y0 = pts[:, 1]
+        x1 = np.concatenate((x0[1:], x0[:1]))
+        y1 = np.concatenate((y0[1:], y0[:1]))
+        if not closed:
+            x0, y0, x1, y1 = x0[:-1], y0[:-1], x1[:-1], y1[:-1]
+        ax0.append(x0); ay0.append(y0); ax1.append(x1); ay1.append(y1)
+    if not ax0:
+        return
+    x0 = np.concatenate(ax0)
+    y0 = np.concatenate(ay0)
+    x1 = np.concatenate(ax1)
+    y1 = np.concatenate(ay1)
+    near = (
+        (np.maximum(x0, x1) >= -pad)
+        & (np.minimum(x0, x1) < w + pad)
+        & (np.maximum(y0, y1) >= -pad)
+        & (np.minimum(y0, y1) < h + pad)
+    )
+    idx = np.flatnonzero(near)
+    if len(idx) == 0:
+        return
+    xs, ys = clipped_segment_walks(
+        x0[idx], y0[idx], x1[idx], y1[idx], -pad, w - 1 + pad, -pad, h - 1 + pad
+    )
+    stamp(canvas, xs, ys, width, value)
 
 
 def fill_poly(canvas: np.ndarray, pts: np.ndarray, value: int = 255) -> None:
@@ -128,8 +350,8 @@ def fill_poly(canvas: np.ndarray, pts: np.ndarray, value: int = 255) -> None:
     h, w = canvas.shape
     x0 = pts[:, 0]
     y0 = pts[:, 1]
-    x1 = np.roll(x0, -1)
-    y1 = np.roll(y0, -1)
+    x1 = np.concatenate((x0[1:], x0[:1]))
+    y1 = np.concatenate((y0[1:], y0[:1]))
     keep = y0 != y1
     x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
     if len(x0):

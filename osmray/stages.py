@@ -298,19 +298,27 @@ class MaskStage:
             size = span * TILESIZE
             canvas = np.zeros((size, size), dtype=np.uint8)
             kinds, pxs, _bb = self._cell_candidates(cell)
+            # one batched draw per stroke width (all draws write the
+            # same value, so cross-feature order is irrelevant)
+            dots_x, dots_y, ways, polys = [], [], [], []
             for kind, p in zip(kinds, pxs):
                 pts = np.stack(
                     [np.floor(p[:, 0]) - cx0, np.floor(p[:, 1]) - cy0], axis=1
                 ).astype(np.int64)
                 if kind == "node":
-                    raster.stamp(canvas, pts[:, 0], pts[:, 1], 1)
+                    dots_x.append(pts[:, 0])
+                    dots_y.append(pts[:, 1])
                 elif kind == "way":
-                    raster.draw_polyline(canvas, pts, width=2, closed=True)
+                    ways.append(pts)
                 elif kind == "polygon":
-                    raster.draw_polyline(canvas, pts, width=1, closed=True)
+                    polys.append(pts)
                 elif kind == "exclusion":
                     raster.fill_poly(canvas, pts)
-            if len(self._canvas_cache) > 8:  # bound actor memory
+            if dots_x:
+                raster.stamp(canvas, np.concatenate(dots_x), np.concatenate(dots_y), 1)
+            raster.draw_polylines(canvas, ways, width=2, closed=True)
+            raster.draw_polylines(canvas, polys, width=1, closed=True)
+            if len(self._canvas_cache) > 32:  # bound actor memory (~32 MB)
                 self._canvas_cache.clear()
             hit = (canvas, cx0, cy0)
             self._canvas_cache[cell] = hit
