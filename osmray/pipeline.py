@@ -124,11 +124,27 @@ def filter_features(feats: pa.Table, kind: str | None = None, tag: tuple | None 
 
 
 def _slices(table: pa.Table, n: int) -> list[pa.Table]:
-    """Split a driver-resident arrow table into <= n zero-copy slices
-    (one Ray block each via ray.data.from_arrow(list))."""
+    """Split a driver-resident arrow table into <= n slices (one Ray
+    block each via ray.data.from_arrow(list)). Each slice is
+    IPC-round-tripped: a plain ``Table.slice`` view SERIALIZES WITH
+    ITS PARENT BUFFERS for list columns (measured 1.0 size ratio), so
+    n un-compacted slices would ship n copies of the whole table into
+    the object store."""
+    import pyarrow.ipc as ipc
+
     n = max(1, min(n, table.num_rows or 1))
     step = -(-table.num_rows // n)
-    return [table.slice(i, step) for i in range(0, max(1, table.num_rows), max(1, step))]
+
+    def compact(t: pa.Table) -> pa.Table:
+        sink = pa.BufferOutputStream()
+        with ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return ipc.open_stream(sink.getvalue()).read_all()
+
+    return [
+        compact(table.slice(i, step))
+        for i in range(0, max(1, table.num_rows), max(1, step))
+    ]
 
 
 def sample_smallest(keys: np.ndarray, limit: int, seed: int) -> np.ndarray:
