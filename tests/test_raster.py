@@ -100,3 +100,58 @@ def test_stamp_width2_anchor():
     raster.stamp(got, np.array([1]), np.array([1]), width=2)
     assert got.sum() == 4 * 255
     assert got[1, 1] and got[1, 2] and got[2, 1] and got[2, 2]
+
+
+def test_lines4_batch_equals_scalar():
+    """lines4_pixels (batch, no window) == per-segment line4_pixels."""
+    import numpy as np
+
+    from osmray import raster
+
+    rng = np.random.default_rng(3)
+    x0 = rng.integers(-200, 200, 200)
+    y0 = rng.integers(-200, 200, 200)
+    x1 = rng.integers(-200, 200, 200)
+    y1 = rng.integers(-200, 200, 200)
+    x1[:5] = x0[:5]  # verticals
+    y1[5:10] = y0[5:10]  # horizontals
+    x1[10] = x0[10]; y1[10] = y0[10]  # degenerate
+    bx, by = raster.lines4_pixels(x0, y0, x1, y1)
+    ax, ay = [], []
+    for i in range(200):
+        xs, ys = raster.line4_pixels(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
+        ax.append(xs)
+        ay.append(ys)
+    np.testing.assert_array_equal(bx, np.concatenate(ax))
+    np.testing.assert_array_equal(by, np.concatenate(ay))
+
+
+def test_clipped_walks_canvas_equality():
+    """clipped_segment_walks + stamp == unclipped walk + stamp on the
+    canvas, over randomized long polylines (the exactness contract of
+    the window clip)."""
+    import numpy as np
+
+    from osmray import raster
+
+    rng = np.random.default_rng(17)
+    for trial in range(60):
+        h, w = int(rng.integers(16, 200)), int(rng.integers(16, 200))
+        n = int(rng.integers(2, 7))
+        pts = np.stack(
+            [rng.integers(-2500, 2500, n), rng.integers(-2500, 2500, n)], axis=1
+        )
+        if trial % 2 == 0:
+            pts[0] = [rng.integers(0, w), rng.integers(0, h)]
+        if trial % 3 == 0:
+            pts[1][0] = pts[0][0]
+        width = int(rng.choice([1, 2]))
+        a = np.zeros((h, w), dtype=np.uint8)
+        b = np.zeros((h, w), dtype=np.uint8)
+        raster.draw_polyline(a, pts, width=width, closed=True)
+        x0 = pts[:, 0]; y0 = pts[:, 1]
+        x1 = np.concatenate((x0[1:], x0[:1])); y1 = np.concatenate((y0[1:], y0[:1]))
+        for i in range(n):
+            xs, ys = raster.line4_pixels(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
+            raster.stamp(b, xs, ys, width)
+        np.testing.assert_array_equal(a, b)
