@@ -149,7 +149,7 @@ def raw_decode(data: bytes) -> np.ndarray:
 _QZL_MAGIC = b"QZL1"
 
 
-def qzl_encode(img: np.ndarray, q: int = 2) -> bytes:
+def qzl_encode(img: np.ndarray, q: int = 2, level: int = 6) -> bytes:
     """From-scratch LOSSY codec: integer luma + quantized full-res
     chroma differences, zlib-compressed planes. Error is bounded by
     the quantizers (luma step ``q``, chroma step ``2q``): PSNR ~44 dB
@@ -167,7 +167,7 @@ def qzl_encode(img: np.ndarray, q: int = 2) -> bytes:
     yq = (y // q).astype(np.uint8)
     dbq = ((b - y + 255) // cq).astype(np.uint8)  # [0, 510]//cq <= 255 for cq>=2
     drq = ((r - y + 255) // cq).astype(np.uint8)
-    payload = zlib.compress(yq.tobytes() + dbq.tobytes() + drq.tobytes(), 6)
+    payload = zlib.compress(yq.tobytes() + dbq.tobytes() + drq.tobytes(), level)
     return _QZL_MAGIC + struct.pack(">HHB", h, w, q) + payload
 
 
@@ -213,7 +213,7 @@ def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "raw":
         return raw_encode(img)
     if fmt == "qzl":
-        return qzl_encode(img)
+        return qzl_encode(img, level=level)
     if fmt in ("jpg", "jpeg"):
         from osmray.jpeg import jpeg_encode
 
