@@ -1094,6 +1094,110 @@ FROM r WHERE rank <= 2
 """
 
 
+def q_pip_grid(sf_dir: str):
+    """SQL-checkable point-in-polygon join through the REAL ray-cast
+    kernel (geom.points_in_ring): lineitem-derived integer points vs
+    diamond polygons derived from part keys.
+
+    Exactness across engines is BY CONSTRUCTION: diamond vertices have
+    all-even coordinates and every point has odd (x+y) parity, so no
+    point ever lies on an edge line; with unit-slope edges the
+    kernel's float crossing abscissa is within 1 ulp of an integer
+    whose distance to the point is >= 1, so the float comparison
+    equals exact arithmetic. The DuckDB twin uses the diamond's
+    interior metric |dx| + |dy| < a (equivalent to even-odd ray-cast
+    off the boundary) in pure integers."""
+    import ray
+
+    from osmray.geom import points_in_ring
+
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def diamonds(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = pk[pk % 100 == 1]
+        cx = 2 * ((pk * 48271) % (M26 // 2))
+        cy = 2 * ((pk * 16807) % (M26 // 2))
+        a = 2 * (500_000 + (pk % 5) * 200_000)
+        return pa.table(
+            {
+                "poly_id": pa.array(pk),
+                "cx": pa.array(cx),
+                "cy": pa.array(cy),
+                "a": pa.array(a),
+            }
+        )
+
+    dtab = (
+        part.map_batches(diamonds, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("poly_id")
+    )  # bounded small side (p%100==1): broadcast
+    ref = ray.put(
+        (
+            dtab["poly_id"].to_numpy(),
+            dtab["cx"].to_numpy(),
+            dtab["cy"].to_numpy(),
+            dtab["a"].to_numpy(),
+        )
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pip(batch: pa.Table) -> pa.Table:
+        pid_, cx, cy, aa = ray.get(ref)
+        p = _li_points(batch)
+        px = 2 * (p["m1"] // 2) + 1  # odd
+        py = 2 * (p["m2"] // 2)  # even -> x+y odd: never on an edge
+        out_p, out_poly = [], []
+        for j in range(len(pid_)):
+            sel = np.flatnonzero(
+                (np.abs(px - cx[j]) <= aa[j]) & (np.abs(py - cy[j]) <= aa[j])
+            )
+            if not len(sel):
+                continue
+            ring = np.array(
+                [
+                    [cy[j] + aa[j], cx[j]],
+                    [cy[j], cx[j] + aa[j]],
+                    [cy[j] - aa[j], cx[j]],
+                    [cy[j], cx[j] - aa[j]],
+                ],
+                dtype=np.float64,
+            )  # [lat, lng] = [y, x]
+            hit = points_in_ring(
+                py[sel].astype(np.float64), px[sel].astype(np.float64), ring
+            )
+            hs = sel[hit]
+            out_p.append(p["pid"][hs])
+            out_poly.append(np.full(len(hs), pid_[j], dtype=np.int64))
+        if not out_p:
+            return pa.table(
+                {"pid": pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate(out_p)),
+                "poly_id": pa.array(np.concatenate(out_poly)),
+            }
+        )
+
+    return li.map_batches(pip, batch_format="pyarrow")
+
+
+Q_PIP_GRID_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (SELECT pid, 2 * (m1 // 2) + 1 AS px, 2 * (m2 // 2) AS py FROM p),
+d AS (SELECT p_partkey AS poly_id,
+             2 * ((p_partkey * 48271) % 33554432) AS cx,
+             2 * ((p_partkey * 16807) % 33554432) AS cy,
+             2 * (500000 + (p_partkey % 5) * 200000) AS a
+      FROM part WHERE p_partkey % 100 = 1)
+SELECT pts.pid, d.poly_id
+FROM pts JOIN d ON abs(pts.px - d.cx) + abs(pts.py - d.cy) < d.a
+"""
+
+
 def q_jpeg_roundtrip(sf_dir: str):
     """Codec gate as a SQL-checkable pipeline: deterministic 32x32
     gradient tiles derived from part keys (pure integer ramps, no
@@ -1579,6 +1683,7 @@ def registry():
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
+        "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_minhash_lsh": (q_minhash_lsh, None),
         "q_simhash": (q_simhash, None),
         "q_lang_id": (q_lang_id, None),
