@@ -1198,6 +1198,81 @@ FROM pts JOIN d ON abs(pts.px - d.cx) + abs(pts.py - d.cy) < d.a
 """
 
 
+def q_raster_parity(sf_dir: str):
+    """The rasterizer itself hash-checked vs SQL: horizontal,
+    vertical and unit-diagonal width-2 strokes derived from orders
+    keys are drawn through the REAL pipeline kernels
+    (raster.draw_polylines -> clipped_segment_walks -> stamp) onto
+    256x256 canvases, and the distinct painted pixels are compared to
+    a DuckDB closed form (a 4-connected walk of an axis-aligned
+    stroke is a generate_series run; of a unit diagonal it alternates
+    x-then-y — x wins ties — so pixel t is
+    (x0 + ceil(t/2), y0 + floor(t/2)); the width-2 stamp is the
+    cross-joined 2x2 offset, clipped to the canvas)."""
+    from ray.data.aggregate import Count
+
+    from osmray import raster
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def paint(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ok[ok % 500 == 1]
+        canvas = np.zeros((256, 256), dtype=np.uint8)
+        polys = []
+        for k in ok:
+            x0 = int((k * 131) % 260) - 2  # slightly off-canvas too
+            y0 = int((k * 173) % 260) - 2
+            ln = int(40 + k % 97)
+            kind = k % 3
+            if kind == 0:  # horizontal
+                polys.append(np.array([[x0, y0], [x0 + ln, y0]]))
+            elif kind == 1:  # vertical
+                polys.append(np.array([[x0, y0], [x0, y0 + ln]]))
+            else:  # unit diagonal
+                polys.append(np.array([[x0, y0], [x0 + ln, y0 + ln]]))
+        raster.draw_polylines(canvas, polys, width=2, closed=False)
+        ys, xs = np.nonzero(canvas)
+        return pa.table(
+            {"x": pa.array(xs.astype(np.int64)), "y": pa.array(ys.astype(np.int64))}
+        )
+
+    return (
+        orders.map_batches(paint, batch_format="pyarrow", batch_size=None)
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["x", "y"])
+    )
+
+
+Q_RASTER_PARITY_SQL = """
+WITH s AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 131) % 260 - 2 AS x0,
+         (o_orderkey * 173) % 260 - 2 AS y0,
+         40 + o_orderkey % 97 AS ln,
+         o_orderkey % 3 AS kind
+  FROM orders WHERE o_orderkey % 500 = 1
+),
+walk AS (
+  SELECT s.k,
+    CASE WHEN kind = 0 THEN x0 + t.range
+         WHEN kind = 1 THEN x0
+         ELSE x0 + (t.range + 1) // 2 END AS wx,
+    CASE WHEN kind = 0 THEN y0
+         WHEN kind = 1 THEN y0 + t.range
+         ELSE y0 + t.range // 2 END AS wy
+  FROM s CROSS JOIN range(0, 280) t
+  WHERE t.range <= CASE WHEN kind = 2 THEN 2 * ln ELSE ln END
+),
+stamped AS (
+  SELECT DISTINCT wx + dx.range AS x, wy + dy.range AS y
+  FROM walk CROSS JOIN range(0, 2) dx CROSS JOIN range(0, 2) dy
+)
+SELECT x, y FROM stamped WHERE x BETWEEN 0 AND 255 AND y BETWEEN 0 AND 255
+"""
+
+
 def q_jpeg_roundtrip(sf_dir: str):
     """Codec gate as a SQL-checkable pipeline: deterministic 32x32
     gradient tiles derived from part keys (pure integer ramps, no
@@ -1684,6 +1759,7 @@ def registry():
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
+        "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
         "q_minhash_lsh": (q_minhash_lsh, None),
         "q_simhash": (q_simhash, None),
         "q_lang_id": (q_lang_id, None),
