@@ -161,11 +161,14 @@ def scaling() -> dict:
     lo, hi = int(pair[0]), int(pair[1])
     os.environ.setdefault("GRAFT_BENCH_IMAGES", os.environ.get("GRAFT_SCALING_IMAGES", "131072"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
-    # best-of-N per config (all raw walls reported): single-run walls
-    # swing ±15% on this box (page cache / thermal / plasma state) —
-    # best-of damps one-off noise without hiding the trend
-    runs_lo = [one(lo) for _ in range(reps)]
-    runs_hi = [one(hi) for _ in range(reps)]
+    # best-of-N per config (all raw walls reported), INTERLEAVED
+    # lo,hi,lo,hi: single-run walls swing ±15% (and the host shows
+    # windows of external contention) — interleaving exposes both
+    # configs to similar conditions and best-of damps one-off noise
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["images_per_sec"]
