@@ -7,8 +7,9 @@
 
 Subcommands: ``label`` (flagship make_original/make_buildings job),
 ``expand`` (train crops + valid tiles), ``roofshapes`` (per-way
-mosaics). Re-running with the same ``--out`` resumes: completed
-partitions are skipped (lancelike manifest).
+mosaics), ``pipeline --spec job.json`` (declarative step list, the
+§2.10 user-extension surface). Re-running with the same ``--out``
+resumes: completed partitions are skipped (lancelike manifest).
 
 This script OWNS its Ray session (guarded init — inside ``ray job
 submit`` the cluster is already there).
@@ -41,6 +42,10 @@ def _common(p: argparse.ArgumentParser) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="osmray")
     sub = ap.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("pipeline", help="run a declarative step-list spec (JSON)")
+    pp.add_argument("--spec", required=True, help="path to a JSON list of steps")
+    pp.add_argument("--out", default=None, help="optional parquet output path")
+    pp.add_argument("--num-cpus", type=int, default=None)
     for name in ("label", "expand", "roofshapes"):
         p = sub.add_parser(name)
         _common(p)
@@ -73,6 +78,22 @@ def main(argv=None) -> int:
     import ray.data
 
     from osmray import pipeline
+
+    if args.cmd == "pipeline":
+        from osmray.pipelines import run_pipeline
+
+        with open(args.spec) as fh:
+            steps = json.load(fh)
+        res = run_pipeline(steps)
+        if hasattr(res, "to_pandas"):
+            df = res.to_pandas()
+        else:
+            df = res  # terminal write returned lineage
+        if args.out:
+            df.to_parquet(args.out)
+        print(json.dumps({"cmd": "pipeline", "rows_out": int(len(df)),
+                          "steps": len(steps)}))
+        return 0
 
     bbox = tuple(float(v) for v in args.bbox.split(","))
     files = sorted(glob.glob(args.images))

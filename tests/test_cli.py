@@ -35,3 +35,70 @@ def test_cli_bad_glob(ray_session, capsys):
          "0,0,1,1", "--out", "/tmp/never"]
     )
     assert rc == 2
+
+
+def test_declarative_pipeline_equals_direct(ray_session, fixture_dir, tmp_path):
+    """A JSON step spec must produce exactly what the direct chained
+    calls produce (the §2.10 user-extension surface)."""
+    import json
+    import os
+
+    import ray.data
+
+    from osmray.pipelines import run_pipeline
+    from osmray.stages import make_assign_tiles
+    from osmray.tilemath import PLAIN
+
+    pat = os.path.join(fixture_dir, "images", "*.parquet")
+    steps = [
+        {"op": "read_parquet", "path": pat, "columns": ["image_id", "lat", "lng"]},
+        {"op": "assign_tiles", "z": 19, "provider": "plain"},
+        {"op": "edge_filter", "edge": 16},
+        {"op": "add_cell", "z": 19, "res": 8, "as": "cell8"},
+        {"op": "groupby_agg", "key": "cell8",
+         "aggs": [{"fn": "count", "as": "n"}]},
+        {"op": "sort", "keys": "cell8"},
+    ]
+    got = run_pipeline(steps).to_pandas()
+
+    # direct twin
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osmray import cells as cellmod
+
+    ds = ray.data.read_parquet(sorted(glob.glob(pat)), columns=["image_id", "lat", "lng"])
+    ds = ds.map_batches(make_assign_tiles(19, PLAIN, 16), batch_format="pyarrow")
+
+    def edge(b):
+        ok = pc.and_(
+            pc.and_(pc.greater_equal(b["rx"], 16), pc.less(b["rx"], 240)),
+            pc.and_(pc.greater_equal(b["ry"], 16), pc.less(b["ry"], 240)),
+        )
+        return b.filter(ok)
+
+    def cell(b):
+        c = cellmod.cell_of_tile(
+            b["tx"].to_numpy(zero_copy_only=False),
+            b["ty"].to_numpy(zero_copy_only=False), 19, 8,
+        )
+        return b.append_column("cell8", pa.array(c.astype(np.int64)))
+
+    from ray.data.aggregate import Count
+
+    want = (
+        ds.map_batches(edge, batch_format="pyarrow")
+        .map_batches(cell, batch_format="pyarrow")
+        .groupby("cell8").aggregate(Count(alias_name="n"))
+        .sort("cell8").to_pandas()
+    )
+    assert got.equals(want)
+
+    # spec roundtrips through JSON (ships as config)
+    spec_file = tmp_path / "job.json"
+    spec_file.write_text(json.dumps(steps))
+    again = run_pipeline(json.loads(spec_file.read_text())).to_pandas()
+    assert again.equals(want)
