@@ -125,7 +125,14 @@ class FeatureIndex:
         c1 = cellmod.cell_at(np.array([S]), np.array([E]), self.res)
         x0, y0, _ = cellmod.unpack(c0)
         x1, y1, _ = cellmod.unpack(c1)
-        for cx in range(int(x0[0]), int(x1[0]) + 1):
+        # cell_at wraps x modulo 2^res: a bbox crossing the
+        # antimeridian yields x0 > x1 — split the x range (same fix
+        # as from_table) so wrap-spanning features register everywhere
+        if int(x0[0]) <= int(x1[0]):
+            xrange = range(int(x0[0]), int(x1[0]) + 1)
+        else:
+            xrange = list(range(int(x0[0]), 1 << self.res)) + list(range(0, int(x1[0]) + 1))
+        for cx in xrange:
             for cy in range(int(y0[0]), int(y1[0]) + 1):
                 key = int(cellmod.pack(np.array([cx]), np.array([cy]), self.res)[0])
                 b = self.buckets.setdefault(key, _Bucket())

@@ -95,3 +95,26 @@ def test_point_segment_dist():
     )
     assert d2[0] == 1.0  # perpendicular onto segment interior
     assert d2[1] == 25.0 + 16.0  # degenerate/far segment -> endpoint distance
+
+
+def test_index_registers_antimeridian_wrapping_feature():
+    # a polygon touching lng=180: cell_at wraps x modulo 2^res, so the
+    # bbox x-range comes back x0 > x1; both add() and from_table()
+    # must split the range instead of registering zero buckets
+    ring_lat = [10.0, 10.0, 12.0, 12.0]
+    ring_lng = [179.5, 180.0, 180.0, 179.5]
+    via_add = geom.FeatureIndex()
+    via_add.add(7, "polygon", np.stack([ring_lat, ring_lng], axis=1))
+    via_tab = geom.FeatureIndex.from_table(
+        {
+            "feature_id": np.array([7], dtype=np.int64),
+            "kind": ["polygon"],
+            "geom_lat": [ring_lat],
+            "geom_lng": [ring_lng],
+        }
+    )
+    for idx in (via_add, via_tab):
+        assert len(idx.buckets) > 0
+        hits = idx.pip(np.array([11.0]), np.array([179.7]))
+        assert hits[0].tolist() == [7]
+    assert sorted(via_add.buckets) == sorted(via_tab.buckets)
