@@ -1471,71 +1471,206 @@ def _fixture(sf_dir: str):
     return images, feats, cfg
 
 
+_PIP_U = 1.0 / 8192.0  # dyadic degree-lattice unit (2^-13)
+
+
 def q_pip(sf_dir: str):
-    """Analytic point-in-polygon join (actor pool holding the
-    cell-bucketed prepared index): which polygons contain each image
-    footprint. Rows-only here; PIP parity vs the scalar oracle is
-    pytest-locked (tests/test_geom.py)."""
+    """Analytic point-in-polygon join through the REAL cell-bucketed
+    index actor pool (stages.PipStage -> geom.FeatureIndex.pip),
+    hash-checked vs a DuckDB integer twin.
+
+    Parity-safe construction (as q_pip_grid, lifted onto a dyadic
+    DEGREE lattice, unit 2^-13 deg, so every lat/lng float is exactly
+    an integer times U): diamond vertices have all-even lattice
+    coordinates and every point odd (x+y) parity, so no point is ever
+    on an edge line; with unit-slope edges the ray-cast crossing
+    abscissa is EXACT dyadic arithmetic (the edge slope divides out to
+    +-1), so the float kernel equals integer math. DuckDB decides
+    containment with the diamond interior metric |dx| + |dy| < a in
+    pure integers (|dx|+|dy| is odd, a even: never equal). The
+    fixture-feature PIP parity vs the scalar oracle stays pytest-locked
+    (tests/test_geom.py)."""
+    import pyarrow.parquet as pq
     import ray
 
     from osmray.stages import PipStage
 
-    images, feats, cfg = _fixture(sf_dir)
-    feats_ref = ray.put(feats)
-    out = images.map_batches(
-        PipStage,
-        fn_constructor_kwargs={"features_ref": feats_ref},
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=1,
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    pk = np.sort(pk[pk % 100 == 1])  # bounded small side
+    cx = 2 * ((pk * 48271) % (1 << 20)) - (1 << 20)
+    cy = 2 * ((pk * 16807) % (1 << 18)) - (1 << 18)
+    a = 2 * (20000 + (pk % 5) * 8000)
+    feats = pa.table(
+        {
+            "feature_id": pa.array(pk),
+            "kind": pa.array(["polygon"] * len(pk)),
+            "geom_lat": pa.array(
+                [
+                    [(y + h) * _PIP_U, y * _PIP_U, (y - h) * _PIP_U, y * _PIP_U]
+                    for y, h in zip(cy.tolist(), a.tolist())
+                ],
+                pa.list_(pa.float64()),
+            ),
+            "geom_lng": pa.array(
+                [
+                    [x * _PIP_U, (x + h) * _PIP_U, x * _PIP_U, (x - h) * _PIP_U]
+                    for x, h in zip(cx.tolist(), a.tolist())
+                ],
+                pa.list_(pa.float64()),
+            ),
+        }
     )
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, fids = [], []
-        for i, hits in enumerate(batch["pip_ids"].to_pylist()):
-            for f in hits:
-                ids.append(batch["image_id"][i].as_py())
-                fids.append(f)
-        return pa.table(
-            {"image_id": pa.array(ids, pa.string()), "feature_id": pa.array(fids, pa.int64())}
-        )
-
-    return out.map_batches(explode, batch_format="pyarrow")
-
-
-def q_knn_cells(sf_dir: str):
-    """Cell-ring-expansion kNN (k=3) per image footprint via the
-    stateful index actor (equivalent to brute force; pytest-locked)."""
-    import ray
-
-    from osmray.stages import KnnStage
-
-    images, feats, cfg = _fixture(sf_dir)
     feats_ref = ray.put(feats)
-    out = images.limit(256).map_batches(
-        KnnStage,
-        fn_constructor_kwargs={"features_ref": feats_ref, "k": 3},
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=1,
-    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, ranks, fids = [], [], []
-        for i, hits in enumerate(batch["knn_ids"].to_pylist()):
-            for r, f in enumerate(hits):
-                ids.append(batch["image_id"][i].as_py())
-                ranks.append(r + 1)
-                fids.append(f)
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        px = 2 * (p["m1"] % (1 << 20)) - (1 << 20) + 1  # odd
+        py = 2 * (p["m2"] % (1 << 18)) - (1 << 18)  # even -> x+y odd
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
-                "rank": pa.array(ranks, pa.int64()),
-                "feature_id": pa.array(fids, pa.int64()),
+                "pid": pa.array(p["pid"]),
+                "lat": pa.array(py * _PIP_U),
+                "lng": pa.array(px * _PIP_U),
+            }
+        )
+
+    out = li.map_batches(pts, batch_format="pyarrow").map_batches(
+        PipStage,
+        fn_constructor_kwargs={"features_ref": feats_ref, "res": 6},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hits = batch["pip_ids"]
+        lens = np.asarray([len(h) for h in hits.to_pylist()], dtype=np.int64)
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        flat = pa.compute.list_flatten(hits)
+        return pa.table(
+            {
+                "pid": pa.array(np.repeat(pid, lens)),
+                "poly_id": flat.combine_chunks()
+                if hasattr(flat, "combine_chunks")
+                else flat,
             }
         )
 
     return out.map_batches(explode, batch_format="pyarrow")
+
+
+Q_PIP_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (SELECT pid, 2 * (m1 % 1048576) - 1048576 + 1 AS px,
+               2 * (m2 % 262144) - 262144 AS py FROM p),
+d AS (SELECT p_partkey AS poly_id,
+             2 * ((p_partkey * 48271) % 1048576) - 1048576 AS cx,
+             2 * ((p_partkey * 16807) % 262144) - 262144 AS cy,
+             2 * (20000 + (p_partkey % 5) * 8000) AS a
+      FROM part WHERE p_partkey % 100 = 1)
+SELECT pts.pid, d.poly_id
+FROM pts JOIN d ON abs(pts.px - d.cx) + abs(pts.py - d.cy) < d.a
+"""
+
+
+def q_knn_cells(sf_dir: str):
+    """Cell-ring-expansion kNN (k=3) through the REAL stateful index
+    actor (stages.KnnStage -> FeatureIndex.knn_batch), hash-checked vs
+    a DuckDB brute-force twin.
+
+    Cross-engine exactness: features and query points sit at dyadic
+    web coordinates (m / 2^18). The engine round-trips them through
+    web2wgs -> project2web (trig), perturbing each coordinate by
+    O(ulp) ~ 1e-13; only the rank order reaches the output
+    (pid, rank, feature_id), and the minimum adjacent top-4 distance
+    gap is >= 7.6e-5 web^2 (measured at sf0.001/0.01), ~8 orders above
+    the perturbation, so ranks are bit-stable. The SQL twin ranks with
+    exact dyadic arithmetic and computes no trig. Ring-expansion ==
+    brute-force equivalence is separately pytest-locked
+    (tests/test_geom.py)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from osmray.stages import KnnStage
+    from osmray.tilemath import web2wgs
+
+    pk, fx, fy = _part_points(sf_dir)
+    flat_, flng_ = web2wgs(fx, fy)
+    feats = pa.table(
+        {
+            "feature_id": pa.array(pk),
+            "kind": pa.array(["node"] * len(pk)),
+            "geom_lat": pa.array([[v] for v in flat_.tolist()], pa.list_(pa.float64())),
+            "geom_lng": pa.array([[v] for v in flng_.tolist()], pa.list_(pa.float64())),
+        }
+    )
+    feats_ref = ray.put(feats)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def subset(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 7 == 0
+        return pa.table(
+            {
+                "pid": pa.array(p["pid"][sel]),
+                "wx": pa.array(p["wx"][sel]),
+                "wy": pa.array(p["wy"][sel]),
+            }
+        )
+
+    # (orderkey, linenumber) repeats in the synthetic lineitem: dedup
+    # pids first (pid determines (wx, wy) -> Min is a no-op value-wise)
+    pts = (
+        ds.map_batches(subset, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Min("wx", alias_name="wx"), Min("wy", alias_name="wy"))
+    )
+
+    def to_wgs(batch: pa.Table) -> pa.Table:
+        la, ln = web2wgs(
+            batch["wx"].to_numpy(zero_copy_only=False),
+            batch["wy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"pid": batch["pid"], "lat": pa.array(la), "lng": pa.array(ln)}
+        )
+
+    out = pts.map_batches(to_wgs, batch_format="pyarrow").map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"features_ref": feats_ref, "k": 3, "res": 6},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch["knn_ids"].to_pylist(), dtype=np.int64)  # (n, 3)
+        n = len(pid)
+        return pa.table(
+            {
+                "pid": pa.array(np.repeat(pid, 3)),
+                "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), n)),
+                "feature_id": pa.array(ids.ravel()),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+Q_KNN_CELLS_SQL = f"""
+WITH p AS ({_LI_SQL}), f AS ({_PART_SQL}),
+q AS (SELECT DISTINCT pid, m1 / 262144.0 AS wx, m2 / 262144.0 AS wy FROM p WHERE pid % 7 = 0),
+d AS (
+  SELECT q.pid, f.p_partkey AS feature_id,
+    ROW_NUMBER() OVER (PARTITION BY q.pid ORDER BY
+      (q.wx - f.fx) * (q.wx - f.fx) + (q.wy - f.fy) * (q.wy - f.fy), f.p_partkey) AS rank
+  FROM q CROSS JOIN f
+)
+SELECT pid, CAST(rank AS BIGINT) AS rank, feature_id FROM d WHERE rank <= 3
+"""
 
 
 def q_phash_dedup(sf_dir: str):
@@ -1770,8 +1905,8 @@ def registry():
         "q_expand_crops": (q_expand_crops, None),
         "q_roofshapes": (q_roofshapes, None),
         "q_buildings_label_job": (q_buildings_label_job, None),
-        "q_pip": (q_pip, None),
-        "q_knn_cells": (q_knn_cells, None),
+        "q_pip": (q_pip, Q_PIP_SQL),
+        "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
         "q_phash_dedup": (q_phash_dedup, None),
         "q_minimap": (q_minimap, None),
         "q_image_resize": (q_image_resize, None),
