@@ -1362,7 +1362,10 @@ def q_simhash(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic n-gram language ID vs the labeled lang column."""
+    """Heuristic n-gram language ID vs the labeled lang column,
+    hash-checked: Python's non-overlapping substring count equals
+    DuckDB's (length - length(replace)) / length(gram), and the
+    first-max-wins tie rule unrolls to an ordered CASE."""
     from ray.data.aggregate import Count
 
     from osmray.text import lang_id
@@ -1380,8 +1383,41 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of text.lang_id: per-language trigram-count score
+    columns, then the dict-iteration-order tie rule (a language wins
+    only with score > 0 and strictly more than every EARLIER language,
+    at least as much as every later one)."""
+    from osmray.text import _LANG_TRIGRAMS
+
+    langs = list(_LANG_TRIGRAMS)
+    scores = []
+    for lang, grams in _LANG_TRIGRAMS.items():
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{g}', ''))) // {len(g)}" for g in grams
+        )
+        scores.append(f"({terms}) AS s_{lang}")
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} > s_{e}" for e in langs[:i]]
+        conds += [f"s_{lang} >= s_{l}" for l in langs[i + 1 :]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH low_t AS (SELECT doc_id, lang, lower(text) AS low FROM documents),
+sc AS (SELECT doc_id, lang, {', '.join(scores)} FROM low_t),
+pred_t AS (SELECT lang, CASE {' '.join(branches)} ELSE 'und' END AS pred FROM sc)
+SELECT lang, pred, count(*) AS cnt FROM pred_t GROUP BY lang, pred
+"""
+
+
+Q_LANG_ID_SQL = _lang_id_sql()
+
+
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash document fingerprints."""
+    """Rolling-hash document fingerprints (winnowing-lite sketch),
+    hash-checked: the dual mod-(2^31-1) Rabin-Karp scheme keeps every
+    intermediate in int64 in both numpy and DuckDB (text.py FP_*)."""
     from osmray.text import rolling_fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1391,6 +1427,36 @@ def q_fingerprint(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fp)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB twin of text.rolling_fingerprint for ASCII corpora
+    (ord == utf-8 byte; testdata min doc length 47 >= the 16-byte
+    window, so the short-doc fallback never fires)."""
+    from osmray.text import FP_B1, FP_B2, FP_MOD, FP_WINDOW
+
+    def poly(base: int) -> str:
+        return " + ".join(
+            f"ord(substr(text, p + {t}, 1))::BIGINT * {pow(base, FP_WINDOW - 1 - t, FP_MOD)}"
+            for t in range(FP_WINDOW)
+        )
+
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - {FP_WINDOW - 1}))::BIGINT AS p
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+    ({poly(FP_B1)}) % {FP_MOD} AS h1,
+    ({poly(FP_B2)}) % {FP_MOD} AS h2
+  FROM pos
+)
+SELECT doc_id, min(h1 * {1 << 31} + h2) AS fingerprint FROM win GROUP BY doc_id
+"""
+
+
+Q_FINGERPRINT_SQL = _fingerprint_sql()
 
 
 def q_embedding_dups(sf_dir: str):
@@ -1897,8 +1963,8 @@ def registry():
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
         "q_minhash_lsh": (q_minhash_lsh, None),
         "q_simhash": (q_simhash, None),
-        "q_lang_id": (q_lang_id, None),
-        "q_fingerprint": (q_fingerprint, None),
+        "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+        "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
         "q_embedding_dups": (q_embedding_dups, None),
         "q_lsh_ann": (q_lsh_ann, None),
         "q_image_label_job": (q_image_label_job, None),

@@ -78,26 +78,68 @@ def lang_id(texts: list[str]) -> list[str]:
     return out
 
 
-def rolling_fingerprint(texts: list[str], window: int = 16) -> np.ndarray:
-    """Document fingerprint: min of a Rabin-Karp rolling hash over
-    byte windows (a winnowing-lite sketch; equal for equal documents,
-    robust to position shifts of shared substrings)."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    pw = pow(BASE, window - 1, MOD)
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        b = s.encode("utf-8")
-        if len(b) < window:
-            out[i] = int(hashlib.md5(b).hexdigest()[:15], 16)
-            continue
-        h = 0
-        best = MOD
-        for j, ch in enumerate(b):
-            if j >= window:
-                h = (h - b[j - window] * pw) % MOD
-            h = (h * BASE + ch) % MOD
-            if j >= window - 1 and h < best:
-                best = h
-        out[i] = best
+# Rabin-Karp fingerprint parameters, shared with the DuckDB oracle
+# (osmray/queries.py Q_FINGERPRINT_SQL): two independent polynomial
+# hashes mod a 31-bit prime, combined into one 62-bit value, so every
+# intermediate fits int64 in BOTH numpy and SQL (a 61-bit Mersenne
+# modulus would overflow int64 under vectorized products).
+FP_MOD = (1 << 31) - 1
+FP_B1 = 257
+FP_B2 = 263
+FP_WINDOW = 16
+
+
+def rolling_fingerprint(texts: list[str], window: int = FP_WINDOW) -> np.ndarray:
+    """Document fingerprint: min over byte windows of a combined
+    62-bit Rabin-Karp hash (a winnowing-lite sketch; equal for equal
+    documents, robust to position shifts of shared substrings).
+
+    combined(p) = h1(p) * 2^31 + h2(p), where
+    hK(p) = sum_t byte[p+t] * B_K^(window-1-t)  mod (2^31 - 1);
+    fingerprint = min_p combined(p). Vectorized: ONE set of shifted
+    int64 products over the batch's concatenated byte stream. For
+    ASCII text this equals the SQL twin exactly (ord == byte);
+    documents shorter than the window fall back to hashing their
+    full length (absent from the testdata: min doc length 47)."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    pw1 = np.array([pow(FP_B1, window - 1 - t, FP_MOD) for t in range(window)], dtype=np.int64)
+    pw2 = np.array([pow(FP_B2, window - 1 - t, FP_MOD) for t in range(window)], dtype=np.int64)
+    bufs = [s.encode("utf-8") for s in texts]
+    lens = np.asarray([len(b) for b in bufs], dtype=np.int64)
+    short = lens < window
+    for i in np.flatnonzero(short):
+        b = np.frombuffer(bufs[i], dtype=np.uint8).astype(np.int64)
+        h1 = 0
+        h2 = 0
+        for c in b:
+            h1 = (h1 * FP_B1 + int(c)) % FP_MOD
+            h2 = (h2 * FP_B2 + int(c)) % FP_MOD
+        out[i] = h1 * (1 << 31) + h2
+    sel = np.flatnonzero(~short)
+    if not len(sel):
+        return out
+    C = np.frombuffer(b"".join(bufs[i] for i in sel), dtype=np.uint8).astype(np.int64)
+    slens = lens[sel]
+    nw = slens - window + 1  # windows per doc
+    # per-window sums via `window` shifted adds: max term 255 * 2^31,
+    # summed over 16 taps < 2^43 — safely int64, one mod at the end
+    m = len(C) - window + 1
+    h1 = np.zeros(m, dtype=np.int64)
+    h2 = np.zeros(m, dtype=np.int64)
+    for t in range(window):
+        seg = C[t : t + m]
+        h1 += seg * pw1[t]
+        h2 += seg * pw2[t]
+    h1 %= FP_MOD
+    h2 %= FP_MOD
+    comb = h1 * (1 << 31) + h2
+    # valid (non-boundary-crossing) window starts per doc
+    starts = np.concatenate(([0], np.cumsum(slens)[:-1]))
+    total = int(nw.sum())
+    woff = np.concatenate(([0], np.cumsum(nw)[:-1]))
+    pos = (np.arange(total) - np.repeat(woff, nw)) + np.repeat(starts, nw)
+    out[sel] = np.minimum.reduceat(comb[pos], woff)
     return out

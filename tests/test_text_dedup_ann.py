@@ -44,14 +44,36 @@ def test_lang_id_heuristic():
     assert preds[2] == "und"
 
 
+def _scalar_fingerprint(s: str) -> int:
+    # deliberately naive per-window reference of the documented scheme
+    b = s.encode("utf-8")
+    w, M = text.FP_WINDOW, text.FP_MOD
+    best = None
+    for p in range(len(b) - w + 1):
+        h1 = h2 = 0
+        for c in b[p : p + w]:
+            h1 = (h1 * text.FP_B1 + c) % M
+            h2 = (h2 * text.FP_B2 + c) % M
+        v = h1 * (1 << 31) + h2
+        best = v if best is None or v < best else best
+    return best
+
+
 def test_fingerprint_properties():
     a = "the quick brown fox jumps over the lazy dog " * 3
-    b = "PREFIX " + a  # shared content, shifted position
+    b = "PREFIX " + a  # windows(a) subset of windows(b)
     c = "completely different content with other words entirely"
     fa, fb, fc = text.rolling_fingerprint([a, b, c])
     assert fa == text.rolling_fingerprint([a])[0]  # deterministic
-    assert fa == fb  # min rolling hash robust to shift
+    assert fb <= fa  # min over a SUPERSET of windows can only drop
     assert fa != fc
+    # the vectorized batch kernel equals the scalar definition
+    assert fa == _scalar_fingerprint(a)
+    assert fb == _scalar_fingerprint(b)
+    assert fc == _scalar_fingerprint(c)
+    # a shared min-window propagates: appending content that hashes
+    # higher leaves the fingerprint unchanged
+    assert text.rolling_fingerprint([a + " zz"])[0] <= fa
     short = text.rolling_fingerprint(["tiny"])[0]
     assert isinstance(int(short), int)
 
