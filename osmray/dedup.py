@@ -21,46 +21,91 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_WORDS = re.compile(r"\w+", re.UNICODE)
+# ---------------------------------------------------------------------------
+# Hash kernels — every constant and every intermediate is chosen so the
+# SAME arithmetic is expressible in int64 DuckDB SQL (Q_SIMHASH_SQL /
+# Q_MINHASH_LSH_SQL in osmray/queries.py hash-check these end-to-end):
+# ASCII tokenization (RE2-compatible), dual polynomial token hashes mod
+# a 31-bit prime combined into one 62-bit value, shingle / permutation /
+# band arithmetic all mod the same prime with products < 2^62.
+# ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_TOKEN = re.compile(r"[a-z0-9_]+")  # over lower(text); ASCII = RE2-safe
+
+HASH_MOD = (1 << 31) - 1  # 31-bit prime: a*b < 2^62 stays in int64
+HASH_B1 = 257
+HASH_B2 = 263
+TOKEN_CLIP = 64  # hash at most this many chars per token (SQL: substr)
+_SHINGLE_MIX = (1000003, 999983, 999979, 999961, 999959)
+_BAND_R = 1000033  # band-bucket polynomial base
+_PAD_EMPTY = 1  # token-hash padding: no-token doc -> [1]
+_PAD_SHORT = 17  # then pad to >= k with 17s (never hit on testdata)
 
 
-_SHINGLE_MIX = (
-    np.uint64(0x9E3779B97F4A7C15),
-    np.uint64(0xC2B2AE3D27D4EB4F),
-    np.uint64(0x165667B19E3779F9),
-    np.uint64(0x27D4EB2F165667C5),
-    np.uint64(0x85EBCA6B27D4EB4F),
-)
+def _tokens(text: str) -> list[str]:
+    return [t[:TOKEN_CLIP] for t in _TOKEN.findall(text.lower())]
+
+
+def _pow_table(base: int, n: int) -> np.ndarray:
+    out = np.empty(max(n, 1), dtype=np.int64)
+    out[0] = 1
+    for i in range(1, len(out)):
+        out[i] = (out[i - 1] * base) % HASH_MOD
+    return out
+
+
+def _token_hash_concat(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All texts' token hashes as ONE vectorized pass: returns
+    (tokens-per-text, concat h1, concat h62) where
+    h1 = polynomial hash of the token's chars base HASH_B1 mod
+    HASH_MOD (== the SQL list_reduce (acc*B + ord) % M) and
+    h62 = h1 * 2^31 + h2 (base HASH_B2) — a 62-bit combined hash."""
+    tok_lists = [_tokens(t) for t in texts]
+    lens = np.asarray([len(lst) for lst in tok_lists], dtype=np.int64)
+    all_toks = [t for lst in tok_lists for t in lst]
+    if not all_toks:
+        z = np.zeros(0, dtype=np.int64)
+        return lens, z, z
+    bl = np.asarray([len(t) for t in all_toks], dtype=np.int64)
+    C = np.frombuffer("".join(all_toks).encode("ascii"), dtype=np.uint8).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+    off = np.arange(len(C), dtype=np.int64) - np.repeat(starts, bl)
+    pidx = np.repeat(bl, bl) - 1 - off  # power of the char's position
+    mx = int(bl.max())
+    pw1 = _pow_table(HASH_B1, mx)
+    pw2 = _pow_table(HASH_B2, mx)
+    # term < 255 * 2^31; per-token sum over <= TOKEN_CLIP taps < 2^45
+    h1 = np.add.reduceat(C * pw1[pidx], starts) % HASH_MOD
+    h2 = np.add.reduceat(C * pw2[pidx], starts) % HASH_MOD
+    return lens, h1, h1 * (1 << 31) + h2
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    import zlib
-
-    toks = _WORDS.findall(text.lower())
-    return np.asarray(
-        [zlib.crc32(t.encode()) * 2654435761 + len(t) for t in toks], dtype=np.uint64
-    )
+    """62-bit combined token hashes of one text."""
+    _, _, h62 = _token_hash_concat([text])
+    return h62
 
 
-def _padded_token_hashes(text: str, k: int) -> np.ndarray:
-    th = _token_hashes(text)
-    if len(th) == 0:
-        th = np.asarray([np.uint64(1)], dtype=np.uint64)
-    if len(th) < k:
-        th = np.concatenate([th, np.full(k - len(th), np.uint64(17), dtype=np.uint64)])
-    return th
+def _padded_h1(h1: np.ndarray, k: int) -> np.ndarray:
+    if len(h1) == 0:
+        h1 = np.asarray([_PAD_EMPTY], dtype=np.int64)
+    if len(h1) < k:
+        h1 = np.concatenate([h1, np.full(k - len(h1), _PAD_SHORT, dtype=np.int64)])
+    return h1
+
+
+def _shingles_from_h1(h1pad: np.ndarray, k: int) -> np.ndarray:
+    """k-token shingle hashes from the padded h1 stream: sum of
+    position-mixed products mod the prime (products < 2^51)."""
+    acc = np.zeros(len(h1pad) - k + 1, dtype=np.int64)
+    for j in range(k):
+        acc = (acc + (h1pad[j : len(h1pad) - k + 1 + j] * _SHINGLE_MIX[j % 5]) % HASH_MOD) % HASH_MOD
+    return acc
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles, vectorized: per-token crc32 mixed with
-    position-in-shingle constants and summed across the window."""
-    th = _padded_token_hashes(text, k)
-    acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
-    for j in range(k):
-        acc = acc * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j] * _SHINGLE_MIX[j % 5]
-    return acc
+    _, h1, _ = _token_hash_concat([text])
+    return _shingles_from_h1(_padded_h1(h1, k), k)
 
 
 _MH_A = None
@@ -71,109 +116,102 @@ def _mh_coeffs(n: int):
     global _MH_A, _MH_B
     if _MH_A is None or len(_MH_A) < n:
         rng = np.random.default_rng(2024)
-        _MH_A = rng.integers(1, _MERSENNE, n, dtype=np.int64).astype(np.uint64)
-        _MH_B = rng.integers(0, _MERSENNE, n, dtype=np.int64).astype(np.uint64)
+        _MH_A = rng.integers(1, HASH_MOD, n, dtype=np.int64)
+        _MH_B = rng.integers(0, HASH_MOD, n, dtype=np.int64)
     return _MH_A[:n], _MH_B[:n]
 
 
 def minhash_signature(text: str, n_hashes: int = 64, k: int = 3) -> np.ndarray:
-    """n-permutation minhash over k-word shingles (uint64 stored as
-    int64)."""
+    """n-permutation minhash over k-token shingles: universal hashing
+    (a*sh + b) mod the 31-bit prime (products < 2^62: int64-safe)."""
     sh = _shingle_hashes(text, k)
     a, b = _mh_coeffs(n_hashes)
-    # (shingles, perms) universal hashing mod Mersenne prime
-    vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-    return vals.min(axis=0).astype(np.int64)
+    vals = (sh[:, None] * a[None, :] + b[None, :]) % HASH_MOD
+    return vals.min(axis=0)
 
 
 def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> np.ndarray:
-    """Band the signature for LSH: one bucket hash per band."""
+    """Band the signature for LSH: one bucket value per band — the
+    band's rows combined with a polynomial mod the prime."""
     rows = len(sig) // n_bands
-    s = np.asarray(sig, dtype=np.int64).astype(np.uint64)[: n_bands * rows].reshape(n_bands, rows)
-    out = np.full(n_bands, 1469598103934665603, dtype=np.uint64)
-    for j in range(rows):
-        out = (out ^ s[:, j]) * np.uint64(1099511628211)
-    return out.astype(np.int64)
+    s = np.asarray(sig, dtype=np.int64)[: n_bands * rows].reshape(n_bands, rows)
+    rp = _pow_table(_BAND_R, rows)[::-1].copy()  # R^(rows-1) .. R^0
+    return ((s * rp[None, :]) % HASH_MOD).sum(axis=1) % HASH_MOD
 
 
 def simhash64(text: str) -> np.int64:
-    """64-bit simhash over word unigrams (vectorized bit voting)."""
+    """62-bit simhash over word unigrams (bit-majority vote of the
+    62-bit combined token hashes; name kept for API stability)."""
     th = _token_hashes(text)
     if len(th) == 0:
         return np.int64(0)
-    # spread crc-based token hashes across 64 bits via splitmix-ish mix
-    v = th * np.uint64(0x9E3779B97F4A7C15)
-    v ^= v >> np.uint64(29)
-    v *= np.uint64(0xBF58476D1CE4E5B9)
-    v ^= v >> np.uint64(32)
-    bits = (v[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    v = th.astype(np.uint64)
+    bits = (v[:, None] >> np.arange(62, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    sel = np.flatnonzero(votes > 0)
-    for i in sel:
-        out |= np.uint64(1) << np.uint64(i)
-    return out.astype(np.int64)
+    weights = np.uint64(1) << np.arange(62, dtype=np.uint64)
+    return np.int64(((votes > 0).astype(np.uint64) * weights).sum(dtype=np.uint64))
 
 
 def minhash_signatures(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
     """Batch minhash: identical output to ``minhash_signature`` per
     text, computed as ONE set of vector ops over the concatenated
-    token stream (reduceat per doc) — no per-doc numpy-call overhead
-    in the hot ``map_batches`` path."""
+    token stream (reduceat per doc)."""
     if not len(texts):
         return np.zeros((0, n_hashes), dtype=np.int64)
-    ths = [_padded_token_hashes(t, k) for t in texts]
-    lens = np.asarray([len(t) for t in ths], dtype=np.int64)
-    TH = np.concatenate(ths)
-    n = len(TH)
-    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    lens, h1, _ = _token_hash_concat(texts)
+    # per-doc padded h1 streams, concatenated (padding per doc keeps
+    # shingles from crossing doc boundaries)
+    parts = []
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    for i in range(len(lens)):
+        parts.append(_padded_h1(h1[starts[i] : starts[i] + lens[i]], k))
+    plens = np.asarray([len(p) for p in parts], dtype=np.int64)
+    H = np.concatenate(parts)
+    n = len(H)
+    acc = np.zeros(n - k + 1, dtype=np.int64)
     for j in range(k):
-        acc = acc * np.uint64(1099511628211) + TH[j : n - k + 1 + j] * _SHINGLE_MIX[j % 5]
-    # valid (non-boundary-crossing) window starts per doc
-    tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    n_sh = lens - k + 1  # >= 1: _padded_token_hashes pads to >= k tokens
+        acc = (acc + (H[j : n - k + 1 + j] * _SHINGLE_MIX[j % 5]) % HASH_MOD) % HASH_MOD
+    tok_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
+    n_sh = plens - k + 1  # >= 1 by padding
     total = int(n_sh.sum())
     sh_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
     pos = (np.arange(total) - np.repeat(sh_off, n_sh)) + np.repeat(tok_starts, n_sh)
     sh = acc[pos]
     a, b = _mh_coeffs(n_hashes)
-    vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-    return np.minimum.reduceat(vals, sh_off, axis=0).astype(np.int64)
+    vals = (sh[:, None] * a[None, :] + b[None, :]) % HASH_MOD
+    return np.minimum.reduceat(vals, sh_off, axis=0)
 
 
 def minhash_bands_batch(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
-    """(n, n_hashes) signatures -> (n, n_bands) bucket hashes;
+    """(n, n_hashes) signatures -> (n, n_bands) bucket values;
     identical per row to ``minhash_bands``."""
     rows = sigs.shape[1] // n_bands
-    s = sigs.astype(np.uint64)[:, : n_bands * rows].reshape(len(sigs), n_bands, rows)
-    out = np.full((len(sigs), n_bands), 1469598103934665603, dtype=np.uint64)
-    for j in range(rows):
-        out = (out ^ s[:, :, j]) * np.uint64(1099511628211)
-    return out.astype(np.int64)
+    s = np.asarray(sigs, dtype=np.int64)[:, : n_bands * rows].reshape(len(sigs), n_bands, rows)
+    rp = _pow_table(_BAND_R, rows)[::-1].copy()
+    return ((s * rp[None, None, :]) % HASH_MOD).sum(axis=2) % HASH_MOD
 
 
 def simhash64_batch(texts) -> np.ndarray:
-    """Batch simhash64: identical per text to ``simhash64``, one
+    """Batch simhash: identical per text to ``simhash64``, one
     reduceat over the concatenated token stream."""
     out = np.zeros(len(texts), dtype=np.int64)
     if not len(texts):
         return out
-    ths = [_token_hashes(t) for t in texts]
-    lens = np.asarray([len(t) for t in ths], dtype=np.int64)
+    lens, _, h62 = _token_hash_concat(texts)
     nonempty = np.flatnonzero(lens > 0)
     if len(nonempty) == 0:
         return out
-    TH = np.concatenate([ths[i] for i in nonempty])
-    v = TH * np.uint64(0x9E3779B97F4A7C15)
-    v ^= v >> np.uint64(29)
-    v *= np.uint64(0xBF58476D1CE4E5B9)
-    v ^= v >> np.uint64(32)
-    bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    keep = np.concatenate(
+        [np.arange(starts[i], starts[i] + lens[i]) for i in nonempty]
+    )
+    v = h62[keep].astype(np.uint64)
+    bits = ((v[:, None] >> np.arange(62, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
     offs = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
     votes = 2 * np.add.reduceat(bits, offs, axis=0) - lens[nonempty][:, None]
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(62, dtype=np.uint64)
     sig = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonempty] = sig.astype(np.int64)
     return out

@@ -1349,7 +1349,10 @@ def q_minhash_lsh(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """64-bit simhash signatures per document."""
+    """62-bit simhash signatures per document, hash-checked: the
+    token hash is a dual 31-bit polynomial (dedup.HASH_*) that DuckDB
+    recomputes with list_reduce, and the bit-majority vote is an
+    integer groupby — bit-exact across engines for ASCII corpora."""
     from osmray.dedup import simhash64_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1359,6 +1362,128 @@ def q_simhash(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sigs)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _h1_sql(col: str, base: int) -> str:
+    """The SQL twin of a dedup.py polynomial token hash: forward
+    (acc * base + ord(char)) %% HASH_MOD over the clipped token."""
+    from osmray.dedup import HASH_MOD, TOKEN_CLIP
+
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"regexp_extract_all(substr({col}, 1, {TOKEN_CLIP}), '.'), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {base} + c) % {HASH_MOD})"
+    )
+
+
+_TOK_SQL = (
+    "SELECT x.doc_id, u.i, u.tok FROM "
+    "(SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS lst FROM documents) x, "
+    "LATERAL (SELECT unnest(lst) AS tok, unnest(generate_series(1, len(lst))) AS i) u"
+)
+
+
+def _simhash_sql() -> str:
+    from osmray.dedup import HASH_B1, HASH_B2
+
+    bits = list(range(62))
+    blist = ", ".join(str(b) for b in bits)
+    plist = ", ".join(str(1 << b) for b in bits)
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+h AS (
+  SELECT doc_id,
+    {_h1_sql('tok', HASH_B1)} * 2147483648 + {_h1_sql('tok', HASH_B2)} AS h62
+  FROM tok
+),
+bt AS (SELECT unnest([{blist}])::BIGINT AS b, unnest([{plist}])::BIGINT AS p),
+votes AS (
+  SELECT h.doc_id, bt.b, bt.p,
+    sum(CASE WHEN (h.h62 // bt.p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, bt GROUP BY h.doc_id, bt.b, bt.p
+),
+sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash FROM votes GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+"""
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
+def _minhash_lsh_sql(n_hashes: int = 64, n_bands: int = 16, k: int = 3,
+                     max_bucket: int = 64, threshold: float = 0.5) -> str:
+    """DuckDB twin of the FULL minhash-LSH near-dup pipeline
+    (dedup.minhash_lsh_candidates -> verify_pairs_joined): token
+    hashes, k-token shingles, the 64 seeded universal-hash
+    permutations as literal columns, banded bucket polynomials, the
+    max_bucket degenerate-bucket drop, band-hit counts, and exact
+    shingle-set Jaccard verification. Docs with < k tokens produce no
+    shingles here (the engine pads; absent from the testdata)."""
+    from osmray.dedup import (
+        HASH_B1,
+        HASH_MOD,
+        _BAND_R,
+        _mh_coeffs,
+        _SHINGLE_MIX,
+    )
+
+    a, b = _mh_coeffs(n_hashes)
+    rows = n_hashes // n_bands
+    rp = [pow(_BAND_R, rows - 1 - r, HASH_MOD) for r in range(rows)]
+    rp_case = " ".join(
+        f"WHEN {r} THEN {rp[r]}" for r in range(rows)
+    )
+    mix = [_SHINGLE_MIX[j % 5] for j in range(k)]
+    sh_terms = " + ".join(
+        f"(t{j}.h1 * {mix[j]}) % {HASH_MOD}" for j in range(k)
+    )
+    sh_joins = " ".join(
+        f"JOIN tokh t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.i = t0.i + {j}"
+        for j in range(1, k)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+tokh AS (SELECT doc_id, i, {_h1_sql('tok', HASH_B1)} AS h1 FROM tok),
+sh AS (
+  SELECT t0.doc_id, ({sh_terms}) % {HASH_MOD} AS sh
+  FROM tokh t0 {sh_joins}
+),
+ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+perm AS (SELECT unnest([{', '.join(str(x) for x in a.tolist())}])::BIGINT AS pa,
+                unnest([{', '.join(str(x) for x in b.tolist())}])::BIGINT AS pb,
+                unnest(generate_series(0, {n_hashes - 1}))::BIGINT AS pi),
+mh AS (
+  SELECT ds.doc_id, perm.pi, min((ds.sh * perm.pa + perm.pb) % {HASH_MOD}) AS m
+  FROM ds, perm GROUP BY ds.doc_id, perm.pi
+),
+band AS (
+  SELECT doc_id, pi // {rows} AS band,
+    sum((m * CASE pi % {rows} {rp_case} END) % {HASH_MOD}) % {HASH_MOD} AS bucket
+  FROM mh GROUP BY doc_id, pi // {rows}
+),
+bsz AS (SELECT band, bucket, count(DISTINCT doc_id) AS n FROM band GROUP BY band, bucket),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.band
+  FROM band x JOIN band y ON y.band = x.band AND y.bucket = x.bucket AND x.doc_id < y.doc_id
+  JOIN bsz ON bsz.band = x.band AND bsz.bucket = x.bucket AND bsz.n <= {max_bucket}
+),
+pairs AS (SELECT a, b, count(*) AS n_bands_hit FROM cand GROUP BY a, b),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM pairs p JOIN ds da ON da.doc_id = p.a JOIN ds db ON db.doc_id = p.b AND db.sh = da.sh
+  GROUP BY p.a, p.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id)
+SELECT p.a, p.b, p.n_bands_hit,
+  CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+FROM pairs p JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {threshold}
+"""
+
+
+Q_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def q_lang_id(sf_dir: str):
@@ -1961,8 +2086,8 @@ def registry():
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
-        "q_minhash_lsh": (q_minhash_lsh, None),
-        "q_simhash": (q_simhash, None),
+        "q_minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
+        "q_simhash": (q_simhash, Q_SIMHASH_SQL),
         "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
         "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
         "q_embedding_dups": (q_embedding_dups, None),
