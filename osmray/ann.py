@@ -225,3 +225,309 @@ class LshIndexStage:
                 "rank": pa.array(out_r, pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: distributed k-means -> coarse lists -> probe
+# ---------------------------------------------------------------------------
+
+
+def _merge_topk(partials, query_ids: np.ndarray, k: int, id_col: str):
+    """Tiny global merge shared by the ANN variants: per-block partial
+    top-k rows (q * k per block) -> final (query_id, vec_id, cosine,
+    rank) with (cosine desc, id asc) tie-breaking."""
+    import pandas as pd
+
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["query_id"] = qid_arr[g["query_id"].to_numpy()]
+        return g[["query_id", id_col, "cosine", "rank"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+
+
+def kmeans_fit(emb_ds, n_centroids: int = 16, n_iters: int = 5,
+               id_col="vec_id", vec_col="embedding") -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's on the unit sphere) —
+    the IVF coarse quantizer. Everything that crosses the wire is
+    O(n_centroids * dim):
+
+    - init: the ``n_centroids`` vectors with the smallest mixed id
+      hash — per-block partial candidates (<= n_centroids rows each),
+      one mid-level combine, tiny driver merge; deterministic, no
+      RNG, no corpus pass beyond the streaming read;
+    - each iteration: ONE streaming pass — ``map_batches`` emits
+      per-centroid partial (count, sum-vector-bytes) rows, a bounded
+      combine tree reduces them, the driver renormalizes. Empty
+      clusters keep their previous centroid.
+
+    Deterministic given the block partitioning (init is RNG-free and
+    assignment ties break by centroid index); across DIFFERENT
+    partitionings the centroids agree to summation-order float noise
+    (~1e-15), which the pytest pins.
+
+    Returns the (n_centroids, dim) unit-norm centroid matrix."""
+    import ray
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "vec": pa.array([], pa.binary())})
+        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        h = (ids * 2654435761) % (1 << 32)
+        top = np.argsort(h, kind="stable")[:n_centroids]
+        return pa.table(
+            {
+                "h": pa.array(h[top]),
+                "vec": pa.array([m[i].tobytes() for i in top], pa.binary()),
+            }
+        )
+
+    cands = emb_ds.map_batches(cand, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: r["h"])
+    seeds = cands[:n_centroids]
+    cent = _norm_rows(np.stack([np.frombuffer(r["vec"], dtype=np.float64) for r in seeds]))
+    dim = cent.shape[1]
+
+    for _ in range(n_iters):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            if len(m) == 0:
+                return pa.table(
+                    {"list_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
+                     "acc": pa.array([], pa.binary())}
+                )
+            mn = _norm_rows(m)
+            a = np.argmax(mn @ c.T, axis=1)
+            order = np.argsort(a, kind="stable")
+            asrt = a[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(asrt)) + 1, [len(asrt)]))
+            lids, cnts, accs = [], [], []
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                lids.append(int(asrt[lo]))
+                cnts.append(hi - lo)
+                accs.append(mn[order[lo:hi]].sum(axis=0).tobytes())
+            return pa.table(
+                {"list_id": pa.array(lids, pa.int64()), "cnt": pa.array(cnts, pa.int64()),
+                 "acc": pa.array(accs, pa.binary())}
+            )
+
+        def combine(batch: pa.Table) -> pa.Table:
+            lid = batch["list_id"].to_numpy(zero_copy_only=False)
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+            if len(lid) == 0:
+                return batch
+            acc = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in batch["acc"].to_pylist()]
+            )
+            order = np.argsort(lid, kind="stable")
+            ls = lid[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(ls)) + 1, [len(ls)]))
+            lids, cnts, accs = [], [], []
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                lids.append(int(ls[lo]))
+                cnts.append(int(cnt[order[lo:hi]].sum()))
+                accs.append(acc[order[lo:hi]].sum(axis=0).tobytes())
+            return pa.table(
+                {"list_id": pa.array(lids, pa.int64()), "cnt": pa.array(cnts, pa.int64()),
+                 "acc": pa.array(accs, pa.binary())}
+            )
+
+        parts = (
+            emb_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(4)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        new = cent.copy()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in parts:
+            n0, s0 = agg.get(r["list_id"], (0, np.zeros(dim)))
+            agg[r["list_id"]] = (n0 + r["cnt"], s0 + np.frombuffer(r["acc"], dtype=np.float64))
+        for lid, (n, s) in agg.items():
+            if n > 0:
+                new[lid] = s / n
+        cent = _norm_rows(new)
+    return cent
+
+
+def ivf_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
+                 centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+                 id_col="vec_id", vec_col="embedding"):
+    """IVF ANN, corpus-streaming: each batch assigns its vectors to
+    coarse lists (one matmul against the broadcast centroids), keeps
+    only vectors whose list is probed by some query (each query
+    probes its ``n_probe`` nearest centroid lists), and emits partial
+    top-k rows; a tiny global merge follows. Only the query matrix +
+    centroid matrix + list->queries table are broadcast."""
+    import ray
+
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(n_probe, len(cn))
+    qsims = qn @ cn.T
+    probe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+    list2q: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for lid in probe[qi]:
+            list2q.setdefault(int(lid), []).append(qi)
+    ref = ray.put((qn, cn, list2q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, c, l2q = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if len(ids) == 0:
+            return empty
+        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        a = np.argmax(m @ c.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for lid in np.unique(a):
+            probers = l2q.get(int(lid))
+            if not probers:
+                continue
+            rows = np.flatnonzero(a == lid)
+            sims = m[rows] @ q[probers].T
+            kk = min(k, len(rows))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j, qi in enumerate(probers):
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_v.append(ids[rows[top[:, j]]])
+                out_c.append(sims[top[:, j], j])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_topk(partials, query_ids, k, id_col)
+
+
+def ivf_partition(emb_ds, centroids: np.ndarray, root: str | None = None,
+                  id_col="vec_id", vec_col="embedding") -> str:
+    """Materialize the IVF layout: vectors spill into one directory
+    per coarse list straight from ``map_batches`` (the grace pattern —
+    no shuffle), giving a STANDING index searches read selectively.
+    Returns the layout root."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from osmray.joins import _cleanup_at_exit
+
+    if root is None:
+        root = tempfile.mkdtemp(prefix="osmray_ivf_")
+        _cleanup_at_exit(root)
+    cref = ray.put(_norm_rows(np.asarray(centroids, dtype=np.float64)))
+
+    def spill(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"list_id": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
+        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        a = np.argmax(m @ c.T, axis=1)
+        order = np.argsort(a, kind="stable")
+        asrt = a[order]
+        t = batch.take(pa.array(order))
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(asrt)) + 1, [len(asrt)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(root, f"list={int(asrt[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"list_id": int(asrt[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
+
+    emb_ds.map_batches(spill, batch_format="pyarrow", batch_size=None).count()
+    return root
+
+
+def ivf_search_partitioned(root: str, query_ids: np.ndarray, queries: np.ndarray,
+                           centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+                           id_col="vec_id", vec_col="embedding"):
+    """Search the materialized IVF layout: one task per PROBED list
+    reads only that list's fragments (<= q * n_probe lists touched —
+    the selective-read path a standing 100-TB index wants). Results
+    match ``ivf_ann_topk`` exactly (same assignment, probes and
+    tie-breaking)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(n_probe, len(cn))
+    probe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    list2q: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for lid in probe[qi]:
+            list2q.setdefault(int(lid), []).append(qi)
+    qref = ray.put(qn)
+
+    def search(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        out_q, out_v, out_c = [], [], []
+        for lid, probers_json in zip(batch["list_id"].to_pylist(), batch["probers"].to_pylist()):
+            probers = [int(x) for x in probers_json]
+            files = sorted(glob.glob(os.path.join(root, f"list={lid}", "block-*.parquet")))
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f, columns=[id_col, vec_col]) for f in files])
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _norm_rows(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+            sims = m @ q[probers].T
+            kk = min(k, len(ids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j, qi in enumerate(probers):
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_v.append(ids[top[:, j]])
+                out_c.append(sims[top[:, j], j])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    work = ray.data.from_items(
+        [{"list_id": lid, "probers": qis} for lid, qis in sorted(list2q.items())]
+    )
+    partials = work.map_batches(search, batch_format="pyarrow", batch_size=1)
+    return _merge_topk(partials, query_ids, k, id_col)

@@ -1585,17 +1585,46 @@ Q_FINGERPRINT_SQL = _fingerprint_sql()
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs. The synthetic embeddings have
-    no true dups (max pairwise cosine ~0.51), so the demo threshold is
+    """Embedding-cosine near-dup pairs, hash-checked vs a DuckDB
+    list_cosine_similarity twin. The synthetic embeddings have no
+    true dups (max pairwise cosine ~0.6), so the demo threshold is
     0.45, which routes to the exact distributed grid mode (spilled
     hash groups + one task per group-pair, no driver materialization);
     production dedup at ~0.95 routes to the LSH-bucketed mode
-    (exercised with injected dups in pytest)."""
+    (exercised with injected dups in pytest).
+
+    Cross-engine exactness: the engines sum the 64-dim dot products
+    in different orders (~1e-16 divergence), so the query emits the
+    cosine quantized to milli-units (floor(c*1000 + 0.5)); on this
+    data the nearest output pair is 4.9e-7 cosine from a quantization
+    boundary and 1e-4 from the threshold — 9+ orders above the noise."""
     from osmray.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(
+    pairs = embedding_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45
     )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "cos_mil": pa.array(np.floor(c * 1000.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return pairs.map_batches(quant, batch_format="pyarrow")
+
+
+Q_EMBEDDING_DUPS_SQL = """
+WITH p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.embedding, y.embedding) AS c
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+)
+SELECT a, b, CAST(floor(c * 1000 + 0.5) AS BIGINT) AS cos_mil FROM p WHERE c >= 0.45
+"""
 
 
 def q_lsh_ann(sf_dir: str):
@@ -1616,6 +1645,30 @@ def q_lsh_ann(sf_dir: str):
     qids = qt["vec_id"].to_numpy(dtype=np.int64)
     qmat = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
     return lsh_ann_topk(emb, qids, qmat, k=10)
+
+
+def q_ivf_ann(sf_dir: str):
+    """IVF ANN for the same 5 queries as q_ann_topk/q_lsh_ann: a
+    distributed spherical k-means fits the coarse quantizer (one
+    streaming pass per iteration, only O(centroids x dim) partial
+    sums cross the wire), then the corpus streams through
+    list-routed partial top-k tasks. Rows-only here (iterative float
+    k-means is not SQL-expressible); recall and the
+    partitioned-layout parity are pytest-locked."""
+    import pyarrow.compute as pc
+
+    from osmray.ann import ivf_ann_topk, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        ).to_pandas()
+    )  # bounded: exactly the 5 query rows
+    qids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
+    cent = kmeans_fit(emb, n_centroids=16, n_iters=3)
+    return ivf_ann_topk(emb, qids, qmat, cent, k=10, n_probe=4)
 
 
 def q_image_label_job(sf_dir: str):
@@ -2090,8 +2143,9 @@ def registry():
         "q_simhash": (q_simhash, Q_SIMHASH_SQL),
         "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
         "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
-        "q_embedding_dups": (q_embedding_dups, None),
+        "q_embedding_dups": (q_embedding_dups, Q_EMBEDDING_DUPS_SQL),
         "q_lsh_ann": (q_lsh_ann, None),
+        "q_ivf_ann": (q_ivf_ann, None),
         "q_image_label_job": (q_image_label_job, None),
         "q_expand_crops": (q_expand_crops, None),
         "q_roofshapes": (q_roofshapes, None),

@@ -353,3 +353,63 @@ def test_grouped_topk_sorted_equals_combiner(ray_session):
         .to_pandas()[cols].sort_values(["o_custkey", "rank"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_ivf_kmeans_and_search(ray_session):
+    import ray.data
+
+    from osmray.ann import ivf_ann_topk, ivf_partition, ivf_search_partitioned, kmeans_fit
+
+    # clustered corpus (the regime IVF targets)
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((25, 32))
+    mat = np.repeat(centers, 20, axis=0) + 0.15 * rng.standard_normal((500, 32))
+    ids = np.arange(500, dtype=np.int64)
+    items = [{"vec_id": int(i), "embedding": mat[i].tolist()} for i in ids]
+    ds = ray.data.from_items(items).repartition(4)
+
+    cent = kmeans_fit(ds, n_centroids=16, n_iters=4)
+    assert cent.shape == (16, 32)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+    # deterministic: the same partitioning reproduces the centroids
+    # bit-exactly; a different partitioning only reorders float sums
+    cent_same = kmeans_fit(ray.data.from_items(items).repartition(4), n_centroids=16, n_iters=4)
+    np.testing.assert_array_equal(cent, cent_same)
+    cent2 = kmeans_fit(ray.data.from_items(items).repartition(7), n_centroids=16, n_iters=4)
+    np.testing.assert_allclose(cent, cent2, atol=1e-12)
+
+    qids = ids[:5]
+    qmat = mat[:5].astype(np.float64)
+    out = ivf_ann_topk(ds, qids, qmat, cent, k=10, n_probe=4).to_pandas()
+    # self found at rank 1 (its own list is always probed first)
+    r1 = out[out["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["query_id"].to_numpy()).all()
+    # recall vs brute force
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(5):
+        true = set(np.argsort(-(mn @ mn[q]))[:10].tolist())
+        got = set(out[out["query_id"] == q]["vec_id"].tolist())
+        assert len(true & got) >= 8, q
+
+    # the partitioned (standing-index) search returns identical rows
+    root = ivf_partition(ds, cent)
+    out2 = ivf_search_partitioned(root, qids, qmat, cent, k=10, n_probe=4).to_pandas()
+    key = ["query_id", "rank"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    np.testing.assert_array_equal(a["cosine"].to_numpy(), b["cosine"].to_numpy())
+
+
+def test_ivf_more_centroids_than_vectors(ray_session):
+    import ray.data
+
+    from osmray.ann import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((5, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": int(i), "embedding": mat[i].tolist()} for i in range(5)]
+    )
+    cent = kmeans_fit(ds, n_centroids=8, n_iters=2)
+    assert cent.shape[1] == 8 and len(cent) <= 8
