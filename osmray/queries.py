@@ -884,8 +884,12 @@ def q_ann_topk(sf_dir: str):
     import ray
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
     qdf = (
-        emb.filter(lambda r: r["vec_id"] < 5)
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -1270,6 +1274,38 @@ stamped AS (
   FROM walk CROSS JOIN range(0, 2) dx CROSS JOIN range(0, 2) dy
 )
 SELECT x, y FROM stamped WHERE x BETWEEN 0 AND 255 AND y BETWEEN 0 AND 255
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY custom-operator family): every non-purchase
+    event matched to the user's LATEST purchase at or before it, via
+    joins.asof_join (one keyed shuffle + vectorized searchsorted per
+    group). Hash-checked against DuckDB's native ASOF JOIN; the gap
+    is exact integer microseconds."""
+    import pyarrow.compute as pc
+
+    from osmray.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    return asof_join(left, right, on="user_id", ts_col="ts",
+                     left_cols=["event_id"], right_cols=["event_id"])
+
+
+Q_ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type <> 'purchase'),
+r AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.event_id AS state_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
@@ -1843,11 +1879,14 @@ def q_pip(sf_dir: str):
             }
         )
 
+    # clamp the pool UNDER the cluster CPUs: reserving every CPU for
+    # the actor pool starves the upstream read/pts tasks
+    n_act = max(2, int(ray.cluster_resources().get("CPU", 8)) * 3 // 4)
     out = li.map_batches(pts, batch_format="pyarrow").map_batches(
         PipStage,
         fn_constructor_kwargs={"features_ref": feats_ref, "res": 6},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=n_act,
         num_cpus=1,
     )
 
@@ -1944,11 +1983,12 @@ def q_knn_cells(sf_dir: str):
             {"pid": batch["pid"], "lat": pa.array(la), "lng": pa.array(ln)}
         )
 
+    n_act = max(2, int(ray.cluster_resources().get("CPU", 8)) * 3 // 4)
     out = pts.map_batches(to_wgs, batch_format="pyarrow").map_batches(
         KnnStage,
         fn_constructor_kwargs={"features_ref": feats_ref, "k": 3, "res": 6},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=n_act,
         num_cpus=1,
     )
 
@@ -2199,6 +2239,7 @@ def registry():
         "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
+        "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),

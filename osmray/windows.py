@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 
 def _runs(keys: np.ndarray) -> np.ndarray:
@@ -103,7 +104,9 @@ def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1
         )
 
     fixup = (
-        parts.filter(lambda r: not r["complete"])
+        parts.map_batches(
+            lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
+        )
         .groupby(key)
         .map_groups(merge, batch_format="pandas")
     )
@@ -203,7 +206,9 @@ def running_sum_sorted(ds, key: str = "user_id", ts: str = "ts", id_col: str = "
         )
 
     fixup = (
-        parts.filter(lambda r: not r["complete"])
+        parts.map_batches(
+            lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
+        )
         .groupby(key)
         .map_groups(emit, batch_format="pandas")
     )
@@ -284,7 +289,9 @@ def grouped_topk_sorted(ds, key: str, val: str, tiebreak: str, k: int = 2):
         batch_format="pyarrow",
     )
     fixup = (
-        rows.filter(lambda r: not r["complete"])
+        rows.map_batches(
+            lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
+        )
         .groupby(key)
         .map_groups(merge, batch_format="pandas")
     )

@@ -45,3 +45,48 @@ def test_broadcast_filter_semi_anti(ray_session):
     anti = joins.broadcast_filter(ds, "tile_key", keys, anti=True).to_pandas()
     assert sorted(semi["tile_key"]) == [3, 5, 7]
     assert len(anti) == 17 and not set(anti["tile_key"]) & {3, 5, 7}
+
+
+def test_asof_join_matches_scalar(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from osmray.joins import asof_join
+
+    rng = np.random.default_rng(9)
+    n = 400
+    ts = np.sort(rng.integers(0, 10_000_000, n)) * 1000  # us
+    users = rng.integers(0, 7, n)
+    side = rng.random(n) < 0.3  # ~30% state rows
+    base = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": users.astype(np.int64),
+        }
+    )
+    left_df = base[~side]
+    right_df = base[side]
+    left = ray.data.from_pandas(left_df).repartition(3)
+    right = ray.data.from_pandas(right_df).repartition(2)
+    got = (
+        asof_join(left, right, left_cols=["event_id"], right_cols=["event_id"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # scalar oracle
+    rows = []
+    for _, lr in left_df.iterrows():
+        cand = right_df[(right_df["user_id"] == lr["user_id"]) & (right_df["ts"] <= lr["ts"])]
+        if len(cand):
+            best = cand.sort_values("ts").iloc[-1]
+            rows.append(
+                (lr["event_id"], best["event_id"], (lr["ts"] - best["ts"]).value // 1000)
+            )
+    want = pd.DataFrame(rows, columns=["event_id", "state_event_id", "gap_us"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["state_event_id"].tolist() == want["state_event_id"].tolist()
+    assert got["gap_us"].tolist() == want["gap_us"].tolist()
