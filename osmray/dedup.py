@@ -659,3 +659,106 @@ def _to_matrix(col) -> np.ndarray:
     return np.asarray(lst, dtype=np.float64)
 
 
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64 array."""
+    b = np.ascontiguousarray(x.astype(np.int64)).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+SIMHASH_BITS = 62
+
+
+def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
+                          id_col: str = "doc_id", num_buckets: int = 32):
+    """EXACT hamming near-dup pairs by pigeonhole multi-index banding.
+
+    The 62-bit simhash splits into ``max_hamming + 1`` disjoint bit
+    bands; a pair within ``max_hamming`` differing bits cannot differ
+    in every band, so it MUST collide on at least one whole band —
+    banded candidate generation therefore has recall 1.0 and the
+    operator is exact (hash-checked vs a DuckDB all-pairs
+    bit_count(xor) twin) while the shuffle moves only
+    (band, bucket, id) triples. Candidates join their two signatures
+    back via the grace hash join (no driver materialization) and the
+    exact popcount filter keeps hamming <= max_hamming.
+
+    No bucket-size cap: dropping a hot bucket would break exactness.
+    A corpus of near-identical documents degenerates to its honest
+    all-pairs cost (those pairs ARE the answer)."""
+    import tempfile
+
+    from osmray.joins import _cleanup_at_exit, bucketed_join
+
+    n_bands = max_hamming + 1
+    base = SIMHASH_BITS // n_bands
+    extra = SIMHASH_BITS % n_bands
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offs = np.concatenate(([0], np.cumsum(widths)[:-1]))
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = simhash64_batch(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
+
+    sigs_ds = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = np.stack(
+            [
+                ((s >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1)).astype(np.int64)
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
+                "bucket": pa.array(buckets.ravel()),
+            }
+        )
+
+    cand = _sharded_bucket_pairs(
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow"), id_col,
+        max_bucket=1 << 62,  # exactness: never drop
+    )
+    from ray.data.aggregate import Count
+
+    pairs = cand.groupby(["a", "b"]).aggregate(Count(alias_name="__nb"))
+
+    spill = tempfile.mkdtemp(prefix="osmray_hampairs_")
+    _cleanup_at_exit(spill)
+    j1 = bucketed_join(pairs, sigs_ds, on="a", right_on=id_col,
+                       num_buckets=num_buckets, spill_root=spill)
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["__sig_a" if c == "simhash" else c for c in batch.schema.names]
+        )
+
+    j1 = j1.map_batches(_ren, batch_format="pyarrow").drop_columns([id_col])
+    j2 = bucketed_join(j1, sigs_ds, on="b", right_on=id_col,
+                       num_buckets=num_buckets, spill_root=spill, prebuilt=True)
+
+    def check(batch: pa.Table) -> pa.Table:
+        sa = batch["__sig_a"].to_numpy(zero_copy_only=False)
+        sb = batch["simhash"].to_numpy(zero_copy_only=False)
+        if len(sa) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        h = _popcount64(sa ^ sb)
+        keep = h <= max_hamming
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "hamming": pa.array(h[keep]),
+            }
+        )
+
+    return j2.map_batches(check, batch_format="pyarrow")

@@ -1419,14 +1419,15 @@ _TOK_SQL = (
 )
 
 
-def _simhash_sql() -> str:
+def _simhash_sig_ctes() -> str:
+    """The shared CTE chain computing every document's 62-bit simhash
+    (ends with ``sigall(doc_id, simhash)``; empty-token docs get 0)."""
     from osmray.dedup import HASH_B1, HASH_B2
 
     bits = list(range(62))
     blist = ", ".join(str(b) for b in bits)
     plist = ", ".join(str(1 << b) for b in bits)
-    return f"""
-WITH tok AS ({_TOK_SQL}),
+    return f"""tok AS ({_TOK_SQL}),
 h AS (
   SELECT doc_id,
     {_h1_sql('tok', HASH_B1)} * 2147483648 + {_h1_sql('tok', HASH_B2)} AS h62
@@ -1438,13 +1439,17 @@ votes AS (
     sum(CASE WHEN (h.h62 // bt.p) % 2 = 1 THEN 1 ELSE -1 END) AS s
   FROM h, bt GROUP BY h.doc_id, bt.b, bt.p
 ),
-sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash FROM votes GROUP BY doc_id)
-SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
-FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash FROM votes GROUP BY doc_id),
+sigall AS (
+  SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+)"""
+
+
+Q_SIMHASH_SQL = f"""
+WITH {_simhash_sig_ctes()}
+SELECT doc_id, simhash FROM sigall
 """
-
-
-Q_SIMHASH_SQL = _simhash_sql()
 
 
 def _minhash_lsh_sql(n_hashes: int = 64, n_bands: int = 16, k: int = 3,
@@ -1520,6 +1525,29 @@ WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {threshold}
 
 
 Q_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+def q_simhash_pairs(sf_dir: str):
+    """EXACT hamming near-dup pairs (<= 4 bits apart) via pigeonhole
+    multi-index banding over the 62-bit simhash: 5 disjoint bit bands,
+    banded bucket groupby (keys-only shuffle), grace-join signature
+    verification. Recall is 1.0 BY CONSTRUCTION (a pair differing in
+    <= 4 bits must agree on one whole band), so the distributed
+    banding pipeline hash-matches DuckDB's brute-force all-pairs
+    bit_count(xor) twin."""
+    from osmray.dedup import simhash_hamming_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_hamming_pairs(ds, max_hamming=4)
+
+
+Q_SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_sig_ctes()}
+SELECT x.doc_id AS a, y.doc_id AS b,
+  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+FROM sigall x JOIN sigall y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -2245,6 +2273,7 @@ def registry():
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
         "q_minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
         "q_simhash": (q_simhash, Q_SIMHASH_SQL),
+        "q_simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
         "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
         "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
         "q_embedding_dups": (q_embedding_dups, Q_EMBEDDING_DUPS_SQL),

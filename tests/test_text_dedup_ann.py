@@ -413,3 +413,29 @@ def test_ivf_more_centroids_than_vectors(ray_session):
     )
     cent = kmeans_fit(ds, n_centroids=8, n_iters=2)
     assert cent.shape[1] == 8 and len(cent) <= 8
+
+
+def test_simhash_hamming_pairs_exact(ray_session):
+    """Pigeonhole banding must find EXACTLY the brute-force pairs."""
+    import ray.data
+
+    from osmray import dedup
+
+    texts = [f"alpha beta gamma delta epsilon zeta token{i % 7} tail{i % 3}" for i in range(60)]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    got = (
+        dedup.simhash_hamming_pairs(ds, max_hamming=6)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    sigs = dedup.simhash64_batch(texts).astype(np.uint64)
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(int(sigs[i] ^ sigs[j])).count("1")
+            if h <= 6:
+                want.append((i, j, h))
+    assert [tuple(r) for r in got[["a", "b", "hamming"]].to_numpy()] == want
