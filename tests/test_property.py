@@ -82,3 +82,55 @@ def test_hash_sampling_deterministic_and_uniformish(seed, n):
     h2 = hash64(keys, seed)
     np.testing.assert_array_equal(h1, h2)
     assert len(np.unique(h1)) == len(keys)  # injective on small ranges
+
+
+text_st = st.text(
+    alphabet=st.sampled_from("abcdefghij XYZ_09.,!"), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts=st.lists(text_st, min_size=0, max_size=8))
+def test_text_hash_batch_kernels_equal_scalar(texts):
+    from osmray import dedup, text
+
+    # fingerprint: batch == per-item
+    fb = text.rolling_fingerprint(texts)
+    for i, t in enumerate(texts):
+        assert fb[i] == text.rolling_fingerprint([t])[0]
+    # simhash: batch == scalar
+    sb = dedup.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(sb[i]) == int(dedup.simhash64(t))
+        assert 0 <= int(sb[i]) < (1 << 62)
+    # minhash: batch == scalar, values inside the prime field
+    mb = dedup.minhash_signatures(texts)
+    for i, t in enumerate(texts):
+        si = dedup.minhash_signature(t)
+        assert (mb[i] == si).all()
+        assert (si >= 0).all() and (si < dedup.HASH_MOD).all()
+    bands = dedup.minhash_bands_batch(mb) if len(texts) else None
+    for i, t in enumerate(texts):
+        assert (bands[i] == dedup.minhash_bands(mb[i])).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=text_st, b=text_st)
+def test_jaccard_properties(a, b):
+    from osmray import dedup
+
+    j = dedup.ngram_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == dedup.ngram_jaccard(b, a)  # symmetric
+    assert dedup.ngram_jaccard(a, a) == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=st.lists(st.integers(0, (1 << 62) - 1), min_size=1, max_size=32))
+def test_popcount_matches_python(x):
+    from osmray.dedup import _popcount64
+
+    arr = np.asarray(x, dtype=np.int64)
+    got = _popcount64(arr)
+    want = [bin(v).count("1") for v in x]
+    assert got.tolist() == want
