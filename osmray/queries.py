@@ -643,6 +643,51 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_events_hop(sf_dir: str):
+    """Hopping-window aggregate (size 1 h, hop 15 min): each event
+    explodes into exactly size/hop = 4 overlapping windows (the 1->k
+    flat-map form of windowing), then one keyed aggregate. Window ids
+    are integer hop starts — exact in both engines."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us // 1_000_000
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(
+            np.int64
+        )
+        k = np.arange(4, dtype=np.int64)
+        wstart = ((sec // 900)[:, None] - k[None, :]) * 900  # (n, 4)
+        n = len(sec)
+        idx = np.repeat(np.arange(n), 4)
+        et = batch["event_type"].take(pa.array(idx))
+        return pa.table(
+            {
+                "event_type": et,
+                "wstart": pa.array(wstart.ravel()),
+                "cents": pa.array(np.repeat(cents, 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "wstart"])
+        .aggregate(Count(alias_name="cnt"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+Q_EVENTS_HOP_SQL = """
+SELECT event_type,
+  (CAST(floor(epoch(ts)) AS BIGINT) // 900 - k.k) * 900 AS wstart,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3])::BIGINT AS k) k
+GROUP BY 1, 2
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic ~5 % sample (seeded-hash filter — reproducible at
     any parallelism, the engine's random_sample)."""
@@ -2254,6 +2299,7 @@ def registry():
         "q_lang_count": (q_lang_count, Q_LANG_COUNT_SQL),
         "q_top_docs": (q_top_docs, Q_TOP_DOCS_SQL),
         "q_events_window": (q_events_window, Q_EVENTS_WINDOW_SQL),
+        "q_events_hop": (q_events_hop, Q_EVENTS_HOP_SQL),
         "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
         "q_distinct_count": (q_distinct_count, Q_DISTINCT_COUNT_SQL),
         "q_split_counts": (q_split_counts, Q_SPLIT_COUNTS_SQL),
