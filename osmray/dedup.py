@@ -412,6 +412,16 @@ def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
 
     from osmray.joins import bucketed_join
 
+    if pairs_ds.schema(fetch_if_missing=True) is None:  # zero candidates
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "n_bands_hit": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
     docs = docs_ds.select_columns([id_col, text_col])
 
     def _rename(old: str, new: str):
@@ -670,45 +680,43 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 SIMHASH_BITS = 62
 
 
-def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
-                          id_col: str = "doc_id", num_buckets: int = 32):
-    """EXACT hamming near-dup pairs by pigeonhole multi-index banding.
+def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
+                  sig_col: str = "simhash", n_bits: int = 62, num_buckets: int = 32):
+    """EXACT hamming near-dup pairs over ANY precomputed int64
+    signature column (simhash, image phash, ...) by pigeonhole
+    multi-index banding.
 
-    The 62-bit simhash splits into ``max_hamming + 1`` disjoint bit
-    bands; a pair within ``max_hamming`` differing bits cannot differ
-    in every band, so it MUST collide on at least one whole band —
-    banded candidate generation therefore has recall 1.0 and the
-    operator is exact (hash-checked vs a DuckDB all-pairs
-    bit_count(xor) twin) while the shuffle moves only
+    The ``n_bits``-bit signature splits into ``max_hamming + 1``
+    disjoint bit bands; a pair within ``max_hamming`` differing bits
+    cannot differ in every band, so it MUST collide on at least one
+    whole band — banded candidate generation therefore has recall 1.0
+    and the operator is exact while the shuffle moves only
     (band, bucket, id) triples. Candidates join their two signatures
     back via the grace hash join (no driver materialization) and the
     exact popcount filter keeps hamming <= max_hamming.
 
     No bucket-size cap: dropping a hot bucket would break exactness.
-    A corpus of near-identical documents degenerates to its honest
+    A corpus of near-identical items degenerates to its honest
     all-pairs cost (those pairs ARE the answer)."""
     import tempfile
 
     from osmray.joins import _cleanup_at_exit, bucketed_join
 
     n_bands = max_hamming + 1
-    base = SIMHASH_BITS // n_bands
-    extra = SIMHASH_BITS % n_bands
+    base = n_bits // n_bands
+    extra = n_bits % n_bands
     widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
     offs = np.concatenate(([0], np.cumsum(widths)[:-1]))
 
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        sigs = simhash64_batch(batch[text_col].to_pylist())
-        return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
-
-    sigs_ds = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    sigs_ds = sigs_ds.select_columns([id_col, sig_col])
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         buckets = np.stack(
             [
-                ((s >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1)).astype(np.int64)
+                ((s >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1))
+                .astype(np.int64)
                 for b in range(n_bands)
             ],
             axis=1,
@@ -728,6 +736,15 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
     from ray.data.aggregate import Count
 
     pairs = cand.groupby(["a", "b"]).aggregate(Count(alias_name="__nb"))
+    if pairs.schema(fetch_if_missing=True) is None:  # zero candidates
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        )
 
     spill = tempfile.mkdtemp(prefix="osmray_hampairs_")
     _cleanup_at_exit(spill)
@@ -736,7 +753,7 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
 
     def _ren(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
-            ["__sig_a" if c == "simhash" else c for c in batch.schema.names]
+            ["__sig_a" if c == sig_col else c for c in batch.schema.names]
         )
 
     j1 = j1.map_batches(_ren, batch_format="pyarrow").drop_columns([id_col])
@@ -745,7 +762,7 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
 
     def check(batch: pa.Table) -> pa.Table:
         sa = batch["__sig_a"].to_numpy(zero_copy_only=False)
-        sb = batch["simhash"].to_numpy(zero_copy_only=False)
+        sb = batch[sig_col].to_numpy(zero_copy_only=False)
         if len(sa) == 0:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -762,3 +779,17 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
         )
 
     return j2.map_batches(check, batch_format="pyarrow")
+
+
+def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
+                          id_col: str = "doc_id", num_buckets: int = 32):
+    """hamming_pairs over the 62-bit text simhash (hash-checked vs a
+    DuckDB all-pairs bit_count(xor) twin, q_simhash_pairs)."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = simhash64_batch(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
+
+    sigs_ds = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    return hamming_pairs(sigs_ds, max_hamming, id_col=id_col, sig_col="simhash",
+                         n_bits=SIMHASH_BITS, num_buckets=num_buckets)

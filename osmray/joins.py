@@ -132,9 +132,10 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
         b = bucket_of(batch[on].to_numpy(zero_copy_only=False))
         return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
 
-    rename = {
-        c: (c + "_r" if c in set(left.schema().names) else c) for c in r_schema.names
-    }
+    # fetch_if_missing: an aggregate-output left side reports schema
+    # None until its plan is partially resolved
+    l_names = set(left.schema(fetch_if_missing=True).names)
+    rename = {c: (c + "_r" if c in l_names else c) for c in r_schema.names}
 
     def merge(g: pa.Table) -> pa.Table:
         bucket = int(g["__bucket"][0].as_py())

@@ -2114,6 +2114,42 @@ def q_phash_dedup(sf_dir: str):
     )
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Image NEAR-dup pairs on the input table's 64-bit phash column —
+    the realistic two-stage image-dedup pipeline: exact dedup first
+    (groupby phash -> min image hash survivor, q_phash_dedup
+    semantics), then the generic pigeonhole hamming_pairs operator
+    over the DISTINCT signatures (recall 1.0 by construction,
+    grace-join verification) at 1 <= hamming <= 16 (the fixture's 8\n    distinct pattern-family phashes sit >= 16 bits apart). Exact by design;
+    pytest pins the operator against brute-force popcount (the images
+    table is the synthesized fixture, so no SQL view exists)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from osmray.dedup import hamming_pairs
+
+    images, _feats, _cfg = _fixture(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        return pa.table(
+            {"phash": batch["phash"], "img": pa.array(hash_str(batch["image_id"]))}
+        )
+
+    reps = (
+        images.select_columns(["image_id", "phash"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(Min("img", alias_name="img"))
+    )
+    pairs = hamming_pairs(reps, max_hamming=16, id_col="img", sig_col="phash", n_bits=64)
+    return pairs.map_batches(
+        lambda t: t.filter(pc.greater(t["hamming"], 0)), batch_format="pyarrow"
+    )
+
+
 def q_minimap(sf_dir: str):
     """Diagnostic: mean color per tile (minimap.py:25-33 as an
     aggregate over decoded pixels)."""
@@ -2332,6 +2368,7 @@ def registry():
         "q_pip": (q_pip, Q_PIP_SQL),
         "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
         "q_phash_dedup": (q_phash_dedup, None),
+        "q_phash_near_dup": (q_phash_near_dup, None),
         "q_minimap": (q_minimap, None),
         "q_image_resize": (q_image_resize, None),
         "q_audio_features": (q_audio_features, None),

@@ -439,3 +439,38 @@ def test_simhash_hamming_pairs_exact(ray_session):
             if h <= 6:
                 want.append((i, j, h))
     assert [tuple(r) for r in got[["a", "b", "hamming"]].to_numpy()] == want
+
+
+def test_hamming_pairs_64bit_signatures(ray_session):
+    """The generic operator on arbitrary (possibly negative) int64
+    signatures must equal brute force."""
+    import ray.data
+
+    from osmray import dedup
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(-(1 << 62), 1 << 62, 40, dtype=np.int64)
+    # inject near-dups: flip <= 5 bits of some signatures
+    sigs = base.copy()
+    for i in range(0, 40, 4):
+        v = np.uint64(sigs[i])
+        for b in rng.integers(0, 64, rng.integers(1, 6)):
+            v ^= np.uint64(1) << np.uint64(b)
+        sigs[(i + 1) % 40] = np.int64(v)
+    ds = ray.data.from_items(
+        [{"img": int(i), "phash": int(sigs[i])} for i in range(40)]
+    ).repartition(3)
+    got = (
+        dedup.hamming_pairs(ds, max_hamming=5, id_col="img", sig_col="phash", n_bits=64)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    u = sigs.view(np.uint64)
+    want = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = bin(int(u[i] ^ u[j])).count("1")
+            if h <= 5:
+                want.append((i, j, h))
+    assert [tuple(r) for r in got[["a", "b", "hamming"]].to_numpy()] == want
