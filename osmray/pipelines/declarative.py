@@ -182,6 +182,108 @@ def _write_lancelike(p: dict) -> Stage:
     return s
 
 
+def _quality_stats(p: dict) -> Stage:
+    from osmray.text import quality_stats
+
+    def s(ds):
+        return ds.map_batches(
+            lambda t: quality_stats(t, p.get("text_col", "text")),
+            batch_format="pyarrow",
+        )
+
+    return s
+
+
+def _lang_id(p: dict) -> Stage:
+    from osmray.text import lang_id
+
+    col = p.get("text_col", "text")
+
+    def s(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "lang_pred", pa.array(lang_id(batch[col].to_pylist()), pa.string())
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return s
+
+
+def _fingerprint(p: dict) -> Stage:
+    from osmray.text import rolling_fingerprint
+
+    col = p.get("text_col", "text")
+
+    def s(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "fingerprint", pa.array(rolling_fingerprint(batch[col].to_pylist()))
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return s
+
+
+def _simhash(p: dict) -> Stage:
+    from osmray.dedup import simhash64_batch
+
+    col = p.get("text_col", "text")
+
+    def s(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "simhash", pa.array(simhash64_batch(batch[col].to_pylist()))
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return s
+
+
+def _exact_dedup(p: dict) -> Stage:
+    from osmray.dedup import exact_dedup
+
+    def s(ds):
+        return exact_dedup(ds, text_col=p.get("text_col", "text"),
+                           id_col=p.get("id_col", "doc_id"))
+
+    return s
+
+
+def _minhash_lsh(p: dict) -> Stage:
+    """Full near-dup pipeline over the stream: candidates + exact
+    Jaccard verification (distributed, grace-join)."""
+    from osmray.dedup import minhash_lsh_candidates, verify_pairs_joined
+
+    def s(ds):
+        cands = minhash_lsh_candidates(
+            ds, text_col=p.get("text_col", "text"), id_col=p.get("id_col", "doc_id"),
+            max_bucket=int(p.get("max_bucket", 64)),
+        )
+        return verify_pairs_joined(
+            cands, ds, text_col=p.get("text_col", "text"),
+            id_col=p.get("id_col", "doc_id"),
+            threshold=float(p.get("threshold", 0.8)),
+        )
+
+    return s
+
+
+def _hamming_pairs(p: dict) -> Stage:
+    from osmray.dedup import hamming_pairs
+
+    def s(ds):
+        return hamming_pairs(
+            ds, max_hamming=int(p.get("max_hamming", 4)),
+            id_col=p.get("id_col", "doc_id"), sig_col=p.get("sig_col", "simhash"),
+            n_bits=int(p.get("n_bits", 62)),
+        )
+
+    return s
+
+
 STAGES: dict[str, Callable[[dict], Stage]] = {
     "read_parquet": _read_parquet,
     "assign_tiles": _assign_tiles,
@@ -193,6 +295,13 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "groupby_agg": _groupby_agg,
     "add_cell": _add_cell,
     "write_lancelike": _write_lancelike,
+    "quality_stats": _quality_stats,
+    "lang_id": _lang_id,
+    "fingerprint": _fingerprint,
+    "simhash": _simhash,
+    "exact_dedup": _exact_dedup,
+    "minhash_lsh": _minhash_lsh,
+    "hamming_pairs": _hamming_pairs,
 }
 
 

@@ -102,3 +102,46 @@ def test_declarative_pipeline_equals_direct(ray_session, fixture_dir, tmp_path):
     spec_file.write_text(json.dumps(steps))
     again = run_pipeline(json.loads(spec_file.read_text())).to_pandas()
     assert again.equals(want)
+
+
+def test_declarative_text_dedup_steps(ray_session):
+    """The text/dedup stage specs equal the direct kernel calls."""
+    import numpy as np
+
+    from osmray import dedup, text
+    from osmray.pipelines import run_pipeline
+
+    out = run_pipeline(
+        [
+            {"op": "read_parquet", "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "text"]},
+            {"op": "quality_stats"},
+            {"op": "simhash"},
+            {"op": "fingerprint"},
+        ]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    texts = out["text"].tolist()
+    assert (out["simhash"].to_numpy() == dedup.simhash64_batch(texts)).all()
+    assert (out["fingerprint"].to_numpy() == text.rolling_fingerprint(texts)).all()
+    assert (out["n_tokens"].to_numpy() == text.ws_token_count(texts)).all()
+
+    pairs = run_pipeline(
+        [
+            {"op": "read_parquet", "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "text"]},
+            {"op": "simhash"},
+            {"op": "hamming_pairs", "max_hamming": 4},
+        ]
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want = (
+        dedup.simhash_hamming_pairs(
+            run_pipeline([{"op": "read_parquet",
+                           "path": "/root/testdata/sf0.001/documents.parquet",
+                           "columns": ["doc_id", "text"]}]),
+            max_hamming=4,
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert pairs[["a", "b", "hamming"]].to_numpy().tolist() == want[
+        ["a", "b", "hamming"]
+    ].to_numpy().tolist()
