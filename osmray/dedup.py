@@ -690,17 +690,26 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     disjoint bit bands; a pair within ``max_hamming`` differing bits
     cannot differ in every band, so it MUST collide on at least one
     whole band — banded candidate generation therefore has recall 1.0
-    and the operator is exact while the shuffle moves only
-    (band, bucket, id) triples. Candidates join their two signatures
-    back via the grace hash join (no driver materialization) and the
-    exact popcount filter keeps hamming <= max_hamming.
+    and the operator is exact. Because the signature itself is only 8
+    bytes, it travels WITH the (band, bucket, id) spill rows and the
+    exact popcount verification happens INSIDE the pair-generation
+    task — only true pairs (plus the tiny band-dedup groupby) ever
+    shuffle, never the candidate set. On a low-diversity corpus whose
+    bands collide heavily (the worst case), candidates stay local
+    numpy xors instead of a cross-task join of millions of rows.
 
     No bucket-size cap: dropping a hot bucket would break exactness.
     A corpus of near-identical items degenerates to its honest
-    all-pairs cost (those pairs ARE the answer)."""
+    all-pairs popcount cost inside the shard tasks."""
+    import glob as _glob
+    import os
     import tempfile
+    import uuid
 
-    from osmray.joins import _cleanup_at_exit, bucketed_join
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray.joins import _cleanup_at_exit
 
     n_bands = max_hamming + 1
     base = n_bits // n_bands
@@ -709,76 +718,107 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     offs = np.concatenate(([0], np.cumsum(widths)[:-1]))
 
     sigs_ds = sigs_ds.select_columns([id_col, sig_col])
+    spill = tempfile.mkdtemp(prefix="osmray_hampairs_")
+    _cleanup_at_exit(spill)
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def spill_shards(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        s = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        buckets = np.stack(
+        if len(ids) == 0:
+            return pa.Table.from_pylist([])
+        sg = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sg.view(np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        bucket = np.stack(
             [
-                ((s >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1))
-                .astype(np.int64)
+                ((u >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1)).astype(np.int64)
                 for b in range(n_bands)
             ],
             axis=1,
+        ).ravel()
+        rid = np.repeat(ids, n_bands)
+        rsig = np.repeat(sg, n_bands)
+        sh = (bucket % N_PAIR_SHARDS + band * N_PAIR_SHARDS) % N_PAIR_SHARDS
+        order = np.argsort(sh, kind="stable")
+        t = pa.table(
+            {"band": pa.array(band[order]), "bucket": pa.array(bucket[order]),
+             "id": pa.array(rid[order]), "sig": pa.array(rsig[order])}
         )
+        ss = sh[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ss)) + 1, [len(ss)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"s={int(ss[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"s": int(ss[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
+
+    sigs_ds.map_batches(spill_shards, batch_format="pyarrow", batch_size=None).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_h = [], [], []
+        for sh in batch["s"].to_pylist():
+            files = sorted(_glob.glob(os.path.join(spill, f"s={sh}", "block-*.parquet")))
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            band = t["band"].to_numpy(zero_copy_only=False)
+            bucket = t["bucket"].to_numpy(zero_copy_only=False)
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            sig = t["sig"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, bucket, band))
+            band, bucket, ids, sig = band[order], bucket[order], ids[order], sig[order]
+            new_run = np.concatenate(
+                ([True], (np.diff(band) != 0) | (np.diff(bucket) != 0))
+            )
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.concatenate((starts, [len(ids)])))
+            for st, n in zip(starts[lens >= 2], lens[lens >= 2]):
+                rid = ids[st : st + n]
+                rsig = sig[st : st + n]
+                keep = np.concatenate(([True], np.diff(rid) != 0))  # ids sorted in run
+                rid, rsig = rid[keep], rsig[keep]
+                if len(rid) < 2:
+                    continue
+                ai, bi = np.triu_indices(len(rid), k=1)
+                h = _popcount64(rsig[ai] ^ rsig[bi])
+                ok = h <= max_hamming
+                if ok.any():
+                    out_a.append(rid[ai[ok]])
+                    out_b.append(rid[bi[ok]])
+                    out_h.append(h[ok])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                id_col: pa.array(np.repeat(ids, n_bands)),
-                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(ids))),
-                "bucket": pa.array(buckets.ravel()),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
-    cand = _sharded_bucket_pairs(
-        sigs_ds.map_batches(band_rows, batch_format="pyarrow"), id_col,
-        max_bucket=1 << 62,  # exactness: never drop
-    )
-    from ray.data.aggregate import Count
+    shards = ray.data.from_items([{"s": x} for x in range(N_PAIR_SHARDS)])
+    verified = shards.map_batches(pairs, batch_format="pyarrow", batch_size=4)
+    # a qualifying pair can surface from several bands: dedup (tiny —
+    # only true pairs reach here)
+    from ray.data.aggregate import Min
 
-    pairs = cand.groupby(["a", "b"]).aggregate(Count(alias_name="__nb"))
-    if pairs.schema(fetch_if_missing=True) is None:  # zero candidates
-        import ray.data
-
+    out = verified.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    if out.schema(fetch_if_missing=True) is None:  # zero pairs anywhere
         return ray.data.from_arrow(
             pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "hamming": pa.array([], pa.int64())}
             )
         )
-
-    spill = tempfile.mkdtemp(prefix="osmray_hampairs_")
-    _cleanup_at_exit(spill)
-    j1 = bucketed_join(pairs, sigs_ds, on="a", right_on=id_col,
-                       num_buckets=num_buckets, spill_root=spill)
-
-    def _ren(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["__sig_a" if c == sig_col else c for c in batch.schema.names]
-        )
-
-    j1 = j1.map_batches(_ren, batch_format="pyarrow").drop_columns([id_col])
-    j2 = bucketed_join(j1, sigs_ds, on="b", right_on=id_col,
-                       num_buckets=num_buckets, spill_root=spill, prebuilt=True)
-
-    def check(batch: pa.Table) -> pa.Table:
-        sa = batch["__sig_a"].to_numpy(zero_copy_only=False)
-        sb = batch[sig_col].to_numpy(zero_copy_only=False)
-        if len(sa) == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        h = _popcount64(sa ^ sb)
-        keep = h <= max_hamming
-        return pa.table(
-            {
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
-                "hamming": pa.array(h[keep]),
-            }
-        )
-
-    return j2.map_batches(check, batch_format="pyarrow")
+    return out
 
 
 def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
