@@ -688,6 +688,47 @@ GROUP BY 1, 2
 """
 
 
+def q_hll(sf_dir: str):
+    """HyperLogLog registers for distinct users per event_type: the
+    distributed cardinality sketch (map-side partial registers, one
+    keyed Max groupby — at most groups x 1024 tiny int rows shuffle).
+    The register table is hash-checked bit-exact vs SQL (the 62-bit
+    avalanche mixer runs identically in both engines); the ESTIMATE
+    accuracy (0.5-2 %) is pytest-pinned."""
+    from osmray.sketch import hll_registers
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_registers(ds, "event_type", "user_id")
+
+
+def _hll_sql() -> str:
+    from osmray.sketch import HLL_C1, HLL_C2, HLL_P
+
+    m62 = 1 << 62
+    return f"""
+WITH s1 AS (
+  SELECT event_type, CAST((CAST(xor(user_id, user_id >> 31) AS HUGEINT) * {HLL_C1}) % {m62} AS BIGINT) AS h
+  FROM events
+),
+s2 AS (SELECT event_type, CAST((CAST(xor(h, h >> 29) AS HUGEINT) * {HLL_C2}) % {m62} AS BIGINT) AS h FROM s1),
+hx AS (SELECT event_type, xor(h, h >> 32) AS h FROM s2),
+br AS (
+  SELECT event_type, h & {(1 << HLL_P) - 1} AS bucket, h >> {HLL_P} AS rest FROM hx
+),
+p2 AS (SELECT unnest(generate_series(0, 51))::BIGINT AS k,
+              unnest(list_transform(generate_series(0, 51), x -> 1::BIGINT << x)) AS v),
+rho_t AS (
+  SELECT event_type, bucket,
+    CASE WHEN rest = 0 THEN {62 - HLL_P + 1} ELSE p2.k + 1 END AS rho
+  FROM br LEFT JOIN p2 ON (rest & (-rest)) = p2.v
+)
+SELECT event_type, bucket, max(rho) AS rho_max FROM rho_t GROUP BY event_type, bucket
+"""
+
+
+Q_HLL_SQL = _hll_sql()
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic ~5 % sample (seeded-hash filter — reproducible at
     any parallelism, the engine's random_sample)."""
@@ -2336,6 +2377,7 @@ def registry():
         "q_top_docs": (q_top_docs, Q_TOP_DOCS_SQL),
         "q_events_window": (q_events_window, Q_EVENTS_WINDOW_SQL),
         "q_events_hop": (q_events_hop, Q_EVENTS_HOP_SQL),
+        "q_hll": (q_hll, Q_HLL_SQL),
         "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
         "q_distinct_count": (q_distinct_count, Q_DISTINCT_COUNT_SQL),
         "q_split_counts": (q_split_counts, Q_SPLIT_COUNTS_SQL),

@@ -474,3 +474,32 @@ def test_hamming_pairs_64bit_signatures(ray_session):
             if h <= 5:
                 want.append((i, j, h))
     assert [tuple(r) for r in got[["a", "b", "hamming"]].to_numpy()] == want
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """Registers from the distributed pipeline reproduce the scalar
+    sketch, and the estimate lands within 5% of the exact count."""
+    import ray.data
+
+    from osmray import sketch
+
+    rng = np.random.default_rng(17)
+    users = rng.integers(0, 4000, 20000)
+    kinds = np.array(["a", "b"])[rng.integers(0, 2, 20000)]
+    ds = ray.data.from_items(
+        [{"event_type": str(k), "user_id": int(u)} for k, u in zip(kinds, users)]
+    ).repartition(5)
+    regs = sketch.hll_registers(ds, "event_type", "user_id").to_pandas()
+    for kind in ("a", "b"):
+        g = regs[regs["event_type"] == kind]
+        est = sketch.hll_estimate_sparse(g["bucket"].to_numpy(), g["rho_max"].to_numpy())
+        exact = len(np.unique(users[kinds == kind]))
+        assert abs(est - exact) / exact < 0.05, (kind, est, exact)
+        # scalar reference: same registers from a flat numpy pass
+        v = users[kinds == kind]
+        b, r = sketch.hll_bucket_rho(sketch.hll_hash62(np.unique(v)))
+        want = {}
+        for bb, rr in zip(b, r):
+            want[int(bb)] = max(want.get(int(bb), 0), int(rr))
+        got = dict(zip(g["bucket"].astype(int), g["rho_max"].astype(int)))
+        assert got == want
