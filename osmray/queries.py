@@ -729,6 +729,93 @@ SELECT event_type, bucket, max(rho) AS rho_max FROM rho_t GROUP BY event_type, b
 Q_HLL_SQL = _hll_sql()
 
 
+def q_group_median(sf_dir: str):
+    """Exact per-group quantiles (median + p90 of l_quantity per
+    returnflag) — discrete quantiles pick an ACTUAL element (index
+    ceil(q*n) - 1 of the sorted run), so both engines agree exactly.
+    Per-group sort happens inside one map_groups task (bounded group
+    count; the huge-group path would be windows.py's range sort)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_quantity"].to_numpy().astype(np.int64))
+        n = len(v)
+        pick = lambda q: int(v[max(0, int(np.ceil(q * n)) - 1)])
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_qty": [pick(0.5)],
+                "p90_qty": [pick(0.9)],
+                "n": [n],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
+Q_GROUP_MEDIAN_SQL = """
+SELECT l_returnflag,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS median_qty,
+  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p90_qty,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build over documents: exploded postings
+    (term, doc_id, tf) + per-term document frequency — the text-index
+    primitive (token explode is the flat-map, df is the keyed
+    aggregate; at scale the posting shuffle is keys+counts only)."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.dedup import _TOKEN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_t, out_d, out_c = [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = _TOKEN.findall(t.lower())
+            if not toks:
+                continue
+            u, c = np.unique(toks, return_counts=True)
+            out_t.append(u)
+            out_d.append(np.full(len(u), ids[i], dtype=np.int64))
+            out_c.append(c.astype(np.int64))
+        if not out_t:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(out_t)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "tf": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+    return posts.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="total_tf")
+    )
+
+
+Q_INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic ~5 % sample (seeded-hash filter — reproducible at
     any parallelism, the engine's random_sample)."""
@@ -2378,6 +2465,8 @@ def registry():
         "q_events_window": (q_events_window, Q_EVENTS_WINDOW_SQL),
         "q_events_hop": (q_events_hop, Q_EVENTS_HOP_SQL),
         "q_hll": (q_hll, Q_HLL_SQL),
+        "q_group_median": (q_group_median, Q_GROUP_MEDIAN_SQL),
+        "q_inverted_index": (q_inverted_index, Q_INVERTED_INDEX_SQL),
         "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
         "q_distinct_count": (q_distinct_count, Q_DISTINCT_COUNT_SQL),
         "q_split_counts": (q_split_counts, Q_SPLIT_COUNTS_SQL),
