@@ -83,6 +83,61 @@ class ImageResizeStage:
         )
 
 
+AUGMENT_OPS = ("identity", "hflip", "vflip", "rot90", "brightness")
+
+
+def augment_image(img: np.ndarray, op: str) -> np.ndarray:
+    """Deterministic training augmentations, pure numpy."""
+    if op == "identity":
+        return img
+    if op == "hflip":
+        return img[:, ::-1]
+    if op == "vflip":
+        return img[::-1]
+    if op == "rot90":
+        return np.rot90(img)
+    if op == "brightness":  # +24 clipped — a fixed photometric jitter
+        return np.clip(img.astype(np.int16) + 24, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown augment op {op!r}")
+
+
+class AugmentStage:
+    """Actor-pool stage: decode -> deterministic augmentation ->
+    re-encode. The op is chosen per row from the image_id hash (so
+    reruns reproduce byte-identical output; pass ``op`` to force one),
+    and the emitted ``aug`` column records it."""
+
+    def __init__(self, out_fmt: str = "png", op: str | None = None):
+        self.out_fmt = out_fmt
+        self.op = op
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        ids = batch["image_id"]
+        if self.op is None:
+            sel = (hash_str(ids) % len(AUGMENT_OPS)).astype(np.int64)
+            ops = [AUGMENT_OPS[i] for i in sel]
+        else:
+            ops = [self.op] * len(ids)
+        blobs, ws, hs = [], [], []
+        for blob, fmt, op in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist(), ops):
+            img = augment_image(codecs.decode(blob, fmt), op)
+            blobs.append(codecs.encode(np.ascontiguousarray(img), self.out_fmt))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pa.table(
+            {
+                "image_id": ids,
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array([self.out_fmt] * len(blobs), pa.string()),
+                "w": pa.array(np.asarray(ws, dtype=np.int32)),
+                "h": pa.array(np.asarray(hs, dtype=np.int32)),
+                "aug": pa.array(ops, pa.string()),
+            }
+        )
+
+
 def _fake_pcm(media_id: str, n: int) -> np.ndarray:
     """Deterministic stand-in decode: a seeded int16 waveform."""
     base = zlib.crc32(media_id.encode())

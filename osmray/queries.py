@@ -2390,6 +2390,22 @@ def q_image_resize(sf_dir: str):
     ).select_columns(["image_id", "fmt", "w", "h"])
 
 
+def q_image_augment(sf_dir: str):
+    """Deterministic image augmentation (decode -> hflip/vflip/rot90/
+    brightness chosen by image-id hash -> re-encode) as an actor-pool
+    stage; per-op counts + exact pixel-sum transforms are
+    pytest-locked (image bytes are fixture-local, so no SQL view)."""
+    from osmray.multimodal import AugmentStage
+
+    images, _feats, _cfg = _fixture(sf_dir)
+    return images.limit(256).map_batches(
+        AugmentStage,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(["image_id", "fmt", "w", "h", "aug"])
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio: REAL RIFF/PCM16 wav bytes (from-scratch
     wav_encode/wav_decode, no audio library) -> RMS/ZCR feature
@@ -2502,6 +2518,7 @@ def registry():
         "q_phash_near_dup": (q_phash_near_dup, None),
         "q_minimap": (q_minimap, None),
         "q_image_resize": (q_image_resize, None),
+        "q_image_augment": (q_image_augment, None),
         "q_audio_features": (q_audio_features, None),
         "q_frame_sample": (q_frame_sample, None),
     }

@@ -138,3 +138,36 @@ def test_wav_roundtrip_and_real_decode():
     broken = hdr[:20] + struct.pack("<H", 3) + hdr[22:]
     with _pt.raises(NotImplementedError):
         wav_decode(broken)
+
+
+def test_augment_stage_exact(ray_session):
+    import pyarrow as pa
+
+    from osmray import codecs
+    from osmray.multimodal import AUGMENT_OPS, AugmentStage, augment_image
+
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, (16, 12, 3), dtype=np.uint8) for _ in range(6)]
+    batch = pa.table(
+        {
+            "image_id": pa.array([f"im{i}" for i in range(6)]),
+            "bytes": pa.array([codecs.encode(m, "png") for m in imgs], pa.binary()),
+            "fmt": pa.array(["png"] * 6),
+        }
+    )
+    # forced op: exact pixel math
+    for op in AUGMENT_OPS:
+        out = AugmentStage(op=op)(batch)
+        for i in range(6):
+            dec = codecs.decode(out["bytes"][i].as_py(), "png")
+            np.testing.assert_array_equal(dec, augment_image(imgs[i], op))
+            assert out["aug"][i].as_py() == op
+    # hash-chosen op is deterministic across calls
+    a = AugmentStage()(batch)
+    b = AugmentStage()(batch)
+    assert a["aug"].to_pylist() == b["aug"].to_pylist()
+    assert a["bytes"].to_pylist() == b["bytes"].to_pylist()
+    # rot90 swaps dimensions in the emitted schema
+    got = {op: None for op in AUGMENT_OPS}
+    out = AugmentStage(op="rot90")(batch)
+    assert out["w"][0].as_py() == 16 and out["h"][0].as_py() == 12
