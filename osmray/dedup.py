@@ -152,12 +152,12 @@ def simhash64(text: str) -> np.int64:
     return np.int64(((votes > 0).astype(np.uint64) * weights).sum(dtype=np.uint64))
 
 
-def minhash_signatures(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
-    """Batch minhash: identical output to ``minhash_signature`` per
-    text, computed as ONE set of vector ops over the concatenated
-    token stream (reduceat per doc)."""
+def batch_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """All texts' k-token shingle hashes as ONE set of vector ops
+    over the concatenated (per-doc padded) token stream; returns
+    (per-doc shingle counts, concatenated shingle values)."""
     if not len(texts):
-        return np.zeros((0, n_hashes), dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     lens, h1, _ = _token_hash_concat(texts)
     # per-doc padded h1 streams, concatenated (padding per doc keeps
     # shingles from crossing doc boundaries)
@@ -176,7 +176,17 @@ def minhash_signatures(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
     total = int(n_sh.sum())
     sh_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
     pos = (np.arange(total) - np.repeat(sh_off, n_sh)) + np.repeat(tok_starts, n_sh)
-    sh = acc[pos]
+    return n_sh, acc[pos]
+
+
+def minhash_signatures(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
+    """Batch minhash: identical output to ``minhash_signature`` per
+    text, computed as ONE set of vector ops over the concatenated
+    token stream (reduceat per doc)."""
+    if not len(texts):
+        return np.zeros((0, n_hashes), dtype=np.int64)
+    n_sh, sh = batch_shingles(texts, k)
+    sh_off = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
     a, b = _mh_coeffs(n_hashes)
     vals = (sh[:, None] * a[None, :] + b[None, :]) % HASH_MOD
     return np.minimum.reduceat(vals, sh_off, axis=0)

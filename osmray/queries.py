@@ -1625,6 +1625,133 @@ SELECT doc_id, simhash FROM sigall
 """
 
 
+def q_redact(sf_dir: str):
+    """PII redaction pass (emails then long number runs replaced with
+    placeholder tokens), verified by md5 of every redacted document —
+    the patterns are RE2-safe so DuckDB's regexp_replace reproduces
+    the bytes exactly."""
+    from osmray.text import md5_hex, redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        red = redact_pii(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "red_md5": pa.array(md5_hex(red), pa.string()),
+                "n_chars_red": pa.array(
+                    np.asarray([len(r) for r in red], dtype=np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _redact_sql() -> str:
+    from osmray.text import REDACT_EMAIL, REDACT_LONGNUM
+
+    e = REDACT_EMAIL.replace("\\", "\\\\").replace("'", "''")
+    p = REDACT_LONGNUM.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+WITH red AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{p}', '<NUM>', 'g') AS r
+  FROM documents
+)
+SELECT doc_id, md5(r) AS red_md5, length(r)::BIGINT AS n_chars_red FROM red
+"""
+
+
+Q_REDACT_SQL = _redact_sql()
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination: documents with doc_id %% 10 == 0
+    play the held-out set; every remaining (train) document reports
+    how many of its DISTINCT 3-token shingles appear anywhere in the
+    held-out set. The held-out shingle set is keys-only and bounded
+    (a tenth of the corpus's distinct shingles) — broadcast once; the
+    train side streams. Shingle hashing is the SQL-expressible
+    dedup.py scheme, so the overlap counts hash-match DuckDB."""
+    import ray
+
+    from osmray.dedup import batch_shingles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def test_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 10 == 0)
+        if not len(sel):
+            return pa.table({"sh": pa.array([], pa.int64())})
+        texts = batch["text"].take(pa.array(sel)).to_pylist()
+        _, sh = batch_shingles(texts)
+        return pa.table({"sh": pa.array(np.unique(sh))})
+
+    held = np.unique(
+        ds.map_batches(test_shingles, batch_format="pyarrow")
+        .to_pandas()["sh"]
+        .to_numpy()
+    )  # keys-only collect, bounded by the held-out corpus slice
+    ref = ray.put(held)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        hs = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 10 != 0)
+        if not len(sel):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        texts = batch["text"].take(pa.array(sel)).to_pylist()
+        n_sh, sh = batch_shingles(texts)
+        offs = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+        hits = np.empty(len(sel), dtype=np.int64)
+        for i in range(len(sel)):
+            u = np.unique(sh[offs[i] : offs[i] + n_sh[i]])
+            hits[i] = int(np.isin(u, hs, assume_unique=True).sum())
+        return pa.table(
+            {"doc_id": pa.array(ids[sel]), "n_hits": pa.array(hits)}
+        )
+
+    return ds.map_batches(overlap, batch_format="pyarrow")
+
+
+def _decontaminate_sql() -> str:
+    from osmray.dedup import HASH_B1, HASH_MOD, _SHINGLE_MIX
+
+    mix = [_SHINGLE_MIX[j % 5] for j in range(3)]
+    sh_terms = " + ".join(f"(t{j}.h1 * {mix[j]}) % {HASH_MOD}" for j in range(3))
+    sh_joins = " ".join(
+        f"JOIN tokh t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.i = t0.i + {j}"
+        for j in range(1, 3)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+tokh AS (SELECT doc_id, i, {_h1_sql('tok', HASH_B1)} AS h1 FROM tok),
+sh AS (
+  SELECT t0.doc_id, ({sh_terms}) % {HASH_MOD} AS sh
+  FROM tokh t0 {sh_joins}
+),
+held AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+train AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+hits AS (
+  SELECT train.doc_id, count(*) AS n FROM train JOIN held ON held.sh = train.sh
+  GROUP BY train.doc_id
+)
+SELECT d.doc_id, coalesce(hits.n, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % 10 <> 0
+"""
+
+
+Q_DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+
+
 def _minhash_lsh_sql(n_hashes: int = 64, n_bands: int = 16, k: int = 3,
                      max_bucket: int = 64, threshold: float = 0.5) -> str:
     """DuckDB twin of the FULL minhash-LSH near-dup pipeline
@@ -2501,6 +2628,8 @@ def registry():
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
         "q_minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
+        "q_redact": (q_redact, Q_REDACT_SQL),
+        "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
         "q_simhash": (q_simhash, Q_SIMHASH_SQL),
         "q_simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
         "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),

@@ -143,3 +143,24 @@ def rolling_fingerprint(texts: list[str], window: int = FP_WINDOW) -> np.ndarray
     pos = (np.arange(total) - np.repeat(woff, nw)) + np.repeat(starts, nw)
     out[sel] = np.minimum.reduceat(comb[pos], woff)
     return out
+
+
+# RE2-compatible (no backrefs/lookarounds) so the DuckDB twin uses the
+# IDENTICAL pattern strings
+REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_LONGNUM = r"[0-9][0-9 ()+.-]{6,}[0-9]"
+
+
+def redact_pii(texts: list[str]) -> list[str]:
+    """Scrub email addresses then long number runs (phone-ish) with
+    fixed placeholder tokens — the training-data PII pass. Patterns
+    are RE2-safe so DuckDB regexp_replace(..., 'g') reproduces the
+    output byte-for-byte."""
+    em = re.compile(REDACT_EMAIL)
+    ph = re.compile(REDACT_LONGNUM)
+    out = []
+    for s in texts:
+        s = em.sub("<EMAIL>", s)
+        s = ph.sub("<NUM>", s)
+        out.append(s)
+    return out
