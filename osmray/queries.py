@@ -1375,6 +1375,140 @@ FROM pts JOIN d ON abs(pts.px - d.cx) + abs(pts.py - d.cy) < d.a
 """
 
 
+def q_mosaic_parity(sf_dir: str):
+    """The multi-tile mosaic gather/assemble/crop dataflow
+    (mosaic.gather_crops — §2.3's viewport glue) hash-checked vs SQL:
+    windows derived from orders keys are assembled from REAL
+    PNG-encoded gradient tiles whose pixel value is a separable
+    integer function v(X,Y,c) = A(tile,c) + f(X%%256) + g(Y%%256)
+    with v < 256 (no wrap), so the decoded crop's pixel sum has a
+    closed form DuckDB evaluates from tile-overlap areas plus two
+    1-D generate_series sums."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import codecs
+    from osmray.mosaic import gather_crops
+    from osmray.tilemath import PLAIN
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    k = np.sort(t["o_orderkey"].to_numpy().astype(np.int64))
+    k = k[k % 500 == 1]  # bounded request side
+    w = 1 + k % 3
+    h = 1 + (k // 3) % 3
+    txmin = (k * 13) % 64
+    tymin = (k * 17) % 64
+    x0 = (k * 5) % 128
+    y0 = (k * 7) % 128
+    x1 = np.minimum(x0 + 64 + (k % 64) * w, 256 * w)
+    y1 = np.minimum(y0 + 48 + (k % 48) * h, 256 * h)
+    windows = pa.table(
+        {
+            "req_id": pa.array(k), "txmin": pa.array(txmin),
+            "txmax": pa.array(txmin + w - 1), "tymin": pa.array(tymin),
+            "tymax": pa.array(tymin + h - 1), "x0": pa.array(x0),
+            "x1": pa.array(x1), "y0": pa.array(y0), "y1": pa.array(y1),
+        }
+    )
+    tiles = sorted(
+        {
+            (int(txmin[i] + a), int(tymin[i] + b))
+            for i in range(len(k))
+            for a in range(int(w[i]))
+            for b in range(int(h[i]))
+        }
+    )
+    tiles_ds = ray.data.from_items([{"tx": tx, "ty": ty} for tx, ty in tiles])
+
+    def render(batch: pa.Table) -> pa.Table:
+        xs = np.arange(256)
+        f = (xs // 64) * 4
+        g = xs // 64
+        out_id, out_b, out_key = [], [], []
+        from osmray.tilemath import pack_tile
+
+        for tx, ty in zip(batch["tx"].to_pylist(), batch["ty"].to_pylist()):
+            base = ((tx * 7 + ty * 11 + np.arange(3)) % 8) * 16
+            img = (
+                base[None, None, :] + f[None, :, None] + g[:, None, None]
+            ).astype(np.uint8)
+            out_id.append(f"t{tx}_{ty}")
+            out_b.append(codecs.encode(img, "png"))
+            out_key.append(int(pack_tile(np.array([tx]), np.array([ty]), 10)[0]))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "tile_key": pa.array(out_key, pa.int64()),
+                "bytes": pa.array(out_b, pa.binary()),
+                "fmt": pa.array(["png"] * len(out_id), pa.string()),
+            }
+        )
+
+    images_ds = tiles_ds.map_batches(render, batch_format="pyarrow")
+    crops = gather_crops(images_ds, windows, z=10, scheme=PLAIN)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        sums = []
+        for blob in batch["crop"].to_pylist():
+            sums.append(int(codecs.png_decode(blob).astype(np.int64).sum()))
+        return pa.table(
+            {
+                "req_id": batch["req_id"],
+                "crop_h": batch["crop_h"].cast(pa.int64()),
+                "crop_w": batch["crop_w"].cast(pa.int64()),
+                "n_tiles": batch["n_tiles"].cast(pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return crops.map_batches(summarize, batch_format="pyarrow")
+
+
+Q_MOSAIC_PARITY_SQL = """
+WITH kk AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 500 = 1),
+spec AS (
+  SELECT k, 1 + k % 3 AS w, 1 + (k // 3) % 3 AS h,
+         (k * 13) % 64 AS txmin, (k * 17) % 64 AS tymin,
+         (k * 5) % 128 AS x0, (k * 7) % 128 AS y0
+  FROM kk
+),
+spec2 AS (
+  SELECT *, least(x0 + 64 + (k % 64) * w, 256 * w) AS x1,
+         least(y0 + 48 + (k % 48) * h, 256 * h) AS y1
+  FROM spec
+),
+ij AS (
+  SELECT s.*, i.i, j.j,
+    greatest(256 * i.i, s.x0) AS cx0, least(256 * (i.i + 1), s.x1) AS cx1,
+    greatest(256 * j.j, s.y0) AS cy0, least(256 * (j.j + 1), s.y1) AS cy1
+  FROM spec2 s,
+  LATERAL (SELECT unnest(generate_series(0, s.w - 1)) AS i) i,
+  LATERAL (SELECT unnest(generate_series(0, s.h - 1)) AS j) j
+),
+tilesum AS (
+  SELECT k, sum((cx1 - cx0) * (cy1 - cy0) * (
+    (((txmin + i) * 7 + (tymin + j) * 11 + 0) % 8) * 16 +
+    (((txmin + i) * 7 + (tymin + j) * 11 + 1) % 8) * 16 +
+    (((txmin + i) * 7 + (tymin + j) * 11 + 2) % 8) * 16)) AS s_base
+  FROM ij WHERE cx1 > cx0 AND cy1 > cy0 GROUP BY k
+),
+fx AS (
+  SELECT s.k, sum(((xx.x % 256) // 64) * 4) AS sf
+  FROM spec2 s, LATERAL (SELECT unnest(generate_series(s.x0, s.x1 - 1)) AS x) xx
+  GROUP BY s.k
+),
+gy AS (
+  SELECT s.k, sum((yy.y % 256) // 64) AS sg
+  FROM spec2 s, LATERAL (SELECT unnest(generate_series(s.y0, s.y1 - 1)) AS y) yy
+  GROUP BY s.k
+)
+SELECT s.k AS req_id, (s.y1 - s.y0)::BIGINT AS crop_h, (s.x1 - s.x0)::BIGINT AS crop_w,
+  (s.w * s.h)::BIGINT AS n_tiles,
+  (t.s_base + 3 * (s.y1 - s.y0) * fx.sf + 3 * (s.x1 - s.x0) * gy.sg)::BIGINT AS pix_sum
+FROM spec2 s JOIN tilesum t ON t.k = s.k JOIN fx ON fx.k = s.k JOIN gy ON gy.k = s.k
+"""
+
+
 def q_raster_parity(sf_dir: str):
     """The rasterizer itself hash-checked vs SQL: horizontal,
     vertical and unit-diagonal width-2 strokes derived from orders
@@ -2627,6 +2761,7 @@ def registry():
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),
+        "q_mosaic_parity": (q_mosaic_parity, Q_MOSAIC_PARITY_SQL),
         "q_minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
         "q_redact": (q_redact, Q_REDACT_SQL),
         "q_decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
