@@ -242,6 +242,22 @@ def _simhash(p: dict) -> Stage:
     return s
 
 
+def _redact(p: dict) -> Stage:
+    from osmray.text import redact_pii
+
+    col = p.get("text_col", "text")
+
+    def s(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            red = redact_pii(batch[col].to_pylist())
+            idx = batch.schema.get_field_index(col)
+            return batch.set_column(idx, col, pa.array(red, pa.string()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return s
+
+
 def _exact_dedup(p: dict) -> Stage:
     from osmray.dedup import exact_dedup
 
@@ -299,6 +315,7 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "lang_id": _lang_id,
     "fingerprint": _fingerprint,
     "simhash": _simhash,
+    "redact": _redact,
     "exact_dedup": _exact_dedup,
     "minhash_lsh": _minhash_lsh,
     "hamming_pairs": _hamming_pairs,
