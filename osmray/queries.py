@@ -1616,6 +1616,59 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_connected_components(sf_dir: str):
+    """Distributed iterative graph computation: connected components
+    of the bipartite order-part co-purchase graph (graph.py: min-label
+    propagation over the streaming edge list + pointer jumping, so
+    rounds ~ log(diameter); exact fixpoint convergence). Hash-checked
+    against a DuckDB recursive-CTE twin (the bounded edge filter keeps
+    components small (max ~46 nodes at sf0.1) and the closure ~3k
+    pairs at sf0.01)."""
+    import ray.data
+
+    from osmray.graph import connected_components
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        return pa.table(
+            {"u": pa.array(2 * o[sel]), "v": pa.array(2 * p[sel] + 1)}
+        )
+
+    out = connected_components(ds.map_batches(edges, batch_format="pyarrow"))
+    node = out["node"].to_numpy()
+    comp = out["comp"].to_numpy()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array(np.where(node % 2 == 0, "o", "p")),
+                "key": pa.array(node // 2),
+                "comp": pa.array(comp),
+            }
+        )
+    )
+
+
+Q_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+ee AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+r AS (
+  SELECT u AS node, u AS label FROM (SELECT u FROM ee UNION SELECT v FROM ee)
+  UNION
+  SELECT ee.v AS node, r.label FROM r JOIN ee ON ee.u = r.node WHERE r.label < ee.v
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END AS kind,
+       node // 2 AS key, CAST(min(label) AS BIGINT) AS comp
+FROM r GROUP BY node
+"""
+
+
 def q_jpeg_roundtrip(sf_dir: str):
     """Codec gate as a SQL-checkable pipeline: deterministic 32x32
     gradient tiles derived from part keys (pure integer ramps, no
@@ -2758,6 +2811,7 @@ def registry():
         "q_running_sum": (q_running_sum, Q_RUNNING_SUM_SQL),
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+        "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),

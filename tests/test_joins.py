@@ -90,3 +90,40 @@ def test_asof_join_matches_scalar(ray_session):
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["state_event_id"].tolist() == want["state_event_id"].tolist()
     assert got["gap_us"].tolist() == want["gap_us"].tolist()
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data
+
+    from osmray.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    n, m = 300, 380
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
+    ).repartition(4)
+    out = connected_components(ds)
+    got = dict(zip(out["node"].to_pylist(), out["comp"].to_pylist()))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(u, v):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for x in set(u.tolist()) | set(v.tolist()):
+        comp.setdefault(find(x), []).append(x)
+    want = {}
+    for mem in comp.values():
+        mn = min(mem)
+        for x in mem:
+            want[x] = mn
+    assert got == want
