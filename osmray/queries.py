@@ -729,6 +729,52 @@ SELECT event_type, bucket, max(rho) AS rho_max FROM rho_t GROUP BY event_type, b
 Q_HLL_SQL = _hll_sql()
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified sampling: a deterministic fixed-size sample (k=20)
+    PER GROUP (returnflag), ranked by a salted hash of the row key —
+    the per-group analogue of q_sample_hash (no RNG, rerun-stable,
+    one keyed shuffle of key+hash rows only)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        h = (p["pid"] * 2654435761 + 97) % 2147483647
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "pid": pa.array(p["pid"]),
+                "h": pa.array(h),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "pid"]).head(20)
+        return g[["l_returnflag", "pid", "h"]]
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+WITH p AS (
+  SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS pid,
+    ((l_orderkey * 10 + l_linenumber) * 2654435761 + 97) % 2147483647 AS h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, pid, h,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, pid) AS rn
+  FROM p
+)
+SELECT l_returnflag, pid, h FROM r WHERE rn <= 20
+"""
+
+
 def q_group_median(sf_dir: str):
     """Exact per-group quantiles (median + p90 of l_quantity per
     returnflag) — discrete quantiles pick an ACTUAL element (index
@@ -2796,6 +2842,7 @@ def registry():
         "q_events_hop": (q_events_hop, Q_EVENTS_HOP_SQL),
         "q_hll": (q_hll, Q_HLL_SQL),
         "q_group_median": (q_group_median, Q_GROUP_MEDIAN_SQL),
+        "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
         "q_inverted_index": (q_inverted_index, Q_INVERTED_INDEX_SQL),
         "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
         "q_distinct_count": (q_distinct_count, Q_DISTINCT_COUNT_SQL),
