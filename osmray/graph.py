@@ -75,3 +75,62 @@ def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
             break
         labels = new
     return pa.table({"node": pa.array(nodes), "comp": pa.array(labels)})
+
+
+def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
+             damping: float = 0.85, n_iters: int = 20):
+    """PageRank by power iteration over a DIRECTED edge Dataset.
+
+    Same shape as connected_components: the edge list streams through
+    one ``map_batches`` per round emitting per-block partial
+    contribution sums against the broadcast (nodes, rank, out-degree)
+    arrays; the driver folds the bounded partials, adds the damping
+    and dangling-mass terms, and iterates a fixed ``n_iters`` (the
+    usual fixed-budget formulation). Returns (node, rank) as a
+    pyarrow Table; ranks sum to 1 up to float round-off."""
+    import ray
+
+    def degs(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].to_numpy(zero_copy_only=False)
+        v = batch[dst_col].to_numpy(zero_copy_only=False)
+        un, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([un, np.unique(v)])),
+                "deg": pa.array(
+                    np.concatenate([cnt, np.zeros(len(np.unique(v)), dtype=np.int64)])
+                ),
+            }
+        )
+
+    dd = edges_ds.map_batches(degs, batch_format="pyarrow").to_pandas()
+    nodes, inv = np.unique(dd["node"].to_numpy(), return_inverse=True)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, inv, dd["deg"].to_numpy())
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(n_iters):
+        ref = ray.put((nodes, rank / np.maximum(deg, 1)))
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            nd, share = ray.get(ref)
+            u = batch[src_col].to_numpy(zero_copy_only=False)
+            v = batch[dst_col].to_numpy(zero_copy_only=False)
+            s = share[np.searchsorted(nd, u)]
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(vs)) + 1))
+            return pa.table(
+                {
+                    "node": pa.array(vs[bounds]),
+                    "c": pa.array(np.add.reduceat(s[order], bounds)),
+                }
+            )
+
+        parts = edges_ds.map_batches(contribs, batch_format="pyarrow").to_pandas()
+        acc = np.zeros(n)
+        np.add.at(acc, np.searchsorted(nodes, parts["node"].to_numpy()), parts["c"].to_numpy())
+        dangling = rank[deg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (acc + dangling / n)
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})

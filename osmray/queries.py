@@ -1715,6 +1715,39 @@ FROM r GROUP BY node
 """
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the directed order->part purchase graph (same
+    bounded edge filter as q_connected_components): power iteration
+    with streaming edge passes + broadcast rank vector (graph.py).
+    Rows-only (float fixpoint); the operator is pytest-pinned against
+    a dense numpy reference at 1e-12."""
+    import ray.data
+
+    from osmray.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        return pa.table(
+            {"u": pa.array(2 * o[sel]), "v": pa.array(2 * p[sel] + 1)}
+        )
+
+    out = pagerank(ds.map_batches(edges, batch_format="pyarrow"), n_iters=15)
+    node = out["node"].to_numpy()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array(np.where(node % 2 == 0, "o", "p")),
+                "key": pa.array(node // 2),
+                "rank": out["rank"],
+            }
+        )
+    )
+
+
 def q_jpeg_roundtrip(sf_dir: str):
     """Codec gate as a SQL-checkable pipeline: deterministic 32x32
     gradient tiles derived from part keys (pure integer ramps, no
@@ -2859,6 +2892,7 @@ def registry():
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
         "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
+        "q_pagerank": (q_pagerank, None),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),

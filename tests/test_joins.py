@@ -127,3 +127,36 @@ def test_connected_components_matches_union_find(ray_session):
         for x in mem:
             want[x] = mn
     assert got == want
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    import ray.data
+
+    from osmray.graph import pagerank
+
+    rng = np.random.default_rng(13)
+    n, m = 60, 200
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
+    ).repartition(3)
+    out = pagerank(ds, n_iters=25)
+    nodes = out["node"].to_numpy()
+    got = out["rank"].to_numpy()
+    # dense numpy reference over the SAME node universe
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    nn = len(nodes)
+    A = np.zeros((nn, nn))
+    for a, b in zip(u, v):
+        A[idx[int(b)], idx[int(a)]] += 1.0
+    deg = np.zeros(nn)
+    for a in u:
+        deg[idx[int(a)]] += 1.0
+    share = np.divide(A, np.maximum(deg, 1.0)[None, :])
+    r = np.full(nn, 1.0 / nn)
+    for _ in range(25):
+        dangling = r[deg == 0].sum()
+        r = (1.0 - 0.85) / nn + 0.85 * (share @ r + dangling / nn)
+    np.testing.assert_allclose(got, r, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
