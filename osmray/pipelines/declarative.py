@@ -287,6 +287,35 @@ def _minhash_lsh(p: dict) -> Stage:
     return s
 
 
+def _asof_join(p: dict) -> Stage:
+    """Right side comes from ``right_path`` parquet (as-of state
+    table); left is the stream."""
+    import glob as _g
+
+    from osmray.joins import asof_join
+
+    def s(ds):
+        import ray.data
+
+        files = sorted(_g.glob(p["right_path"]))
+        right = ray.data.read_parquet(files, columns=p.get("right_columns"))
+        return asof_join(
+            ds, right, on=p.get("on", "user_id"), ts_col=p.get("ts_col", "ts"),
+            left_cols=p.get("left_cols"), right_cols=p.get("right_cols"),
+        )
+
+    return s
+
+
+def _hll(p: dict) -> Stage:
+    from osmray.sketch import hll_registers
+
+    def s(ds):
+        return hll_registers(ds, p["group_col"], p["value_col"])
+
+    return s
+
+
 def _hamming_pairs(p: dict) -> Stage:
     from osmray.dedup import hamming_pairs
 
@@ -319,6 +348,8 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "exact_dedup": _exact_dedup,
     "minhash_lsh": _minhash_lsh,
     "hamming_pairs": _hamming_pairs,
+    "asof_join": _asof_join,
+    "hll": _hll,
 }
 
 

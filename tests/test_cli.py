@@ -145,3 +145,30 @@ def test_declarative_text_dedup_steps(ray_session):
     assert pairs[["a", "b", "hamming"]].to_numpy().tolist() == want[
         ["a", "b", "hamming"]
     ].to_numpy().tolist()
+
+
+def test_declarative_asof_and_hll_steps(ray_session):
+    from osmray.pipelines import run_pipeline
+
+    out = run_pipeline(
+        [
+            {"op": "read_parquet", "path": "/root/testdata/sf0.001/events.parquet",
+             "columns": ["event_id", "ts", "user_id", "event_type"]},
+            {"op": "filter", "column": "event_type", "cmp": "!=", "value": "purchase"},
+            {"op": "asof_join", "right_path": "/root/testdata/sf0.001/events.parquet",
+             "right_columns": ["event_id", "ts", "user_id"],
+             "left_cols": ["event_id"], "right_cols": ["event_id"]},
+        ]
+    ).to_pandas()
+    assert len(out) > 0 and {"event_id", "state_event_id", "gap_us"} <= set(out.columns)
+    assert (out["gap_us"] >= 0).all()
+
+    regs = run_pipeline(
+        [
+            {"op": "read_parquet", "path": "/root/testdata/sf0.001/events.parquet",
+             "columns": ["event_type", "user_id"]},
+            {"op": "hll", "group_col": "event_type", "value_col": "user_id"},
+        ]
+    ).to_pandas()
+    assert {"event_type", "bucket", "rho_max"} <= set(regs.columns)
+    assert regs["rho_max"].min() >= 1
