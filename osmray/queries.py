@@ -2364,29 +2364,164 @@ def q_ivf_ann(sf_dir: str):
     return ivf_ann_topk(emb, qids, qmat, cent, k=10, n_probe=4)
 
 
+def hash64_ctes(prefix: str, src: str, cols: str, expr: str, seed: int) -> str:
+    """SQL CTE chain reproducing stages.hash64 BIT-EXACTLY in DuckDB:
+    the splitmix64-style mix runs in HUGEINT with 32-bit-limb wrapping
+    multiplies (UBIGINT would overflow; HUGEINT products of two 64-bit
+    values would too, limbs keep every intermediate < 2^96). The final
+    CTE ``{prefix}5`` carries ``cols`` plus signed-int64 ``h``.
+    ``expr`` must be non-negative (every engine use hashes positive
+    keys)."""
+    M = 18446744073709551616  # 2^64
+    S = (seed * 0x9E3779B97F4A7C15) % M
+    H1 = 0xBF58476D1CE4E5B9
+    H2 = 0x94D049BB133111EB
+
+    def mul(a: str, c: int) -> str:
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({a}) % 4294967296) * {cl} + (((({a}) % 4294967296) * {ch} "
+            f"+ (({a}) // 4294967296) * {cl}) % 4294967296) * 4294967296) % {M}"
+        )
+
+    p = prefix
+    return f"""
+{p}0 AS (SELECT {cols}, (CAST({expr} AS HUGEINT) + {S}) % {M} AS hh FROM {src}),
+{p}1 AS (SELECT {cols}, xor(hh, hh >> 30) AS hh FROM {p}0),
+{p}2 AS (SELECT {cols}, {mul('hh', H1)} AS hh FROM {p}1),
+{p}3 AS (SELECT {cols}, xor(hh, hh >> 27) AS hh FROM {p}2),
+{p}4 AS (SELECT {cols}, {mul('hh', H2)} AS hh FROM {p}3),
+{p}5 AS (SELECT {cols}, CAST(CASE WHEN xor(hh, hh >> 31) >= 9223372036854775808
+  THEN xor(hh, hh >> 31) - {M} ELSE xor(hh, hh >> 31) END AS BIGINT) AS h FROM {p}4)"""
+
+
+# shared SQL fragments for the oracle-fixture pipelines (see
+# osmray/oraclefix.py for the construction and exactness argument).
+# nodes / ways / polygons / the canvas universe as pure generate_series
+# derivations — the same integer formulas oraclefix.py uses.
+_OFX_BASE = """
+nd AS (SELECT t.range AS k, 1000 + t.range AS fid,
+              (t.range*37)%64 AS un, (t.range*59)%64 AS vn,
+              (t.range*13)%240 + 8 AS rxn, (t.range*29)%240 + 8 AS ryn,
+              (t.range % 5 <> 0) AS lamp
+       FROM range(0, 600) t),
+wy AS (SELECT t.range AS m, (t.range*7)%48 AS gx0,
+              (t.range*7)%48 + 4 + t.range%11 AS gx1, (t.range*23)%63 AS gy
+       FROM range(0, 80) t),
+univ AS (SELECT t.range % 64 AS u, t.range // 64 AS v FROM range(0, 4096) t),
+pha AS (SELECT aa.range AS a,
+  CAST(SUM(CASE WHEN 2*(4*aa.range*(jj.range//2) + (ii.range//2)) > 3*(4*aa.range+1)
+      THEN (CAST(1 AS BIGINT) << (63 - (8*ii.range + jj.range))) ELSE 0 END) AS BIGINT) AS ph
+  FROM range(1, 5) aa CROSS JOIN range(0, 8) ii CROSS JOIN range(0, 8) jj
+  GROUP BY aa.range)"""
+
+# per-tile image attributes: amplitude a, base-sum, phash, pixel sum
+_OFX_IMG = """
+img AS (SELECT u, v, 1 + (u*3 + v*5) % 4 AS a,
+  (((u*7 + v*11) % 8) + ((u*7 + v*11 + 1) % 8) + ((u*7 + v*11 + 2) % 8)) * 16 AS sbase
+  FROM univ),
+imgp AS (SELECT img.*, pha.ph,
+  65536*sbase + 768*(a*1536) + 768*384 AS pix_sum FROM img JOIN pha USING (a))"""
+
+
 def q_image_label_job(sf_dir: str):
-    """The flagship image pipeline at fixture scale (images table
-    synthesized deterministically under /tmp, seeded; features seeded)
-    — rows-only check; its semantics are oracle-locked in pytest."""
-    import glob
-    import os
+    """The flagship label job (make_original semantics,
+    /root/reference/make_original.py:26-62) run END TO END over the
+    oracle fixture and hash-checked against a DuckDB closed form:
+    seeded positive sampling (hash64 in SQL), skipedge, the distributed
+    painter (way strokes + sampled-lamp dots), complement negative
+    sampling, the label semi/anti join, per-tile 256x256 mask
+    rasterization (checked as exact popcounts), decode->re-encode
+    roundtrip (checked as decoded-pixel sums + psnr/phash gates) and
+    the cell/partition key derivations. The crc32-based ``split``
+    column is the one output not SQL-checkable (no crc32 in DuckDB);
+    it stays pytest-locked."""
+    from osmray import codecs, oraclefix, pipeline
 
-    import pyarrow.parquet as pq
-    import ray.data
-
-    from osmray import pipeline, synth
-
-    n = 512 if "0.001" in sf_dir else 2048
-    root = f"/tmp/osmray_fixture_{n}"
-    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
-                        n_polygons=n // 8)
-    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root), limit=max(50, n // 8))
-    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
-    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    images, feats = oraclefix.load()
+    cfg = pipeline.LabelJobConfig(bbox=oraclefix.bbox(), limit=200)
     ds, _ = pipeline.run_label_job(images, feats, cfg)
-    return ds.select_columns(
-        ["image_id", "tile_key", "tx", "ty", "cell", "label", "split", "caption", "phash"]
-    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pix = [
+            int(codecs.png_decode(b).astype(np.int64).sum())
+            for b in batch["bytes"].to_pylist()
+        ]
+        pop = [
+            int((codecs.png_decode(m) > 0).sum()) for m in batch["mask"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "tx": batch["tx"],
+                "ty": batch["ty"],
+                "tile_key": batch["tile_key"],
+                "cell": batch["cell"],
+                "part_id": batch["part_id"],
+                "label": batch["label"],
+                "caption": batch["caption"],
+                "phash": batch["phash"],
+                "pix_sum": pa.array(pix, pa.int64()),
+                "mask_pop": pa.array(pop, pa.int64()),
+                "mask_any": batch["mask_any"],
+                "psnr_ok": batch["psnr_ok"],
+                "phash_ok": batch["phash_ok"],
+                "decode_ok": batch["decode_ok"],
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+Q_IMAGE_LABEL_JOB_SQL = f"""
+WITH {_OFX_BASE},
+{_OFX_IMG},
+lamps AS (SELECT * FROM nd WHERE lamp),
+{hash64_ctes('lh', 'lamps', 'fid, un, vn, rxn, ryn', 'fid', 42)},
+samp AS (SELECT * FROM lh5 ORDER BY h, fid LIMIT 200),
+pos AS (SELECT DISTINCT un AS u, vn AS v FROM samp
+        WHERE rxn BETWEEN 16 AND 239 AND ryn BETWEEN 16 AND 239),
+wt AS (SELECT DISTINCT gx0 + xx.range AS u, gy + yy.range AS v
+       FROM wy CROSS JOIN range(0, 2) yy CROSS JOIN range(0, 16) xx
+       WHERE xx.range <= gx1 + 1 - gx0),
+dots AS (SELECT DISTINCT un AS u, vn AS v FROM samp),
+painted AS (SELECT u, v FROM wt UNION SELECT u, v FROM dots),
+freek AS (SELECT u, v,
+    19*288230376151711744 + (290000 + u + 268435456)*536870912
+      + (170000 + v + 268435456) AS key
+    FROM univ ANTI JOIN painted USING (u, v)),
+{hash64_ctes('nh', 'freek', 'u, v, key', 'key', 42)},
+negs AS (SELECT u, v FROM nh5 ORDER BY h, key LIMIT 200),
+labeled AS (SELECT u, v, 'lamp' AS label FROM pos
+            UNION ALL SELECT u, v, 'nolamp' FROM negs),
+npx AS (SELECT c.u, c.v, n.rxn + 256*n.ryn AS pxl
+        FROM nd n JOIN labeled c ON c.u = n.un AND c.v = n.vn),
+wpx AS (SELECT c.u, c.v, (xs.x - 256*c.u) + 256*(128 + yy.range) AS pxl
+        FROM wy w JOIN labeled c ON c.v = w.gy AND c.u BETWEEN w.gx0 AND w.gx1
+        CROSS JOIN range(0, 2) yy,
+        LATERAL (SELECT unnest(generate_series(greatest(w.gx0*256 + 128, c.u*256),
+                 least(w.gx1*256 + 129, c.u*256 + 255))) AS x) xs),
+mp AS (SELECT u, v, CAST(COUNT(DISTINCT pxl) AS BIGINT) AS mask_pop
+       FROM (SELECT * FROM npx UNION ALL SELECT * FROM wpx) GROUP BY u, v)
+SELECT
+  'im' || CAST(10000 + l.v*100 + l.u AS VARCHAR) AS image_id,
+  290000 + l.u AS tx, 170000 + l.v AS ty,
+  19*288230376151711744 + (290000 + l.u + 268435456)*536870912
+    + (170000 + l.v + 268435456) AS tile_key,
+  12*288230376151711744 + (((290000 + l.u) // 128) % 4096)*536870912
+    + ((170000 + l.v) // 128) AS cell,
+  15*288230376151711744 + (((290000 + l.u) // 16) % 32768)*536870912
+    + ((170000 + l.v) // 16) AS part_id,
+  l.label,
+  'cap ' || (290000 + l.u) || ' ' || (170000 + l.v) AS caption,
+  i.ph AS phash, i.pix_sum,
+  COALESCE(mp.mask_pop, 0) AS mask_pop,
+  COALESCE(mp.mask_pop, 0) > 0 AS mask_any,
+  true AS psnr_ok, true AS phash_ok, true AS decode_ok
+FROM labeled l
+JOIN imgp i USING (u, v)
+LEFT JOIN mp USING (u, v)
+"""
 
 
 def _fixture(sf_dir: str):
@@ -2724,26 +2859,130 @@ def q_buildings_label_job(sf_dir: str):
 
 
 def q_expand_crops(sf_dir: str):
-    """make_expand as dataflow: train mosaic crops + valid raw tiles
-    for both classes (rows-only; mosaic parity is oracle-locked in
-    pytest)."""
-    import glob
-    import os
+    """make_expand (/root/reference/make_expand.py:36-102) over the
+    oracle fixture, fully hash-checked: the hash-ordered train/valid
+    lamp split, skipedge on valid positives, the painter complement
+    negative sample (key-sorted, positionally split), the re-centered
+    ``wgs_at_tile`` negative crops (offset shift preserved), and the
+    assembled mosaic crops themselves — checked as decoded-pixel sums
+    with missing (off-canvas) slots black, plus n_missing counts."""
+    from osmray import codecs, oraclefix, pipeline
 
-    import pyarrow.parquet as pq
-    import ray.data
+    images, feats = oraclefix.load()
+    cfg = pipeline.LabelJobConfig(bbox=oraclefix.bbox(), limit=400)
+    ds = pipeline.run_expand_job(images, feats, cfg, train=300, valid=100)
 
-    from osmray import pipeline, synth
+    def summarize(batch: pa.Table) -> pa.Table:
+        pix = [
+            int(codecs.png_decode(b).astype(np.int64).sum())
+            for b in batch["crop"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "req_id": batch["req_id"],
+                "label": batch["label"],
+                "split": batch["split"],
+                "kind": batch["kind"],
+                "crop_h": batch["crop_h"].cast(pa.int64()),
+                "crop_w": batch["crop_w"].cast(pa.int64()),
+                "n_missing": batch["n_missing"].cast(pa.int64()),
+                "pix_sum": pa.array(pix, pa.int64()),
+            }
+        )
 
-    n = 512 if "0.001" in sf_dir else 2048
-    root = f"/tmp/osmray_fixture_{n}"
-    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
-                        n_polygons=n // 8)
-    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root))
-    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
-    feats = pq.read_table(os.path.join(root, "features.parquet"))
-    ds = pipeline.run_expand_job(images, feats, cfg, train=64, valid=16)
-    return ds.select_columns(["req_id", "label", "split", "kind", "crop_h", "crop_w", "n_missing"])
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+# Sf(n) = sum_{x<n} x//64 for 0 <= n <= 256 (the separable-gradient
+# 1-D prefix sum; t = n//64): 32*t*(t-1) + (n - 64*t)*t
+def _sf(n: str) -> str:
+    return (
+        f"(32*(({n})//64)*((({n})//64) - 1) + (({n}) - 64*(({n})//64))*(({n})//64))"
+    )
+
+
+# pixel-sum contribution of canvas tile (tu, tv) to the crop rect
+# [ax0, ax1) x [ay0, ay1) in canvas-local pixels: clip to the tile,
+# then Sbase*area + 3a*dy*4*SumF + 3*dx*SumG (tiles outside the canvas
+# contribute 0 — missing slots stay black)
+_OFX_REGION = f"""
+reg AS (
+  SELECT rid, tu AS u, tv AS v,
+    greatest(ax0, tu*256) - tu*256 AS xl, least(ax1, tu*256 + 256) - tu*256 AS xh,
+    greatest(ay0, tv*256) - tv*256 AS yl, least(ay1, tv*256 + 256) - tv*256 AS yh
+  FROM cover
+  WHERE tu BETWEEN 0 AND 63 AND tv BETWEEN 0 AND 63
+    AND greatest(ax0, tu*256) < least(ax1, tu*256 + 256)
+    AND greatest(ay0, tv*256) < least(ay1, tv*256 + 256)),
+regsum AS (
+  SELECT rid, CAST(SUM(
+      i.sbase * (xh - xl) * (yh - yl)
+      + 3 * i.a * (yh - yl) * 4 * ({_sf('xh')} - {_sf('xl')})
+      + 3 * (xh - xl) * ({_sf('yh')} - {_sf('yl')})
+    ) AS BIGINT) AS pix_sum
+  FROM reg JOIN imgp i USING (u, v) GROUP BY rid)"""
+
+
+Q_EXPAND_CROPS_SQL = f"""
+WITH {_OFX_BASE},
+{_OFX_IMG},
+lamps AS (SELECT * FROM nd WHERE lamp),
+{hash64_ctes('lh', 'lamps', 'fid, un, vn, rxn, ryn', 'fid', 42)},
+lrank AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, fid) - 1 AS rnk FROM lh5),
+wt AS (SELECT DISTINCT gx0 + xx.range AS u, gy + yy.range AS v
+       FROM wy CROSS JOIN range(0, 2) yy CROSS JOIN range(0, 16) xx
+       WHERE xx.range <= gx1 + 1 - gx0),
+dots AS (SELECT DISTINCT un AS u, vn AS v FROM nd WHERE lamp),
+painted AS (SELECT u, v FROM wt UNION SELECT u, v FROM dots),
+freek AS (SELECT u, v,
+    19*288230376151711744 + (290000 + u + 268435456)*536870912
+      + (170000 + v + 268435456) AS key
+    FROM univ ANTI JOIN painted USING (u, v)),
+{hash64_ctes('nh', 'freek', 'u, v, key', 'key', 42)},
+neg400 AS (SELECT u, v, key FROM nh5 ORDER BY h, key LIMIT 400),
+negr AS (SELECT u, v, ROW_NUMBER() OVER (ORDER BY key) - 1 AS i FROM neg400),
+-- request windows: crop rect [ax0, ax1) x [ay0, ay1) in canvas-local px
+reqs AS (
+  SELECT rnk*4 + 0 AS rid, 'lamp' AS label, 'train' AS split, 'crop' AS kind,
+         un*256 + rxn - 128 AS ax0, un*256 + rxn + 128 AS ax1,
+         vn*256 + ryn - 128 AS ay0, vn*256 + ryn + 128 AS ay1
+  FROM lrank WHERE rnk < 300
+  UNION ALL
+  SELECT (rnk - 300)*4 + 1, 'lamp', 'valid', 'tile',
+         un*256, un*256 + 256, vn*256, vn*256 + 256
+  FROM lrank WHERE rnk >= 300 AND rnk < 400
+    AND rxn BETWEEN 16 AND 239 AND ryn BETWEEN 16 AND 239
+  UNION ALL
+  SELECT i*4 + 2, 'nolamp', 'train', 'crop',
+         u*256 - 30, u*256 + 226, v*256 + 10, v*256 + 266
+  FROM negr WHERE i < 300
+  UNION ALL
+  SELECT (i - 300)*4 + 3, 'nolamp', 'valid', 'tile',
+         u*256, u*256 + 256, v*256, v*256 + 256
+  FROM negr WHERE i >= 300),
+-- tile cover of each crop rect (floor division on possibly-negative
+-- coordinates must floor, not truncate)
+cover AS (
+  SELECT r.*, CAST(floor(ax0 / 256.0) AS BIGINT) + dx.range AS tu,
+         CAST(floor(ay0 / 256.0) AS BIGINT) + dy.range AS tv
+  FROM reqs r CROSS JOIN range(0, 2) dx CROSS JOIN range(0, 2) dy
+  WHERE CAST(floor(ax0 / 256.0) AS BIGINT) + dx.range
+          <= CAST(floor((ax1 - 1) / 256.0) AS BIGINT)
+    AND CAST(floor(ay0 / 256.0) AS BIGINT) + dy.range
+          <= CAST(floor((ay1 - 1) / 256.0) AS BIGINT)),
+{_OFX_REGION},
+nmiss AS (
+  SELECT rid, CAST(COUNT(*) FILTER (WHERE tu < 0 OR tu > 63 OR tv < 0 OR tv > 63)
+    AS BIGINT) AS n_missing
+  FROM cover GROUP BY rid)
+SELECT r.rid AS req_id, r.label, r.split, r.kind,
+  (r.ay1 - r.ay0) AS crop_h, (r.ax1 - r.ax0) AS crop_w,
+  COALESCE(nm.n_missing, 0) AS n_missing,
+  COALESCE(rs.pix_sum, 0) AS pix_sum
+FROM reqs r
+LEFT JOIN nmiss nm ON nm.rid = r.rid
+LEFT JOIN regsum rs ON rs.rid = r.rid
+"""
 
 
 def q_roofshapes(sf_dir: str):
@@ -2907,8 +3146,8 @@ def registry():
         "q_embedding_dups": (q_embedding_dups, Q_EMBEDDING_DUPS_SQL),
         "q_lsh_ann": (q_lsh_ann, Q_LSH_ANN_SQL),
         "q_ivf_ann": (q_ivf_ann, None),
-        "q_image_label_job": (q_image_label_job, None),
-        "q_expand_crops": (q_expand_crops, None),
+        "q_image_label_job": (q_image_label_job, Q_IMAGE_LABEL_JOB_SQL),
+        "q_expand_crops": (q_expand_crops, Q_EXPAND_CROPS_SQL),
         "q_roofshapes": (q_roofshapes, None),
         "q_buildings_label_job": (q_buildings_label_job, None),
         "q_pip": (q_pip, Q_PIP_SQL),
