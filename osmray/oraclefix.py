@@ -42,7 +42,7 @@ TX0 = 290000
 TY0 = 170000
 N_NODE = 600
 N_WAY = 80
-N_POLY = 60
+N_POLY = 240
 SEED = 42
 
 _SCALE = float(1 << Z)

@@ -2986,25 +2986,82 @@ LEFT JOIN regsum rs ON rs.rid = r.rid
 
 
 def q_roofshapes(sf_dir: str):
-    """make_roofshapes as dataflow: per-way padded mosaics with the
-    128<=h,w<1024 size gate (rows-only)."""
-    import glob
-    import os
+    """make_roofshapes (/root/reference/make_roofshapes.py:20-53) over
+    the oracle fixture, fully hash-checked: per-polygon padded mosaic
+    windows (tiles_way pad = max(side/4, 48px), the boundary-tile
+    inclusion when a padded edge lands on a tile seam), the
+    128<=h,w<1024 size gate, missing-tile black fill, and the
+    assembled crops themselves as decoded-pixel sums."""
+    from osmray import codecs, oraclefix, pipeline
 
-    import pyarrow.parquet as pq
-    import ray.data
-
-    from osmray import pipeline, synth
-
-    n = 512 if "0.001" in sf_dir else 2048
-    root = f"/tmp/osmray_fixture_{n}"
-    synth.write_fixture(root, n_images=n, n_nodes=max(100, n // 4), n_ways=n // 16,
-                        n_polygons=n // 8)
-    cfg = pipeline.LabelJobConfig(bbox=synth.fixture_bbox(root))
-    images = ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "images", "*.parquet"))))
-    feats = pq.read_table(os.path.join(root, "features.parquet"))
+    images, feats = oraclefix.load()
+    cfg = pipeline.LabelJobConfig(bbox=oraclefix.bbox())
     ds, _counts = pipeline.run_roofshapes_job(images, feats, cfg)
-    return ds.select_columns(["req_id", "label", "crop_h", "crop_w", "n_missing"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pix = [
+            int(codecs.png_decode(b).astype(np.int64).sum())
+            for b in batch["crop"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "req_id": batch["req_id"],
+                "label": batch["label"],
+                "crop_h": batch["crop_h"].cast(pa.int64()),
+                "crop_w": batch["crop_w"].cast(pa.int64()),
+                "n_tiles": batch["n_tiles"].cast(pa.int64()),
+                "n_missing": batch["n_missing"].cast(pa.int64()),
+                "pix_sum": pa.array(pix, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+Q_ROOFSHAPES_SQL = f"""
+WITH {_OFX_BASE},
+{_OFX_IMG},
+poly AS (SELECT t.range AS r, 9000 + t.range AS req_id,
+    (t.range*1117) % 14336 AS ax, (t.range*2003) % 14336 AS ay,
+    128 + (t.range % 24)*64 AS dx, 128 + ((t.range*5) % 24)*64 AS dy
+  FROM range(0, 240) t),
+pp AS (SELECT *, greatest(dx // 4, 48) AS padx, greatest(dy // 4, 48) AS pady,
+    CASE r % 3 WHEN 0 THEN 'flat' WHEN 1 THEN 'gabled' ELSE 'hipped' END AS label
+  FROM poly),
+win AS (SELECT *, ax - padx AS cx0, ax + dx + padx AS cx1,
+    ay - pady AS cy0, ay + dy + pady AS cy1,
+    dx + 2*padx AS crop_w, dy + 2*pady AS crop_h FROM pp),
+kept AS (SELECT * FROM win WHERE crop_w < 1024 AND crop_h < 1024),
+-- window tile grid: INCLUDES the boundary tile when a padded east or
+-- south edge lands exactly on a tile seam (tiles_way counts it with a
+-- zero-width residual), hence floor(cx1/256), not floor((cx1-1)/256)
+wcov AS (SELECT req_id,
+    CAST(floor(cx0 / 256.0) AS BIGINT) + du.range AS tu,
+    CAST(floor(cy0 / 256.0) AS BIGINT) + dv.range AS tv
+  FROM kept CROSS JOIN range(0, 7) du CROSS JOIN range(0, 7) dv
+  WHERE CAST(floor(cx0 / 256.0) AS BIGINT) + du.range
+          <= CAST(floor(cx1 / 256.0) AS BIGINT)
+    AND CAST(floor(cy0 / 256.0) AS BIGINT) + dv.range
+          <= CAST(floor(cy1 / 256.0) AS BIGINT)),
+miss AS (SELECT req_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+    CAST(COUNT(*) FILTER (WHERE tu < 0 OR tu > 63 OR tv < 0 OR tv > 63)
+      AS BIGINT) AS n_missing
+  FROM wcov GROUP BY req_id),
+cover AS (SELECT req_id AS rid, cx0 AS ax0, cx1 AS ax1, cy0 AS ay0, cy1 AS ay1,
+    CAST(floor(cx0 / 256.0) AS BIGINT) + du.range AS tu,
+    CAST(floor(cy0 / 256.0) AS BIGINT) + dv.range AS tv
+  FROM kept CROSS JOIN range(0, 6) du CROSS JOIN range(0, 6) dv
+  WHERE CAST(floor(cx0 / 256.0) AS BIGINT) + du.range
+          <= CAST(floor((cx1 - 1) / 256.0) AS BIGINT)
+    AND CAST(floor(cy0 / 256.0) AS BIGINT) + dv.range
+          <= CAST(floor((cy1 - 1) / 256.0) AS BIGINT)),
+{_OFX_REGION}
+SELECT k.req_id, k.label, k.crop_h, k.crop_w,
+  m.n_tiles, m.n_missing,
+  COALESCE(rs.pix_sum, 0) AS pix_sum
+FROM kept k JOIN miss m USING (req_id)
+LEFT JOIN regsum rs ON rs.rid = k.req_id
+"""
 
 
 def q_image_resize(sf_dir: str):
@@ -3148,7 +3205,7 @@ def registry():
         "q_ivf_ann": (q_ivf_ann, None),
         "q_image_label_job": (q_image_label_job, Q_IMAGE_LABEL_JOB_SQL),
         "q_expand_crops": (q_expand_crops, Q_EXPAND_CROPS_SQL),
-        "q_roofshapes": (q_roofshapes, None),
+        "q_roofshapes": (q_roofshapes, Q_ROOFSHAPES_SQL),
         "q_buildings_label_job": (q_buildings_label_job, None),
         "q_pip": (q_pip, Q_PIP_SQL),
         "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
