@@ -1,19 +1,32 @@
-"""Distributed iterative graph computation: connected components by
-min-label propagation with pointer jumping.
+"""Distributed iterative graph computation (connected components by
+min-label propagation, PageRank by power iteration) with TWO engines
+behind one Dataset-returning API:
 
-Dataflow per round: the EDGE LIST (the big side — it streams, never
-materializes) goes through one ``map_batches`` that emits per-block
-partial (node, min incoming label) rows against the broadcast label
-array; the driver folds the bounded partials and then pointer-jumps
-(label <- label[label], halving propagation depth each round, so
-rounds ~ log(diameter) instead of diameter). State is the label
-table only — bounded like the engine's other broadcast sides
-(painted sets, centroids); for node sets too large to broadcast the
-same rounds compose from ``joins.large_join`` at two shuffles per
-round (documented trade).
+- ``broadcast`` — the edge list (the big side) streams through one
+  ``map_batches`` per round emitting per-block partials against a
+  broadcast O(V) label/rank array; the driver folds the bounded
+  partials (CC additionally pointer-jumps: label <- label[label],
+  halving propagation depth each round). State is one array of the
+  node universe — right for graphs whose NODE table fits a broadcast
+  (~1e8 ids), which is most derived graphs even at 100 TB of edges.
+- ``shuffle`` — nothing O(V) ever lives on the driver: labels/ranks
+  are themselves Datasets and every round composes from keyed
+  ``Dataset.join`` + ``groupby().aggregate`` (hash-min with a
+  self-join pointer jump for CC; join-share-sum rounds for PageRank).
+  Per round the driver sees only O(1) scalars (the convergence
+  witness / dangling mass). This is the 1e9+-node path; it costs
+  2-3 shuffles per round, so prefer ``broadcast`` whenever V fits.
 
-Convergence is exact: the sum of labels strictly decreases until the
-fixpoint, so the loop stops the first round nothing changes.
+``mode="auto"`` picks by the node-universe bound (2 x edge count,
+then the exact distinct count if that bound exceeds the cap) against
+``broadcast_cap``. Both engines return ``(node, comp)`` /
+``(node, rank)`` as a ``ray.data.Dataset`` so the result itself never
+has to fit the driver.
+
+CC convergence is exact under both engines: labels are elementwise
+non-increasing, so the label SUM is a strictly decreasing witness
+until fixpoint (the shuffle engine folds it as a per-round scalar
+aggregate; the broadcast engine compares arrays directly).
 """
 
 from __future__ import annotations
@@ -22,21 +35,74 @@ import numpy as np
 import pyarrow as pa
 
 
-def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
-                         max_rounds: int = 64):
-    """Edge Dataset (undirected; each edge once is fine) ->
-    pyarrow Table (node, comp) where comp is the component's minimum
-    node id. Node ids must be nonnegative int64."""
-    import ray
+def _edge_view(edges_ds, src_col: str, dst_col: str):
+    """Normalize to int64 (u, v) columns."""
 
-    # node universe + initial labels (one distributed pass)
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch[src_col].cast(pa.int64()),
+                "v": batch[dst_col].cast(pa.int64()),
+            }
+        )
+
+    return edges_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _distinct_nodes(edges):
+    """Dataset of distinct endpoint ids (per-block unique, then one
+    keyed dedup shuffle via a vectorized Count aggregate)."""
+    from ray.data.aggregate import Count
+
     def nodes_of(batch: pa.Table) -> pa.Table:
-        u = batch[src_col].to_numpy(zero_copy_only=False)
-        v = batch[dst_col].to_numpy(zero_copy_only=False)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([u, v])))})
+
+    return (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+    )
+
+
+def _pick_mode(edges, mode: str, broadcast_cap: int) -> str:
+    if mode != "auto":
+        return mode
+    if 2 * edges.count() <= broadcast_cap:
+        return "broadcast"
+    if _distinct_nodes(edges).count() <= broadcast_cap:
+        return "broadcast"
+    return "shuffle"
+
+
+def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
+                         max_rounds: int = 64, mode: str = "auto",
+                         broadcast_cap: int = 50_000_000,
+                         num_partitions: int = 16):
+    """Edge Dataset (undirected; each edge once is fine) -> Dataset
+    (node, comp) where comp is the component's minimum node id. Node
+    ids must be nonnegative int64. ``mode``: "broadcast" | "shuffle" |
+    "auto" (see module docstring)."""
+    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    eng = _pick_mode(edges, mode, broadcast_cap)
+    if eng == "broadcast":
+        return _cc_broadcast(edges, max_rounds)
+    return _cc_shuffle(edges, max_rounds, num_partitions)
+
+
+def _cc_broadcast(edges, max_rounds: int):
+    import ray
+    import ray.data
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
         return pa.table({"node": pa.array(np.unique(np.concatenate([u, v])))})
 
     nodes = np.unique(
-        edges_ds.map_batches(nodes_of, batch_format="pyarrow").to_pandas()["node"].to_numpy()
+        edges.map_batches(nodes_of, batch_format="pyarrow").to_pandas()["node"].to_numpy()
     )
     labels = nodes.copy()
 
@@ -45,8 +111,8 @@ def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
 
         def propagate(batch: pa.Table) -> pa.Table:
             nd, lb = ray.get(ref)
-            u = batch[src_col].to_numpy(zero_copy_only=False)
-            v = batch[dst_col].to_numpy(zero_copy_only=False)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
             # both directions: min(label[u]) -> v and min(label[v]) -> u
             tgt = np.concatenate([v, u])
             lab = lb[np.searchsorted(nd, np.concatenate([u, v]))]
@@ -60,7 +126,7 @@ def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
                 }
             )
 
-        parts = edges_ds.map_batches(propagate, batch_format="pyarrow").to_pandas()
+        parts = edges.map_batches(propagate, batch_format="pyarrow").to_pandas()
         new = labels.copy()
         idx = np.searchsorted(nodes, parts["node"].to_numpy())
         np.minimum.at(new, idx, parts["lab"].to_numpy())
@@ -74,25 +140,106 @@ def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
         if (new == labels).all():
             break
         labels = new
-    return pa.table({"node": pa.array(nodes), "comp": pa.array(labels)})
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "comp": pa.array(labels)})
+    )
+
+
+def _cc_shuffle(edges, max_rounds: int, num_partitions: int):
+    """Hash-min rounds with a pointer-jump self-join; labels live as a
+    Dataset end to end. Per round: 2 edge-label joins, one Min
+    groupby, one label-label join, one O(1) scalar sum (the
+    convergence witness)."""
+    from ray.data.aggregate import Min
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "comp": batch["node"]})
+
+    labels = (
+        _distinct_nodes(edges)
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        e1 = edges.join(labels, "inner", num_partitions, on=("u",), right_on=("node",))
+        e2 = e1.join(
+            labels, "inner", num_partitions, on=("v",), right_on=("node",),
+            right_suffix="_v",
+        )
+
+        def candidates(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            m = np.minimum(
+                batch["comp"].to_numpy(zero_copy_only=False),
+                batch["comp_v"].to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([u, v])),
+                    "comp": pa.array(np.concatenate([m, m])),
+                }
+            )
+
+        merged = (
+            labels.union(e2.map_batches(candidates, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("comp", alias_name="comp"))
+        )
+        # pointer jump: comp <- comp[comp] (every comp value is a node
+        # id, so the self-join is total under inner semantics)
+        jumped = merged.join(
+            merged, "inner", num_partitions, on=("comp",), right_on=("node",),
+            right_suffix="_j",
+        )
+
+        def jump(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "comp": pa.array(
+                        np.minimum(
+                            batch["comp"].to_numpy(zero_copy_only=False),
+                            batch["comp_j"].to_numpy(zero_copy_only=False),
+                        )
+                    ),
+                }
+            )
+
+        labels = jumped.map_batches(jump, batch_format="pyarrow").materialize()
+        s = labels.sum("comp")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
 
 
 def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
-             damping: float = 0.85, n_iters: int = 20):
-    """PageRank by power iteration over a DIRECTED edge Dataset.
+             damping: float = 0.85, n_iters: int = 20, mode: str = "auto",
+             broadcast_cap: int = 50_000_000, num_partitions: int = 16):
+    """PageRank by power iteration over a DIRECTED edge Dataset ->
+    Dataset (node, rank); ranks sum to 1 up to float round-off.
+    Multi-edges contribute one share each (matching the dense
+    adjacency-count formulation). ``mode`` as in
+    ``connected_components``; the two engines agree to summation-order
+    round-off (~1e-13)."""
+    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    eng = _pick_mode(edges, mode, broadcast_cap)
+    if eng == "broadcast":
+        return _pagerank_broadcast(edges, damping, n_iters)
+    return _pagerank_shuffle(edges, damping, n_iters, num_partitions)
 
-    Same shape as connected_components: the edge list streams through
-    one ``map_batches`` per round emitting per-block partial
-    contribution sums against the broadcast (nodes, rank, out-degree)
-    arrays; the driver folds the bounded partials, adds the damping
-    and dangling-mass terms, and iterates a fixed ``n_iters`` (the
-    usual fixed-budget formulation). Returns (node, rank) as a
-    pyarrow Table; ranks sum to 1 up to float round-off."""
+
+def _pagerank_broadcast(edges, damping: float, n_iters: int):
     import ray
+    import ray.data
 
     def degs(batch: pa.Table) -> pa.Table:
-        u = batch[src_col].to_numpy(zero_copy_only=False)
-        v = batch[dst_col].to_numpy(zero_copy_only=False)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
         un, cnt = np.unique(u, return_counts=True)
         return pa.table(
             {
@@ -103,7 +250,7 @@ def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
             }
         )
 
-    dd = edges_ds.map_batches(degs, batch_format="pyarrow").to_pandas()
+    dd = edges.map_batches(degs, batch_format="pyarrow").to_pandas()
     nodes, inv = np.unique(dd["node"].to_numpy(), return_inverse=True)
     deg = np.zeros(len(nodes), dtype=np.int64)
     np.add.at(deg, inv, dd["deg"].to_numpy())
@@ -115,8 +262,8 @@ def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
 
         def contribs(batch: pa.Table) -> pa.Table:
             nd, share = ray.get(ref)
-            u = batch[src_col].to_numpy(zero_copy_only=False)
-            v = batch[dst_col].to_numpy(zero_copy_only=False)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
             s = share[np.searchsorted(nd, u)]
             order = np.argsort(v, kind="stable")
             vs = v[order]
@@ -128,9 +275,100 @@ def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
                 }
             )
 
-        parts = edges_ds.map_batches(contribs, batch_format="pyarrow").to_pandas()
+        parts = edges.map_batches(contribs, batch_format="pyarrow").to_pandas()
         acc = np.zeros(n)
         np.add.at(acc, np.searchsorted(nodes, parts["node"].to_numpy()), parts["c"].to_numpy())
         dangling = rank[deg == 0].sum()
         rank = (1.0 - damping) / n + damping * (acc + dangling / n)
-    return pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank": pa.array(rank)})
+    )
+
+
+def _pagerank_shuffle(edges, damping: float, n_iters: int, num_partitions: int):
+    """Join-share-sum rounds; the (node, deg, rank) state is a Dataset
+    end to end. Per round the driver sees one scalar (the dangling
+    mass)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        un, cnt = np.unique(u, return_counts=True)
+        return pa.table({"node": pa.array(un), "deg": pa.array(cnt)})
+
+    def zero_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "deg": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            }
+        )
+
+    deg = (
+        _distinct_nodes(edges)
+        .map_batches(zero_deg, batch_format="pyarrow")
+        .union(edges.map_batches(deg_partials, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+    n = deg.count()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(len(batch), 1.0 / n))
+        )
+
+    state = deg.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        dangling = (
+            state.map_batches(
+                lambda t: t.filter(pc.equal(t["deg"], 0)), batch_format="pyarrow"
+            ).sum("rank")
+            or 0.0
+        )
+        joined = edges.join(
+            state, "inner", num_partitions, on=("u",), right_on=("node",)
+        )
+
+        def share_partials(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            s = batch["rank"].to_numpy(zero_copy_only=False) / np.maximum(
+                batch["deg"].to_numpy(zero_copy_only=False), 1
+            )
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(vs)) + 1))
+            return pa.table(
+                {
+                    "node": pa.array(vs[bounds]),
+                    "c": pa.array(np.add.reduceat(s[order], bounds)),
+                }
+            )
+
+        def zero_c(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch["node"], "c": pa.array(np.zeros(len(batch)))}
+            )
+
+        acc = (
+            state.map_batches(zero_c, batch_format="pyarrow")
+            .union(joined.map_batches(share_partials, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        rejoined = acc.join(
+            deg, "inner", num_partitions, on=("node",), right_on=("node",)
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            r = (1.0 - damping) / n + damping * (c + dangling / n)
+            return pa.table(
+                {"node": batch["node"], "deg": batch["deg"], "rank": pa.array(r)}
+            )
+
+        state = rejoined.map_batches(fold, batch_format="pyarrow").materialize()
+    return state.select_columns(["node", "rank"])

@@ -1685,17 +1685,18 @@ def q_connected_components(sf_dir: str):
         )
 
     out = connected_components(ds.map_batches(edges, batch_format="pyarrow"))
-    node = out["node"].to_numpy()
-    comp = out["comp"].to_numpy()
-    return ray.data.from_arrow(
-        pa.table(
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "kind": pa.array(np.where(node % 2 == 0, "o", "p")),
                 "key": pa.array(node // 2),
-                "comp": pa.array(comp),
+                "comp": batch["comp"],
             }
         )
-    )
+
+    return out.map_batches(decode, batch_format="pyarrow")
 
 
 Q_CONNECTED_COMPONENTS_SQL = """
@@ -1718,11 +1719,12 @@ FROM r GROUP BY node
 def q_pagerank(sf_dir: str):
     """PageRank over the directed order->part purchase graph (same
     bounded edge filter as q_connected_components): power iteration
-    with streaming edge passes + broadcast rank vector (graph.py).
-    Rows-only (float fixpoint); the operator is pytest-pinned against
-    a dense numpy reference at 1e-12."""
-    import ray.data
-
+    with streaming edge passes (graph.py; broadcast rank vector at
+    this V, keyed-join rounds above the cap). Hash-checked against a
+    DuckDB twin that unrolls the same 15 fixed iterations as plain
+    CTEs with bit-matching float op order; ranks are quantized to
+    integer micro-rank (floor(rank*1e6+0.5)) so summation-order
+    round-off (~1e-13 relative) cannot flip the compared value."""
     from osmray.graph import pagerank
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -1736,16 +1738,71 @@ def q_pagerank(sf_dir: str):
         )
 
     out = pagerank(ds.map_batches(edges, batch_format="pyarrow"), n_iters=15)
-    node = out["node"].to_numpy()
-    return ray.data.from_arrow(
-        pa.table(
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "kind": pa.array(np.where(node % 2 == 0, "o", "p")),
                 "key": pa.array(node // 2),
-                "rank": out["rank"],
+                "microrank": pa.array(np.floor(rank * 1e6 + 0.5).astype(np.int64)),
             }
         )
-    )
+
+    return out.map_batches(decode, batch_format="pyarrow")
+
+
+def _pagerank_sql(n_iters: int = 15) -> str:
+    """DuckDB twin of q_pagerank: the 15 fixed power iterations
+    unrolled as a plain CTE chain (portable — no aggregate-in-
+    recursive-CTE dependence), every float literal cast to DOUBLE so
+    the per-element op sequence matches numpy bit-for-bit up to SUM
+    order."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT nd.node, COALESCE(o.d, 0) AS deg
+  FROM nodes nd
+  LEFT JOIN (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY u) o
+  ON o.node = nd.node
+),
+r0 AS MATERIALIZED (SELECT node, """ + one + """ / (SELECT n FROM cnt) AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{p} r JOIN deg ON deg.node = r.node WHERE deg.deg = 0
+),
+a{i} AS MATERIALIZED (
+  SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+  FROM e JOIN r{p} r ON r.node = e.u JOIN deg ON deg.node = e.u
+  GROUP BY e.v
+),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         ({one} - {d}) / (SELECT n FROM cnt)
+         + {d} * (COALESCE(a.c, 0) + (SELECT dang FROM d{i}) / (SELECT n FROM cnt)) AS rank
+  FROM nodes nd LEFT JOIN a{i} a ON a.node = nd.node
+)""")
+    body = ",\n".join(parts)
+    return body + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END AS kind,
+       node // 2 AS key,
+       CAST(FLOOR(rank * 1000000 + 0.5) AS BIGINT) AS microrank
+FROM r{n_iters}
+"""
+
+
+Q_PAGERANK_SQL = _pagerank_sql(15)
 
 
 def q_jpeg_roundtrip(sf_dir: str):
@@ -3188,7 +3245,7 @@ def registry():
         "q_topk_per_group": (q_topk_per_group, Q_TOPK_PER_GROUP_SQL),
         "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
         "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
-        "q_pagerank": (q_pagerank, None),
+        "q_pagerank": (q_pagerank, Q_PAGERANK_SQL),
         "q_jpeg_roundtrip": (q_jpeg_roundtrip, Q_JPEG_ROUNDTRIP_SQL),
         "q_pip_grid": (q_pip_grid, Q_PIP_GRID_SQL),
         "q_raster_parity": (q_raster_parity, Q_RASTER_PARITY_SQL),

@@ -104,8 +104,8 @@ def test_connected_components_matches_union_find(ray_session):
     ds = ray.data.from_items(
         [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
     ).repartition(4)
-    out = connected_components(ds)
-    got = dict(zip(out["node"].to_pylist(), out["comp"].to_pylist()))
+    t = connected_components(ds).sort("node").to_pandas()
+    got = dict(zip(t["node"].tolist(), t["comp"].tolist()))
     parent = list(range(n))
 
     def find(x):
@@ -141,9 +141,9 @@ def test_pagerank_matches_dense_reference(ray_session):
     ds = ray.data.from_items(
         [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
     ).repartition(3)
-    out = pagerank(ds, n_iters=25)
-    nodes = out["node"].to_numpy()
-    got = out["rank"].to_numpy()
+    t = pagerank(ds, n_iters=25).sort("node").to_pandas()
+    nodes = t["node"].to_numpy()
+    got = t["rank"].to_numpy()
     # dense numpy reference over the SAME node universe
     idx = {int(x): i for i, x in enumerate(nodes)}
     nn = len(nodes)
@@ -160,3 +160,45 @@ def test_pagerank_matches_dense_reference(ray_session):
         r = (1.0 - 0.85) / nn + 0.85 * (share @ r + dangling / nn)
     np.testing.assert_allclose(got, r, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_cc_shuffle_engine_matches_broadcast(ray_session):
+    """The keyed-join CC engine (nothing O(V) on the driver) must be
+    row-identical to the broadcast engine on a multi-block fixture."""
+    import ray.data
+
+    from osmray.graph import connected_components
+
+    rng = np.random.default_rng(17)
+    n, m = 400, 460
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
+    ).repartition(5)
+    a = connected_components(ds, mode="broadcast").sort("node").to_pandas()
+    b = connected_components(ds, mode="shuffle", num_partitions=4).sort("node").to_pandas()
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["comp"].tolist() == b["comp"].tolist()
+
+
+def test_pagerank_shuffle_engine_matches_broadcast(ray_session):
+    """Keyed-join PageRank rounds vs broadcast rounds: equal to
+    summation-order round-off."""
+    import ray.data
+
+    from osmray.graph import pagerank
+
+    rng = np.random.default_rng(19)
+    n, m = 80, 260
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"u": int(a), "v": int(b)} for a, b in zip(u, v)]
+    ).repartition(3)
+    a = pagerank(ds, n_iters=10, mode="broadcast").sort("node").to_pandas()
+    b = pagerank(ds, n_iters=10, mode="shuffle", num_partitions=4).sort("node").to_pandas()
+    assert a["node"].tolist() == b["node"].tolist()
+    np.testing.assert_allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=1e-12, atol=1e-15
+    )
