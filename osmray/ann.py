@@ -262,10 +262,12 @@ def kmeans_fit(emb_ds, n_centroids: int = 16, n_iters: int = 5,
     the IVF coarse quantizer. Everything that crosses the wire is
     O(n_centroids * dim):
 
-    - init: the ``n_centroids`` vectors with the smallest mixed id
-      hash — per-block partial candidates (<= n_centroids rows each),
-      one mid-level combine, tiny driver merge; deterministic, no
-      RNG, no corpus pass beyond the streaming read;
+    - init: the ``n_centroids`` vectors with the smallest (mixed id
+      hash, id) pair — per-block partial candidates (<= n_centroids
+      rows each), one mid-level combine, tiny driver merge;
+      deterministic and partition-independent (the id tie-break makes
+      hash collisions immaterial), no RNG, no corpus pass beyond the
+      streaming read;
     - each iteration: ONE streaming pass — ``map_batches`` emits
       per-centroid partial (count, sum-vector-bytes) rows, a bounded
       combine tree reduces them, the driver renormalizes. Empty
@@ -282,19 +284,21 @@ def kmeans_fit(emb_ds, n_centroids: int = 16, n_iters: int = 5,
     def cand(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
-            return pa.table({"h": pa.array([], pa.int64()), "vec": pa.array([], pa.binary())})
+            return pa.table({"h": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
         m = _to_matrix(batch[vec_col])
         h = (ids * 2654435761) % (1 << 32)
-        top = np.argsort(h, kind="stable")[:n_centroids]
+        top = np.lexsort((ids, h))[:n_centroids]
         return pa.table(
             {
                 "h": pa.array(h[top]),
+                "id": pa.array(ids[top]),
                 "vec": pa.array([m[i].tobytes() for i in top], pa.binary()),
             }
         )
 
     cands = emb_ds.map_batches(cand, batch_format="pyarrow").take_all()
-    cands.sort(key=lambda r: r["h"])
+    cands.sort(key=lambda r: (r["h"], r["id"]))
     seeds = cands[:n_centroids]
     cent = _norm_rows(np.stack([np.frombuffer(r["vec"], dtype=np.float64) for r in seeds]))
     dim = cent.shape[1]

@@ -2402,9 +2402,17 @@ def q_ivf_ann(sf_dir: str):
     distributed spherical k-means fits the coarse quantizer (one
     streaming pass per iteration, only O(centroids x dim) partial
     sums cross the wire), then the corpus streams through
-    list-routed partial top-k tasks. Rows-only here (iterative float
-    k-means is not SQL-expressible); recall and the
-    partitioned-layout parity are pytest-locked."""
+    list-routed partial top-k tasks.
+
+    Hash-checked: the DuckDB twin replays the ENTIRE fit — the
+    (hash, id)-selected init seeds and all 3 Lloyd iterations
+    (cross-join argmax assignment with the same (sim desc, list
+    asc) tie-break, per-dimension AVG update, renormalize,
+    empty-cluster keep) — then the probed search, all as one
+    MATERIALIZED-CTE chain. Only integers reach the output (rank +
+    milli-quantized cosine); summation-order float noise (~1e-15)
+    is many orders below the assignment/ranking margins on this
+    data, which the sf0.1 scale-stability run re-checks."""
     import pyarrow.compute as pc
 
     from osmray.ann import ivf_ann_topk, kmeans_fit
@@ -2418,7 +2426,90 @@ def q_ivf_ann(sf_dir: str):
     qids = qt["vec_id"].to_numpy(dtype=np.int64)
     qmat = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
     cent = kmeans_fit(emb, n_centroids=16, n_iters=3)
-    return ivf_ann_topk(emb, qids, qmat, cent, k=10, n_probe=4)
+    out = ivf_ann_topk(emb, qids, qmat, cent, k=10, n_probe=4)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cos_mil": pa.array(np.floor(c * 1000.0 + 0.5).astype(np.int64)),
+                "rank": batch["rank"],
+            }
+        )
+
+    return out.map_batches(quant, batch_format="pyarrow")
+
+
+def _ivf_ann_sql(n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4,
+                 k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_fit + ivf_ann_topk (see q_ivf_ann)."""
+    nrm = ("list_transform({v}, x -> x / greatest(sqrt("
+           "list_dot_product({v}, {v})), 1e-12))")
+    parts = [f"""WITH norm0 AS MATERIALIZED (
+  SELECT vec_id, {nrm.format(v='embedding')} AS e FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS list_id, e AS c
+  FROM (SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+        FROM norm0 ORDER BY h, vec_id LIMIT {n_centroids})
+)"""]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, e, list_id FROM (
+    SELECT n.vec_id, n.e, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.e, c.c) DESC, c.list_id) AS rn
+    FROM norm0 n CROSS JOIN cent{p} c
+  ) WHERE rn = 1
+),
+raw{i} AS MATERIALIZED (
+  SELECT list_id, list(m ORDER BY pos) AS c FROM (
+    SELECT a.list_id, g.pos, AVG(a.e[g.pos]) AS m
+    FROM a{i} a CROSS JOIN (SELECT range AS pos FROM range(1, {dim + 1})) g
+    GROUP BY a.list_id, g.pos
+  ) GROUP BY list_id
+),
+cent{i} AS MATERIALIZED (
+  SELECT list_id, {nrm.format(v='cc')} AS c
+  FROM (SELECT p.list_id, COALESCE(r.c, p.c) AS cc
+        FROM cent{p} p LEFT JOIN raw{i} r USING (list_id))
+)""")
+    n = n_iters
+    parts.append(f"""assign AS MATERIALIZED (
+  SELECT vec_id, e, list_id FROM (
+    SELECT n.vec_id, n.e, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.e, c.c) DESC, c.list_id) AS rn
+    FROM norm0 n CROSS JOIN cent{n} c
+  ) WHERE rn = 1
+),
+qv AS MATERIALIZED (SELECT vec_id AS qid, e AS qe FROM norm0 WHERE vec_id < 5),
+probes AS MATERIALIZED (
+  SELECT qid, list_id FROM (
+    SELECT q.qid, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY q.qid
+                         ORDER BY list_dot_product(q.qe, c.c) DESC, c.list_id) AS rn
+    FROM qv q CROSS JOIN cent{n} c
+  ) WHERE rn <= {n_probe}
+),
+r AS (
+  SELECT p.qid, a.vec_id, list_dot_product(a.e, q.qe) AS cos,
+    ROW_NUMBER() OVER (PARTITION BY p.qid
+                       ORDER BY list_dot_product(a.e, q.qe) DESC, a.vec_id) AS rank
+  FROM assign a JOIN probes p ON p.list_id = a.list_id
+  JOIN qv q ON q.qid = p.qid
+)""")
+    return ",\n".join(parts) + f"""
+SELECT qid AS query_id, vec_id,
+  CAST(floor(cos * 1000 + 0.5) AS BIGINT) AS cos_mil, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+Q_IVF_ANN_SQL = _ivf_ann_sql()
 
 
 def hash64_ctes(prefix: str, src: str, cols: str, expr: str, seed: int) -> str:
@@ -3259,7 +3350,7 @@ def registry():
         "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
         "q_embedding_dups": (q_embedding_dups, Q_EMBEDDING_DUPS_SQL),
         "q_lsh_ann": (q_lsh_ann, Q_LSH_ANN_SQL),
-        "q_ivf_ann": (q_ivf_ann, None),
+        "q_ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
         "q_image_label_job": (q_image_label_job, Q_IMAGE_LABEL_JOB_SQL),
         "q_expand_crops": (q_expand_crops, Q_EXPAND_CROPS_SQL),
         "q_roofshapes": (q_roofshapes, Q_ROOFSHAPES_SQL),
