@@ -39,7 +39,10 @@ def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_c
         m = m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
         sims = q @ m.T  # (q, batch)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # deterministic (cosine desc, id asc) partial top-k: exact
+        # boundary ties resolve the same way in every candidate pool,
+        # so partials compose identically under repartitioning
+        top = np.stack([np.lexsort((ids, -sims[i]))[:kk] for i in range(len(q))])
         qi = np.repeat(np.arange(len(q)), kk)
         vi = top.ravel()
         return pa.table(
@@ -411,11 +414,13 @@ def ivf_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
             rows = np.flatnonzero(a == lid)
             sims = m[rows] @ q[probers].T
             kk = min(k, len(rows))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rids = ids[rows]
             for j, qi in enumerate(probers):
+                # deterministic (cosine desc, id asc) boundary ties
+                sel = np.lexsort((rids, -sims[:, j]))[:kk]
                 out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_v.append(ids[rows[top[:, j]]])
-                out_c.append(sims[top[:, j], j])
+                out_v.append(rids[sel])
+                out_c.append(sims[sel, j])
         if not out_q:
             return empty
         return pa.table(
@@ -514,11 +519,13 @@ def ivf_search_partitioned(root: str, query_ids: np.ndarray, queries: np.ndarray
             m = _norm_rows(_to_matrix(t[vec_col]))
             sims = m @ q[probers].T
             kk = min(k, len(ids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             for j, qi in enumerate(probers):
+                # deterministic (cosine desc, id asc) boundary ties —
+                # matches ivf_ann_topk's in-task selection exactly
+                sel = np.lexsort((ids, -sims[:, j]))[:kk]
                 out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_v.append(ids[top[:, j]])
-                out_c.append(sims[top[:, j], j])
+                out_v.append(ids[sel])
+                out_c.append(sims[sel, j])
         if not out_q:
             return pa.table(
                 {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),

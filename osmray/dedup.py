@@ -707,7 +707,7 @@ SIMHASH_BITS = 62
 
 
 def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
-                  sig_col: str = "simhash", n_bits: int = 62, num_buckets: int = 32):
+                  sig_col: str = "simhash", n_bits: int = 62):
     """EXACT hamming near-dup pairs over ANY precomputed int64
     signature column (simhash, image phash, ...) by pigeonhole
     multi-index banding.
@@ -750,7 +750,7 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     def spill_shards(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
-            return pa.Table.from_pylist([])
+            return pa.table({"s": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
         sg = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64)
         u = sg.view(np.uint64)
         n = len(ids)
@@ -764,7 +764,10 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
         ).ravel()
         rid = np.repeat(ids, n_bands)
         rsig = np.repeat(sg, n_bands)
-        sh = (bucket % N_PAIR_SHARDS + band * N_PAIR_SHARDS) % N_PAIR_SHARDS
+        # mix band in with a multiplier coprime to N_PAIR_SHARDS so
+        # narrow bands (3-4 bits) still spread across all shards; the
+        # key depends only on (band, bucket) so groups stay intact
+        sh = (bucket + band * 2654435761) % N_PAIR_SHARDS
         order = np.argsort(sh, kind="stable")
         t = pa.table(
             {"band": pa.array(band[order]), "bucket": pa.array(bucket[order]),
@@ -848,7 +851,7 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
 
 
 def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
-                          id_col: str = "doc_id", num_buckets: int = 32):
+                          id_col: str = "doc_id"):
     """hamming_pairs over the 62-bit text simhash (hash-checked vs a
     DuckDB all-pairs bit_count(xor) twin, q_simhash_pairs)."""
 
@@ -858,4 +861,4 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
 
     sigs_ds = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
     return hamming_pairs(sigs_ds, max_hamming, id_col=id_col, sig_col="simhash",
-                         n_bits=SIMHASH_BITS, num_buckets=num_buckets)
+                         n_bits=SIMHASH_BITS)

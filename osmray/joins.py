@@ -97,9 +97,24 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     import pyarrow.parquet as pq
 
     right_on = right_on or on
-    spill = spill_root or tempfile.mkdtemp(prefix="osmray_grace_")
     if spill_root is None:
+        # a node-local tempdir is only valid when every task can see
+        # it, i.e. single-node; on a multi-node cluster the caller
+        # MUST supply a shared spill_root (shared FS / fuse mount) —
+        # fail loudly instead of producing silently-empty buckets
+        import ray
+
+        alive = [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
+        if len(alive) > 1:
+            raise ValueError(
+                "bucketed_join: cluster has multiple nodes but no spill_root "
+                "was given; pass a spill_root visible to every node "
+                "(shared filesystem or mounted object-store path)"
+            )
+        spill = tempfile.mkdtemp(prefix="osmray_grace_")
         _cleanup_at_exit(spill)
+    else:
+        spill = spill_root
 
     def bucket_of(keys: np.ndarray) -> np.ndarray:
         return np.abs(hash64(keys.astype(np.int64), 77)) % num_buckets
@@ -194,20 +209,50 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
     Unmatched left rows (no state row at or before them) are dropped
     (inner semantics, matching DuckDB's ASOF JOIN).
 
+    ``left_cols`` / ``right_cols`` may be asymmetric: each tagged side
+    is null-padded to the unified column set before the union, so the
+    block schemas always line up. A column named on BOTH sides must
+    have the same Arrow type (checked up front).
+
     Partitioning assumption: one key's rows fit one group task (the
     usual keyed-window premise; salt hot keys upstream if not)."""
     import pandas as pd
 
-    left_cols = left_cols or [c for c in left.schema().names if c not in (on, ts_col)]
-    right_cols = right_cols or [c for c in right.schema().names if c not in (on, ts_col)]
+    def _arrow_schema(ds) -> pa.Schema:
+        base = ds.schema(fetch_if_missing=True).base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block datasets report a PandasBlockSchema; route one
+        # block through an Arrow identity map to get real Arrow types
+        arrowed = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        return arrowed.schema(fetch_if_missing=True).base_schema
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    left_cols = left_cols or [c for c in lschema.names if c not in (on, ts_col)]
+    right_cols = right_cols or [c for c in rschema.names if c not in (on, ts_col)]
+
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
+    for c in set(left_cols) & set(right_cols):
+        if ltypes[c] != rtypes[c]:
+            raise ValueError(
+                f"asof_join: column {c!r} kept from both sides with "
+                f"mismatched types ({ltypes[c]} vs {rtypes[c]})"
+            )
+    # unified payload column order (left first, then right-only) so
+    # both tagged sides emit byte-identical block schemas
+    all_cols = list(left_cols) + [c for c in right_cols if c not in left_cols]
+    col_type = {**rtypes, **ltypes}
 
     def tag(side: int, keep: list[str]):
         def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
             cols = {on: batch[on], ts_col: batch[ts_col]}
-            for c in keep:
-                cols[c] = batch[c]
+            for c in all_cols:
+                cols[c] = batch[c] if c in keep else pa.nulls(n, type=col_type[c])
             t = pa.table(cols)
-            return t.append_column("__side", pa.array(np.full(len(t), side, dtype=np.int8)))
+            return t.append_column("__side", pa.array(np.full(n, side, dtype=np.int8)))
 
         return f
 
@@ -223,8 +268,10 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
         if len(li) == 0 or len(ri) == 0:
             return pd.DataFrame(
                 {
-                    **{c: pd.Series(dtype=g[c].dtype) for c in left_cols},
-                    **{f"state_{c}": pd.Series(dtype=g[c].dtype) for c in right_cols},
+                    **{c: pd.Series(dtype=col_type[c].to_pandas_dtype())
+                       for c in left_cols},
+                    **{f"state_{c}": pd.Series(dtype=col_type[c].to_pandas_dtype())
+                       for c in right_cols},
                     "gap_us": pd.Series(dtype=np.int64),
                 }
             )
@@ -234,9 +281,18 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
         ok = idx >= 0
         lm = li[ok]
         rm = rorder[idx[ok]]
-        out = {c: g[c].to_numpy()[lm] for c in left_cols}
+
+        def vals(c: str, rows: np.ndarray) -> np.ndarray:
+            # null-padding the other side's rows can widen e.g. int64
+            # to float64 in pandas; the selected rows are all non-null
+            # by construction, so cast back to the declared type
+            v = g[c].to_numpy()[rows]
+            want = np.dtype(col_type[c].to_pandas_dtype())
+            return v.astype(want) if v.dtype != want else v
+
+        out = {c: vals(c, lm) for c in left_cols}
         for c in right_cols:
-            out[f"state_{c}"] = g[c].to_numpy()[rm]
+            out[f"state_{c}"] = vals(c, rm)
         out["gap_us"] = ts[lm] - ts[rm]
         return pd.DataFrame(out)
 

@@ -92,6 +92,72 @@ def test_asof_join_matches_scalar(ray_session):
     assert got["gap_us"].tolist() == want["gap_us"].tolist()
 
 
+def test_asof_join_asymmetric_columns(ray_session):
+    """left/right keep DIFFERENT payload columns: the tagged sides
+    must null-pad to a unified schema before the union, and output
+    dtypes must survive the pandas round-trip (int64 stays int64)."""
+    import pandas as pd
+    import ray.data
+
+    from osmray.joins import asof_join
+
+    left_df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime([100, 250, 120, 400], unit="us"),
+            "event_id": np.arange(4, dtype=np.int64),
+            "amount": np.array([10.5, 20.5, 30.5, 40.5]),
+        }
+    )
+    right_df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime([50, 200, 300], unit="us"),
+            "plan": ["a", "b", "c"],
+            "tier": np.array([7, 8, 9], dtype=np.int64),
+        }
+    )
+    left = ray.data.from_pandas(left_df).repartition(2)
+    right = ray.data.from_pandas(right_df).repartition(2)
+    got = (
+        asof_join(left, right, left_cols=["event_id", "amount"],
+                  right_cols=["plan", "tier"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # events: (u1,100)->(u1,50)=a/7 gap 50; (u1,250)->(u1,200)=b/8 gap 50;
+    # (u2,120)-> no state <=120 -> dropped; (u2,400)->(u2,300)=c/9 gap 100
+    assert got["event_id"].tolist() == [0, 1, 3]
+    assert got["state_plan"].tolist() == ["a", "b", "c"]
+    assert got["state_tier"].tolist() == [7, 8, 9]
+    assert got["gap_us"].tolist() == [50, 50, 100]
+    assert got["amount"].tolist() == [10.5, 20.5, 40.5]
+    assert str(got["state_tier"].dtype) == "int64"
+    assert str(got["event_id"].dtype) == "int64"
+
+
+def test_asof_join_shared_column_type_mismatch(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from osmray.joins import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": np.array([1], dtype=np.int64),
+         "ts": pd.to_datetime([100], unit="us"),
+         "v": np.array([1], dtype=np.int64)}
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": np.array([1], dtype=np.int64),
+         "ts": pd.to_datetime([50], unit="us"),
+         "v": np.array([1.5])}
+    ))
+    with pytest.raises(ValueError, match="mismatched types"):
+        asof_join(left, right, left_cols=["v"], right_cols=["v"])
+
+
 def test_connected_components_matches_union_find(ray_session):
     import ray.data
 
