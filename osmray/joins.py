@@ -45,6 +45,105 @@ def broadcast_filter(ds, key_col: str, keys: np.ndarray, anti: bool = False):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _resolve_spill(spill_root: str | None, prefix: str) -> str:
+    """Resolve a grace-spill directory; a node-local tempdir default
+    is only valid single-node (see bucketed_join docstring)."""
+    import tempfile
+
+    if spill_root is not None:
+        return spill_root
+    import ray
+
+    alive = [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
+    if len(alive) > 1:
+        raise ValueError(
+            f"{prefix}: cluster has multiple nodes but no spill_root was "
+            "given; pass a spill_root visible to every node "
+            "(shared filesystem or mounted object-store path)"
+        )
+    spill = tempfile.mkdtemp(prefix=f"osmray_{prefix}_")
+    _cleanup_at_exit(spill)
+    return spill
+
+
+def bucketed_filter(left, right, on: str, right_on: str | None = None, anti: bool = False,
+                    num_buckets: int = 64, spill_root: str | None = None):
+    """Grace semi (or anti) join FILTER on int64 keys — the unbounded
+    twin of ``broadcast_filter``: neither side is ever collected to
+    the driver.
+
+    The RIGHT side's key column spills keys-only parquet per hash
+    bucket straight from ``map_batches`` (no shuffle); the LEFT side
+    shuffles ONCE keyed by ``hash(key) % B``; each bucket group then
+    filters with a sorted ``np.isin`` against its spilled key
+    partition. Duplicate right-side keys are harmless (membership
+    only). Left rows whose bucket has no spilled keys pass anti /
+    drop semi wholesale.
+
+    Partitioning assumption: same as ``bucketed_join`` —
+    ``spill_root`` must be visible to every node on a multi-node
+    cluster (enforced: the node-local default refuses multi-node)."""
+    import glob as _glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    right_on = right_on or on
+    spill = _resolve_spill(spill_root, "gracefilter")
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        return np.abs(hash64(keys.astype(np.int64), 77)) % num_buckets
+
+    def spill_keys(batch: pa.Table) -> pa.Table:
+        k = batch[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())})
+        b = bucket_of(k)
+        order = np.argsort(b, kind="stable")
+        k, b = k[order], b[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(b)) + 1, [len(b)]))
+        recs = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = os.path.join(spill, f"bucket={int(b[lo])}")
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.table({right_on: pa.array(k[lo:hi])}), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            recs.append({"bucket": int(b[lo]), "rows": hi - lo})
+        return pa.Table.from_pylist(recs)
+
+    right.select_columns([right_on]).map_batches(
+        spill_keys, batch_format="pyarrow", batch_size=None
+    ).count()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch[on].to_numpy(zero_copy_only=False))
+        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    def filt(g: pa.Table) -> pa.Table:
+        bucket = int(g["__bucket"][0].as_py())
+        g = g.drop_columns(["__bucket"])
+        files = sorted(_glob.glob(os.path.join(spill, f"bucket={bucket}", "block-*.parquet")))
+        if not files:
+            return g if anti else g.slice(0, 0)
+        keys = np.sort(
+            pa.concat_tables([pq.read_table(f) for f in files])[right_on]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        k = g[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.isin(k, keys)
+        return g.filter(pa.array(~hit if anti else hit))
+
+    return (
+        left.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(filt, batch_format="pyarrow")
+    )
+
+
 def large_join(left, right, on: str, right_on: str | None = None, how: str = "inner",
                num_partitions: int = 16):
     """Hash-partitioned join of two large Datasets (Ray-native)."""
@@ -91,30 +190,12 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     """
     import glob as _glob
     import os
-    import tempfile
     import uuid
 
     import pyarrow.parquet as pq
 
     right_on = right_on or on
-    if spill_root is None:
-        # a node-local tempdir is only valid when every task can see
-        # it, i.e. single-node; on a multi-node cluster the caller
-        # MUST supply a shared spill_root (shared FS / fuse mount) —
-        # fail loudly instead of producing silently-empty buckets
-        import ray
-
-        alive = [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
-        if len(alive) > 1:
-            raise ValueError(
-                "bucketed_join: cluster has multiple nodes but no spill_root "
-                "was given; pass a spill_root visible to every node "
-                "(shared filesystem or mounted object-store path)"
-            )
-        spill = tempfile.mkdtemp(prefix="osmray_grace_")
-        _cleanup_at_exit(spill)
-    else:
-        spill = spill_root
+    spill = _resolve_spill(spill_root, "grace")
 
     def bucket_of(keys: np.ndarray) -> np.ndarray:
         return np.abs(hash64(keys.astype(np.int64), 77)) % num_buckets

@@ -54,6 +54,11 @@ BOX = (27.4026, 53.8306, 27.7003, 53.9739)  # the reference whole-city bbox
 # canvases up to this many tiles sample negatives driver-side (same
 # formula as the distributed path; tests pin the two paths equal)
 DRIVER_UNIVERSE_MAX = 1 << 22
+# canvases above this tile count keep the painted set as a keyed
+# Dataset (grace anti-join) instead of a driver-collected broadcast
+# array — the painted set is bounded by the canvas, so this caps the
+# broadcast at ~128 MB of int64 keys
+PAINTED_BROADCAST_MAX = 1 << 24
 
 
 @dataclass
@@ -186,19 +191,38 @@ def positive_feature_tiles(
     return pos, keys
 
 
-def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | None = None) -> np.ndarray:
+def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | None = None,
+                     mode: str = "auto"):
     """The distributed painter: rasterize the paint features (sampled
-    positives + the configured paint kinds) and return the unique
-    painted tile keys within the bbox canvas."""
+    positives + the configured paint kinds) over the bbox canvas.
+
+    Two regimes, mirroring the driver/distributed split in
+    ``sample_negative_tiles``:
+
+    - ``driver`` (canvas ≤ ``PAINTED_BROADCAST_MAX`` tiles): collect
+      the unique painted keys to an ``np.ndarray`` — keys-only and
+      bounded by the canvas, so a broadcast downstream is safe.
+    - ``keyed`` (planet-scale canvas): NO driver collect — return the
+      painted-keys ``Dataset`` as-is (possibly with duplicate keys
+      across painter tasks; membership consumers don't care) for the
+      grace anti-join path in ``sample_negative_tiles``.
+
+    ``mode="auto"`` picks by canvas size; both paths are pinned equal
+    by tests/test_pipeline.py."""
     import ray.data
 
     window = bbox_tiles(*cfg.bbox, cfg.z, cfg.scheme)
     txmin, tymin, txmax, tymax = window
+    keyed = mode == "keyed" or (
+        mode == "auto"
+        and (txmax - txmin + 1) * (tymax - tymin + 1) > PAINTED_BROADCAST_MAX
+    )
     paint = feats.filter(pc.is_in(feats["kind"], pa.array(list(cfg.paint_kinds))))
     if extra is not None and extra.num_rows:
         paint = pa.concat_tables([paint, extra.select(paint.schema.names)])
     if paint.num_rows == 0:
-        return np.array([], dtype=np.int64)
+        empty = np.array([], dtype=np.int64)
+        return ray.data.from_arrow(pa.table({"tile_key": pa.array(empty)})) if keyed else empty
     raster_fn = make_rasterize_painted(
         cfg.z,
         cfg.scheme,
@@ -213,18 +237,27 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
     ds = ray.data.from_arrow(_slices(paint, n_tasks)).map_batches(
         raster_fn, batch_format="pyarrow"
     )
+    if keyed:
+        return ds.select_columns(["tile_key"])
     keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
     return np.unique(keys)
 
 
 def sample_negative_tiles(
-    painted: np.ndarray, cfg: LabelJobConfig, n: int | None = None
+    painted, cfg: LabelJobConfig, n: int | None = None
 ) -> np.ndarray:
     """Complement sampling as dataflow (replaces the mutable
     busy/free-dict rejection sampler, lib/helpers.py:157-215): tile
     universe of the bbox canvas, anti-join the painted set, take the
     LIMIT hash-smallest. 'Without replacement' is free — each key
-    appears once."""
+    appears once.
+
+    ``painted`` is either a driver ``np.ndarray`` of keys (bounded
+    canvas — broadcast anti-filter) or a keys ``Dataset`` from
+    ``painted_tile_set(mode="keyed")`` (planet-scale canvas — grace
+    anti-join via ``joins.bucketed_filter``; the painted set never
+    touches the driver). All paths return the identical sorted
+    key array: the n (hash, key)-smallest free tiles."""
     import ray
     import ray.data
 
@@ -234,6 +267,25 @@ def sample_negative_tiles(
     height = tymax - tymin + 1
     seed = cfg.seed
     z = cfg.z
+
+    if not isinstance(painted, np.ndarray):
+        # keyed regime: anti-join universe ⟕̸ painted with the grace
+        # filter, then the global (h, key)-smallest n — one keys-only
+        # shuffle, one sort of the free set, no driver collect beyond
+        # the n-row sample itself
+        from osmray.joins import bucketed_filter
+
+        def flat_key(batch: pa.Table) -> pa.Table:
+            i = batch["id"].to_numpy(zero_copy_only=False)
+            key = pack_tile(txmin + (i % width), tymin + (i // width), z)
+            return pa.table({"tile_key": pa.array(key), "h": pa.array(hash64(key, seed))})
+
+        universe = ray.data.range(width * height).map_batches(
+            flat_key, batch_format="pyarrow"
+        )
+        free = bucketed_filter(universe, painted, on="tile_key", anti=True)
+        sample = free.sort(["h", "tile_key"]).limit(n).to_pandas()
+        return np.sort(sample["tile_key"].to_numpy())
 
     if width * height <= DRIVER_UNIVERSE_MAX:
         # small canvas: the whole universe fits trivially in driver
@@ -260,8 +312,9 @@ def sample_negative_tiles(
 
     universe = ray.data.range(width * height)
     free = universe.map_batches(flat_to_key, batch_format="pyarrow")
-    # global smallest-n by seeded hash = deterministic uniform sample
-    sample = free.sort("h").limit(n).to_pandas()
+    # global smallest-n by (seeded hash, key) = deterministic uniform
+    # sample, tie-broken identically to the driver path's lexsort
+    sample = free.sort(["h", "tile_key"]).limit(n).to_pandas()
     return np.sort(sample["tile_key"].to_numpy())
 
 

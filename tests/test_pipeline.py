@@ -98,6 +98,29 @@ def test_negative_sampling_paths_agree(ray_session, feats, CFG, monkeypatch):
     np.testing.assert_array_equal(small, dist)
 
 
+def test_negative_sampling_keyed_painted_set_agrees(ray_session, feats, CFG, monkeypatch):
+    """The keyed (grace anti-join, no driver collect) painted-set path
+    returns byte-identical negatives to the broadcast path — at every
+    universe regime."""
+    pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
+    painted_arr = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    painted_ds = pipeline.painted_tile_set(feats, CFG, extra=pos_feats, mode="keyed")
+    assert not isinstance(painted_ds, np.ndarray)
+    # keyed painted keys = broadcast painted keys (as a set)
+    keyed_keys = np.unique(painted_ds.to_pandas()["tile_key"].to_numpy())
+    np.testing.assert_array_equal(keyed_keys, painted_arr)
+    want = pipeline.sample_negative_tiles(painted_arr, CFG)
+    got = pipeline.sample_negative_tiles(
+        pipeline.painted_tile_set(feats, CFG, extra=pos_feats, mode="keyed"), CFG
+    )
+    np.testing.assert_array_equal(want, got)
+    # auto mode flips to keyed above the canvas cap
+    monkeypatch.setattr(pipeline, "PAINTED_BROADCAST_MAX", 0)
+    auto = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    assert not isinstance(auto, np.ndarray)
+    np.testing.assert_array_equal(want, pipeline.sample_negative_tiles(auto, CFG))
+
+
 def test_negative_sampling_deterministic_and_unpainted(ray_session, feats, CFG):
     pos_feats, _ = pipeline.positive_feature_tiles(feats, CFG)
     painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
