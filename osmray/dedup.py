@@ -862,3 +862,126 @@ def simhash_hamming_pairs(docs_ds, max_hamming: int = 4, text_col: str = "text",
     sigs_ds = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
     return hamming_pairs(sigs_ds, max_hamming, id_col=id_col, sig_col="simhash",
                          n_bits=SIMHASH_BITS)
+
+
+def decontaminate_counts(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                         held_mod: int = 10, k: int = 3, mode: str = "auto",
+                         broadcast_max: int = 50_000_000):
+    """Train/test decontamination (reference has no counterpart; a
+    core LLM-pipeline op): documents with ``id % held_mod == 0`` play
+    the held-out set; every TRAIN document reports how many of its
+    DISTINCT k-token shingles appear anywhere in the held-out set.
+    Returns a Dataset of (id_col, n_hits) covering every train doc
+    (zero-hit docs included).
+
+    Two regimes, pinned equal by tests:
+
+    - ``broadcast`` — collect the held-out DISTINCT shingle set to
+      the driver once and ``ray.put`` it; right for benchmark-sized
+      held-out sides (the real decontamination case: the held-out
+      benchmark is tiny next to the training corpus). The per-batch
+      overlap is fully vectorized: one lexsort makes the per-doc
+      shingle streams unique, one ``np.isin`` + ``bincount`` counts
+      hits — no per-doc Python loop.
+    - ``keyed`` — corpus-shaped held-out sides: the held-out shingle
+      stream spills keys-only via ``joins.bucketed_filter`` (grace
+      semi-join, NO driver collect); surviving (doc, shingle) pairs
+      reduce with one keyed ``groupby``. Two keys-only shuffles
+      total, nothing unbounded on the driver.
+
+    ``auto`` counts the held-out distinct shingles first (keys-only
+    aggregate) and flips to ``keyed`` above ``broadcast_max``."""
+    import ray
+
+    def train_sel(ids: np.ndarray) -> np.ndarray:
+        return np.flatnonzero(ids % held_mod != 0)
+
+    def held_sel(ids: np.ndarray) -> np.ndarray:
+        return np.flatnonzero(ids % held_mod == 0)
+
+    def held_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = held_sel(ids)
+        if not len(sel):
+            return pa.table({"sh": pa.array([], pa.int64())})
+        _, sh = batch_shingles(batch[text_col].take(pa.array(sel)).to_pylist(), k)
+        return pa.table({"sh": pa.array(np.unique(sh))})
+
+    held_ds = docs_ds.map_batches(held_shingles, batch_format="pyarrow")
+
+    if mode == "auto":
+        # keys-only distinct count decides the regime; cheap next to
+        # the overlap pass it steers
+        n_held = held_ds.groupby("sh").count().count()
+        mode = "broadcast" if n_held <= broadcast_max else "keyed"
+
+    def train_doc_shingles(batch: pa.Table):
+        """(per-doc-unique shingle stream, doc index row map)."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = train_sel(ids)
+        if not len(sel):
+            return ids, sel, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        n_sh, sh = batch_shingles(batch[text_col].take(pa.array(sel)).to_pylist(), k)
+        d = np.repeat(np.arange(len(sel)), n_sh)
+        order = np.lexsort((sh, d))
+        ds_, shs = d[order], sh[order]
+        first = np.ones(len(shs), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (shs[1:] != shs[:-1])
+        return ids, sel, ds_[first], shs[first]
+
+    if mode == "broadcast":
+        held = np.unique(held_ds.to_pandas()["sh"].to_numpy())
+        ref = ray.put(held)
+
+        def overlap(batch: pa.Table) -> pa.Table:
+            hs = ray.get(ref)
+            ids, sel, du, shu = train_doc_shingles(batch)
+            if not len(sel):
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+                )
+            hit = np.isin(shu, hs, assume_unique=False)
+            hits = np.bincount(du[hit], minlength=len(sel)).astype(np.int64)
+            return pa.table({id_col: pa.array(ids[sel]), "n_hits": pa.array(hits)})
+
+        return docs_ds.map_batches(overlap, batch_format="pyarrow")
+
+    from osmray.joins import bucketed_filter
+
+    def train_pairs(batch: pa.Table) -> pa.Table:
+        ids, sel, du, shu = train_doc_shingles(batch)
+        if not len(sel):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        return pa.table({id_col: pa.array(ids[sel][du]), "sh": pa.array(shu)})
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = train_sel(ids)
+        return pa.table(
+            {id_col: pa.array(ids[sel]), "n": pa.array(np.zeros(len(sel), np.int64))}
+        )
+
+    pairs = docs_ds.map_batches(train_pairs, batch_format="pyarrow")
+    hit = bucketed_filter(pairs, held_ds, on="sh")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "n": pa.array(np.ones(len(batch), np.int64))}
+        )
+
+    # zero-hit train docs ride a column-pruned ids-only scan (cheap),
+    # keeping the corpus text scan count at two (held spill + pairs)
+    zero = docs_ds.select_columns([id_col]).map_batches(zero_rows, batch_format="pyarrow")
+    counts = hit.map_batches(ones, batch_format="pyarrow").union(zero).groupby(id_col).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")

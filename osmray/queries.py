@@ -1991,55 +1991,21 @@ Q_REDACT_SQL = _redact_sql()
 
 
 def q_decontaminate(sf_dir: str):
-    """Train/test decontamination: documents with doc_id %% 10 == 0
-    play the held-out set; every remaining (train) document reports
-    how many of its DISTINCT 3-token shingles appear anywhere in the
-    held-out set. The held-out shingle set is keys-only and bounded
-    (a tenth of the corpus's distinct shingles) — broadcast once; the
-    train side streams. Shingle hashing is the SQL-expressible
-    dedup.py scheme, so the overlap counts hash-match DuckDB."""
-    import ray
-
-    from osmray.dedup import batch_shingles
+    """Train/test decontamination via ``dedup.decontaminate_counts``:
+    documents with doc_id %% 10 == 0 play the held-out set; every
+    remaining (train) document reports how many of its DISTINCT
+    3-token shingles appear anywhere in the held-out set. The regime
+    is auto-selected by held-out distinct-shingle count: bounded
+    (benchmark-sized) sides broadcast once and the overlap is one
+    vectorized lexsort+isin+bincount per batch; corpus-shaped sides
+    route through the grace semi-join with NO driver collect (pinned
+    equal in tests/test_text_dedup_ann.py). Shingle hashing is the
+    SQL-expressible dedup.py scheme, so the counts hash-match
+    DuckDB."""
+    from osmray.dedup import decontaminate_counts
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def test_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(ids % 10 == 0)
-        if not len(sel):
-            return pa.table({"sh": pa.array([], pa.int64())})
-        texts = batch["text"].take(pa.array(sel)).to_pylist()
-        _, sh = batch_shingles(texts)
-        return pa.table({"sh": pa.array(np.unique(sh))})
-
-    held = np.unique(
-        ds.map_batches(test_shingles, batch_format="pyarrow")
-        .to_pandas()["sh"]
-        .to_numpy()
-    )  # keys-only collect, bounded by the held-out corpus slice
-    ref = ray.put(held)
-
-    def overlap(batch: pa.Table) -> pa.Table:
-        hs = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(ids % 10 != 0)
-        if not len(sel):
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
-            )
-        texts = batch["text"].take(pa.array(sel)).to_pylist()
-        n_sh, sh = batch_shingles(texts)
-        offs = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
-        hits = np.empty(len(sel), dtype=np.int64)
-        for i in range(len(sel)):
-            u = np.unique(sh[offs[i] : offs[i] + n_sh[i]])
-            hits[i] = int(np.isin(u, hs, assume_unique=True).sum())
-        return pa.table(
-            {"doc_id": pa.array(ids[sel]), "n_hits": pa.array(hits)}
-        )
-
-    return ds.map_batches(overlap, batch_format="pyarrow")
+    return decontaminate_counts(ds, held_mod=10)
 
 
 def _decontaminate_sql() -> str:

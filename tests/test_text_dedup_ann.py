@@ -503,3 +503,48 @@ def test_hll_estimate_accuracy(ray_session):
             want[int(bb)] = max(want.get(int(bb), 0), int(rr))
         got = dict(zip(g["bucket"].astype(int), g["rho_max"].astype(int)))
         assert got == want
+
+
+def test_decontaminate_modes_agree(ray_session):
+    """broadcast and keyed (grace semi-join) decontamination regimes
+    return identical (doc_id, n_hits) tables; a scalar per-doc set
+    intersection is the oracle."""
+    import ray.data
+
+    from osmray import dedup
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 30)]
+        docs.append({"doc_id": int(i), "text": " ".join(words)})
+    ds = ray.data.from_items(docs).repartition(4)
+
+    got_b = (
+        dedup.decontaminate_counts(ds, mode="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got_k = (
+        dedup.decontaminate_counts(ds, mode="keyed")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_b.equals(got_k)
+
+    # scalar oracle: per-doc distinct shingle sets
+    held: set[int] = set()
+    per_doc = {}
+    for d in docs:
+        sh = set(dedup._shingle_hashes(d["text"]).tolist())
+        if d["doc_id"] % 10 == 0:
+            held |= sh
+        else:
+            per_doc[d["doc_id"]] = sh
+    want = {i: len(s & held) for i, s in per_doc.items()}
+    assert dict(zip(got_b["doc_id"], got_b["n_hits"])) == want
+    # zero-hit docs must still appear
+    assert len(got_b) == len(per_doc)
