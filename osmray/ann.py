@@ -54,17 +54,8 @@ def cosine_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_c
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-
     # global merge: q*k rows per block -> tiny; groupby query, take k
-    import pandas as pd
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, None, k, id_col)
 
 
 def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
@@ -95,7 +86,6 @@ def lsh_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray, k: int = 10
 
     Candidate sets, similarities and tie-breaking match
     ``LshIndexStage`` exactly (same planes/seed/probe logic)."""
-    import pandas as pd
     import ray
 
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(min=1e-12)
@@ -146,17 +136,7 @@ def lsh_ann_topk(emb_ds, query_ids: np.ndarray, queries: np.ndarray, k: int = 10
         )
 
     partials = emb_ds.map_batches(partial, batch_format="pyarrow")
-
-    qid_arr = np.asarray(query_ids, dtype=np.int64)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["query_id"] = qid_arr[g["query_id"].to_numpy()]
-        return g[["query_id", id_col, "cosine", "rank"]]
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, query_ids, k, id_col)
 
 
 class LshIndexStage:
@@ -237,22 +217,29 @@ class LshIndexStage:
 # ---------------------------------------------------------------------------
 
 
-def _merge_topk(partials, query_ids: np.ndarray, k: int, id_col: str):
+def _merge_topk(partials, query_ids, k: int, id_col: str):
     """Tiny global merge shared by the ANN variants: per-block partial
     top-k rows (q * k per block) -> final (query_id, vec_id, cosine,
-    rank) with (cosine desc, id asc) tie-breaking."""
-    import pandas as pd
+    rank) with (cosine desc, id asc) tie-breaking. Arrow-native —
+    no pandas hop in the merge. ``query_ids`` of None keeps the
+    positional query index; an array remaps it to caller ids."""
+    qid_arr = None if query_ids is None else np.asarray(query_ids, dtype=np.int64)
 
-    qid_arr = np.asarray(query_ids, dtype=np.int64)
+    def merge(g: pa.Table) -> pa.Table:
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, -cos))[:k]
+        out = g.take(pa.array(sel))
+        if qid_arr is not None:
+            qi = qid_arr[out["query_id"].to_numpy(zero_copy_only=False)]
+            out = out.set_column(
+                out.schema.get_field_index("query_id"), "query_id", pa.array(qi)
+            )
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64))
+        )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["query_id"] = qid_arr[g["query_id"].to_numpy()]
-        return g[["query_id", id_col, "cosine", "rank"]]
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:

@@ -146,7 +146,6 @@ def gather_crops(
     (empty crop, n_tiles=0, rejected=True) so no req_id silently
     vanishes and downstream class counts reconcile.
     """
-    import pandas as pd
     import ray
 
     req = {k: windows[k].to_numpy() for k in windows.schema.names}
@@ -206,60 +205,64 @@ def gather_crops(
             }
         )
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+    def assemble(g: pa.Table) -> pa.Table:
         m = ray.get(meta_ref)
-        rid = int(g["req_id"].iloc[0])
+        rid = int(g["req_id"][0].as_py())
         txmin, tymin, wtiles, htiles, x0, x1, y0, y1 = m[rid]
         canvas = np.zeros((htiles * TILESIZE, wtiles * TILESIZE, 3), dtype=np.uint8)
         filled = set()
         # cross-block dedup must be DETERMINISTIC (group rows arrive in
         # arbitrary block order): smallest image_id wins per slot
-        g = g.sort_values("image_id", kind="stable")
-        for _, r in g.iterrows():
-            slot = (int(r["row"]), int(r["col"]))
+        order = np.argsort(
+            np.asarray(g["image_id"].to_pylist(), dtype=object), kind="stable"
+        )
+        rows = g["row"].to_numpy(zero_copy_only=False)
+        cols = g["col"].to_numpy(zero_copy_only=False)
+        byts = g["bytes"].to_pylist()
+        fmts = g["fmt"].to_pylist()
+        for i in order.tolist():
+            slot = (int(rows[i]), int(cols[i]))
             if slot in filled:
                 continue
             filled.add(slot)
-            img = codecs.decode(r["bytes"], r["fmt"])
+            img = codecs.decode(byts[i], fmts[i])
             if img.ndim == 2:
                 img = np.repeat(img[:, :, None], 3, axis=2)
             yy, xx = slot[0] * TILESIZE, slot[1] * TILESIZE
             canvas[yy : yy + TILESIZE, xx : xx + TILESIZE, :] = img
         crop = canvas[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1), :]
-        return pd.DataFrame(
-            [
-                {
-                    "req_id": rid,
-                    "crop": codecs.encode(np.ascontiguousarray(crop), out_fmt),
-                    "crop_h": crop.shape[0],
-                    "crop_w": crop.shape[1],
-                    "n_tiles": wtiles * htiles,
-                    "n_missing": wtiles * htiles - len(filled),
-                    "rejected": False,
-                }
-            ]
+        return pa.table(
+            {
+                "req_id": pa.array([rid], pa.int64()),
+                "crop": pa.array(
+                    [codecs.encode(np.ascontiguousarray(crop), out_fmt)], pa.binary()
+                ),
+                "crop_h": pa.array([crop.shape[0]], pa.int64()),
+                "crop_w": pa.array([crop.shape[1]], pa.int64()),
+                "n_tiles": pa.array([wtiles * htiles], pa.int64()),
+                "n_missing": pa.array([wtiles * htiles - len(filled)], pa.int64()),
+                "rejected": pa.array([False], pa.bool_()),
+            }
         )
 
     matched = images_ds.map_batches(match, batch_format="pyarrow")
-    out = matched.groupby("req_id").map_groups(assemble, batch_format="pandas")
+    out = matched.groupby("req_id").map_groups(assemble, batch_format="pyarrow")
     if rejected_rids:
         import ray.data
 
-        rej = pd.DataFrame(
-            [
-                {
-                    "req_id": rid,
-                    "crop": b"",
-                    "crop_h": 0,
-                    "crop_w": 0,
-                    "n_tiles": 0,
-                    "n_missing": 0,
-                    "rejected": True,
-                }
-                for rid in rejected_rids
-            ]
+        nrej = len(rejected_rids)
+        rej = pa.table(
+            {
+                "req_id": pa.array([int(r) for r in rejected_rids], pa.int64()),
+                "crop": pa.array([b""] * nrej, pa.binary()),
+                "crop_h": pa.array([0] * nrej, pa.int64()),
+                "crop_w": pa.array([0] * nrej, pa.int64()),
+                "n_tiles": pa.array([0] * nrej, pa.int64()),
+                "n_missing": pa.array([0] * nrej, pa.int64()),
+                "rejected": pa.array([True] * nrej, pa.bool_()),
+            }
         )
-        out = out.union(ray.data.from_pandas(rej))
+        out = out.union(ray.data.from_arrow(rej))
     return out
 
 

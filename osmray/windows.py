@@ -29,7 +29,6 @@ pytest-pinned equal on randomized multi-block data.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as _pc
 
@@ -86,21 +85,22 @@ def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("first_sec", kind="stable")
-        first = g["first_sec"].to_numpy()
-        last = g["last_sec"].to_numpy()
+    def merge(g: pa.Table) -> pa.Table:
+        first = g["first_sec"].to_numpy(zero_copy_only=False)
+        last = g["last_sec"].to_numpy(zero_copy_only=False)
+        order = np.argsort(first, kind="stable")
+        first, last = first[order], last[order]
         # boundary between consecutive partials of one key: same
         # session unless the gap exceeds gap_sec
         joins = int((first[1:] - last[:-1] <= gap_sec).sum())
-        return pd.DataFrame(
-            [
-                {
-                    key: int(g[key].iloc[0]),
-                    "n_sessions": int(g["n_sess"].sum()) - joins,
-                    "n_events": int(g["n_events"].sum()),
-                }
-            ]
+        n_sess = int(g["n_sess"].to_numpy(zero_copy_only=False).sum())
+        n_ev = int(g["n_events"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                key: g[key].slice(0, 1),
+                "n_sessions": pa.array([n_sess - joins], pa.int64()),
+                "n_events": pa.array([n_ev], pa.int64()),
+            }
         )
 
     fixup = (
@@ -108,7 +108,7 @@ def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1
             lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
         )
         .groupby(key)
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
     return parts.map_batches(finish, batch_format="pyarrow").union(fixup)
 
@@ -160,30 +160,44 @@ def running_sum_sorted(ds, key: str = "user_id", ts: str = "ts", id_col: str = "
     # materialized: consumed by two branches (see sessionize_sorted)
     parts = sds.map_batches(partials, batch_format="pyarrow", batch_size=None).materialize()
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    def emit(g: pa.Table) -> pa.Table:
         # partials of one key are contiguous slices of the global
         # (ts, id) order; their first row's (ts, id) orders them (the
         # id tiebreak matches the sort key, and ids are unique)
-        g = g.sort_values(["first_ts", "first_id"], kind="stable").reset_index(drop=True)
-        n_off = np.concatenate(([0], np.cumsum(g["n"].to_numpy())[:-1]))
-        c_off = np.concatenate(([0], np.cumsum(g["cents_sum"].to_numpy())[:-1]))
+        ft = g["first_ts"].to_numpy(zero_copy_only=False)
+        fi = g["first_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fi, ft))
+        n = g["n"].to_numpy(zero_copy_only=False)[order]
+        cs = g["cents_sum"].to_numpy(zero_copy_only=False)[order]
+        n_off = np.concatenate(([0], np.cumsum(n)[:-1]))
+        c_off = np.concatenate(([0], np.cumsum(cs)[:-1]))
+        cand_id = g["cand_id"].to_pylist()
+        cand_row = g["cand_row"].to_pylist()
+        cand_cents = g["cand_cents"].to_pylist()
         out = {"event_id": [], key: [], "row_n": [], "running_cents": []}
-        kv = int(g[key].iloc[0])
-        for i in range(len(g)):
-            if n_off[i] >= k:
+        kv = g[key][0].as_py()
+        for oi, i in enumerate(order.tolist()):
+            if n_off[oi] >= k:
                 break  # all candidates of later partials rank > k
-            ids = g["cand_id"].iloc[i]
-            rws = g["cand_row"].iloc[i]
-            cts = g["cand_cents"].iloc[i]
+            ids = cand_id[i]
+            rws = cand_row[i]
+            cts = cand_cents[i]
             for j in range(len(ids)):
-                rn = int(rws[j]) + int(n_off[i])
+                rn = int(rws[j]) + int(n_off[oi])
                 if rn > k:
                     break
                 out["event_id"].append(int(ids[j]))
                 out[key].append(kv)
                 out["row_n"].append(rn)
-                out["running_cents"].append(int(cts[j]) + int(c_off[i]))
-        return pd.DataFrame(out)
+                out["running_cents"].append(int(cts[j]) + int(c_off[oi]))
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"], pa.int64()),
+                key: pa.array(out[key], type=g.schema.field(key).type),
+                "row_n": pa.array(out["row_n"], pa.int64()),
+                "running_cents": pa.array(out["running_cents"], pa.int64()),
+            }
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         done = batch.filter(batch["complete"])
@@ -210,7 +224,7 @@ def running_sum_sorted(ds, key: str = "user_id", ts: str = "ts", id_col: str = "
             lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
         )
         .groupby(key)
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
     return parts.map_batches(finish, batch_format="pyarrow").union(fixup)
 
@@ -233,16 +247,20 @@ def grouped_topk(ds, key: str, val: str, tiebreak: str, k: int = 2):
             keep.extend(order[lo : min(lo + k, int(b[i + 1]))].tolist())
         return batch.take(pa.array(np.asarray(keep, dtype=np.int64)))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([val, tiebreak], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final(g: pa.Table) -> pa.Table:
+        # numeric val/tiebreak (as every query using this op has)
+        vv = g[val].to_numpy(zero_copy_only=False)
+        tt = g[tiebreak].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((tt, -vv))[:k]
+        out = g.take(pa.array(sel))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64))
+        )
 
     return (
         ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby(key)
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -278,11 +296,14 @@ def grouped_topk_sorted(ds, key: str, val: str, tiebreak: str, k: int = 2):
     # bounded at <= k rows per key per block
     rows = sds.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([val, tiebreak], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g.drop(columns=["complete"])
+    def merge(g: pa.Table) -> pa.Table:
+        vv = g[val].to_numpy(zero_copy_only=False)
+        tt = g[tiebreak].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((tt, -vv))[:k]
+        out = g.take(pa.array(sel)).drop_columns(["rank", "complete"])
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(out) + 1, dtype=np.int64))
+        )
 
     done = rows.map_batches(
         lambda t: t.filter(t["complete"]).drop_columns(["complete"]),
@@ -293,6 +314,6 @@ def grouped_topk_sorted(ds, key: str, val: str, tiebreak: str, k: int = 2):
             lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
         )
         .groupby(key)
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
     return done.union(fixup)
