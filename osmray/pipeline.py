@@ -152,6 +152,25 @@ def _slices(table: pa.Table, n: int) -> list[pa.Table]:
     ]
 
 
+def collect_columns(mds, cols: list[str]) -> pa.Table:
+    """Driver-side column fetch from a MATERIALIZED dataset without
+    launching another Ray job: pull the block refs straight from the
+    object store (zero-copy mmap for Arrow blocks) and slice the
+    wanted columns. Replaces ``select_columns(...).to_pandas()`` on
+    the flagship's serial path — each such call was a full Ray job
+    round-trip (~0.3-0.5 s of driver wall at 32 cpus)."""
+    import ray
+
+    refs = []
+    for bundle in mds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    tables = [t.select(cols) for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        schema = pa.schema([mds.schema().base_schema.field(c) for c in cols])
+        return schema.empty_table()
+    return pa.concat_tables(tables)
+
+
 def sample_smallest(keys: np.ndarray, limit: int, seed: int) -> np.ndarray:
     """Seeded deterministic 'shuffle + take limit': order by
     hash64(key, seed), break ties by key."""
@@ -232,15 +251,24 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
     import ray
 
     n_tasks = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
-    # one block per zero-copy slice: parallelizes the painter WITHOUT
-    # a repartition shuffle round-trip (the table is driver-resident)
-    ds = ray.data.from_arrow(_slices(paint, n_tasks)).map_batches(
-        raster_fn, batch_format="pyarrow"
-    )
     if keyed:
+        # one block per zero-copy slice: parallelizes the painter
+        # WITHOUT a repartition shuffle round-trip
+        ds = ray.data.from_arrow(_slices(paint, n_tasks)).map_batches(
+            raster_fn, batch_format="pyarrow"
+        )
         return ds.select_columns(["tile_key"])
-    keys = ds.select_columns(["tile_key"]).to_pandas()["tile_key"].to_numpy()
-    return np.unique(keys)
+
+    # bounded regime: plain-task fan-out over the driver-resident
+    # slices — same rasterize kernel, but skips the streaming-executor
+    # job startup + collect machinery (~0.5-1 s of serial wall on the
+    # flagship's critical path; the painter gates negative sampling)
+    @ray.remote(num_cpus=1)
+    def _paint(tbl: pa.Table) -> np.ndarray:
+        return raster_fn(tbl)["tile_key"].to_numpy(zero_copy_only=False)
+
+    parts = ray.get([_paint.remote(s) for s in _slices(paint, n_tasks)])
+    return np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
 
 
 def sample_negative_tiles(
@@ -368,15 +396,18 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
     # nothing vs a repartition pass over the payload.
     matched = images_ds.map_batches(label_batch, batch_format="pyarrow").materialize()
     # winner per tile: the matched subset is bounded by the sampling
-    # limits, so its KEY COLUMNS (two int64s) are collected and reduced
-    # driver-side — cheaper than a distributed aggregate round at this
-    # cardinality; swap for groupby().aggregate(Min) when the matched
-    # set is unbounded (see joins.large_join for that regime)
-    keys = matched.select_columns(["tile_key", "dedup_h"]).to_pandas()
-    winners = keys.groupby("tile_key", as_index=False)["dedup_h"].min()
-    wk = winners["tile_key"].to_numpy()
-    worder = np.argsort(wk, kind="stable")
-    win_ref = ray.put((wk[worder], winners["dedup_h"].to_numpy()[worder]))
+    # limits, so its KEY COLUMNS (two int64s) are pulled zero-copy
+    # from the materialized blocks and reduced driver-side (one
+    # lexsort) — no extra Ray job, no pandas; swap for a distributed
+    # groupby().aggregate(Min) when the matched set is unbounded
+    keys = collect_columns(matched, ["tile_key", "dedup_h"])
+    tk = keys["tile_key"].to_numpy(zero_copy_only=False)
+    dh = keys["dedup_h"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dh, tk))
+    tks, dhs = tk[order], dh[order]
+    first = np.ones(len(tks), dtype=bool)
+    first[1:] = tks[1:] != tks[:-1]
+    win_ref = ray.put((tks[first], dhs[first]))
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         skeys, shash = ray.get(win_ref)
@@ -417,15 +448,71 @@ def run_label_job(
                 f"[prof] {name}: {marks[-1][1] - marks[-2][1]:.2f}s", file=sys.stderr, flush=True
             )
 
-    pos_feats, pos_keys = positive_feature_tiles(feats, cfg)
-    mark("positives")
-    painted = painted_tile_set(feats, cfg, extra=pos_feats if cfg.positive_kind == "node" else None)
+    import threading
+
+    mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
+    feats_ref = None
+    if mask:
+        # launch the mask FeatureIndex build FIRST: it depends only on
+        # the features table, so the build task overlaps the painter
+        # job + sampling + label scan instead of sitting anywhere on
+        # the critical path (the mask actors block on it in __init__)
+        from osmray.geom import FeatureIndex
+
+        mask_feats = feats.filter(
+            pc.is_in(feats["kind"], pa.array(list(set(cfg.paint_kinds) | {cfg.positive_kind})))
+        )
+
+        # built in a RAY TASK (not on the driver: a driver-thread
+        # build would steal the GIL from the streaming executor)
+        @ray.remote(num_cpus=1)
+        def _build_index(tbl: pa.Table, res: int):
+            return FeatureIndex.from_table(tbl, res)
+
+        feats_ref = _build_index.remote(mask_feats, mask_res)
+        mark("mask-prep")
+
+    txmin_c, tymin_c, txmax_c, tymax_c = bbox_tiles(*cfg.bbox, cfg.z, cfg.scheme)
+    canvas_keyed = (txmax_c - txmin_c + 1) * (tymax_c - tymin_c + 1) > PAINTED_BROADCAST_MAX
+    if not canvas_keyed:
+        # overlap the painter Ray job (paint_kinds features only) with
+        # the driver-side positive sampling: positive NODE dots paint
+        # exactly their containing tile, so their painted keys are a
+        # direct vectorized formula unioned in afterwards — no data
+        # dependency between the painter job and the positives
+        painter_box: dict = {}
+
+        def _run_painter():
+            try:
+                painter_box["keys"] = painted_tile_set(feats, cfg)
+            except BaseException as e:  # surfaced on join
+                painter_box["err"] = e
+
+        painter_thread = threading.Thread(target=_run_painter, daemon=True)
+        painter_thread.start()
+        pos_feats, pos_keys = positive_feature_tiles(feats, cfg)
+        mark("positives")
+        painter_thread.join()
+        if "err" in painter_box:
+            raise painter_box["err"]
+        painted = painter_box["keys"]
+        if cfg.positive_kind == "node" and pos_feats.num_rows:
+            plat = np.asarray([g[0] for g in pos_feats["geom_lat"].to_pylist()])
+            plng = np.asarray([g[0] for g in pos_feats["geom_lng"].to_pylist()])
+            ptx, pty, _, _ = tile_at_wgs(plat, plng, cfg.z, cfg.scheme)
+            inside = (ptx >= txmin_c) & (ptx <= txmax_c) & (pty >= tymin_c) & (pty <= tymax_c)
+            painted = np.union1d(painted, pack_tile(ptx[inside], pty[inside], cfg.z))
+    else:
+        pos_feats, pos_keys = positive_feature_tiles(feats, cfg)
+        mark("positives")
+        painted = painted_tile_set(
+            feats, cfg, extra=pos_feats if cfg.positive_kind == "node" else None
+        )
     mark("painted")
     neg_keys = sample_negative_tiles(painted, cfg)
     mark("negatives")
 
     part_res = cfg.part_res if cfg.part_res is not None else cfg.z - 4
-    mask_res = cfg.mask_res if cfg.mask_res is not None else cfg.z - 2
     done_parts = (
         np.sort(np.fromiter(lancelike.completed_parts(out_dir), dtype=np.int64))
         if out_dir is not None
@@ -435,15 +522,6 @@ def run_label_job(
     mask_thread = None
     mask_box: dict = {}
     if mask:
-        # mask features: what the painter painted + the positives;
-        # prepared index built ONCE on the driver, broadcast to actors
-        from osmray.geom import FeatureIndex
-
-        mask_feats = feats.filter(
-            pc.is_in(feats["kind"], pa.array(list(set(cfg.paint_kinds) | {cfg.positive_kind})))
-        )
-        mark("mask-prep")
-
         # masks depend only on the tile key, and the candidate tile
         # universe is ALREADY ON THE DRIVER: the sampled positive +
         # negative key sets (every labeled image's tile is one of
@@ -486,18 +564,6 @@ def run_label_job(
         # not CPU availability — it starved the concurrent label scan)
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
-
-        import threading
-
-        # index built in a RAY TASK (not on the driver: a driver-thread
-        # build would steal the GIL from the streaming executor): it
-        # only needs the features table, so it overlaps the label scan
-        # instead of sitting on the critical path
-        @ray.remote(num_cpus=1)
-        def _build_index(tbl: pa.Table, res: int):
-            return FeatureIndex.from_table(tbl, res)
-
-        feats_ref = _build_index.remote(mask_feats, mask_res)
 
         def _run_masks():
             try:
@@ -555,17 +621,15 @@ def run_label_job(
             n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
             ds = large_join(ds, mask_rows, on="tile_key", num_partitions=n_parts)
         else:
-            mdf = mask_rows.to_pandas()
+            # zero-copy block-ref fetch: the mask table is already
+            # materialized by the background thread — no extra Ray job
+            mtbl = collect_columns(mask_rows, ["tile_key", "mask", "mask_any"])
             mark("masks")
-            mkeys = mdf["tile_key"].to_numpy()
+            mkeys = mtbl["tile_key"].to_numpy(zero_copy_only=False)
             morder = np.argsort(mkeys, kind="stable")
-            mask_ref = ray.put(
-                (
-                    mkeys[morder],
-                    mdf["mask"].to_numpy()[morder],
-                    mdf["mask_any"].to_numpy()[morder],
-                )
-            )
+            mvals = np.asarray(mtbl["mask"].to_pylist(), dtype=object)
+            many = mtbl["mask_any"].to_numpy(zero_copy_only=False)
+            mask_ref = ray.put((mkeys[morder], mvals[morder], many[morder]))
 
             def attach(batch: pa.Table) -> pa.Table:
                 skeys, smask, sany = ray.get(mask_ref)
