@@ -7,13 +7,22 @@ engine's equivalent contract: a labeled output TABLE
 (image, tile key, cell, label, split, 256x256 label mask, round-tripped
 bytes, caption, lineage partition), computed as:
 
-  read images parquet
-    -> map_batches(assign_tiles)                 [stateless, zero-copy]
-    -> semi-join positives / anti-join negatives [broadcast key sets]
-    -> groupby(tile_key) first-writer dedup      [keyed shuffle]
-    -> map_batches(MaskStage, actor pool)        [broadcast FeatureIndex]
-    -> map_batches(decode_roundtrip)             [psnr/caption gate]
-    -> lancelike.write_dataset(part_id = coarse cell) [resumable sink]
+  phase 1 (metadata only; projection pushed into the read):
+    read (image_id, lat, lng)
+      -> map_batches(assign_tiles)               [stateless, zero-copy]
+      -> semi-join sampled pos/neg key sets      [broadcast key sets]
+      -> winner per tile = hash-min image_id     [driver lexsort, tiny]
+  concurrently: MaskStage actor pool rasterizes the sampled tiles and
+  publishes the mask table through a future cell.
+  phase 2 (ONE streaming payload job; never materialized):
+    read images parquet (full columns)
+      -> map_batches(assign_tiles)
+      -> winner filter + label + hash split      [fused with the read:
+         non-winning payload bytes never leave the read task]
+      -> part_id + resume prune                  [manifest filter]
+      -> map_batches(decode_roundtrip)           [psnr/caption gate]
+      -> mask attach                             [blocks on the cell]
+      -> lancelike.write_dataset(part_id = coarse cell) [resumable sink]
 
 Scale notes (100 TB design intent, single-node tested):
 - The images table is never materialized: it streams. Only key SETS
@@ -41,6 +50,7 @@ from osmray import cells as cellmod
 from osmray import lancelike
 from osmray.stages import (
     MaskStage,
+    cached_index,
     decode_roundtrip,
     hash64,
     hash_str,
@@ -59,6 +69,10 @@ DRIVER_UNIVERSE_MAX = 1 << 22
 # array — the painted set is bounded by the canvas, so this caps the
 # broadcast at ~128 MB of int64 keys
 PAINTED_BROADCAST_MAX = 1 << 24
+# sampled tile sets up to this size rasterize masks as plain tasks on
+# warm workers (no actor-pool process ramp); above it, the actor pool
+# amortizes per-actor index state over many batches
+MASK_TASKS_MAX = 1 << 20
 
 
 @dataclass
@@ -169,6 +183,62 @@ def collect_columns(mds, cols: list[str]) -> pa.Table:
         schema = pa.schema([mds.schema().base_schema.field(c) for c in cols])
         return schema.empty_table()
     return pa.concat_tables(tables)
+
+
+_MASK_REMOTES: dict = {}
+
+
+def _mask_remotes():
+    """Lazily-decorated remote fns for the bounded mask regime: N
+    rasterize tasks over zero-copy slices (warm workers, worker-cached
+    broadcast index) under one num_cpus=0 coordinator whose ObjectRef
+    doubles as the attach stage's future — consumers just ray.get it."""
+    import ray
+
+    if "all" not in _MASK_REMOTES:
+
+        @ray.remote(num_cpus=1)
+        def _mask_part(tbl: pa.Table, fref_l, z, scheme, res) -> pa.Table:
+            st = MaskStage(cached_index(fref_l), z, scheme, res)
+            return st(tbl).select(["tile_key", "mask", "mask_any"])
+
+        @ray.remote(num_cpus=0)
+        def _mask_all(tiles_tbl: pa.Table, fref_l, z, scheme, res, n_slices: int) -> pa.Table:
+            parts = ray.get(
+                [
+                    _mask_part.remote(s, fref_l, z, scheme, res)
+                    for s in _slices(tiles_tbl, n_slices)
+                ]
+            )
+            mtbl = pa.concat_tables(parts)
+            order = np.argsort(mtbl["tile_key"].to_numpy(zero_copy_only=False), kind="stable")
+            return mtbl.take(pa.array(order)).combine_chunks()
+
+        _MASK_REMOTES["all"] = _mask_all
+    return _MASK_REMOTES["all"]
+
+
+class _FutureCell:
+    """A set-once async cell (wrapped with ``ray.remote(num_cpus=0)``
+    at use sites). Lets a background-thread producer publish a value
+    to map tasks of an ALREADY-RUNNING streaming job: consumers call
+    ``get`` and await the event, so upstream stages keep working while
+    the producer finishes. Values are passed as ``[ObjectRef]`` so the
+    payload stays a shared plasma object."""
+
+    def __init__(self):
+        import asyncio
+
+        self._ev = asyncio.Event()
+        self._v = None
+
+    async def set(self, v):
+        self._v = v
+        self._ev.set()
+
+    async def get(self):
+        await self._ev.wait()
+        return self._v
 
 
 def sample_smallest(keys: np.ndarray, limit: int, seed: int) -> np.ndarray:
@@ -346,60 +416,53 @@ def sample_negative_tiles(
     return np.sort(sample["tile_key"].to_numpy())
 
 
-def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig):
-    """Semi-join the streaming images table against the broadcast
-    positive/negative key sets; first-writer-wins dedup per tile;
-    hash train/valid split.
+def winner_keys(images_ds, assign, pos_keys: np.ndarray, neg_keys: np.ndarray,
+                cfg: LabelJobConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Phase 1 of the two-phase label scan: a METADATA-ONLY pass.
 
-    Dedup strategy (scale-aware): the matched subset is bounded by the
-    sampling limits, so it is materialized once; the winner per tile is
-    a NATIVE ``groupby(tile_key).aggregate(Min(dedup_h))`` over two
-    int64 columns (no per-group Python, no image-bytes shuffle), and
-    the winner set is broadcast back as a filter. The deterministic
-    winner is the hash-smallest image_id per tile (the engine's twin of
-    the reference's order-dependent first-file-wins,
-    make_buildings.py:45-46)."""
+    ``select_columns`` right after ``read_parquet`` is pushed into the
+    scan (verified: same wall as an explicit ``columns=`` read), so
+    this pass decompresses only (image_id, lat, lng) — ~0.1% of the
+    table — never the image payload. The matched key pairs are bounded
+    by the sampling limits (≤ a few rows per sampled tile), so the
+    winner per tile (hash-smallest image_id — the engine's
+    deterministic twin of the reference's order-dependent
+    first-file-wins, make_buildings.py:45-46) is one driver-side
+    lexsort over two int64 columns; swap for a distributed
+    ``groupby().aggregate(Min)`` when the matched set is unbounded.
+
+    Returns (sorted winner tile_keys, matching dedup hashes).
+    """
     import ray
 
-    pos_ref = ray.put(np.sort(pos_keys))
-    neg_ref = ray.put(np.sort(neg_keys))
-    pos_label, neg_label = cfg.pos_label, cfg.neg_label
-    train_frac, seed = cfg.train_frac, cfg.seed
+    cand = np.sort(np.concatenate([pos_keys, neg_keys]))
+    cand_ref = ray.put(cand)
+    seed = cfg.seed
 
-    def label_batch(batch: pa.Table) -> pa.Table:
+    def match_batch(batch: pa.Table) -> pa.Table:
+        ks = ray.get(cand_ref)
         key = batch["tile_key"].to_numpy(zero_copy_only=False)
-        is_pos = np.isin(key, ray.get(pos_ref))
-        is_neg = np.isin(key, ray.get(neg_ref))
-        keep = is_pos | is_neg
-        batch = batch.filter(pa.array(keep))
-        lab = np.where(is_pos[keep], pos_label, neg_label)
-        h = hash_str(batch["image_id"], seed + 1)
-        split = np.where(
-            (h.astype(np.uint64) % np.uint64(1000)) < np.uint64(int(train_frac * 1000)),
-            "train",
-            "valid",
-        )
-        return (
-            batch.append_column("label", pa.array(lab, pa.string()))
-            .append_column("split", pa.array(split, pa.string()))
-            .append_column("dedup_h", pa.array(hash_str(batch["image_id"], seed + 2)))
+        if ks.size:
+            idx = np.clip(np.searchsorted(ks, key), 0, ks.size - 1)
+            keep = ks[idx] == key
+        else:
+            keep = np.zeros(len(key), dtype=bool)
+        sel = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "tile_key": sel["tile_key"],
+                "dedup_h": pa.array(hash_str(sel["image_id"], seed + 2)),
+            }
         )
 
-    # the matched subset is bounded (≤ 2×limit tiles): materialize it
-    # once so dedup + mask-attach + sink consume it without re-reading
-    # the full images table. NOTE for callers: the downstream
-    # decode/re-encode chain is straggler-bound on coarse uneven
-    # blocks (observed 3× task-wall skew on per-file read blocks) —
-    # set ``DataContext.target_max_block_size`` to ~16 MB BEFORE
-    # creating ``images_ds`` (the CLI and bench do) so the label scan
-    # emits fine blocks via dynamic block splitting, which costs
-    # nothing vs a repartition pass over the payload.
-    matched = images_ds.map_batches(label_batch, batch_format="pyarrow").materialize()
-    # winner per tile: the matched subset is bounded by the sampling
-    # limits, so its KEY COLUMNS (two int64s) are pulled zero-copy
-    # from the materialized blocks and reduced driver-side (one
-    # lexsort) — no extra Ray job, no pandas; swap for a distributed
-    # groupby().aggregate(Min) when the matched set is unbounded
+    meta = images_ds.select_columns(["image_id", "lat", "lng"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    matched = meta.map_batches(match_batch, batch_format="pyarrow").materialize()
+    if __import__("os").environ.get("OSMRAY_STATS"):
+        import sys as _s
+
+        print(matched.stats(), file=_s.stderr, flush=True)
     keys = collect_columns(matched, ["tile_key", "dedup_h"])
     tk = keys["tile_key"].to_numpy(zero_copy_only=False)
     dh = keys["dedup_h"].to_numpy(zero_copy_only=False)
@@ -407,18 +470,51 @@ def label_images(images_ds, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: Lab
     tks, dhs = tk[order], dh[order]
     first = np.ones(len(tks), dtype=bool)
     first[1:] = tks[1:] != tks[:-1]
-    win_ref = ray.put((tks[first], dhs[first]))
+    return tks[first], dhs[first]
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        skeys, shash = ray.get(win_ref)
+
+def make_label_winners(win_ref, pos_ref, cfg: LabelJobConfig):
+    """Phase 2 stage factory: the payload pass. Filters the full
+    images stream to the broadcast winner set (tile_key → winning
+    dedup hash), then labels + hash-splits the survivors. The filter
+    runs FUSED with the read task, so non-winning payload bytes
+    (~80% of the table) are dropped in-process and never enter the
+    object store; the winners flow straight into the mask/roundtrip/
+    sink stages of the same streaming job — the payload is never
+    materialized."""
+    import ray
+
+    pos_label, neg_label = cfg.pos_label, cfg.neg_label
+    train_frac, seed = cfg.train_frac, cfg.seed
+
+    def label_winners(batch: pa.Table) -> pa.Table:
+        wk, wh = ray.get(win_ref)
         key = batch["tile_key"].to_numpy(zero_copy_only=False)
-        h = batch["dedup_h"].to_numpy(zero_copy_only=False)
-        # every key is present (matched ⊆ winners' key set): a sorted
-        # lookup, no per-row Python
-        keep = shash[np.searchsorted(skeys, key)] == h
-        return batch.filter(pa.array(keep)).drop_columns(["dedup_h"])
+        if wk.size:
+            idx = np.clip(np.searchsorted(wk, key), 0, wk.size - 1)
+            cand = wk[idx] == key
+        else:
+            idx = np.zeros(len(key), dtype=np.int64)
+            cand = np.zeros(len(key), dtype=bool)
+        sel = batch.filter(pa.array(cand))
+        # hash only the tile-matched survivors (~20% of rows)
+        h = hash_str(sel["image_id"], seed + 2)
+        keep = wh[idx[cand]] == h if wk.size else np.zeros(0, dtype=bool)
+        sel = sel.filter(pa.array(keep))
+        k2 = key[cand][keep]
+        is_pos = np.isin(k2, ray.get(pos_ref))
+        lab = np.where(is_pos, pos_label, neg_label)
+        hs = hash_str(sel["image_id"], seed + 1)
+        split = np.where(
+            (hs.astype(np.uint64) % np.uint64(1000)) < np.uint64(int(train_frac * 1000)),
+            "train",
+            "valid",
+        )
+        return sel.append_column("label", pa.array(lab, pa.string())).append_column(
+            "split", pa.array(split, pa.string())
+        )
 
-    return matched.map_batches(keep_winners, batch_format="pyarrow")
+    return label_winners
 
 
 def run_label_job(
@@ -520,6 +616,8 @@ def run_label_job(
     )
 
     mask_thread = None
+    mask_ref = None  # plasma ref to the sorted mask table (task regime)
+    mask_cell = None  # future cell publishing the same (actor regime)
     mask_box: dict = {}
     if mask:
         # masks depend only on the tile key, and the candidate tile
@@ -553,44 +651,82 @@ def run_label_job(
                 "ty": pa.array(cty[order]),
             }
         )
-        # one block per zero-copy slice (order-preserving split, no
-        # repartition shuffle round-trip)
-        tiles_ds = ray.data.from_arrow(
-            _slices(tiles_tbl, max(2, cfg.mask_concurrency * 2))
-        )
-        # clamp the pool under the cluster CPUs: an actor pool that
-        # reserves every CPU starves the producing task stages (an
-        # autoscaling (min, max) pool was tried and scales on backlog,
-        # not CPU availability — it starved the concurrent label scan)
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
 
-        def _run_masks():
-            try:
-                mask_rows = tiles_ds.map_batches(
-                    MaskStage,
-                    fn_constructor_kwargs={
-                        "features_ref": feats_ref,
-                        "z": cfg.z,
-                        "scheme": cfg.scheme,
-                        "res": mask_res,
-                    },
-                    batch_format="pyarrow",
-                    batch_size=cfg.mask_batch,
-                    concurrency=concurrency,
-                    num_cpus=1,
-                ).select_columns(["tile_key", "mask", "mask_any"])
-                mask_box["rows"] = mask_rows.materialize()
-            except BaseException as e:  # surfaced on join
-                mask_box["err"] = e
+        # regime pick: bounded tile sets (the sampled pos+neg universe)
+        # rasterize as PLAIN TASKS on warm workers, coordinated by one
+        # num_cpus=0 task whose ObjectRef the payload job's attach
+        # stage blocks on directly — no actor-pool process ramp, no
+        # driver thread competing for the GIL with the streaming
+        # executor (measured: the 16-actor pool spent ~20 s
+        # spawning+importing for ~10 CPU-s of rasterization, and the
+        # driver-thread publish added several more under GIL
+        # contention). The actor-pool path remains for unbounded tile
+        # universes, where per-actor index state amortizes over many
+        # batches.
+        if len(cand) <= MASK_TASKS_MAX:
+            n_slices = max(4, min(64, (total_cpus - 2) * 2))
+            mask_ref = _mask_remotes().remote(
+                tiles_tbl, [feats_ref], cfg.z, cfg.scheme, mask_res, n_slices
+            )
+        else:
+            mask_cell = ray.remote(num_cpus=0)(_FutureCell).remote()
 
-        mask_thread = threading.Thread(target=_run_masks, daemon=True)
-        mask_thread.start()
+            def _run_masks():
+                try:
+                    tiles_ds = ray.data.from_arrow(
+                        _slices(tiles_tbl, max(2, cfg.mask_concurrency * 2))
+                    )
+                    # clamp the pool under the cluster CPUs: a pool
+                    # that reserves every CPU starves producing stages
+                    concurrency = max(1, min(cfg.mask_concurrency, total_cpus - 2))
+                    mask_rows = tiles_ds.map_batches(
+                        MaskStage,
+                        fn_constructor_kwargs={
+                            "features_ref": feats_ref,
+                            "z": cfg.z,
+                            "scheme": cfg.scheme,
+                            "res": mask_res,
+                        },
+                        batch_format="pyarrow",
+                        batch_size=cfg.mask_batch,
+                        concurrency=concurrency,
+                        num_cpus=1,
+                    ).select_columns(["tile_key", "mask", "mask_any"])
+                    mask_rows = mask_rows.materialize()
+                    mask_box["rows"] = mask_rows
+                    # sorted once, published as ONE plasma table every
+                    # attach task maps in zero-copy
+                    mtbl = collect_columns(mask_rows, ["tile_key", "mask", "mask_any"])
+                    order = np.argsort(
+                        mtbl["tile_key"].to_numpy(zero_copy_only=False), kind="stable"
+                    )
+                    ref = ray.put(mtbl.take(pa.array(order)).combine_chunks())
+                    ray.get(mask_cell.set.remote([ref]))
+                except BaseException as e:  # surfaced on join
+                    mask_box["err"] = e
+                    try:
+                        ray.get(mask_cell.set.remote([ray.put(None)]))
+                    except BaseException:
+                        pass
+
+            mask_thread = threading.Thread(target=_run_masks, daemon=True)
+            mask_thread.start()
 
     assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
-    ds = images_ds.map_batches(assign, batch_format="pyarrow")
-    ds = label_images(ds, pos_keys, neg_keys, cfg)
+
+    # ---- phase 1: metadata-only winner scan (no payload bytes) ----
+    wk, wh = winner_keys(images_ds, assign, pos_keys, neg_keys, cfg)
+    win_ref = ray.put((wk, wh))
+    pos_ref = ray.put(np.sort(pos_keys))
     mark("label+dedup")
+
+    # ---- phase 2: ONE streaming payload job ----
+    # read (full columns) -> assign -> winner filter + label (fused
+    # with the read task: losing payload rows never leave it) ->
+    # part/resume prune -> decode/roundtrip -> mask attach -> sink.
+    ds = images_ds.map_batches(assign, batch_format="pyarrow")
+    ds = ds.map_batches(make_label_winners(win_ref, pos_ref, cfg), batch_format="pyarrow")
 
     # partition key for the sink: cell (at part_res) of the tile.
     # Added EARLY so resume (completed parts per the manifest) prunes
@@ -604,50 +740,86 @@ def run_label_job(
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     if out_dir is not None:
         ds = lancelike.pending_filter(ds, out_dir)
+    if roundtrip:
+        # roundtrip BEFORE mask attach: it is the payload pass's CPU
+        # hog, so it overlaps the tail of mask rasterization instead
+        # of waiting behind it. num_cpus=0.99 BREAKS OPERATOR FUSION
+        # with the read+filter stage on purpose: fused, the whole
+        # chain runs as one coarse task per input file and the decode
+        # work is straggler-bound (observed 4.6-12.5 s task walls);
+        # unfused, the filter's fine (~16 MB) output blocks rebalance
+        # the decode across every slot while still streaming.
+        ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow", num_cpus=0.99)
 
     if mask:
-        mask_thread.join()
-        if "err" in mask_box:
-            raise mask_box["err"]
-        mask_rows = mask_box["rows"]
         if mask_attach == "join":
             # unbounded tile sets: hash-partitioned join instead of a
-            # broadcast dict (both sides shuffle on tile_key)
+            # broadcast dict (both sides shuffle on tile_key) — the
+            # join needs the materialized mask Dataset, so this regime
+            # waits for the rasterizer here
             from osmray.joins import large_join
 
+            if mask_ref is not None:
+                mask_rows = ray.data.from_arrow(_slices(ray.get(mask_ref), 8))
+            else:
+                mask_thread.join()
+                if "err" in mask_box:
+                    raise mask_box["err"]
+                mask_rows = mask_box["rows"]
             mark("masks")
             # join aggregators are actors: size them UNDER the
             # cluster's CPUs or they starve the producing stages
             n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
             ds = large_join(ds, mask_rows, on="tile_key", num_partitions=n_parts)
         else:
-            # zero-copy block-ref fetch: the mask table is already
-            # materialized by the background thread — no extra Ray job
-            mtbl = collect_columns(mask_rows, ["tile_key", "mask", "mask_any"])
+            # broadcast regime: the sorted mask table arrives as a
+            # plasma ObjectRef (task-regime coordinator return, or the
+            # actor-regime future cell), so the payload job STARTS
+            # immediately and only its attach stage blocks on the
+            # masks — rasterization overlaps read/filter/roundtrip
+            cell = mask_cell
+            mref = mask_ref
             mark("masks")
-            mkeys = mtbl["tile_key"].to_numpy(zero_copy_only=False)
-            morder = np.argsort(mkeys, kind="stable")
-            mvals = np.asarray(mtbl["mask"].to_pylist(), dtype=object)
-            many = mtbl["mask_any"].to_numpy(zero_copy_only=False)
-            mask_ref = ray.put((mkeys[morder], mvals[morder], many[morder]))
 
             def attach(batch: pa.Table) -> pa.Table:
-                skeys, smask, sany = ray.get(mask_ref)
+                # the cell's get() returns [ref]: the ref rides inside
+                # a list so Ray hands back the small ref, not an inline
+                # copy — every task then maps the SAME plasma Arrow
+                # table zero-copy
+                mtbl = ray.get(mref if mref is not None else ray.get(cell.get.remote())[0])
+                if mtbl is None:
+                    raise RuntimeError("mask rasterizer failed (see driver log)")
+                skeys = mtbl["tile_key"].to_numpy()
                 k = batch["tile_key"].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(skeys, k)
+                taken = mtbl.take(pa.array(np.searchsorted(skeys, k)))
                 return batch.append_column(
-                    "mask", pa.array(smask[idx], pa.binary())
-                ).append_column("mask_any", pa.array(sany[idx], pa.bool_()))
+                    "mask", taken["mask"].combine_chunks()
+                ).append_column("mask_any", taken["mask_any"].combine_chunks())
 
             ds = ds.map_batches(attach, batch_format="pyarrow")
-    if roundtrip:
-        ds = ds.map_batches(decode_roundtrip, batch_format="pyarrow")
 
     lineage = None
     if out_dir is not None:
-        lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
+        try:
+            lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
+        except BaseException:
+            # a mask-thread failure surfaces in the sink as the cell's
+            # generic error: prefer the real traceback
+            if mask_thread is not None:
+                mask_thread.join()
+                if "err" in mask_box:
+                    raise mask_box["err"] from None
+            raise
         mark("sink")
         ds = lancelike.read_dataset(out_dir)
+    if mask_thread is not None:
+        # surface rasterizer errors for lazy consumers (out_dir=None
+        # returns an unexecuted Dataset); masks are already published
+        # through the cell, so this join costs nothing extra on the
+        # sink path and bounds the no-sink path's error latency
+        mask_thread.join()
+        if "err" in mask_box:
+            raise mask_box["err"]
     return ds, lineage
 
 

@@ -220,6 +220,31 @@ def decode_roundtrip(batch: pa.Table, strict: bool = False) -> pa.Table:
     )
 
 
+# worker-global cache for broadcast FeatureIndex objects: plain-task
+# rasterization (pipeline.run_label_job's bounded regime) passes the
+# index as [ObjectRef] so repeated tasks landing on the same warm
+# worker deserialize it once, like an actor would
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def cached_index(ref_list):
+    """Resolve ``[ObjectRef]`` (or a bare index/table) to a
+    FeatureIndex, memoized per worker process by ref id."""
+    if not isinstance(ref_list, list):
+        return ref_list
+    import ray
+
+    ref = ref_list[0]
+    key = ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_INDEX_CACHE) > 4:  # bound worker memory across jobs
+            _INDEX_CACHE.clear()
+        idx = ray.get(ref)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
 class MaskStage:
     """Actor-pool stage: per-tile 256x256 label masks.
 
@@ -375,12 +400,20 @@ class MaskStage:
         # per-cell batch density decides canvas-vs-pruned rasterization
         _, counts = np.unique(cells, return_counts=True)
         n_in_cell = dict(zip(np.unique(cells).tolist(), counts.tolist()))
+        empty: tuple[bytes, bool] | None = None
         for j in order:
             key = (int(txs[j]), int(tys[j]))
             hit = cache.get(key)
             if hit is None:
                 canvas = self._mask_for_tile(*key, n_in_cell=n_in_cell[int(cells[j])])
-                hit = (codecs.png_encode(canvas, level=1), bool(canvas.any()))
+                if canvas.any():
+                    hit = (codecs.png_encode(canvas, level=1), True)
+                else:
+                    # untouched tiles (most sampled negatives) share
+                    # one encoded all-zero mask — skips the PNG encode
+                    if empty is None:
+                        empty = (codecs.png_encode(canvas, level=1), False)
+                    hit = empty
                 cache[key] = hit
             masks[j] = hit[0]
             any_flags[j] = hit[1]
