@@ -113,7 +113,7 @@ def flagship(n_images: int, seed_tag: str):
     images = ray.data.read_parquet(files, override_num_blocks=len(files))
     feats = pq.read_table(os.path.join(root, "features.parquet"))
     t0 = time.perf_counter()
-    ds, lineage = pipeline.run_label_job(images, feats, cfg, out_dir=out_dir)
+    ds, lineage = pipeline.run_label_job(images, feats, cfg, out_dir=out_dir, image_files=files)
     rows = int(lineage["rows_out"].sum())
     sec = time.perf_counter() - t0
     return sec, rows, n_images

@@ -111,7 +111,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "label":
         ds, lineage = pipeline.run_label_job(
-            images, feats, cfg, out_dir=args.out, mask_attach=args.mask_attach
+            images, feats, cfg, out_dir=args.out, mask_attach=args.mask_attach,
+            image_files=files,
         )
         summary = {
             "cmd": "label",

@@ -466,11 +466,75 @@ def winner_keys(images_ds, assign, pos_keys: np.ndarray, neg_keys: np.ndarray,
     keys = collect_columns(matched, ["tile_key", "dedup_h"])
     tk = keys["tile_key"].to_numpy(zero_copy_only=False)
     dh = keys["dedup_h"].to_numpy(zero_copy_only=False)
+    return _dedup_winners(tk, dh)
+
+
+def _dedup_winners(tk: np.ndarray, dh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce matched (tile_key, dedup_h) pairs to the hash-smallest
+    winner per tile: one lexsort over two bounded int64 columns."""
     order = np.lexsort((dh, tk))
     tks, dhs = tk[order], dh[order]
     first = np.ones(len(tks), dtype=bool)
     first[1:] = tks[1:] != tks[:-1]
     return tks[first], dhs[first]
+
+
+def _winner_remote():
+    """Lazily-decorated remote fn for the plain-task phase-1 regime
+    (module-level cache: one function export per process)."""
+    import ray
+
+    if "scan" not in _MASK_REMOTES:
+
+        @ray.remote(num_cpus=1)
+        def _scan_shard(shard, assign, cand: np.ndarray, seed: int):
+            import pyarrow.parquet as pq
+
+            tks, dhs = [], []
+            for f in shard:
+                t = assign(pq.read_table(f, columns=["image_id", "lat", "lng"]))
+                key = t["tile_key"].to_numpy(zero_copy_only=False)
+                if cand.size:
+                    idx = np.clip(np.searchsorted(cand, key), 0, cand.size - 1)
+                    keep = cand[idx] == key
+                else:
+                    keep = np.zeros(len(key), dtype=bool)
+                sel = t.filter(pa.array(keep))
+                tks.append(sel["tile_key"].to_numpy(zero_copy_only=False))
+                dhs.append(hash_str(sel["image_id"], seed + 2))
+            e = np.array([], dtype=np.int64)
+            return (
+                np.concatenate(tks) if tks else e,
+                np.concatenate(dhs) if dhs else e,
+            )
+
+        _MASK_REMOTES["scan"] = _scan_shard
+    return _MASK_REMOTES["scan"]
+
+
+def winner_keys_tasks(
+    files, assign, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Plain-task twin of :func:`winner_keys` for callers that know the
+    parquet file list (bench, CLI): one num_cpus=1 task per file shard
+    reads ONLY (image_id, lat, lng) via a direct column-pruned
+    ``pq.read_table`` (~5 ms warm per file, vs ~1 s/task of Ray Data
+    job+datasource fixed costs measured for the same projected read),
+    assigns tiles and matches the broadcast candidate set in-task; the
+    driver reduces the bounded match sets with one lexsort. Identical
+    math to winner_keys — a pytest pins the two paths equal."""
+    import ray
+
+    cand = np.sort(np.concatenate([pos_keys, neg_keys]))
+    cand_ref = ray.put(cand)
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_shards = max(1, min(len(files), total_cpus * 2))
+    shards = [list(files)[i::n_shards] for i in range(n_shards)]
+    scan = _winner_remote()
+    parts = ray.get([scan.remote(s, assign, cand_ref, cfg.seed) for s in shards])
+    tk = np.concatenate([p[0] for p in parts])
+    dh = np.concatenate([p[1] for p in parts])
+    return _dedup_winners(tk, dh)
 
 
 def make_label_winners(win_ref, pos_ref, cfg: LabelJobConfig):
@@ -525,8 +589,15 @@ def run_label_job(
     mask: bool = True,
     roundtrip: bool = True,
     mask_attach: str = "broadcast",  # "broadcast" (bounded) | "join" (unbounded)
+    image_files: list[str] | None = None,
 ):
-    """End-to-end flagship: returns (dataset, lineage_df_or_None)."""
+    """End-to-end flagship: returns (dataset, lineage_df_or_None).
+
+    ``image_files``: optional parquet file list BEHIND ``images_ds``.
+    When given, the metadata-only phase-1 winner scan runs as plain
+    column-pruned tasks over file shards (see winner_keys_tasks)
+    instead of a second Ray Data job — same math, less fixed cost.
+    The payload phase always streams through ``images_ds``."""
     import os
     import time
 
@@ -716,7 +787,10 @@ def run_label_job(
     assign = make_assign_tiles(cfg.z, cfg.scheme, cfg.edge)
 
     # ---- phase 1: metadata-only winner scan (no payload bytes) ----
-    wk, wh = winner_keys(images_ds, assign, pos_keys, neg_keys, cfg)
+    if image_files:
+        wk, wh = winner_keys_tasks(image_files, assign, pos_keys, neg_keys, cfg)
+    else:
+        wk, wh = winner_keys(images_ds, assign, pos_keys, neg_keys, cfg)
     win_ref = ray.put((wk, wh))
     pos_ref = ray.put(np.sort(pos_keys))
     mark("label+dedup")

@@ -189,6 +189,30 @@ def test_mask_attach_join_equals_broadcast(ray_session, images_ds, feats, CFG):
     assert a.equals(b)
 
 
+def test_winner_tasks_path_equals_dataset_path(ray_session, images_ds, feats, fixture_dir, CFG):
+    """Phase-1 plain-task regime (image_files given) is pinned
+    byte-equal to the Ray Data winner scan, at both the winner-set and
+    the end-to-end output level."""
+    files = sorted(glob.glob(os.path.join(fixture_dir, "images", "*.parquet")))
+    assign = pipeline.make_assign_tiles(CFG.z, CFG.scheme, CFG.edge)
+    pos_feats, pos_keys = pipeline.positive_feature_tiles(feats, CFG)
+    painted = pipeline.painted_tile_set(feats, CFG, extra=pos_feats)
+    neg_keys = pipeline.sample_negative_tiles(painted, CFG)
+    wk_a, wh_a = pipeline.winner_keys(images_ds, assign, pos_keys, neg_keys, CFG)
+    wk_b, wh_b = pipeline.winner_keys_tasks(files, assign, pos_keys, neg_keys, CFG)
+    np.testing.assert_array_equal(wk_a, wk_b)
+    np.testing.assert_array_equal(wh_a, wh_b)
+
+    a = pipeline.run_label_job(images_ds, feats, CFG, roundtrip=False, mask=False)[0].to_pandas()
+    b = pipeline.run_label_job(
+        images_ds, feats, CFG, roundtrip=False, mask=False, image_files=files
+    )[0].to_pandas()
+    cols = ["image_id", "tile_key", "label", "split", "part_id"]
+    a = a[cols].sort_values("image_id").reset_index(drop=True)
+    b = b[cols].sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_resume_skips_completed(ray_session, images_ds, feats, tmp_path, CFG):
     out = str(tmp_path / "labeled2")
     ds1, lin1 = pipeline.run_label_job(images_ds, feats, CFG, out_dir=out, mask=False, roundtrip=False)
