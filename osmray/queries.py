@@ -2958,18 +2958,113 @@ def q_minimap(sf_dir: str):
 
 
 def q_buildings_label_job(sf_dir: str):
-    """make_buildings as dataflow: polygon-vertex positives (edge=24),
-    outline painting, filled exclusions removed from negatives."""
+    """make_buildings (reference make_buildings.py:20-59) run END TO
+    END over the oracle fixture and hash-checked against a DuckDB
+    closed form: polygon-VERTEX positives with skipedge(24)
+    (make_buildings.py:36-47), seeded key sampling, the distributed
+    painter drawing width-1 CLOSED OUTLINES of every building polygon
+    (make_buildings.py:52-59; the oracle polygons are axis-aligned
+    rectangles, so the outline tile set is the exact perimeter),
+    complement negative sampling, yes/no labels, and the
+    decode->re-encode roundtrip (decoded-pixel sums + psnr/phash
+    gates). The crc32-based ``split`` column stays pytest-locked
+    (tests/test_buildings.py), as in q_image_label_job."""
     import dataclasses
 
-    from osmray import pipeline
+    from osmray import codecs, oraclefix, pipeline
 
-    images, feats, cfg = _fixture(sf_dir)
-    bcfg = dataclasses.replace(
-        pipeline.BUILDINGS, z=19, bbox=cfg.bbox, limit=max(50, cfg.limit // 2)
-    )
+    images, feats = oraclefix.load()
+    bcfg = dataclasses.replace(pipeline.BUILDINGS, z=19, bbox=oraclefix.bbox(), limit=200)
     ds, _ = pipeline.run_label_job(images, feats, bcfg, mask=False, roundtrip=True)
-    return ds.select_columns(["image_id", "tile_key", "label", "split", "caption", "phash"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pix = [
+            int(codecs.png_decode(b).astype(np.int64).sum())
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "tx": batch["tx"],
+                "ty": batch["ty"],
+                "tile_key": batch["tile_key"],
+                "cell": batch["cell"],
+                "part_id": batch["part_id"],
+                "label": batch["label"],
+                "caption": batch["caption"],
+                "phash": batch["phash"],
+                "pix_sum": pa.array(pix, pa.int64()),
+                "psnr_ok": batch["psnr_ok"],
+                "phash_ok": batch["phash_ok"],
+                "decode_ok": batch["decode_ok"],
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+# The buildings twin replays: polygon rectangles from the oraclefix
+# integer generators; vertex tiles passing skipedge(24); seeded
+# hash-smallest key sampling (hash64 in HUGEINT limbs); the painted
+# set as the exact rectangle-perimeter tile union (width-1 closed
+# outline of an axis-aligned rectangle in 1px-per-tile canvas space);
+# complement negatives; and the per-tile image attribute closed forms
+# shared with Q_IMAGE_LABEL_JOB_SQL. 14336 = (64*256 - 2048); spans
+# are < 8 tiles (dx,dy <= 1600 px), hence range(0, 8).
+Q_BUILDINGS_LABEL_JOB_SQL = f"""
+WITH {_OFX_BASE},
+{_OFX_IMG},
+pg AS (SELECT t.range AS r,
+  (t.range*1117)%14336 AS ax, (t.range*2003)%14336 AS ay,
+  128 + (t.range%24)*64 AS dx, 128 + ((t.range*5)%24)*64 AS dy
+  FROM range(0, 240) t),
+vtx AS (SELECT DISTINCT px // 256 AS u, py // 256 AS v FROM (
+    SELECT ax AS px, ay AS py FROM pg
+    UNION ALL SELECT ax + dx, ay FROM pg
+    UNION ALL SELECT ax + dx, ay + dy FROM pg
+    UNION ALL SELECT ax, ay + dy FROM pg)
+  WHERE px % 256 BETWEEN 24 AND 231 AND py % 256 BETWEEN 24 AND 231),
+vk AS (SELECT u, v,
+  19*288230376151711744 + (290000 + u + 268435456)*536870912
+    + (170000 + v + 268435456) AS key FROM vtx),
+{hash64_ctes('ph', 'vk', 'u, v, key', 'key', 42)},
+pos AS (SELECT u, v FROM ph5 ORDER BY h, key LIMIT 200),
+otl AS (SELECT DISTINCT u, v FROM (
+    SELECT ax//256 + s.range AS u, ay//256 AS v
+      FROM pg CROSS JOIN range(0, 8) s WHERE ax//256 + s.range <= (ax+dx)//256
+    UNION ALL
+    SELECT ax//256 + s.range, (ay+dy)//256
+      FROM pg CROSS JOIN range(0, 8) s WHERE ax//256 + s.range <= (ax+dx)//256
+    UNION ALL
+    SELECT ax//256, ay//256 + s.range
+      FROM pg CROSS JOIN range(0, 8) s WHERE ay//256 + s.range <= (ay+dy)//256
+    UNION ALL
+    SELECT (ax+dx)//256, ay//256 + s.range
+      FROM pg CROSS JOIN range(0, 8) s WHERE ay//256 + s.range <= (ay+dy)//256)),
+freek AS (SELECT u, v,
+    19*288230376151711744 + (290000 + u + 268435456)*536870912
+      + (170000 + v + 268435456) AS key
+    FROM univ ANTI JOIN otl USING (u, v)),
+{hash64_ctes('nh', 'freek', 'u, v, key', 'key', 42)},
+negs AS (SELECT u, v FROM nh5 ORDER BY h, key LIMIT 200),
+labeled AS (SELECT u, v, 'yes' AS label FROM pos
+            UNION ALL SELECT u, v, 'no' FROM negs)
+SELECT
+  'im' || CAST(10000 + l.v*100 + l.u AS VARCHAR) AS image_id,
+  290000 + l.u AS tx, 170000 + l.v AS ty,
+  19*288230376151711744 + (290000 + l.u + 268435456)*536870912
+    + (170000 + l.v + 268435456) AS tile_key,
+  12*288230376151711744 + (((290000 + l.u) // 128) % 4096)*536870912
+    + ((170000 + l.v) // 128) AS cell,
+  15*288230376151711744 + (((290000 + l.u) // 16) % 32768)*536870912
+    + ((170000 + l.v) // 16) AS part_id,
+  l.label,
+  'cap ' || (290000 + l.u) || ' ' || (170000 + l.v) AS caption,
+  i.ph AS phash, i.pix_sum,
+  true AS psnr_ok, true AS phash_ok, true AS decode_ok
+FROM labeled l
+JOIN imgp i USING (u, v)
+"""
 
 
 def q_expand_crops(sf_dir: str):
@@ -3320,7 +3415,7 @@ def registry():
         "q_image_label_job": (q_image_label_job, Q_IMAGE_LABEL_JOB_SQL),
         "q_expand_crops": (q_expand_crops, Q_EXPAND_CROPS_SQL),
         "q_roofshapes": (q_roofshapes, Q_ROOFSHAPES_SQL),
-        "q_buildings_label_job": (q_buildings_label_job, None),
+        "q_buildings_label_job": (q_buildings_label_job, Q_BUILDINGS_LABEL_JOB_SQL),
         "q_pip": (q_pip, Q_PIP_SQL),
         "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
         "q_phash_dedup": (q_phash_dedup, None),
