@@ -2922,12 +2922,17 @@ def q_phash_near_dup(sf_dir: str):
 
 def q_minimap(sf_dir: str):
     """Diagnostic: mean color per tile (minimap.py:25-33 as an
-    aggregate over decoded pixels)."""
-    from osmray import codecs
-    from osmray.pipeline import make_assign_tiles
+    aggregate over decoded pixels), over the oracle fixture so the
+    means have a DuckDB closed form: the separable gradient's
+    per-channel mean is base_c + 6*a + 1.5 EXACTLY (the pixel sum is
+    an integer and 65536 divides to a dyadic float; PNG is
+    lossless)."""
+    from osmray import codecs, oraclefix
+    from osmray.pipeline import LabelJobConfig, make_assign_tiles
     from osmray.tilemath import MAXAR
 
-    images, _feats, cfg = _fixture(sf_dir)
+    images, _feats = oraclefix.load()
+    cfg = LabelJobConfig(bbox=oraclefix.bbox())
     assign = make_assign_tiles(cfg.z, MAXAR)
 
     def mean_color(batch: pa.Table) -> pa.Table:
@@ -2948,13 +2953,24 @@ def q_minimap(sf_dir: str):
     from ray.data.aggregate import Mean
 
     return (
-        images.limit(512)
-        .map_batches(assign, batch_format="pyarrow")
+        images.map_batches(assign, batch_format="pyarrow")
         .map_batches(mean_color, batch_format="pyarrow")
         .groupby("tile_key")
         .aggregate(Mean("mean_b", alias_name="b"), Mean("mean_g", alias_name="g"),
                    Mean("mean_r", alias_name="r"))
     )
+
+
+Q_MINIMAP_SQL = f"""
+WITH {_OFX_BASE}
+SELECT
+  19*288230376151711744 + (290000 + u + 268435456)*536870912
+    + (170000 + v + 268435456) AS tile_key,
+  ((u*7 + v*11) % 8)*16 + 6*(1 + (u*3 + v*5) % 4) + 1.5 AS b,
+  ((u*7 + v*11 + 1) % 8)*16 + 6*(1 + (u*3 + v*5) % 4) + 1.5 AS g,
+  ((u*7 + v*11 + 2) % 8)*16 + 6*(1 + (u*3 + v*5) % 4) + 1.5 AS r
+FROM univ
+"""
 
 
 def q_buildings_label_job(sf_dir: str):
@@ -3420,7 +3436,7 @@ def registry():
         "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
         "q_phash_dedup": (q_phash_dedup, None),
         "q_phash_near_dup": (q_phash_near_dup, None),
-        "q_minimap": (q_minimap, None),
+        "q_minimap": (q_minimap, Q_MINIMAP_SQL),
         "q_image_resize": (q_image_resize, None),
         "q_image_augment": (q_image_augment, None),
         "q_audio_features": (q_audio_features, None),
