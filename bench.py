@@ -70,7 +70,12 @@ def flagship(n_images: int, seed_tag: str):
         n_nodes=max(256, n_images // 8),
         n_ways=max(32, n_images // 80),
         n_polygons=max(64, n_images // 32),
-        n_image_files=32,
+        # 128 files = the payload read's task grain: at 32 files the
+        # fused read+filter ran as 32 coarse tasks with 3.7x wall skew
+        # (winner density varies per shard) and the tail held the whole
+        # pipeline; 128 shards rebalance it (row CONTENT is a pure
+        # function of index — identical input, finer layout)
+        n_image_files=128,
     )
     cfg = pipeline.LabelJobConfig(
         bbox=synth.fixture_bbox(root),

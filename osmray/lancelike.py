@@ -157,7 +157,8 @@ def pending_filter(ds, root: str, part_col: str = "part_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None = None):
+def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None = None,
+                  batch_rows: int | None = 1024):
     """Distributed resumable sink with NO shuffle: every ``map_batches``
     task groups its batch by partition key (a local arrow sort over the
     batch, not an exchange) and writes one block fragment per group
@@ -165,6 +166,13 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
     ``manifest.json``. Completed parts (per the existing manifest) are
     filtered out up front and reported as ``skipped`` with their
     on-disk lineage. Returns the per-part lineage DataFrame.
+
+    ``batch_rows`` coalesces upstream blocks into write batches of at
+    least that many rows (zero-copy bundling by the streaming
+    executor): without it, a write task runs per upstream BLOCK and a
+    fine-blocked pipeline fragments every partition into dozens of
+    tiny parquet files (observed: 2,590 fragments / ~14 rows each for
+    a 23,872-row run). ``None`` restores block-per-task.
 
     ``ds`` is a ray.data.Dataset containing ``part_col``.
     """
@@ -200,7 +208,7 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
             )
         return pa.Table.from_pylist(recs)
 
-    bds = ds.map_batches(write_blocks, batch_format="pyarrow")
+    bds = ds.map_batches(write_blocks, batch_format="pyarrow", batch_size=batch_rows)
     bdf = bds.to_pandas()
     if os.environ.get("OSMRAY_STATS"):
         import sys
