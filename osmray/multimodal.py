@@ -72,7 +72,7 @@ class ImageResizeStage:
         for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
             img = codecs.decode(blob, fmt)
             out.append(codecs.encode(resize_block_mean(img, self.out_h, self.out_w), self.out_fmt))
-        return pa.table(
+        t = pa.table(
             {
                 "image_id": batch["image_id"],
                 "bytes": pa.array(out, pa.binary()),
@@ -81,6 +81,10 @@ class ImageResizeStage:
                 "h": pa.array([self.out_h] * len(out), pa.int32()),
             }
         )
+        for name in batch.column_names:  # pass through extra columns
+            if name not in t.column_names:
+                t = t.append_column(name, batch[name])
+        return t
 
 
 AUGMENT_OPS = ("identity", "hflip", "vflip", "rot90", "brightness")
@@ -107,15 +111,19 @@ class AugmentStage:
     reruns reproduce byte-identical output; pass ``op`` to force one),
     and the emitted ``aug`` column records it."""
 
-    def __init__(self, out_fmt: str = "png", op: str | None = None):
+    def __init__(self, out_fmt: str = "png", op: str | None = None,
+                 op_col: str | None = None):
         self.out_fmt = out_fmt
         self.op = op
+        self.op_col = op_col  # per-row op from a column (declarative twin)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from osmray.stages import hash_str
 
         ids = batch["image_id"]
-        if self.op is None:
+        if self.op_col is not None:
+            ops = batch[self.op_col].to_pylist()
+        elif self.op is None:
             sel = (hash_str(ids) % len(AUGMENT_OPS)).astype(np.int64)
             ops = [AUGMENT_OPS[i] for i in sel]
         else:
@@ -126,7 +134,7 @@ class AugmentStage:
             blobs.append(codecs.encode(np.ascontiguousarray(img), self.out_fmt))
             hs.append(img.shape[0])
             ws.append(img.shape[1])
-        return pa.table(
+        t = pa.table(
             {
                 "image_id": ids,
                 "bytes": pa.array(blobs, pa.binary()),
@@ -136,6 +144,10 @@ class AugmentStage:
                 "aug": pa.array(ops, pa.string()),
             }
         )
+        for name in batch.column_names:  # pass through extra columns
+            if name not in t.column_names and name != self.op_col:
+                t = t.append_column(name, batch[name])
+        return t
 
 
 def _fake_pcm(media_id: str, n: int) -> np.ndarray:

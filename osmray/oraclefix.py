@@ -272,3 +272,118 @@ def load(root: str = "/tmp/osmray_oracle_fx"):
     )
     feats = pq.read_table(os.path.join(root, "features.parquet"))
     return images, feats
+
+
+# ---------------------------------------------------------------------------
+# Planted-phash fixture: images whose codecs.phash is a CHOSEN 64-bit
+# pattern, so decode -> phash -> dedup/near-dup pipelines have DuckDB
+# closed forms. Construction: constant 32x32 blocks at gray 200 (bit
+# set) / 40 (bit clear); channel-sum cell means strictly separate the
+# two levels for any pattern except all-ones (never generated —
+# asserted at write time), so the 8x8 block-mean hash reads the
+# pattern back exactly.
+# ---------------------------------------------------------------------------
+
+PH_N = 1024
+
+
+def _ph_flips(g: int, t: int) -> list[int]:
+    """Variant t of group g flips these bit positions (XOR parity:
+    coincident positions cancel, identically replayed in SQL)."""
+    if t == 2:
+        return [(g * 17) % 64]
+    if t == 3:
+        return [(g * 17) % 64, (g * 29 + 13) % 64, (g * 41 + 7) % 64, (g * 53 + 3) % 64]
+    return []
+
+
+def ph_pattern(i: int) -> int:
+    """Planted 64-bit phash of fixture image i (MSB-first, j=0 is the
+    MSB): base bit_j = ((g*2654435761 + j*40503) // 128) % 2 for group
+    g = i // 4; variants t = i % 4 flip 0 / 0 / 1 / 4 positions — so
+    (4k, 4k+1) are exact duplicates and (t=2, t=3) are near-dups of
+    the base at small hamming distances."""
+    g, t = i // 4, i % 4
+    val = 0
+    for j in range(64):
+        b = ((g * 2654435761 + j * 40503) // 128) % 2
+        for p in _ph_flips(g, t):
+            if p == j:
+                b ^= 1
+        if b:
+            val |= 1 << (63 - j)
+    return val
+
+
+def ph_image(i: int) -> np.ndarray:
+    """256x256x3 image whose codecs.phash equals ph_pattern(i)."""
+    pat = ph_pattern(i)
+    bits = np.array([(pat >> (63 - j)) & 1 for j in range(64)], dtype=np.uint8)
+    gray = np.where(bits.reshape(8, 8) == 1, 200, 40).astype(np.uint8)
+    img = np.repeat(np.repeat(gray, 32, axis=0), 32, axis=1)
+    return np.stack([img, img, img], axis=2)
+
+
+def write_phash(root: str = "/tmp/osmray_phash_fx", n_files: int = 8) -> str:
+    """Idempotent planted-phash fixture writer; returns root."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(root, ".phashfix")
+    want = f"{PH_N},v1"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == want:
+                return root
+    os.makedirs(root, exist_ok=True)
+    per = (PH_N + n_files - 1) // n_files
+
+    def shard(s: int) -> None:
+        lo, hi = s * per, min(PH_N, (s + 1) * per)
+        if hi <= lo:
+            return
+        idx, ids, blobs, planted = [], [], [], []
+        for i in range(lo, hi):
+            img = ph_image(i)
+            pat = ph_pattern(i)
+            got = int(np.uint64(np.int64(codecs.phash(img))).astype(np.uint64))
+            assert got == pat, (i, got, pat)
+            idx.append(i)
+            ids.append(f"ph{i:05d}")
+            blobs.append(codecs.png_encode(img, level=1))
+            planted.append(np.uint64(pat).astype(np.int64))
+        n = len(idx)
+        pq.write_table(
+            pa.table(
+                {
+                    "idx": pa.array(idx, pa.int64()),
+                    "image_id": pa.array(ids, pa.string()),
+                    "bytes": pa.array(blobs, pa.binary()),
+                    "w": pa.array([256] * n, pa.int32()),
+                    "h": pa.array([256] * n, pa.int32()),
+                    "fmt": pa.array(["png"] * n, pa.string()),
+                    "caption": pa.array([f"ph {i}" for i in idx], pa.string()),
+                    "phash": pa.array(planted, pa.int64()),
+                }
+            ),
+            os.path.join(root, f"part-{s:04d}.parquet"),
+        )
+
+    import ray
+
+    if ray.is_initialized():
+        rshard = ray.remote(shard)
+        ray.get([rshard.remote(s) for s in range(n_files)])
+    else:
+        for s in range(n_files):
+            shard(s)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return root
+
+
+def load_phash(root: str = "/tmp/osmray_phash_fx"):
+    """Images Dataset over the planted-phash fixture."""
+    import ray.data
+
+    write_phash(root)
+    return ray.data.read_parquet(sorted(glob.glob(os.path.join(root, "part-*.parquet"))))

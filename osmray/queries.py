@@ -2863,61 +2863,92 @@ SELECT pid, CAST(rank AS BIGINT) AS rank, feature_id FROM d WHERE rank <= 3
 """
 
 
-def q_phash_dedup(sf_dir: str):
-    """Exact image dedup on the input table's phash column: survivor +
-    duplicate count per hash (the fixture injects ~1 % dups)."""
+def _phash_reps(sf_dir: str):
+    """decode -> phash -> exact groupby dedup over the planted-phash
+    fixture (osmray/oraclefix.py ph_image/ph_pattern): the signature is
+    computed IN the dataflow from decoded pixels, and the fixture
+    construction makes every signature a SQL closed form."""
     from ray.data.aggregate import Count, Min
 
-    images, _feats, _cfg = _fixture(sf_dir)
+    from osmray import codecs, oraclefix
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        from osmray.stages import hash_str
+    images = oraclefix.load_phash()
 
-        return pa.table(
-            {"phash": batch["phash"], "img_h": pa.array(hash_str(batch["image_id"]))}
+    def sig(batch: pa.Table) -> pa.Table:
+        ph = np.asarray(
+            [int(codecs.phash(codecs.png_decode(b))) for b in batch["bytes"].to_pylist()],
+            dtype=np.int64,
         )
+        return pa.table({"phash": pa.array(ph), "idx": batch["idx"]})
 
     return (
-        images.map_batches(keyed, batch_format="pyarrow")
+        images.select_columns(["bytes", "idx"])
+        .map_batches(sig, batch_format="pyarrow")
         .groupby("phash")
-        .aggregate(Min("img_h", alias_name="survivor_h"), Count(alias_name="n_images"))
+        .aggregate(Min("idx", alias_name="survivor_idx"), Count(alias_name="n_images"))
     )
+
+
+def q_phash_dedup(sf_dir: str):
+    """Exact image dedup: decode -> 8x8 block-mean phash -> groupby
+    signature -> (first survivor, duplicate count). The planted
+    fixture makes the decoded-pixel hash itself oracle-checkable."""
+    return _phash_reps(sf_dir)
+
+
+# bit replay of oraclefix.ph_pattern: base bit + XOR-parity flips,
+# packed MSB-first with the signed-int64 wraparound
+_PH_CTES = """
+phb AS (SELECT ii.range AS i, ii.range // 4 AS g, ii.range % 4 AS t, jj.range AS j
+        FROM range(0, 1024) ii CROSS JOIN range(0, 64) jj),
+phbits AS (SELECT i, j, xor(((g*2654435761 + j*40503) // 128) % 2,
+    CASE WHEN t = 2 THEN (CASE WHEN (g*17)%64 = j THEN 1 ELSE 0 END)
+         WHEN t = 3 THEN (  (CASE WHEN (g*17)%64 = j THEN 1 ELSE 0 END)
+                          + (CASE WHEN (g*29+13)%64 = j THEN 1 ELSE 0 END)
+                          + (CASE WHEN (g*41+7)%64 = j THEN 1 ELSE 0 END)
+                          + (CASE WHEN (g*53+3)%64 = j THEN 1 ELSE 0 END)) % 2
+         ELSE 0 END) AS bit FROM phb),
+phv AS (SELECT i, SUM(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << (63 - j)
+                      ELSE CAST(0 AS HUGEINT) END) AS pv FROM phbits GROUP BY i),
+phx AS (SELECT i, CAST(CASE WHEN pv >= 9223372036854775808
+    THEN pv - 18446744073709551616 ELSE pv END AS BIGINT) AS phash FROM phv)"""
+
+Q_PHASH_DEDUP_SQL = f"""
+WITH {_PH_CTES}
+SELECT phash, MIN(i) AS survivor_idx, COUNT(*) AS n_images
+FROM phx GROUP BY phash
+"""
 
 
 def q_phash_near_dup(sf_dir: str):
-    """Image NEAR-dup pairs on the input table's 64-bit phash column —
-    the realistic two-stage image-dedup pipeline: exact dedup first
-    (groupby phash -> min image hash survivor, q_phash_dedup
-    semantics), then the generic pigeonhole hamming_pairs operator
-    over the DISTINCT signatures (recall 1.0 by construction,
-    grace-join verification) at 1 <= hamming <= 16 (the fixture's 8\n    distinct pattern-family phashes sit >= 16 bits apart). Exact by design;
-    pytest pins the operator against brute-force popcount (the images
-    table is the synthesized fixture, so no SQL view exists)."""
+    """Image NEAR-dup pairs — the realistic two-stage image-dedup
+    pipeline over the planted-phash fixture: decode -> phash -> exact
+    dedup (q_phash_dedup), then the generic pigeonhole hamming_pairs
+    operator over the DISTINCT signatures (recall 1.0 by construction,
+    in-task popcount verification) at 1 <= hamming <= 6; the fixture
+    plants 1-bit and 4-bit neighbors per pattern group. The SQL twin
+    replays the planted patterns and brute-forces bit_count(xor)."""
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Min
 
     from osmray.dedup import hamming_pairs
 
-    images, _feats, _cfg = _fixture(sf_dir)
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        from osmray.stages import hash_str
-
-        return pa.table(
-            {"phash": batch["phash"], "img": pa.array(hash_str(batch["image_id"]))}
-        )
-
-    reps = (
-        images.select_columns(["image_id", "phash"])
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby("phash")
-        .aggregate(Min("img", alias_name="img"))
+    reps = _phash_reps(sf_dir)
+    pairs = hamming_pairs(
+        reps, max_hamming=6, id_col="survivor_idx", sig_col="phash", n_bits=64
     )
-    pairs = hamming_pairs(reps, max_hamming=16, id_col="img", sig_col="phash", n_bits=64)
     return pairs.map_batches(
         lambda t: t.filter(pc.greater(t["hamming"], 0)), batch_format="pyarrow"
     )
+
+
+Q_PHASH_NEAR_DUP_SQL = f"""
+WITH {_PH_CTES},
+reps AS (SELECT phash, MIN(i) AS sid FROM phx GROUP BY phash)
+SELECT LEAST(r1.sid, r2.sid) AS a, GREATEST(r1.sid, r2.sid) AS b,
+       bit_count(xor(r1.phash, r2.phash)) AS hamming
+FROM reps r1 JOIN reps r2 ON r1.sid < r2.sid
+WHERE bit_count(xor(r1.phash, r2.phash)) BETWEEN 1 AND 6
+"""
 
 
 def q_minimap(sf_dir: str):
@@ -3289,52 +3320,156 @@ LEFT JOIN regsum rs ON rs.rid = k.req_id
 """
 
 
+def _media_summary(batch: pa.Table, extra: tuple[str, ...] = ()) -> pa.Table:
+    """decode -> (pix_sum, phash) of the stage's OUTPUT bytes: the
+    integer-exact observables the SQL twins replay."""
+    from osmray import codecs
+
+    pix, ph = [], []
+    for b in batch["bytes"].to_pylist():
+        img = codecs.png_decode(b)
+        pix.append(int(img.astype(np.int64).sum()))
+        ph.append(int(codecs.phash(img)))
+    cols = {
+        "idx": batch["idx"],
+        "w": batch["w"],
+        "h": batch["h"],
+        "pix_sum": pa.array(pix, pa.int64()),
+        "phash": pa.array(ph, pa.int64()),
+    }
+    for c in extra:
+        cols[c] = batch[c]
+    return pa.table(cols)
+
+
 def q_image_resize(sf_dir: str):
     """Multimodal: decode -> block-mean resize -> re-encode actor
-    stage over the images fixture (fully real path)."""
+    stage, over the planted-phash fixture so the resized output has a
+    DuckDB closed form: 4x4 block means of constant 32x32 blocks are
+    the block values themselves, so the 64x64 result is the 8x8
+    pattern at 8 px/cell — pix_sum = 3*64*(160*popcount + 2560) and
+    the resized phash equals the planted pattern."""
+    from osmray import oraclefix
     from osmray.multimodal import ImageResizeStage
 
-    images, _f, _c = _fixture(sf_dir)
-    return images.limit(256).map_batches(
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    out = images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"out_h": 64, "out_w": 64},
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=1,
-    ).select_columns(["image_id", "fmt", "w", "h"])
+    )
+    return out.map_batches(_media_summary, batch_format="pyarrow")
+
+
+Q_IMAGE_RESIZE_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS n1 FROM phbits GROUP BY i)
+SELECT phx.i AS idx, 64 AS w, 64 AS h,
+       CAST(3*64*(160*pc.n1 + 2560) AS BIGINT) AS pix_sum, phx.phash
+FROM phx JOIN pc USING (i)
+"""
 
 
 def q_image_augment(sf_dir: str):
     """Deterministic image augmentation (decode -> hflip/vflip/rot90/
-    brightness chosen by image-id hash -> re-encode) as an actor-pool
-    stage; per-op counts + exact pixel-sum transforms are
-    pytest-locked (image bytes are fixture-local, so no SQL view)."""
-    from osmray.multimodal import AugmentStage
+    brightness/identity -> re-encode) as an actor-pool stage over the
+    planted-phash fixture, the op picked per row as idx % 5 (carried
+    in a column — AugmentStage op_col). Every op has a closed form on
+    constant-block images: flips/rot90 permute the 8x8 bit grid,
+    brightness(+24) shifts the pixel sum by 3*65536*24 and leaves the
+    pattern; the SQL twin replays the bit permutations."""
+    from osmray import oraclefix
+    from osmray.multimodal import AUGMENT_OPS, AugmentStage
 
-    images, _feats, _cfg = _fixture(sf_dir)
-    return images.limit(256).map_batches(
+    images = oraclefix.load_phash()
+
+    def with_op(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False)
+        ops = [AUGMENT_OPS[int(i) % 5] for i in idx]
+        return batch.select(["image_id", "bytes", "fmt", "idx"]).append_column(
+            "op", pa.array(ops, pa.string())
+        )
+
+    out = images.map_batches(with_op, batch_format="pyarrow").map_batches(
         AugmentStage,
+        fn_constructor_kwargs={"op_col": "op"},
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=1,
-    ).select_columns(["image_id", "fmt", "w", "h", "aug"])
+    )
+    return out.map_batches(
+        lambda t: _media_summary(t, extra=("aug",)), batch_format="pyarrow"
+    )
+
+
+# AUGMENT_OPS order: identity, hflip, vflip, rot90, brightness.
+# Bit j = 8*r + c of the AUGMENTED pattern reads source bit jo:
+# hflip (r, 7-c); vflip (7-r, c); rot90 ccw new(r,c) = old(c, 7-r).
+Q_IMAGE_AUGMENT_SQL = f"""
+WITH {_PH_CTES},
+ops AS (SELECT i,
+    CASE i % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'hflip'
+      WHEN 2 THEN 'vflip' WHEN 3 THEN 'rot90' ELSE 'brightness' END AS aug
+    FROM range(0, 1024) t(i)),
+src AS (SELECT o.i, o.aug, jn.range AS jn,
+    CASE o.aug
+      WHEN 'hflip' THEN 8*(jn.range//8) + (7 - jn.range%8)
+      WHEN 'vflip' THEN 8*(7 - jn.range//8) + jn.range%8
+      WHEN 'rot90' THEN 8*(jn.range%8) + (7 - jn.range//8)
+      ELSE jn.range END AS jo
+    FROM ops o CROSS JOIN range(0, 64) jn),
+av AS (SELECT s.i, s.aug,
+    SUM(CASE WHEN pb.bit = 1 THEN CAST(1 AS HUGEINT) << (63 - s.jn)
+        ELSE CAST(0 AS HUGEINT) END) AS pv,
+    CAST(SUM(pb.bit) AS BIGINT) AS n1
+    FROM src s JOIN phbits pb ON pb.i = s.i AND pb.j = s.jo
+    GROUP BY s.i, s.aug)
+SELECT i AS idx, 256 AS w, 256 AS h,
+    CAST(CASE WHEN aug = 'brightness'
+      THEN 3*1024*(160*n1 + 2560) + 3*65536*24
+      ELSE 3*1024*(160*n1 + 2560) END AS BIGINT) AS pix_sum,
+    CAST(CASE WHEN pv >= 9223372036854775808
+      THEN pv - 18446744073709551616 ELSE pv END AS BIGINT) AS phash,
+    aug
+FROM av
+"""
+
+
+def _planted_pcm(i: int, n: int) -> np.ndarray:
+    """Integer sawtooth pcm[t] = ((t*a + b) % 4096) - 2048 with
+    a = 3 + 2*(i%5), b = (i*17) % 4096: int16-exact, and every audio
+    feature has a bit-exact SQL form (frame sums of squares are
+    integers < 2^53, /1024 is dyadic, sqrt and /1023.0 are single
+    correctly-rounded IEEE ops in both engines)."""
+    a = 3 + 2 * (i % 5)
+    b = (i * 17) % 4096
+    t = np.arange(n, dtype=np.int64)
+    return (((t * a + b) % 4096) - 2048).astype(np.int16)
 
 
 def q_audio_features(sf_dir: str):
     """Multimodal audio: REAL RIFF/PCM16 wav bytes (from-scratch
-    wav_encode/wav_decode, no audio library) -> RMS/ZCR feature
-    vectors via an actor pool; allow_fake is OFF. Compressed codecs
-    (flac/mp3) remain the documented env stub."""
+    wav_encode/wav_decode, no audio library) -> per-frame RMS/ZCR via
+    an actor pool; allow_fake is OFF. The planted integer sawtooth
+    makes the decoded features a DuckDB closed form (flattened to one
+    row per frame — scalar columns hash deterministically). Compressed
+    codecs (flac/mp3) remain the documented env stub."""
     import ray.data
 
-    from osmray.multimodal import AudioFeatureStage, _fake_pcm, wav_encode
+    from osmray.multimodal import AudioFeatureStage, wav_encode
 
     n = 128
     rows = [
         {
             "media_id": f"aud{i:05d}",
             "bytes": wav_encode(
-                _fake_pcm(f"aud{i:05d}", 16384 + (i % 7) * 1000), 16000
+                _planted_pcm(i, 16384 + (i % 7) * 1000), 16000
             ),
             "fmt": "wav",
             "sample_rate": 16000,
@@ -3342,17 +3477,58 @@ def q_audio_features(sf_dir: str):
         }
         for i in range(n)
     ]
-    return ray.data.from_items(rows).map_batches(
-        AudioFeatureStage,
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=1,
+
+    def flat(batch: pa.Table) -> pa.Table:
+        mids, frs, rms, zcr = [], [], [], []
+        for mid, fv in zip(batch["media_id"].to_pylist(), batch["features"].to_pylist()):
+            k = len(fv) // 2
+            for f in range(k):
+                mids.append(mid)
+                frs.append(f)
+                rms.append(fv[f])
+                zcr.append(fv[k + f])
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.string()),
+                "frame_no": pa.array(frs, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.from_items(rows)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .map_batches(flat, batch_format="pyarrow")
     )
+
+
+Q_AUDIO_FEATURES_SQL = """
+WITH au AS (SELECT ii.range AS i, 3 + 2*(ii.range % 5) AS a,
+                   (ii.range*17) % 4096 AS b FROM range(0, 128) ii),
+smp AS (SELECT i, tt.range AS t, ((tt.range * a + b) % 4096) - 2048 AS v
+        FROM au CROSS JOIN range(0, 16384) tt),
+fr AS (SELECT i, t // 1024 AS frame_no, t % 1024 AS ti, v FROM smp),
+rmsq AS (SELECT i, frame_no,
+         sqrt(CAST(SUM(CAST(v AS BIGINT)*v) AS BIGINT) / 1024.0) AS rms
+         FROM fr GROUP BY i, frame_no),
+flips AS (SELECT i, frame_no,
+          (v < 0) <> lead(v < 0) OVER (PARTITION BY i, frame_no ORDER BY ti) AS flip
+          FROM fr),
+zq AS (SELECT i, frame_no,
+       CAST(SUM(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT) / 1023.0 AS zcr
+       FROM flips WHERE flip IS NOT NULL GROUP BY i, frame_no)
+SELECT 'aud' || lpad(CAST(r.i AS VARCHAR), 5, '0') AS media_id,
+       r.frame_no, r.rms, z.zcr
+FROM rmsq r JOIN zq z ON z.i = r.i AND z.frame_no = r.frame_no
+"""
 
 
 def q_frame_sample(sf_dir: str):
     """Multimodal plumbing: video binary column -> k sampled frames
-    (decode is the documented deterministic STUB)."""
+    (decode is the documented deterministic STUB). The sampled index
+    set is pure integer stride math, so it carries a SQL twin even
+    though the frame bytes themselves are env-stubbed."""
     import ray.data
 
     from osmray.multimodal import FrameSampleStage
@@ -3376,6 +3552,16 @@ def q_frame_sample(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     ).select_columns(["media_id", "frame_idx"])
+
+
+Q_FRAME_SAMPLE_SQL = """
+WITH v AS (SELECT ii.range AS i, 60 + ii.range % 40 AS nf FROM range(0, 64) ii),
+s AS (SELECT i, nf, GREATEST(1, nf // 4) AS step FROM v)
+SELECT 'vid' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       CAST(jj.range AS INTEGER) AS frame_idx
+FROM s CROSS JOIN range(0, 128) jj
+WHERE jj.range % step = 0 AND jj.range < LEAST(nf, 4*step)
+"""
 
 
 def registry():
@@ -3434,11 +3620,11 @@ def registry():
         "q_buildings_label_job": (q_buildings_label_job, Q_BUILDINGS_LABEL_JOB_SQL),
         "q_pip": (q_pip, Q_PIP_SQL),
         "q_knn_cells": (q_knn_cells, Q_KNN_CELLS_SQL),
-        "q_phash_dedup": (q_phash_dedup, None),
-        "q_phash_near_dup": (q_phash_near_dup, None),
+        "q_phash_dedup": (q_phash_dedup, Q_PHASH_DEDUP_SQL),
+        "q_phash_near_dup": (q_phash_near_dup, Q_PHASH_NEAR_DUP_SQL),
         "q_minimap": (q_minimap, Q_MINIMAP_SQL),
-        "q_image_resize": (q_image_resize, None),
-        "q_image_augment": (q_image_augment, None),
-        "q_audio_features": (q_audio_features, None),
-        "q_frame_sample": (q_frame_sample, None),
+        "q_image_resize": (q_image_resize, Q_IMAGE_RESIZE_SQL),
+        "q_image_augment": (q_image_augment, Q_IMAGE_AUGMENT_SQL),
+        "q_audio_features": (q_audio_features, Q_AUDIO_FEATURES_SQL),
+        "q_frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
     }
