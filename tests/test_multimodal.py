@@ -171,3 +171,47 @@ def test_augment_stage_exact(ray_session):
     got = {op: None for op in AUGMENT_OPS}
     out = AugmentStage(op="rot90")(batch)
     assert out["w"][0].as_py() == 16 and out["h"][0].as_py() == 12
+
+
+def test_planted_phash_fixture_exact():
+    """The planted-phash fixture (oraclefix.ph_*) is the SQL-oracle
+    anchor for the media queries: engine phash must read back the
+    planted pattern exactly, and the planted dup/near-dup structure
+    must hold."""
+    from osmray import codecs, oraclefix
+
+    for i in [0, 1, 2, 3, 5, 64, 511, 1023]:
+        img = oraclefix.ph_image(i)
+        got = int(np.uint64(np.int64(codecs.phash(img))).astype(np.uint64))
+        assert got == oraclefix.ph_pattern(i), i
+        pc = bin(oraclefix.ph_pattern(i)).count("1")
+        assert 0 < pc < 64
+    p = oraclefix.ph_pattern
+    for g in (0, 17, 255):
+        assert p(4 * g) == p(4 * g + 1)  # exact dup pair
+        assert bin(p(4 * g) ^ p(4 * g + 2)).count("1") == 1  # 1-bit neighbor
+        assert bin(p(4 * g) ^ p(4 * g + 3)).count("1") <= 4  # ≤4-bit neighbor
+    # resize 256->64 preserves the pattern (4x4 means of constant blocks)
+    from osmray.multimodal import resize_block_mean
+
+    img = oraclefix.ph_image(7)
+    small = resize_block_mean(img, 64, 64)
+    got = int(np.uint64(np.int64(codecs.phash(small))).astype(np.uint64))
+    assert got == oraclefix.ph_pattern(7)
+
+
+def test_planted_pcm_features_closed_form():
+    """Audio oracle anchor: wav roundtrip of the integer sawtooth and
+    the frame RMS/ZCR closed forms used by Q_AUDIO_FEATURES_SQL."""
+    import math
+
+    from osmray.multimodal import wav_decode, wav_encode
+    from osmray.queries import _planted_pcm
+
+    pcm = _planted_pcm(3, 16384)
+    back, rate = wav_decode(wav_encode(pcm, 16000))
+    np.testing.assert_array_equal(back, pcm)
+    f0 = pcm[:1024].astype(np.int64)
+    rms = math.sqrt(int((f0 * f0).sum()) / 1024.0)
+    frames = pcm[:16384].astype(np.float64).reshape(16, 1024)
+    np.testing.assert_equal(np.sqrt((frames**2).mean(axis=1))[0], rms)
