@@ -176,6 +176,23 @@ def run(num_cpus: int) -> dict:
     return result
 
 
+def canary_sec() -> float:
+    """Single-core matmul wall: ~1.0-1.1 s in a quiet window on this
+    host; 2 s+ means external contention and untrustworthy walls.
+    Recorded in the scaling JSON so every measurement carries its
+    window quality."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(2000, 2000)
+    best = 9e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            (a @ a).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
 def scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
@@ -197,10 +214,11 @@ def scaling() -> dict:
     # lo,hi,lo,hi: single-run walls swing ±15% (and the host shows
     # windows of external contention) — interleaving exposes both
     # configs to similar conditions and best-of damps one-off noise
-    runs_lo, runs_hi = [], []
+    runs_lo, runs_hi, canaries = [], [], [canary_sec()]
     for _ in range(reps):
         runs_lo.append(one(lo))
         runs_hi.append(one(hi))
+    canaries.append(canary_sec())
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["images_per_sec"]
@@ -217,6 +235,7 @@ def scaling() -> dict:
         "images_per_sec_lo": tp_lo,
         "images_per_sec_hi": tp_hi,
         "scaling_efficiency": round(eff, 3),
+        "canary_sec": canaries,
         "images": int(os.environ.get("GRAFT_BENCH_IMAGES", "131072")),
         "note": "fresh ray.init(num_cpus=N) processes on one 32-core node; "
                 f"same input; best of {reps} runs per config (all walls listed)",
