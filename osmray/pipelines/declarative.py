@@ -329,6 +329,67 @@ def _hamming_pairs(p: dict) -> Stage:
     return s
 
 
+def _image_resize(p: dict) -> Stage:
+    """{"op": "image_resize", "h": 64, "w": 64, "fmt": "png"?,
+    "concurrency": 2?} — decode -> block-mean resize -> re-encode
+    actor pool (extra columns pass through)."""
+    from osmray.multimodal import ImageResizeStage
+
+    def s(ds):
+        return ds.map_batches(
+            ImageResizeStage,
+            fn_constructor_kwargs={
+                "out_h": int(p.get("h", 64)),
+                "out_w": int(p.get("w", 64)),
+                "out_fmt": p.get("fmt", "png"),
+            },
+            batch_format="pyarrow",
+            concurrency=int(p.get("concurrency", 2)),
+            num_cpus=1,
+        )
+
+    return s
+
+
+def _augment(p: dict) -> Stage:
+    """{"op": "augment", "aug": fixed-op?, "op_col": column?,
+    "concurrency": 2?} — deterministic augmentation actor pool; with
+    neither ``aug`` nor ``op_col`` the op is the image_id-hash pick."""
+    from osmray.multimodal import AugmentStage
+
+    def s(ds):
+        return ds.map_batches(
+            AugmentStage,
+            fn_constructor_kwargs={"op": p.get("aug"), "op_col": p.get("op_col")},
+            batch_format="pyarrow",
+            concurrency=int(p.get("concurrency", 2)),
+            num_cpus=1,
+        )
+
+    return s
+
+
+def _audio_features(p: dict) -> Stage:
+    """{"op": "audio_features", "frame": 1024?, "n_frames": 16?,
+    "allow_fake": false?} — RIFF/PCM16 decode -> RMS/ZCR vectors."""
+    from osmray.multimodal import AudioFeatureStage
+
+    def s(ds):
+        return ds.map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={
+                "frame": int(p.get("frame", 1024)),
+                "n_frames": int(p.get("n_frames", 16)),
+                "allow_fake": bool(p.get("allow_fake", False)),
+            },
+            batch_format="pyarrow",
+            concurrency=int(p.get("concurrency", 2)),
+            num_cpus=1,
+        )
+
+    return s
+
+
 STAGES: dict[str, Callable[[dict], Stage]] = {
     "read_parquet": _read_parquet,
     "assign_tiles": _assign_tiles,
@@ -350,6 +411,9 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "hamming_pairs": _hamming_pairs,
     "asof_join": _asof_join,
     "hll": _hll,
+    "image_resize": _image_resize,
+    "augment": _augment,
+    "audio_features": _audio_features,
 }
 
 

@@ -2,6 +2,8 @@ import glob
 import json
 import os
 
+import numpy as np
+
 from osmray import synth
 
 
@@ -172,3 +174,34 @@ def test_declarative_asof_and_hll_steps(ray_session):
     ).to_pandas()
     assert {"event_type", "bucket", "rho_max"} <= set(regs.columns)
     assert regs["rho_max"].min() >= 1
+
+
+def test_declarative_media_steps(ray_session):
+    from osmray import codecs, oraclefix
+    from osmray.pipelines import run_pipeline
+
+    root = oraclefix.write_phash()
+    out = run_pipeline(
+        [
+            {"op": "read_parquet", "path": root + "/part-*.parquet",
+             "columns": ["image_id", "bytes", "fmt", "idx", "phash"]},
+            {"op": "limit", "n": 32},
+            {"op": "image_resize", "h": 64, "w": 64},
+        ]
+    ).to_pandas()
+    assert len(out) == 32 and (out["w"] == 64).all() and (out["h"] == 64).all()
+    assert "idx" in out.columns  # passthrough
+    # resized phash still reads the planted pattern
+    row = out.iloc[0]
+    got = int(np.uint64(np.int64(codecs.phash(codecs.png_decode(row["bytes"])))))
+    assert got == oraclefix.ph_pattern(int(row["idx"]))
+
+    aug = run_pipeline(
+        [
+            {"op": "read_parquet", "path": root + "/part-*.parquet",
+             "columns": ["image_id", "bytes", "fmt", "idx"]},
+            {"op": "limit", "n": 8},
+            {"op": "augment", "aug": "hflip"},
+        ]
+    ).to_pandas()
+    assert (aug["aug"] == "hflip").all() and "idx" in aug.columns
