@@ -320,7 +320,12 @@ def painted_tile_set(feats: pa.Table, cfg: LabelJobConfig, extra: pa.Table | Non
     )
     import ray
 
-    n_tasks = max(8, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    # work-proportional fan-out: painter tasks carry ~100-200 ms of
+    # fixed dispatch cost each, so slicing a few-thousand-feature table
+    # 32 ways is SLOWER than 8 ways (measured 0.91 s vs 0.29 s on the
+    # 131k bench); scale tasks with rows, clamped to the CPUs
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = int(np.clip(paint.num_rows // 512, 4, min(32, cpus)))
     if keyed:
         # one block per zero-copy slice: parallelizes the painter
         # WITHOUT a repartition shuffle round-trip
