@@ -140,3 +140,110 @@ def unsalt(key: np.ndarray, num_salts: int) -> np.ndarray:
     y = flat & ((np.int64(1) << res) - 1)
     x = flat >> res
     return (res << 58) | (x << 29) | y
+
+
+def polyfill_box(x0: int, y0: int, x1: int, y1: int, res: int) -> np.ndarray:
+    """All cells at ``res`` in the inclusive coordinate box — the
+    H3-polyfill analog for the quadtree lattice (bbox covering set)."""
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    return pack(xs.ravel(), ys.ravel(), res)
+
+
+def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a mixed-resolution cell set to its full descendant set
+    at ``res`` (inverse of ``compact_array``); vectorized per
+    resolution level."""
+    cells = np.asarray(cells, dtype=np.int64)
+    x, y, r = unpack(cells)
+    if np.any(r > res):
+        raise ValueError("uncompact target res coarser than an input cell")
+    out = []
+    for rv in np.unique(r):
+        k = int(res - rv)
+        sel = r == rv
+        side = 1 << k
+        dx, dy = np.meshgrid(np.arange(side), np.arange(side))
+        dx, dy = dx.ravel(), dy.ravel()
+        ox = (x[sel, None] << k) + dx[None, :]
+        oy = (y[sel, None] << k) + dy[None, :]
+        out.append(pack(ox.ravel(), oy.ravel(), res))
+    return np.unique(np.concatenate(out)) if out else cells
+
+
+def compact_array(cells: np.ndarray, stop_res: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory H3-style compact of a UNIFORM-resolution cell set:
+    every complete sibling quad is replaced by its parent, recursively,
+    until ``stop_res``. Returns ``(final, promoted)`` — ``final`` are
+    cells (res > stop_res) that can never promote further; ``promoted``
+    are the survivors AT ``stop_res`` (may promote further globally).
+    Pure numpy: one unique+counts pass per level."""
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    if len(cur) == 0:
+        return cur, cur
+    res = int(cur[0] >> 58)
+    if np.any(cur >> 58 != res):
+        raise ValueError("compact_array requires a uniform-resolution input")
+    out = []
+    while res > stop_res and len(cur):
+        par = parent(cur)
+        u, inv, counts = np.unique(par, return_inverse=True, return_counts=True)
+        promoted = counts == 4
+        out.append(cur[~promoted[inv]])
+        cur = u[promoted]
+        res -= 1
+    final = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return np.sort(final), cur
+
+
+def compact_cells(cells_ds, cell_col: str = "cell", coarse_res: int = 4):
+    """Distributed compact of a Dataset of same-res cells — TWO
+    shuffles at ANY depth/scale.
+
+    Promotion can never cross a cell's res-``coarse_res`` ancestor
+    boundary (siblings share their parent, hence every coarser
+    ancestor), so pass 1 groups by that ancestor and compacts each
+    group in memory down to ``coarse_res``. Pass 2 finishes the
+    ≤ 4^coarse_res survivors AT ``coarse_res`` in one bounded task
+    (256 cells worldwide at the default res 4). Output: (cell, res),
+    mixed resolutions, disjoint, union-equivalent to the input."""
+    import pyarrow as pa
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        res = c >> 58
+        if np.any(res <= coarse_res):
+            raise ValueError("compact_cells input must be finer than coarse_res")
+        anc = (np.int64(coarse_res) << 58) | (
+            (((c >> 29) & _XY_MASK) >> (res - coarse_res)) << 29
+        ) | ((c & _XY_MASK) >> (res - coarse_res))
+        return pa.table({cell_col: pa.array(c), "__anc": pa.array(anc)})
+
+    def per_group(g: pa.Table) -> pa.Table:
+        final, promoted = compact_array(
+            g[cell_col].to_numpy(zero_copy_only=False), stop_res=coarse_res
+        )
+        cells = np.concatenate((final, promoted))
+        return pa.table({cell_col: pa.array(cells),
+                         "__final": pa.array(cells >> 58 > coarse_res)})
+
+    pass1 = (
+        cells_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__anc")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fin = batch["__final"].to_numpy(zero_copy_only=False)
+        done = c[fin]
+        rest = c[~fin]  # survivors at coarse_res: bounded by 4^coarse_res
+        f2, p2 = compact_array(rest, stop_res=0) if len(rest) else (rest, rest)
+        cells = np.concatenate((done, f2, p2))
+        return pa.table({cell_col: pa.array(cells),
+                         "res": pa.array((cells >> 58).astype(np.int64))})
+
+    # repartition(1): the finish task is bounded by construction —
+    # pass-1 finals pass through untouched; only the ≤ 4^coarse_res
+    # coarse survivors are re-compacted.
+    return pass1.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)

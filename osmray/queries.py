@@ -3564,6 +3564,142 @@ WHERE jj.range % step = 0 AND jj.range < LEAST(nf, 4*step)
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-pre-filtered semi join: lineitem probed against a ~3 %
+    hash-sampled orders key set. The ENTIRE sketch is SQL-replayed —
+    the twin rebuilds the same bit set from the same mod-prime hashes,
+    so the output (Bloom survivors INCLUDING false positives, with
+    exact membership marked by the grace verify) hash-checks the
+    bitmap bit-for-bit, not just the final join result."""
+    from osmray.joins import bloom_semi_join
+
+    small = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((k * 2654435761) % 100 < 3))
+
+    small = small.map_batches(pred, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pid": pa.array(ok * 10 + ln), "l_orderkey": pa.array(ok)})
+
+    left = li.map_batches(proj, batch_format="pyarrow")
+    return bloom_semi_join(left, small, on="l_orderkey", right_on="o_orderkey",
+                           m_bits=65536, mark="is_match")
+
+
+Q_BLOOM_SEMI_JOIN_SQL = """
+WITH small AS (
+  SELECT o_orderkey AS k FROM orders WHERE (o_orderkey * 2654435761) % 100 < 3
+),
+bits AS (
+  SELECT ((abs(k) % 2147483647) * 48271 % 2147483647) % 65536 AS b FROM small
+  UNION
+  SELECT ((abs(k) % 2147483629) * 16807 % 2147483629) % 65536 FROM small
+),
+l AS (SELECT l_orderkey * 10 + l_linenumber AS pid, l_orderkey FROM lineitem)
+SELECT pid, l_orderkey, l_orderkey IN (SELECT k FROM small) AS is_match
+FROM l
+WHERE ((abs(l_orderkey) % 2147483647) * 48271 % 2147483647) % 65536 IN (SELECT b FROM bits)
+  AND ((abs(l_orderkey) % 2147483629) * 16807 % 2147483629) % 65536 IN (SELECT b FROM bits)
+"""
+
+
+def q_cell_compact(sf_dir: str):
+    """Hierarchical-index compact (the H3-compact analog): the set of
+    res-8 cells occupied by lineitem points, with every complete
+    sibling quad recursively replaced by its parent — two shuffles at
+    any scale (group by res-4 ancestor, in-memory per-group compact,
+    bounded finish task). The SQL twin unrolls the promotion levels."""
+    from osmray.cells import compact_cells
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def occupied(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cell = (np.int64(8) << 58) | ((p["m1"] >> 18) << 29) | (p["m2"] >> 18)
+        return pa.table({"cell": pa.array(np.unique(cell))})
+
+    cells = ds.map_batches(occupied, batch_format="pyarrow")
+    return compact_cells(cells, coarse_res=4)
+
+
+def _cell_compact_sql() -> str:
+    """Unrolled compact levels 8 -> 0. Cell ids are pure arithmetic
+    (res*2^58 + x*2^29 + y); parent(cell at res r) =
+    (r-1)*2^58 + (x//2)*2^29 + y//2."""
+    R58, R29 = 1 << 58, 1 << 29
+    parts = [
+        f"WITH p AS ({_LI_SQL}),",
+        f"c8 AS (SELECT DISTINCT 8*{R58} + (m1 // 262144)*{R29} + (m2 // 262144) AS cell FROM p)",
+    ]
+    for r in range(8, 0, -1):
+        par = (f"({r - 1})*{R58} + (((cell - {r}*{R58}) // {R29}) // 2)*{R29}"
+               f" + ((cell % {R29}) // 2)")
+        parts.append(
+            f", g{r} AS (SELECT {par} AS par, count(*) AS n FROM c{r} GROUP BY 1)"
+        )
+        parts.append(f", c{r - 1} AS (SELECT par AS cell FROM g{r} WHERE n = 4)")
+        parts.append(
+            f", f{r} AS (SELECT cell FROM c{r} WHERE {par} NOT IN (SELECT cell FROM c{r - 1}))"
+        )
+    selects = [f"SELECT cell FROM f{r}" for r in range(8, 0, -1)]
+    selects.append("SELECT cell FROM c0")
+    union = " UNION ALL ".join(selects)
+    return "\n".join(parts) + f"\nSELECT cell, cell // {R58} AS res FROM ({union})"
+
+
+Q_CELL_COMPACT_SQL = _cell_compact_sql()
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-20 retrieval for a fixed 4-term query over documents —
+    the ranked-search op on top of the inverted-index stats. Scores
+    are quantized to integer millis per term BEFORE summing (order-
+    free), idf is floor(1e6*ln) on both engines, and every other float
+    op is the identical IEEE expression tree, so the ranking is
+    hash-exact in SQL."""
+    from osmray.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "stream", "vector"], k=20)
+
+
+Q_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'stream', 'vector') GROUP BY doc_id, term
+),
+g AS (SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT sum(dl) FROM dl) AS sum_dl),
+idf AS (
+  SELECT term, FLOOR(1000000 * LN((g.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0)) AS idf_i
+  FROM tf, g GROUP BY term, g.n
+),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(SUM(CAST(FLOOR(idf.idf_i * (tf.tf * 2.25)
+      / (tf.tf + 1.25 * ((1.0 - 0.75) + 0.75 * ((dl.dl * g.n) / g.sum_dl)))
+      / 1000.0) AS BIGINT)) AS BIGINT) AS score_milli
+  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_milli,
+  CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+FROM sc WHERE score_milli > 0
+QUALIFY rank <= 20
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -3627,4 +3763,7 @@ def registry():
         "q_image_augment": (q_image_augment, Q_IMAGE_AUGMENT_SQL),
         "q_audio_features": (q_audio_features, Q_AUDIO_FEATURES_SQL),
         "q_frame_sample": (q_frame_sample, Q_FRAME_SAMPLE_SQL),
+        "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
+        "q_cell_compact": (q_cell_compact, Q_CELL_COMPACT_SQL),
+        "q_bm25": (q_bm25, Q_BM25_SQL),
     }

@@ -94,3 +94,63 @@ def hll_estimate_sparse(buckets: np.ndarray, rho_max: np.ndarray, p: int = HLL_P
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)  # linear counting for small range
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the OTHER mergeable set sketch — a fixed-size bitmap
+# whose per-block partials OR together, used to pre-filter the probe
+# side of a semi-join before any shuffle (joins.bloom_semi_join).
+#
+# k=2 affine mod-prime hashes chosen so every intermediate fits in
+# int64 WITHOUT wraparound ((P-1) * A < 2^47): the identical
+# expression runs in DuckDB BIGINT arithmetic, so the full bitmap —
+# false positives included — is bit-exact reproducible in SQL
+# (Q_BLOOM_SEMI_JOIN_SQL replays it as a distinct-positions set).
+# ---------------------------------------------------------------------------
+
+BLOOM_P1, BLOOM_A1 = 2147483647, 48271  # minstd primes/multipliers
+BLOOM_P2, BLOOM_A2 = 2147483629, 16807
+BLOOM_M_DEFAULT = 1 << 16
+
+
+def bloom_positions(keys: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """The two bit positions of each int64 key (vectorized)."""
+    k = np.abs(np.asarray(keys, dtype=np.int64))
+    h1 = ((k % BLOOM_P1) * BLOOM_A1 % BLOOM_P1) % m_bits
+    h2 = ((k % BLOOM_P2) * BLOOM_A2 % BLOOM_P2) % m_bits
+    return h1, h2
+
+
+def bloom_build(ds, key_col: str, m_bits: int = BLOOM_M_DEFAULT, n_mid: int = 8) -> np.ndarray:
+    """Distributed Bloom build -> boolean bitmap of ``m_bits``.
+
+    Per-block partial bitmaps (packed ``m_bits/8``-byte payloads) OR
+    together through one mid-level combine, so the driver unions at
+    most ``n_mid`` fixed-size rows no matter how large the build side
+    is — the sketch itself is the only thing that is ever broadcast.
+    """
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = bloom_positions(batch[key_col].to_numpy(zero_copy_only=False), m_bits)
+        bm = np.zeros(m_bits, dtype=bool)
+        bm[h1] = True
+        bm[h2] = True
+        return pa.table({"bm": pa.array([np.packbits(bm).tobytes()], pa.binary())})
+
+    def or_combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in batch["bm"]:
+            acc |= np.frombuffer(b.as_py(), dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    mid = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(n_mid)
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=None)
+    )
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for row in mid.take_all():
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)

@@ -164,3 +164,93 @@ def redact_pii(texts: list[str]) -> list[str]:
         s = ph.sub("<NUM>", s)
         out.append(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (the ranked-search primitive over the inverted-index
+# statistics). Cross-engine exactness design: every float operation is
+# an IEEE +,*,/ with the SAME expression tree in numpy and in the SQL
+# twin (bit-deterministic), except ln — which is quantized to an
+# integer idf (floor(1e6*ln)) before it enters the score, and the
+# per-term score is itself quantized to integer millis BEFORE the
+# per-doc sum, so summation order cannot perturb the result. k1/b are
+# exactly binary-representable (5/4, 3/4).
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.25
+BM25_B = 0.75
+
+
+def bm25_topk(docs_ds, query_terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` documents by quantized BM25 score for a fixed term
+    set. Dataflow (no groupby shuffle at all):
+
+    1. stats pass — per-doc (dl, tf_j, has_j) in ``map_batches``;
+       materialized once (a narrow int table, orders of magnitude
+       smaller than the corpus — the standard two-pass barrier).
+    2. one global aggregate -> scalars N, sum_dl, df_j (tree reduce).
+    3. scoring ``map_batches`` with the broadcast scalars, per-block
+       partial top-k, then a single bounded merge task for the final
+       ranking (ties broken by ``id_col`` ascending).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.dedup import _TOKEN
+
+    q = len(query_terms)
+    tf_cols = [f"tf_{j}" for j in range(q)]
+    has_cols = [f"has_{j}" for j in range(q)]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        dl = np.zeros(n, dtype=np.int64)
+        tf = np.zeros((q, n), dtype=np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = _TOKEN.findall(t.lower())
+            dl[i] = len(toks)
+            if toks:
+                u, c = np.unique(toks, return_counts=True)
+                pos = np.searchsorted(u, query_terms)
+                ok = (pos < len(u)) & (u[np.minimum(pos, len(u) - 1)] == query_terms)
+                tf[ok, i] = c[pos[ok]]
+        cols = {id_col: pa.array(ids), "dl": pa.array(dl)}
+        for j in range(q):
+            cols[tf_cols[j]] = pa.array(tf[j])
+            cols[has_cols[j]] = pa.array((tf[j] > 0).astype(np.int64))
+        return pa.table(cols)
+
+    st = docs_ds.map_batches(stats, batch_format="pyarrow").materialize()
+    aggs = [Count(alias_name="n"), Sum("dl", alias_name="sum_dl")]
+    aggs += [Sum(c, alias_name=f"df_{j}") for j, c in enumerate(has_cols)]
+    g = st.aggregate(*aggs)
+    N, sum_dl = np.int64(g["n"]), np.int64(g["sum_dl"])
+    df = np.array([g[f"df_{j}"] for j in range(q)], dtype=np.int64)
+    idf_i = np.floor(1e6 * np.log((N - df + 0.5) / (df + 0.5) + 1.0))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.zeros(len(dl), dtype=np.int64)
+        for j in range(q):
+            tf = batch[tf_cols[j]].to_numpy(zero_copy_only=False).astype(np.int64)
+            denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * ((dl * N) / sum_dl))
+            milli = np.floor(idf_i[j] * (tf * (BM25_K1 + 1.0)) / denom / 1000.0)
+            total += np.where(tf > 0, milli.astype(np.int64), 0)
+        keep = total > 0
+        out = pa.table({id_col: batch[id_col].filter(pa.array(keep)),
+                        "score_milli": pa.array(total[keep])})
+        # per-block partial top-k: only k rows per block reach the merge
+        o = np.lexsort((out[id_col].to_numpy(zero_copy_only=False),
+                        -out["score_milli"].to_numpy(zero_copy_only=False)))
+        return out.take(pa.array(o[:k]))
+
+    def rank_merge(batch: pa.Table) -> pa.Table:
+        o = np.lexsort((batch[id_col].to_numpy(zero_copy_only=False),
+                        -batch["score_milli"].to_numpy(zero_copy_only=False)))
+        t = batch.take(pa.array(o[:k]))
+        return t.append_column("rank", pa.array(np.arange(1, len(t) + 1)))
+
+    return (st.map_batches(score, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(rank_merge, batch_format="pyarrow", batch_size=None))

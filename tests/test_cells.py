@@ -78,3 +78,50 @@ def test_salted_spreads_and_unsalts():
     c2 = cells.cell_at(np.array([53.83] * 1000), np.array([27.7] * 1000), 12)
     s2 = cells.salted(c2, src, 8)
     assert not set(s.tolist()) & set(s2.tolist())
+
+
+def test_polyfill_compact_uncompact_roundtrip():
+    # non-aligned rectangle: compacted set is disjoint, smaller, and
+    # expands back to exactly the original covering
+    orig = np.unique(cells.polyfill_box(3, 5, 12, 11, 4))
+    final, promoted = cells.compact_array(orig, stop_res=0)
+    both = np.concatenate((final, promoted))
+    assert len(both) < len(orig)
+    np.testing.assert_array_equal(cells.uncompact(both, 4), orig)
+    # no complete sibling quad survives in a compacted set
+    for r in np.unique(both >> 58):
+        lvl = both[(both >> 58) == r]
+        if r > 0:
+            _, counts = np.unique(cells.parent(lvl), return_counts=True)
+            assert counts.max() < 4
+
+
+def test_compact_full_quad_collapses_to_single_ancestor():
+    full = cells.polyfill_box(8, 8, 15, 15, 4)  # aligned 8x8 block
+    final, promoted = cells.compact_array(full, stop_res=0)
+    assert len(final) == 1 and len(promoted) == 0
+    x, y, r = cells.unpack(final)
+    assert (int(x[0]), int(y[0]), int(r[0])) == (1, 1, 1)
+
+
+def test_compact_cells_dataset_matches_compact_array(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    # res-8 cells: a dense aligned block (promotes deeply) + noise
+    dense = cells.polyfill_box(32, 32, 63, 63, 8)
+    noise = cells.pack(rng.integers(0, 256, 400), rng.integers(0, 256, 400), 8)
+    arr = np.unique(np.concatenate((dense, noise)))
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"cell": arr})
+    ).repartition(5)
+    got = cells.compact_cells(ds, coarse_res=4).to_pandas()
+    f, p = cells.compact_array(arr, stop_res=4)
+    f2, p2 = cells.compact_array(p, stop_res=0) if len(p) else (p, p)
+    want = np.sort(np.concatenate((f, f2, p2)))
+    np.testing.assert_array_equal(np.sort(got["cell"].to_numpy()), want)
+    np.testing.assert_array_equal(
+        np.sort(got["res"].to_numpy()), np.sort(want >> 58)
+    )
+    # and the distributed result still expands back to the input
+    np.testing.assert_array_equal(cells.uncompact(got["cell"].to_numpy(), 8), arr)

@@ -1,4 +1,5 @@
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from osmray import joins
@@ -268,3 +269,47 @@ def test_pagerank_shuffle_engine_matches_broadcast(ray_session):
     np.testing.assert_allclose(
         a["rank"].to_numpy(), b["rank"].to_numpy(), rtol=1e-12, atol=1e-15
     )
+
+
+def test_bloom_build_bitmap_is_exact_union(ray_session):
+    import ray.data
+
+    from osmray.sketch import bloom_build, bloom_positions
+
+    keys = np.arange(1000, 2000, 3, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(4)
+    bm = bloom_build(ds, "k", m_bits=4096)
+    h1, h2 = bloom_positions(keys, 4096)
+    want = np.zeros(4096, dtype=bool)
+    want[h1] = True
+    want[h2] = True
+    np.testing.assert_array_equal(bm, want)
+
+
+def test_bloom_semi_join_equals_exact_semi_join(ray_session):
+    import ray.data
+
+    from osmray.joins import bloom_semi_join
+
+    rng = np.random.default_rng(11)
+    left_keys = rng.integers(0, 5000, 4000).astype(np.int64)
+    right_keys = np.unique(rng.integers(0, 5000, 150).astype(np.int64))
+    left = ray.data.from_arrow(
+        pa.table({"k": left_keys, "v": np.arange(4000, dtype=np.int64)})
+    ).repartition(4)
+    right = ray.data.from_arrow(pa.table({"k": right_keys})).repartition(2)
+
+    # tight bitmap so false positives actually occur and get verified away
+    out = bloom_semi_join(left, right, on="k", m_bits=512).to_pandas()
+    want = np.isin(left_keys, right_keys)
+    assert sorted(out["v"]) == sorted(np.arange(4000)[want].tolist())
+
+    marked = bloom_semi_join(left, right, on="k", m_bits=512, mark="hit").to_pandas()
+    # bloom survivors are a superset of true matches; mark is exact
+    assert len(marked) >= int(want.sum())
+    assert sorted(marked.loc[marked["hit"], "v"]) == sorted(
+        np.arange(4000)[want].tolist()
+    )
+    assert not np.isin(
+        marked.loc[~marked["hit"], "k"].to_numpy(), right_keys
+    ).any()

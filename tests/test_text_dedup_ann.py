@@ -548,3 +548,36 @@ def test_decontaminate_modes_agree(ray_session):
     assert dict(zip(got_b["doc_id"], got_b["n_hits"])) == want
     # zero-hit docs must still appear
     assert len(got_b) == len(per_doc)
+
+
+def test_bm25_topk_ranking_properties(ray_session):
+    import ray.data
+
+    from osmray.text import bm25_topk
+
+    # doc 0: query terms only; doc 1: one query term diluted;
+    # doc 2: no query terms; doc 3: rarer term ("vector" appears once
+    # in the corpus) must out-score a common one at equal tf/dl.
+    docs = [
+        (0, "hash join hash join"),
+        (1, "hash filler filler filler filler filler filler filler"),
+        (2, "nothing relevant here at all"),
+        (3, "vector filler filler filler filler filler filler filler"),
+        (4, "hash hash hash hash hash hash hash hash"),
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs]
+    ).repartition(3)
+    out = (
+        bm25_topk(ds, ["hash", "join", "stream", "vector"], k=10)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert 2 not in set(out["doc_id"])  # zero-score docs dropped
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    # rank order consistent with (score desc, doc_id asc)
+    s = out["score_milli"].to_numpy()
+    assert ((s[:-1] > s[1:]) | ((s[:-1] == s[1:]) & (out["doc_id"].to_numpy()[:-1] < out["doc_id"].to_numpy()[1:]))).all()
+    score = dict(zip(out["doc_id"], out["score_milli"]))
+    assert score[0] > score[1]  # two matching terms beat one diluted
+    assert score[3] > score[1]  # rarer term out-scores common at same tf/dl
