@@ -267,11 +267,11 @@ def positive_feature_tiles(
     if cfg.positive_kind == "node":
         sampled_ids = sample_smallest(fid, cfg.limit, cfg.seed)
         pos = pos.filter(pc.is_in(pos["feature_id"], pa.array(sampled_ids)))
-        lat = np.asarray([g[0] for g in pos["geom_lat"].to_pylist()])
-        lng = np.asarray([g[0] for g in pos["geom_lng"].to_pylist()])
+        lat = pc.list_element(pos["geom_lat"], 0).to_numpy(zero_copy_only=False)
+        lng = pc.list_element(pos["geom_lng"], 0).to_numpy(zero_copy_only=False)
     else:
-        lat = np.concatenate([np.asarray(g) for g in pos["geom_lat"].to_pylist()])
-        lng = np.concatenate([np.asarray(g) for g in pos["geom_lng"].to_pylist()])
+        lat = pc.list_flatten(pos["geom_lat"]).to_numpy(zero_copy_only=False)
+        lng = pc.list_flatten(pos["geom_lng"]).to_numpy(zero_copy_only=False)
     tx, ty, rx, ry = tile_at_wgs(lat, lng, cfg.z, cfg.scheme)
     ok = edge_ok_fn(rx, ry, cfg.edge)
     keys = np.unique(pack_tile(tx[ok], ty[ok], cfg.z))
@@ -517,17 +517,41 @@ def _winner_remote():
     return _MASK_REMOTES["scan"]
 
 
-def winner_keys_tasks(
+def _winner_merge_remote():
+    """Lazily-decorated num_cpus=0 reducer for the async phase-1
+    regime: waits on the shard scans and folds them with the same
+    lexsort as the driver path."""
+    import ray
+
+    if "winmerge" not in _MASK_REMOTES:
+
+        @ray.remote(num_cpus=0)
+        def _merge(*parts):
+            tk = np.concatenate([p[0] for p in parts])
+            dh = np.concatenate([p[1] for p in parts])
+            return _dedup_winners(tk, dh)
+
+        _MASK_REMOTES["winmerge"] = _merge
+    return _MASK_REMOTES["winmerge"]
+
+
+def winner_keys_tasks_async(
     files, assign, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig
-) -> tuple[np.ndarray, np.ndarray]:
-    """Plain-task twin of :func:`winner_keys` for callers that know the
-    parquet file list (bench, CLI): one num_cpus=1 task per file shard
-    reads ONLY (image_id, lat, lng) via a direct column-pruned
-    ``pq.read_table`` (~5 ms warm per file, vs ~1 s/task of Ray Data
-    job+datasource fixed costs measured for the same projected read),
-    assigns tiles and matches the broadcast candidate set in-task; the
-    driver reduces the bounded match sets with one lexsort. Identical
-    math to winner_keys — a pytest pins the two paths equal."""
+):
+    """Plain-task phase-1 winner scan, launched WITHOUT blocking the
+    driver: one num_cpus=1 task per file shard reads ONLY
+    (image_id, lat, lng) via a direct column-pruned ``pq.read_table``
+    (~5 ms warm per file, vs ~1 s/task of Ray Data job+datasource
+    fixed costs measured for the same projected read), assigns tiles
+    and matches the broadcast candidate set in-task; a num_cpus=0
+    reducer folds the bounded match sets with one lexsort.
+
+    Returns the reducer's ObjectRef (resolves to (wk, wh)). The
+    payload job's winner-filter stage blocks on it per task, so the
+    payload READ wave overlaps the metadata scan instead of waiting
+    behind it — workers blocked in ``ray.get`` release their CPU, so
+    the scan shards interleave with the read tasks without deadlock.
+    """
     import ray
 
     cand = np.sort(np.concatenate([pos_keys, neg_keys]))
@@ -536,10 +560,18 @@ def winner_keys_tasks(
     n_shards = max(1, min(len(files), total_cpus * 2))
     shards = [list(files)[i::n_shards] for i in range(n_shards)]
     scan = _winner_remote()
-    parts = ray.get([scan.remote(s, assign, cand_ref, cfg.seed) for s in shards])
-    tk = np.concatenate([p[0] for p in parts])
-    dh = np.concatenate([p[1] for p in parts])
-    return _dedup_winners(tk, dh)
+    refs = [scan.remote(s, assign, cand_ref, cfg.seed) for s in shards]
+    return _winner_merge_remote().remote(*refs)
+
+
+def winner_keys_tasks(
+    files, assign, pos_keys: np.ndarray, neg_keys: np.ndarray, cfg: LabelJobConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Blocking twin of :func:`winner_keys_tasks_async` (CLI paths and
+    the parity pytest vs :func:`winner_keys`). Identical math."""
+    import ray
+
+    return ray.get(winner_keys_tasks_async(files, assign, pos_keys, neg_keys, cfg))
 
 
 def make_label_winners(win_ref, pos_ref, cfg: LabelJobConfig):
@@ -669,8 +701,8 @@ def run_label_job(
             raise painter_box["err"]
         painted = painter_box["keys"]
         if cfg.positive_kind == "node" and pos_feats.num_rows:
-            plat = np.asarray([g[0] for g in pos_feats["geom_lat"].to_pylist()])
-            plng = np.asarray([g[0] for g in pos_feats["geom_lng"].to_pylist()])
+            plat = pc.list_element(pos_feats["geom_lat"], 0).to_numpy(zero_copy_only=False)
+            plng = pc.list_element(pos_feats["geom_lng"], 0).to_numpy(zero_copy_only=False)
             ptx, pty, _, _ = tile_at_wgs(plat, plng, cfg.z, cfg.scheme)
             inside = (ptx >= txmin_c) & (ptx <= txmax_c) & (pty >= tymin_c) & (pty <= tymax_c)
             painted = np.union1d(painted, pack_tile(ptx[inside], pty[inside], cfg.z))
@@ -793,10 +825,13 @@ def run_label_job(
 
     # ---- phase 1: metadata-only winner scan (no payload bytes) ----
     if image_files:
-        wk, wh = winner_keys_tasks(image_files, assign, pos_keys, neg_keys, cfg)
+        # async regime: win_ref is the reducer task's future; phase 2
+        # launches NOW and its winner-filter stage blocks on the ref,
+        # overlapping the payload read wave with the metadata scan
+        win_ref = winner_keys_tasks_async(image_files, assign, pos_keys, neg_keys, cfg)
     else:
         wk, wh = winner_keys(images_ds, assign, pos_keys, neg_keys, cfg)
-    win_ref = ray.put((wk, wh))
+        win_ref = ray.put((wk, wh))
     pos_ref = ray.put(np.sort(pos_keys))
     mark("label+dedup")
 
