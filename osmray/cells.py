@@ -247,3 +247,46 @@ def compact_cells(cells_ds, cell_col: str = "cell", coarse_res: int = 4):
     # coarse survivors are re-compacted.
     return pass1.repartition(1).map_batches(finish, batch_format="pyarrow",
                                             batch_size=None)
+
+def rollup_cells(points_cells_ds, cell_col: str = "cell",
+                 levels: tuple = (8, 6, 4, 2, 0)):
+    """Hierarchical ROLLUP: occupancy counts of the input cells at
+    EVERY listed ancestor resolution, in ONE pass + ONE shuffle of
+    bounded partials. The map side emits, per block, a partial count
+    per (ancestor cell) for all levels at once (the ancestor of a
+    res-r cell at res-a is a pure bit shift), so the groupby shuffles
+    at most ``levels x distinct-cells-per-block`` pre-aggregated rows
+    — never the input points. Output: (cell, res, n)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch[cell_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        res = c >> 58
+        out_c, out_n = [], []
+        for a in levels:
+            if np.any(res < a):
+                raise ValueError("rollup_cells: input coarser than a level")
+            anc = (np.int64(a) << 58) | (
+                (((c >> 29) & _XY_MASK) >> (res - a)) << 29
+            ) | ((c & _XY_MASK) >> (res - a))
+            u, n = np.unique(anc, return_counts=True)
+            out_c.append(u)
+            out_n.append(n.astype(np.int64))
+        cc = np.concatenate(out_c)
+        return pa.table({cell_col: pa.array(cc),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    agg = (
+        points_cells_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cell_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("res", pa.array((c >> 58).astype(np.int64)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

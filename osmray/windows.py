@@ -317,3 +317,87 @@ def grouped_topk_sorted(ds, key: str, val: str, tiebreak: str, k: int = 2):
         .map_groups(merge, batch_format="pyarrow")
     )
     return done.union(fixup)
+
+def lag_lead_sorted(ds, key: str = "user_id", ts: str = "ts",
+                    id_col: str = "event_id"):
+    """Per-key LAG/LEAD timestamp deltas (the window-navigation op):
+    for every row, microseconds since the previous and until the next
+    row of the same key in (ts, id) order; -1 where no neighbor
+    exists. Same shape as the other sort-based windows: one global
+    sort, then every row whose neighbors are in-block emits directly
+    (vectorized diff), and only the two edge rows of each block go to
+    the fix-up. Exactness argument: a block-edge row's missing global
+    neighbor is the adjacent block's edge row of the same key — also
+    a fix-up row — and no fix-up row of the key lies strictly between
+    two globally adjacent rows, so the per-group sorted predecessor/
+    successor IS the global one whenever the in-block side is unknown.
+    """
+    sds = ds.sort([key, ts, id_col])
+
+    def local(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tsv = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(kk)
+        lag = np.full(n, -1, dtype=np.int64)
+        lead = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            same_prev = kk[1:] == kk[:-1]
+            d = tsv[1:] - tsv[:-1]
+            lag[1:][same_prev] = d[same_prev]
+            lead[:-1][same_prev] = d[same_prev]
+        # only the block's first row's lag / last row's lead can be
+        # wrong (their true neighbor may live in the adjacent block)
+        known = np.ones(n, dtype=bool)
+        if n:
+            known[0] = False
+            known[-1] = False
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                key: batch[key],
+                "_ts": pa.array(tsv),
+                "lag_us": pa.array(lag),
+                "lead_us": pa.array(lead),
+                "lag_known": pa.array(np.concatenate(([False], np.ones(n - 1, bool))) if n else np.zeros(0, bool)),
+                "lead_known": pa.array(np.concatenate((np.ones(n - 1, bool), [False])) if n else np.zeros(0, bool)),
+                "complete": pa.array(known),
+            }
+        )
+
+    rows = sds.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
+
+    def fix(g: pa.Table) -> pa.Table:
+        tsv = g["_ts"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tsv))
+        lag = g["lag_us"].to_numpy(zero_copy_only=False).copy()
+        lead = g["lead_us"].to_numpy(zero_copy_only=False).copy()
+        lagk = g["lag_known"].to_numpy(zero_copy_only=False)
+        leadk = g["lead_known"].to_numpy(zero_copy_only=False)
+        for pos, i in enumerate(order.tolist()):
+            if not lagk[i] and pos > 0:
+                lag[i] = tsv[i] - tsv[order[pos - 1]]
+            if not leadk[i] and pos < len(order) - 1:
+                lead[i] = tsv[order[pos + 1]] - tsv[i]
+        return pa.table(
+            {
+                id_col: g[id_col],
+                key: g[key],
+                "lag_us": pa.array(lag),
+                "lead_us": pa.array(lead),
+            }
+        )
+
+    out_cols = [id_col, key, "lag_us", "lead_us"]
+    done = rows.map_batches(
+        lambda t: t.filter(t["complete"]).select(out_cols), batch_format="pyarrow"
+    )
+    fixup = (
+        rows.map_batches(
+            lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
+        )
+        .groupby(key)
+        .map_groups(fix, batch_format="pyarrow")
+    )
+    return done.union(fixup)

@@ -1,0 +1,170 @@
+"""Tests for the relational reshaping / window-navigation / rollup
+operators added this round (tableops, windows.lag_lead_sorted,
+cells.rollup_cells, text.regex_extract)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmray import cells
+
+
+def _events_df(n=4000, users=37, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**9, n) * 1000, unit="us"
+            ),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+
+
+def test_lag_lead_multiblock(ray_session):
+    import ray.data
+
+    from osmray.windows import lag_lead_sorted
+
+    df = _events_df()
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (
+        lag_lead_sorted(ds, key="user_id", ts="ts", id_col="event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    sdf = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    us = sdf["ts"].astype("int64")
+    g = sdf.groupby("user_id")
+    exp = pd.DataFrame(
+        {
+            "event_id": sdf["event_id"],
+            "lag_us": (us - us.groupby(sdf["user_id"]).shift(1)).fillna(
+                us - us + np.nan
+            ),
+            "lead_us": (us.groupby(sdf["user_id"]).shift(-1) - us),
+        }
+    )
+    exp["lag_us"] = exp["lag_us"].fillna(-1).astype(np.int64)
+    exp["lead_us"] = exp["lead_us"].fillna(-1).astype(np.int64)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["lag_us"].to_numpy() == exp["lag_us"].to_numpy()).all()
+    assert (got["lead_us"].to_numpy() == exp["lead_us"].to_numpy()).all()
+
+
+def test_pivot_counts(ray_session):
+    import ray.data
+
+    from osmray.tableops import pivot_counts
+
+    df = _events_df(n=2000, users=11)
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        pivot_counts(ds, "user_id", "event_type", ["a", "b", "c"], val_col="value")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for c in ["a", "b", "c"]:
+        sel = df["event_type"] == c
+        expect_n = df[sel].groupby("user_id").size()
+        expect_c = pd.Series(cents[sel]).groupby(df.loc[sel, "user_id"].values).sum()
+        for _, row in got.iterrows():
+            u = row["user_id"]
+            assert row[f"n_{c}"] == int(expect_n.get(u, 0))
+            assert row[f"cents_{c}"] == int(expect_c.get(u, 0))
+
+
+def test_heavy_hitters_exact(ray_session):
+    import ray.data
+
+    from osmray.tableops import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: value i appears ~ n/(i+1) times
+    vals = np.repeat(np.arange(200), (4000 / (np.arange(200) + 1)).astype(int))
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": [f"tok{int(x):03d}" for x in vals]})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = heavy_hitters(ds, "v", k=10, capacity=64).to_pandas()
+    vc = df["v"].value_counts()
+    exp = (
+        pd.DataFrame({"value": vc.index, "n": vc.values})
+        .sort_values(["n", "value"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(ray_session):
+    import ray.data
+
+    from osmray.tableops import heavy_hitters
+
+    # capacity far below cardinality: candidate set grows but result
+    # stays exact (or raises if the cap would flood the driver)
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.5, 3000) % 500
+    df = pd.DataFrame({"v": [f"t{int(x)}" for x in vals]})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = heavy_hitters(ds, "v", k=5, capacity=16).to_pandas()
+    vc = df["v"].value_counts()
+    exp = (
+        pd.DataFrame({"value": vc.index, "n": vc.values})
+        .sort_values(["n", "value"], ascending=[False, True])
+        .head(5)
+    )
+    assert got["value"].tolist() == exp["value"].tolist()
+
+
+def test_rollup_cells(ray_session):
+    import ray.data
+
+    from osmray.cells import rollup_cells
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, 5000).astype(np.int64)
+    y = rng.integers(0, 256, 5000).astype(np.int64)
+    c8 = cells.pack(x, y, 8)
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(c8)})).repartition(6)
+    got = rollup_cells(ds, levels=(8, 4, 0)).to_pandas()
+    for a, sh in ((8, 1), (4, 16), (0, 256)):
+        sub = got[got["res"] == a]
+        anc = cells.pack(x // sh, y // sh, a)
+        u, n = np.unique(anc, return_counts=True)
+        exp = dict(zip(u.tolist(), n.tolist()))
+        assert len(sub) == len(exp)
+        for _, row in sub.iterrows():
+            assert exp[row["cell"]] == row["n"]
+    # level sums all equal the row count
+    assert (got.groupby("res")["n"].sum() == 5000).all()
+
+
+def test_regex_extract(ray_session):
+    import ray.data
+
+    from osmray.text import regex_extract
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "text": ["alpha table scan", "nothing here!", "x table"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        regex_extract(ds, "text", r"(?P<w>[a-z]+) table", ["w"], keep=["id"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got["w"].tolist() == ["alpha", "", "x"]
