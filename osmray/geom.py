@@ -362,3 +362,43 @@ class FeatureIndex:
             np.asarray([f for f, _ in items], dtype=np.int64),
             np.asarray([d for _, d in items], dtype=np.float64),
         )
+
+def ring_stats(xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray):
+    """Vectorized shoelace statistics for MANY rings at once (closed
+    implicitly: last vertex connects to first). ``offsets`` delimits
+    rings in the flat coordinate arrays, ``len(offsets) == n_rings+1``.
+
+    Returns (area2, perim2, cx_num, cy_num, n_vertices):
+      area2   = signed 2x area  (shoelace sum; CCW positive)
+      perim2  = sum of squared edge lengths (exact in integers,
+                unlike the perimeter itself)
+      c*_num  = centroid numerators; centroid = num / (3 * area2)
+
+    Integer inputs stay integer (exact) — with |coord| < 2^19 the
+    worst intermediate is ~2^62, inside int64. One pass, no Python
+    loop over rings: the wraparound successor index is built once,
+    then everything is elementwise + one reduceat per statistic."""
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(xs)
+    if n == 0:
+        z = np.zeros(0, dtype=xs.dtype if xs.dtype.kind in "iu" else np.float64)
+        return z, z.copy(), z.copy(), z.copy(), np.zeros(0, np.int64)
+    starts, ends = offsets[:-1], offsets[1:]
+    nxt = np.arange(1, n + 1)
+    nxt[ends - 1] = starts  # close each ring
+    xn, yn = xs[nxt], ys[nxt]
+    cross = xs * yn - xn * ys
+    dx, dy = xn - xs, yn - ys
+    area2 = np.add.reduceat(cross, starts)
+    perim2 = np.add.reduceat(dx * dx + dy * dy, starts)
+    cx_num = np.add.reduceat((xs + xn) * cross, starts)
+    cy_num = np.add.reduceat((ys + yn) * cross, starts)
+    # reduceat on an empty slice (degenerate offsets) returns the
+    # element AT the start index; zero those out explicitly
+    empty = ends == starts
+    if np.any(empty):
+        for a in (area2, perim2, cx_num, cy_num):
+            a[empty] = 0
+    return area2, perim2, cx_num, cy_num, (ends - starts).astype(np.int64)

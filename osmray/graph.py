@@ -372,3 +372,72 @@ def _pagerank_shuffle(edges, damping: float, n_iters: int, num_partitions: int):
 
         state = rejoined.map_batches(fold, batch_format="pyarrow").materialize()
     return state.select_columns(["node", "rank"])
+
+def triangles(edges_ds, src_col: str = "u", dst_col: str = "v",
+              num_buckets: int = 32, spill_root: str | None = None):
+    """Exact triangle counting per minimum vertex — the classic
+    two-join plan, fully distributed (no driver state):
+
+    1. orient + dedup: every undirected edge becomes ``u < v`` exactly
+       once (per-block unique packed keys, one keyed dedup shuffle);
+       self-loops dropped. Vertex ids must fit int32.
+    2. wedges: grace join E(a,b) x E(b,c) on the shared middle vertex
+       -> ordered wedges a < b < c (osmray.joins.bucketed_join — the
+       build side spills once, the probe shuffles once).
+    3. close: grace SEMI join of wedge (a,c) keys against the edge
+       key set; survivors are triangles, counted per ``a``.
+
+    Each triangle a<b<c is counted exactly once (as the wedge through
+    its middle vertex). Skew note: step 2's output is
+    sum_b indeg(b)*outdeg(b); salt hot middle vertices upstream if a
+    near-star graph must be processed. Returns (u, n_tri)."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.joins import bucketed_join
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = u != v
+        u, v = u[sel], v[sel]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"ek": pa.array(np.unique((lo << 32) | hi))})
+
+    # materialized: consumed four times (wedge build + probe via E,
+    # close build, and schema resolution) — without this the dedup
+    # groupby re-executes per consumer
+    ekeys = (
+        edges_ds.map_batches(orient, batch_format="pyarrow")
+        .groupby("ek")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["ek"])
+    ).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        ek = batch["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ek >> 32),
+                         "b": pa.array(ek & 0xFFFFFFFF)})
+
+    E = ekeys.map_batches(unpack, batch_format="pyarrow")
+    # wedge join: left (a,b) probe on b against build (a,b) keyed by a
+    wedges = bucketed_join(E, E, on="b", right_on="a",
+                           num_buckets=num_buckets, spill_root=spill_root)
+    # columns: a, b, a_r (== b), b_r (== c); wedge key (a, c)
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        c = batch["b_r"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(a), "ek": pa.array((a << 32) | c)})
+
+    wk = wedges.map_batches(wedge_key, batch_format="pyarrow")
+    closed = bucketed_join(wk, ekeys, on="ek", right_on="ek",
+                           num_buckets=num_buckets, spill_root=spill_root)
+    return (
+        closed.map_batches(
+            lambda t: pa.table({"u": t["a"],
+                                "n": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow",
+        )
+        .groupby("u")
+        .aggregate(Sum("n", alias_name="n_tri"))
+    )

@@ -424,3 +424,78 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     return bucketed_filter(survivors, right, on, right_on=right_on,
                            num_buckets=num_buckets, spill_root=spill_root,
                            mark=mark)
+
+def box_overlap_join(left, right, cell_shift: int = 8, num_buckets: int = 64,
+                     spill_root: str | None = None,
+                     cols: tuple = ("id", "x0", "y0", "x1", "y1")):
+    """Large-x-large spatial overlap join of axis-aligned integer
+    boxes (half-open [x0,x1) x [y0,y1)) — the PBSM/grid plan:
+
+    1. each side explodes every box to its covering grid cells
+       (cell edge = 2^cell_shift units); replication factor is
+       box-diameter / cell-edge, pick ``cell_shift`` near the median
+       box size,
+    2. one grace join co-locates same-cell boxes
+       (``bucketed_join`` on the packed cell key — build side spills
+       once, probe shuffles once),
+    3. the exact overlap predicate filters candidates, and each
+       surviving pair is emitted ONLY by its reporting cell — the
+       cell containing (max(ax0,bx0), max(ay0,by0)) — so duplicates
+       are never produced and no distinct-shuffle is needed.
+
+    Returns (a_id, b_id). Degenerate (empty) boxes never match.
+    """
+    id_c, x0c, y0c, x1c, y1c = cols
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bid = batch[id_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = batch[x0c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y0 = batch[y0c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch[x1c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = batch[y1c].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0, cx1 = x0 >> cell_shift, (x1 - 1) >> cell_shift
+        cy0, cy1 = y0 >> cell_shift, (y1 - 1) >> cell_shift
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        ri = np.repeat(np.arange(len(bid)), rep)
+        total = int(rep.sum())
+        off = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        cx = cx0[ri] + off // ny[ri]
+        cy = cy0[ri] + off % ny[ri]
+        return pa.table(
+            {
+                "cell": pa.array((cx << 32) | cy),
+                id_c: pa.array(bid[ri]),
+                x0c: pa.array(x0[ri]), y0c: pa.array(y0[ri]),
+                x1c: pa.array(x1[ri]), y1c: pa.array(y1[ri]),
+            }
+        )
+
+    L = left.map_batches(explode, batch_format="pyarrow")
+    R = right.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_join(L, R, on="cell", right_on="cell",
+                           num_buckets=num_buckets, spill_root=spill_root)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ax0 = batch[x0c].to_numpy(zero_copy_only=False)
+        ay0 = batch[y0c].to_numpy(zero_copy_only=False)
+        ax1 = batch[x1c].to_numpy(zero_copy_only=False)
+        ay1 = batch[y1c].to_numpy(zero_copy_only=False)
+        bx0 = batch[x0c + "_r"].to_numpy(zero_copy_only=False)
+        by0 = batch[y0c + "_r"].to_numpy(zero_copy_only=False)
+        bx1 = batch[x1c + "_r"].to_numpy(zero_copy_only=False)
+        by1 = batch[y1c + "_r"].to_numpy(zero_copy_only=False)
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        overlap = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+        rcx = np.maximum(ax0, bx0) >> cell_shift
+        rcy = np.maximum(ay0, by0) >> cell_shift
+        report = ((rcx << 32) | rcy) == cell
+        sel = overlap & report
+        return pa.table(
+            {
+                "a_id": batch[id_c].filter(pa.array(sel)),
+                "b_id": batch[id_c + "_r"].filter(pa.array(sel)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

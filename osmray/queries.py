@@ -3834,6 +3834,157 @@ FROM documents
 """
 
 
+def q_triangles(sf_dir: str):
+    """Exact per-vertex triangle counts on a synthesized 4096-node
+    graph (graph.triangles): orient/dedup -> wedge grace join ->
+    closing-edge grace semi join -> keyed count. No driver state at
+    any step; the SQL twin is the textbook three-way self-join."""
+    from osmray.graph import triangles
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        return pa.table({"u": pa.array(p["m1"] % 4096),
+                         "v": pa.array(p["m2"] % 4096)})
+
+    return triangles(ds.map_batches(edges, batch_format="pyarrow"), num_buckets=8)
+
+
+Q_TRIANGLES_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 4096 AS u, m2 % 4096 AS v FROM p WHERE m1 % 4096 <> m2 % 4096),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw)
+SELECT e1.a AS u, CAST(count(*) AS BIGINT) AS n_tri
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+GROUP BY e1.a
+"""
+
+
+def q_bbox_join(sf_dir: str):
+    """Large-x-large box-overlap spatial join (part boxes x orders
+    boxes in a 65536^2 integer world) via the PBSM grid plan
+    (joins.box_overlap_join): explode to covering cells, ONE grace
+    join, exact predicate + reporting-cell dedup — no distinct
+    shuffle, no broadcast side. All-integer, so the cross-join SQL
+    twin is hash-exact."""
+    from osmray.joins import box_overlap_join
+
+    def part_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 128 + (k * 7919) % 65280
+        cy = 128 + (k * 6151) % 65280
+        w = 1 + k % 64
+        h = 1 + (k * 31) % 64
+        return pa.table({"id": pa.array(k), "x0": pa.array(cx - w),
+                         "y0": pa.array(cy - h), "x1": pa.array(cx + w),
+                         "y1": pa.array(cy + h)})
+
+    def order_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 128 + (k * 104729) % 65280
+        cy = 128 + (k * 99991) % 65280
+        w = 1 + k % 48
+        h = 1 + (k * 17) % 48
+        return pa.table({"id": pa.array(k), "x0": pa.array(cx - w),
+                         "y0": pa.array(cy - h), "x1": pa.array(cx + w),
+                         "y1": pa.array(cy + h)})
+
+    left = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_boxes, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        order_boxes, batch_format="pyarrow")
+    return box_overlap_join(left, right, cell_shift=8)
+
+
+Q_BBOX_JOIN_SQL = """
+WITH a AS (
+  SELECT p_partkey AS id,
+    128 + (p_partkey * 7919) % 65280 AS cx, 128 + (p_partkey * 6151) % 65280 AS cy,
+    1 + p_partkey % 64 AS w, 1 + (p_partkey * 31) % 64 AS h
+  FROM part
+),
+b AS (
+  SELECT o_orderkey AS id,
+    128 + (o_orderkey * 104729) % 65280 AS cx, 128 + (o_orderkey * 99991) % 65280 AS cy,
+    1 + o_orderkey % 48 AS w, 1 + (o_orderkey * 17) % 48 AS h
+  FROM orders
+)
+SELECT a.id AS a_id, b.id AS b_id
+FROM a, b
+WHERE a.cx - a.w < b.cx + b.w AND b.cx - b.w < a.cx + a.w
+  AND a.cy - a.h < b.cy + b.h AND b.cy - b.h < a.cy + a.h
+"""
+
+
+def q_polygon_stats(sf_dir: str):
+    """Polygon geometry kernel under the oracle: per-order L-shaped
+    rings (6 integer vertices) -> signed shoelace area2, sum of
+    squared edge lengths, centroid numerators (geom.ring_stats — one
+    vectorized pass over ALL rings, no per-ring Python). The SQL twin
+    replays the generic shoelace over exploded vertices with a
+    wraparound window."""
+    from osmray.geom import ring_stats
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = (k * 7) % 1000
+        x1 = 1100 + (k * 13) % 1000
+        x2 = 2200 + (k * 17) % 1000
+        y0 = (k * 19) % 1000
+        y1 = 1100 + (k * 23) % 1000
+        y2 = 2200 + (k * 29) % 1000
+        # L-shape (CCW): (x0,y0)(x2,y0)(x2,y1)(x1,y1)(x1,y2)(x0,y2)
+        xs = np.stack([x0, x2, x2, x1, x1, x0], axis=1).ravel()
+        ys = np.stack([y0, y0, y1, y1, y2, y2], axis=1).ravel()
+        offsets = np.arange(len(k) + 1, dtype=np.int64) * 6
+        a2, p2, cxn, cyn, nv = ring_stats(xs, ys, offsets)
+        return pa.table(
+            {"oid": pa.array(k), "area2": pa.array(a2), "perim2": pa.array(p2),
+             "cx_num": pa.array(cxn), "cy_num": pa.array(cyn),
+             "n_vertices": pa.array(nv)}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+Q_POLYGON_STATS_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+    (o_orderkey * 7) % 1000 AS x0, 1100 + (o_orderkey * 13) % 1000 AS x1,
+    2200 + (o_orderkey * 17) % 1000 AS x2,
+    (o_orderkey * 19) % 1000 AS y0, 1100 + (o_orderkey * 23) % 1000 AS y1,
+    2200 + (o_orderkey * 29) % 1000 AS y2
+  FROM orders
+),
+v AS (
+  SELECT k, 0 AS i, x0 AS x, y0 AS y FROM o UNION ALL
+  SELECT k, 1, x2, y0 FROM o UNION ALL
+  SELECT k, 2, x2, y1 FROM o UNION ALL
+  SELECT k, 3, x1, y1 FROM o UNION ALL
+  SELECT k, 4, x1, y2 FROM o UNION ALL
+  SELECT k, 5, x0, y2 FROM o
+),
+nx AS (
+  SELECT k, x, y,
+    coalesce(lead(x) OVER w, first_value(x) OVER w) AS xn,
+    coalesce(lead(y) OVER w, first_value(y) OVER w) AS yn
+  FROM v WINDOW w AS (PARTITION BY k ORDER BY i)
+)
+SELECT k AS oid,
+  CAST(sum(x * yn - xn * y) AS BIGINT) AS area2,
+  CAST(sum((xn - x) * (xn - x) + (yn - y) * (yn - y)) AS BIGINT) AS perim2,
+  CAST(sum((x + xn) * (x * yn - xn * y)) AS BIGINT) AS cx_num,
+  CAST(sum((y + yn) * (x * yn - xn * y)) AS BIGINT) AS cy_num,
+  CAST(count(*) AS BIGINT) AS n_vertices
+FROM nx GROUP BY k
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -3905,4 +4056,7 @@ def registry():
         "q_heavy_hitters": (q_heavy_hitters, Q_HEAVY_HITTERS_SQL),
         "q_rollup_cells": (q_rollup_cells, Q_ROLLUP_CELLS_SQL),
         "q_regex_extract": (q_regex_extract, Q_REGEX_EXTRACT_SQL),
+        "q_triangles": (q_triangles, Q_TRIANGLES_SQL),
+        "q_bbox_join": (q_bbox_join, Q_BBOX_JOIN_SQL),
+        "q_polygon_stats": (q_polygon_stats, Q_POLYGON_STATS_SQL),
     }

@@ -1,0 +1,102 @@
+"""Tests for triangle counting, the grid box-overlap join, and the
+vectorized shoelace kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmray.geom import ring_stats
+
+
+def test_ring_stats_matches_scalar():
+    rng = np.random.default_rng(17)
+    xs_all, ys_all, offs = [], [], [0]
+    for _ in range(50):
+        k = int(rng.integers(3, 9))
+        # star-shaped simple polygon around a center: sort by angle
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.integers(5, 100, k)
+        xs = np.floor(1000 + r * np.cos(ang)).astype(np.int64)
+        ys = np.floor(1000 + r * np.sin(ang)).astype(np.int64)
+        xs_all.append(xs)
+        ys_all.append(ys)
+        offs.append(offs[-1] + k)
+    X = np.concatenate(xs_all)
+    Y = np.concatenate(ys_all)
+    a2, p2, cxn, cyn, nv = ring_stats(X, Y, np.asarray(offs))
+    for i in range(50):
+        xs, ys = xs_all[i], ys_all[i]
+        k = len(xs)
+        sa = sp = sx = sy = 0
+        for j in range(k):
+            x1, y1 = int(xs[j]), int(ys[j])
+            x2, y2 = int(xs[(j + 1) % k]), int(ys[(j + 1) % k])
+            c = x1 * y2 - x2 * y1
+            sa += c
+            sp += (x2 - x1) ** 2 + (y2 - y1) ** 2
+            sx += (x1 + x2) * c
+            sy += (y1 + y2) * c
+        assert a2[i] == sa and p2[i] == sp and cxn[i] == sx and cyn[i] == sy
+        assert nv[i] == k
+
+
+def test_triangles_matches_bruteforce(ray_session):
+    import ray.data
+
+    from osmray.graph import triangles
+
+    rng = np.random.default_rng(23)
+    V, E = 60, 400
+    u = rng.integers(0, V, E).astype(np.int64)
+    v = rng.integers(0, V, E).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)})).repartition(5)
+    got = triangles(ds, num_buckets=4).to_pandas().set_index("u")["n_tri"].to_dict()
+
+    adj = np.zeros((V, V), dtype=bool)
+    sel = u != v
+    adj[u[sel], v[sel]] = True
+    adj |= adj.T
+    exp: dict[int, int] = {}
+    for a in range(V):
+        for b in range(a + 1, V):
+            if not adj[a, b]:
+                continue
+            for c in range(b + 1, V):
+                if adj[a, c] and adj[b, c]:
+                    exp[a] = exp.get(a, 0) + 1
+    assert got == exp
+
+
+def test_box_overlap_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from osmray.joins import box_overlap_join
+
+    rng = np.random.default_rng(31)
+
+    def boxes(n, seed_shift):
+        cx = rng.integers(64, 4000, n)
+        cy = rng.integers(64, 4000, n)
+        w = rng.integers(1, 60, n)
+        h = rng.integers(1, 60, n)
+        return pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64) + seed_shift,
+             "x0": cx - w, "y0": cy - h, "x1": cx + w, "y1": cy + h}
+        ).astype(np.int64)
+
+    A, B = boxes(300, 0), boxes(500, 10_000)
+    ds_a = ray.data.from_pandas(A).repartition(3)
+    ds_b = ray.data.from_pandas(B).repartition(4)
+    got = box_overlap_join(ds_a, ds_b, cell_shift=7, num_buckets=4).to_pandas()
+    got_pairs = set(zip(got["a_id"], got["b_id"]))
+
+    exp_pairs = set()
+    for _, a in A.iterrows():
+        sel = (
+            (a.x0 < B.x1) & (B.x0 < a.x1) & (a.y0 < B.y1) & (B.y0 < a.y1)
+        )
+        for bid in B.loc[sel, "id"]:
+            exp_pairs.add((a.id, bid))
+    assert got_pairs == exp_pairs
+    assert len(got) == len(got_pairs)  # reporting-cell dedup: no dupes
