@@ -402,3 +402,123 @@ def ring_stats(xs: np.ndarray, ys: np.ndarray, offsets: np.ndarray):
         for a in (area2, perim2, cx_num, cy_num):
             a[empty] = 0
     return area2, perim2, cx_num, cy_num, (ends - starts).astype(np.int64)
+
+def _clip_one_line(xs, ys, offsets, axis: int, c: float, keep_ge: bool):
+    """One Sutherland-Hodgman pass against the line {coord[axis]=c},
+    keeping the >= side (or <=), vectorized across ALL rings: every
+    directed edge P->Q emits (intersection if P/Q straddle) then
+    (Q if Q inside), order-preserving within the ring."""
+    n = len(xs)
+    if n == 0:
+        return xs, ys, offsets
+    starts, ends = offsets[:-1], offsets[1:]
+    nxt = np.arange(1, n + 1)
+    ne = ends > starts  # an EMPTY ring's ends-1 indexes the previous
+    nxt[ends[ne] - 1] = starts[ne]  # ring's last edge — skip it
+    xn, yn = xs[nxt], ys[nxt]
+    p = xs if axis == 0 else ys
+    q = xn if axis == 0 else yn
+    pin = (p >= c) if keep_ge else (p <= c)
+    qin = (q >= c) if keep_ge else (q <= c)
+    emit_i = pin != qin
+    emit_q = qin
+    cnt = emit_i.astype(np.int64) + emit_q.astype(np.int64)
+    # per-ring output sizes -> new offsets (cumsum differencing —
+    # immune to reduceat's empty-slice and out-of-range quirks)
+    csum = np.concatenate(([0], np.cumsum(cnt)))
+    ring_cnt = csum[ends] - csum[starts]
+    new_offsets = np.concatenate(([0], np.cumsum(ring_cnt)))
+    total = int(new_offsets[-1])
+    out_x = np.empty(total, dtype=np.float64)
+    out_y = np.empty(total, dtype=np.float64)
+    pos = np.concatenate(([0], np.cumsum(cnt)[:-1]))  # edge slot start
+    # intersection first (when emitted), Q after
+    ii = np.flatnonzero(emit_i)
+    if len(ii):
+        x1, y1, x2, y2 = xs[ii], ys[ii], xn[ii], yn[ii]
+        if axis == 0:
+            out_x[pos[ii]] = c
+            out_y[pos[ii]] = y1 + (y2 - y1) * (c - x1) / (x2 - x1)
+        else:
+            out_y[pos[ii]] = c
+            out_x[pos[ii]] = x1 + (x2 - x1) * (c - y1) / (y2 - y1)
+    qi = np.flatnonzero(emit_q)
+    qpos = pos[qi] + emit_i[qi].astype(np.int64)
+    out_x[qpos] = xn[qi]
+    out_y[qpos] = yn[qi]
+    return out_x, out_y, new_offsets
+
+
+def clip_rings_box(xs, ys, offsets, box):
+    """Sutherland-Hodgman clip of MANY rings to an axis-aligned box
+    (x0, y0, x1, y1), closed on all edges — 4 vectorized passes, no
+    Python loop over rings. Inputs may be integer (cast to float64:
+    intersection points are fractional); every arithmetic step is a
+    fixed IEEE-double expression tree, so a replay in any engine with
+    the same formulas is bit-exact. Returns (xs, ys, offsets);
+    fully-outside rings come back empty (offsets stay monotone)."""
+    x0, y0, x1, y1 = box
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    for axis, c, keep_ge in ((0, float(x0), True), (0, float(x1), False),
+                             (1, float(y0), True), (1, float(y1), False)):
+        xs, ys, offsets = _clip_one_line(xs, ys, offsets, axis, c, keep_ge)
+    return xs, ys, offsets
+
+def simplify_polyline(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification -> boolean keep-mask.
+    Exact arithmetic form: a vertex splits a segment when its squared
+    perpendicular distance exceeds eps^2, compared as
+    cross^2 > eps^2 * len2 (no division; integer inputs stay exact in
+    float64 up to 2^26 coords). Iterative stack, vectorized distance
+    scan per segment; endpoints always kept. Degenerate segments
+    (identical endpoints) fall back to point distance."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    e2 = float(eps) * float(eps)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        sx, sy = xs[a], ys[a]
+        dx, dy = xs[b] - sx, ys[b] - sy
+        px, py = xs[a + 1:b] - sx, ys[a + 1:b] - sy
+        len2 = dx * dx + dy * dy
+        if len2 == 0.0:
+            d2 = (px * px + py * py)
+            thresh = e2
+        else:
+            cr = px * dy - py * dx
+            d2 = cr * cr
+            thresh = e2 * len2
+        m = int(np.argmax(d2))
+        if d2[m] > thresh:
+            mid = a + 1 + m
+            keep[mid] = True
+            stack.append((a, mid))
+            stack.append((mid, b))
+    return keep
+
+
+def simplify_rings(xs, ys, offsets, eps: float):
+    """Douglas-Peucker over MANY polylines/rings: applies
+    ``simplify_polyline`` per ring (outer loop is per ring — DP's
+    recursion is inherently sequential — but each distance scan is a
+    vectorized numpy pass). Returns (xs, ys, offsets) of survivors."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    keep = np.zeros(len(xs), dtype=bool)
+    for i in range(len(offsets) - 1):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        keep[lo:hi] = simplify_polyline(xs[lo:hi], ys[lo:hi], eps)
+    csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+    ring_cnt = csum[offsets[1:]] - csum[offsets[:-1]]
+    return xs[keep], ys[keep], np.concatenate(([0], np.cumsum(ring_cnt)))

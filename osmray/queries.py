@@ -3985,6 +3985,98 @@ FROM nx GROUP BY k
 """
 
 
+def q_clip(sf_dir: str):
+    """Sutherland-Hodgman polygon clipping under the oracle: per-order
+    L-shaped rings (1/7 of them translated fully outside) clipped to
+    the box (500,500,2500,2500) via geom.clip_rings_box — 4 vectorized
+    passes across ALL rings at once, no per-ring Python. Every
+    intersection is the same IEEE-double expression tree the SQL twin
+    unrolls (4 window passes), so vertices hash bit-exact."""
+    from osmray.geom import clip_rings_box
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def clip(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shift = 4000 * (k % 7 == 0)
+        x0 = (k * 7) % 1000 + shift
+        x1 = 1100 + (k * 13) % 1000 + shift
+        x2 = 2200 + (k * 17) % 1000 + shift
+        y0 = (k * 19) % 1000
+        y1 = 1100 + (k * 23) % 1000
+        y2 = 2200 + (k * 29) % 1000
+        xs = np.stack([x0, x2, x2, x1, x1, x0], axis=1).ravel()
+        ys = np.stack([y0, y0, y1, y1, y2, y2], axis=1).ravel()
+        offsets = np.arange(len(k) + 1, dtype=np.int64) * 6
+        cx, cy, co = clip_rings_box(xs, ys, offsets, (500.0, 500.0, 2500.0, 2500.0))
+        nv = np.diff(co)
+        oid = np.repeat(k, nv)
+        i = np.arange(len(cx)) - np.repeat(co[:-1], nv)
+        return pa.table({"oid": pa.array(oid), "i": pa.array(i.astype(np.int64)),
+                         "x": pa.array(cx), "y": pa.array(cy)})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def _clip_sql() -> str:
+    head = """
+WITH o AS (
+  SELECT o_orderkey AS k, 4000 * CAST(o_orderkey % 7 = 0 AS BIGINT) AS sh
+  FROM orders
+),
+g AS (
+  SELECT k,
+    (k * 7) % 1000 + sh AS x0, 1100 + (k * 13) % 1000 + sh AS x1,
+    2200 + (k * 17) % 1000 + sh AS x2,
+    (k * 19) % 1000 AS y0, 1100 + (k * 23) % 1000 AS y1,
+    2200 + (k * 29) % 1000 AS y2
+  FROM o
+),
+v0 AS (
+  SELECT k, i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (
+    SELECT k, 0 AS i, x0 AS x, y0 AS y FROM g UNION ALL
+    SELECT k, 1, x2, y0 FROM g UNION ALL
+    SELECT k, 2, x2, y1 FROM g UNION ALL
+    SELECT k, 3, x1, y1 FROM g UNION ALL
+    SELECT k, 4, x1, y2 FROM g UNION ALL
+    SELECT k, 5, x0, y2 FROM g
+  )
+)"""
+    parts = [head]
+    passes = [("x", 500.0, ">="), ("x", 2500.0, "<="),
+              ("y", 500.0, ">="), ("y", 2500.0, "<=")]
+    for p, (ax, c, op) in enumerate(passes):
+        a, an = (("x", "xn") if ax == "x" else ("y", "yn"))
+        if ax == "x":
+            ix, iy = f"{c}", f"y + (yn - y) * ({c} - x) / (xn - x)"
+        else:
+            ix, iy = f"x + (xn - x) * ({c} - y) / (yn - y)", f"{c}"
+        parts.append(f""",
+e{p} AS (
+  SELECT k, i, x, y,
+    coalesce(lead(x) OVER w, first_value(x) OVER w) AS xn,
+    coalesce(lead(y) OVER w, first_value(y) OVER w) AS yn
+  FROM v{p} WINDOW w AS (PARTITION BY k ORDER BY i)
+),
+m{p} AS (
+  SELECT k, i, 0 AS sub, {ix} AS x, {iy} AS y
+  FROM e{p} WHERE ({a} {op} {c}) <> ({an} {op} {c})
+  UNION ALL
+  SELECT k, i, 1, xn, yn FROM e{p} WHERE {an} {op} {c}
+),
+v{p + 1} AS (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY i, sub) - 1 AS i, x, y
+  FROM m{p}
+)""")
+    parts.append(
+        "\nSELECT k AS oid, CAST(i AS BIGINT) AS i, x, y FROM v4"
+    )
+    return "".join(parts)
+
+
+Q_CLIP_SQL = _clip_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4059,4 +4151,5 @@ def registry():
         "q_triangles": (q_triangles, Q_TRIANGLES_SQL),
         "q_bbox_join": (q_bbox_join, Q_BBOX_JOIN_SQL),
         "q_polygon_stats": (q_polygon_stats, Q_POLYGON_STATS_SQL),
+        "q_clip": (q_clip, Q_CLIP_SQL),
     }
