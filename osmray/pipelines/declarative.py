@@ -390,6 +390,72 @@ def _audio_features(p: dict) -> Stage:
     return s
 
 
+def _lag_lead(p: dict) -> Stage:
+    from osmray.windows import lag_lead_sorted
+
+    def s(ds):
+        return lag_lead_sorted(
+            ds, key=p.get("key", "user_id"), ts=p.get("ts", "ts"),
+            id_col=p.get("id_col", "event_id"),
+        )
+
+    return s
+
+
+def _pivot(p: dict) -> Stage:
+    from osmray.tableops import pivot_counts
+
+    def s(ds):
+        return pivot_counts(
+            ds, p["key_col"], p["cat_col"], p["categories"],
+            val_col=p.get("val_col"),
+        )
+
+    return s
+
+
+def _heavy_hitters(p: dict) -> Stage:
+    from osmray.tableops import heavy_hitters
+
+    def s(ds):
+        return heavy_hitters(
+            ds, p.get("col", "text"), k=int(p.get("k", 25)),
+            capacity=int(p.get("capacity", 1024)),
+            tokens=bool(p.get("tokens", False)),
+        )
+
+    return s
+
+
+def _pps_sample(p: dict) -> Stage:
+    from osmray.tableops import pps_sample
+
+    def s(ds):
+        return pps_sample(ds, p["id_col"], p["weight_col"], n=int(p["n"]))
+
+    return s
+
+
+def _regex_extract(p: dict) -> Stage:
+    from osmray.text import regex_extract
+
+    def s(ds):
+        return regex_extract(ds, p.get("col", "text"), p["pattern"],
+                             p["out_cols"], keep=p.get("keep"))
+
+    return s
+
+
+def _rollup_cells(p: dict) -> Stage:
+    from osmray.cells import rollup_cells
+
+    def s(ds):
+        return rollup_cells(ds, cell_col=p.get("cell_col", "cell"),
+                            levels=tuple(p.get("levels", (8, 6, 4, 2, 0))))
+
+    return s
+
+
 STAGES: dict[str, Callable[[dict], Stage]] = {
     "read_parquet": _read_parquet,
     "assign_tiles": _assign_tiles,
@@ -414,6 +480,12 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "image_resize": _image_resize,
     "augment": _augment,
     "audio_features": _audio_features,
+    "lag_lead": _lag_lead,
+    "pivot": _pivot,
+    "heavy_hitters": _heavy_hitters,
+    "pps_sample": _pps_sample,
+    "regex_extract": _regex_extract,
+    "rollup_cells": _rollup_cells,
 }
 
 

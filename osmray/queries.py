@@ -4077,6 +4077,43 @@ v{p + 1} AS (
 Q_CLIP_SQL = _clip_sql()
 
 
+def q_pps_sample(sf_dir: str):
+    """Systematic weighted (PPS) sampling of orders by integer price
+    cents, n=200 (tableops.pps_sample): a distributed prefix-sum scan
+    whose driver state is one row per BLOCK; all-integer pick
+    predicate, so the window-SQL twin is hash-exact."""
+    from osmray.tableops import pps_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"oid": pa.array(k), "w": pa.array(cents)})
+
+    return pps_sample(ds.map_batches(prep, batch_format="pyarrow"),
+                      "oid", "w", n=200)
+
+
+Q_PPS_SAMPLE_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS oid,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+  FROM orders
+),
+c AS (
+  SELECT oid, w,
+    sum(w) OVER (ORDER BY oid ROWS UNBOUNDED PRECEDING) AS cum,
+    (SELECT sum(w) FROM t) AS tot
+  FROM t
+)
+SELECT oid, w FROM c
+WHERE (cum * 200) // tot > ((cum - w) * 200) // tot
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4152,4 +4189,5 @@ def registry():
         "q_bbox_join": (q_bbox_join, Q_BBOX_JOIN_SQL),
         "q_polygon_stats": (q_polygon_stats, Q_POLYGON_STATS_SQL),
         "q_clip": (q_clip, Q_CLIP_SQL),
+        "q_pps_sample": (q_pps_sample, Q_PPS_SAMPLE_SQL),
     }

@@ -195,3 +195,59 @@ def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 1024,
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["n"] = top["n"].astype(np.int64)
     return ray.data.from_pandas(top)
+
+def pps_sample(ds, id_col: str, weight_col: str, n: int):
+    """Systematic probability-proportional-to-size sampling: walk the
+    id-ordered weight line W with ``n`` equally spaced picks — row r
+    is selected iff an integer multiple of W/n lands inside its
+    weight interval, i.e. floor(cum*n/W) > floor((cum-w)*n/W). All
+    integer arithmetic (weights must be int64-safe with cum*n < 2^63):
+    deterministic, exact, and expressible as one window-SQL twin.
+
+    Distributed as a two-pass prefix-sum scan with O(#blocks) driver
+    state: pass 1 collects per-block (first_id, weight_total) from the
+    sorted, materialized dataset; the driver computes block prefix
+    offsets (one row per BLOCK, never per row) and broadcasts them;
+    pass 2 adds the block offset to each block-local cumsum and
+    applies the pick predicate. Returns the selected rows (all input
+    columns). Rows heavier than W/n are returned once (sample size
+    can then be < n — the standard systematic-PPS convention)."""
+    import ray
+
+    sds = ds.sort(id_col).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table(
+            {"first_id": pa.array([int(batch[id_col][0].as_py())]),
+             "total": pa.array([int(w.sum())])}
+        )
+
+    stats = (
+        sds.map_batches(block_stats, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("first_id")
+    )
+    totals = stats["total"].to_numpy()
+    W = int(totals.sum())
+    if W == 0:
+        return sds.limit(0)
+    offsets = dict(
+        zip(stats["first_id"].tolist(),
+            np.concatenate(([0], np.cumsum(totals)[:-1])).tolist())
+    )
+    off_ref = ray.put(offsets)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        off = ray.get(off_ref)[int(batch[id_col][0].as_py())]
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = off + np.cumsum(w)
+        sel = (cum * n) // W > ((cum - w) * n) // W
+        return batch.filter(pa.array(sel))
+
+    return sds.map_batches(pick, batch_format="pyarrow", batch_size=None)

@@ -168,3 +168,30 @@ def test_regex_extract(ray_session):
         .sort_values("id")
     )
     assert got["w"].tolist() == ["alpha", "", "x"]
+
+
+def test_pps_sample(ray_session):
+    import ray.data
+
+    from osmray.tableops import pps_sample
+
+    rng = np.random.default_rng(13)
+    n_rows = 3000
+    df = pd.DataFrame(
+        {"oid": np.arange(n_rows, dtype=np.int64),
+         "w": rng.integers(1, 100, n_rows).astype(np.int64)}
+    )
+    ds = ray.data.from_pandas(df).repartition(11)
+    got = pps_sample(ds, "oid", "w", n=50).to_pandas().sort_values("oid")
+    # scalar reference
+    W = int(df["w"].sum())
+    cum = np.cumsum(df["w"].to_numpy())
+    sel = (cum * 50) // W > ((cum - df["w"].to_numpy()) * 50) // W
+    exp = df[sel]
+    assert got["oid"].tolist() == exp["oid"].tolist()
+    assert len(got) == 50  # no item heavier than W/n in this data
+    # equal weights -> exact even spacing
+    df2 = pd.DataFrame({"oid": np.arange(1000, dtype=np.int64),
+                        "w": np.ones(1000, dtype=np.int64)})
+    got2 = pps_sample(ray.data.from_pandas(df2).repartition(7), "oid", "w", n=10).to_pandas()
+    assert got2["oid"].tolist() == [99, 199, 299, 399, 499, 599, 699, 799, 899, 999]
