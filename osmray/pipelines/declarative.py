@@ -446,6 +446,35 @@ def _regex_extract(p: dict) -> Stage:
     return s
 
 
+def _interval_islands(p: dict) -> Stage:
+    from osmray.windows import interval_islands
+
+    def s(ds):
+        return interval_islands(ds, key=p.get("key", "user_id"),
+                                start=p.get("start", "s"),
+                                end=p.get("end", "e"))
+
+    return s
+
+
+def _grouped_moments(p: dict) -> Stage:
+    from osmray.tableops import grouped_moments
+
+    def s(ds):
+        return grouped_moments(ds, p["key_col"], p["x_col"], p["y_col"])
+
+    return s
+
+
+def _skyline(p: dict) -> Stage:
+    from osmray.tableops import skyline2d
+
+    def s(ds):
+        return skyline2d(ds, p["id_col"], p["x_col"], p["y_col"])
+
+    return s
+
+
 def _rollup_cells(p: dict) -> Stage:
     from osmray.cells import rollup_cells
 
@@ -486,6 +515,9 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "pps_sample": _pps_sample,
     "regex_extract": _regex_extract,
     "rollup_cells": _rollup_cells,
+    "interval_islands": _interval_islands,
+    "grouped_moments": _grouped_moments,
+    "skyline": _skyline,
 }
 
 

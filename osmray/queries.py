@@ -4114,6 +4114,129 @@ WHERE (cum * 200) // tot > ((cum - w) * 200) // tot
 """
 
 
+def q_interval_islands(sf_dir: str):
+    """Gaps-and-islands: merge overlapping per-user activity windows
+    (event second .. +60+id%600) into islands; per user the interval
+    count, island count and total covered seconds
+    (windows.interval_islands — sort once, vectorized local merges,
+    fix-up only for block-edge runs). Identical island rule to the
+    window-SQL twin (touching merges), all integer."""
+    from osmray.windows import interval_islands
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"], "s": pa.array(s),
+                         "e": pa.array(s + 60 + eid % 600)})
+
+    return interval_islands(ds.map_batches(iv, batch_format="pyarrow"),
+                            key="user_id", start="s", end="e")
+
+
+Q_INTERVAL_ISLANDS_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + 60 + event_id % 600 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1
+         ELSE 0 END AS new_isl
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+    sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+),
+i AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1, count(*) AS n
+      FROM g GROUP BY user_id, isl)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered
+FROM i GROUP BY user_id
+"""
+
+
+def q_grouped_moments(sf_dir: str):
+    """Exact per-returnflag second-moment sums of (quantity, floor
+    dollars) — the variance/covariance/correlation building block
+    (tableops.grouped_moments): integer partials per block, one
+    bounded shuffle."""
+    from osmray.tableops import grouped_moments
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_returnflag": batch["l_returnflag"],
+             "x": pa.array(np.floor(q).astype(np.int64)),
+             "y": pa.array(np.floor(p).astype(np.int64))}
+        )
+
+    return grouped_moments(ds.map_batches(prep, batch_format="pyarrow"),
+                           "l_returnflag", "x", "y")
+
+
+Q_GROUPED_MOMENTS_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+  CAST(sum(x * x) AS BIGINT) AS sum_xx, CAST(sum(y * y) AS BIGINT) AS sum_yy,
+  CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM t GROUP BY l_returnflag
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Global 2-D Pareto front over hash-scattered (x, y) points with
+    distinct x (tableops.skyline2d): distributed prefix-min scan with
+    O(#blocks) driver state; strict dominance, window-SQL twin."""
+    from osmray.tableops import skyline2d
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct x: orderkeys are distinct and < 2^26 at any sf
+        # here; +1 keeps key 0 off the (0, 0) corner
+        x = ((k + 1) * 2654435761) % 67108864 * 67108864 + k
+        y = ((k + 1) * 2246822519) % 9999991
+        return pa.table({"oid": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+
+    return skyline2d(ds.map_batches(pts, batch_format="pyarrow"),
+                     "oid", "x", "y")
+
+
+Q_SKYLINE_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS oid,
+    ((o_orderkey + 1) * 2654435761) % 67108864 * 67108864 + o_orderkey AS x,
+    ((o_orderkey + 1) * 2246822519) % 9999991 AS y
+  FROM orders
+)
+SELECT oid, x, y FROM (
+  SELECT oid, x, y,
+    min(y) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS pmin
+  FROM t
+) WHERE pmin IS NULL OR y < pmin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4190,4 +4313,7 @@ def registry():
         "q_polygon_stats": (q_polygon_stats, Q_POLYGON_STATS_SQL),
         "q_clip": (q_clip, Q_CLIP_SQL),
         "q_pps_sample": (q_pps_sample, Q_PPS_SAMPLE_SQL),
+        "q_interval_islands": (q_interval_islands, Q_INTERVAL_ISLANDS_SQL),
+        "q_grouped_moments": (q_grouped_moments, Q_GROUPED_MOMENTS_SQL),
+        "q_skyline": (q_skyline, Q_SKYLINE_SQL),
     }

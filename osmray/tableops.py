@@ -251,3 +251,84 @@ def pps_sample(ds, id_col: str, weight_col: str, n: int):
         return batch.filter(pa.array(sel))
 
     return sds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+def grouped_moments(ds, key_col: str, x_col: str, y_col: str):
+    """Exact per-group second-moment sums — the building block for
+    mean/variance/covariance/correlation at scale: one map-side
+    partial per (block, key) with (n, Sx, Sy, Sxx, Syy, Sxy) as
+    int64, one bounded groupby. Inputs must be integer-valued (cast
+    upstream, e.g. floor to dollars) so the sums are exact; callers
+    derive corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    driver-side or in a finish map."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        bounds = np.concatenate(([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+        xo, yo = x[order], y[order]
+        return pa.table(
+            {
+                key_col: pa.array(ks[bounds]),
+                "n": pa.array(np.diff(np.concatenate((bounds, [len(ks)]))).astype(np.int64)),
+                "sum_x": pa.array(np.add.reduceat(xo, bounds)),
+                "sum_y": pa.array(np.add.reduceat(yo, bounds)),
+                "sum_xx": pa.array(np.add.reduceat(xo * xo, bounds)),
+                "sum_yy": pa.array(np.add.reduceat(yo * yo, bounds)),
+                "sum_xy": pa.array(np.add.reduceat(xo * yo, bounds)),
+            }
+        )
+
+    names = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+    )
+
+
+def skyline2d(ds, id_col: str, x_col: str, y_col: str):
+    """Global 2-D skyline (Pareto front, minimize both axes) of points
+    with DISTINCT x: a row survives iff its y is strictly below every
+    y at smaller x. Same distributed prefix-scan shape as
+    ``pps_sample``: sort by x, collect per-block (first_x, min_y) —
+    O(#blocks) driver state — broadcast prefix minima, filter each
+    block against its offset + local running min."""
+    import ray
+
+    sds = ds.sort(x_col).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_x": pa.array([], pa.int64()),
+                             "min_y": pa.array([], pa.int64())})
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"first_x": pa.array([int(batch[x_col][0].as_py())]),
+             "min_y": pa.array([int(y.min())])}
+        )
+
+    stats = (
+        sds.map_batches(block_stats, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("first_x")
+    )
+    mins = stats["min_y"].to_numpy()
+    prefix = np.concatenate(([np.iinfo(np.int64).max],
+                             np.minimum.accumulate(mins)[:-1]))
+    offsets = dict(zip(stats["first_x"].tolist(), prefix.tolist()))
+    off_ref = ray.put(offsets)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        before = ray.get(off_ref)[int(batch[x_col][0].as_py())]
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run = np.concatenate(([before], np.minimum.accumulate(y)[:-1]))
+        run = np.minimum(run, before)
+        return batch.filter(pa.array(y < run))
+
+    return sds.map_batches(pick, batch_format="pyarrow", batch_size=None)

@@ -401,3 +401,104 @@ def lag_lead_sorted(ds, key: str = "user_id", ts: str = "ts",
         .map_groups(fix, batch_format="pyarrow")
     )
     return done.union(fixup)
+
+def interval_islands(ds, key: str = "user_id", start: str = "s", end: str = "e"):
+    """Merge overlapping/touching half-open intervals per key (the
+    gaps-and-islands op): returns (key, n_intervals, n_islands,
+    covered) where ``covered`` is the total length of the union.
+    An interval joins the current island iff its start <= the running
+    max end (touching merges), identical to the window-SQL definition.
+
+    Distribution: one global sort by (key, start, end); each block
+    merges its key-runs locally (vectorized cummax + reduceat) and
+    emits ISLAND rows, final for interior runs; only the islands of
+    block-edge runs enter the per-key fix-up, which re-merges sorted
+    islands the same vectorized way (correct because local islands of
+    contiguous slices are themselves intervals of the key's line, and
+    merging is associative over the sorted order)."""
+    from ray.data.aggregate import Count, Sum
+
+    sds = ds.sort([key, start, end])
+
+    def local(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        ss = batch[start].to_numpy(zero_copy_only=False).astype(np.int64)
+        ee = batch[end].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(kk)
+        b = _runs(kk)
+        out = {key: [], "s0": [], "e1": [], "n": [], "complete": []}
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            cm = np.maximum.accumulate(ee[lo:hi])
+            new_isl = np.concatenate(([True], ss[lo + 1:hi] > cm[:-1]))
+            isl_starts = np.flatnonzero(new_isl)
+            isl_ends = np.concatenate((isl_starts[1:], [hi - lo]))
+            done = lo > 0 and hi < n
+            for a, z in zip(isl_starts.tolist(), isl_ends.tolist()):
+                out[key].append(kk[lo])
+                out["s0"].append(int(ss[lo + a]))
+                out["e1"].append(int(cm[z - 1]))
+                out["n"].append(z - a)
+                out["complete"].append(done)
+        return pa.table(
+            {
+                key: pa.array(out[key], type=batch.schema.field(key).type),
+                "s0": pa.array(out["s0"], pa.int64()),
+                "e1": pa.array(out["e1"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "complete": pa.array(out["complete"], pa.bool_()),
+            }
+        )
+
+    rows = sds.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
+
+    def summarize_islands(t: pa.Table, kv, ktype) -> pa.Table:
+        s0 = t["s0"].to_numpy(zero_copy_only=False)
+        e1 = t["e1"].to_numpy(zero_copy_only=False)
+        nn = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e1, s0))
+        s0, e1, nn = s0[order], e1[order], nn[order]
+        cm = np.maximum.accumulate(e1)
+        new_isl = np.concatenate(([True], s0[1:] > cm[:-1]))
+        isl_id = np.cumsum(new_isl) - 1
+        starts = np.flatnonzero(new_isl)
+        isl_s = s0[starts]
+        isl_e = np.maximum.reduceat(e1, starts)
+        return pa.table(
+            {
+                key: pa.array([kv], type=ktype),
+                "n_intervals": pa.array([int(nn.sum())], pa.int64()),
+                "n_islands": pa.array([int(new_isl.sum())], pa.int64()),
+                "covered": pa.array([int((isl_e - isl_s).sum())], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        done = batch.filter(batch["complete"])
+        if len(done) == 0:
+            return pa.table(
+                {key: pa.array([], type=batch.schema.field(key).type),
+                 "n_intervals": pa.array([], pa.int64()),
+                 "n_islands": pa.array([], pa.int64()),
+                 "covered": pa.array([], pa.int64())}
+            )
+        kk = done[key].to_numpy(zero_copy_only=False)
+        b = _runs(kk)
+        parts = []
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            parts.append(summarize_islands(
+                done.slice(lo, hi - lo), kk[lo], batch.schema.field(key).type))
+        return pa.concat_tables(parts)
+
+    def fix(g: pa.Table) -> pa.Table:
+        return summarize_islands(g, g[key][0].as_py(), g.schema.field(key).type)
+
+    fixup = (
+        rows.map_batches(
+            lambda t: t.filter(_pc.invert(t["complete"])), batch_format="pyarrow"
+        )
+        .groupby(key)
+        .map_groups(fix, batch_format="pyarrow")
+    )
+    return rows.map_batches(finish, batch_format="pyarrow").union(fixup)

@@ -195,3 +195,79 @@ def test_pps_sample(ray_session):
                         "w": np.ones(1000, dtype=np.int64)})
     got2 = pps_sample(ray.data.from_pandas(df2).repartition(7), "oid", "w", n=10).to_pandas()
     assert got2["oid"].tolist() == [99, 199, 299, 399, 499, 599, 699, 799, 899, 999]
+
+
+def test_interval_islands(ray_session):
+    import ray.data
+
+    from osmray.windows import interval_islands
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 23, n).astype(np.int64),
+         "s": rng.integers(0, 5000, n).astype(np.int64)}
+    )
+    df["e"] = df["s"] + rng.integers(1, 200, n)
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (
+        interval_islands(ds, key="user_id", start="s", end="e")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["s", "e"])
+        islands, cur_s, cur_e = [], None, None
+        for _, r in g.iterrows():
+            if cur_e is None or r.s > cur_e:
+                if cur_e is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = r.s, r.e
+            else:
+                cur_e = max(cur_e, r.e)
+        islands.append((cur_s, cur_e))
+        row = got[got["user_id"] == u].iloc[0]
+        assert row["n_intervals"] == len(g)
+        assert row["n_islands"] == len(islands)
+        assert row["covered"] == sum(e - s for s, e in islands)
+
+
+def test_grouped_moments(ray_session):
+    import ray.data
+
+    from osmray.tableops import grouped_moments
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 5, 2000).astype(np.int64),
+         "x": rng.integers(0, 100, 2000).astype(np.int64),
+         "y": rng.integers(0, 1000, 2000).astype(np.int64)}
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = grouped_moments(ds, "k", "x", "y").to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        r = got.loc[k]
+        assert r["n"] == len(g)
+        assert r["sum_x"] == g["x"].sum() and r["sum_y"] == g["y"].sum()
+        assert r["sum_xx"] == (g["x"] ** 2).sum()
+        assert r["sum_yy"] == (g["y"] ** 2).sum()
+        assert r["sum_xy"] == (g["x"] * g["y"]).sum()
+
+
+def test_skyline2d(ray_session):
+    import ray.data
+
+    from osmray.tableops import skyline2d
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    x = rng.permutation(n).astype(np.int64)  # distinct
+    y = rng.integers(0, 10**6, n).astype(np.int64)
+    df = pd.DataFrame({"oid": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = skyline2d(ds, "oid", "x", "y").to_pandas().sort_values("x")
+    o = np.argsort(x)
+    ys = y[o]
+    runmin = np.minimum.accumulate(ys)
+    sky = np.concatenate(([True], ys[1:] < runmin[:-1]))
+    exp = df.iloc[o[sky]].sort_values("x")
+    assert got["oid"].tolist() == exp["oid"].tolist()
