@@ -165,8 +165,10 @@ def large_join(left, right, on: str, right_on: str | None = None, how: str = "in
 
 def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets: int = 64,
                   spill_root: str | None = None, right_dedup: bool = False,
-                  prebuilt: bool = False):
-    """Explicit partitioned (grace) hash join, inner, on int64 keys.
+                  prebuilt: bool = False, how: str = "inner"):
+    """Explicit partitioned (grace) hash join on int64 keys —
+    ``how="inner"`` (default) or ``"left"`` (unmatched probe rows kept
+    with nulls in every build-side column).
 
     The BUILD side (``right``) never enters a Ray shuffle: each
     ``map_batches`` task splits its batch by ``hash(key) % B`` and
@@ -248,6 +250,11 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
             (rename[f.name], f.type) for f in r_schema
         ]
         if not files:
+            if how == "left":
+                cols = {n: g[n] for n in g.schema.names}
+                for f in r_schema:
+                    cols[rename[f.name]] = pa.nulls(len(g), type=f.type)
+                return pa.table(cols)
             return pa.table(
                 {n: pa.array([], type=t) for n, t in out_fields}
             )
@@ -264,13 +271,20 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
         lo = np.searchsorted(rks, lk, "left")
         hi = np.searchsorted(rks, lk, "right")
         cnt = hi - lo
-        total = int(cnt.sum())
-        li = np.repeat(np.arange(len(lk)), cnt)
-        offsets = np.concatenate(([0], np.cumsum(cnt)))
-        within = np.arange(total) - np.repeat(offsets[:-1], cnt)
-        ri = order[np.repeat(lo, cnt) + within]
+        # left join: unmatched probe rows survive once, their build
+        # row index masked null — Table.take(null) emits a null row
+        cnt_eff = np.maximum(cnt, 1) if how == "left" else cnt
+        total = int(cnt_eff.sum())
+        li = np.repeat(np.arange(len(lk)), cnt_eff)
+        offsets = np.concatenate(([0], np.cumsum(cnt_eff)))
+        within = np.arange(total) - np.repeat(offsets[:-1], cnt_eff)
         lt = g.take(pa.array(li))
-        rt = r.take(pa.array(ri))
+        if how == "left":
+            matched = np.repeat(cnt > 0, cnt_eff)
+            idx = np.minimum(np.repeat(lo, cnt_eff) + within, len(rks) - 1)
+            rt = r.take(pa.array(order[idx], mask=~matched))
+        else:
+            rt = r.take(pa.array(order[np.repeat(lo, cnt) + within]))
         cols = {n: lt[n] for n in lt.schema.names}
         for n in rt.schema.names:
             cols[rename[n]] = rt[n]

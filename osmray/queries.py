@@ -4237,6 +4237,89 @@ SELECT oid, x, y FROM (
 """
 
 
+def q_order_stats(sf_dir: str):
+    """EXACT global percentiles by rank (p1/p25/p50/p75/p99 of price
+    cents) — no sketch: distributed sort + per-block rank-offset scan,
+    O(#blocks) driver state (tableops.exact_order_stats)."""
+    from osmray.tableops import exact_order_stats
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(c)})
+
+    return exact_order_stats(ds.map_batches(cents, batch_format="pyarrow"),
+                             "cents", [1, 25, 50, 75, 99])
+
+
+Q_ORDER_STATS_SQL = """
+WITH t AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM t),
+sel AS (
+  SELECT p, greatest(1, (SELECT count(*) FROM t) * p // 100) AS r
+  FROM (VALUES (1), (25), (50), (75), (99)) AS v(p)
+)
+SELECT CAST(p AS BIGINT) AS p, r AS rank,
+       (SELECT min(cents) FROM o WHERE rn = sel.r) AS value
+FROM sel
+"""
+
+
+def q_left_join(sf_dir: str):
+    """LEFT OUTER grace join: every lineitem keeps its row even when
+    the (hash-sampled 10%) orders build side has no match — unmatched
+    rows carry NULL build columns (joins.bucketed_join how='left';
+    same spill/probe plan as the inner join, null-masked take)."""
+    from osmray.joins import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pid": pa.array(ok * 10 + ln), "l_orderkey": pa.array(ok)})
+
+    left = li.map_batches(proj, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((k * 2654435761) % 10 == 0))
+
+    right = orders.map_batches(sample, batch_format="pyarrow")
+    out = bucketed_join(left, right, on="l_orderkey", right_on="o_orderkey",
+                        how="left")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"pid": batch["pid"],
+             "o_custkey": pa.array(
+                 pc.fill_null(batch["o_custkey"], -1).to_numpy(zero_copy_only=False).astype(np.int64)),
+             "matched": pc.is_valid(batch["o_orderkey"])}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q_LEFT_JOIN_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE (o_orderkey * 2654435761) % 10 = 0
+)
+SELECT l_orderkey * 10 + l_linenumber AS pid,
+  CAST(coalesce(r.o_custkey, -1) AS BIGINT) AS o_custkey,
+  r.o_orderkey IS NOT NULL AS matched
+FROM lineitem LEFT JOIN r ON l_orderkey = r.o_orderkey
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4316,4 +4399,6 @@ def registry():
         "q_interval_islands": (q_interval_islands, Q_INTERVAL_ISLANDS_SQL),
         "q_grouped_moments": (q_grouped_moments, Q_GROUPED_MOMENTS_SQL),
         "q_skyline": (q_skyline, Q_SKYLINE_SQL),
+        "q_order_stats": (q_order_stats, Q_ORDER_STATS_SQL),
+        "q_left_join": (q_left_join, Q_LEFT_JOIN_SQL),
     }

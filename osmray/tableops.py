@@ -332,3 +332,83 @@ def skyline2d(ds, id_col: str, x_col: str, y_col: str):
         return batch.filter(pa.array(y < run))
 
     return sds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+def exact_order_stats(ds, col: str, percents: list[int]):
+    """EXACT global order statistics (p-th percentile by rank
+    ``r = max(1, n*p // 100)``) of an integer column — no sketch, no
+    approximation: one distributed sort, a per-block (min, max, n)
+    stats pass (O(#blocks) driver state), then each block emits the
+    requested ranks it owns by local position. Blocks are contiguous
+    ranges of the sorted order, so ordering their stats by (min, max)
+    reconstructs the global layout; when equal values straddle a
+    block boundary the ambiguous ranks all carry the tie value, so
+    duplicates (two identical all-tie blocks claiming one offset) are
+    collapsed by a final Min groupby without affecting the value.
+    Returns (p, rank, value)."""
+    from ray.data.aggregate import Min
+
+    import ray
+
+    sds = ds.sort(col).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = batch[col].to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([int(v[0])]),
+                         "mx": pa.array([int(v[-1])]),
+                         "n": pa.array([len(v)])})
+
+    stats = (
+        sds.map_batches(block_stats, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["mn", "mx"])
+    )
+    n_total = int(stats["n"].sum())
+    ranks = {p: max(1, n_total * p // 100) for p in percents}
+    offs = np.concatenate(([0], np.cumsum(stats["n"].to_numpy())[:-1]))
+    # two blocks can only share (mn, mx, n) when they are all-tie
+    # ranges (contiguity forces mn == mx); colliding blocks get the
+    # UNION span so no rank is orphaned — every rank inside it carries
+    # the tie value, and the final Min groupby collapses duplicates
+    offsets: dict = {}
+    for o, (_, r) in zip(offs.tolist(), stats.iterrows()):
+        key = (int(r.mn), int(r.mx), int(r.n))
+        lo_end = (int(o), int(o) + int(r.n))
+        if key in offsets:
+            prev = offsets[key]
+            offsets[key] = (min(prev[0], lo_end[0]), max(prev[1], lo_end[1]))
+        else:
+            offsets[key] = lo_end
+    off_ref = ray.put((offsets, ranks))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"p": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        offsets_d, ranks_d = ray.get(off_ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        o, end = offsets_d[(int(v[0]), int(v[-1]), len(v))]
+        tie_span = end - o != len(v)  # union of colliding all-tie blocks
+        out_p, out_r, out_v = [], [], []
+        for p, r in ranks_d.items():
+            if o < r <= end:
+                out_p.append(p)
+                out_r.append(r)
+                out_v.append(int(v[0]) if tie_span else int(v[r - o - 1]))
+        if not out_p:
+            return empty
+        return pa.table({"p": pa.array(out_p, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64()),
+                         "value": pa.array(out_v, pa.int64())})
+
+    picked = sds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    # collapse tie-block duplicates (values identical by construction)
+    return (
+        picked.groupby("p")
+        .aggregate(Min("rank", alias_name="rank"), Min("value", alias_name="value"))
+    )

@@ -313,3 +313,31 @@ def test_bloom_semi_join_equals_exact_semi_join(ray_session):
     assert not np.isin(
         marked.loc[~marked["hit"], "k"].to_numpy(), right_keys
     ).any()
+
+
+def test_bucketed_join_left_outer(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    rng = np.random.default_rng(43)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 400).astype(np.int64),
+                         "lid": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 50, 3, dtype=np.int64)})
+    right["payload"] = right["k"] * 10
+    import pyarrow as pa
+
+    got = bucketed_join(
+        ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+        ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3),
+        on="k", num_buckets=4, how="left",
+    ).to_pandas()
+    exp = left.merge(right, on="k", how="left", suffixes=("", "_r"))
+    assert len(got) == len(exp) == 400
+    g = got.sort_values("lid").reset_index(drop=True)
+    e = exp.sort_values("lid").reset_index(drop=True)
+    gm = g["payload"].fillna(-1).astype(np.int64)
+    em = e["payload"].fillna(-1).astype(np.int64)
+    assert (gm.to_numpy() == em.to_numpy()).all()

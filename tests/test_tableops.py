@@ -271,3 +271,34 @@ def test_skyline2d(ray_session):
     sky = np.concatenate(([True], ys[1:] < runmin[:-1]))
     exp = df.iloc[o[sky]].sort_values("x")
     assert got["oid"].tolist() == exp["oid"].tolist()
+
+
+def test_exact_order_stats(ray_session):
+    import ray.data
+
+    from osmray.tableops import exact_order_stats
+
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 10**7, 5000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"cents": v})).repartition(9)
+    got = exact_order_stats(ds, "cents", [1, 50, 99]).to_pandas().set_index("p")
+    sv = np.sort(v)
+    for p in (1, 50, 99):
+        r = max(1, len(v) * p // 100)
+        assert got.loc[p, "rank"] == r
+        assert got.loc[p, "value"] == sv[r - 1]
+
+
+def test_exact_order_stats_all_ties(ray_session):
+    import ray.data
+
+    from osmray.tableops import exact_order_stats
+
+    # degenerate: one constant value across many equal blocks (the
+    # colliding-key union-span path)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"cents": np.full(900, 7, dtype=np.int64)})
+    ).repartition(9)
+    got = exact_order_stats(ds, "cents", [1, 50, 99]).to_pandas()
+    assert sorted(got["value"].tolist()) == [7, 7, 7]
+    assert sorted(got["rank"].tolist()) == [9, 450, 891]
