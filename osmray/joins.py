@@ -167,8 +167,10 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
                   spill_root: str | None = None, right_dedup: bool = False,
                   prebuilt: bool = False, how: str = "inner"):
     """Explicit partitioned (grace) hash join on int64 keys —
-    ``how="inner"`` (default) or ``"left"`` (unmatched probe rows kept
-    with nulls in every build-side column).
+    ``how="inner"`` (default), ``"left"`` (unmatched probe rows kept
+    with nulls in every build-side column), ``"semi"`` / ``"anti"``
+    (probe rows with / without a match, probe columns only, no row
+    multiplication).
 
     The BUILD side (``right``) never enters a Ray shuffle: each
     ``map_batches`` task splits its batch by ``hash(key) % B`` and
@@ -255,6 +257,10 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
                 for f in r_schema:
                     cols[rename[f.name]] = pa.nulls(len(g), type=f.type)
                 return pa.table(cols)
+            if how == "anti":
+                return g
+            if how == "semi":
+                return g.slice(0, 0)
             return pa.table(
                 {n: pa.array([], type=t) for n, t in out_fields}
             )
@@ -271,6 +277,9 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
         lo = np.searchsorted(rks, lk, "left")
         hi = np.searchsorted(rks, lk, "right")
         cnt = hi - lo
+        if how in ("semi", "anti"):
+            keep = (cnt > 0) if how == "semi" else (cnt == 0)
+            return g.filter(pa.array(keep))
         # left join: unmatched probe rows survive once, their build
         # row index masked null — Table.take(null) emits a null row
         cnt_eff = np.maximum(cnt, 1) if how == "left" else cnt

@@ -4320,6 +4320,41 @@ FROM lineitem LEFT JOIN r ON l_orderkey = r.o_orderkey
 """
 
 
+def q_anti_join_large(sf_dir: str):
+    """Large-x-large ANTI join (lineitem rows whose order key is NOT
+    in the 10% hash-sampled orders set) via the grace plan
+    (joins.bucketed_join how='anti') — both sides stream, probe rows
+    filtered per bucket, no row multiplication, no broadcast."""
+    from osmray.joins import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pid": pa.array(ok * 10 + ln), "l_orderkey": pa.array(ok)})
+
+    left = li.map_batches(proj, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((k * 2654435761) % 10 == 0))
+
+    right = orders.map_batches(sample, batch_format="pyarrow")
+    return bucketed_join(left, right, on="l_orderkey", right_on="o_orderkey",
+                         how="anti")
+
+
+Q_ANTI_JOIN_LARGE_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS pid, l_orderkey
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 10 = 0
+)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4401,4 +4436,5 @@ def registry():
         "q_skyline": (q_skyline, Q_SKYLINE_SQL),
         "q_order_stats": (q_order_stats, Q_ORDER_STATS_SQL),
         "q_left_join": (q_left_join, Q_LEFT_JOIN_SQL),
+        "q_anti_join_large": (q_anti_join_large, Q_ANTI_JOIN_LARGE_SQL),
     }

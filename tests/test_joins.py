@@ -341,3 +341,25 @@ def test_bucketed_join_left_outer(ray_session):
     gm = g["payload"].fillna(-1).astype(np.int64)
     em = e["payload"].fillna(-1).astype(np.int64)
     assert (gm.to_numpy() == em.to_numpy()).all()
+
+
+def test_bucketed_join_semi_anti(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    rng = np.random.default_rng(47)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 300).astype(np.int64),
+                         "lid": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 40, 4, dtype=np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+    semi = bucketed_join(lds, rds, on="k", num_buckets=4, how="semi").to_pandas()
+    anti = bucketed_join(lds, rds, on="k", num_buckets=4, how="anti").to_pandas()
+    in_r = left["k"].isin(right["k"])
+    assert sorted(semi["lid"]) == sorted(left.loc[in_r, "lid"])
+    assert sorted(anti["lid"]) == sorted(left.loc[~in_r, "lid"])
+    assert set(semi.columns) == {"k", "lid"}  # probe columns only
