@@ -144,7 +144,7 @@ def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 1024,
         }),
         batch_format="pyarrow", batch_size=None,
     ).sum(["n", "d"])
-    total_n, total_deficit = int(tot["sum(n)"]), int(tot["sum(d)"])
+    total_deficit = int(tot["sum(d)"])
 
     # candidate filter: every value whose UPPER bound (lo + D) reaches
     # the k-th largest LOWER bound can still be a true top-k member —

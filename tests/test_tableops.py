@@ -302,3 +302,32 @@ def test_exact_order_stats_all_ties(ray_session):
     got = exact_order_stats(ds, "cents", [1, 50, 99]).to_pandas()
     assert sorted(got["value"].tolist()) == [7, 7, 7]
     assert sorted(got["rank"].tolist()) == [9, 450, 891]
+
+
+def test_declarative_new_steps(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    df = _events_df(n=500, users=7)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = run_pipeline(
+        [{"op": "pivot", "key_col": "user_id", "cat_col": "event_type",
+          "categories": ["a", "b", "c"]}], ds=ds)
+    t = out.to_pandas()
+    assert set(t.columns) == {"user_id", "n_a", "n_b", "n_c"}
+    assert t[["n_a", "n_b", "n_c"]].to_numpy().sum() == 500
+
+    out2 = run_pipeline(
+        [{"op": "lag_lead", "key": "user_id"}], ds=ds)
+    assert out2.count() == 500
+
+    pts = ray.data.from_arrow(pa.table({
+        "oid": pa.array(np.arange(100, dtype=np.int64)),
+        "x": pa.array(np.random.default_rng(1).permutation(100).astype(np.int64)),
+        "y": pa.array(np.random.default_rng(2).integers(0, 1000, 100).astype(np.int64)),
+    }))
+    sky = run_pipeline([{"op": "skyline", "id_col": "oid", "x_col": "x",
+                         "y_col": "y"}], ds=pts)
+    assert 1 <= sky.count() <= 100
