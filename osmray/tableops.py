@@ -108,7 +108,8 @@ def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 1024,
             texts = batch[col].to_pylist()
             out: list[str] = []
             for t in texts:
-                out.extend(tok_re.findall(t.lower()))
+                if t:
+                    out.extend(tok_re.findall(t.lower()))
             return np.asarray(out, dtype=object)
         return batch[col].to_numpy(zero_copy_only=False)
 
@@ -131,7 +132,9 @@ def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 1024,
     # SUM of per-block deficits plus, for values missing from some
     # block's summary, that block's deficit — bounded by the sum of
     # all per-block deficits, which is what we track.
-    parts = ds.map_batches(summarize, batch_format="pyarrow")
+    # materialized: consumed twice (merge groupby + scalar fold), and
+    # bounded at <= capacity rows per input block
+    parts = ds.map_batches(summarize, batch_format="pyarrow").materialize()
     merged = (
         parts.groupby("value")
         .aggregate(Sum("cnt", alias_name="cnt_lo"))
