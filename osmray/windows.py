@@ -429,6 +429,8 @@ def interval_islands(ds, key: str = "user_id", start: str = "s", end: str = "e")
         out = {key: [], "s0": [], "e1": [], "n": [], "complete": []}
         for i in range(len(b) - 1):
             lo, hi = int(b[i]), int(b[i + 1])
+            if hi == lo:  # empty block -> _runs yields one empty run
+                continue
             cm = np.maximum.accumulate(ee[lo:hi])
             new_isl = np.concatenate(([True], ss[lo + 1:hi] > cm[:-1]))
             isl_starts = np.flatnonzero(new_isl)

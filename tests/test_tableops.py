@@ -331,3 +331,39 @@ def test_declarative_new_steps(ray_session):
     sky = run_pipeline([{"op": "skyline", "id_col": "oid", "x_col": "x",
                          "y_col": "y"}], ds=pts)
     assert 1 <= sky.count() <= 100
+
+
+def test_interval_islands_empty_blocks(ray_session):
+    import ray.data
+
+    from osmray.windows import interval_islands
+
+    # more partitions than rows -> empty blocks must not crash
+    df = pd.DataFrame({"user_id": np.array([1, 1, 2], dtype=np.int64),
+                       "s": np.array([0, 5, 100], dtype=np.int64),
+                       "e": np.array([10, 20, 110], dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = interval_islands(ds).to_pandas().sort_values("user_id")
+    assert got["n_islands"].tolist() == [1, 1]
+    assert got["covered"].tolist() == [20, 10]
+
+
+def test_scan_ops_empty_blocks(ray_session):
+    import ray.data
+
+    from osmray.tableops import exact_order_stats, pps_sample, skyline2d
+    from osmray.windows import lag_lead_sorted
+
+    df = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "ts": pd.to_datetime([1_000_000, 2_000_000, 3_000_000], unit="us"),
+        "w": np.array([5, 5, 5], dtype=np.int64),
+        "x": np.array([3, 1, 2], dtype=np.int64),
+        "y": np.array([7, 9, 8], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+    assert lag_lead_sorted(ds).count() == 3
+    assert pps_sample(ds, "event_id", "w", n=2).count() == 2
+    assert skyline2d(ds, "event_id", "x", "y").count() >= 1
+    assert exact_order_stats(ds, "w", [50]).count() == 1
