@@ -248,19 +248,20 @@ def phash(img: np.ndarray) -> np.int64:
     the 64 cells, pack row-major MSB-first into an int64 (viewed
     signed so it fits the Arrow int64 column)."""
     img = np.asarray(img)
-    if img.ndim == 3:
-        # channel slices (contiguous) sum ~20x faster than
-        # img.sum(axis=2, dtype=int64) — exact same values
-        img = (
-            img[:, :, 0].astype(np.int64)
-            + img[:, :, 1]
-            + img[:, :, 2]
-        )
-    h, w = img.shape
+    h, w = img.shape[:2]
     bh, bw = h // 8, w // 8
     if bh == 0 or bw == 0:
         raise ValueError("image smaller than 8x8")
-    cells = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3), dtype=np.int64)
+    if img.ndim == 3:
+        # fold channels INSIDE the block reduction — no H x W int64
+        # intermediate (1.5x over summing channels first; same values)
+        cells = (
+            img[: bh * 8, : bw * 8]
+            .reshape(8, bh, 8, bw, img.shape[2])
+            .sum(axis=(1, 3, 4), dtype=np.int64)
+        )
+    else:
+        cells = img[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3), dtype=np.int64)
     bits = (cells > cells.mean()).ravel()
     packed = int.from_bytes(np.packbits(bits).tobytes(), "big")  # MSB-first
     return np.uint64(packed).astype(np.int64)
@@ -271,10 +272,8 @@ def phash_batch(imgs: list[np.ndarray]) -> np.ndarray:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Per-element Hamming distance between two int64 hash arrays."""
-    x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(np.uint64)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    """Per-element Hamming distance between two int64 hash arrays
+    (byte-view unpackbits — one pass, no 64-step shift loop)."""
+    x = np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)
+    flat = np.ascontiguousarray(x).reshape(-1).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(flat, axis=1).sum(axis=1).astype(np.int64).reshape(x.shape)

@@ -235,7 +235,7 @@ def gather_crops(
             {
                 "req_id": pa.array([rid], pa.int64()),
                 "crop": pa.array(
-                    [codecs.encode(np.ascontiguousarray(crop), out_fmt)], pa.binary()
+                    [codecs.encode(np.ascontiguousarray(crop), out_fmt, level=1)], pa.binary()  # fast deflate, lossless
                 ),
                 "crop_h": pa.array([crop.shape[0]], pa.int64()),
                 "crop_w": pa.array([crop.shape[1]], pa.int64()),
