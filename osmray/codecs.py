@@ -185,7 +185,13 @@ def qzl_decode(data: bytes) -> np.ndarray:
     b = np.clip(y + dbq * cq + cq // 2 - 255, 0, 255)
     r = np.clip(y + drq * cq + cq // 2 - 255, 0, 255)
     g = np.clip(((y << 8) - 77 * r - 29 * b) // 150, 0, 255)
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    # channel writes into a preallocated HWC buffer skip the
+    # stack+astype copies (values identical)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = r
+    out[:, :, 1] = g
+    out[:, :, 2] = b
+    return out
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
