@@ -4355,6 +4355,43 @@ WHERE l_orderkey NOT IN (
 """
 
 
+def q_kmv(sf_dir: str):
+    """KMV bottom-k distinct sketch of lineitem order keys (k=256):
+    the k smallest 62-bit hashes of the distinct values + the
+    (k-1)*2^62/h_k estimator (sketch.kmv_bottom_k). The SQL twin
+    replays the avalanche hash in HUGEINT and ranks — the ENTIRE
+    sketch hash-checks, not just the estimate."""
+    from osmray.sketch import kmv_bottom_k
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return kmv_bottom_k(ds, "l_orderkey", k=256)
+
+
+def _kmv_sql() -> str:
+    from osmray.sketch import HLL_C1, HLL_C2
+
+    m62 = 1 << 62
+    return f"""
+WITH v AS (SELECT DISTINCT l_orderkey AS x FROM lineitem),
+s1 AS (SELECT CAST((CAST(xor(x, x >> 31) AS HUGEINT) * {HLL_C1}) % {m62} AS BIGINT) AS h FROM v),
+s2 AS (SELECT CAST((CAST(xor(h, h >> 29) AS HUGEINT) * {HLL_C2}) % {m62} AS BIGINT) AS h FROM s1),
+hx AS (SELECT DISTINCT xor(h, h >> 32) AS h FROM s2),
+b AS (
+  SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank FROM hx
+  QUALIFY rank <= 256
+),
+g AS (SELECT count(*) AS nk, max(h) AS hk FROM b)
+SELECT rank, h,
+  CAST(CASE WHEN g.nk = 256
+       THEN floor(255 * 4611686018427387904.0 / hk)
+       ELSE g.nk END AS BIGINT) AS est_distinct
+FROM b, g
+"""
+
+
+Q_KMV_SQL = _kmv_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4437,4 +4474,5 @@ def registry():
         "q_order_stats": (q_order_stats, Q_ORDER_STATS_SQL),
         "q_left_join": (q_left_join, Q_LEFT_JOIN_SQL),
         "q_anti_join_large": (q_anti_join_large, Q_ANTI_JOIN_LARGE_SQL),
+        "q_kmv": (q_kmv, Q_KMV_SQL),
     }

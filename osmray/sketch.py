@@ -154,3 +154,46 @@ def bloom_build(ds, key_col: str, m_bits: int = BLOOM_M_DEFAULT, n_mid: int = 8)
     for row in mid.take_all():
         acc |= np.frombuffer(row["bm"], dtype=np.uint8)
     return np.unpackbits(acc).astype(bool)
+
+def kmv_bottom_k(ds, value_col: str, k: int = 256):
+    """KMV (bottom-k / k-minimum-values) distinct sketch — the
+    order-statistics cousin of HLL, mergeable and fully SQL-replayable
+    because it is just "the k smallest 62-bit hashes of the distinct
+    values": per block unique -> hash -> partial bottom-k (<= k rows
+    per block on the wire), then one bounded merge task dedupes and
+    ranks. Estimator: (k-1) * 2^62 / h_k when the sketch is full,
+    exact count when not (fewer than k distinct hashes seen).
+    Returns (rank, h, est_distinct) — est repeated per row so the
+    whole sketch, not just the estimate, is hash-checkable."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h = hll_hash62(v)
+        if len(h) > k:
+            h = np.partition(h, k - 1)[:k]
+        return pa.table({"h": pa.array(np.sort(h))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        h = np.unique(batch["h"].to_numpy(zero_copy_only=False))[:k]
+        if len(h) == k:
+            # (k-1) * 2^62 exactly representable; int64 -> f64 cast and
+            # division are the same IEEE ops in numpy and DuckDB
+            est = int(np.floor((k - 1) * 4611686018427387904.0 / float(h[-1])))
+        else:
+            est = len(h)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(h) + 1, dtype=np.int64)),
+                "h": pa.array(h),
+                "est_distinct": pa.array(np.full(len(h), est, dtype=np.int64)),
+            }
+        )
+
+    # bounded: <= k rows per input block reach the single merge task
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)

@@ -367,3 +367,24 @@ def test_scan_ops_empty_blocks(ray_session):
     assert pps_sample(ds, "event_id", "w", n=2).count() == 2
     assert skyline2d(ds, "event_id", "x", "y").count() >= 1
     assert exact_order_stats(ds, "w", [50]).count() == 1
+
+
+def test_kmv_sketch(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.sketch import hll_hash62, kmv_bottom_k
+
+    rng = np.random.default_rng(53)
+    vals = rng.integers(0, 50_000, 30_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    got = kmv_bottom_k(ds, "v", k=128).to_pandas()
+    exp_h = np.sort(hll_hash62(np.unique(vals)))[:128]
+    assert (got["h"].to_numpy() == exp_h).all()
+    true = len(np.unique(vals))
+    est = int(got["est_distinct"].iloc[0])
+    assert abs(est - true) / true < 0.25  # k=128 -> ~9% expected error
+    # sparse case: fewer distincts than k -> exact
+    small = ray.data.from_arrow(pa.table({"v": pa.array(np.arange(50, dtype=np.int64))}))
+    got2 = kmv_bottom_k(small, "v", k=128).to_pandas()
+    assert int(got2["est_distinct"].iloc[0]) == 50 and len(got2) == 50
