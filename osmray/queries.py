@@ -4392,6 +4392,33 @@ FROM b, g
 Q_KMV_SQL = _kmv_sql()
 
 
+def q_count_min(sf_dir: str):
+    """Count-Min frequency sketch of lineitem order keys (4 x 1024):
+    per-block partials bounded at depth*width rows, one bounded
+    groupby — the raw stream never shuffles (sketch.count_min). The
+    SQL twin rebuilds every counter from the same mod-prime hashes."""
+    from osmray.sketch import count_min
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return count_min(ds, "l_orderkey", depth=4, width=1024)
+
+
+def _count_min_sql() -> str:
+    rows = []
+    for j, (p, a) in enumerate([(2147483647, 48271), (2147483629, 16807),
+                                (2147483563, 40692), (2147483423, 69621)]):
+        rows.append(
+            f"SELECT {j} AS d, ((abs(l_orderkey) % {p}) * {a} % {p}) % 1024 AS col"
+            f" FROM lineitem"
+        )
+    u = " UNION ALL ".join(rows)
+    return (f"SELECT CAST(d AS BIGINT) AS d, CAST(col AS BIGINT) AS col, "
+            f"CAST(count(*) AS BIGINT) AS n FROM ({u}) GROUP BY d, col")
+
+
+Q_COUNT_MIN_SQL = _count_min_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4475,4 +4502,5 @@ def registry():
         "q_left_join": (q_left_join, Q_LEFT_JOIN_SQL),
         "q_anti_join_large": (q_anti_join_large, Q_ANTI_JOIN_LARGE_SQL),
         "q_kmv": (q_kmv, Q_KMV_SQL),
+        "q_count_min": (q_count_min, Q_COUNT_MIN_SQL),
     }

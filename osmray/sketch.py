@@ -197,3 +197,48 @@ def kmv_bottom_k(ds, value_col: str, k: int = 256):
     # bounded: <= k rows per input block reach the single merge task
     return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
                                             batch_size=None)
+
+def count_min(ds, value_col: str, depth: int = 4, width: int = 1024):
+    """Count-Min frequency sketch: ``depth`` rows of ``width``
+    counters, row j counting values by an independent mod-prime hash.
+    Mergeable by plain addition, so each block emits one partial
+    (d, col, n) table (bounded at depth*width rows) and a single
+    bounded groupby sums them — the raw stream never shuffles.
+    Point estimate of a value's frequency = min over rows of its
+    counter (upper bound with standard (eps, delta) guarantees).
+    Returns (d, col, n) — the whole sketch, SQL-replayable with the
+    same mod-prime hashes."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    # independent enough mod-prime row hashes, HUGEINT-safe in SQL
+    params = [(2147483647, 48271), (2147483629, 16807),
+              (2147483563, 40692), (2147483423, 69621)][:depth]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_, cols, ns = [], [], []
+        for j, (p, a) in enumerate(params):
+            c = ((np.abs(v) % p) * a % p) % width
+            u, n = np.unique(c, return_counts=True)
+            ds_.append(np.full(len(u), j, dtype=np.int64))
+            cols.append(u)
+            ns.append(n.astype(np.int64))
+        return pa.table({"key": pa.array(np.concatenate(ds_) * width
+                                         + np.concatenate(cols)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(k // width),
+                         "col": pa.array(k % width),
+                         "n": batch["n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

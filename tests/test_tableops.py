@@ -388,3 +388,25 @@ def test_kmv_sketch(ray_session):
     small = ray.data.from_arrow(pa.table({"v": pa.array(np.arange(50, dtype=np.int64))}))
     got2 = kmv_bottom_k(small, "v", k=128).to_pandas()
     assert int(got2["est_distinct"].iloc[0]) == 50 and len(got2) == 50
+
+
+def test_count_min_point_estimates(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.sketch import count_min
+
+    rng = np.random.default_rng(59)
+    vals = rng.zipf(1.3, 20_000).astype(np.int64) % 3000
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(7)
+    cm = count_min(ds, "v", depth=4, width=1024).to_pandas()
+    grid = np.zeros((4, 1024), dtype=np.int64)
+    grid[cm["d"], cm["col"]] = cm["n"]
+    params = [(2147483647, 48271), (2147483629, 16807),
+              (2147483563, 40692), (2147483423, 69621)]
+    u, true = np.unique(vals, return_counts=True)
+    # CM point estimate is an upper bound; tight for heavy items
+    for x, t in sorted(zip(u.tolist(), true.tolist()), key=lambda z: -z[1])[:10]:
+        est = min(grid[j][((abs(x) % p) * a % p) % 1024] for j, (p, a) in enumerate(params))
+        assert est >= t
+        assert est - t <= len(vals) // 256  # well inside the eps*N bound
