@@ -410,3 +410,43 @@ def test_count_min_point_estimates(ray_session):
         est = min(grid[j][((abs(x) % p) * a % p) % 1024] for j, (p, a) in enumerate(params))
         assert est >= t
         assert est - t <= len(vals) // 256  # well inside the eps*N bound
+
+
+def test_parallelism_independence(ray_session):
+    """North-rule property: identical results at any partitioning."""
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.tableops import exact_order_stats, pps_sample, skyline2d
+    from osmray.windows import interval_islands, lag_lead_sorted
+
+    rng = np.random.default_rng(61)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 19, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**8, n) * 1000, unit="us"),
+        "s": rng.integers(0, 4000, n).astype(np.int64),
+        "w": rng.integers(1, 50, n).astype(np.int64),
+        "x": rng.permutation(n).astype(np.int64),
+        "y": rng.integers(0, 10**6, n).astype(np.int64),
+    })
+    df["e"] = df["s"] + rng.integers(1, 150, n)
+
+    def runs(op):
+        outs = []
+        for parts in (2, 17):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(op(ds).to_pandas().sort_values(
+                list(op(ds).schema().names)[:2]).reset_index(drop=True))
+        return outs
+
+    for op in (
+        lambda d: lag_lead_sorted(d),
+        lambda d: interval_islands(d),
+        lambda d: pps_sample(d, "event_id", "w", n=40),
+        lambda d: skyline2d(d, "event_id", "x", "y"),
+        lambda d: exact_order_stats(d, "w", [10, 90]),
+    ):
+        a, b = runs(op)
+        pd.testing.assert_frame_equal(a, b)
