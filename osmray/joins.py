@@ -522,3 +522,73 @@ def box_overlap_join(left, right, cell_shift: int = 8, num_buckets: int = 64,
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+def segment_intersection_join(left, right, cell_shift: int = 8,
+                              num_buckets: int = 64,
+                              spill_root: str | None = None,
+                              cols: tuple = ("id", "x1", "y1", "x2", "y2")):
+    """Large-x-large PROPER segment-intersection join (the
+    roads-crossing spatial join): same PBSM grid plan as
+    ``box_overlap_join`` — each segment explodes to the cells covering
+    its bbox, one grace join co-locates candidates, and the exact
+    predicate (integer cross-product orientation tests, strict signs:
+    touching endpoints / collinear overlap do NOT count) filters them.
+    Each surviving pair is reported only by the cell containing the
+    bbox-intersection corner, so no distinct shuffle. Coordinates
+    must be integers with |coord| < 2^20 (cross products stay in
+    int64). Returns (a_id, b_id)."""
+    id_c, x1c, y1c, x2c, y2c = cols
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bid = batch[id_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch[x1c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = batch[y1c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = batch[x2c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y2 = batch[y2c].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx0, bx1 = np.minimum(x1, x2), np.maximum(x1, x2)
+        by0, by1 = np.minimum(y1, y2), np.maximum(y1, y2)
+        cx0, cx1 = bx0 >> cell_shift, bx1 >> cell_shift
+        cy0, cy1 = by0 >> cell_shift, by1 >> cell_shift
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        ri = np.repeat(np.arange(len(bid)), rep)
+        total = int(rep.sum())
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        cx = cx0[ri] + off // ny[ri]
+        cy = cy0[ri] + off % ny[ri]
+        return pa.table(
+            {"cell": pa.array((cx << 32) | cy), id_c: pa.array(bid[ri]),
+             x1c: pa.array(x1[ri]), y1c: pa.array(y1[ri]),
+             x2c: pa.array(x2[ri]), y2c: pa.array(y2[ri])}
+        )
+
+    L = left.map_batches(explode, batch_format="pyarrow")
+    R = right.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_join(L, R, on="cell", right_on="cell",
+                           num_buckets=num_buckets, spill_root=spill_root)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        def col(n):
+            return batch[n].to_numpy(zero_copy_only=False)
+
+        ax1, ay1, ax2, ay2 = col(x1c), col(y1c), col(x2c), col(y2c)
+        bx1, by1, bx2, by2 = (col(x1c + "_r"), col(y1c + "_r"),
+                              col(x2c + "_r"), col(y2c + "_r"))
+        d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+        rcx = np.maximum(np.minimum(ax1, ax2), np.minimum(bx1, bx2)) >> cell_shift
+        rcy = np.maximum(np.minimum(ay1, ay2), np.minimum(by1, by2)) >> cell_shift
+        report = ((rcx << 32) | rcy) == batch["cell"].to_numpy(zero_copy_only=False)
+        sel = proper & report
+        return pa.table(
+            {"a_id": batch[id_c].filter(pa.array(sel)),
+             "b_id": batch[id_c + "_r"].filter(pa.array(sel))}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

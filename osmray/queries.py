@@ -4419,6 +4419,73 @@ def _count_min_sql() -> str:
 Q_COUNT_MIN_SQL = _count_min_sql()
 
 
+def q_seg_join(sf_dir: str):
+    """Large-x-large PROPER segment-intersection join (roads-crossing):
+    part segments x orders segments in a 65536^2 integer world via the
+    PBSM grid plan (joins.segment_intersection_join) — covering-cell
+    explode, one grace join, exact integer orientation tests,
+    reporting-cell dedup. The cross-join SQL twin replays the same
+    cross products."""
+    from osmray.joins import segment_intersection_join
+
+    def part_segs(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = 640 + (k * 7919) % 64000
+        y1 = 640 + (k * 6151) % 64000
+        return pa.table({"id": pa.array(k), "x1": pa.array(x1),
+                         "y1": pa.array(y1),
+                         "x2": pa.array(x1 + (k * 31) % 1025 - 512),
+                         "y2": pa.array(y1 + (k * 37) % 1025 - 512)})
+
+    def order_segs(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = 640 + (k * 104729) % 64000
+        y1 = 640 + (k * 99991) % 64000
+        return pa.table({"id": pa.array(k), "x1": pa.array(x1),
+                         "y1": pa.array(y1),
+                         "x2": pa.array(x1 + (k * 41) % 1025 - 512),
+                         "y2": pa.array(y1 + (k * 43) % 1025 - 512)})
+
+    left = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_segs, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        order_segs, batch_format="pyarrow")
+    return segment_intersection_join(left, right, cell_shift=8)
+
+
+Q_SEG_JOIN_SQL = """
+WITH a0 AS (
+  SELECT p_partkey AS id,
+    640 + (p_partkey * 7919) % 64000 AS x1, 640 + (p_partkey * 6151) % 64000 AS y1,
+    640 + (p_partkey * 7919) % 64000 + (p_partkey * 31) % 1025 - 512 AS x2,
+    640 + (p_partkey * 6151) % 64000 + (p_partkey * 37) % 1025 - 512 AS y2
+  FROM part
+),
+a AS (SELECT id, x1, y1, x2, y2, least(x1, x2) AS lx, greatest(x1, x2) AS gx,
+             least(y1, y2) AS ly, greatest(y1, y2) AS gy FROM a0),
+b0 AS (
+  SELECT o_orderkey AS id,
+    640 + (o_orderkey * 104729) % 64000 AS x1, 640 + (o_orderkey * 99991) % 64000 AS y1,
+    640 + (o_orderkey * 104729) % 64000 + (o_orderkey * 41) % 1025 - 512 AS x2,
+    640 + (o_orderkey * 99991) % 64000 + (o_orderkey * 43) % 1025 - 512 AS y2
+  FROM orders
+),
+b AS (SELECT id, x1, y1, x2, y2, least(x1, x2) AS lx, greatest(x1, x2) AS gx,
+             least(y1, y2) AS ly, greatest(y1, y2) AS gy FROM b0)
+SELECT a_id, b_id FROM (
+  SELECT a.id AS a_id, b.id AS b_id,
+    (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d1,
+    (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d2,
+    (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d3,
+    (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d4
+  FROM a, b
+  WHERE a.lx <= b.gx AND b.lx <= a.gx AND a.ly <= b.gy AND b.ly <= a.gy
+)
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4503,4 +4570,5 @@ def registry():
         "q_anti_join_large": (q_anti_join_large, Q_ANTI_JOIN_LARGE_SQL),
         "q_kmv": (q_kmv, Q_KMV_SQL),
         "q_count_min": (q_count_min, Q_COUNT_MIN_SQL),
+        "q_seg_join": (q_seg_join, Q_SEG_JOIN_SQL),
     }

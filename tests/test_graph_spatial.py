@@ -100,3 +100,45 @@ def test_box_overlap_join_matches_bruteforce(ray_session):
             exp_pairs.add((a.id, bid))
     assert got_pairs == exp_pairs
     assert len(got) == len(got_pairs)  # reporting-cell dedup: no dupes
+
+
+def test_segment_intersection_join_bruteforce(ray_session):
+    import ray.data
+
+    from osmray.joins import segment_intersection_join
+
+    rng = np.random.default_rng(67)
+
+    def segs(n, shift):
+        x1 = rng.integers(100, 3900, n)
+        y1 = rng.integers(100, 3900, n)
+        return pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64) + shift,
+             "x1": x1, "y1": y1,
+             "x2": x1 + rng.integers(-90, 91, n),
+             "y2": y1 + rng.integers(-90, 91, n)}
+        ).astype(np.int64)
+
+    A, B = segs(250, 0), segs(400, 10_000)
+    got = segment_intersection_join(
+        ray.data.from_arrow(pa.Table.from_pandas(A)).repartition(3),
+        ray.data.from_arrow(pa.Table.from_pandas(B)).repartition(4),
+        cell_shift=6, num_buckets=4,
+    ).to_pandas()
+    got_pairs = set(zip(got["a_id"], got["b_id"]))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    exp = set()
+    for _, a in A.iterrows():
+        for _, b in B.iterrows():
+            d1 = cross(b.x1, b.y1, b.x2, b.y2, a.x1, a.y1)
+            d2 = cross(b.x1, b.y1, b.x2, b.y2, a.x2, a.y2)
+            d3 = cross(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1)
+            d4 = cross(a.x1, a.y1, a.x2, a.y2, b.x2, b.y2)
+            if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                    and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+                exp.add((a.id, b.id))
+    assert got_pairs == exp
+    assert len(got) == len(got_pairs)
