@@ -592,3 +592,106 @@ def segment_intersection_join(left, right, cell_shift: int = 8,
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+def pip_cell_join(points, polys, cell_shift: int = 12, num_buckets: int = 64,
+                  spill_root: str | None = None,
+                  point_cols: tuple = ("qid", "px", "py"),
+                  poly_cols: tuple = ("pid", "xs", "ys")):
+    """Large-x-large point-in-polygon JOIN — the regime where the
+    feature table exceeds any broadcast index (the FeatureIndex /
+    PipStage path covers the bounded-features regime): polygons
+    explode to the grid cells covering their bbox, points live in
+    exactly ONE cell (so results need no dedup), one grace join
+    co-locates candidates, and the exact even-odd ray cast — the SAME
+    half-open semantics as ``geom.points_in_ring`` (ray toward +x,
+    min(y)<=py<max(y) edge span, horizontal edges skipped) — runs
+    vectorized over ALL candidate pairs at once via ring offsets.
+    Polygon vertices ride the spill as list<float64> columns.
+    Returns (qid, pid) containment pairs."""
+    qid_c, px_c, py_c = point_cols
+    pid_c, xs_c, ys_c = poly_cols
+
+    def explode_polys(batch: pa.Table) -> pa.Table:
+        pid = batch[pid_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(batch) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), pid_c: pa.array([], pa.int64()),
+                 xs_c: batch[xs_c], ys_c: batch[ys_c]}
+            )
+        xs = batch[xs_c].combine_chunks()
+        ys = batch[ys_c].combine_chunks()
+        offs = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        starts, ends = offs[:-1], offs[1:]
+        x0 = np.minimum.reduceat(fx, starts).astype(np.int64)
+        x1 = np.maximum.reduceat(fx, starts).astype(np.int64)
+        y0 = np.minimum.reduceat(fy, starts).astype(np.int64)
+        y1 = np.maximum.reduceat(fy, starts).astype(np.int64)
+        cx0, cx1 = x0 >> cell_shift, x1 >> cell_shift
+        cy0, cy1 = y0 >> cell_shift, y1 >> cell_shift
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        ri = np.repeat(np.arange(len(pid)), rep)
+        total = int(rep.sum())
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        cx = cx0[ri] + off // ny[ri]
+        cy = cy0[ri] + off % ny[ri]
+        take = pa.array(ri)
+        return pa.table(
+            {"cell": pa.array((cx << 32) | cy),
+             pid_c: pa.array(pid[ri]),
+             xs_c: batch[xs_c].take(take), ys_c: batch[ys_c].take(take)}
+        )
+
+    def point_cells(batch: pa.Table) -> pa.Table:
+        px = batch[px_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[py_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"cell": pa.array(((px >> cell_shift) << 32) | (py >> cell_shift)),
+             qid_c: batch[qid_c], px_c: pa.array(px), py_c: pa.array(py)}
+        )
+
+    P = points.map_batches(point_cells, batch_format="pyarrow")
+    G = polys.map_batches(explode_polys, batch_format="pyarrow")
+    cand = bucketed_join(P, G, on="cell", right_on="cell",
+                         num_buckets=num_buckets, spill_root=spill_root)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({qid_c: pa.array([], pa.int64()),
+                             pid_c: pa.array([], pa.int64())})
+        px = batch[px_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[py_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        xs = batch[xs_c].combine_chunks()
+        ys = batch[ys_c].combine_chunks()
+        offs = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fx = xs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = ys.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(fx)
+        starts, ends = offs[:-1], offs[1:]
+        nxt = np.arange(1, n + 1)
+        ne = ends > starts
+        nxt[ends[ne] - 1] = starts[ne]
+        x1e, y1e, x2e, y2e = fx, fy, fx[nxt], fy[nxt]
+        lens = ends - starts
+        pxe = np.repeat(px, lens)
+        pye = np.repeat(py, lens)
+        lo = np.minimum(y1e, y2e)
+        hi = np.maximum(y1e, y2e)
+        keep = y1e != y2e
+        spans = (pye >= lo) & (pye < hi) & keep
+        # identical expression tree to geom.points_in_ring
+        t = np.where(keep, (pye - y1e) / np.where(keep, y2e - y1e, 1.0), 0.0)
+        xcross = x1e + t * (x2e - x1e)
+        crossing = (spans & (xcross > pxe)).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(crossing)))
+        cnt = csum[ends] - csum[starts]
+        inside = (cnt % 2).astype(bool)
+        return pa.table(
+            {qid_c: batch[qid_c].filter(pa.array(inside)),
+             pid_c: batch[pid_c].filter(pa.array(inside))}
+        )
+
+    return cand.map_batches(finish, batch_format="pyarrow")

@@ -4486,6 +4486,75 @@ WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
 """
 
 
+def q_pip_join(sf_dir: str):
+    """Large-x-large point-in-polygon JOIN (joins.pip_cell_join) — the
+    unbounded-features regime the broadcast FeatureIndex can't serve:
+    polygons (per-order L-shaped rings, ~1500 units in a 65536 world)
+    explode to covering grid cells and ride a grace join as
+    list<float64> vertex columns; the exact even-odd ray cast (same
+    half-open semantics as geom.points_in_ring) runs vectorized over
+    all candidate pairs. Points live in one cell each, so pairs are
+    born deduplicated. The SQL twin uses the rectilinear closed form
+    of the same crossing count."""
+    from osmray.joins import pip_cell_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 53 == 0
+        return pa.table({"qid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 10),
+                         "py": pa.array(p["m2"][sel] >> 10)})
+
+    def polys(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = (k * 7919) % 63000
+        by = (k * 6151) % 63000
+        x0 = bx + (k * 31) % 500
+        x1 = bx + 600 + (k * 37) % 400
+        x2 = bx + 1100 + (k * 41) % 400
+        y0 = by + (k * 43) % 500
+        y1 = by + 600 + (k * 47) % 400
+        y2 = by + 1100 + (k * 53) % 400
+        xs = np.stack([x0, x2, x2, x1, x1, x0], axis=1).ravel().astype(np.float64)
+        ys = np.stack([y0, y0, y1, y1, y2, y2], axis=1).ravel().astype(np.float64)
+        offs = np.arange(len(k) + 1, dtype=np.int32) * 6
+        return pa.table(
+            {"pid": pa.array(k),
+             "xs": pa.ListArray.from_arrays(pa.array(offs), pa.array(xs)),
+             "ys": pa.ListArray.from_arrays(pa.array(offs), pa.array(ys))}
+        )
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    polygons = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        polys, batch_format="pyarrow")
+    return pip_cell_join(points, polygons, cell_shift=12)
+
+
+Q_PIP_JOIN_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (
+  SELECT pid AS qid, m1 // 1024 AS px, m2 // 1024 AS py FROM p WHERE pid % 53 = 0
+),
+g AS (
+  SELECT o_orderkey AS pid,
+    (o_orderkey * 7919) % 63000 + (o_orderkey * 31) % 500 AS x0,
+    (o_orderkey * 7919) % 63000 + 600 + (o_orderkey * 37) % 400 AS x1,
+    (o_orderkey * 7919) % 63000 + 1100 + (o_orderkey * 41) % 400 AS x2,
+    (o_orderkey * 6151) % 63000 + (o_orderkey * 43) % 500 AS y0,
+    (o_orderkey * 6151) % 63000 + 600 + (o_orderkey * 47) % 400 AS y1,
+    (o_orderkey * 6151) % 63000 + 1100 + (o_orderkey * 53) % 400 AS y2
+  FROM orders
+)
+SELECT qid, pid FROM pts, g
+WHERE px >= x0 - 1500 AND px <= x2 AND py >= y0 - 1500 AND py <= y2
+  AND ((CASE WHEN x0 > px AND py >= y0 AND py < y2 THEN 1 ELSE 0 END
+      + CASE WHEN x1 > px AND py >= y1 AND py < y2 THEN 1 ELSE 0 END
+      + CASE WHEN x2 > px AND py >= y0 AND py < y1 THEN 1 ELSE 0 END) % 2) = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4571,4 +4640,5 @@ def registry():
         "q_kmv": (q_kmv, Q_KMV_SQL),
         "q_count_min": (q_count_min, Q_COUNT_MIN_SQL),
         "q_seg_join": (q_seg_join, Q_SEG_JOIN_SQL),
+        "q_pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
     }

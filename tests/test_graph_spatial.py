@@ -142,3 +142,48 @@ def test_segment_intersection_join_bruteforce(ray_session):
                 exp.add((a.id, b.id))
     assert got_pairs == exp
     assert len(got) == len(got_pairs)
+
+
+def test_pip_cell_join_matches_points_in_ring(ray_session):
+    import ray.data
+
+    from osmray.geom import points_in_ring
+    from osmray.joins import pip_cell_join
+
+    rng = np.random.default_rng(71)
+    n_pts, n_polys = 600, 80
+    px = rng.integers(0, 4000, n_pts).astype(np.int64)
+    py = rng.integers(0, 4000, n_pts).astype(np.int64)
+    pts = pd.DataFrame({"qid": np.arange(n_pts, dtype=np.int64),
+                        "px": px, "py": py})
+    # random star-shaped simple polygons
+    rings = []
+    for i in range(n_polys):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.integers(50, 400, k)
+        cx, cy = rng.uniform(200, 3800), rng.uniform(200, 3800)
+        rings.append((np.floor(cx + r * np.cos(ang)),
+                      np.floor(cy + r * np.sin(ang))))
+    offs = np.concatenate(([0], np.cumsum([len(x) for x, _ in rings]))).astype(np.int32)
+    polys_tbl = pa.table({
+        "pid": pa.array(np.arange(n_polys, dtype=np.int64)),
+        "xs": pa.ListArray.from_arrays(pa.array(offs),
+                                       pa.array(np.concatenate([x for x, _ in rings]))),
+        "ys": pa.ListArray.from_arrays(pa.array(offs),
+                                       pa.array(np.concatenate([y for _, y in rings]))),
+    })
+    got = pip_cell_join(
+        ray.data.from_pandas(pts).repartition(4),
+        ray.data.from_arrow(polys_tbl).repartition(3),
+        cell_shift=8, num_buckets=4,
+    ).to_pandas()
+    got_pairs = set(zip(got["qid"], got["pid"]))
+    exp = set()
+    for i, (xs, ys) in enumerate(rings):
+        # points_in_ring works in (lat, lng) = (y, x) with ray toward +lng
+        ring = np.stack([ys, xs], axis=1)
+        ins = points_in_ring(py.astype(float), px.astype(float), ring)
+        for q in np.flatnonzero(ins):
+            exp.add((q, i))
+    assert got_pairs == exp
