@@ -4555,6 +4555,72 @@ WHERE px >= x0 - 1500 AND px <= x2 AND py >= y0 - 1500 AND py <= y2
 """
 
 
+def q_morphology(sf_dir: str):
+    """Mask morphology under the oracle: per order, a REAL rasterized
+    rectangle mask (raster.fill_poly — inclusive edges, the engine's
+    frozen scanline semantics), box dilation/erosion
+    (raster.binary_dilate/erode, O(H*W) integral-image passes) and the
+    IoU popcount core vs a second shifted rectangle
+    (raster.mask_iou_popcounts). Every output is an integer popcount
+    whose closed form the SQL twin computes from the rectangle
+    arithmetic — the raster path itself is what is being checked."""
+    from osmray.raster import binary_dilate, binary_erode, fill_poly, mask_iou_popcounts
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def morph(batch: pa.Table) -> pa.Table:
+        ks = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = ks[ks % 7 == 0]  # sampled: the raster path is per-row Python
+        out = {"oid": [], "pop_a": [], "pop_dil": [], "pop_ero": [],
+               "pop_b": [], "inter_ab": []}
+        for k in ks.tolist():
+            # popcounts are translation-invariant: rasterize in a local
+            # window instead of the full 256^2 tile (same raster path,
+            # ~16x less canvas work per row)
+            x0, y0 = 24, 24
+            w = 8 + (k * 13) % 56
+            h = 8 + (k * 23) % 56
+            r = 1 + k % 3
+            canvas = np.zeros((132, 132), np.uint8)
+            fill_poly(canvas, np.array(
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]]))
+            dil = binary_dilate(canvas, r)
+            ero = binary_erode(canvas, r)
+            bx0, by0 = x0 + (k % 31) - 15, y0 + (k % 37) - 18
+            canvas_b = np.zeros((132, 132), np.uint8)
+            fill_poly(canvas_b, np.array(
+                [[bx0, by0], [bx0 + w, by0], [bx0 + w, by0 + h], [bx0, by0 + h]]))
+            pa_, pb_, inter = mask_iou_popcounts(canvas, canvas_b)
+            out["oid"].append(k)
+            out["pop_a"].append(pa_)
+            out["pop_dil"].append(int((dil > 0).sum()))
+            out["pop_ero"].append(int((ero > 0).sum()))
+            out["pop_b"].append(pb_)
+            out["inter_ab"].append(inter)
+        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
+
+    return ds.map_batches(morph, batch_format="pyarrow")
+
+
+Q_MORPHOLOGY_SQL = """
+WITH g AS (
+  SELECT o_orderkey AS oid,
+    24 + (o_orderkey * 7) % 140 AS x0, 24 + (o_orderkey * 19) % 140 AS y0,
+    8 + (o_orderkey * 13) % 56 AS w, 8 + (o_orderkey * 23) % 56 AS h,
+    1 + o_orderkey % 3 AS r,
+    (o_orderkey % 31) - 15 AS dx, (o_orderkey % 37) - 18 AS dy
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT oid,
+  (w + 1) * (h + 1) AS pop_a,
+  (w + 1 + 2 * r) * (h + 1 + 2 * r) AS pop_dil,
+  greatest(w + 1 - 2 * r, 0) * greatest(h + 1 - 2 * r, 0) AS pop_ero,
+  (w + 1) * (h + 1) AS pop_b,
+  greatest(w + 1 - abs(dx), 0) * greatest(h + 1 - abs(dy), 0) AS inter_ab
+FROM g
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4641,4 +4707,5 @@ def registry():
         "q_count_min": (q_count_min, Q_COUNT_MIN_SQL),
         "q_seg_join": (q_seg_join, Q_SEG_JOIN_SQL),
         "q_pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
+        "q_morphology": (q_morphology, Q_MORPHOLOGY_SQL),
     }

@@ -416,3 +416,42 @@ def painted_tile_keys(
             raise ValueError(f"unknown feature kind {kind!r}")
     ys, xs = np.nonzero(canvas)
     return np.stack([xs + x_off, ys + y_off], axis=1).astype(np.int64)
+
+def binary_dilate(mask: np.ndarray, r: int = 1) -> np.ndarray:
+    """Binary dilation with a (2r+1)x(2r+1) box structuring element —
+    separable two-pass sliding-window OR via the summed-area trick
+    (box sum > 0), O(H*W) independent of r. Returns uint8 {0,255}."""
+    m = (np.asarray(mask) > 0).astype(np.int32)
+    # integral image with a zero border of r on each side
+    pad = np.zeros((m.shape[0] + 2 * r, m.shape[1] + 2 * r), dtype=np.int32)
+    pad[r : r + m.shape[0], r : r + m.shape[1]] = m
+    ii = pad.cumsum(0).cumsum(1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    k = 2 * r + 1
+    box = (
+        ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+    )
+    return np.where(box > 0, 255, 0).astype(np.uint8)
+
+
+def binary_erode(mask: np.ndarray, r: int = 1) -> np.ndarray:
+    """Binary erosion with a (2r+1)x(2r+1) box: the box sum must be
+    full (pixels outside the canvas count as background, the standard
+    border rule). Duality note: erode(m) == NOT dilate(NOT m) only
+    without borders; this implementation keeps the explicit rule."""
+    m = (np.asarray(mask) > 0).astype(np.int32)
+    pad = np.zeros((m.shape[0] + 2 * r, m.shape[1] + 2 * r), dtype=np.int32)
+    pad[r : r + m.shape[0], r : r + m.shape[1]] = m
+    ii = pad.cumsum(0).cumsum(1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    k = 2 * r + 1
+    box = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+    return np.where(box == k * k, 255, 0).astype(np.uint8)
+
+
+def mask_iou_popcounts(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
+    """(popcount a, popcount b, popcount a&b) — the integer core of
+    IoU/Dice so exactness survives any engine twin (divide outside)."""
+    av = np.asarray(a) > 0
+    bv = np.asarray(b) > 0
+    return int(av.sum()), int(bv.sum()), int((av & bv).sum())

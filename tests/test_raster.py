@@ -155,3 +155,26 @@ def test_clipped_walks_canvas_equality():
             xs, ys = raster.line4_pixels(int(x0[i]), int(y0[i]), int(x1[i]), int(y1[i]))
             raster.stamp(b, xs, ys, width)
         np.testing.assert_array_equal(a, b)
+
+
+def test_binary_morphology_bruteforce():
+    import numpy as np
+
+    from osmray.raster import binary_dilate, binary_erode
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        m = (rng.random((24, 24)) < 0.2).astype(np.uint8) * 255
+        r = int(rng.integers(1, 3))
+        ref_d = np.zeros_like(m)
+        ref_e = np.zeros_like(m)
+        for y in range(24):
+            for x in range(24):
+                y0, y1 = max(0, y - r), min(24, y + r + 1)
+                x0, x1 = max(0, x - r), min(24, x + r + 1)
+                win = m[y0:y1, x0:x1] > 0
+                ref_d[y, x] = 255 if win.any() else 0
+                full = (y1 - y0) == 2 * r + 1 and (x1 - x0) == 2 * r + 1
+                ref_e[y, x] = 255 if (full and win.all()) else 0
+        assert (binary_dilate(m, r) == ref_d).all()
+        assert (binary_erode(m, r) == ref_e).all()
