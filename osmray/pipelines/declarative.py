@@ -475,6 +475,50 @@ def _skyline(p: dict) -> Stage:
     return s
 
 
+def _box_overlap_join(p: dict) -> Stage:
+    """{"op": "box_overlap_join", "right_path": glob, "cell_shift": 8?}
+    — left = current stream of (id, x0, y0, x1, y1) boxes."""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import box_overlap_join
+
+    def s(ds):
+        files = sorted(_g.glob(p["right_path"]))
+        right = ray.data.read_parquet(files, columns=p.get("right_columns"))
+        return box_overlap_join(ds, right,
+                                cell_shift=int(p.get("cell_shift", 8)))
+
+    return s
+
+
+def _morphology(p: dict) -> Stage:
+    """{"op": "morphology", "kind": "dilate"|"erode", "r": 1?,
+    "mask_col": "mask"?} — decode PNG mask -> box morphology ->
+    re-encode (in place)."""
+    from osmray import codecs
+    from osmray.raster import binary_dilate, binary_erode
+
+    kind = p.get("kind", "dilate")
+    r = int(p.get("r", 1))
+    col = p.get("mask_col", "mask")
+    fn = binary_dilate if kind == "dilate" else binary_erode
+
+    def s(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            out = [
+                codecs.png_encode(fn(codecs.png_decode(m), r), level=1)
+                for m in batch[col].to_pylist()
+            ]
+            idx = batch.schema.get_field_index(col)
+            return batch.set_column(idx, col, pa.array(out, pa.binary()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return s
+
+
 def _rollup_cells(p: dict) -> Stage:
     from osmray.cells import rollup_cells
 
@@ -518,6 +562,8 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "interval_islands": _interval_islands,
     "grouped_moments": _grouped_moments,
     "skyline": _skyline,
+    "box_overlap_join": _box_overlap_join,
+    "morphology": _morphology,
 }
 
 
