@@ -4621,6 +4621,88 @@ FROM g
 """
 
 
+def q_simplify(sf_dir: str):
+    """Douglas-Peucker under the oracle: per-order 4-point integer
+    polylines through the REAL recursive kernel
+    (geom.simplify_polyline — division-free cross^2 > eps^2*len2
+    tests, argmax-first tie rule); the keep-mask is emitted as a
+    4-bit integer. On 4 points the recursion is a finite decision
+    tree, which the SQL twin replays with CASE expressions — the
+    general recursion stays pytest-locked, this pins the kernel's
+    exact comparisons and tie-breaks cross-engine."""
+    from osmray.geom import simplify_polyline
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def simp(batch: pa.Table) -> pa.Table:
+        ks = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eps = 8.0
+        out_mask = np.empty(len(ks), dtype=np.int64)
+        for i, k in enumerate(ks.tolist()):
+            xs = np.array([0, 100 + (k * 7) % 50, 200 + (k * 13) % 50, 300],
+                          dtype=np.float64)
+            ys = np.array([0, (k * 19) % 41 - 20, (k * 23) % 41 - 20,
+                           (k * 29) % 21 - 10], dtype=np.float64)
+            keep = simplify_polyline(xs, ys, eps)
+            out_mask[i] = int(np.packbits(keep, bitorder="little")[0])
+        return pa.table({"oid": pa.array(ks), "keep_mask": pa.array(out_mask)})
+
+    return ds.map_batches(simp, batch_format="pyarrow")
+
+
+def _simplify_sql() -> str:
+    # cross^2 of point (px,py) vs segment (ax,ay)-(bx,by), and len2 —
+    # explicit multiplication (power() is not guaranteed bit-exact)
+    def c2(ax, ay, bx, by, px, py):
+        cr = (f"(({px} - {ax}) * ({by} - {ay}) - "
+              f"({py} - {ay}) * ({bx} - {ax}))")
+        return f"({cr} * {cr})"
+
+    def l2(ax, ay, bx, by):
+        return (f"(({bx} - {ax}) * ({bx} - {ax}) + "
+                f"({by} - {ay}) * ({by} - {ay}))")
+
+    e2 = "64.0"  # eps^2
+    return f"""
+WITH g AS (
+  SELECT o_orderkey AS oid,
+    0.0 AS x0, 0.0 AS y0,
+    CAST(100 + (o_orderkey * 7) % 50 AS DOUBLE) AS x1,
+    CAST((o_orderkey * 19) % 41 - 20 AS DOUBLE) AS y1,
+    CAST(200 + (o_orderkey * 13) % 50 AS DOUBLE) AS x2,
+    CAST((o_orderkey * 23) % 41 - 20 AS DOUBLE) AS y2,
+    300.0 AS x3, CAST((o_orderkey * 29) % 21 - 10 AS DOUBLE) AS y3
+  FROM orders
+),
+d AS (
+  SELECT oid, x0, y0, x1, y1, x2, y2, x3, y3,
+    {c2('x0', 'y0', 'x3', 'y3', 'x1', 'y1')} AS c1,
+    {c2('x0', 'y0', 'x3', 'y3', 'x2', 'y2')} AS c2,
+    {e2} * {l2('x0', 'y0', 'x3', 'y3')} AS thr
+  FROM g
+),
+k AS (
+  SELECT oid,
+    CASE
+      WHEN c1 <= thr AND c2 <= thr THEN 0  -- both interior dropped
+      WHEN c1 >= c2 THEN  -- split at P1 (argmax-first tie rule)
+        2 + CASE WHEN {c2('x1', 'y1', 'x3', 'y3', 'x2', 'y2')}
+                   > {e2} * {l2('x1', 'y1', 'x3', 'y3')}
+                 THEN 4 ELSE 0 END
+      ELSE  -- split at P2
+        4 + CASE WHEN {c2('x0', 'y0', 'x2', 'y2', 'x1', 'y1')}
+                   > {e2} * {l2('x0', 'y0', 'x2', 'y2')}
+                 THEN 2 ELSE 0 END
+    END AS inner_bits
+  FROM d
+)
+SELECT oid, CAST(9 + inner_bits AS BIGINT) AS keep_mask FROM k
+"""
+
+
+Q_SIMPLIFY_SQL = _simplify_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4708,4 +4790,5 @@ def registry():
         "q_seg_join": (q_seg_join, Q_SEG_JOIN_SQL),
         "q_pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
         "q_morphology": (q_morphology, Q_MORPHOLOGY_SQL),
+        "q_simplify": (q_simplify, Q_SIMPLIFY_SQL),
     }
