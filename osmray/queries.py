@@ -4703,6 +4703,72 @@ SELECT oid, CAST(9 + inner_bits AS BIGINT) AS keep_mask FROM k
 Q_SIMPLIFY_SQL = _simplify_sql()
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics — the canonical vector/raster aggregate: point
+    count + integer weight sum per polygon zone, composed from the
+    large-x-large PIP join (joins.pip_cell_join) and one keyed
+    aggregate of pre-reduced partials. Zones with no points are
+    absent (inner semantics), matching the SQL twin's GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    from osmray.joins import pip_cell_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 53 == 0
+        return pa.table({"qid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 10),
+                         "py": pa.array(p["m2"][sel] >> 10)})
+
+    def polys(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = (k * 7919) % 63000
+        by = (k * 6151) % 63000
+        x0 = bx + (k * 31) % 500
+        x1 = bx + 600 + (k * 37) % 400
+        x2 = bx + 1100 + (k * 41) % 400
+        y0 = by + (k * 43) % 500
+        y1 = by + 600 + (k * 47) % 400
+        y2 = by + 1100 + (k * 53) % 400
+        xs = np.stack([x0, x2, x2, x1, x1, x0], axis=1).ravel().astype(np.float64)
+        ys = np.stack([y0, y0, y1, y1, y2, y2], axis=1).ravel().astype(np.float64)
+        offs = np.arange(len(k) + 1, dtype=np.int32) * 6
+        return pa.table(
+            {"pid": pa.array(k),
+             "xs": pa.ListArray.from_arrays(pa.array(offs), pa.array(xs)),
+             "ys": pa.ListArray.from_arrays(pa.array(offs), pa.array(ys))}
+        )
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    polygons = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        polys, batch_format="pyarrow")
+    pairs = pip_cell_join(points, polygons, cell_shift=12)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        qid = batch["qid"].to_numpy(zero_copy_only=False)
+        w = qid % 1000  # integer point weight, replayable in SQL
+        return _keyed_sums(pid, {"w_sum": w}, "pid")
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Sum("cnt", alias_name="n_points"),
+                   Sum("w_sum", alias_name="w_sum"))
+    )
+
+
+Q_ZONAL_STATS_SQL = (
+    Q_PIP_JOIN_SQL.rstrip()
+    .replace("SELECT qid, pid FROM pts, g",
+             "SELECT pid, CAST(count(*) AS BIGINT) AS n_points, "
+             "CAST(sum(qid % 1000) AS BIGINT) AS w_sum FROM pts, g")
+    + "\nGROUP BY pid\n"
+)
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4791,4 +4857,5 @@ def registry():
         "q_pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
         "q_morphology": (q_morphology, Q_MORPHOLOGY_SQL),
         "q_simplify": (q_simplify, Q_SIMPLIFY_SQL),
+        "q_zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
     }
