@@ -695,3 +695,64 @@ def pip_cell_join(points, polys, cell_shift: int = 12, num_buckets: int = 64,
         )
 
     return cand.map_batches(finish, batch_format="pyarrow")
+
+def distance_join(points, features, radius: int, cell_shift: int = 10,
+                  num_buckets: int = 64, spill_root: str | None = None,
+                  point_cols: tuple = ("qid", "px", "py"),
+                  feat_cols: tuple = ("fid", "fx", "fy")):
+    """Exact distance join: every (point, feature) pair with squared
+    euclidean distance <= radius^2 — the radius-bounded cousin of kNN
+    that needs NO broadcast side and NO iteration: features explode
+    to the grid cells covering their radius box (replication
+    (2r/cell+2)^2 — pick cell_shift ~ log2(radius)), points live in
+    one cell each (pairs born deduplicated), one grace join, integer
+    d^2 predicate. Returns (qid, fid, d2)."""
+    qid_c, px_c, py_c = point_cols
+    fid_c, fx_c, fy_c = feat_cols
+
+    def explode_feats(batch: pa.Table) -> pa.Table:
+        fid = batch[fid_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        fx = batch[fx_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        fy = batch[fy_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0, cx1 = (fx - radius) >> cell_shift, (fx + radius) >> cell_shift
+        cy0, cy1 = (fy - radius) >> cell_shift, (fy + radius) >> cell_shift
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        ri = np.repeat(np.arange(len(fid)), rep)
+        total = int(rep.sum())
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        cx = cx0[ri] + off // ny[ri]
+        cy = cy0[ri] + off % ny[ri]
+        return pa.table(
+            {"cell": pa.array((cx << 32) | cy), fid_c: pa.array(fid[ri]),
+             fx_c: pa.array(fx[ri]), fy_c: pa.array(fy[ri])}
+        )
+
+    def point_cells(batch: pa.Table) -> pa.Table:
+        px = batch[px_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[py_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"cell": pa.array(((px >> cell_shift) << 32) | (py >> cell_shift)),
+             qid_c: batch[qid_c], px_c: pa.array(px), py_c: pa.array(py)}
+        )
+
+    P = points.map_batches(point_cells, batch_format="pyarrow")
+    F = features.map_batches(explode_feats, batch_format="pyarrow")
+    cand = bucketed_join(P, F, on="cell", right_on="cell",
+                         num_buckets=num_buckets, spill_root=spill_root)
+    r2 = radius * radius
+
+    def finish(batch: pa.Table) -> pa.Table:
+        px = batch[px_c].to_numpy(zero_copy_only=False)
+        py = batch[py_c].to_numpy(zero_copy_only=False)
+        fx = batch[fx_c].to_numpy(zero_copy_only=False)
+        fy = batch[fy_c].to_numpy(zero_copy_only=False)
+        d2 = (px - fx) ** 2 + (py - fy) ** 2
+        sel = pa.array(d2 <= r2)
+        return pa.table(
+            {qid_c: batch[qid_c].filter(sel), fid_c: batch[fid_c].filter(sel),
+             "d2": pa.array(d2[d2 <= r2])}
+        )
+
+    return cand.map_batches(finish, batch_format="pyarrow")

@@ -4769,6 +4769,53 @@ Q_ZONAL_STATS_SQL = (
 )
 
 
+def q_distance_join(sf_dir: str):
+    """Exact distance join (all point-feature pairs within radius 400
+    in a 65536 world) — the radius-bounded kNN cousin with no
+    broadcast side and no iteration (joins.distance_join): features
+    explode to the cells covering their radius box, points live in
+    one cell each, one grace join, integer d^2 predicate."""
+    from osmray.joins import distance_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 19 == 0
+        return pa.table({"qid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 10),
+                         "py": pa.array(p["m2"][sel] >> 10)})
+
+    def feats(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"fid": pa.array(k),
+                         "fx": pa.array(512 + (k * 104723) % 64512),
+                         "fy": pa.array(512 + (k * 99989) % 64512)})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    features = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        feats, batch_format="pyarrow")
+    return distance_join(points, features, radius=400, cell_shift=10)
+
+
+Q_DISTANCE_JOIN_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (
+  SELECT pid AS qid, m1 // 1024 AS px, m2 // 1024 AS py FROM p WHERE pid % 19 = 0
+),
+f AS (
+  SELECT p_partkey AS fid,
+    512 + (p_partkey * 104723) % 64512 AS fx,
+    512 + (p_partkey * 99989) % 64512 AS fy
+  FROM part
+)
+SELECT qid, fid,
+  (px - fx) * (px - fx) + (py - fy) * (py - fy) AS d2
+FROM pts, f
+WHERE (px - fx) * (px - fx) + (py - fy) * (py - fy) <= 160000
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4858,4 +4905,5 @@ def registry():
         "q_morphology": (q_morphology, Q_MORPHOLOGY_SQL),
         "q_simplify": (q_simplify, Q_SIMPLIFY_SQL),
         "q_zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
+        "q_distance_join": (q_distance_join, Q_DISTANCE_JOIN_SQL),
     }

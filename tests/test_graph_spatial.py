@@ -187,3 +187,31 @@ def test_pip_cell_join_matches_points_in_ring(ray_session):
         for q in np.flatnonzero(ins):
             exp.add((q, i))
     assert got_pairs == exp
+
+
+def test_distance_join_bruteforce(ray_session):
+    import ray.data
+
+    from osmray.joins import distance_join
+
+    rng = np.random.default_rng(73)
+    pts = pd.DataFrame({"qid": np.arange(300, dtype=np.int64),
+                        "px": rng.integers(0, 4000, 300).astype(np.int64),
+                        "py": rng.integers(0, 4000, 300).astype(np.int64)})
+    fts = pd.DataFrame({"fid": np.arange(200, dtype=np.int64),
+                        "fx": rng.integers(0, 4000, 200).astype(np.int64),
+                        "fy": rng.integers(0, 4000, 200).astype(np.int64)})
+    r = 250
+    got = distance_join(
+        ray.data.from_pandas(pts).repartition(4),
+        ray.data.from_pandas(fts).repartition(3),
+        radius=r, cell_shift=7, num_buckets=4,
+    ).to_pandas()
+    got_pairs = set(zip(got["qid"], got["fid"]))
+    exp = set()
+    for _, p in pts.iterrows():
+        d2 = (p.px - fts["fx"]) ** 2 + (p.py - fts["fy"]) ** 2
+        for fid in fts.loc[d2 <= r * r, "fid"]:
+            exp.add((p.qid, fid))
+    assert got_pairs == exp
+    assert len(got) == len(got_pairs)
