@@ -756,3 +756,77 @@ def distance_join(points, features, radius: int, cell_shift: int = 10,
         )
 
     return cand.map_batches(finish, batch_format="pyarrow")
+
+def knn_join(points, features, k: int = 3, radius0: int = 256,
+             max_rounds: int = 8, cell_shift: int = 10,
+             num_buckets: int = 64, spill_root: str | None = None,
+             point_cols: tuple = ("qid", "px", "py"),
+             feat_cols: tuple = ("fid", "fx", "fy")):
+    """EXACT k-nearest-neighbors JOIN with an UNBOUNDED feature side —
+    the keyed twin of the broadcast FeatureIndex kNN: adaptive-radius
+    rounds of :func:`distance_join`. A point that finds >= k features
+    within radius r is provably done (its k-th nearest is <= r, so
+    every nearer feature was also inside the radius box); unfinished
+    points continue with r doubled. Driver state per round: NONE —
+    finished/remaining sets are Datasets flowing through grace
+    semi/anti filters; only the loop counter and per-round row counts
+    (scalars) touch the driver. Ties broken by (d2, fid) ascending,
+    identical to the window-SQL twin. Points with fewer than k
+    features inside the max radius return what they found.
+
+    Cost note: round i re-explodes features at radius r0*2^i for the
+    remaining points only; with a sane r0 (the expected k-NN distance)
+    almost everything finishes in round 1-2."""
+    from osmray.windows import grouped_topk_sorted
+
+    qid_c = point_cols[0]
+    results = []
+    remaining = points
+    r = radius0
+    for rnd in range(max_rounds):
+        if remaining.count() == 0:
+            break
+        pairs = distance_join(remaining, features, radius=r,
+                              cell_shift=cell_shift, num_buckets=num_buckets,
+                              spill_root=spill_root, point_cols=point_cols,
+                              feat_cols=feat_cols)
+
+        def neg(batch: pa.Table) -> pa.Table:
+            d2 = batch["d2"].to_numpy(zero_copy_only=False)
+            return batch.append_column("neg_d2", pa.array(-d2))
+
+        topk = grouped_topk_sorted(
+            pairs.map_batches(neg, batch_format="pyarrow"),
+            key=qid_c, val="neg_d2", tiebreak=feat_cols[0], k=k,
+        ).materialize()
+
+        from ray.data.aggregate import Count
+
+        full = (
+            topk.groupby(qid_c).aggregate(Count(alias_name="_n"))
+        )
+
+        def full_only(batch: pa.Table) -> pa.Table:
+            n = batch["_n"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(n >= k)).select([qid_c])
+
+        finished = full.map_batches(full_only, batch_format="pyarrow").materialize()
+        last = rnd == max_rounds - 1
+        done_rows = (
+            topk if last else bucketed_filter(
+                topk, finished, on=qid_c, num_buckets=num_buckets,
+                spill_root=None if spill_root is None else f"{spill_root}/semi{rnd}")
+        )
+        results.append(done_rows.map_batches(
+            lambda t: t.drop_columns(["neg_d2", "rank"]), batch_format="pyarrow"))
+        if last:
+            break
+        remaining = bucketed_filter(
+            remaining, finished, on=qid_c, anti=True, num_buckets=num_buckets,
+            spill_root=None if spill_root is None else f"{spill_root}/anti{rnd}",
+        ).materialize()
+        r *= 2
+    out = results[0]
+    for d in results[1:]:
+        out = out.union(d)
+    return out

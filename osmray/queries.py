@@ -4816,6 +4816,62 @@ WHERE (px - fx) * (px - fx) + (py - fy) * (py - fy) <= 160000
 """
 
 
+def q_knn_join(sf_dir: str):
+    """EXACT kNN JOIN with an unbounded feature side (joins.knn_join):
+    adaptive-radius distance-join rounds — a point with >= k matches
+    inside radius r is provably complete, the rest retry at 2r via
+    grace anti filters (no driver state). k=3 over hash-scattered
+    part features; ties (d2, fid) match the window twin."""
+    from osmray.joins import knn_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 19 == 0
+        return pa.table({"qid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 10),
+                         "py": pa.array(p["m2"][sel] >> 10)})
+
+    def feats(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"fid": pa.array(k),
+                         "fx": pa.array(512 + (k * 104723) % 64512),
+                         "fy": pa.array(512 + (k * 99989) % 64512)})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    features = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        feats, batch_format="pyarrow")
+    # density-adaptive initial radius: ~sqrt(2k/n) of the world edge
+    # finishes ~all points in round 1 without flooding round-1 pairs
+    n_feat = max(features.count(), 1)
+    r0 = int(65536 * np.sqrt(2 * 3 / n_feat)) + 64
+    return knn_join(points, features, k=3, radius0=r0, cell_shift=11)
+
+
+Q_KNN_JOIN_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (
+  SELECT pid AS qid, m1 // 1024 AS px, m2 // 1024 AS py FROM p WHERE pid % 19 = 0
+),
+f AS (
+  SELECT p_partkey AS fid,
+    512 + (p_partkey * 104723) % 64512 AS fx,
+    512 + (p_partkey * 99989) % 64512 AS fy
+  FROM part
+),
+d AS (
+  SELECT qid, fid,
+    (px - fx) * (px - fx) + (py - fy) * (py - fy) AS d2,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY (px - fx) * (px - fx) + (py - fy) * (py - fy),
+                                fid) AS rn
+  FROM pts, f
+)
+SELECT qid, fid, d2 FROM d WHERE rn <= 3
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4906,4 +4962,5 @@ def registry():
         "q_simplify": (q_simplify, Q_SIMPLIFY_SQL),
         "q_zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
         "q_distance_join": (q_distance_join, Q_DISTANCE_JOIN_SQL),
+        "q_knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     }

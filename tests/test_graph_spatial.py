@@ -215,3 +215,31 @@ def test_distance_join_bruteforce(ray_session):
             exp.add((p.qid, fid))
     assert got_pairs == exp
     assert len(got) == len(got_pairs)
+
+
+def test_knn_join_bruteforce(ray_session):
+    import ray.data
+
+    from osmray.joins import knn_join
+
+    rng = np.random.default_rng(79)
+    pts = pd.DataFrame({"qid": np.arange(150, dtype=np.int64),
+                        "px": rng.integers(0, 4000, 150).astype(np.int64),
+                        "py": rng.integers(0, 4000, 150).astype(np.int64)})
+    fts = pd.DataFrame({"fid": np.arange(120, dtype=np.int64),
+                        "fx": rng.integers(0, 4000, 120).astype(np.int64),
+                        "fy": rng.integers(0, 4000, 120).astype(np.int64)})
+    k = 3
+    got = knn_join(
+        ray.data.from_pandas(pts).repartition(4),
+        ray.data.from_pandas(fts).repartition(3),
+        k=k, radius0=64, cell_shift=7, num_buckets=4,  # tiny r0: force rounds
+    ).to_pandas()
+    exp = set()
+    for _, p in pts.iterrows():
+        d2 = ((p.px - fts["fx"]) ** 2 + (p.py - fts["fy"]) ** 2).to_numpy()
+        order = np.lexsort((fts["fid"].to_numpy(), d2))[:k]
+        for j in order:
+            exp.add((p.qid, fts["fid"].iloc[j], int(d2[j])))
+    got_set = set(zip(got["qid"], got["fid"], got["d2"]))
+    assert got_set == exp
