@@ -519,6 +519,42 @@ def _morphology(p: dict) -> Stage:
     return s
 
 
+def _distance_join(p: dict) -> Stage:
+    """{"op": "distance_join", "right_path": glob, "radius": 400,
+    "cell_shift": 10?} — left = (qid, px, py) points stream."""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import distance_join
+
+    def s(ds):
+        files = sorted(_g.glob(p["right_path"]))
+        right = ray.data.read_parquet(files, columns=p.get("right_columns"))
+        return distance_join(ds, right, radius=int(p["radius"]),
+                             cell_shift=int(p.get("cell_shift", 10)))
+
+    return s
+
+
+def _knn_join(p: dict) -> Stage:
+    """{"op": "knn_join", "right_path": glob, "k": 3, "radius0": 256}"""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import knn_join
+
+    def s(ds):
+        files = sorted(_g.glob(p["right_path"]))
+        right = ray.data.read_parquet(files, columns=p.get("right_columns"))
+        return knn_join(ds, right, k=int(p.get("k", 3)),
+                        radius0=int(p.get("radius0", 256)),
+                        cell_shift=int(p.get("cell_shift", 10)))
+
+    return s
+
+
 def _rollup_cells(p: dict) -> Stage:
     from osmray.cells import rollup_cells
 
@@ -564,6 +600,8 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
     "skyline": _skyline,
     "box_overlap_join": _box_overlap_join,
     "morphology": _morphology,
+    "distance_join": _distance_join,
+    "knn_join": _knn_join,
 }
 
 
