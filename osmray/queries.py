@@ -4872,6 +4872,162 @@ SELECT qid, fid, d2 FROM d WHERE rn <= 3
 """
 
 
+def q_ntile(sf_dir: str):
+    """Rank-family window functions per event_type — ntile(4) over
+    (cents, event_id), percent_rank and cume_dist over cents with SQL
+    peer semantics (windows.ntile_ranks): one shuffle, vectorized
+    rank/peer computation per group. The float columns are single
+    IEEE divisions of the same integers on both sides, so the value
+    hash is bit-exact."""
+    from osmray.windows import ntile_ranks
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    return ntile_ranks(ds.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "cents", "event_id", n_tiles=4)
+
+
+Q_NTILE_SQL = """
+WITH t AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type,
+  CAST(ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY cents, event_id) AS BIGINT) AS tile,
+  percent_rank() OVER (PARTITION BY event_type ORDER BY cents) AS prank,
+  cume_dist() OVER (PARTITION BY event_type ORDER BY cents) AS cdist
+FROM t
+"""
+
+
+def q_range_window(sf_dir: str):
+    """Time-RANGE-frame windowed aggregate: per user, the sum of
+    cents over events in the trailing 1-hour window (peers of the
+    current ts included — exact SQL RANGE frame semantics;
+    windows.range_window_sum): prefix sums + two searchsorted calls
+    per group, one shuffle."""
+    from osmray.windows import range_window_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    return range_window_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                            "user_id", "ts", "event_id", "cents",
+                            range_us=3_600_000_000)
+
+
+Q_RANGE_WINDOW_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS win_sum
+FROM t
+"""
+
+
+def q_funnel(sf_dir: str):
+    """Ordered event-sequence (funnel) matching: users whose first
+    view is strictly followed by a click which is strictly followed
+    by a purchase, with the three first-match timestamps
+    (windows.funnel). One shuffle + vectorized per-user scan vs the
+    SQL chain of min-filter joins."""
+    from osmray.windows import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(ds, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+Q_FUNNEL_SQL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN a ON e.user_id = a.user_id AND e.ts > a.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN b ON e.user_id = b.user_id AND e.ts > b.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT a.user_id, CAST(epoch_us(a.t1) AS BIGINT) AS t1,
+       CAST(epoch_us(b.t2) AS BIGINT) AS t2,
+       CAST(epoch_us(c.t3) AS BIGINT) AS t3
+FROM a JOIN b ON a.user_id = b.user_id JOIN c ON a.user_id = c.user_id
+"""
+
+
+def q_resample(sf_dir: str):
+    """Time-series resample with gap fill: per user, daily cents
+    totals between the user's first and last active day, missing days
+    emitted as 0 with filled=true (windows.resample_fill — bincount
+    over the bucket span). The SQL twin materializes the calendar via
+    a correlated generate_series."""
+    from osmray.windows import resample_fill
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = resample_fill(ds.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", "ts", "cents",
+                        bucket_us=86_400_000_000)
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "day", "cents", "filled"]),
+        batch_format="pyarrow")
+
+
+Q_RESAMPLE_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (SELECT user_id, d, sum(cents) AS cents FROM t GROUP BY user_id, d),
+r AS (SELECT user_id, min(d) AS dmin, max(d) AS dmax FROM t GROUP BY user_id),
+g AS (
+  SELECT r.user_id, gs.d
+  FROM r, LATERAL (SELECT unnest(generate_series(r.dmin, r.dmax)) AS d) gs
+)
+SELECT g.user_id, CAST(g.d AS BIGINT) AS day,
+       CAST(COALESCE(s.cents, 0) AS BIGINT) AS cents,
+       s.user_id IS NULL AS filled
+FROM g LEFT JOIN s ON s.user_id = g.user_id AND s.d = g.d
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -4963,4 +5119,8 @@ def registry():
         "q_zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
         "q_distance_join": (q_distance_join, Q_DISTANCE_JOIN_SQL),
         "q_knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
+        "q_ntile": (q_ntile, Q_NTILE_SQL),
+        "q_range_window": (q_range_window, Q_RANGE_WINDOW_SQL),
+        "q_funnel": (q_funnel, Q_FUNNEL_SQL),
+        "q_resample": (q_resample, Q_RESAMPLE_SQL),
     }

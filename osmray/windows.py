@@ -504,3 +504,142 @@ def interval_islands(ds, key: str = "user_id", start: str = "s", end: str = "e")
         .map_groups(fix, batch_format="pyarrow")
     )
     return rows.map_batches(finish, batch_format="pyarrow").union(fixup)
+
+
+def ntile_ranks(ds, key: str, order_col: str, id_col: str, n_tiles: int = 4):
+    """Per-key rank family in one pass: ntile(n) over (order, id),
+    percent_rank and cume_dist over ``order`` alone (peer groups =
+    equal order values), matching the SQL window functions exactly.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers_cum/n are
+    emitted as float64; both sides compute them as one IEEE double
+    division of the same integers, so hashes are bit-exact.
+
+    Distribution: ``groupby(key).map_groups`` — these ranks need the
+    group's total count up front, so a key's rows must be co-located
+    anyway; right for a bounded number of fat category keys (the
+    millions-of-tiny-keys regime would use the sorted-scan pattern at
+    the top of this module with a count-broadcast first pass)."""
+
+    def ranks(g: pa.Table) -> pa.Table:
+        vv = g[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vv)
+        order = np.lexsort((ii, vv))
+        sv = vv[order]
+        # min-rank / cumulative peers of each sorted position
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sv)) + 1))
+        grp = np.cumsum(np.concatenate(([False], np.diff(sv) > 0)))
+        rank = starts[grp] + 1
+        ends = np.concatenate((starts[1:], [n]))
+        peers_cum = ends[grp]
+        # ntile: first n % t buckets get size q+1, rest q
+        q, r = divmod(n, n_tiles)
+        pos = np.arange(n, dtype=np.int64)
+        cut = r * (q + 1)
+        tile = np.where(pos < cut, pos // max(q + 1, 1),
+                        r + (pos - cut) // max(q, 1)) + 1
+        prank = (rank - 1) / max(n - 1, 1)
+        cdist = peers_cum / n
+        out = {
+            id_col: pa.array(ii[order]),
+            key: pa.array(np.repeat(g[key][0].as_py(), n),
+                          type=g.schema.field(key).type),
+            "tile": pa.array(tile.astype(np.int64)),
+            "prank": pa.array(prank),
+            "cdist": pa.array(cdist),
+        }
+        return pa.table(out)
+
+    return ds.groupby(key).map_groups(ranks, batch_format="pyarrow")
+
+
+def range_window_sum(ds, key: str, ts: str, id_col: str, val_col: str,
+                     range_us: int = 3_600_000_000):
+    """RANGE-frame windowed sum per key: for each row, the sum of
+    ``val_col`` over rows with ts in [row.ts - range_us, row.ts]
+    (peers of the current ts included, exactly the SQL
+    ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` frame).
+
+    Vectorized per group: sort by ts, prefix-sum, two searchsorted
+    calls give every row's frame bounds at once. Same co-location
+    note as ``ntile_ranks``."""
+
+    def win(g: pa.Table) -> pa.Table:
+        tv = g[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tv, kind="stable")
+        st, sv = tv[order], vv[order]
+        csum = np.concatenate(([0], np.cumsum(sv)))
+        lo = np.searchsorted(st, st - range_us, side="left")
+        hi = np.searchsorted(st, st, side="right")
+        w = csum[hi] - csum[lo]
+        return pa.table({
+            id_col: pa.array(ii[order]),
+            key: pa.array(np.repeat(g[key][0].as_py(), len(ii)),
+                          type=g.schema.field(key).type),
+            "win_sum": pa.array(w.astype(np.int64)),
+        })
+
+    return ds.groupby(key).map_groups(win, batch_format="pyarrow")
+
+
+def funnel(ds, key: str, ts: str, type_col: str, steps: list[str]):
+    """Ordered-sequence (funnel) match per key: the first occurrence
+    of steps[0], then the first steps[1] STRICTLY after it, and so on;
+    emits one row (key, t1..tk as int64 micros) per key completing
+    every step. One shuffle; vectorized per group."""
+
+    def match(g: pa.Table) -> pa.Table:
+        tv = g[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = g[type_col].to_numpy(zero_copy_only=False)
+        cur = np.int64(-(1 << 62))
+        out_ts = []
+        for s in steps:
+            m = (et == s) & (tv > cur)
+            if not m.any():
+                return pa.table(
+                    {key: pa.array([], type=g.schema.field(key).type),
+                     **{f"t{i + 1}": pa.array([], pa.int64())
+                        for i in range(len(steps))}})
+            cur = tv[m].min()
+            out_ts.append(int(cur))
+        return pa.table(
+            {key: pa.array([g[key][0].as_py()],
+                           type=g.schema.field(key).type),
+             **{f"t{i + 1}": pa.array([v], pa.int64())
+                for i, v in enumerate(out_ts)}})
+
+    return ds.groupby(key).map_groups(match, batch_format="pyarrow")
+
+
+def resample_fill(ds, key: str, ts: str, val_col: str,
+                  bucket_us: int = 86_400_000_000):
+    """Per-key time-bucket resample with gap fill: sum of ``val_col``
+    per bucket between the key's first and last bucket inclusive;
+    missing buckets emit 0 with filled=True (the time-series
+    gap-and-fill op). Vectorized per group via bincount over the
+    bucket span; the span is bounded by the data's time range, not
+    its row count."""
+
+    def fill(g: pa.Table) -> pa.Table:
+        tv = g[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vv = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tv // bucket_us
+        b0, b1 = int(b.min()), int(b.max())
+        sums = np.bincount(b - b0, weights=vv, minlength=b1 - b0 + 1)
+        hit = np.bincount(b - b0, minlength=b1 - b0 + 1) > 0
+        days = np.arange(b0, b1 + 1, dtype=np.int64)
+        return pa.table({
+            key: pa.array(np.repeat(g[key][0].as_py(), len(days)),
+                          type=g.schema.field(key).type),
+            "bucket": pa.array(days),
+            "val_sum": pa.array(sums.astype(np.int64)),
+            "filled": pa.array(~hit),
+        })
+
+    return ds.groupby(key).map_groups(fill, batch_format="pyarrow")
