@@ -5028,6 +5028,80 @@ FROM g LEFT JOIN s ON s.user_id = g.user_id AND s.d = g.d
 """
 
 
+def q_set_ops(sf_dir: str):
+    """Multiset INTERSECT ALL / EXCEPT ALL between the pre- and
+    post-1998 shipment bags of supplier keys (tableops.bag_set_ops):
+    bag semantics reduce to keyed counts, so each side pre-aggregates
+    per block and one keyed groupby folds both — raw rows never
+    shuffle. The SQL twin runs the real INTERSECT ALL / EXCEPT ALL
+    set operators and counts the surviving duplicates."""
+    from osmray.tableops import bag_set_ops
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate"])
+    cut = 883612800000000  # 1998-01-01 in epoch micros
+
+    def side(before: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = t < cut if before else t >= cut
+            return pa.table({"k": batch["l_suppkey"].filter(pa.array(m))})
+        return f
+
+    a = ds.map_batches(side(True), batch_format="pyarrow")
+    b = ds.map_batches(side(False), batch_format="pyarrow")
+    return bag_set_ops(a, b, "k")
+
+
+Q_SET_OPS_SQL = """
+WITH a AS (SELECT l_suppkey AS k FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+     b AS (SELECT l_suppkey AS k FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+     i AS (SELECT k, CAST(count(*) AS BIGINT) AS n_int
+           FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+           GROUP BY k),
+     x AS (SELECT k, CAST(count(*) AS BIGINT) AS n_exc
+           FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+           GROUP BY k),
+     ka AS (SELECT DISTINCT k FROM a)
+SELECT ka.k, COALESCE(i.n_int, 0) AS n_int, COALESCE(x.n_exc, 0) AS n_exc
+FROM ka LEFT JOIN i ON ka.k = i.k LEFT JOIN x ON ka.k = x.k
+"""
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) with count and
+    floor-quantity sums (tableops.cube_agg): every block collapses to
+    its distinct pairs, expands into the 4-level cube lattice
+    (collapsing each level locally — ALL/ALL is ONE row per block),
+    and a single keyed groupby folds the partials."""
+    from osmray.tableops import cube_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pa.array(np.floor(q).astype(np.int64))})
+
+    return cube_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                    "l_returnflag", "l_linestatus", "qty")
+
+
+Q_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS val_sum
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5123,4 +5197,6 @@ def registry():
         "q_range_window": (q_range_window, Q_RANGE_WINDOW_SQL),
         "q_funnel": (q_funnel, Q_FUNNEL_SQL),
         "q_resample": (q_resample, Q_RESAMPLE_SQL),
+        "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
+        "q_cube": (q_cube, Q_CUBE_SQL),
     }

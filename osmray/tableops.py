@@ -415,3 +415,91 @@ def exact_order_stats(ds, col: str, percents: list[int]):
         picked.groupby("p")
         .aggregate(Min("rank", alias_name="rank"), Min("value", alias_name="value"))
     )
+
+
+def bag_set_ops(a_ds, b_ds, key: str):
+    """Multiset INTERSECT ALL / EXCEPT ALL cardinalities per key:
+    returns (key, n_int, n_exc) over the distinct keys of side A,
+    where n_int = min(count_a, count_b) (the INTERSECT ALL
+    multiplicity) and n_exc = count_a - n_int (the EXCEPT ALL
+    multiplicity). Bag semantics reduce to keyed counts, so each side
+    pre-aggregates per block (one np.unique per batch) and ONE keyed
+    groupby folds both sides — raw rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(col_n: str):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            z = np.zeros(len(u), dtype=np.int64)
+            na = c if col_n == "na" else z
+            return pa.table({key: pa.array(u), "na": pa.array(na),
+                             "nb": pa.array(c if col_n == "nb" else z)})
+        return f
+
+    both = (a_ds.map_batches(partial("na"), batch_format="pyarrow")
+            .union(b_ds.map_batches(partial("nb"), batch_format="pyarrow")))
+    sums = both.groupby(key).aggregate(Sum("na", alias_name="na"),
+                                       Sum("nb", alias_name="nb"))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = na > 0
+        ni = np.minimum(na, nb)[keep]
+        return pa.table({key: batch[key].filter(pa.array(keep)),
+                         "n_int": pa.array(ni),
+                         "n_exc": pa.array(na[keep] - ni)})
+
+    return sums.map_batches(emit, batch_format="pyarrow")
+
+
+def cube_agg(ds, c1: str, c2: str, val_col: str, all_token: str = "ALL"):
+    """GROUP BY CUBE(c1, c2) with count + sum(val): each block first
+    collapses to its distinct (c1, c2) partial rows, THEN expands x4
+    into the cube lattice (value/ALL x value/ALL), so the single keyed
+    groupby shuffles 4 x (distinct pairs per block) rows — the
+    pre-aggregated CUBE plan. NULL-free inputs; the rolled-up level is
+    encoded as ``all_token`` exactly like COALESCE in the SQL twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch[c1].to_numpy(zero_copy_only=False)
+        b = batch[c2].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.char.add(np.char.add(a.astype("U"), "|"), b.astype("U"))
+        u, inv = np.unique(pair, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sv = np.bincount(inv, weights=v, minlength=len(u)).astype(np.int64)
+        ua = np.array([s.split("|", 1)[0] for s in u.tolist()])
+        ub = np.array([s.split("|", 1)[1] for s in u.tolist()])
+        allv = np.repeat(all_token, len(u)).astype("U")
+        outs = []
+        for va, vb in ((ua, ub), (ua, allv), (allv, ub), (allv, allv)):
+            # collapse this lattice level within the block before
+            # shuffling (the ALL/ALL level becomes one row per block)
+            lk = np.char.add(np.char.add(va.astype("U"), "|"),
+                             vb.astype("U"))
+            lu, linv = np.unique(lk, return_inverse=True)
+            outs.append(pa.table({
+                "k": pa.array(lu),
+                "n": pa.array(np.bincount(linv, weights=cnt,
+                                          minlength=len(lu)).astype(np.int64)),
+                "val_sum": pa.array(np.bincount(linv, weights=sv,
+                                                minlength=len(lu)).astype(np.int64))}))
+        return pa.concat_tables(outs)
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("n", alias_name="n"),
+                                    Sum("val_sum", alias_name="val_sum")))
+
+    def split(batch: pa.Table) -> pa.Table:
+        ks = batch["k"].to_pylist()
+        a = [s.split("|", 1)[0] for s in ks]
+        b = [s.split("|", 1)[1] for s in ks]
+        return pa.table({
+            c1: pa.array(a, pa.string()), c2: pa.array(b, pa.string()),
+            "n": batch["n"].cast(pa.int64()),
+            "val_sum": batch["val_sum"].cast(pa.int64())})
+
+    return sums.map_batches(split, batch_format="pyarrow")
