@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 
 def _edge_view(edges_ds, src_col: str, dst_col: str):
@@ -441,3 +442,61 @@ def triangles(edges_ds, src_col: str = "u", dst_col: str = "v",
         .groupby("u")
         .aggregate(Sum("n", alias_name="n_tri"))
     )
+
+
+def bfs_hops(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
+             seed_col: str = "node", max_hops: int = 4,
+             num_buckets: int = 16):
+    """Multi-source BFS: exact shortest hop count (<= max_hops) from
+    any seed, over an undirected edge list. Pure shuffle engine — the
+    frontier and distance tables are Datasets end-to-end, each round
+    costs one grace semi-join (edges probed against the frontier, the
+    keys-only side spilled) plus one keyed min-fold; the driver sees
+    only the frontier count (early stop). BFS layering makes each
+    node's hop final the round it is first discovered, so ``min`` is
+    the fixpoint fold exactly as in the recursive-CTE SQL twin.
+
+    Returns (node, hops) with hops in [0, max_hops]."""
+    from ray.data.aggregate import Min
+
+    from osmray.joins import bucketed_join
+
+    e = _edge_view(edges_ds, src_col, dst_col)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        keep = u != v
+        return pa.table({
+            "u": pa.array(np.concatenate((u[keep], v[keep]))),
+            "v": pa.array(np.concatenate((v[keep], u[keep])))})
+
+    e = e.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def as_dist(hop: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch[seed_col if hop == 0 else "v"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n = np.unique(n)
+            return pa.table({"node": pa.array(n),
+                             "hop": pa.array(np.full(len(n), hop,
+                                                     dtype=np.int64))})
+        return f
+
+    dist = (seeds_ds.map_batches(as_dist(0), batch_format="pyarrow")
+            .groupby("node").aggregate(Min("hop", alias_name="hop"))
+            .materialize())
+
+    for r in range(max_hops):
+        frontier = dist.map_batches(
+            lambda t, r=r: t.filter(_pc.equal(t["hop"], r)),
+            batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+        hit = bucketed_join(e, frontier.select_columns(["node"]),
+                            on="u", right_on="node", how="semi",
+                            num_buckets=num_buckets)
+        nxt = hit.map_batches(as_dist(r + 1), batch_format="pyarrow")
+        dist = (dist.union(nxt).groupby("node")
+                .aggregate(Min("hop", alias_name="hop")).materialize())
+    return dist

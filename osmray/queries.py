@@ -5102,6 +5102,48 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_bfs(sf_dir: str):
+    """Multi-source BFS shortest hop counts (<= 4) on the bounded
+    order-part co-purchase graph (graph.bfs_hops): frontier and
+    distance tables are Datasets end-to-end, one grace semi-join +
+    one keyed min-fold per round, driver sees only the frontier
+    count. Hash-checked against the recursive-CTE twin."""
+    from osmray.graph import bfs_hops
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        return pa.table(
+            {"u": pa.array(2 * o[sel]), "v": pa.array(2 * p[sel] + 1)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(u[u % 34 == 2])})
+
+    s = e.map_batches(seeds, batch_format="pyarrow")
+    return bfs_hops(e, s, max_hops=4)
+
+
+Q_BFS_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+r(node, h) AS (
+  SELECT DISTINCT u AS node, 0 AS h FROM raw WHERE u % 34 = 2
+  UNION
+  SELECT e.v, r.h + 1 FROM r JOIN e ON e.u = r.node WHERE r.h < 4
+)
+SELECT node, CAST(min(h) AS BIGINT) AS hop FROM r GROUP BY node
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5199,4 +5241,5 @@ def registry():
         "q_resample": (q_resample, Q_RESAMPLE_SQL),
         "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
         "q_cube": (q_cube, Q_CUBE_SQL),
+        "q_bfs": (q_bfs, Q_BFS_SQL),
     }

@@ -50,3 +50,38 @@ def test_cube_agg_vs_duckdb(ray_session):
                count(*) n, sum(v) val_sum
         FROM df GROUP BY CUBE(f, s)""").df()
     pd.testing.assert_frame_equal(outs[0], _sorted(want), check_dtype=False)
+
+
+def test_bfs_hops_vs_brute(ray_session):
+    import ray.data
+
+    from osmray.graph import bfs_hops
+
+    rng = np.random.default_rng(17)
+    m = 400
+    e = pd.DataFrame({"u": rng.integers(0, 120, m).astype(np.int64),
+                      "v": rng.integers(0, 120, m).astype(np.int64)})
+    seeds = pd.DataFrame({"node": np.array([3, 77], dtype=np.int64)})
+    got = _sorted(bfs_hops(
+        ray.data.from_pandas(e).repartition(5),
+        ray.data.from_pandas(seeds), max_hops=3).to_pandas())
+
+    # brute python BFS
+    adj = {}
+    for u, v in e.itertuples(index=False):
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    dist = {3: 0, 77: 0}
+    frontier = [3, 77]
+    for h in range(1, 4):
+        nxt = []
+        for n in frontier:
+            for w in adj.get(n, ()):
+                if w not in dist:
+                    dist[w] = h
+                    nxt.append(w)
+        frontier = nxt
+    want = _sorted(pd.DataFrame(
+        {"node": list(dist), "hop": list(dist.values())}).astype(np.int64))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
