@@ -522,3 +522,47 @@ def simplify_rings(xs, ys, offsets, eps: float):
     csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
     ring_cnt = csum[offsets[1:]] - csum[offsets[:-1]]
     return xs[keep], ys[keep], np.concatenate(([0], np.cumsum(ring_cnt)))
+
+
+def monotone_chain_hull(x: np.ndarray, y: np.ndarray):
+    """Strict convex hull (extreme vertices only — collinear boundary
+    points dropped) of integer points via Andrew's monotone chain,
+    returned in CCW order starting from the lexicographically
+    smallest vertex. Exact: all turns are int64 cross products.
+    Duplicates are deduped first; < 2 distinct points return the
+    distinct set unchanged (degenerate hull)."""
+    pts = np.unique(np.stack([x.astype(np.int64), y.astype(np.int64)],
+                             axis=1), axis=0)  # lexsorted (x, y)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(p):
+        out = []
+        for i in range(len(p)):
+            while len(out) >= 2:
+                ox0, oy0 = out[-2]
+                ox1, oy1 = out[-1]
+                if ((ox1 - ox0) * (p[i, 1] - oy0)
+                        - (oy1 - oy0) * (p[i, 0] - ox0)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((int(p[i, 0]), int(p[i, 1])))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 2:  # all points collinear -> the two extremes
+        ring = [tuple(pts[0]), tuple(pts[-1])]
+    return np.asarray(ring, dtype=np.int64)
+
+
+def hull_area2(ring: np.ndarray) -> int:
+    """Twice the signed shoelace area of an ordered integer ring."""
+    if len(ring) < 3:
+        return 0
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

@@ -5144,6 +5144,94 @@ SELECT node, CAST(min(h) AS BIGINT) AS hop FROM r GROUP BY node
 """
 
 
+def q_convex_hull(sf_dir: str):
+    """Per-group strict convex hull over hashed integer point clouds
+    (geom.monotone_chain_hull): exact int64 cross-product turns,
+    collinear boundary points dropped, plus the hull size and twice
+    the signed area per group. The SQL twin characterizes extreme
+    edges directly (edge (a,b) is on the hull iff every other point
+    is strictly left or collinear strictly between) and reorders the
+    vertex set by atan2 around the centroid for the shoelace —
+    convexity makes the angular order the boundary order, so both
+    sides sum the identical integer area."""
+    from osmray.geom import hull_area2, monotone_chain_hull
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    # the O(n^3)-per-group SQL twin needs bounded groups: keep ~2500
+    # points total at ANY sf (deterministic modulus subsample)
+    m = max(1, ds.count() // 2500)
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = k % m == 0
+        k = k[sel]
+        return pa.table({
+            "brand": batch["p_brand"].filter(pa.array(sel)),
+            "x": pa.array((k * 7919 + 11) % 1048573),
+            "y": pa.array((k * 6151 + 29) % 1048573)})
+
+    def hull(g: pa.Table) -> pa.Table:
+        ring = monotone_chain_hull(
+            g["x"].to_numpy(zero_copy_only=False),
+            g["y"].to_numpy(zero_copy_only=False))
+        a2 = hull_area2(ring)
+        n = len(ring)
+        return pa.table({
+            "brand": pa.array(np.repeat(g["brand"][0].as_py(), n),
+                              pa.string()),
+            "x": pa.array(ring[:, 0]), "y": pa.array(ring[:, 1]),
+            "n_hull": pa.array(np.full(n, n, dtype=np.int64)),
+            "area2": pa.array(np.full(n, a2, dtype=np.int64))})
+
+    return (ds.map_batches(pts, batch_format="pyarrow")
+            .groupby("brand").map_groups(hull, batch_format="pyarrow"))
+
+
+Q_CONVEX_HULL_SQL = """
+WITH p0 AS (
+  SELECT DISTINCT p_brand AS g,
+         (p_partkey * 7919 + 11) % 1048573 AS x,
+         (p_partkey * 6151 + 29) % 1048573 AS y
+  FROM part
+  WHERE p_partkey % (SELECT greatest(1, count(*) // 2500) FROM part) = 0
+),
+e AS (
+  SELECT a.g, a.x AS ax, a.y AS ay
+  FROM p0 a
+  JOIN p0 b ON b.g = a.g AND (b.x <> a.x OR b.y <> a.y)
+  JOIN p0 c ON c.g = a.g
+  GROUP BY a.g, a.x, a.y, b.x, b.y
+  HAVING min(CASE
+    WHEN (c.x = a.x AND c.y = a.y) OR (c.x = b.x AND c.y = b.y) THEN 1
+    WHEN (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0 THEN 1
+    WHEN (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+         AND (c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) > 0
+         AND (c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) <
+             (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) THEN 1
+    ELSE 0 END) = 1
+),
+v AS (SELECT DISTINCT g, ax AS x, ay AS y FROM e),
+cent AS (SELECT g, avg(x) AS cx, avg(y) AS cy, count(*) AS n
+         FROM v GROUP BY g),
+o AS (
+  SELECT v.g, v.x, v.y, cent.n,
+         atan2(v.y - cent.cy, v.x - cent.cx) AS ang
+  FROM v JOIN cent ON v.g = cent.g
+),
+w AS (
+  SELECT g, x, y, n,
+         COALESCE(LEAD(x) OVER win, FIRST_VALUE(x) OVER win) AS nx,
+         COALESCE(LEAD(y) OVER win, FIRST_VALUE(y) OVER win) AS ny
+  FROM o WINDOW win AS (PARTITION BY g ORDER BY ang)
+),
+a2 AS (SELECT g, CAST(CASE WHEN min(n) >= 3
+                      THEN sum(x * ny - nx * y) ELSE 0 END AS BIGINT) AS area2
+       FROM w GROUP BY g)
+SELECT w.g AS brand, w.x, w.y, CAST(w.n AS BIGINT) AS n_hull, a2.area2
+FROM w JOIN a2 ON w.g = a2.g
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5242,4 +5330,5 @@ def registry():
         "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
         "q_cube": (q_cube, Q_CUBE_SQL),
         "q_bfs": (q_bfs, Q_BFS_SQL),
+        "q_convex_hull": (q_convex_hull, Q_CONVEX_HULL_SQL),
     }
