@@ -21,12 +21,15 @@ Derivations (the "footprint" of row ``pid``):
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pyarrow as pa
 
 from osmray import cells as cellmod
 from osmray.tilemath import MAXAR, PLAIN, tile_at_web, edge_ok as edge_ok_fn
 
+_WORD_RE = _re.compile(r"[a-z]+")
 M26 = 67108864  # 2^26
 W18 = 262144.0  # 2^18
 
@@ -5232,6 +5235,99 @@ FROM w JOIN a2 ON w.g = a2.g
 """
 
 
+def q_edit_join(sf_dir: str):
+    """Exact edit-distance-1 self-join over distinct part name
+    variants (simjoin.edit1_join — PassJoin segment blocking): each
+    string meets its candidates through O(1) half-segment keys in a
+    keyed groupby, verification is the vectorized distance-1 byte
+    check; nothing is all-pairs. The SQL twin IS all-pairs
+    (levenshtein over the distinct cross join) — tractable because
+    the variant universe is bounded (names x 20 suffixes) at any
+    sf."""
+    from osmray.simjoin import edit1_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def names(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = batch["p_name"].to_pylist()
+        return pa.table({"s": pa.array(
+            [f"{n}-{int(x) % 20}" for n, x in zip(nm, k)], pa.string())})
+
+    return edit1_join(ds.map_batches(names, batch_format="pyarrow"), "s")
+
+
+Q_EDIT_JOIN_SQL = """
+WITH n AS (
+  SELECT DISTINCT p_name || '-' || CAST(p_partkey % 20 AS VARCHAR) AS s
+  FROM part
+)
+SELECT a.s AS a, b.s AS b
+FROM n a JOIN n b
+  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) = 1
+"""
+
+
+def q_jaccard_join(sf_dir: str):
+    """Exact set-similarity self-join (Jaccard >= 1/2) over word-
+    trigram shingle sets of documents (simjoin.jaccard_join — prefix
+    filtering under a hashed global token order): candidates meet in
+    a per-token groupby bounded by the prefix pigeonhole, token sets
+    come back through two grace joins, and the threshold test is
+    all-integer. Docs are modulus-capped (~700) at any sf because the
+    SQL twin intersects every pair of list columns."""
+    from osmray.simjoin import jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = max(1, ds.count() // 700)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % m == 0
+        ids = ids[sel]
+        texts = [t for t, s in zip(batch["text"].to_pylist(), sel) if s]
+        out = []
+        for t in texts:
+            ws = _WORD_RE.findall(t.lower())
+            out.append(sorted({f"{ws[i]}_{ws[i + 1]}_{ws[i + 2]}"
+                               for i in range(len(ws) - 2)}))
+        return pa.table({"doc_id": pa.array(ids),
+                         "toks": pa.array(out, pa.list_(pa.string()))})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    return jaccard_join(tok_ds, "doc_id", "toks", t_num=1, t_den=2)
+
+
+Q_JACCARD_JOIN_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT greatest(1, count(*) // 700) FROM documents) = 0
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM d
+),
+big AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2]
+                        FOR i IN range(1, len(ws) - 1)]) AS toks
+  FROM w
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM big WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         CAST(a.n + b.n - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+           AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a, b, inter, uni FROM p WHERE 2 * inter >= uni
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5331,4 +5427,6 @@ def registry():
         "q_cube": (q_cube, Q_CUBE_SQL),
         "q_bfs": (q_bfs, Q_BFS_SQL),
         "q_convex_hull": (q_convex_hull, Q_CONVEX_HULL_SQL),
+        "q_edit_join": (q_edit_join, Q_EDIT_JOIN_SQL),
+        "q_jaccard_join": (q_jaccard_join, Q_JACCARD_JOIN_SQL),
     }

@@ -40,3 +40,102 @@ def test_hull_degenerate():
     assert ring.tolist() == [[5, 7]]
     ring = monotone_chain_hull(np.array([1, 1, 1]), np.array([9, 2, 5]))
     assert ring.tolist() == [[1, 2], [1, 9]] and hull_area2(ring) == 0
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[-1] + 1,
+                           prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _rand_strings(rng, n):
+    base = ["ring", "widget", "bolt", "gear", "gizmo", "cog"]
+    out = set()
+    while len(out) < n:
+        s = rng.choice(base) + "-" + str(rng.integers(0, 40))
+        if rng.random() < 0.4:
+            # mutate: substitution / deletion / insertion
+            i = int(rng.integers(0, len(s)))
+            op = rng.random()
+            if op < 0.34:
+                s = s[:i] + chr(97 + int(rng.integers(0, 26))) + s[i + 1:]
+            elif op < 0.67:
+                s = s[:i] + s[i + 1:]
+            else:
+                s = s[:i] + chr(97 + int(rng.integers(0, 26))) + s[i:]
+        if s:
+            out.add(s)
+    return sorted(out)
+
+
+def test_edit1_verify_vs_dp():
+    from osmray.simjoin import edit1_verify
+
+    rng = np.random.default_rng(31)
+    ss = _rand_strings(rng, 60)
+    pairs = [(a, b) for a in ss for b in ss if a < b
+             and abs(len(a) - len(b)) <= 1]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = edit1_verify(a, b)
+    want = np.array([_lev(x, y) == 1 for x, y in pairs])
+    assert (got == want).all()
+
+
+def test_edit1_join_vs_brute(ray_session):
+    import ray.data
+
+    from osmray.simjoin import edit1_join
+
+    rng = np.random.default_rng(37)
+    ss = _rand_strings(rng, 120)
+    # feed duplicates too: the operator dedups internally
+    df = pd.DataFrame({"s": ss + ss[:30]})
+    got = edit1_join(ray.data.from_pandas(df).repartition(5)).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        [(a, b) for a in ss for b in ss
+         if a < b and _lev(a, b) == 1], columns=["a", "b"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_jaccard_join_vs_brute(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from osmray.simjoin import jaccard_join
+
+    rng = np.random.default_rng(41)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = []
+    for i in range(80):
+        k = int(rng.integers(3, 12))
+        docs.append(sorted(set(rng.choice(vocab, k).tolist())))
+        if rng.random() < 0.3:  # planted near-dup of the previous doc
+            d = list(docs[-1])
+            if len(d) > 3:
+                d = d[:-1]
+            docs.append(sorted(set(d)))
+    ids = np.arange(len(docs), dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "toks": pa.array(docs, pa.list_(pa.string()))})
+    got = jaccard_join(ray.data.from_arrow(tbl).repartition(4),
+                       "doc_id", "toks", t_num=3, t_den=5).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    rows = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            si, sj = set(docs[i]), set(docs[j])
+            inter = len(si & sj)
+            uni = len(si | sj)
+            if 5 * inter >= 3 * uni:
+                rows.append((i, j, inter, uni))
+    want = pd.DataFrame(rows, columns=["a", "b", "inter", "uni"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
