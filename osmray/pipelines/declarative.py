@@ -605,6 +605,95 @@ STAGES: dict[str, Callable[[dict], Stage]] = {
 }
 
 
+def _ntile(p: dict) -> Stage:
+    """{"op": "ntile", "key": col, "order": col, "id": col, "n": 4}"""
+    from osmray.windows import ntile_ranks
+
+    return lambda ds: ntile_ranks(ds, p["key"], p["order"], p["id"],
+                                  n_tiles=int(p.get("n", 4)))
+
+
+def _range_window(p: dict) -> Stage:
+    """{"op": "range_window", "key": col, "ts": col, "id": col,
+    "val": col, "range_us": 3600000000}"""
+    from osmray.windows import range_window_sum
+
+    return lambda ds: range_window_sum(
+        ds, p["key"], p["ts"], p["id"], p["val"],
+        range_us=int(p.get("range_us", 3_600_000_000)))
+
+
+def _funnel(p: dict) -> Stage:
+    """{"op": "funnel", "key": col, "ts": col, "type": col,
+    "steps": [t1, t2, ...]}"""
+    from osmray.windows import funnel
+
+    return lambda ds: funnel(ds, p["key"], p["ts"], p["type"], p["steps"])
+
+
+def _resample(p: dict) -> Stage:
+    """{"op": "resample", "key": col, "ts": col, "val": col,
+    "bucket_us": 86400000000}"""
+    from osmray.windows import resample_fill
+
+    return lambda ds: resample_fill(
+        ds, p["key"], p["ts"], p["val"],
+        bucket_us=int(p.get("bucket_us", 86_400_000_000)))
+
+
+def _cube(p: dict) -> Stage:
+    """{"op": "cube", "c1": col, "c2": col, "val": col}"""
+    from osmray.tableops import cube_agg
+
+    return lambda ds: cube_agg(ds, p["c1"], p["c2"], p["val"],
+                               all_token=p.get("all_token", "ALL"))
+
+
+def _edit1_join(p: dict) -> Stage:
+    """{"op": "edit1_join", "col": "s"}"""
+    from osmray.simjoin import edit1_join
+
+    return lambda ds: edit1_join(ds, p.get("col", "s"))
+
+
+def _jaccard_join(p: dict) -> Stage:
+    """{"op": "jaccard_join", "id": col, "toks": col, "t_num": 1,
+    "t_den": 2}"""
+    from osmray.simjoin import jaccard_join
+
+    return lambda ds: jaccard_join(ds, p["id"], p["toks"],
+                                   t_num=int(p.get("t_num", 1)),
+                                   t_den=int(p.get("t_den", 2)))
+
+
+def _bfs(p: dict) -> Stage:
+    """{"op": "bfs", "seeds_path": glob, "max_hops": 4} — edge stream
+    (u, v) in; seeds parquet must have a node column."""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.graph import bfs_hops
+
+    def s(ds):
+        seeds = ray.data.read_parquet(sorted(_g.glob(p["seeds_path"])))
+        return bfs_hops(ds, seeds, max_hops=int(p.get("max_hops", 4)))
+
+    return s
+
+
+STAGES.update({
+    "ntile": _ntile,
+    "range_window": _range_window,
+    "funnel": _funnel,
+    "resample": _resample,
+    "cube": _cube,
+    "edit1_join": _edit1_join,
+    "jaccard_join": _jaccard_join,
+    "bfs": _bfs,
+})
+
+
 def run_pipeline(steps: list[dict], ds=None):
     """Compile + run a step list; returns the last step's result."""
     out = ds

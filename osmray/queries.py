@@ -5328,6 +5328,73 @@ SELECT a, b, inter, uni FROM p WHERE 2 * inter >= uni
 """
 
 
+def q_focal_stats(sf_dir: str):
+    """Focal (neighborhood) statistics over a sparse integer cell
+    grid — the raster convolution shape: every block pre-aggregates
+    its points per cell, each cell partial then scatters to its 3x3
+    Chebyshev neighborhood, and ONE keyed groupby folds the focal
+    count + sum per receiving cell (contribution scatter is additive,
+    so block partials sum exactly; no wrap at grid borders on either
+    side)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cx = (p["m1"] >> 18).astype(np.int64)
+        cy = (p["m2"] >> 18).astype(np.int64)
+        v = (p["pid"] % 1000).astype(np.int64)
+        key = cx * 4096 + cy
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=v, minlength=len(u)).astype(np.int64)
+        ucx, ucy = u // 4096, u % 4096
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cx": pa.array(ucx + dx), "cy": pa.array(ucy + dy),
+                    "focal_n": pa.array(n), "focal_sum": pa.array(s)}))
+        t = pa.concat_tables(outs)
+        return t.append_column(
+            "cell", pa.array(t["cx"].to_numpy(zero_copy_only=False) * 8192
+                             + t["cy"].to_numpy(zero_copy_only=False) + 4096))
+
+    folded = (ds.map_batches(scatter, batch_format="pyarrow")
+              .groupby("cell")
+              .aggregate(Sum("focal_n", alias_name="focal_n"),
+                         Sum("focal_sum", alias_name="focal_sum")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cx": pa.array(c // 8192),
+            "cy": pa.array(c % 8192 - 4096),
+            "focal_n": batch["focal_n"].cast(pa.int64()),
+            "focal_sum": batch["focal_sum"].cast(pa.int64())})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")
+
+
+Q_FOCAL_STATS_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (
+  SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+  FROM pts
+),
+c AS (SELECT cx, cy, count(*) AS n, sum(v) AS s FROM p GROUP BY cx, cy),
+d AS (SELECT a.dx, b.dy
+      FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+           (SELECT unnest([-1, 0, 1]) AS dy) b)
+SELECT c.cx + d.dx AS cx, c.cy + d.dy AS cy,
+       CAST(sum(c.n) AS BIGINT) AS focal_n,
+       CAST(sum(c.s) AS BIGINT) AS focal_sum
+FROM c, d
+GROUP BY c.cx + d.dx, c.cy + d.dy
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5429,4 +5496,5 @@ def registry():
         "q_convex_hull": (q_convex_hull, Q_CONVEX_HULL_SQL),
         "q_edit_join": (q_edit_join, Q_EDIT_JOIN_SQL),
         "q_jaccard_join": (q_jaccard_join, Q_JACCARD_JOIN_SQL),
+        "q_focal_stats": (q_focal_stats, Q_FOCAL_STATS_SQL),
     }

@@ -85,3 +85,36 @@ def test_bfs_hops_vs_brute(ray_session):
     want = _sorted(pd.DataFrame(
         {"node": list(dist), "hop": list(dist.values())}).astype(np.int64))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_declarative_round3_steps(ray_session):
+    import ray.data
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "etype": rng.choice(["a", "b"], 300),
+        "cents": rng.integers(0, 500, 300).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = run_pipeline(
+        [{"op": "ntile", "key": "etype", "order": "cents",
+          "id": "event_id", "n": 3}], ds)
+    assert out.count() == 300 and set(out.to_pandas()["tile"]) == {1, 2, 3}
+
+    df2 = pd.DataFrame({"f": rng.choice(["x", "y"], 200),
+                        "s": rng.choice(["p", "q"], 200),
+                        "v": rng.integers(0, 9, 200).astype(np.int64)})
+    out2 = run_pipeline([{"op": "cube", "c1": "f", "c2": "s", "val": "v"}],
+                        ray.data.from_pandas(df2))
+    got = out2.to_pandas()
+    assert len(got) == 9  # 2x2 + 2 + 2 + 1
+    assert got[(got.f == "ALL") & (got.s == "ALL")]["n"].iloc[0] == 200
+
+    out3 = run_pipeline(
+        [{"op": "edit1_join", "col": "s"}],
+        ray.data.from_pandas(pd.DataFrame(
+            {"s": ["cat", "cut", "dog", "dogs", "cat"]})))
+    got3 = out3.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert got3.values.tolist() == [["cat", "cut"], ["dog", "dogs"]]
