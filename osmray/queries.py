@@ -5395,6 +5395,167 @@ GROUP BY c.cx + d.dx, c.cy + d.dy
 """
 
 
+def q_interval_join(sf_dir: str):
+    """Temporal interval join: for each purchase, the count of the
+    same user's views in the preceding 30 minutes [ts-30m, ts). One
+    keyed shuffle; per group both event streams sort once and two
+    searchsorted calls answer every purchase (no pair expansion —
+    the SQL twin's LEFT JOIN materializes the pairs)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def win(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = et == "purchase"
+        vts = np.sort(tv[et == "view"])
+        pts = tv[isp]
+        lo = np.searchsorted(vts, pts - 1_800_000_000, side="left")
+        hi = np.searchsorted(vts, pts, side="left")
+        return pa.table({
+            "event_id": pa.array(ii[isp]),
+            "user_id": pa.array(np.repeat(g["user_id"][0].as_py(),
+                                          int(isp.sum())).astype(np.int64)),
+            "n_views": pa.array((hi - lo).astype(np.int64))})
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+Q_INTERVAL_JOIN_SQL = """
+SELECT p.event_id, p.user_id, CAST(count(v.event_id) AS BIGINT) AS n_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+def q_group_regression(sf_dir: str):
+    """Exact grouped least-squares slope as an integer rational:
+    slope_num = n*Sxy - Sx*Sy, slope_den = n*Sxx - Sx^2 per
+    returnflag over (floor qty, floor price%1000) — built on the
+    grouped_moments partials (integer partials per block, one
+    bounded shuffle), so the regression coefficient is hash-exact
+    instead of a float regr_slope."""
+    from osmray.tableops import grouped_moments
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_returnflag": batch["l_returnflag"],
+             "x": pa.array(np.floor(q).astype(np.int64)),
+             "y": pa.array(np.floor(p).astype(np.int64) % 1000)})
+
+    m = grouped_moments(ds.map_batches(prep, batch_format="pyarrow"),
+                        "l_returnflag", "x", "y")
+
+    def slope(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = batch["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = batch["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = batch["sum_xx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = batch["sum_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": pa.array(n),
+            "slope_num": pa.array(n * sxy - sx * sy),
+            "slope_den": pa.array(n * sxx - sx * sx)})
+
+    return m.map_batches(slope, batch_format="pyarrow")
+
+
+Q_GROUP_REGRESSION_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) % 1000 AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den
+FROM m
+"""
+
+
+def q_mode(sf_dir: str):
+    """Deterministic grouped MODE (most frequent cents value per
+    event_type, smallest value on count ties): per-block partial
+    counts shuffle once into global (group, value) counts, then the
+    existing grouped_topk map-side-combined argmax picks the winner
+    — raw rows never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from osmray.windows import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype("U"), "|"),
+                          v.astype("U"))
+        u, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        et_u = np.array([s.split("|", 1)[0] for s in u.tolist()])
+        v_u = np.array([int(s.split("|", 1)[1]) for s in u.tolist()],
+                       dtype=np.int64)
+        return pa.table({"k": pa.array(u), "event_type": pa.array(et_u),
+                         "cents": pa.array(v_u), "n": pa.array(cnt)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    def unkey(batch: pa.Table) -> pa.Table:
+        ks = batch["k"].to_pylist()
+        return pa.table({
+            "event_type": pa.array([s.split("|", 1)[0] for s in ks]),
+            "cents": pa.array([int(s.split("|", 1)[1]) for s in ks],
+                              pa.int64()),
+            "n": batch["n"].cast(pa.int64())})
+
+    top = grouped_topk(counts.map_batches(unkey, batch_format="pyarrow"),
+                       "event_type", "n", "cents", k=1)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "mode_cents": batch["cents"].cast(pa.int64()),
+            "n": batch["n"].cast(pa.int64())})
+
+    return top.map_batches(emit, batch_format="pyarrow")
+
+
+Q_MODE_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+c AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY event_type, cents),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, cents) AS rn
+      FROM c)
+SELECT event_type, cents AS mode_cents, n FROM r WHERE rn = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5497,4 +5658,7 @@ def registry():
         "q_edit_join": (q_edit_join, Q_EDIT_JOIN_SQL),
         "q_jaccard_join": (q_jaccard_join, Q_JACCARD_JOIN_SQL),
         "q_focal_stats": (q_focal_stats, Q_FOCAL_STATS_SQL),
+        "q_interval_join": (q_interval_join, Q_INTERVAL_JOIN_SQL),
+        "q_group_regression": (q_group_regression, Q_GROUP_REGRESSION_SQL),
+        "q_mode": (q_mode, Q_MODE_SQL),
     }

@@ -34,8 +34,10 @@ import pyarrow.compute as _pc
 
 
 def _runs(keys: np.ndarray) -> np.ndarray:
-    """Boundaries of equal-key runs in a sorted array: [0, ..., n]."""
-    return np.concatenate(([0], np.flatnonzero(np.diff(keys)) + 1, [len(keys)]))
+    """Boundaries of equal-key runs in a sorted array: [0, ..., n].
+    Works for any comparable dtype (strings included)."""
+    return np.concatenate(
+        ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)]))
 
 
 def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1800):
