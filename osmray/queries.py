@@ -5556,6 +5556,30 @@ SELECT event_type, cents AS mode_cents, n FROM r WHERE rn = 1
 """
 
 
+def q_item_pairs(sf_dir: str):
+    """Market-basket co-occurrence counts: distinct part pairs
+    appearing in >= 2 common orders (tableops.cooccur_pairs). The
+    group-local self-join is vectorized over sorted key runs
+    (complete in-block runs expand by index arithmetic; only
+    block-edge runs hit the per-key fix-up), pair counts fold in one
+    keyed groupby over packed keys. The SQL twin is the textbook
+    distinct self-join."""
+    from osmray.tableops import cooccur_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return cooccur_pairs(ds, "l_orderkey", "l_partkey", min_count=2)
+
+
+Q_ITEM_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(count(*) AS BIGINT) AS n
+FROM d a
+JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5661,4 +5685,5 @@ def registry():
         "q_interval_join": (q_interval_join, Q_INTERVAL_JOIN_SQL),
         "q_group_regression": (q_group_regression, Q_GROUP_REGRESSION_SQL),
         "q_mode": (q_mode, Q_MODE_SQL),
+        "q_item_pairs": (q_item_pairs, Q_ITEM_PAIRS_SQL),
     }

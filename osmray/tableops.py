@@ -503,3 +503,142 @@ def cube_agg(ds, c1: str, c2: str, val_col: str, all_token: str = "ALL"):
             "val_sum": batch["val_sum"].cast(pa.int64())})
 
     return sums.map_batches(split, batch_format="pyarrow")
+
+
+def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
+    """Market-basket co-occurrence: counts of unordered DISTINCT item
+    pairs appearing under the same key (a < b), kept at
+    count >= min_count. The group-local self-join is fully
+    vectorized: one global sort by (key, item) makes every group a
+    contiguous run with sorted, adjacent-deduped items; complete
+    in-block runs expand to pair indices with pure index arithmetic
+    (cnt = position-in-run; left = run_start + within), and only the
+    <= 2 runs touching each block edge go through the per-key fix-up
+    (group count O(#blocks)). Pair counts fold in ONE keyed groupby
+    over packed (a << 32 | b) keys — raw rows shuffle once (the
+    sort), pairs once."""
+    import pyarrow.compute as _pc
+
+    def gen(kk, it):
+        """Pairs within runs of kk (sorted, may contain dups)."""
+        keep = np.concatenate(
+            ([True], (kk[1:] != kk[:-1]) | (it[1:] != it[:-1])))
+        kk, it = kk[keep], it[keep]
+        b = np.concatenate(
+            ([0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]))
+        starts = np.repeat(b[:-1], np.diff(b))
+        pos = np.arange(len(kk), dtype=np.int64) - starts
+        total = int(pos.sum())
+        if total == 0:
+            return (np.empty(0, dtype=np.int64),) * 2
+        off = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(off, pos)
+        left = np.repeat(starts, pos) + within
+        right = np.repeat(np.arange(len(kk), dtype=np.int64), pos)
+        return it[left], it[right]
+
+    def local(batch: pa.Table) -> pa.Table:
+        kk = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = batch[item].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(kk)
+        if n == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "bk": pa.array([], pa.int64()),
+                             "bi": pa.array([], pa.int64()),
+                             "edge": pa.array([], pa.bool_())})
+        b = np.concatenate(
+            ([0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [n]))
+        lo_c = int(b[1]) if len(b) > 2 else n  # first complete run start
+        hi_c = int(b[-2]) if len(b) > 2 else 0
+        out_pk = np.empty(0, dtype=np.int64)
+        if hi_c > lo_c:
+            a_it, b_it = gen(kk[lo_c:hi_c], it[lo_c:hi_c])
+            out_pk = (a_it << 32) | b_it
+        edge = (np.arange(n) < lo_c) | (np.arange(n) >= hi_c)
+        return pa.table({
+            "pk": pa.array(np.concatenate(
+                (out_pk, np.zeros(int(edge.sum()), dtype=np.int64)))),
+            "c": pa.array(np.concatenate(
+                (np.ones(len(out_pk), dtype=np.int64),
+                 np.zeros(int(edge.sum()), dtype=np.int64)))),
+            "bk": pa.array(np.concatenate(
+                (np.zeros(len(out_pk), dtype=np.int64), kk[edge]))),
+            "bi": pa.array(np.concatenate(
+                (np.zeros(len(out_pk), dtype=np.int64), it[edge]))),
+            "edge": pa.array(np.concatenate(
+                (np.zeros(len(out_pk), dtype=bool),
+                 np.ones(int(edge.sum()), dtype=bool)))),
+        })
+
+    rows = ds.sort([key, item]).map_batches(
+        local, batch_format="pyarrow", batch_size=None).materialize()
+
+    direct = rows.map_batches(
+        lambda t: t.filter(_pc.invert(t["edge"])).select(["pk", "c"]),
+        batch_format="pyarrow")
+
+    def fix(g: pa.Table) -> pa.Table:
+        it = np.unique(g["bi"].to_numpy(zero_copy_only=False))
+        k = len(it)
+        if k < 2:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        I, J = np.triu_indices(k, 1)
+        pk = (it[I] << 32) | it[J]
+        return pa.table({"pk": pa.array(pk),
+                         "c": pa.array(np.ones(len(pk), dtype=np.int64))})
+
+    fixup = (rows.map_batches(
+        lambda t: t.filter(t["edge"]), batch_format="pyarrow")
+        .groupby("bk").map_groups(fix, batch_format="pyarrow"))
+
+    # pair-count fold: Ray's generic aggregate pays per-GROUP Python
+    # overhead — ruinous at ~1 distinct pair per row (measured 37 s
+    # for 1.2M pairs at sf0.1). The sorted-scan fold is the house
+    # pattern: sort by pk, per-block vectorized unique+bincount,
+    # interior runs final, block-edge runs into an O(#blocks) fix-up.
+    paired = direct.union(fixup).sort("pk")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "edge2": pa.array([], pa.bool_())})
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=c, minlength=len(u)).astype(np.int64)
+        edge2 = np.zeros(len(u), dtype=bool)
+        edge2[0] = True
+        edge2[-1] = True
+        return pa.table({"pk": pa.array(u), "n": pa.array(s),
+                         "edge2": pa.array(edge2)})
+
+    folded = paired.map_batches(fold, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nn >= min_count
+        return pa.table({"a": pa.array(pk[keep] >> 32),
+                         "b": pa.array(pk[keep] & 0xFFFFFFFF),
+                         "n": pa.array(nn[keep])})
+
+    interior = folded.map_batches(
+        lambda t: emit(t.filter(_pc.invert(t["edge2"]))),
+        batch_format="pyarrow")
+
+    def fix2(g: pa.Table) -> pa.Table:
+        return emit(pa.table({
+            "pk": g["pk"].slice(0, 1),
+            "n": pa.array([int(np.sum(
+                g["n"].to_numpy(zero_copy_only=False)))], pa.int64())}))
+
+    boundary = (folded.map_batches(
+        lambda t: t.filter(t["edge2"]).select(["pk", "n"]),
+        batch_format="pyarrow")
+        .groupby("pk").map_groups(fix2, batch_format="pyarrow"))
+
+    return interior.union(boundary)

@@ -118,3 +118,26 @@ def test_declarative_round3_steps(ray_session):
             {"s": ["cat", "cut", "dog", "dogs", "cat"]})))
     got3 = out3.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert got3.values.tolist() == [["cat", "cut"], ["dog", "dogs"]]
+
+
+def test_cooccur_pairs_vs_duckdb(ray_session):
+    import ray.data
+
+    from osmray.tableops import cooccur_pairs
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 150, 4000).astype(np.int64),
+        "i": rng.integers(0, 30, 4000).astype(np.int64)})
+    outs = []
+    for parts in (2, 17):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(_sorted(
+            cooccur_pairs(ds, "k", "i", min_count=3).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    want = duckdb.sql("""
+        WITH d AS (SELECT DISTINCT k, i FROM df)
+        SELECT a.i a, b.i b, count(*) n
+        FROM d a JOIN d b ON a.k=b.k AND a.i < b.i
+        GROUP BY 1,2 HAVING count(*) >= 3""").df()
+    pd.testing.assert_frame_equal(outs[0], _sorted(want), check_dtype=False)
