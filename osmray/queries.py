@@ -5580,6 +5580,70 @@ HAVING count(*) >= 2
 """
 
 
+def q_trajectory(sf_dir: str):
+    """Per-user trajectory statistics over the ts-ordered event
+    sequence (hashed synthetic waypoints): move count, total squared
+    step length, and net squared displacement — the ordered
+    geospatial scan (one keyed shuffle, vectorized diff per group;
+    all-integer so the lag-window SQL twin is hash-exact)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def traj(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        k = ii[order]
+        x = (k * 48271 + 7) % 1048573
+        y = (k * 69621 + 3) % 1048573
+        dx = np.diff(x)
+        dy = np.diff(y)
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_moves": pa.array([len(k) - 1], pa.int64()),
+            "path_sq": pa.array([int(np.sum(dx * dx + dy * dy))],
+                                pa.int64()),
+            "net_sq": pa.array([int((x[-1] - x[0]) ** 2
+                                    + (y[-1] - y[0]) ** 2)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(traj, batch_format="pyarrow")
+
+
+Q_TRAJECTORY_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + 7) % 1048573 AS x,
+         (event_id * 69621 + 3) % 1048573 AS y
+  FROM events
+),
+d AS (
+  SELECT user_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN px IS NULL THEN 0
+                  ELSE (x - px) * (x - px) + (y - py) * (y - py) END)
+              AS BIGINT) AS path_sq,
+         CAST(max(n) - 1 AS BIGINT) AS n_moves
+  FROM d GROUP BY user_id
+),
+ends AS (
+  SELECT f.user_id,
+         CAST((l.x - f.x) * (l.x - f.x) + (l.y - f.y) * (l.y - f.y)
+              AS BIGINT) AS net_sq
+  FROM (SELECT user_id, x, y FROM d WHERE rn = 1) f
+  JOIN (SELECT user_id, x, y FROM d WHERE rn = n) l
+    ON f.user_id = l.user_id
+)
+SELECT agg.user_id, agg.n_moves, agg.path_sq, ends.net_sq
+FROM agg JOIN ends ON agg.user_id = ends.user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5686,4 +5750,5 @@ def registry():
         "q_group_regression": (q_group_regression, Q_GROUP_REGRESSION_SQL),
         "q_mode": (q_mode, Q_MODE_SQL),
         "q_item_pairs": (q_item_pairs, Q_ITEM_PAIRS_SQL),
+        "q_trajectory": (q_trajectory, Q_TRAJECTORY_SQL),
     }
