@@ -446,7 +446,7 @@ def triangles(edges_ds, src_col: str = "u", dst_col: str = "v",
 
 def bfs_hops(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
              seed_col: str = "node", max_hops: int = 4,
-             num_buckets: int = 16):
+             num_buckets: int = 16, broadcast_cap: int = 2_000_000):
     """Multi-source BFS: exact shortest hop count (<= max_hops) from
     any seed, over an undirected edge list. Pure shuffle engine — the
     frontier and distance tables are Datasets end-to-end, each round
@@ -490,12 +490,23 @@ def bfs_hops(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
     for r in range(max_hops):
         frontier = dist.map_batches(
             lambda t, r=r: t.filter(_pc.equal(t["hop"], r)),
-            batch_format="pyarrow")
-        if frontier.count() == 0:
+            batch_format="pyarrow").materialize()
+        n_front = frontier.count()
+        if n_front == 0:
             break
-        hit = bucketed_join(e, frontier.select_columns(["node"]),
-                            on="u", right_on="node", how="semi",
-                            num_buckets=num_buckets)
+        if n_front <= broadcast_cap:
+            # keys-only frontier fits a broadcast: ONE streaming
+            # filter pass over the edges replaces the grace
+            # semi-join's spill+probe jobs (same two-engine policy as
+            # connected_components; the cap bounds driver memory)
+            from osmray.joins import broadcast_filter
+
+            keys = frontier.to_pandas()["node"].to_numpy()
+            hit = broadcast_filter(e, "u", np.unique(keys))
+        else:
+            hit = bucketed_join(e, frontier.select_columns(["node"]),
+                                on="u", right_on="node", how="semi",
+                                num_buckets=num_buckets)
         nxt = hit.map_batches(as_dist(r + 1), batch_format="pyarrow")
         dist = (dist.union(nxt).groupby("node")
                 .aggregate(Min("hop", alias_name="hop")).materialize())
