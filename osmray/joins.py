@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 from osmray.stages import hash64
 
@@ -168,8 +169,12 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
                   prebuilt: bool = False, how: str = "inner"):
     """Explicit partitioned (grace) hash join on int64 keys —
     ``how="inner"`` (default), ``"left"`` (unmatched probe rows kept
-    with nulls in every build-side column), ``"semi"`` / ``"anti"``
-    (probe rows with / without a match, probe columns only, no row
+    with nulls in every build-side column), ``"full"`` (additionally
+    keeps unmatched BUILD rows with nulls in every probe column —
+    sentinel probe rows guarantee every build bucket gets a merge
+    group, and per-bucket hit-range marking finds the unmatched build
+    rows without a second pass), ``"semi"`` / ``"anti"`` (probe rows
+    with / without a match, probe columns only, no row
     multiplication).
 
     The BUILD side (``right``) never enters a Ray shuffle: each
@@ -231,9 +236,15 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     # materialize the build-side spill (barrier, like any hash-join
     # build); batch_size=None = one batch per block, so the spill
     # writes ≤ num_buckets files per BLOCK, not per 1024-row batch
+    bs = right.schema(fetch_if_missing=True).base_schema
+    if not isinstance(bs, pa.Schema):
+        # pandas-backed inputs report a PandasBlockSchema; a
+        # zero-copy arrow pass-through normalizes it
+        right = right.map_batches(lambda t: t, batch_format="pyarrow")
+        bs = right.schema(fetch_if_missing=True).base_schema
     if not prebuilt:
         right.map_batches(spill_blocks, batch_format="pyarrow", batch_size=None).count()
-    r_schema = pa.schema([f for f in right.schema().base_schema])
+    r_schema = pa.schema([f for f in bs])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = bucket_of(batch[on].to_numpy(zero_copy_only=False))
@@ -247,12 +258,14 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     def merge(g: pa.Table) -> pa.Table:
         bucket = int(g["__bucket"][0].as_py())
         g = g.drop_columns(["__bucket"])
+        if how == "full":
+            g = g.filter(_pc.invert(g["__sent"])).drop_columns(["__sent"])
         files = sorted(_glob.glob(os.path.join(spill, f"bucket={bucket}", "block-*.parquet")))
         out_fields = [(f.name, f.type) for f in g.schema] + [
             (rename[f.name], f.type) for f in r_schema
         ]
         if not files:
-            if how == "left":
+            if how in ("left", "full"):
                 cols = {n: g[n] for n in g.schema.names}
                 for f in r_schema:
                     cols[rename[f.name]] = pa.nulls(len(g), type=f.type)
@@ -282,25 +295,62 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
             return g.filter(pa.array(keep))
         # left join: unmatched probe rows survive once, their build
         # row index masked null — Table.take(null) emits a null row
-        cnt_eff = np.maximum(cnt, 1) if how == "left" else cnt
+        cnt_eff = np.maximum(cnt, 1) if how in ("left", "full") else cnt
         total = int(cnt_eff.sum())
         li = np.repeat(np.arange(len(lk)), cnt_eff)
         offsets = np.concatenate(([0], np.cumsum(cnt_eff)))
         within = np.arange(total) - np.repeat(offsets[:-1], cnt_eff)
         lt = g.take(pa.array(li))
-        if how == "left":
+        if how in ("left", "full"):
             matched = np.repeat(cnt > 0, cnt_eff)
-            idx = np.minimum(np.repeat(lo, cnt_eff) + within, len(rks) - 1)
+            idx = np.minimum(np.repeat(lo, cnt_eff) + within, max(len(rks) - 1, 0))
             rt = r.take(pa.array(order[idx], mask=~matched))
         else:
             rt = r.take(pa.array(order[np.repeat(lo, cnt) + within]))
         cols = {n: lt[n] for n in lt.schema.names}
         for n in rt.schema.names:
             cols[rename[n]] = rt[n]
-        return pa.table(cols)
+        out = pa.table(cols)
+        if how == "full":
+            # unmatched build rows: mark every sorted build position
+            # covered by some probe's [lo, hi) range, take the rest
+            hitd = np.zeros(len(rks) + 1, dtype=np.int64)
+            m = cnt > 0
+            np.add.at(hitd, lo[m], 1)
+            np.add.at(hitd, hi[m], -1)
+            unhit = np.cumsum(hitd[:-1]) == 0
+            if unhit.any():
+                ru = r.take(pa.array(order[unhit]))
+                ucols = {n: pa.nulls(len(ru), type=g.schema.field(n).type)
+                         for n in g.schema.names}
+                for n in ru.schema.names:
+                    ucols[rename[n]] = ru[n]
+                out = pa.concat_tables([out, pa.table(ucols)],
+                                       promote_options="permissive")
+        return out
 
+    probe = left.map_batches(add_bucket, batch_format="pyarrow")
+    if how == "full":
+        import ray.data as _rd
+
+        def tag_real(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__sent", pa.array(np.zeros(len(batch), dtype=bool)))
+
+        # post-add_bucket blocks are arrow, so base_schema is a
+        # pyarrow schema even for pandas-backed inputs
+        pschema = probe.schema(fetch_if_missing=True).base_schema
+        sent_cols = {
+            f.name: (pa.array(np.arange(num_buckets, dtype=np.int64))
+                     if f.name == "__bucket"
+                     else pa.nulls(num_buckets, type=f.type))
+            for f in pschema}
+        sent_cols["__sent"] = pa.array(np.ones(num_buckets, dtype=bool))
+        sentinels = _rd.from_arrow(pa.table(sent_cols))
+        probe = probe.map_batches(tag_real, batch_format="pyarrow").union(
+            sentinels)
     return (
-        left.map_batches(add_bucket, batch_format="pyarrow")
+        probe
         .groupby("__bucket")
         .map_groups(merge, batch_format="pyarrow")
     )

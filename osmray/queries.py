@@ -5644,6 +5644,74 @@ FROM agg JOIN ends ON agg.user_id = ends.user_id
 """
 
 
+def q_full_join(sf_dir: str):
+    """FULL OUTER grace join (joins.bucketed_join how='full'):
+    unmatched probe rows carry null build columns AND unmatched build
+    rows carry null probe columns — per-bucket hit-range marking
+    finds the latter with no extra pass, and sentinel probe rows
+    guarantee buckets that only the build side populates still merge.
+    Nulls are coalesced to -1 for the hash compare, as in
+    q_left_join."""
+    from osmray.joins import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def lproj(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = k % 3 == 0
+        return pa.table({
+            "o_orderkey": pa.array(k[sel]),
+            "o_custkey": pa.array(batch["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[sel])})
+
+    left = orders.map_batches(lproj, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rproj(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (k * 2654435761) % 4 == 0
+        bal = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": pa.array(k[sel]),
+                         "bal_cents": pa.array(bal[sel])})
+
+    right = cust.map_batches(rproj, batch_format="pyarrow")
+    out = bucketed_join(left, right, on="o_custkey", right_on="c_custkey",
+                        how="full")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "okey": pa.array(pc.fill_null(batch["o_orderkey"], -1)
+                             .to_numpy(zero_copy_only=False).astype(np.int64)),
+            "lkey": pa.array(pc.fill_null(batch["o_custkey"], -1)
+                             .to_numpy(zero_copy_only=False).astype(np.int64)),
+            "rkey": pa.array(pc.fill_null(batch["c_custkey"], -1)
+                             .to_numpy(zero_copy_only=False).astype(np.int64)),
+            "bal_cents": pa.array(pc.fill_null(batch["bal_cents"], -1)
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64))})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q_FULL_JOIN_SQL = """
+WITH l AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+),
+r AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer WHERE (c_custkey * 2654435761) % 4 = 0
+)
+SELECT COALESCE(l.o_orderkey, -1) AS okey,
+       COALESCE(l.o_custkey, -1) AS lkey,
+       COALESCE(r.c_custkey, -1) AS rkey,
+       COALESCE(r.bal, -1) AS bal_cents
+FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5751,4 +5819,5 @@ def registry():
         "q_mode": (q_mode, Q_MODE_SQL),
         "q_item_pairs": (q_item_pairs, Q_ITEM_PAIRS_SQL),
         "q_trajectory": (q_trajectory, Q_TRAJECTORY_SQL),
+        "q_full_join": (q_full_join, Q_FULL_JOIN_SQL),
     }

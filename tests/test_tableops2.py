@@ -141,3 +141,30 @@ def test_cooccur_pairs_vs_duckdb(ray_session):
         FROM d a JOIN d b ON a.k=b.k AND a.i < b.i
         GROUP BY 1,2 HAVING count(*) >= 3""").df()
     pd.testing.assert_frame_equal(outs[0], _sorted(want), check_dtype=False)
+
+
+def test_full_outer_grace_join_vs_duckdb(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    rng = np.random.default_rng(53)
+    l = pd.DataFrame({"k": rng.integers(0, 60, 500).astype(np.int64),
+                      "lv": np.arange(500, dtype=np.int64)})
+    r = pd.DataFrame({"k2": rng.integers(30, 90, 400).astype(np.int64),
+                      "rv": np.arange(400, dtype=np.int64)})
+    out = bucketed_join(ray.data.from_pandas(l).repartition(4),
+                        ray.data.from_pandas(r).repartition(3),
+                        on="k", right_on="k2", how="full", num_buckets=7)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({c: pc.fill_null(t[c], -1) for c in t.schema.names})
+
+    got = _sorted(out.map_batches(fill, batch_format="pyarrow").to_pandas())
+    want = duckdb.sql("""
+        SELECT COALESCE(l.k,-1) k, COALESCE(l.lv,-1) lv,
+               COALESCE(r.k2,-1) k2, COALESCE(r.rv,-1) rv
+        FROM l FULL OUTER JOIN r ON l.k = r.k2""").df()
+    pd.testing.assert_frame_equal(got, _sorted(want), check_dtype=False)
