@@ -5712,6 +5712,85 @@ FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
 """
 
 
+def q_json_extract(sf_dir: str):
+    """JSON field extraction + aggregate: parse the events.props JSON
+    column, pull the integer ``k`` field, and fold per-event_type
+    stats of it (vectorized batch parse; the scalar-library JSON op
+    the reference's config loaders imply). DuckDB twin uses native
+    json_extract."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ks = np.array([int(json.loads(p)["k"])
+                       for p in batch["props"].to_pylist()], dtype=np.int64)
+        u, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "k_sum": pa.array(np.bincount(inv, weights=ks,
+                                          minlength=len(u))
+                              .astype(np.int64)),
+            "k_sq_sum": pa.array(np.bincount(inv, weights=ks * ks,
+                                             minlength=len(u))
+                                 .astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("k_sum", alias_name="k_sum"),
+                       Sum("k_sq_sum", alias_name="k_sq_sum")))
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)
+                * CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sq_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long melt): the per-part (size, retail cents)
+    attribute pair becomes (p_partkey, attr, val) rows — a pure
+    map-side reshape, no shuffle at all."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rp = np.floor(batch["p_retailprice"].to_numpy(zero_copy_only=False)
+                      * 100 + 0.5).astype(np.int64)
+        n = len(k)
+        return pa.table({
+            "p_partkey": pa.array(np.concatenate((k, k))),
+            "attr": pa.array(["size"] * n + ["retail_cents"] * n),
+            "val": pa.array(np.concatenate((sz, rp)))})
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+Q_UNPIVOT_SQL = """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS val
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'retail_cents' AS attr,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS val
+  FROM part
+)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5820,4 +5899,6 @@ def registry():
         "q_item_pairs": (q_item_pairs, Q_ITEM_PAIRS_SQL),
         "q_trajectory": (q_trajectory, Q_TRAJECTORY_SQL),
         "q_full_join": (q_full_join, Q_FULL_JOIN_SQL),
+        "q_json_extract": (q_json_extract, Q_JSON_EXTRACT_SQL),
+        "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
     }
