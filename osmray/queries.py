@@ -5791,6 +5791,79 @@ SELECT p_partkey, attr, val FROM (
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """End-to-end near-dup clustering — the canonicalization step of
+    a corpus dedup pipeline: exact Jaccard>=1/2 trigram pairs
+    (simjoin.jaccard_join, prefix-filtered) feed connected components
+    (graph.connected_components), and every clustered doc maps to its
+    component's minimum doc_id as the canonical survivor. The SQL
+    twin recomputes the pairs brute-force and closes them with a
+    recursive CTE."""
+    from osmray.graph import connected_components
+    from osmray.simjoin import jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = max(1, ds.count() // 700)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % m == 0
+        ids = ids[sel]
+        texts = [t for t, s in zip(batch["text"].to_pylist(), sel) if s]
+        out = []
+        for t in texts:
+            ws = _WORD_RE.findall(t.lower())
+            out.append(sorted({f"{ws[i]}_{ws[i + 1]}_{ws[i + 2]}"
+                               for i in range(len(ws) - 2)}))
+        return pa.table({"doc_id": pa.array(ids),
+                         "toks": pa.array(out, pa.list_(pa.string()))})
+
+    pairs = jaccard_join(ds.map_batches(toks, batch_format="pyarrow"),
+                         "doc_id", "toks", t_num=1, t_den=2)
+    comps = connected_components(
+        pairs.map_batches(
+            lambda t: t.select(["a", "b"]).rename_columns(["u", "v"]),
+            batch_format="pyarrow"))
+    return comps.map_batches(
+        lambda t: t.rename_columns(["doc_id", "canon"]),
+        batch_format="pyarrow")
+
+
+Q_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT greatest(1, count(*) // 700) FROM documents) = 0
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM d
+),
+big AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2]
+                        FOR i IN range(1, len(ws) - 1)]) AS toks
+  FROM w
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM big WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.toks, b.toks))
+        >= a.n + b.n - len(list_intersect(a.toks, b.toks))
+),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+r(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.node WHERE r.lbl < e.v
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS canon
+FROM r GROUP BY node
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5901,4 +5974,5 @@ def registry():
         "q_full_join": (q_full_join, Q_FULL_JOIN_SQL),
         "q_json_extract": (q_json_extract, Q_JSON_EXTRACT_SQL),
         "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
+        "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     }
