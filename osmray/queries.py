@@ -5336,19 +5336,35 @@ def q_focal_stats(sf_dir: str):
     count + sum per receiving cell (contribution scatter is additive,
     so block partials sum exactly; no wrap at grid borders on either
     side)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
-    def scatter(batch: pa.Table) -> pa.Table:
+    def per_cell(batch: pa.Table) -> pa.Table:
         p = _li_points(batch)
         cx = (p["m1"] >> 18).astype(np.int64)
         cy = (p["m2"] >> 18).astype(np.int64)
         v = (p["pid"] % 1000).astype(np.int64)
         key = cx * 4096 + cy
         u, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        s = np.bincount(inv, weights=v, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "cell0": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=v, minlength=len(u))
+                          .astype(np.int64))})
+
+    from osmray.tableops import sorted_fold_sums
+
+    # block partials scatter directly (9 x per-block distinct cells)
+    # and ONE sorted-scan fold sums them: fewest Ray jobs (the
+    # scatter is additive, so partial-then-fold is exact; Ray's
+    # generic aggregate at 66k groups measured 14.8s, two-stage
+    # folds 8s, this single fold ~5s at sf0.1)
+    cells_tot = ds.map_batches(per_cell, batch_format="pyarrow")
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        u = batch["cell0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
         ucx, ucy = u // 4096, u % 4096
         outs = []
         for dx in (-1, 0, 1):
@@ -5361,10 +5377,10 @@ def q_focal_stats(sf_dir: str):
             "cell", pa.array(t["cx"].to_numpy(zero_copy_only=False) * 8192
                              + t["cy"].to_numpy(zero_copy_only=False) + 4096))
 
-    folded = (ds.map_batches(scatter, batch_format="pyarrow")
-              .groupby("cell")
-              .aggregate(Sum("focal_n", alias_name="focal_n"),
-                         Sum("focal_sum", alias_name="focal_sum")))
+    folded = sorted_fold_sums(
+        cells_tot.map_batches(scatter, batch_format="pyarrow")
+                 .select_columns(["cell", "focal_n", "focal_sum"]),
+        "cell", ["focal_n", "focal_sum"])
 
     def unpack(batch: pa.Table) -> pa.Table:
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -595,50 +595,69 @@ def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
 
     # pair-count fold: Ray's generic aggregate pays per-GROUP Python
     # overhead — ruinous at ~1 distinct pair per row (measured 37 s
-    # for 1.2M pairs at sf0.1). The sorted-scan fold is the house
-    # pattern: sort by pk, per-block vectorized unique+bincount,
-    # interior runs final, block-edge runs into an O(#blocks) fix-up.
-    paired = direct.union(fixup).sort("pk")
-
-    def fold(batch: pa.Table) -> pa.Table:
-        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(pk) == 0:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64()),
-                             "edge2": pa.array([], pa.bool_())})
-        u, inv = np.unique(pk, return_inverse=True)
-        s = np.bincount(inv, weights=c, minlength=len(u)).astype(np.int64)
-        edge2 = np.zeros(len(u), dtype=bool)
-        edge2[0] = True
-        edge2[-1] = True
-        return pa.table({"pk": pa.array(u), "n": pa.array(s),
-                         "edge2": pa.array(edge2)})
-
-    folded = paired.map_batches(fold, batch_format="pyarrow",
-                                batch_size=None).materialize()
+    # for 1.2M pairs at sf0.1); the sorted-scan fold does it
+    # vectorized (see sorted_fold_sums below).
+    counts = sorted_fold_sums(direct.union(fixup), "pk", ["c"])
 
     def emit(batch: pa.Table) -> pa.Table:
         pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nn = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = nn >= min_count
         return pa.table({"a": pa.array(pk[keep] >> 32),
                          "b": pa.array(pk[keep] & 0xFFFFFFFF),
                          "n": pa.array(nn[keep])})
 
+    return counts.map_batches(emit, batch_format="pyarrow")
+
+
+def sorted_fold_sums(ds, key_col: str, val_cols: list[str]):
+    """Keyed integer-sum fold for HIGH-CARDINALITY keys: Ray's
+    generic aggregate pays per-GROUP overhead, ruinous when groups
+    approach row count. This is the vectorized alternative: sort by
+    key, per-block np.unique + bincount partials (interior keys are
+    final — a key spanning blocks is necessarily the first/last
+    distinct key of each), and the two edge keys per block fold in an
+    O(#blocks)-group fix-up. Emits (key_col, *val_cols) summed."""
+    import pyarrow.compute as _pc
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:
+            cols = {key_col: pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in val_cols}}
+            cols["__edge"] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        u, inv = np.unique(k, return_inverse=True)
+        cols = {key_col: pa.array(u)}
+        for c in val_cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[c] = pa.array(
+                np.bincount(inv, weights=v, minlength=len(u))
+                .astype(np.int64))
+        edge = np.zeros(len(u), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        cols["__edge"] = pa.array(edge)
+        return pa.table(cols)
+
+    folded = ds.sort(key_col).map_batches(
+        fold, batch_format="pyarrow", batch_size=None).materialize()
+
     interior = folded.map_batches(
-        lambda t: emit(t.filter(_pc.invert(t["edge2"]))),
+        lambda t: t.filter(_pc.invert(t["__edge"])).drop_columns(["__edge"]),
         batch_format="pyarrow")
 
-    def fix2(g: pa.Table) -> pa.Table:
-        return emit(pa.table({
-            "pk": g["pk"].slice(0, 1),
-            "n": pa.array([int(np.sum(
-                g["n"].to_numpy(zero_copy_only=False)))], pa.int64())}))
+    def fix(g: pa.Table) -> pa.Table:
+        cols = {key_col: g[key_col].slice(0, 1)}
+        for c in val_cols:
+            cols[c] = pa.array(
+                [int(np.sum(g[c].to_numpy(zero_copy_only=False)))],
+                pa.int64())
+        return pa.table(cols)
 
     boundary = (folded.map_batches(
-        lambda t: t.filter(t["edge2"]).select(["pk", "n"]),
+        lambda t: t.filter(t["__edge"]).drop_columns(["__edge"]),
         batch_format="pyarrow")
-        .groupby("pk").map_groups(fix2, batch_format="pyarrow"))
+        .groupby(key_col).map_groups(fix, batch_format="pyarrow"))
 
     return interior.union(boundary)
