@@ -810,6 +810,7 @@ def distance_join(points, features, radius: int, cell_shift: int = 10,
 def knn_join(points, features, k: int = 3, radius0: int = 256,
              max_rounds: int = 8, cell_shift: int = 10,
              num_buckets: int = 64, spill_root: str | None = None,
+             broadcast_cap: int = 2_000_000,
              point_cols: tuple = ("qid", "px", "py"),
              feat_cols: tuple = ("fid", "fx", "fy")):
     """EXACT k-nearest-neighbors JOIN with an UNBOUNDED feature side —
@@ -862,19 +863,35 @@ def knn_join(points, features, k: int = 3, radius0: int = 256,
 
         finished = full.map_batches(full_only, batch_format="pyarrow").materialize()
         last = rnd == max_rounds - 1
-        done_rows = (
-            topk if last else bucketed_filter(
+        # the finished set is qid keys only; when it fits the
+        # broadcast cap (two-engine policy, as in graph.bfs_hops) one
+        # ray.put'd array replaces BOTH grace filters' spill+probe
+        # jobs — above the cap the keyed path keeps driver state at
+        # zero
+        n_fin = finished.count()
+        use_bcast = not last and n_fin <= broadcast_cap
+        fin_keys = (np.sort(finished.to_pandas()[qid_c].to_numpy())
+                    if use_bcast else None)
+        if last:
+            done_rows = topk
+        elif use_bcast:
+            done_rows = broadcast_filter(topk, qid_c, fin_keys)
+        else:
+            done_rows = bucketed_filter(
                 topk, finished, on=qid_c, num_buckets=num_buckets,
                 spill_root=None if spill_root is None else f"{spill_root}/semi{rnd}")
-        )
         results.append(done_rows.map_batches(
             lambda t: t.drop_columns(["neg_d2", "rank"]), batch_format="pyarrow"))
         if last:
             break
-        remaining = bucketed_filter(
-            remaining, finished, on=qid_c, anti=True, num_buckets=num_buckets,
-            spill_root=None if spill_root is None else f"{spill_root}/anti{rnd}",
-        ).materialize()
+        if use_bcast:
+            remaining = broadcast_filter(
+                remaining, qid_c, fin_keys, anti=True).materialize()
+        else:
+            remaining = bucketed_filter(
+                remaining, finished, on=qid_c, anti=True, num_buckets=num_buckets,
+                spill_root=None if spill_root is None else f"{spill_root}/anti{rnd}",
+            ).materialize()
         r *= 2
     out = results[0]
     for d in results[1:]:
