@@ -5880,6 +5880,84 @@ FROM r GROUP BY node
 """
 
 
+def q_idw(sf_dir: str):
+    """Inverse-distance-weighted spatial interpolation at query
+    points — raster-from-scattered-samples, composed from the PBSM
+    distance join + one keyed integer fold: weight = R^2 // (1 + d^2)
+    (integer, so the interpolated numerator/denominator sums are
+    hash-exact; the caller divides at the edge). Points with no
+    sample inside R are absent on both sides."""
+    from osmray.joins import distance_join
+    from osmray.tableops import sorted_fold_sums
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 23 == 0
+        return pa.table({"qid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 10),
+                         "py": pa.array(p["m2"][sel] >> 10)})
+
+    def feats(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"fid": pa.array(k),
+                         "fx": pa.array(512 + (k * 104723) % 64512),
+                         "fy": pa.array(512 + (k * 99989) % 64512),
+                         "fv": pa.array((k * 37) % 5000)})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    features = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        feats, batch_format="pyarrow")
+    R = 800
+    pairs = distance_join(points, features, radius=R, cell_shift=10,
+                          feat_cols=("fid", "fx", "fy"))
+
+    # distance_join returns (qid, fid, d2); re-derive fv from fid (a
+    # pure function here; a payload-carrying variant would ride the
+    # spill like pip_cell_join's vertices)
+    def weigh(batch: pa.Table) -> pa.Table:
+        fid = batch["fid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = batch["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (R * R) // (1 + d2)
+        fv = (fid * 37) % 5000
+        return pa.table({"qid": batch["qid"],
+                         "w_sum": pa.array(w),
+                         "wv_sum": pa.array(w * fv),
+                         "n_samples": pa.array(np.ones(len(w), np.int64))})
+
+    return sorted_fold_sums(pairs.map_batches(weigh, batch_format="pyarrow"),
+                            "qid", ["w_sum", "wv_sum", "n_samples"])
+
+
+Q_IDW_SQL = f"""
+WITH p AS ({_LI_SQL}),
+pts AS (
+  SELECT pid AS qid, m1 // 1024 AS px, m2 // 1024 AS py FROM p
+  WHERE pid % 23 = 0
+),
+f AS (
+  SELECT p_partkey AS fid,
+         512 + (p_partkey * 104723) % 64512 AS fx,
+         512 + (p_partkey * 99989) % 64512 AS fy,
+         (p_partkey * 37) % 5000 AS fv
+  FROM part
+),
+j AS (
+  SELECT qid,
+         640000 // (1 + (px - fx) * (px - fx) + (py - fy) * (py - fy))
+           AS w,
+         fv
+  FROM pts, f
+  WHERE (px - fx) * (px - fx) + (py - fy) * (py - fy) <= 640000
+)
+SELECT qid, CAST(sum(w) AS BIGINT) AS w_sum,
+       CAST(sum(w * fv) AS BIGINT) AS wv_sum,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM j GROUP BY qid
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -5991,4 +6069,5 @@ def registry():
         "q_json_extract": (q_json_extract, Q_JSON_EXTRACT_SQL),
         "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
         "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+        "q_idw": (q_idw, Q_IDW_SQL),
     }
