@@ -5958,6 +5958,165 @@ FROM j GROUP BY qid
 """
 
 
+def q_cum_users(sf_dir: str):
+    """Exact cumulative distinct users by day — the streaming
+    cardinality curve: distinct-by-min (keyed min fold gives each
+    user's first day), per-day new-user counts, then the distributed
+    prefix scan (per-block sums -> O(#blocks) driver offsets ->
+    local cumsum) for the running total. No window shuffle, no
+    driver-resident user set."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({"user_id": batch["user_id"],
+                         "d": pa.array(d.astype(np.int64))})
+
+    first = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("d", alias_name="d")))
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "new_users": pa.array(c.astype(np.int64))})
+
+    per_day = (first.map_batches(cnt, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("new_users",
+                                             alias_name="new_users"))
+               .sort("day").materialize())
+
+    # distributed prefix scan over the (bounded, time-span-sized)
+    # day table: one block-sum row per block to the driver
+    blocks = per_day.map_batches(
+        lambda t: pa.table({
+            "d0": pa.array([int(t["day"][0].as_py())
+                            if len(t) else 1 << 62], pa.int64()),
+            "s": pa.array([int(np.sum(t["new_users"].to_numpy(
+                zero_copy_only=False)))], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    blocks = blocks.sort_values("d0").reset_index(drop=True)
+    offs = dict(zip(blocks["d0"],
+                    np.concatenate(([0], np.cumsum(blocks["s"])[:-1]))))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "new_users": pa.array([], pa.int64()),
+                             "cum_users": pa.array([], pa.int64())})
+        n = batch["new_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[int(batch["day"][0].as_py())]
+        return pa.table({"day": batch["day"].cast(pa.int64()),
+                         "new_users": pa.array(n),
+                         "cum_users": pa.array(base + np.cumsum(n))})
+
+    return per_day.map_batches(scan, batch_format="pyarrow",
+                               batch_size=None)
+
+
+Q_CUM_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+  FROM events GROUP BY user_id
+),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY d)
+SELECT CAST(d AS BIGINT) AS day, n AS new_users,
+       CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM c
+"""
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention triangle: users bucket into their first-day
+    cohort, every (user, active day) pair counts once, and the keyed
+    fold yields (cohort_day, day_offset, n_users). Two bounded
+    shuffles (distinct activity via per-block dedup + keyed min for
+    the cohort), then a grace join of activity against cohorts —
+    user rows never collect on the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    from osmray.joins import bucketed_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = u * 65536 + (d - 19000)
+        uk = np.unique(key)
+        return pa.table({"user_id": pa.array(uk // 65536),
+                         "d": pa.array(uk % 65536 + 19000)})
+
+    raw = ds.map_batches(prep, batch_format="pyarrow")
+    # exact global distinct of (user, day): block-local dedup in prep
+    # bounds rows, the sorted fold finishes it (cross-block
+    # duplicates of the same activity day must collapse BEFORE the
+    # retention count or they overcount)
+    from osmray.tableops import sorted_fold_sums
+
+    def pack(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"uk": pa.array(u * 65536 + (d - 19000)),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        uk = batch["uk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(uk // 65536),
+                         "d": pa.array(uk % 65536 + 19000)})
+
+    acts = sorted_fold_sums(
+        raw.map_batches(pack, batch_format="pyarrow"), "uk", ["one"]
+    ).map_batches(unpack, batch_format="pyarrow").materialize()
+    cohort = acts.groupby("user_id").aggregate(Min("d", alias_name="d0"))
+
+    j = bucketed_join(acts, cohort, on="user_id", right_on="user_id",
+                      num_buckets=16)
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d0 = batch["d0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = d0 * 65536 + (d - d0)
+        # activity rows are globally distinct already, so a plain
+        # per-block count partial is exact
+        del u
+        u2, inv2 = np.unique(key, return_inverse=True)
+        c = np.bincount(inv2, minlength=len(u2)).astype(np.int64)
+        return pa.table({"k": pa.array(u2.astype(np.int64)),
+                         "n_users": pa.array(c)})
+
+    folded = (j.map_batches(offsets, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("n_users",
+                                          alias_name="n_users")))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cohort_day": pa.array(k // 65536),
+                         "day_offset": pa.array(k % 65536),
+                         "n_users": batch["n_users"].cast(pa.int64())})
+
+    return folded.map_batches(emit, batch_format="pyarrow")
+
+
+Q_RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+),
+c AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+SELECT CAST(c.d0 AS BIGINT) AS cohort_day,
+       CAST(a.d - c.d0 AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY c.d0, a.d - c.d0
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6070,4 +6229,6 @@ def registry():
         "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
         "q_dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
         "q_idw": (q_idw, Q_IDW_SQL),
+        "q_cum_users": (q_cum_users, Q_CUM_USERS_SQL),
+        "q_retention": (q_retention, Q_RETENTION_SQL),
     }
