@@ -869,6 +869,10 @@ def knn_join(points, features, k: int = 3, radius0: int = 256,
         # jobs — above the cap the keyed path keeps driver state at
         # zero
         n_fin = finished.count()
+        if not last and n_fin == 0:
+            # nobody finished this round: nothing to emit or filter
+            r *= 2
+            continue
         use_bcast = not last and n_fin <= broadcast_cap
         fin_keys = (np.sort(finished.to_pandas()[qid_c].to_numpy())
                     if use_bcast else None)
