@@ -682,6 +682,53 @@ def _bfs(p: dict) -> Stage:
     return s
 
 
+
+
+def _grace_join(p: dict) -> Stage:
+    """{"op": "grace_join", "right_path": glob, "on": col,
+    "right_on": col?, "how": "inner|left|full|semi|anti",
+    "num_buckets": 64?}"""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    def s(ds):
+        right = ray.data.read_parquet(
+            sorted(_g.glob(p["right_path"])), columns=p.get("right_columns"))
+        return bucketed_join(ds, right, on=p["on"],
+                             right_on=p.get("right_on"),
+                             how=p.get("how", "inner"),
+                             num_buckets=int(p.get("num_buckets", 64)))
+
+    return s
+
+
+def _cooccur(p: dict) -> Stage:
+    """{"op": "cooccur_pairs", "key": col, "item": col,
+    "min_count": 2?}"""
+    from osmray.tableops import cooccur_pairs
+
+    return lambda ds: cooccur_pairs(ds, p["key"], p["item"],
+                                    min_count=int(p.get("min_count", 2)))
+
+
+def _focal(p: dict) -> Stage:
+    """{"op": "keyed_sum", "key": col, "vals": [cols]} — the
+    high-cardinality sorted-scan fold."""
+    from osmray.tableops import sorted_fold_sums
+
+    return lambda ds: sorted_fold_sums(ds, p["key"], list(p["vals"]))
+
+
+STAGES.update({
+    "grace_join": _grace_join,
+    "cooccur_pairs": _cooccur,
+    "keyed_sum": _focal,
+})
+
+
 STAGES.update({
     "ntile": _ntile,
     "range_window": _range_window,
