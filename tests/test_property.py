@@ -134,3 +134,50 @@ def test_popcount_matches_python(x):
     got = _popcount64(arr)
     want = [bin(v).count("1") for v in x]
     assert got.tolist() == want
+
+
+def _lev_dp(a: str, b: str) -> int:
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[-1] + 1,
+                           prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_ascii_st = st.text(alphabet=st.characters(min_codepoint=97,
+                                           max_codepoint=104),
+                    min_size=1, max_size=9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=_ascii_st, b=_ascii_st)
+def test_edit1_verify_matches_dp(a, b):
+    from osmray.simjoin import edit1_verify
+
+    got = bool(edit1_verify([a], [b])[0])
+    assert got == (_lev_dp(a, b) == 1)
+
+
+@settings(max_examples=80, deadline=None)
+@given(pts=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                    min_size=1, max_size=60))
+def test_hull_contains_all_points(pts):
+    from osmray.geom import hull_area2, monotone_chain_hull
+
+    xs = np.array([p[0] for p in pts], dtype=np.int64)
+    ys = np.array([p[1] for p in pts], dtype=np.int64)
+    ring = monotone_chain_hull(xs, ys)
+    if len(ring) < 3:
+        assert hull_area2(ring) == 0
+        return
+    m = len(ring)
+    for i in range(m):
+        ox, oy = ring[i]
+        ax, ay = ring[(i + 1) % m]
+        cr = (ax - ox) * (ys - oy) - (ay - oy) * (xs - ox)
+        assert (cr >= 0).all()
