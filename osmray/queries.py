@@ -6117,6 +6117,39 @@ GROUP BY c.d0, a.d - c.d0
 """
 
 
+def q_string_agg(sf_dir: str):
+    """Grouped ordered string aggregation (LISTAGG / collect_list):
+    per nation, its customer market segments concatenated in
+    (segment, custkey) order — the ordered-collect shape. Partial
+    lists CANNOT pre-aggregate (order is global), so a key's rows
+    co-locate through one groupby and each group joins its sorted
+    slice vectorized."""
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def agg(g: pa.Table) -> pa.Table:
+        k = g["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.asarray(g["c_mktsegment"].to_pylist(), dtype=object)
+        order = np.lexsort((k, seg))
+        return pa.table({
+            "c_nationkey": pa.array(
+                [int(g["c_nationkey"][0].as_py())], pa.int64()),
+            "segs": pa.array([",".join(seg[order].tolist())], pa.string()),
+            "n": pa.array([len(k)], pa.int64())})
+
+    return ds.groupby("c_nationkey").map_groups(agg, batch_format="pyarrow")
+
+
+Q_STRING_AGG_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey)
+         AS segs,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6231,4 +6264,5 @@ def registry():
         "q_idw": (q_idw, Q_IDW_SQL),
         "q_cum_users": (q_cum_users, Q_CUM_USERS_SQL),
         "q_retention": (q_retention, Q_RETENTION_SQL),
+        "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
     }
