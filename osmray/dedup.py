@@ -19,6 +19,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+
+from osmray.joins import spill_block_name
 import pyarrow as pa
 
 # ---------------------------------------------------------------------------
@@ -282,7 +284,6 @@ def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
     import logging
     import os
     import tempfile
-    import uuid
 
     import pyarrow.parquet as pq
     import ray.data
@@ -307,7 +308,7 @@ def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             d = os.path.join(spill, f"s={int(ss[lo])}")
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(d, f"{spill_block_name()}.parquet")
             pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
             os.replace(dst + ".tmp", dst)
             recs.append({"s": int(ss[lo]), "rows": hi - lo})
@@ -585,7 +586,6 @@ def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
     import glob
     import os
     import tempfile
-    import uuid
 
     import pyarrow.parquet as pq
     import ray.data
@@ -607,7 +607,7 @@ def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             d = os.path.join(spill, f"g={int(gs[lo])}")
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(d, f"{spill_block_name()}.parquet")
             pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
             os.replace(dst + ".tmp", dst)
             recs.append({"g": int(gs[lo]), "rows": hi - lo})
@@ -730,7 +730,6 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     import glob as _glob
     import os
     import tempfile
-    import uuid
 
     import pyarrow.parquet as pq
     import ray.data
@@ -780,7 +779,7 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             d = os.path.join(spill, f"s={int(ss[lo])}")
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(d, f"{spill_block_name()}.parquet")
             pq.write_table(t.slice(lo, hi - lo), dst + ".tmp")
             os.replace(dst + ".tmp", dst)
             recs.append({"s": int(ss[lo]), "rows": hi - lo})

@@ -23,6 +23,34 @@ import pyarrow.compute as _pc
 from osmray.stages import hash64
 
 
+_SPILL_STATE: dict = {}
+_FAULT_TRIGGER = "/tmp/osmray_fault_spill_trigger"
+
+
+def spill_block_name() -> str:
+    """Deterministic spill-file stem, stable across Ray task RETRIES:
+    keyed by the Ray task id plus a per-task call sequence (the seq
+    resets when a new task id enters this worker). A worker-death
+    retry re-executes the task with the SAME id on a fresh worker, so
+    it re-writes the SAME file names via os.replace — idempotent —
+    instead of duplicating build rows the way random names would.
+    (uuid4 names made every spill writer unsafe under the exact
+    failure the resilience suite injects.) Unique across tasks since
+    distinct tasks have distinct ids."""
+    import ray
+
+    try:
+        tid = ray.get_runtime_context().get_task_id() or "driver"
+    except Exception:
+        tid = "driver"
+    if _SPILL_STATE.get("tid") != tid:
+        _SPILL_STATE["tid"] = tid
+        _SPILL_STATE["seq"] = 0
+    else:
+        _SPILL_STATE["seq"] += 1
+    return f"block-{tid}-{_SPILL_STATE['seq']}"
+
+
 def _cleanup_at_exit(path: str) -> None:
     """Remove a spill directory when the driver exits (grace-join
     staging is transient; long sessions otherwise accumulate spills)."""
@@ -89,7 +117,6 @@ def bucketed_filter(left, right, on: str, right_on: str | None = None, anti: boo
     cluster (enforced: the node-local default refuses multi-node)."""
     import glob as _glob
     import os
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -112,7 +139,7 @@ def bucketed_filter(left, right, on: str, right_on: str | None = None, anti: boo
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             d = os.path.join(spill, f"bucket={int(b[lo])}")
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(d, f"{spill_block_name()}.parquet")
             pq.write_table(pa.table({right_on: pa.array(k[lo:hi])}), dst + ".tmp")
             os.replace(dst + ".tmp", dst)
             recs.append({"bucket": int(b[lo]), "rows": hi - lo})
@@ -206,7 +233,6 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     """
     import glob as _glob
     import os
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -227,10 +253,24 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             d = os.path.join(spill, f"bucket={int(bs[lo])}")
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, f"block-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(d, f"{spill_block_name()}.parquet")
             pq.write_table(batch.slice(lo, hi - lo), dst + ".tmp")
             os.replace(dst + ".tmp", dst)
             recs.append({"bucket": int(bs[lo]), "rows": hi - lo})
+            # fault-injection seam for the resilience suite: die
+            # mid-spill (AFTER files hit disk) exactly once, so the
+            # retry must overwrite — not duplicate — them. A trigger
+            # FILE (not env) because live Ray workers don't see
+            # driver env mutations; it names the once-marker path.
+            if os.path.exists(_FAULT_TRIGGER):
+                with open(_FAULT_TRIGGER) as fh:
+                    _marker = fh.read().strip()
+                try:
+                    fd = os.open(_marker, os.O_CREAT | os.O_EXCL)
+                    os.close(fd)
+                    os._exit(1)
+                except FileExistsError:
+                    pass
         return pa.Table.from_pylist(recs)
 
     # materialize the build-side spill (barrier, like any hash-join
