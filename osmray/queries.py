@@ -6150,6 +6150,75 @@ GROUP BY c_nationkey
 """
 
 
+def q_bearing_bins(sf_dir: str):
+    """Per-user compass histogram of trajectory steps: each ts-ordered
+    move bins into one of 8 sectors by PURE INTEGER sign/majority
+    tests (E when dx>0, |dx|>|dy| ...), so the histogram is hash-exact
+    with no atan2 on either side. Zero-length moves are dropped. One
+    keyed shuffle, vectorized per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bins(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        k = ii[order]
+        x = (k * 48271 + 7) % 1048573
+        y = (k * 69621 + 3) % 1048573
+        dx = np.diff(x)
+        dy = np.diff(y)
+        nz = (dx != 0) | (dy != 0)
+        dx, dy = dx[nz], dy[nz]
+        ax, ay = np.abs(dx), np.abs(dy)
+        # octant: 0=E 1=NE 2=N 3=NW 4=W 5=SW 6=S 7=SE (diagonal ties
+        # |dx| == |dy| fold into the diagonal sectors)
+        b = np.where(
+            ax > ay,
+            np.where(dx > 0, 0, 4),
+            np.where(
+                ay > ax,
+                np.where(dy > 0, 2, 6),
+                np.where(dy > 0, np.where(dx > 0, 1, 3),
+                         np.where(dx > 0, 7, 5)))).astype(np.int64)
+        cnt = np.bincount(b, minlength=8).astype(np.int64)
+        sector = np.flatnonzero(cnt)
+        return pa.table({
+            "user_id": pa.array(np.repeat(g["user_id"][0].as_py(),
+                                          len(sector)).astype(np.int64)),
+            "sector": pa.array(sector.astype(np.int64)),
+            "n": pa.array(cnt[sector])})
+
+    return ds.groupby("user_id").map_groups(bins, batch_format="pyarrow")
+
+
+Q_BEARING_BINS_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271 + 7) % 1048573 AS x,
+         (event_id * 69621 + 3) % 1048573 AS y
+  FROM events
+),
+d AS (
+  SELECT user_id, x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+    CASE
+      WHEN abs(dx) > abs(dy) THEN CASE WHEN dx > 0 THEN 0 ELSE 4 END
+      WHEN abs(dy) > abs(dx) THEN CASE WHEN dy > 0 THEN 2 ELSE 6 END
+      WHEN dy > 0 THEN CASE WHEN dx > 0 THEN 1 ELSE 3 END
+      ELSE CASE WHEN dx > 0 THEN 7 ELSE 5 END
+    END AS sector
+  FROM d WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+)
+SELECT user_id, CAST(sector AS BIGINT) AS sector,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sector
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6265,4 +6334,5 @@ def registry():
         "q_cum_users": (q_cum_users, Q_CUM_USERS_SQL),
         "q_retention": (q_retention, Q_RETENTION_SQL),
         "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
+        "q_bearing_bins": (q_bearing_bins, Q_BEARING_BINS_SQL),
     }
