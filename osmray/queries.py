@@ -6219,6 +6219,91 @@ FROM s GROUP BY user_id, sector
 """
 
 
+def q_percentile_cont(sf_dir: str):
+    """Interpolated percentiles (percentile_cont) as EXACT integer
+    rationals: pos = (n-1)*p/100, emitted as (p, lo_val, hi_val,
+    frac_num) with value = lo + (hi-lo)*frac_num/100 left to the
+    caller — no float leaves the engine, so the hash compare is
+    exact. Reuses the exact_order_stats distributed rank machinery
+    (one sort; O(#blocks) driver state) with both bracketing ranks
+    requested per percentile."""
+    from osmray.tableops import exact_order_stats
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"cents": pa.array(v)})
+
+    pcts = [10, 50, 90]
+    # label encoding: p*10 + (0=lo bracket, 1=hi bracket)
+    labels = [p * 10 + s for p in pcts for s in (0, 1)]
+
+    def rank_of(label: int, n: int) -> int:
+        p, side = label // 10, label % 10
+        lo = ((n - 1) * p) // 100 + 1
+        return lo if side == 0 else min(lo + 1, n)
+
+    stats = exact_order_stats(ds.map_batches(prep, batch_format="pyarrow"),
+                              "cents", labels, rank_fn=rank_of)
+
+    def assemble(g: pa.Table) -> pa.Table:
+        # g holds one percentile's lo/hi rows after the keyed regroup
+        lab = g["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = int(lab[0] // 10)
+        lo = int(val[lab % 10 == 0][0])
+        hi = int(val[lab % 10 == 1][0])
+        return pa.table({"p": pa.array([p], pa.int64()),
+                         "lo_val": pa.array([lo], pa.int64()),
+                         "hi_val": pa.array([hi], pa.int64()),
+                         "frac_num": pa.array([0], pa.int64())})
+
+    def regroup(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pp", pa.array(batch["p"].to_numpy(
+                zero_copy_only=False).astype(np.int64) // 10))
+
+    halves = stats.map_batches(regroup, batch_format="pyarrow")
+    out = halves.groupby("pp").map_groups(assemble, batch_format="pyarrow")
+
+    # frac_num is a pure function of (p, n): fill it in one pass
+    n_total = ds.count()
+
+    def fill_frac(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "p": pa.array(p),
+            "lo_val": batch["lo_val"].cast(pa.int64()),
+            "hi_val": batch["hi_val"].cast(pa.int64()),
+            "frac_num": pa.array(((n_total - 1) * p) % 100)})
+
+    return out.map_batches(fill_frac, batch_format="pyarrow")
+
+
+Q_PERCENTILE_CONT_SQL = """
+WITH t AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM t
+),
+ps AS (SELECT unnest([10, 50, 90]) AS p)
+SELECT CAST(ps.p AS BIGINT) AS p,
+       CAST(max(CASE WHEN rn = ((n - 1) * p) // 100 + 1
+                THEN cents END) AS BIGINT) AS lo_val,
+       CAST(max(CASE WHEN rn = least(((n - 1) * p) // 100 + 2, n)
+                THEN cents END) AS BIGINT) AS hi_val,
+       CAST(max(((n - 1) * p) % 100) AS BIGINT) AS frac_num
+FROM r, ps
+GROUP BY ps.p
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6335,4 +6420,5 @@ def registry():
         "q_retention": (q_retention, Q_RETENTION_SQL),
         "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
         "q_bearing_bins": (q_bearing_bins, Q_BEARING_BINS_SQL),
+        "q_percentile_cont": (q_percentile_cont, Q_PERCENTILE_CONT_SQL),
     }

@@ -336,7 +336,8 @@ def skyline2d(ds, id_col: str, x_col: str, y_col: str):
 
     return sds.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
-def exact_order_stats(ds, col: str, percents: list[int]):
+def exact_order_stats(ds, col: str, percents: list[int],
+                      rank_fn=None):
     """EXACT global order statistics (p-th percentile by rank
     ``r = max(1, n*p // 100)``) of an integer column — no sketch, no
     approximation: one distributed sort, a per-block (min, max, n)
@@ -370,7 +371,13 @@ def exact_order_stats(ds, col: str, percents: list[int]):
         .sort_values(["mn", "mx"])
     )
     n_total = int(stats["n"].sum())
-    ranks = {p: max(1, n_total * p // 100) for p in percents}
+    # rank_fn(label, n_total) -> 1-based rank; the default is the
+    # percentile-disc rank. percentile_cont-style callers pass their
+    # own labels + ranks (see queries.q_percentile_cont).
+    if rank_fn is None:
+        ranks = {p: max(1, n_total * p // 100) for p in percents}
+    else:
+        ranks = {p: rank_fn(p, n_total) for p in percents}
     offs = np.concatenate(([0], np.cumsum(stats["n"].to_numpy())[:-1]))
     # two blocks can only share (mn, mx, n) when they are all-tie
     # ranges (contiguity forces mn == mx); colliding blocks get the
