@@ -6304,6 +6304,65 @@ GROUP BY ps.p
 """
 
 
+def q_locf(sf_dir: str):
+    """Forward-fill (last observation carried forward) over the
+    per-user daily calendar: days with no events repeat the most
+    recent day's cents total (the imputation scan that pairs with
+    q_resample). Vectorized per group: bincount the observed days,
+    then one cummax of observation indices gathers the carried
+    values. The SQL twin uses last_value(...IGNORE NULLS)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def fill(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(g["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        d = tv // 86_400_000_000
+        b0, b1 = int(d.min()), int(d.max())
+        span = b1 - b0 + 1
+        sums = np.bincount(d - b0, weights=cents,
+                           minlength=span).astype(np.int64)
+        hit = np.bincount(d - b0, minlength=span) > 0
+        # index of the last observed day at or before each day
+        idx = np.maximum.accumulate(
+            np.where(hit, np.arange(span), -1))
+        days = np.arange(b0, b1 + 1, dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(np.repeat(g["user_id"][0].as_py(),
+                                          span).astype(np.int64)),
+            "day": pa.array(days),
+            "cents": pa.array(sums[idx]),
+            "carried": pa.array(~hit)})
+
+    return ds.groupby("user_id").map_groups(fill, batch_format="pyarrow")
+
+
+Q_LOCF_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (SELECT user_id, d, sum(cents) AS cents FROM t GROUP BY user_id, d),
+r AS (SELECT user_id, min(d) AS dmin, max(d) AS dmax FROM t
+      GROUP BY user_id),
+g AS (
+  SELECT r.user_id, gs.d
+  FROM r, LATERAL (SELECT unnest(generate_series(r.dmin, r.dmax)) AS d) gs
+),
+j AS (
+  SELECT g.user_id, g.d, s.cents, s.user_id IS NULL AS carried
+  FROM g LEFT JOIN s ON s.user_id = g.user_id AND s.d = g.d
+)
+SELECT user_id, CAST(d AS BIGINT) AS day,
+       CAST(last_value(cents IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY d) AS BIGINT) AS cents,
+       carried
+FROM j
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6421,4 +6480,5 @@ def registry():
         "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
         "q_bearing_bins": (q_bearing_bins, Q_BEARING_BINS_SQL),
         "q_percentile_cont": (q_percentile_cont, Q_PERCENTILE_CONT_SQL),
+        "q_locf": (q_locf, Q_LOCF_SQL),
     }
