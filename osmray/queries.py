@@ -6363,6 +6363,63 @@ FROM j
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact grouped WEIGHTED median: per returnflag, the smallest
+    cents value whose running quantity-weight reaches half the total
+    (lower weighted median — deterministic, integer). One keyed
+    shuffle, sort + cumsum per group; the SQL twin is the cumulative
+    window definition."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        w = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "cents": pa.array(v), "w": pa.array(w)})
+
+    def wmed(g: pa.Table) -> pa.Table:
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        cw = np.cumsum(w[order])
+        tot = int(cw[-1])
+        i = int(np.searchsorted(cw, (tot + 1) // 2))
+        return pa.table({
+            "l_returnflag": pa.array([g["l_returnflag"][0].as_py()],
+                                     pa.string()),
+            "wmedian_cents": pa.array([int(v[order][i])], pa.int64()),
+            "total_w": pa.array([tot], pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("l_returnflag").map_groups(wmed,
+                                                batch_format="pyarrow"))
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM t
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 2 * cw >= tot + (tot % 2)
+                THEN cents END) AS BIGINT) AS wmedian_cents,
+       CAST(max(tot) AS BIGINT) AS total_w
+FROM c GROUP BY l_returnflag
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6481,4 +6538,5 @@ def registry():
         "q_bearing_bins": (q_bearing_bins, Q_BEARING_BINS_SQL),
         "q_percentile_cont": (q_percentile_cont, Q_PERCENTILE_CONT_SQL),
         "q_locf": (q_locf, Q_LOCF_SQL),
+        "q_weighted_median": (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL),
     }
