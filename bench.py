@@ -224,6 +224,23 @@ def scaling() -> dict:
     tp_lo = r_lo["images_per_sec"]
     tp_hi = r_hi["images_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # bus-saturation control: one 4 -> 16 pair (also N -> 4N) in the
+    # regime where the single box's memory bandwidth is NOT shared to
+    # exhaustion — the analogue of real multi-node scaling, where each
+    # node brings its own bus. Measured 1.01 efficiency here while
+    # 8 -> 32 reads ~0.5-0.7 on the same input (BASELINE.md).
+    control = None
+    if os.environ.get("GRAFT_SCALE_CONTROL", "1") != "0":
+        c_lo = one(4)
+        c_hi = one(16)
+        control = {
+            "num_cpus_lo": 4, "num_cpus_hi": 16,
+            "sec_lo": c_lo["value"], "sec_hi": c_hi["value"],
+            "images_per_sec_lo": c_lo["images_per_sec"],
+            "images_per_sec_hi": c_hi["images_per_sec"],
+            "scaling_efficiency": round(
+                (c_hi["images_per_sec"] / c_lo["images_per_sec"]) / 4, 3),
+        }
     return {
         "metric": "N->4N scaling (num_cpus 8 vs 32, fresh processes, same input)",
         "num_cpus_lo": lo,
@@ -237,8 +254,10 @@ def scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "canary_sec": canaries,
         "images": int(os.environ.get("GRAFT_BENCH_IMAGES", "131072")),
+        "control_4_to_16": control,
         "note": "fresh ray.init(num_cpus=N) processes on one 32-core node; "
-                f"same input; best of {reps} runs per config (all walls listed)",
+                f"same input; best of {reps} runs per config (all walls listed); "
+                "control_4_to_16 = same job in the bus-unsaturated regime",
     }
 
 
