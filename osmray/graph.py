@@ -511,3 +511,115 @@ def bfs_hops(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
         dist = (dist.union(nxt).groupby("node")
                 .aggregate(Min("hop", alias_name="hop")).materialize())
     return dist
+
+
+def sssp(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
+         w_col: str = "w", seed_col: str = "node", max_dist: int = 1 << 30,
+         max_rounds: int = 256, num_buckets: int = 16,
+         broadcast_cap: int = 2_000_000):
+    """Weighted multi-source shortest paths over a DIRECTED edge list
+    with positive integer weights — Bellman-Ford rounds as dataflow
+    (the weighted sibling of ``bfs_hops``). Each round relaxes only
+    edges leaving the frontier (nodes whose tentative distance
+    improved last round): one frontier->edges join carrying the
+    frontier distance (capped broadcast lookup under
+    ``broadcast_cap``, grace ``bucketed_join`` above it — the same
+    two-engine policy as CC/PageRank), then ONE keyed min-fold over
+    union(dist, candidates). Improvement detection rides inside the
+    fold: rows are packed as ``2*dist + tag`` (tag 1 = new candidate),
+    so the per-node Min winner's low bit says whether a candidate
+    STRICTLY beat the old distance (ties keep the old row, tag 0).
+    Candidates above ``max_dist`` are dropped — the same bound that
+    terminates the recursive-CTE SQL twin, and with weights >= 1 it
+    also bounds the round count. Returns (node, dist), dist <=
+    max_dist. The driver sees only the frontier count per round."""
+    from ray.data.aggregate import Min
+
+    from osmray.joins import bucketed_join
+
+    import ray as _ray
+
+    def eview(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch[src_col].cast(pa.int64()),
+                         "v": batch[dst_col].cast(pa.int64()),
+                         "w": batch[w_col].cast(pa.int64())})
+
+    e = edges_ds.map_batches(eview, batch_format="pyarrow").materialize()
+
+    def seed_pack(batch: pa.Table) -> pa.Table:
+        n = np.unique(batch[seed_col].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"node": pa.array(n),
+                         "packed": pa.array(np.zeros(len(n), np.int64))})
+
+    dist = (seeds_ds.map_batches(seed_pack, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("packed", alias_name="packed"))
+            .materialize())
+    frontier = dist  # round 0: every seed just "improved" (from inf)
+
+    for _ in range(max_rounds):
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        if n_front <= broadcast_cap:
+            # broadcast (node -> dist) as two sorted arrays; ONE
+            # streaming pass over the edges does the lookup+relax
+            fp = frontier.to_pandas()
+            keys = fp["node"].to_numpy().astype(np.int64)
+            vals = (fp["packed"].to_numpy().astype(np.int64) >> 1)
+            order = np.argsort(keys)
+            ref = _ray.put((keys[order], vals[order]))
+
+            def relax_b(batch: pa.Table, *, _ref=ref) -> pa.Table:
+                k, d = _ray.get(_ref)
+                u = batch["u"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(k, u)
+                pos_c = np.minimum(pos, len(k) - 1) if len(k) else pos
+                hit = np.zeros(len(u), bool) if not len(k) else (
+                    k[pos_c] == u)
+                nd = np.where(hit, d[pos_c] if len(k) else 0, 0) + \
+                    batch["w"].to_numpy(zero_copy_only=False)
+                keep = hit & (nd <= max_dist)
+                return pa.table({
+                    "node": pa.array(batch["v"].to_numpy(
+                        zero_copy_only=False)[keep]),
+                    "packed": pa.array(2 * nd[keep] + 1)})
+
+            cands = e.map_batches(relax_b, batch_format="pyarrow")
+        else:
+            j = bucketed_join(e, frontier, on="u", right_on="node",
+                              num_buckets=num_buckets, how="inner")
+
+            def relax_j(batch: pa.Table) -> pa.Table:
+                nd = (batch["packed"].to_numpy(zero_copy_only=False) >> 1) \
+                    + batch["w"].to_numpy(zero_copy_only=False)
+                keep = nd <= max_dist
+                return pa.table({
+                    "node": pa.array(batch["v"].to_numpy(
+                        zero_copy_only=False)[keep]),
+                    "packed": pa.array(2 * nd[keep] + 1)})
+
+            cands = j.map_batches(relax_j, batch_format="pyarrow")
+
+        folded = (dist.union(cands).groupby("node")
+                  .aggregate(Min("packed", alias_name="packed"))
+                  .materialize())
+
+        def strip(batch: pa.Table) -> pa.Table:
+            p = batch["packed"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": batch["node"],
+                             "packed": pa.array((p >> 1) * 2)})
+
+        frontier = folded.map_batches(
+            lambda t: t.filter(_pc.equal(
+                _pc.bit_wise_and(t["packed"], 1), 1)),
+            batch_format="pyarrow").materialize()
+        dist = folded.map_batches(strip, batch_format="pyarrow").materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "dist": pa.array(batch["packed"].to_numpy(
+                zero_copy_only=False) >> 1)})
+
+    return dist.map_batches(unpack, batch_format="pyarrow")

@@ -6420,6 +6420,122 @@ FROM c GROUP BY l_returnflag
 """
 
 
+def q_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths (graph.sssp) on the
+    bounded order-part co-purchase graph with deterministic positive
+    integer edge weights — Bellman-Ford rounds as dataflow: frontier
+    relax (capped broadcast lookup / grace join) + ONE keyed min-fold
+    per round, improvement detection packed into the fold's low bit.
+    Distance cap 24 matches the recursive-CTE twin's bound."""
+    from osmray.graph import sssp
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        u, v = 2 * o[sel], 2 * p[sel] + 1
+        return pa.table({
+            "u": pa.array(np.concatenate((u, v))),
+            "v": pa.array(np.concatenate((v, u))),
+            "w": pa.array(1 + (np.concatenate((u * 3 + v * 5,
+                                               v * 3 + u * 5))) % 7)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(u[u % 34 == 2])})
+
+    s = e.map_batches(seeds, batch_format="pyarrow")
+    return sssp(e, s, max_dist=24)
+
+
+Q_SSSP_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+e AS (
+  SELECT u, v, 1 + (u * 3 + v * 5) % 7 AS w FROM raw
+  UNION SELECT v, u, 1 + (v * 3 + u * 5) % 7 FROM raw
+),
+r(node, d) AS (
+  SELECT DISTINCT u AS node, 0 AS d FROM raw WHERE u % 34 = 2
+  UNION
+  SELECT e.v, r.d + e.w FROM r JOIN e ON e.u = r.node
+  WHERE r.d + e.w <= 24
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
+def q_dbscan(sf_dir: str):
+    """Grid DBSCAN (cluster.dbscan_grid) over hashed integer points in
+    a 4096^2 world: eps-pairs via the PBSM distance join, core points
+    via a keyed Count fold, clusters as connected components of the
+    core-core eps-graph, border points folded to the MIN adjacent
+    core's cluster (deterministic), noise -1. The SQL twin replays the
+    full definition: cross-join pairs + degree + recursive-CTE
+    min-label CC + border min."""
+    from osmray.cluster import dbscan_grid
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 19 == 0
+        return pa.table({"pid": pa.array(p["pid"][sel]),
+                         "x": pa.array(p["m1"][sel] >> 14),
+                         "y": pa.array(p["m2"][sel] >> 14)})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    return dbscan_grid(points, eps=120, min_pts=4)
+
+
+Q_DBSCAN_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT pid, m1 // 16384 AS x, m2 // 16384 AS y FROM ({_LI_SQL})
+  WHERE pid % 19 = 0
+),
+pr AS (
+  SELECT a.pid AS qid, b.pid AS fid
+  FROM p a, p b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 14400
+),
+deg AS (SELECT qid, count(*) AS deg FROM pr GROUP BY qid),
+core AS (SELECT qid FROM deg WHERE deg >= 4),
+ce AS (
+  SELECT pr.qid AS u, pr.fid AS v FROM pr
+  WHERE pr.qid IN (SELECT qid FROM core)
+    AND pr.fid IN (SELECT qid FROM core)
+),
+r AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ce)
+  UNION
+  SELECT ce.v, r.label FROM r JOIN ce ON ce.u = r.node
+  WHERE r.label < ce.v
+),
+comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
+corerows AS (SELECT node AS pid, comp AS cluster, 0 AS role FROM comp),
+border AS (
+  SELECT pr.qid AS pid, min(c.comp) AS cluster, 1 AS role
+  FROM pr JOIN comp c ON c.node = pr.fid
+  WHERE pr.qid NOT IN (SELECT qid FROM core)
+  GROUP BY pr.qid
+),
+noise AS (
+  SELECT pid, -1 AS cluster, 2 AS role FROM p
+  WHERE pid NOT IN (SELECT pid FROM corerows)
+    AND pid NOT IN (SELECT pid FROM border)
+)
+SELECT pid, CAST(cluster AS BIGINT) AS cluster, CAST(role AS BIGINT) AS role
+FROM (SELECT * FROM corerows UNION ALL SELECT * FROM border
+      UNION ALL SELECT * FROM noise)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6539,4 +6655,6 @@ def registry():
         "q_percentile_cont": (q_percentile_cont, Q_PERCENTILE_CONT_SQL),
         "q_locf": (q_locf, Q_LOCF_SQL),
         "q_weighted_median": (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL),
+        "q_sssp": (q_sssp, Q_SSSP_SQL),
+        "q_dbscan": (q_dbscan, Q_DBSCAN_SQL),
     }
