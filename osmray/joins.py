@@ -941,3 +941,98 @@ def knn_join(points, features, k: int = 3, radius0: int = 256,
     for d in results[1:]:
         out = out.union(d)
     return out
+
+
+def snap_join(points, segments, radius: int, cell_shift: int | None = None,
+              num_buckets: int = 64, spill_root: str | None = None,
+              point_cols: tuple = ("pid", "px", "py"),
+              seg_cols: tuple = ("sid", "x1", "y1", "x2", "y2")):
+    """Map-matching snap: each point -> its NEAREST segment within
+    ``radius`` (euclidean, endpoints clamped), exact to the last bit.
+
+    Same PBSM plan as ``distance_join``: segments explode to the grid
+    cells covering their radius-padded bbox, points live in one cell
+    each (pairs born deduplicated), one grace join. The point-segment
+    squared distance is kept as an integer RATIONAL (num, den):
+    den = |b-a|^2 for interior projections, 1 for endpoint clamps, so
+    no precision is ever lost. The per-point argmin orders by
+    num/den as an IEEE double (num < 2^53 so the division is exactly
+    rounded — bit-identical in numpy and SQL) with the segment id as
+    the deterministic tiebreak, via the sort-based top-k fold (merge
+    group count O(#blocks)). Returns (pid, sid, d2_num, d2_den)."""
+    from osmray.windows import grouped_topk_sorted
+
+    if cell_shift is None:
+        cell_shift = max(2, int(radius).bit_length() + 1)
+    pid_c, px_c, py_c = point_cols
+    sid_c, x1_c, y1_c, x2_c, y2_c = seg_cols
+    r2 = radius * radius
+
+    def explode_segs(batch: pa.Table) -> pa.Table:
+        sid = batch[sid_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = batch[x1_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = batch[y1_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = batch[x2_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y2 = batch[y2_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0 = (np.minimum(x1, x2) - radius) >> cell_shift
+        cx1 = (np.maximum(x1, x2) + radius) >> cell_shift
+        cy0 = (np.minimum(y1, y2) - radius) >> cell_shift
+        cy1 = (np.maximum(y1, y2) + radius) >> cell_shift
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        ri = np.repeat(np.arange(len(sid)), rep)
+        total = int(rep.sum())
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        cx = cx0[ri] + off // ny[ri]
+        cy = cy0[ri] + off % ny[ri]
+        return pa.table({"cell": pa.array((cx << 32) | cy),
+                         sid_c: pa.array(sid[ri]),
+                         x1_c: pa.array(x1[ri]), y1_c: pa.array(y1[ri]),
+                         x2_c: pa.array(x2[ri]), y2_c: pa.array(y2[ri])})
+
+    def cell_points(batch: pa.Table) -> pa.Table:
+        px = batch[px_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[py_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(((px >> cell_shift) << 32) | (py >> cell_shift)),
+            pid_c: batch[pid_c].cast(pa.int64()),
+            px_c: pa.array(px), py_c: pa.array(py)})
+
+    P = points.map_batches(cell_points, batch_format="pyarrow")
+    S = segments.map_batches(explode_segs, batch_format="pyarrow")
+    joined = bucketed_join(P, S, on="cell", right_on="cell",
+                           num_buckets=num_buckets, spill_root=spill_root)
+
+    def dist2(batch: pa.Table) -> pa.Table:
+        px = batch[px_c].to_numpy(zero_copy_only=False)
+        py = batch[py_c].to_numpy(zero_copy_only=False)
+        x1 = batch[x1_c].to_numpy(zero_copy_only=False)
+        y1 = batch[y1_c].to_numpy(zero_copy_only=False)
+        x2 = batch[x2_c].to_numpy(zero_copy_only=False)
+        y2 = batch[y2_c].to_numpy(zero_copy_only=False)
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        tnum = (px - x1) * dx + (py - y1) * dy
+        d_a = (px - x1) ** 2 + (py - y1) ** 2
+        d_b = (px - x2) ** 2 + (py - y2) ** 2
+        cross = dx * (py - y1) - dy * (px - x1)
+        interior = (len2 > 0) & (tnum > 0) & (tnum < len2)
+        num = np.where(interior, cross * cross,
+                       np.where((len2 == 0) | (tnum <= 0), d_a, d_b))
+        den = np.where(interior, len2, 1)
+        keep = num <= r2 * den
+        t = pa.table({pid_c: batch[pid_c].filter(pa.array(keep)),
+                      sid_c: batch[sid_c].filter(pa.array(keep)),
+                      "d2_num": pa.array(num[keep]),
+                      "d2_den": pa.array(den[keep])})
+        # exactly-rounded double of the rational: the global order key
+        return t.append_column(
+            "negd", pa.array(-(num[keep].astype(np.float64) / den[keep])))
+
+    pairs = joined.map_batches(dist2, batch_format="pyarrow")
+    best = grouped_topk_sorted(pairs, key=pid_c, val="negd",
+                               tiebreak=sid_c, k=1)
+    return best.map_batches(
+        lambda t: t.select([pid_c, sid_c, "d2_num", "d2_den"]),
+        batch_format="pyarrow")

@@ -6536,6 +6536,214 @@ FROM (SELECT * FROM corerows UNION ALL SELECT * FROM border
 """
 
 
+def q_snap_roads(sf_dir: str):
+    """Map-matching (joins.snap_join): every hashed point snaps to
+    its NEAREST road segment within radius 64 in a 4096^2 world —
+    PBSM candidates, point-segment distance kept as an exact integer
+    rational (num, den; den = |b-a|^2 for interior projections, 1 at
+    endpoint clamps), per-point argmin via the sort-based top-k fold
+    ordered by the exactly-rounded double num/den with segment-id
+    tiebreak. The SQL twin replays the identical CASE arithmetic."""
+    from osmray.joins import snap_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        sel = p["pid"] % 19 == 0
+        return pa.table({"pid": pa.array(p["pid"][sel]),
+                         "px": pa.array(p["m1"][sel] >> 14),
+                         "py": pa.array(p["m2"][sel] >> 14)})
+
+    def segs(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k % 3 == 0]
+        x1 = 64 + (k * 7919) % 3900
+        y1 = 64 + (k * 6151) % 3900
+        return pa.table({"sid": pa.array(k), "x1": pa.array(x1),
+                         "y1": pa.array(y1),
+                         "x2": pa.array(x1 + (k * 31) % 257 - 128),
+                         "y2": pa.array(y1 + (k * 37) % 257 - 128)})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    segments = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        segs, batch_format="pyarrow")
+    return snap_join(points, segments, radius=64)
+
+
+Q_SNAP_ROADS_SQL = f"""
+WITH p AS (
+  SELECT pid, m1 // 16384 AS px, m2 // 16384 AS py FROM ({_LI_SQL})
+  WHERE pid % 19 = 0
+),
+s AS (
+  SELECT p_partkey AS sid,
+    64 + (p_partkey * 7919) % 3900 AS x1,
+    64 + (p_partkey * 6151) % 3900 AS y1,
+    64 + (p_partkey * 7919) % 3900 + (p_partkey * 31) % 257 - 128 AS x2,
+    64 + (p_partkey * 6151) % 3900 + (p_partkey * 37) % 257 - 128 AS y2
+  FROM part WHERE p_partkey % 3 = 0
+),
+cand AS (
+  SELECT pid, sid,
+    CASE WHEN len2 > 0 AND tnum > 0 AND tnum < len2 THEN cross2
+         WHEN len2 = 0 OR tnum <= 0 THEN d_a ELSE d_b END AS d2_num,
+    CASE WHEN len2 > 0 AND tnum > 0 AND tnum < len2 THEN len2
+         ELSE 1 END AS d2_den
+  FROM (
+    SELECT pid, sid,
+      (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2,
+      (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1) AS tnum,
+      (px - x1) * (px - x1) + (py - y1) * (py - y1) AS d_a,
+      (px - x2) * (px - x2) + (py - y2) * (py - y2) AS d_b,
+      ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1))
+        * ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) AS cross2
+    FROM p JOIN s
+      ON px BETWEEN least(x1, x2) - 64 AND greatest(x1, x2) + 64
+     AND py BETWEEN least(y1, y2) - 64 AND greatest(y1, y2) + 64
+  )
+),
+kept AS (
+  SELECT pid, sid, d2_num, d2_den,
+         row_number() OVER (
+           PARTITION BY pid
+           ORDER BY d2_num * 1.0 / d2_den ASC, sid ASC) AS rn
+  FROM cand WHERE d2_num <= 4096 * d2_den
+)
+SELECT pid, sid, CAST(d2_num AS BIGINT) AS d2_num,
+       CAST(d2_den AS BIGINT) AS d2_den
+FROM kept WHERE rn = 1
+"""
+
+
+def q_zorder_parts(sf_dir: str):
+    """Z-order (Morton) range partitioner — the locality-clustering
+    layout primitive for spatial data at scale: interleave 13-bit
+    (x, y) into a Morton code, find the EXACT balanced 8-way range
+    bounds via the distributed rank machinery (exact_order_stats with
+    octile ranks — one sort, O(#blocks) driver state), assign each
+    point its contiguous code-range partition, emit per-partition
+    occupancy (count, min/max code). Points in the same partition are
+    spatially contiguous along the curve — the standing layout that
+    makes later range reads/joins selective. The SQL twin unrolls the
+    same 26-term bit interleave and octile ranks."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from osmray.tableops import exact_order_stats
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def morton(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        x = p["m1"] >> 13
+        y = p["m2"] >> 13
+        code = np.zeros(len(x), np.int64)
+        for i in range(13):
+            code |= ((x >> i) & 1) << (2 * i)
+            code |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table({"code": pa.array(code)})
+
+    codes = li.map_batches(morton, batch_format="pyarrow").materialize()
+    bounds_ds = exact_order_stats(
+        codes, "code", list(range(1, 8)),
+        rank_fn=lambda k, n: max(1, n * k // 8))
+    bounds = np.sort(bounds_ds.to_pandas()["value"].to_numpy())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = batch["code"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(np.searchsorted(bounds, c, side="right")),
+            "code": pa.array(c)})
+
+    return (codes.map_batches(assign, batch_format="pyarrow")
+            .groupby("part")
+            .aggregate(Count(alias_name="n"),
+                       Min("code", alias_name="mn"),
+                       Max("code", alias_name="mx")))
+
+
+_MORTON_EXPR = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(13))
+
+Q_ZORDER_PARTS_SQL = f"""
+WITH pts AS (
+  SELECT pid, m1 // 8192 AS x, m2 // 8192 AS y FROM ({_LI_SQL})
+),
+m AS (SELECT pid, {_MORTON_EXPR} AS code FROM pts),
+o AS (SELECT code, row_number() OVER (ORDER BY code) AS rn FROM m),
+b AS (
+  SELECT k, (SELECT min(code) FROM o
+             WHERE rn = greatest(1, (SELECT count(*) FROM m) * k // 8)) AS bv
+  FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS v(k)
+),
+asgn AS (
+  SELECT code, (SELECT count(*) FROM b WHERE bv <= code) AS part FROM m
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(code) AS BIGINT) AS mn, CAST(max(code) AS BIGINT) AS mx
+FROM asgn GROUP BY part
+"""
+
+
+def q_upsert_latest(sf_dir: str):
+    """CDC upsert compaction (merge-on-read, latest-writer-wins):
+    events are an update stream keyed by (user_id, event_type); the
+    compacted view keeps each key's newest row — ORDER BY ts DESC
+    with event_id DESC as the deterministic tiebreak — via the
+    sort-based top-1 fold (grouped_topk_sorted: one global sort,
+    in-block runs emit directly, merge group count O(#blocks)). The
+    shape every mutable-table layer (Lance/Delta/Hudi-style) needs
+    at compaction time."""
+    from osmray.windows import grouped_topk_sorted
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        # pack the composite key into one int64 via a per-batch
+        # category code (event_type values are a tiny closed set)
+        cats = {"click": 0, "view": 1, "purchase": 2, "signup": 3,
+                "error": 4}
+        code = np.array([cats.get(t, 5) for t in et], np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(uid * 8 + code), "ts_us": ts,
+            "neg_eid": pa.array(-eid), "event_id": pa.array(eid),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+    best = grouped_topk_sorted(rows, key="k", val="ts_us",
+                               tiebreak="neg_eid", k=1)
+    return best.map_batches(
+        lambda t: t.select(["k", "ts_us", "event_id", "cents"]),
+        batch_format="pyarrow")
+
+
+Q_UPSERT_LATEST_SQL = """
+WITH t AS (
+  SELECT user_id * 8 + CASE event_type
+           WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+           WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE 5 END AS k,
+         epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id * 8 + CASE event_type
+             WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+             WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE 5 END
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT k, ts_us, event_id, cents FROM t WHERE rn = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6657,4 +6865,7 @@ def registry():
         "q_weighted_median": (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL),
         "q_sssp": (q_sssp, Q_SSSP_SQL),
         "q_dbscan": (q_dbscan, Q_DBSCAN_SQL),
+        "q_snap_roads": (q_snap_roads, Q_SNAP_ROADS_SQL),
+        "q_zorder_parts": (q_zorder_parts, Q_ZORDER_PARTS_SQL),
+        "q_upsert_latest": (q_upsert_latest, Q_UPSERT_LATEST_SQL),
     }
