@@ -178,3 +178,80 @@ def dbscan_grid(points, eps: int, min_pts: int, id_col: str = "pid",
 
     out_noise = noise_ids.map_batches(noise_rows, batch_format="pyarrow")
     return out_core.union(out_border).union(out_noise)
+
+
+def grid_components(pixels, width: int, key_col: str = "key",
+                    num_buckets: int = 32,
+                    broadcast_cap: int = 50_000_000):
+    """Connected-component labeling of a sparse raster (raster ->
+    vector blob extraction): painted pixels keyed ``x * width + y``,
+    4-adjacency. Adjacency needs NO pair join — a pixel's right/down
+    neighbor is a pure key shift, so edges are two semi-joins of the
+    shifted key set against the painted set (capped broadcast /
+    grace filter), then ``graph.connected_components`` labels the
+    blobs and isolated pixels fall back to their own key. Returns
+    (key, comp). Blob stats are one keyed fold downstream."""
+    import ray as _ray
+
+    from osmray.graph import connected_components
+    from osmray.joins import broadcast_filter, bucketed_filter, bucketed_join
+
+    n_pix = pixels.count()
+
+    def shifted(delta: int, guard):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            ok = guard(k)
+            return pa.table({"u": pa.array(k[ok]),
+                             "v": pa.array(k[ok] + delta)})
+        return f
+
+    # right neighbor: x+1 (key + width), valid when x < width-1;
+    # down neighbor: y+1 (key + 1), valid when y % width < width-1
+    right = pixels.map_batches(
+        shifted(width, lambda k: (k // width) < width - 1),
+        batch_format="pyarrow")
+    down = pixels.map_batches(
+        shifted(1, lambda k: (k % width) < width - 1),
+        batch_format="pyarrow")
+    cand = right.union(down)
+
+    if n_pix <= broadcast_cap:
+        keys = np.unique(pixels.to_pandas()[key_col].to_numpy())
+        edges = broadcast_filter(cand, "v", keys)
+    else:
+        edges = bucketed_filter(cand, pixels, on="v", right_on=key_col,
+                                num_buckets=num_buckets)
+
+    comp = connected_components(edges, broadcast_cap=broadcast_cap
+                                ).materialize()
+
+    if n_pix <= broadcast_cap:
+        cp = comp.to_pandas()
+        ck = cp["node"].to_numpy().astype(np.int64)
+        cv = cp["comp"].to_numpy().astype(np.int64)
+        o = np.argsort(ck)
+        ref = _ray.put((ck[o], cv[o]))
+
+        def attach(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            k, v = _ray.get(_ref)
+            p = batch[key_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k, p)
+            pos_c = np.minimum(pos, max(len(k) - 1, 0))
+            hit = (k[pos_c] == p) if len(k) else np.zeros(len(p), bool)
+            c = np.where(hit, v[pos_c] if len(k) else 0, p)
+            return pa.table({"key": pa.array(p), "comp": pa.array(c)})
+
+        return pixels.map_batches(attach, batch_format="pyarrow")
+
+    j = bucketed_join(pixels, comp, on=key_col, right_on="node",
+                      how="left", num_buckets=num_buckets)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        c = batch["comp"].to_numpy(zero_copy_only=False)
+        c = np.where(np.isnan(c.astype(np.float64)), k, c).astype(np.int64) \
+            if c.dtype != np.int64 else c
+        return pa.table({"key": pa.array(k), "comp": pa.array(c)})
+
+    return j.map_batches(fill, batch_format="pyarrow")

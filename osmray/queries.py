@@ -6744,6 +6744,293 @@ SELECT k, ts_us, event_id, cents FROM t WHERE rn = 1
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document TF-IDF keyword extraction (text.tfidf_topk): the
+    top-3 terms per doc by the EXACT integer score
+    (tf * N * 1000) // df — rational idf instead of log, so the
+    ranking is integer-exact and hash-checkable. Postings explode,
+    one keyed df fold, two-engine df attach, sort-based per-doc
+    top-k with ASCII term tiebreak."""
+    from osmray.text import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+Q_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * n.n * 1000 // df.df AS score_milli,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf * n.n * 1000 // df.df DESC, tf.term ASC) AS rn
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_milli AS BIGINT) AS score_milli
+FROM s WHERE rn <= 3
+"""
+
+
+def q_seq_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-lite sequence detection: per user, count the
+    strictly-consecutive V-shapes (value drops, then rises) in
+    (ts, event_id) order, plus the first V's middle event id — the
+    event-pattern scan (fraud dips, retry storms) as one keyed
+    shuffle + vectorized per-group triple test. SQL twin via
+    lag/lead windows."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64))})
+
+    def vshapes(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts))
+        c, eid = c[o], eid[o]
+        if len(c) < 3:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_v": pa.array([], pa.int64()),
+                             "first_v_eid": pa.array([], pa.int64())})
+        mid = (c[1:-1] < c[:-2]) & (c[2:] > c[1:-1])
+        if not mid.any():
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_v": pa.array([], pa.int64()),
+                             "first_v_eid": pa.array([], pa.int64())})
+        mids = eid[1:-1][mid]
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_v": pa.array([int(mid.sum())], pa.int64()),
+            "first_v_eid": pa.array([int(mids.min())], pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").map_groups(vshapes, batch_format="pyarrow"))
+
+
+Q_SEQ_PATTERN_SQL = """
+WITH t AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS prev,
+         lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_v,
+       CAST(min(event_id) AS BIGINT) AS first_v_eid
+FROM t
+WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  AND cents < prev AND nxt > cents
+GROUP BY user_id
+"""
+
+
+def q_blob_extract(sf_dir: str):
+    """Raster -> vector blob extraction: deterministic disks paint a
+    shared 512^2 canvas; the painted-pixel set is labeled by
+    4-adjacency connected components (cluster.grid_components — edges
+    are pure key shifts semi-joined against the painted set, NO pair
+    join), then one keyed fold emits each blob's pixel count and
+    bbox. The vector side of the engine's raster<->vector pair
+    (MercatorPainter's canvas -> per-blob geometry). SQL twin:
+    generate_series disk explode + recursive-CTE min-label CC."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from osmray.cluster import grid_components
+
+    W = 512
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def pixels(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k % 5 == 0]
+        h = (k * 2654435761) % 4294967296
+        cx = 8 + h % 496
+        cy = 8 + (h // 496) % 496
+        r = 3 + k % 6
+        dx, dy = np.meshgrid(np.arange(-8, 9), np.arange(-8, 9),
+                             indexing="ij")
+        dx, dy = dx.ravel(), dy.ravel()
+        # explode: every disk x every offset, keep in-radius
+        n, m = len(k), len(dx)
+        X = (cx[:, None] + dx[None, :])
+        Y = (cy[:, None] + dy[None, :])
+        keep = (dx[None, :] ** 2 + dy[None, :] ** 2) <= (r ** 2)[:, None]
+        key = (X * W + Y)[keep]
+        return pa.table({"key": pa.array(np.unique(key))})
+
+    px = (parts.map_batches(pixels, batch_format="pyarrow")
+          .groupby("key").aggregate(Count(alias_name="_n"))
+          .select_columns(["key"]).materialize())
+
+    lab = grid_components(px, width=W)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"comp": batch["comp"],
+                         "x": pa.array(kk // W), "y": pa.array(kk % W)})
+
+    return (lab.map_batches(decode, batch_format="pyarrow")
+            .groupby("comp")
+            .aggregate(Count(alias_name="n"),
+                       Min("x", alias_name="x0"),
+                       Max("x", alias_name="x1"),
+                       Min("y", alias_name="y0"),
+                       Max("y", alias_name="y1")))
+
+
+Q_BLOB_EXTRACT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT 8 + ((p_partkey * 2654435761) % 4294967296) % 496 AS cx,
+         8 + (((p_partkey * 2654435761) % 4294967296) // 496) % 496 AS cy,
+         3 + p_partkey % 6 AS r
+  FROM part WHERE p_partkey % 5 = 0
+),
+off AS (
+  SELECT a.dx, b.dy
+  FROM (SELECT unnest(generate_series(-8, 8)) AS dx) a,
+       (SELECT unnest(generate_series(-8, 8)) AS dy) b
+),
+px AS (
+  SELECT DISTINCT (cx + dx) * 512 + (cy + dy) AS key
+  FROM d, off WHERE dx * dx + dy * dy <= r * r
+),
+e0 AS (
+  SELECT a.key AS u, b.key AS v FROM px a JOIN px b ON b.key = a.key + 512
+  UNION ALL
+  SELECT a.key, b.key FROM px a JOIN px b
+    ON b.key = a.key + 1 AND a.key % 512 < 511
+),
+ee AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+r AS (
+  SELECT u AS node, u AS label FROM (SELECT u FROM ee UNION SELECT v FROM ee)
+  UNION
+  SELECT ee.v AS node, r.label FROM r JOIN ee ON ee.u = r.node
+  WHERE r.label < ee.v
+),
+comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
+lab AS (
+  SELECT px.key, coalesce(c.comp, px.key) AS comp
+  FROM px LEFT JOIN comp c ON c.node = px.key
+)
+SELECT comp, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(key // 512) AS BIGINT) AS x0,
+       CAST(max(key // 512) AS BIGINT) AS x1,
+       CAST(min(key % 512) AS BIGINT) AS y0,
+       CAST(max(key % 512) AS BIGINT) AS y1
+FROM lab GROUP BY comp
+"""
+
+
+def q_morans(sf_dir: str):
+    """Global spatial autocorrelation (Moran's I) over a 64x64 cell
+    grid with rook adjacency, as EXACT integers: with z_i = n*x_i - s
+    (scaled deviations stay integral), the I numerator/denominator
+    components (directed cross-sum, squared-sum, weight count) are
+    pure keyed folds — each occupied cell SCATTERS z to its 4
+    neighbor keys and one keyed sum produces every neighbor total, no
+    self-join, no broadcast. Emits ONE row
+    (n_cells, total, w, cross_sum, sq_sum); I = n*cross/(w*sq)
+    downstream. SQL twin joins the cell table to itself."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        key = (p["m1"] >> 20) * 256 + (p["m2"] >> 20)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u), "x": pa.array(c.astype(np.int64))})
+
+    cellcounts = (li.map_batches(cells, batch_format="pyarrow")
+                  .groupby("key").aggregate(Sum("x", alias_name="x"))
+                  .materialize())
+    n = cellcounts.count()
+    s = int(cellcounts.sum("x"))
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        z = n * x - s
+        cx, cy = key // 256, key % 256
+        outs = [pa.table({"key": pa.array(key), "z": pa.array(z),
+                          "self": pa.array(np.ones(len(key), np.int64)),
+                          "sz": pa.array(np.zeros(len(key), np.int64)),
+                          "cnt": pa.array(np.zeros(len(key), np.int64))})]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ok = ((cx + dx >= 0) & (cx + dx < 64)
+                  & (cy + dy >= 0) & (cy + dy < 64))
+            tk = (cx[ok] + dx) * 256 + (cy[ok] + dy)
+            outs.append(pa.table({
+                "key": pa.array(tk),
+                "z": pa.array(np.zeros(len(tk), np.int64)),
+                "self": pa.array(np.zeros(len(tk), np.int64)),
+                "sz": pa.array(z[ok]),
+                "cnt": pa.array(np.ones(len(tk), np.int64))}))
+        return pa.concat_tables(outs)
+
+    folded = (cellcounts.map_batches(scatter, batch_format="pyarrow")
+              .groupby("key")
+              .aggregate(Sum("z", alias_name="z"),
+                         Sum("self", alias_name="self"),
+                         Sum("sz", alias_name="sz"),
+                         Sum("cnt", alias_name="cnt")))
+
+    def parts(batch: pa.Table) -> pa.Table:
+        sel = batch["self"].to_numpy(zero_copy_only=False) >= 1
+        z = batch["z"].to_numpy(zero_copy_only=False)[sel]
+        sz = batch["sz"].to_numpy(zero_copy_only=False)[sel]
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)[sel]
+        return pa.table({"cross": pa.array(z * sz),
+                         "sq": pa.array(z * z), "w": pa.array(cnt)})
+
+    sums = folded.map_batches(parts, batch_format="pyarrow").sum(
+        ["cross", "sq", "w"])
+    return pa.table({
+        "n_cells": pa.array([n], pa.int64()),
+        "total": pa.array([s], pa.int64()),
+        "w": pa.array([int(sums["sum(w)"])], pa.int64()),
+        "cross_sum": pa.array([int(sums["sum(cross)"])], pa.int64()),
+        "sq_sum": pa.array([int(sums["sum(sq)"])], pa.int64())})
+
+
+Q_MORANS_SQL = f"""
+WITH pts AS (
+  SELECT m1 // 1048576 AS cx, m2 // 1048576 AS cy FROM ({_LI_SQL})
+),
+c AS (SELECT cx, cy, count(*) AS x FROM pts GROUP BY cx, cy),
+st AS (SELECT count(*) AS n, sum(x) AS s FROM c),
+z AS (SELECT cx, cy, st.n * c.x - st.s AS z FROM c, st),
+e AS (
+  SELECT a.z AS za, b.z AS zb FROM z a JOIN z b
+    ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.z, b.z FROM z a JOIN z b
+    ON b.cx = a.cx AND b.cy = a.cy + 1
+)
+SELECT (SELECT n FROM st) AS n_cells,
+       CAST((SELECT s FROM st) AS BIGINT) AS total,
+       CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS w,
+       CAST(2 * (SELECT coalesce(sum(za * zb), 0) FROM e) AS BIGINT)
+         AS cross_sum,
+       CAST((SELECT sum(z * z) FROM z) AS BIGINT) AS sq_sum
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -6868,4 +7155,8 @@ def registry():
         "q_snap_roads": (q_snap_roads, Q_SNAP_ROADS_SQL),
         "q_zorder_parts": (q_zorder_parts, Q_ZORDER_PARTS_SQL),
         "q_upsert_latest": (q_upsert_latest, Q_UPSERT_LATEST_SQL),
+        "q_tfidf": (q_tfidf, Q_TFIDF_SQL),
+        "q_seq_pattern": (q_seq_pattern, Q_SEQ_PATTERN_SQL),
+        "q_blob_extract": (q_blob_extract, Q_BLOB_EXTRACT_SQL),
+        "q_morans": (q_morans, Q_MORANS_SQL),
     }

@@ -275,3 +275,93 @@ def regex_extract(ds, col: str, pattern: str, out_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, k: int = 3, doc_col: str = "doc_id",
+               text_col: str = "text", broadcast_cap: int = 2_000_000):
+    """Per-document TF-IDF keyword extraction with an EXACT integer
+    score: score_milli = (tf * N * 1000) // df — rational idf (N/df)
+    instead of the log form, so ranking is integer-exact and
+    SQL-replayable. Postings explode per batch (vectorized unique),
+    document frequency is one keyed Count fold, df attaches back via
+    the two-engine policy (broadcast vocab under ``broadcast_cap``,
+    grace join above), and the per-doc top-k is the sort-based fold
+    (score DESC, term ASC tiebreak). Returns
+    (doc_id, term, tf, df, score_milli), k rows per nonempty doc."""
+    import pyarrow.compute as pc
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from osmray.dedup import _TOKEN
+    from osmray.joins import bucketed_join
+    from osmray.windows import grouped_topk_sorted
+
+    n_docs = ds.count()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[doc_col].to_numpy(zero_copy_only=False)
+        out_t, out_d, out_c = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = _TOKEN.findall(t.lower())
+            if not toks:
+                continue
+            u, c = np.unique(toks, return_counts=True)
+            out_t.append(u)
+            out_d.append(np.full(len(u), ids[i], dtype=np.int64))
+            out_c.append(c.astype(np.int64))
+        if not out_t:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({
+            "term": pa.array(np.concatenate(out_t).astype(str)),
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "tf": pa.array(np.concatenate(out_c))})
+
+    posts = ds.map_batches(postings, batch_format="pyarrow").materialize()
+    df_tbl = posts.groupby("term").aggregate(
+        Count(alias_name="df")).materialize()
+    n_terms = df_tbl.count()
+
+    if n_terms <= broadcast_cap:
+        dfp = df_tbl.to_pandas()
+        vocab = dfp["term"].to_numpy().astype(str)
+        dfv = dfp["df"].to_numpy().astype(np.int64)
+        o = np.argsort(vocab)
+        ref = _ray.put((vocab[o], dfv[o]))
+
+        def attach(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            voc, dv = _ray.get(_ref)
+            t = batch["term"].to_numpy(zero_copy_only=False).astype(str)
+            pos = np.searchsorted(voc, t)
+            return batch.append_column("df", pa.array(dv[pos]))
+
+        scored = posts.map_batches(attach, batch_format="pyarrow")
+    else:
+        # vocab beyond the broadcast cap: grace join on a 60-bit md5
+        # key with an exact term-equality post-filter (collision-safe)
+        def hkey(batch: pa.Table) -> pa.Table:
+            h = np.array([int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                          for s in batch["term"].to_pylist()], np.int64)
+            return batch.append_column("tkey", pa.array(h))
+
+        j = bucketed_join(posts.map_batches(hkey, batch_format="pyarrow"),
+                          df_tbl.map_batches(hkey, batch_format="pyarrow"),
+                          on="tkey", right_on="tkey")
+        scored = j.map_batches(
+            lambda t: t.filter(pc.equal(t["term"], t["term_r"]))
+            .select(["term", "doc_id", "tf", "df"]),
+            batch_format="pyarrow")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "score_milli", pa.array(tf * n_docs * 1000 // dfv))
+
+    rows = scored.map_batches(score, batch_format="pyarrow")
+    best = grouped_topk_sorted(rows, key="doc_id", val="score_milli",
+                               tiebreak="term", k=k)
+    return best.map_batches(
+        lambda t: t.select(["doc_id", "term", "tf", "df", "score_milli"]),
+        batch_format="pyarrow")
