@@ -300,3 +300,38 @@ class FrameSampleStage:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+class PatchStage:
+    """Actor-pool stage: decode -> split into an aligned grid of
+    (ph x pw) patches -> re-encode each patch (1 row -> k rows; the
+    ViT-style patch-extraction flat-map). Fully real: every patch is
+    a fresh encode of the cropped pixels."""
+
+    def __init__(self, ph: int = 64, pw: int = 64, out_fmt: str = "png"):
+        self.ph, self.pw, self.out_fmt = ph, pw, out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, prs, pcs, blobs = [], [], [], []
+        for idx, blob, fmt in zip(batch["idx"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            H, W = img.shape[:2]
+            for r in range(H // self.ph):
+                for c in range(W // self.pw):
+                    patch = img[r * self.ph:(r + 1) * self.ph,
+                                c * self.pw:(c + 1) * self.pw]
+                    idxs.append(idx)
+                    prs.append(r)
+                    pcs.append(c)
+                    blobs.append(codecs.encode(patch, self.out_fmt))
+        n = len(idxs)
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "pr": pa.array(prs, pa.int64()),
+            "pc": pa.array(pcs, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array([self.out_fmt] * n, pa.string()),
+            "w": pa.array([self.pw] * n, pa.int32()),
+            "h": pa.array([self.ph] * n, pa.int32())})

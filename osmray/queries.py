@@ -7031,6 +7031,54 @@ SELECT (SELECT n FROM st) AS n_cells,
 """
 
 
+def q_patch_grid(sf_dir: str):
+    """ViT-style patch extraction (multimodal.PatchStage actor pool):
+    decode each 256^2 fixture image, split into a 4x4 grid of 64^2
+    patches, re-encode each patch, then decode the OUTPUT bytes for
+    the integer pixel sum — 16 real crops+encodes per image. Constant
+    32px blocks give every patch a closed form: pix_sum =
+    3*1024*(160*nb + 160) with nb = planted bits inside the patch."""
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import PatchStage
+
+    images = oraclefix.load_phash()
+
+    out = images.map_batches(
+        lambda t: t.select(["idx", "bytes", "fmt"]),
+        batch_format="pyarrow").map_batches(
+        PatchStage,
+        fn_constructor_kwargs={"ph": 64, "pw": 64},
+        batch_format="pyarrow", concurrency=4, num_cpus=1)
+
+    def summary(batch: pa.Table) -> pa.Table:
+        pix = [int(codecs.png_decode(b).astype(np.int64).sum())
+               for b in batch["bytes"].to_pylist()]
+        return pa.table({"idx": batch["idx"], "pr": batch["pr"],
+                         "pc": batch["pc"],
+                         "pix_sum": pa.array(pix, pa.int64())})
+
+    return out.map_batches(summary, batch_format="pyarrow")
+
+
+Q_PATCH_GRID_SQL = f"""
+WITH {_PH_CTES},
+pgrid AS (
+  SELECT pr.range AS pr, pc.range AS pc
+  FROM range(0, 4) pr CROSS JOIN range(0, 4) pc
+),
+nb AS (
+  SELECT b.i, g.pr, g.pc, SUM(b.bit) AS nb
+  FROM phbits b, pgrid g
+  WHERE b.j // 8 IN (2 * g.pr, 2 * g.pr + 1)
+    AND b.j % 8 IN (2 * g.pc, 2 * g.pc + 1)
+  GROUP BY b.i, g.pr, g.pc
+)
+SELECT i AS idx, pr, pc,
+       CAST(3 * 1024 * (160 * nb + 160) AS BIGINT) AS pix_sum
+FROM nb
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -7159,4 +7207,5 @@ def registry():
         "q_seq_pattern": (q_seq_pattern, Q_SEQ_PATTERN_SQL),
         "q_blob_extract": (q_blob_extract, Q_BLOB_EXTRACT_SQL),
         "q_morans": (q_morans, Q_MORANS_SQL),
+        "q_patch_grid": (q_patch_grid, Q_PATCH_GRID_SQL),
     }
