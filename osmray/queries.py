@@ -7079,6 +7079,138 @@ FROM nb
 """
 
 
+def q_gini(sf_dir: str):
+    """EXACT integer Gini components over quantities — the
+    inequality/concentration profile of a column at scale: with
+    global rank i, gini_num = sum((2i - n - 1) * x_(i)) and
+    gini_den = n * sum(x). One distributed sort, a per-block
+    (min, max, count, sum, local rank-weighted sum) stats pass, then
+    an O(#blocks) driver fold turns block offsets into the global
+    rank contributions (the same prefix-scan shape as
+    exact_order_stats). Tie runs make rank assignment ambiguous but
+    (2i - n - 1) summed over a tie run is permutation-invariant, so
+    the total is exact regardless of block-boundary tie placement."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"q": pa.array(q)})
+
+    sds = ds.map_batches(prep, batch_format="pyarrow").sort("q").materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b2": pa.array([], pa.int64())})
+        v = batch["q"].to_numpy(zero_copy_only=False)
+        j = np.arange(1, len(v) + 1, dtype=np.int64)
+        return pa.table({"mn": pa.array([int(v[0])]),
+                         "mx": pa.array([int(v[-1])]),
+                         "n": pa.array([len(v)]),
+                         "a": pa.array([int(v.sum())]),
+                         "b2": pa.array([int(2 * (j * v).sum())])})
+
+    st = (sds.map_batches(block_stats, batch_format="pyarrow",
+                          batch_size=None)
+          .to_pandas().sort_values(["mn", "mx"]).reset_index(drop=True))
+    n_total = int(st["n"].sum())
+    sum_q = int(st["a"].sum())
+    offs = np.concatenate(([0], np.cumsum(st["n"].to_numpy())[:-1]))
+    # contribution of a block at offset o: 2*o*A + B2 - (n+1)*A; blocks
+    # sharing (mn, mx, n) are all-tie twins — permutation invariance
+    # makes the sum over their offsets exact without disambiguation
+    gini_num = int(sum(2 * int(o) * int(r.a) + int(r.b2)
+                       - (n_total + 1) * int(r.a)
+                       for o, (_, r) in zip(offs.tolist(), st.iterrows())))
+    return pa.table({
+        "n": pa.array([n_total], pa.int64()),
+        "sum_q": pa.array([sum_q], pa.int64()),
+        "gini_num": pa.array([gini_num], pa.int64()),
+        "gini_den": pa.array([n_total * sum_q], pa.int64())})
+
+
+Q_GINI_SQL = """
+WITH t AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS q FROM lineitem
+),
+r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn,
+             count(*) OVER () AS n FROM t)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum((2 * rn - n - 1) * q) AS BIGINT) AS gini_num,
+       CAST(max(n) * sum(q) AS BIGINT) AS gini_den
+FROM r
+"""
+
+
+def q_kmv_intersect(sf_dir: str):
+    """KMV set-operation sketch (sketch.kmv_intersect): bottom-256
+    hashes of (lineitem part keys) UNION (even part keys) with
+    membership flags — estimates |A INTERSECT B| and Jaccard without
+    co-shuffling the sets; the whole flagged sketch hash-checks
+    against the HUGEINT SQL replay."""
+    from osmray.sketch import kmv_intersect
+
+    a = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def evens(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"p_partkey": pa.array(k[k % 2 == 0])})
+
+    b = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        evens, batch_format="pyarrow")
+    return kmv_intersect(a, b, "l_partkey", "p_partkey", k=256)
+
+
+def _kmv_intersect_sql() -> str:
+    from osmray.sketch import HLL_C1, HLL_C2
+
+    m62 = 1 << 62
+
+    def chain(src: str) -> str:
+        return (f"SELECT DISTINCT xor(h2, h2 >> 32) AS h FROM ("
+                f"SELECT CAST((CAST(xor(h1, h1 >> 29) AS HUGEINT) * {HLL_C2})"
+                f" % {m62} AS BIGINT) AS h2 FROM ("
+                f"SELECT CAST((CAST(xor(x, x >> 31) AS HUGEINT) * {HLL_C1})"
+                f" % {m62} AS BIGINT) AS h1 FROM ({src})))")
+
+    a_src = "SELECT DISTINCT l_partkey AS x FROM lineitem"
+    b_src = "SELECT DISTINCT p_partkey AS x FROM part WHERE p_partkey % 2 = 0"
+    return f"""
+WITH ha AS ({chain(a_src)}),
+hb AS ({chain(b_src)}),
+u AS (
+  SELECT h, max(ina) AS in_a, max(inb) AS in_b FROM (
+    SELECT h, 1 AS ina, 0 AS inb FROM ha
+    UNION ALL SELECT h, 0, 1 FROM hb)
+  GROUP BY h
+),
+b AS (
+  SELECT h, in_a, in_b,
+         CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank
+  FROM u QUALIFY rank <= 256
+),
+g AS (
+  SELECT count(*) AS nk, max(h) AS hk,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS nb
+  FROM b
+)
+SELECT rank, h, CAST(in_a AS BIGINT) AS in_a, CAST(in_b AS BIGINT) AS in_b,
+  CAST(CASE WHEN g.nk = 256
+       THEN floor(255 * 4611686018427387904.0 / hk) ELSE g.nk END
+       AS BIGINT) AS est_union,
+  CAST(g.nb AS BIGINT) AS n_both,
+  CAST(g.nb * (CASE WHEN g.nk = 256
+       THEN CAST(floor(255 * 4611686018427387904.0 / hk) AS BIGINT)
+       ELSE g.nk END) // g.nk AS BIGINT) AS est_intersect
+FROM b, g
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -7208,4 +7340,6 @@ def registry():
         "q_blob_extract": (q_blob_extract, Q_BLOB_EXTRACT_SQL),
         "q_morans": (q_morans, Q_MORANS_SQL),
         "q_patch_grid": (q_patch_grid, Q_PATCH_GRID_SQL),
+        "q_gini": (q_gini, Q_GINI_SQL),
+        "q_kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
     }

@@ -242,3 +242,67 @@ def count_min(ds, value_col: str, depth: int = 4, width: int = 1024):
                          "n": batch["n"]})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmv_intersect(a_ds, b_ds, a_col: str, b_col: str, k: int = 256):
+    """KMV set-operation sketch: the k smallest 62-bit hashes of
+    A UNION B, each carrying (in_a, in_b) membership flags — the
+    mergeable sketch that estimates |A ∩ B| and Jaccard between two
+    key sets without co-shuffling them. A hash in the union's
+    bottom-k is necessarily in its own block's bottom-k on EVERY side
+    that contains it, so per-block partial bottom-k (+ flag) streams
+    <= k rows per block to one bounded merge that ORs flags, ranks,
+    and evaluates est_intersect = n_both * est_union // k. Fully
+    SQL-replayable (same avalanche hash, same IEEE estimator)."""
+    import pyarrow as pa
+
+    def partial(col: str, ina: int, inb: int):
+        def f(batch: pa.Table) -> pa.Table:
+            v = np.unique(batch[col].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            h = hll_hash62(v)
+            if len(h) > k:
+                h = np.partition(h, k - 1)[:k]
+            h = np.sort(h)
+            n = len(h)
+            return pa.table({
+                "h": pa.array(h),
+                "ina": pa.array(np.full(n, ina, np.int64)),
+                "inb": pa.array(np.full(n, inb, np.int64))})
+        return f
+
+    parts = (a_ds.map_batches(partial(a_col, 1, 0), batch_format="pyarrow")
+             .union(b_ds.map_batches(partial(b_col, 0, 1),
+                                     batch_format="pyarrow")))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        ina = batch["ina"].to_numpy(zero_copy_only=False)
+        inb = batch["inb"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(hs)) + 1))
+        fa = np.maximum.reduceat(ina[order], bounds)
+        fb = np.maximum.reduceat(inb[order], bounds)
+        hu = hs[bounds]
+        if len(hu) > k:
+            hu, fa, fb = hu[:k], fa[:k], fb[:k]
+        n = len(hu)
+        if n == k:
+            est_u = int(np.floor(
+                (k - 1) * 4611686018427387904.0 / float(hu[-1])))
+        else:
+            est_u = n
+        n_both = int((fa & fb).sum())
+        est_i = n_both * est_u // max(n, 1)
+        return pa.table({
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "h": pa.array(hu),
+            "in_a": pa.array(fa.astype(np.int64)),
+            "in_b": pa.array(fb.astype(np.int64)),
+            "est_union": pa.array(np.full(n, est_u, np.int64)),
+            "n_both": pa.array(np.full(n, n_both, np.int64)),
+            "est_intersect": pa.array(np.full(n, est_i, np.int64))})
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
