@@ -750,3 +750,74 @@ def run_pipeline(steps: list[dict], ds=None):
             raise ValueError(f"step {i}: unknown op {op!r} (have {sorted(STAGES)})")
         out = STAGES[op](step)(out)
     return out
+
+
+def _sssp(p: dict) -> Stage:
+    """{"op": "sssp", "seeds_path": glob, "src": "u"?, "dst": "v"?,
+    "w": "w"?, "seed_col": "node"?, "max_dist": int?}"""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.graph import sssp
+
+    def s(ds):
+        seeds = ray.data.read_parquet(sorted(_g.glob(p["seeds_path"])))
+        return sssp(ds, seeds, src_col=p.get("src", "u"),
+                    dst_col=p.get("dst", "v"), w_col=p.get("w", "w"),
+                    seed_col=p.get("seed_col", "node"),
+                    max_dist=int(p.get("max_dist", 1 << 30)))
+
+    return s
+
+
+def _dbscan(p: dict) -> Stage:
+    """{"op": "dbscan", "eps": int, "min_pts": int, "id": "pid"?,
+    "x": "x"?, "y": "y"?}"""
+    from osmray.cluster import dbscan_grid
+
+    return lambda ds: dbscan_grid(
+        ds, eps=int(p["eps"]), min_pts=int(p["min_pts"]),
+        id_col=p.get("id", "pid"), x_col=p.get("x", "x"),
+        y_col=p.get("y", "y"))
+
+
+def _snap(p: dict) -> Stage:
+    """{"op": "snap_join", "segments_path": glob, "radius": int}"""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import snap_join
+
+    def s(ds):
+        segs = ray.data.read_parquet(sorted(_g.glob(p["segments_path"])))
+        return snap_join(ds, segs, radius=int(p["radius"]))
+
+    return s
+
+
+def _tfidf(p: dict) -> Stage:
+    """{"op": "tfidf_topk", "k": 3?, "doc": "doc_id"?, "text": "text"?}"""
+    from osmray.text import tfidf_topk
+
+    return lambda ds: tfidf_topk(ds, k=int(p.get("k", 3)),
+                                 doc_col=p.get("doc", "doc_id"),
+                                 text_col=p.get("text", "text"))
+
+
+def _grid_cc(p: dict) -> Stage:
+    """{"op": "grid_components", "width": int, "key": "key"?}"""
+    from osmray.cluster import grid_components
+
+    return lambda ds: grid_components(ds, width=int(p["width"]),
+                                      key_col=p.get("key", "key"))
+
+
+STAGES.update({
+    "sssp": _sssp,
+    "dbscan": _dbscan,
+    "snap_join": _snap,
+    "tfidf_topk": _tfidf,
+    "grid_components": _grid_cc,
+})
