@@ -7211,6 +7211,84 @@ FROM b, g
 """
 
 
+def q_max_concurrency(sf_dir: str):
+    """Peak concurrency sweep: each event opens a 5-minute interval;
+    the answer is the maximum number of simultaneously open intervals
+    and the first instant it is reached. Classic +1/-1 sweep as ONE
+    distributed pass: sort the 2n boundary events by (t, delta, eid)
+    — ends exclusive, so -1 sorts before +1 at equal t — then a
+    single per-block stats pass (total delta, local prefix max, ts at
+    its first attainment) and an O(#blocks) driver fold turn block
+    offsets into the global running maximum; no second pass, no
+    per-row driver state."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "t": pa.array(np.concatenate((t, t + 300_000_000))),
+            "d": pa.array(np.concatenate((np.ones(len(t), np.int64),
+                                          -np.ones(len(t), np.int64)))),
+            "eid": pa.array(np.concatenate((eid, eid)))})
+
+    sds = (ds.map_batches(boundaries, batch_format="pyarrow")
+           .sort(["t", "d", "eid"]).materialize())
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"ft": pa.array([], pa.int64()),
+                          "fd": pa.array([], pa.int64()),
+                          "fe": pa.array([], pa.int64()),
+                          "total": pa.array([], pa.int64()),
+                          "lmax": pa.array([], pa.int64()),
+                          "tmax": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        pref = np.cumsum(d)
+        i = int(np.argmax(pref))
+        return pa.table({
+            "ft": pa.array([int(t[0])]),
+            "fd": pa.array([int(d[0])]),
+            "fe": pa.array([int(batch["eid"][0].as_py())]),
+            "total": pa.array([int(pref[-1])]),
+            "lmax": pa.array([int(pref[i])]),
+            "tmax": pa.array([int(t[i])])})
+
+    st = (sds.map_batches(block_stats, batch_format="pyarrow",
+                          batch_size=None)
+          .to_pandas().sort_values(["ft", "fd", "fe"])
+          .reset_index(drop=True))
+    offs = np.concatenate(([0], np.cumsum(st["total"].to_numpy())[:-1]))
+    cand = offs + st["lmax"].to_numpy()
+    gmax = int(cand.max())
+    first_ts = int(st["tmax"].to_numpy()[cand == gmax].min())
+    return pa.table({"max_conc": pa.array([gmax], pa.int64()),
+                     "first_ts_us": pa.array([first_ts], pa.int64())})
+
+
+Q_MAX_CONCURRENCY_SQL = """
+WITH ev AS (
+  SELECT epoch_us(ts) AS t, 1 AS d, event_id AS eid FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 300000000, -1, event_id FROM events
+),
+r AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d, eid
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM ev
+),
+m AS (SELECT max(run) AS mx FROM r)
+SELECT CAST((SELECT mx FROM m) AS BIGINT) AS max_conc,
+       CAST(min(t) AS BIGINT) AS first_ts_us
+FROM r WHERE run = (SELECT mx FROM m)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -7342,4 +7420,5 @@ def registry():
         "q_patch_grid": (q_patch_grid, Q_PATCH_GRID_SQL),
         "q_gini": (q_gini, Q_GINI_SQL),
         "q_kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
+        "q_max_concurrency": (q_max_concurrency, Q_MAX_CONCURRENCY_SQL),
     }
