@@ -290,3 +290,34 @@ def rollup_cells(points_cells_ds, cell_col: str = "cell",
         return batch.append_column("res", pa.array((c >> 58).astype(np.int64)))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(x: np.ndarray, y: np.ndarray, chars: int = 6) -> np.ndarray:
+    """Vectorized geohash of integer grid coordinates: interleave
+    ``chars*5 // 2 + chars*5 % 2`` bits of x (even positions, MSB
+    first) with bits of y (odd positions) — the standard geohash bit
+    order with x playing longitude — then emit ``chars`` base32
+    characters. Input coordinates must already be scaled to the
+    geohash lattice (x in [0, 2^ceil(5c/2)), y in [0, 2^floor(5c/2))):
+    this engine's world is an integer web-mercator grid, so the
+    lat/lng -> lattice step is the caller's dyadic shift, keeping the
+    whole path exact (and SQL-replayable). Returns a numpy array of
+    ``chars``-byte ASCII strings; purely elementwise — no shuffle."""
+    nbits = chars * 5
+    nx = (nbits + 1) // 2
+    ny = nbits // 2
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    code = np.zeros(len(x), dtype=np.int64)
+    for i in range(nx):  # x bit i (from MSB) -> code bit nbits-1-2i
+        code |= ((x >> (nx - 1 - i)) & 1) << (nbits - 1 - 2 * i)
+    for i in range(ny):
+        code |= ((y >> (ny - 1 - i)) & 1) << (nbits - 2 - 2 * i)
+    out = np.empty((len(x), chars), dtype=np.uint8)
+    alphabet = np.frombuffer(GEOHASH32.encode(), dtype=np.uint8)
+    for c in range(chars):
+        out[:, c] = alphabet[(code >> (5 * (chars - 1 - c))) & 31]
+    return out.view(f"S{chars}").ravel().astype(str)

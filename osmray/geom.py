@@ -566,3 +566,65 @@ def hull_area2(ring: np.ndarray) -> int:
     x = ring[:, 0]
     y = ring[:, 1]
     return int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def nms_boxes(score: np.ndarray, x0: np.ndarray, y0: np.ndarray,
+              x1: np.ndarray, y1: np.ndarray, iou_num: int, iou_den: int,
+              tie: np.ndarray | None = None) -> np.ndarray:
+    """Greedy non-maximum suppression over one group's integer boxes
+    (the detection post-processing step): repeatedly keep the highest
+    ``score`` (ties by ascending ``tie``) survivor, then drop every
+    remaining box whose IoU with it meets ``iou_num/iou_den`` — exact
+    integer test ``inter * den >= num * union``, no floats. A box
+    suppressed earlier cannot suppress later (the chain-rescue
+    property that separates greedy NMS from the one-shot
+    "overlapped-by-any-better-box" filter). Returns the kept row
+    indices in pick order.
+
+    O(k * n) per group for k keeps — groups are per-image detection
+    sets, bounded by the detector's output cap, never corpus-sized;
+    the grouping shuffle outside this kernel is the scale step."""
+    n = len(score)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    tie = np.arange(n, dtype=np.int64) if tie is None else np.asarray(tie)
+    order = np.lexsort((tie, -np.asarray(score, dtype=np.int64)))
+    x0, y0 = x0[order].astype(np.int64), y0[order].astype(np.int64)
+    x1, y1 = x1[order].astype(np.int64), y1[order].astype(np.int64)
+    area = (x1 - x0) * (y1 - y0)
+    alive = np.ones(n, dtype=bool)
+    kept = []
+    while True:
+        rem = np.flatnonzero(alive)
+        if len(rem) == 0:
+            break
+        i = rem[0]
+        kept.append(order[i])
+        alive[i] = False
+        rem = rem[1:]
+        iw = np.minimum(x1[i], x1[rem]) - np.maximum(x0[i], x0[rem])
+        ih = np.minimum(y1[i], y1[rem]) - np.maximum(y0[i], y0[rem])
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        uni = area[i] + area[rem] - inter
+        alive[rem[inter * iou_den >= iou_num * uni]] = False
+    return np.asarray(kept, dtype=np.int64)
+
+
+def hausdorff_directed_sq(ax: np.ndarray, ay: np.ndarray,
+                          bx: np.ndarray, by: np.ndarray) -> int:
+    """Directed Hausdorff distance SQUARED between two integer point
+    sets: max over a in A of min over b in B of |a-b|^2 — exact
+    integers, so the nested min/max SQL twin hash-matches. Vectorized
+    O(|A|*|B|) in blocks of A to bound the temporary; per-trajectory
+    point counts are bounded, the pair-grouping shuffle outside is
+    the scale step."""
+    ax = np.asarray(ax, dtype=np.int64)
+    ay = np.asarray(ay, dtype=np.int64)
+    bx = np.asarray(bx, dtype=np.int64)
+    by = np.asarray(by, dtype=np.int64)
+    worst = 0
+    for s in range(0, len(ax), 512):
+        dx = ax[s:s + 512, None] - bx[None, :]
+        dy = ay[s:s + 512, None] - by[None, :]
+        worst = max(worst, int((dx * dx + dy * dy).min(axis=1).max()))
+    return worst

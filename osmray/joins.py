@@ -540,7 +540,8 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
 
 def box_overlap_join(left, right, cell_shift: int = 8, num_buckets: int = 64,
                      spill_root: str | None = None,
-                     cols: tuple = ("id", "x0", "y0", "x1", "y1")):
+                     cols: tuple = ("id", "x0", "y0", "x1", "y1"),
+                     min_iou: tuple[int, int] | None = None):
     """Large-x-large spatial overlap join of axis-aligned integer
     boxes (half-open [x0,x1) x [y0,y1)) — the PBSM/grid plan:
 
@@ -557,6 +558,12 @@ def box_overlap_join(left, right, cell_shift: int = 8, num_buckets: int = 64,
        are never produced and no distinct-shuffle is needed.
 
     Returns (a_id, b_id). Degenerate (empty) boxes never match.
+
+    ``min_iou=(num, den)`` upgrades the predicate to an exact-integer
+    IoU threshold (inter * den >= num * union — the detection-box
+    association join); the output then also carries the integer
+    ``inter`` and ``uni`` areas. Same plan, same cost: IoU is a
+    per-candidate arithmetic refinement, not a new shuffle.
     """
     id_c, x0c, y0c, x1c, y1c = cols
 
@@ -604,10 +611,26 @@ def box_overlap_join(left, right, cell_shift: int = 8, num_buckets: int = 64,
         rcy = np.maximum(ay0, by0) >> cell_shift
         report = ((rcx << 32) | rcy) == cell
         sel = overlap & report
+        if min_iou is None:
+            return pa.table(
+                {
+                    "a_id": batch[id_c].filter(pa.array(sel)),
+                    "b_id": batch[id_c + "_r"].filter(pa.array(sel)),
+                }
+            )
+        num, den = min_iou
+        iw = np.minimum(ax1, bx1) - np.maximum(ax0, bx0)
+        ih = np.minimum(ay1, by1) - np.maximum(ay0, by0)
+        inter = np.where(sel, iw * ih, 0)
+        uni = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+        sel &= inter * den >= num * uni
+        keep = pa.array(sel)
         return pa.table(
             {
-                "a_id": batch[id_c].filter(pa.array(sel)),
-                "b_id": batch[id_c + "_r"].filter(pa.array(sel)),
+                "a_id": batch[id_c].filter(keep),
+                "b_id": batch[id_c + "_r"].filter(keep),
+                "inter": pa.array(inter[sel]),
+                "uni": pa.array(uni[sel]),
             }
         )
 

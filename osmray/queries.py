@@ -7289,6 +7289,306 @@ FROM r WHERE run = (SELECT mx FROM m)
 """
 
 
+def q_box_iou_join(sf_dir: str):
+    """Detection-box ASSOCIATION join: all cross-set box pairs with
+    IoU >= 0.2 (exact integer test inter*5 >= 1*union), the
+    prediction-vs-ground-truth matching primitive — the same PBSM
+    grid plan as q_bbox_join (joins.box_overlap_join) with the IoU
+    refinement folded into the per-candidate predicate: no extra
+    shuffle over the plain overlap join, and the integer inter/union
+    areas ride along for downstream mAP-style scoring."""
+    from osmray.joins import box_overlap_join
+
+    def part_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 128 + (k * 7919) % 65280
+        cy = 128 + (k * 6151) % 65280
+        w = 8 + k % 56
+        h = 8 + (k * 31) % 56
+        return pa.table({"id": pa.array(k), "x0": pa.array(cx - w),
+                         "y0": pa.array(cy - h), "x1": pa.array(cx + w),
+                         "y1": pa.array(cy + h)})
+
+    def order_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 128 + (k * 104729) % 65280
+        cy = 128 + (k * 99991) % 65280
+        w = 8 + k % 48
+        h = 8 + (k * 17) % 48
+        return pa.table({"id": pa.array(k), "x0": pa.array(cx - w),
+                         "y0": pa.array(cy - h), "x1": pa.array(cx + w),
+                         "y1": pa.array(cy + h)})
+
+    left = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_boxes, batch_format="pyarrow")
+    right = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        order_boxes, batch_format="pyarrow")
+    return box_overlap_join(left, right, cell_shift=8, min_iou=(1, 5))
+
+
+Q_BOX_IOU_JOIN_SQL = """
+WITH a AS (
+  SELECT p_partkey AS id,
+    128 + (p_partkey * 7919) % 65280 AS cx, 128 + (p_partkey * 6151) % 65280 AS cy,
+    8 + p_partkey % 56 AS w, 8 + (p_partkey * 31) % 56 AS h
+  FROM part
+),
+b AS (
+  SELECT o_orderkey AS id,
+    128 + (o_orderkey * 104729) % 65280 AS cx, 128 + (o_orderkey * 99991) % 65280 AS cy,
+    8 + o_orderkey % 48 AS w, 8 + (o_orderkey * 17) % 48 AS h
+  FROM orders
+),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+    greatest(least(a.cx + a.w, b.cx + b.w) - greatest(a.cx - a.w, b.cx - b.w), 0)
+      * greatest(least(a.cy + a.h, b.cy + b.h) - greatest(a.cy - a.h, b.cy - b.h), 0)
+      AS inter,
+    4 * a.w * a.h + 4 * b.w * b.h AS asum
+  FROM a, b
+  WHERE a.cx - a.w < b.cx + b.w AND b.cx - b.w < a.cx + a.w
+    AND a.cy - a.h < b.cy + b.h AND b.cy - b.h < a.cy + a.h
+)
+SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       CAST(asum - inter AS BIGINT) AS uni
+FROM cand
+WHERE inter * 5 >= 1 * (asum - inter)
+"""
+
+
+def q_box_nms(sf_dir: str):
+    """Greedy non-maximum suppression per image (the detection
+    post-processing step): boxes grouped by image, highest-score
+    survivor kept, overlaps (IoU >= 0.2, exact integer test)
+    suppressed, repeat — geom.nms_boxes per group after ONE keyed
+    shuffle. Groups are per-image detection sets (<= 8 boxes by
+    construction here; bounded by the detector cap in general), so
+    map_groups holds O(group) state only. The SQL twin unrolls the
+    greedy rounds: round r keeps each image's best remaining box
+    (row_number window) and deletes what it suppresses — 8 unrolled
+    rounds == the max group size, so the twin is exact, including
+    the chain-rescue property one-shot suppression filters miss."""
+    from osmray.geom import nms_boxes
+
+    def mk_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 40 + (k * 7919) % 120
+        cy = 40 + (k * 6151) % 120
+        w = 20 + k % 30
+        h = 20 + (k * 31) % 30
+        return pa.table({
+            "img": pa.array(k // 8), "id": pa.array(k),
+            "score": pa.array((k * 37) % 1000),
+            "x0": pa.array(cx - w), "y0": pa.array(cy - h),
+            "x1": pa.array(cx + w), "y1": pa.array(cy + h)})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_boxes, batch_format="pyarrow")
+
+    def group_nms(g: pa.Table) -> pa.Table:
+        bid = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = nms_boxes(
+            g["score"].to_numpy(zero_copy_only=False),
+            g["x0"].to_numpy(zero_copy_only=False),
+            g["y0"].to_numpy(zero_copy_only=False),
+            g["x1"].to_numpy(zero_copy_only=False),
+            g["y1"].to_numpy(zero_copy_only=False),
+            1, 5, tie=bid)
+        sel = pa.array(kept)
+        return pa.table({"img": g["img"].take(sel), "id": g["id"].take(sel),
+                         "score": g["score"].take(sel)})
+
+    return ds.groupby("img").map_groups(group_nms, batch_format="pyarrow")
+
+
+def _box_nms_sql() -> str:
+    inter = ("greatest(least(r.x1, k.x1) - greatest(r.x0, k.x0), 0) * "
+             "greatest(least(r.y1, k.y1) - greatest(r.y0, k.y0), 0)")
+    uni = ("(r.x1 - r.x0) * (r.y1 - r.y0) + "
+           "(k.x1 - k.x0) * (k.y1 - k.y0) - " + inter)
+    parts = ["""
+WITH b AS (
+  SELECT o_orderkey // 8 AS img, o_orderkey AS id,
+    (o_orderkey * 37) % 1000 AS score,
+    40 + (o_orderkey * 7919) % 120 - (20 + o_orderkey % 30) AS x0,
+    40 + (o_orderkey * 6151) % 120 - (20 + (o_orderkey * 31) % 30) AS y0,
+    40 + (o_orderkey * 7919) % 120 + (20 + o_orderkey % 30) AS x1,
+    40 + (o_orderkey * 6151) % 120 + (20 + (o_orderkey * 31) % 30) AS y1
+  FROM orders
+),
+r0 AS (SELECT * FROM b)"""]
+    for r in range(1, 9):
+        parts.append(f""",
+k{r} AS (
+  SELECT img, id, score, x0, y0, x1, y1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY img ORDER BY score DESC, id) AS rn
+    FROM r{r - 1}
+  ) WHERE rn = 1
+),
+r{r} AS (
+  SELECT r.* FROM r{r - 1} r JOIN k{r} k USING (img)
+  WHERE ({inter}) * 5 < ({uni})
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT img, id, score FROM k{r}" for r in range(1, 9))
+    return "".join(parts) + "\n" + union + "\n"
+
+
+def q_geohash(sf_dir: str):
+    """Geohash cell aggregation: each point encodes to a 6-char
+    geohash (cells.geohash_encode — exact bit-interleave + base32,
+    verified against the canonical algorithm), aggregated per 4-char
+    prefix. Aggregation runs entirely on INTEGER codes (20-bit prefix
+    key, Sum/Min folds of per-block partials via _keyed_sums); the
+    base32 strings materialize only in the final, already-aggregated
+    rows — strings never enter the shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    from osmray.cells import GEOHASH32
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        x = p["m1"] >> 11  # 15-bit lattice (6-char geohash: 15+15 bits)
+        y = p["m2"] >> 11
+        code = np.zeros(len(x), np.int64)
+        for i in range(15):
+            code |= ((x >> (14 - i)) & 1) << (29 - 2 * i)
+            code |= ((y >> (14 - i)) & 1) << (28 - 2 * i)
+        return pa.table({"pfx": pa.array(code >> 10), "code": pa.array(code)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pfx = batch["pfx"].to_numpy(zero_copy_only=False)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pfx, kind="stable")
+        ks = pfx[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
+        counts = np.diff(np.concatenate((bounds, [len(ks)]))).astype(np.int64)
+        cmin = np.minimum.reduceat(code[order], bounds)
+        return pa.table({"pfx": pa.array(ks[bounds]), "cnt": pa.array(counts),
+                         "code_min": pa.array(cmin)})
+
+    agg = (ds.map_batches(encode, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("pfx")
+           .aggregate(Sum("cnt", alias_name="n"),
+                      Min("code_min", alias_name="code_min")))
+
+    alphabet = np.frombuffer(GEOHASH32.encode(), dtype=np.uint8)
+
+    def to_strings(batch: pa.Table) -> pa.Table:
+        pfx = batch["pfx"].to_numpy(zero_copy_only=False)
+        cmin = batch["code_min"].to_numpy(zero_copy_only=False)
+        gh4 = np.empty((len(pfx), 4), dtype=np.uint8)
+        for c in range(4):
+            gh4[:, c] = alphabet[(pfx >> (5 * (3 - c))) & 31]
+        gh6 = np.empty((len(pfx), 6), dtype=np.uint8)
+        for c in range(6):
+            gh6[:, c] = alphabet[(cmin >> (5 * (5 - c))) & 31]
+        return pa.table({
+            "gh4": pa.array(gh4.view("S4").ravel().astype(str)),
+            "n": batch["n"],
+            "first_gh6": pa.array(gh6.view("S6").ravel().astype(str))})
+
+    return agg.map_batches(to_strings, batch_format="pyarrow")
+
+
+def _geohash_sql() -> str:
+    from osmray.cells import GEOHASH32
+
+    bits = " + ".join(
+        f"(((m1 // 2048) // {1 << (14 - i)}) % 2) * {1 << (29 - 2 * i)} + "
+        f"(((m2 // 2048) // {1 << (14 - i)}) % 2) * {1 << (28 - 2 * i)}"
+        for i in range(15))
+    gh4 = " || ".join(
+        f"substr('{GEOHASH32}', 1 + CAST((pfx // {1 << (5 * (3 - c))}) % 32 AS INT), 1)"
+        for c in range(4))
+    gh6 = " || ".join(
+        f"substr('{GEOHASH32}', 1 + CAST((code_min // {1 << (5 * (5 - c))}) % 32 AS INT), 1)"
+        for c in range(6))
+    return f"""
+WITH p AS ({_LI_SQL}),
+enc AS (SELECT {bits} AS code FROM p),
+agg AS (
+  SELECT code // 1024 AS pfx, CAST(count(*) AS BIGINT) AS n,
+         min(code) AS code_min
+  FROM enc GROUP BY 1
+)
+SELECT {gh4} AS gh4, n, {gh6} AS first_gh6 FROM agg
+"""
+
+
+def q_hausdorff(sf_dir: str):
+    """Trajectory-similarity join: directed and symmetric Hausdorff
+    distance (squared, exact integers) between paired point sets —
+    users 2u / 2u+1 play the pair's two trajectories. ONE keyed
+    shuffle co-locates a pair's points; geom.hausdorff_directed_sq
+    runs the blocked O(|A|*|B|) kernel per group (per-trajectory
+    point counts are bounded; the quadratic term never leaves a
+    group). Pairs missing a side are absent (inner semantics,
+    matching the twin's join)."""
+    from osmray.geom import hausdorff_directed_sq
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pair": pa.array(uid // 2), "side": pa.array(uid % 2),
+            "x": pa.array((eid * 48271 + 7) % 65536),
+            "y": pa.array((eid * 69621 + 3) % 65536)})
+
+    def group_h(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        a = side == 0
+        b = side == 1
+        if not a.any() or not b.any():
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "h_ab": pa.array([], pa.int64()),
+                             "h_ba": pa.array([], pa.int64()),
+                             "h_max": pa.array([], pa.int64())})
+        h_ab = hausdorff_directed_sq(x[a], y[a], x[b], y[b])
+        h_ba = hausdorff_directed_sq(x[b], y[b], x[a], y[a])
+        return pa.table({
+            "pair": pa.array([g["pair"][0].as_py()], pa.int64()),
+            "h_ab": pa.array([h_ab], pa.int64()),
+            "h_ba": pa.array([h_ba], pa.int64()),
+            "h_max": pa.array([max(h_ab, h_ba)], pa.int64())})
+
+    return (ds.map_batches(pts, batch_format="pyarrow")
+            .groupby("pair").map_groups(group_h, batch_format="pyarrow"))
+
+
+Q_HAUSDORFF_SQL = """
+WITH p AS (
+  SELECT user_id // 2 AS pair, user_id % 2 AS side,
+    (event_id * 48271 + 7) % 65536 AS x,
+    (event_id * 69621 + 3) % 65536 AS y
+  FROM events
+),
+a AS (SELECT pair, x, y FROM p WHERE side = 0),
+b AS (SELECT pair, x, y FROM p WHERE side = 1),
+dab AS (
+  SELECT a.pair, a.x, a.y,
+    min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS m
+  FROM a JOIN b USING (pair) GROUP BY a.pair, a.x, a.y
+),
+dba AS (
+  SELECT b.pair, b.x, b.y,
+    min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS m
+  FROM b JOIN a USING (pair) GROUP BY b.pair, b.x, b.y
+),
+hab AS (SELECT pair, max(m) AS h_ab FROM dab GROUP BY pair),
+hba AS (SELECT pair, max(m) AS h_ba FROM dba GROUP BY pair)
+SELECT pair, h_ab, h_ba, greatest(h_ab, h_ba) AS h_max
+FROM hab JOIN hba USING (pair)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -7421,4 +7721,8 @@ def registry():
         "q_gini": (q_gini, Q_GINI_SQL),
         "q_kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
         "q_max_concurrency": (q_max_concurrency, Q_MAX_CONCURRENCY_SQL),
+        "q_box_iou_join": (q_box_iou_join, Q_BOX_IOU_JOIN_SQL),
+        "q_box_nms": (q_box_nms, _box_nms_sql()),
+        "q_geohash": (q_geohash, _geohash_sql()),
+        "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
     }

@@ -1,0 +1,142 @@
+"""Detection-box + trajectory geometry operators: greedy NMS, IoU
+join, geohash encode, Hausdorff distance — kernels pinned against
+brute-force references, the distributed plans against in-process
+recomputation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osmray.cells import GEOHASH32, geohash_encode
+from osmray.geom import hausdorff_directed_sq, nms_boxes
+
+
+def _brute_nms(sc, x0, y0, x1, y1, num, den):
+    alive = sorted(range(len(sc)), key=lambda i: (-sc[i], i))
+    out = []
+    while alive:
+        i = alive.pop(0)
+        out.append(i)
+
+        def suppressed(j):
+            iw = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            ih = min(y1[i], y1[j]) - max(y0[i], y0[j])
+            inter = max(iw, 0) * max(ih, 0)
+            uni = ((x1[i] - x0[i]) * (y1[i] - y0[i])
+                   + (x1[j] - x0[j]) * (y1[j] - y0[j]) - inter)
+            return inter * den >= num * uni
+
+        alive = [j for j in alive if not suppressed(j)]
+    return out
+
+
+def test_nms_matches_brute_greedy():
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        n = rng.randint(1, 14)
+        x0 = rng.randint(0, 90, n).astype(np.int64)
+        y0 = rng.randint(0, 90, n).astype(np.int64)
+        x1 = x0 + rng.randint(1, 50, n)
+        y1 = y0 + rng.randint(1, 50, n)
+        sc = rng.randint(0, 25, n).astype(np.int64)  # many score ties
+        kept = nms_boxes(sc, x0, y0, x1, y1, 1, 4)
+        assert list(kept) == _brute_nms(sc, x0, y0, x1, y1, 1, 4)
+
+
+def test_nms_chain_rescue():
+    # B suppressed by A; C overlaps B but not A -> greedy keeps C
+    # (a one-shot "overlapped by any better box" filter would drop it)
+    x0 = np.array([0, 8, 16], dtype=np.int64)
+    x1 = x0 + 10
+    y0 = np.zeros(3, dtype=np.int64)
+    y1 = y0 + 10
+    sc = np.array([30, 20, 10], dtype=np.int64)
+    kept = nms_boxes(sc, x0, y0, x1, y1, 1, 10)
+    assert list(kept) == [0, 2]
+
+
+def test_hausdorff_matches_brute():
+    rng = np.random.RandomState(11)
+    for _ in range(60):
+        a = rng.randint(0, 2000, (rng.randint(1, 30), 2)).astype(np.int64)
+        b = rng.randint(0, 2000, (rng.randint(1, 30), 2)).astype(np.int64)
+        got = hausdorff_directed_sq(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+        brute = max(min(int((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2)
+                        for q in b) for p in a)
+        assert got == brute
+
+
+def _canonical_geohash(lat, lon, chars):
+    lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+    bits, even = [], True
+    while len(bits) < chars * 5:
+        if even:
+            mid = sum(lon_i) / 2
+            bits.append(1 if lon > mid else 0)
+            lon_i = (mid, lon_i[1]) if lon > mid else (lon_i[0], mid)
+        else:
+            mid = sum(lat_i) / 2
+            bits.append(1 if lat > mid else 0)
+            lat_i = (mid, lat_i[1]) if lat > mid else (lat_i[0], mid)
+        even = not even
+    out = ""
+    for i in range(chars):
+        v = 0
+        for b in bits[5 * i:5 * i + 5]:
+            v = v * 2 + b
+        out += GEOHASH32[v]
+    return out
+
+
+def test_geohash_matches_canonical_algorithm():
+    rng = np.random.RandomState(3)
+    lats = rng.uniform(-89, 89, 100)
+    lons = rng.uniform(-179, 179, 100)
+    xi = ((lons + 180.0) / 360.0 * (1 << 15)).astype(np.int64)
+    yi = ((lats + 90.0) / 180.0 * (1 << 15)).astype(np.int64)
+    got = geohash_encode(xi, yi, 6)
+    for g, lat, lon in zip(got, lats, lons):
+        assert g == _canonical_geohash(lat, lon, 6)
+    # 4-char variant uses a 10+10-bit lattice
+    got4 = geohash_encode(xi >> 5, yi >> 5, 4)
+    for g, lat, lon in zip(got4, lats, lons):
+        assert g == _canonical_geohash(lat, lon, 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_box_iou_join_matches_brute():
+    import ray.data
+
+    from osmray.joins import box_overlap_join
+
+    rng = np.random.RandomState(5)
+
+    def mk(n, seed):
+        r = np.random.RandomState(seed)
+        x0 = r.randint(0, 4000, n).astype(np.int64)
+        y0 = r.randint(0, 4000, n).astype(np.int64)
+        return pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "x0": pa.array(x0), "y0": pa.array(y0),
+            "x1": pa.array(x0 + r.randint(1, 300, n)),
+            "y1": pa.array(y0 + r.randint(1, 300, n))})
+
+    ta, tb = mk(300, 1), mk(300, 2)
+    got = (box_overlap_join(
+        ray.data.from_arrow(ta).repartition(4),
+        ray.data.from_arrow(tb).repartition(4),
+        cell_shift=7, min_iou=(1, 4))
+        .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))
+
+    A, B = ta.to_pandas(), tb.to_pandas()
+    rows = []
+    for a in A.itertuples():
+        iw = np.minimum(a.x1, B.x1) - np.maximum(a.x0, B.x0)
+        ih = np.minimum(a.y1, B.y1) - np.maximum(a.y0, B.y0)
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        uni = ((a.x1 - a.x0) * (a.y1 - a.y0)
+               + (B.x1 - B.x0) * (B.y1 - B.y0) - inter)
+        for j in np.flatnonzero((inter > 0) & (inter * 4 >= uni)):
+            rows.append((a.id, int(B.id[j]), int(inter[j]), int(uni[j])))
+    rows.sort()
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
