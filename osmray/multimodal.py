@@ -335,3 +335,77 @@ class PatchStage:
             "fmt": pa.array([self.out_fmt] * n, pa.string()),
             "w": pa.array([self.pw] * n, pa.int32()),
             "h": pa.array([self.ph] * n, pa.int32())})
+
+
+def hist_equalize(img: np.ndarray) -> np.ndarray:
+    """Per-channel histogram equalization with the standard
+    cdf-remap LUT, floor arithmetic only (lut(v) = (cdf(v)-cdf_min)
+    * 255 // (N-cdf_min)) so outputs are integer-exact and SQL-
+    replayable; a single-valued channel is left unchanged (the
+    denominator would be 0)."""
+    out = np.empty_like(img)
+    n = img.shape[0] * img.shape[1]
+    for c in range(img.shape[2]):
+        ch = img[..., c]
+        hist = np.bincount(ch.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+        denom = n - cdf_min
+        if denom == 0:
+            out[..., c] = ch
+        else:
+            lut = (np.maximum(cdf - cdf_min, 0) * 255 // denom).astype(np.uint8)
+            out[..., c] = lut[ch]
+    return out
+
+
+class HistEqStage:
+    """Actor-pool stage: decode -> per-channel histogram equalization
+    -> re-encode (the photometric-normalization step of an image
+    training pipeline). Fully real pixel work; stateless beyond the
+    codec, so __init__ is trivial and the pool scales by CPU."""
+
+    def __init__(self, out_fmt: str = "png"):
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            out.append(codecs.encode(hist_equalize(codecs.decode(blob, fmt)),
+                                     self.out_fmt))
+        t = pa.table({"image_id": batch["image_id"],
+                      "bytes": pa.array(out, pa.binary()),
+                      "fmt": pa.array([self.out_fmt] * len(out), pa.string())})
+        for name in batch.column_names:
+            if name not in t.column_names:
+                t = t.append_column(name, batch[name])
+        return t
+
+
+class IntegralRectStage:
+    """Actor-pool stage: decode -> integral image (summed-area table,
+    one cumsum pass over all channels) -> O(1) box sums for a fixed
+    rect list (the Viola-Jones / box-feature primitive). Emits one
+    (idx, rid, rect_sum) row per image x rect; rects are closed-open
+    [x0,x1) x [y0,y1) pixel boxes shared by every image (broadcast
+    with the actor, not per batch)."""
+
+    def __init__(self, rects: tuple[tuple[int, int, int, int], ...]):
+        self.rects = tuple(rects)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, rids, sums = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt).astype(np.int64).sum(axis=2)
+            sat = np.zeros((img.shape[0] + 1, img.shape[1] + 1), np.int64)
+            np.cumsum(np.cumsum(img, axis=0), axis=1, out=sat[1:, 1:])
+            for rid, (x0, y0, x1, y1) in enumerate(self.rects):
+                s = int(sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0])
+                idxs.append(idx)
+                rids.append(rid)
+                sums.append(s)
+        return pa.table({"idx": pa.array(idxs, pa.int64()),
+                         "rid": pa.array(rids, pa.int64()),
+                         "rect_sum": pa.array(sums, pa.int64())})

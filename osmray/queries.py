@@ -7519,6 +7519,92 @@ SELECT {gh4} AS gh4, n, {gh6} AS first_gh6 FROM agg
 """
 
 
+def q_hist_eq(sf_dir: str):
+    """Photometric normalization: decode -> per-channel histogram
+    equalization -> re-encode as an actor-pool stage
+    (multimodal.HistEqStage), over the planted-phash fixture whose
+    two-level images give the remap a DuckDB closed form: cdf_min is
+    the dark level's count, so dark pixels map to 0 and bright to
+    255 — pix_sum = 3*255*1024*n1 (degenerate single-level images
+    pass through) and the phash is preserved (the remap is
+    monotone)."""
+    from osmray import oraclefix
+    from osmray.multimodal import HistEqStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "w", "h", "idx"])
+
+    out = images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        HistEqStage,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.map_batches(_media_summary, batch_format="pyarrow")
+
+
+Q_HIST_EQ_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS n1 FROM phbits GROUP BY i)
+SELECT phx.i AS idx, 256 AS w, 256 AS h,
+  CAST(CASE WHEN pc.n1 = 0 THEN 3 * 65536 * 40
+            WHEN pc.n1 = 64 THEN 3 * 65536 * 200
+            ELSE 3 * 255 * 1024 * pc.n1 END AS BIGINT) AS pix_sum,
+  phx.phash
+FROM phx JOIN pc USING (i)
+"""
+
+
+_INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
+
+
+def q_integral_rects(sf_dir: str):
+    """Box features via summed-area tables (the Viola-Jones
+    primitive): decode -> integral image -> O(1) rect sums for a
+    fixed, deliberately cell-UNaligned rect list
+    (multimodal.IntegralRectStage). On the planted fixture a rect's
+    sum is sum over 8x8 cells of (40 + 160*bit) * overlap_area, so
+    the SQL twin replays every rect from the bit table and integer
+    overlap arithmetic — the integral-image path itself is what is
+    being checked."""
+    from osmray import oraclefix
+    from osmray.multimodal import IntegralRectStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        IntegralRectStage,
+        fn_constructor_kwargs={"rects": _INTEGRAL_RECTS},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _integral_rects_sql() -> str:
+    vals = ", ".join(f"({rid}, {x0}, {y0}, {x1}, {y1})"
+                     for rid, (x0, y0, x1, y1) in enumerate(_INTEGRAL_RECTS))
+    return f"""
+WITH {_PH_CTES},
+rects(rid, x0, y0, x1, y1) AS (VALUES {vals}),
+ov AS (
+  SELECT b.i, r.rid,
+    greatest(least(32 * (b.j % 8) + 32, r.x1) - greatest(32 * (b.j % 8), r.x0), 0)
+    * greatest(least(32 * (b.j // 8) + 32, r.y1) - greatest(32 * (b.j // 8), r.y0), 0)
+    AS area, b.bit
+  FROM phbits b, rects r
+)
+SELECT i AS idx, rid,
+  CAST(3 * SUM((40 + 160 * bit) * area) AS BIGINT) AS rect_sum
+FROM ov GROUP BY i, rid
+"""
+
+
 def q_hausdorff(sf_dir: str):
     """Trajectory-similarity join: directed and symmetric Hausdorff
     distance (squared, exact integers) between paired point sets —
@@ -7725,4 +7811,6 @@ def registry():
         "q_box_nms": (q_box_nms, _box_nms_sql()),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
+        "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
+        "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
     }

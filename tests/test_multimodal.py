@@ -215,3 +215,46 @@ def test_planted_pcm_features_closed_form():
     rms = math.sqrt(int((f0 * f0).sum()) / 1024.0)
     frames = pcm[:16384].astype(np.float64).reshape(16, 1024)
     np.testing.assert_equal(np.sqrt((frames**2).mean(axis=1))[0], rms)
+
+
+def test_hist_equalize_matches_scalar_reference():
+    import numpy as np
+
+    from osmray.multimodal import hist_equalize
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    out = hist_equalize(img)
+    for c in range(3):
+        ch = img[..., c]
+        n = ch.size
+        hist = np.bincount(ch.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        cmin = cdf[np.flatnonzero(hist)[0]]
+        for v in np.unique(ch):
+            expect = (cdf[v] - cmin) * 255 // (n - cmin)
+            assert (out[..., c][ch == v] == expect).all()
+    flat = np.full((8, 8, 3), 93, np.uint8)
+    assert (hist_equalize(flat) == 93).all()  # degenerate passthrough
+
+
+def test_integral_rect_stage_matches_direct_sums():
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import codecs
+    from osmray.multimodal import IntegralRectStage
+
+    rng = np.random.RandomState(1)
+    imgs = [rng.randint(0, 256, (64, 80, 3)).astype(np.uint8) for _ in range(3)]
+    rects = ((0, 0, 80, 64), (5, 7, 33, 50), (79, 63, 80, 64))
+    batch = pa.table({
+        "image_id": pa.array([f"t{i}" for i in range(3)]),
+        "bytes": pa.array([codecs.png_encode(im, level=1) for im in imgs]),
+        "fmt": pa.array(["png"] * 3),
+        "idx": pa.array(list(range(3)), pa.int64())})
+    out = IntegralRectStage(rects=rects)(batch).to_pandas()
+    for row in out.itertuples(index=False):
+        x0, y0, x1, y1 = rects[row.rid]
+        direct = int(imgs[row.idx][y0:y1, x0:x1].astype(np.int64).sum())
+        assert row.rect_sum == direct
