@@ -321,3 +321,88 @@ def geohash_encode(x: np.ndarray, y: np.ndarray, chars: int = 6) -> np.ndarray:
     for c in range(chars):
         out[:, c] = alphabet[(code >> (5 * (chars - 1 - c))) & 31]
     return out.view(f"S{chars}").ravel().astype(str)
+
+
+# --- hexagonal cell index (H3-style topology, exact integer math) ---
+
+HEX_W = 4096   # horizontal center pitch (odd rows offset HEX_W/2)
+HEX_H = 3547   # row pitch ~ HEX_W*sqrt(3)/2 -> near-regular hexagons
+
+
+def hex_at(x: np.ndarray, y: np.ndarray,
+           w: int = HEX_W, h: int = HEX_H) -> np.ndarray:
+    """Hexagonal cell assignment: nearest center of the staggered
+    lattice (even rows at x = i*w, odd rows offset w/2, row pitch h)
+    under the exact integer Euclidean metric — the Voronoi regions
+    are hexagons (regular up to the lattice aspect; h = w*sqrt(3)/2
+    rounded). Only the two rows bounding y can host the nearest
+    center (exact for w <= h*sqrt(3), which holds here), so the
+    assignment is two candidate evaluations, all-integer and
+    SQL-replayable; ties break to the smaller row. Requires
+    x, y >= 0. Returns packed ``row * 32768 + col``."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    j1 = y // h
+    best_d = None
+    best_key = None
+    for j in (j1, j1 + 1):
+        off = (j % 2) * (w // 2)
+        i = (2 * (x - off) + w) // (2 * w)
+        d = (x - (i * w + off)) ** 2 + (y - j * h) ** 2
+        key = j * 32768 + i
+        if best_d is None:
+            best_d, best_key = d, key
+        else:
+            take = d < best_d
+            best_key = np.where(take, key, best_key)
+            best_d = np.where(take, d, best_d)
+    return best_key
+
+
+def hex_neighbors(cell: np.ndarray) -> np.ndarray:
+    """The 6 hex neighbors of each packed cell (offset-coordinate
+    adjacency on the staggered lattice), shape (n, 6)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    j = cell // 32768
+    i = cell % 32768
+    odd = j % 2
+    di = np.stack([np.full_like(i, -1), np.full_like(i, 1),
+                   odd - 1, odd, odd - 1, odd], axis=1)
+    dj = np.stack([np.zeros_like(j), np.zeros_like(j),
+                   np.full_like(j, -1), np.full_like(j, -1),
+                   np.full_like(j, 1), np.full_like(j, 1)], axis=1)
+    return (j[:, None] + dj) * 32768 + (i[:, None] + di)
+
+
+# --- Hilbert curve index (S2-style locality key) ---
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Vectorized Hilbert-curve index of (x, y) on a 2^order lattice
+    (the S2-style locality key: unlike Morton, every curve step is a
+    unit grid step, so 1-D ranges are tighter 2-D regions). Standard
+    xy2d bit walk with quadrant rotations, pure numpy; the curve is
+    pinned by the unit-step + bijectivity tests, which are the
+    defining Hilbert properties (orientation is a fixed variant).
+    The recurrence keeps x, y masked to [0, 2s) at every step (the
+    top bit is consumed, then the flip operates on the masked value),
+    so every intermediate is non-negative — the property that lets
+    the unrolled SQL twin use plain // and % (DuckDB truncates
+    negative division, so a signed recurrence would diverge)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = (x >= s).astype(np.int64)  # x, y in [0, 2s) by invariant
+        ry = (y >= s).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        x = x - rx * s
+        y = y - ry * s
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d

@@ -125,3 +125,63 @@ def test_compact_cells_dataset_matches_compact_array(ray_session):
     )
     # and the distributed result still expands back to the input
     np.testing.assert_array_equal(cells.uncompact(got["cell"].to_numpy(), 8), arr)
+
+
+def test_hex_at_matches_brute_nearest_center():
+    import numpy as np
+
+    from osmray.cells import HEX_H, HEX_W, hex_at, hex_neighbors
+
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 150000, 800).astype(np.int64)
+    y = rng.randint(0, 150000, 800).astype(np.int64)
+    got = hex_at(x, y)
+    nb = hex_neighbors(got)
+    for k in range(800):
+        cands = []
+        for j in range(max(0, y[k] // HEX_H - 2), y[k] // HEX_H + 3):
+            off = (j % 2) * (HEX_W // 2)
+            for i in range(max(0, (x[k] - off) // HEX_W - 2),
+                           (x[k] - off) // HEX_W + 3):
+                d = (x[k] - (i * HEX_W + off)) ** 2 + (y[k] - j * HEX_H) ** 2
+                cands.append((d, j, i))
+        cands.sort()
+        d0, j0, i0 = cands[0]
+        assert got[k] == j0 * 32768 + i0
+        # Voronoi adjacency: the 2nd-nearest center is a hex neighbor
+        if cands[1][0] != d0:
+            assert cands[1][1] * 32768 + cands[1][2] in nb[k]
+
+
+def test_hilbert_is_unit_step_bijection_and_beats_morton():
+    import numpy as np
+
+    from osmray.cells import hilbert_d
+
+    g = np.mgrid[0:32, 0:32]
+    dd = hilbert_d(g[0].ravel(), g[1].ravel(), 5)
+    assert sorted(dd) == list(range(1024))  # bijective
+    pos = np.empty((1024, 2), np.int64)
+    pos[dd] = np.stack([g[0].ravel(), g[1].ravel()], 1)
+    assert (np.abs(np.diff(pos, axis=0)).sum(1) == 1).all()  # unit steps
+
+    def morton(x, y):
+        c = np.zeros(len(x), np.int64)
+        for i in range(13):
+            c |= ((x >> i) & 1) << (2 * i)
+            c |= ((y >> i) & 1) << (2 * i + 1)
+        return c
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 8192, 8000)
+    y = rng.randint(0, 8192, 8000)
+
+    def spread(codes):
+        o = np.argsort(codes)
+        xs, ys = x[o], y[o]
+        return sum(int(xs[s:s + 64].max() - xs[s:s + 64].min()
+                       + ys[s:s + 64].max() - ys[s:s + 64].min())
+                   for s in range(0, 8000, 64))
+
+    # the locality claim in the docstring: tighter sorted-range bboxes
+    assert spread(hilbert_d(x, y, 13)) < spread(morton(x, y))
