@@ -821,3 +821,92 @@ STAGES.update({
     "tfidf_topk": _tfidf,
     "grid_components": _grid_cc,
 })
+
+
+def _box_iou_join(p: dict) -> Stage:
+    """{"op": "box_iou_join", "right_path": glob, "iou": [1, 5],
+    "cell_shift": 8?} — IoU-thresholded box association join."""
+    import glob as _g
+
+    import ray.data
+
+    from osmray.joins import box_overlap_join
+
+    def s(ds):
+        right = ray.data.read_parquet(sorted(_g.glob(p["right_path"])))
+        num, den = p.get("iou", [1, 5])
+        return box_overlap_join(ds, right,
+                                cell_shift=int(p.get("cell_shift", 8)),
+                                min_iou=(int(num), int(den)))
+
+    return s
+
+
+def _box_nms(p: dict) -> Stage:
+    """{"op": "box_nms", "group": "img", "iou": [1, 5]} — greedy NMS
+    per group over (id, score, x0, y0, x1, y1) boxes."""
+    import pyarrow as _pa
+
+    from osmray.geom import nms_boxes
+
+    def s(ds):
+        num, den = p.get("iou", [1, 5])
+        gcol = p.get("group", "img")
+
+        def g_nms(g: _pa.Table) -> _pa.Table:
+            import numpy as _np
+
+            kept = nms_boxes(
+                g["score"].to_numpy(zero_copy_only=False),
+                g["x0"].to_numpy(zero_copy_only=False),
+                g["y0"].to_numpy(zero_copy_only=False),
+                g["x1"].to_numpy(zero_copy_only=False),
+                g["y1"].to_numpy(zero_copy_only=False),
+                int(num), int(den),
+                tie=g["id"].to_numpy(zero_copy_only=False).astype(_np.int64))
+            sel = _pa.array(kept)
+            return _pa.table({gcol: g[gcol].take(sel), "id": g["id"].take(sel),
+                              "score": g["score"].take(sel)})
+
+        return ds.groupby(gcol).map_groups(g_nms, batch_format="pyarrow")
+
+    return s
+
+
+def _hex_agg(p: dict) -> Stage:
+    """{"op": "hex_agg", "x": col, "y": col, "w": 4096?, "h": 3547?}
+    — hexagonal cell counts of an (x, y) point stream."""
+    import pyarrow as _pa
+    from ray.data.aggregate import Count
+
+    from osmray.cells import HEX_H, HEX_W, hex_at
+
+    def s(ds):
+        def assign(b: _pa.Table) -> _pa.Table:
+            cell = hex_at(b[p["x"]].to_numpy(zero_copy_only=False),
+                          b[p["y"]].to_numpy(zero_copy_only=False),
+                          w=int(p.get("w", HEX_W)), h=int(p.get("h", HEX_H)))
+            return _pa.table({"cell": _pa.array(cell)})
+
+        return (ds.map_batches(assign, batch_format="pyarrow")
+                .groupby("cell").aggregate(Count(alias_name="n")))
+
+    return s
+
+
+def _hist_eq(p: dict) -> Stage:
+    """{"op": "hist_eq", "concurrency": 2?} — per-channel histogram
+    equalization of the bytes column (decode -> remap -> re-encode)."""
+    from osmray.multimodal import HistEqStage
+
+    return lambda ds: ds.map_batches(
+        HistEqStage, batch_format="pyarrow",
+        concurrency=int(p.get("concurrency", 2)), num_cpus=1)
+
+
+STAGES.update({
+    "box_iou_join": _box_iou_join,
+    "box_nms": _box_nms,
+    "hex_agg": _hex_agg,
+    "hist_eq": _hist_eq,
+})

@@ -205,3 +205,13 @@ def test_declarative_media_steps(ray_session):
         ]
     ).to_pandas()
     assert (aug["aug"] == "hflip").all() and "idx" in aug.columns
+
+
+def test_new_declarative_steps_registered():
+    from osmray.pipelines.declarative import STAGES
+
+    for op in ("box_iou_join", "box_nms", "hex_agg", "hist_eq"):
+        assert op in STAGES
+        stage = STAGES[op]({"op": op, "right_path": "/tmp/x", "x": "x",
+                            "y": "y"})
+        assert callable(stage)
