@@ -628,3 +628,58 @@ def hausdorff_directed_sq(ax: np.ndarray, ay: np.ndarray,
         dy = ay[s:s + 512, None] - by[None, :]
         worst = max(worst, int((dx * dx + dy * dy).min(axis=1).max()))
     return worst
+
+
+def frechet_sq(ax: np.ndarray, ay: np.ndarray,
+               bx: np.ndarray, by: np.ndarray) -> int:
+    """Discrete Frechet distance SQUARED between two ordered integer
+    polylines (the coupled 'dog walk' measure — order-aware where
+    Hausdorff is not): dp[i,j] = max(d2[i,j], min(dp[i-1,j],
+    dp[i,j-1], dp[i-1,j-1])), exact integers throughout. O(|A|*|B|)
+    per pair; trajectory lengths are bounded upstream (the engine
+    caps them per key before the pair shuffle), so the DP never
+    leaves a group."""
+    ax = np.asarray(ax, dtype=np.int64)
+    ay = np.asarray(ay, dtype=np.int64)
+    d2 = ((ax[:, None] - np.asarray(bx, dtype=np.int64)[None, :]) ** 2
+          + (ay[:, None] - np.asarray(by, dtype=np.int64)[None, :]) ** 2)
+    na, nb = d2.shape
+    dp = np.empty_like(d2)
+    dp[0, 0] = d2[0, 0]
+    for j in range(1, nb):
+        dp[0, j] = max(d2[0, j], dp[0, j - 1])
+    for i in range(1, na):
+        dp[i, 0] = max(d2[i, 0], dp[i - 1, 0])
+        for j in range(1, nb):
+            dp[i, j] = max(d2[i, j],
+                           min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]))
+    return int(dp[na - 1, nb - 1])
+
+
+def dda_cells(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray,
+              y1: np.ndarray, shift: int):
+    """Integer DDA traversal: each segment sampled at n+1 evenly
+    spaced points, n = max(|dx|, |dy|) // 2^shift + 1, so t=0 / t=n
+    land exactly on the endpoints and consecutive samples move at
+    most one cell (edge 2^shift) per axis. Round-half-up arithmetic
+    only, every numerator non-negative (requires coords >= 0), so
+    the cell list is SQL-replayable (join with range(0, n+1)). A
+    sampling traversal at cell granularity: adequate for visibility
+    tests against cell-resolution obstacle sets (the contract is
+    'the same cells on both engines', not exact Bresenham).
+    Returns (seg_index, cx, cy) arrays."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    n = (np.maximum(np.abs(x1 - x0), np.abs(y1 - y0)) >> shift) + 1
+    rep = n + 1
+    ri = np.repeat(np.arange(len(x0)), rep)
+    t = np.arange(int(rep.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+    nn = n[ri]
+    # round-half-up of x0 + (x1-x0) * t / n, kept in floor form with a
+    # non-negative numerator
+    px = (2 * (x0[ri] * nn + (x1 - x0)[ri] * t) + nn) // (2 * nn)
+    py = (2 * (y0[ri] * nn + (y1 - y0)[ri] * t) + nn) // (2 * nn)
+    return ri, px >> shift, py >> shift

@@ -7806,6 +7806,179 @@ FROM hab JOIN hba USING (pair)
 """
 
 
+def q_frechet(sf_dir: str):
+    """Order-aware trajectory similarity: discrete Frechet distance
+    squared (geom.frechet_sq — the coupled-walk DP, exact integers)
+    between paired trajectories, each capped to its first 10 points
+    by (ts, event_id). ONE keyed shuffle co-locates a pair; the
+    O(L^2) DP runs on the capped group and never leaves it. The SQL
+    twin unrolls the DP by anti-diagonal: d_k joins the cost
+    rectangle's k-th diagonal against d_{k-1} (left/up) and d_{k-2}
+    (diagonal) — 2L-1 generated CTEs, missing predecessors
+    sentineled high so edges reduce to running maxima."""
+    from osmray.geom import frechet_sq
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsu = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "pair": pa.array(uid // 2), "side": pa.array(uid % 2),
+            "tsu": pa.array(tsu), "eid": pa.array(eid),
+            "x": pa.array((eid * 48271 + 7) % 65536),
+            "y": pa.array((eid * 69621 + 3) % 65536)})
+
+    def group_f(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        tsu = g["tsu"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        tracks = []
+        for s in (0, 1):
+            m = np.flatnonzero(side == s)
+            order = m[np.lexsort((eid[m], tsu[m]))][:10]
+            tracks.append(order)
+        a, b = tracks
+        if len(a) == 0 or len(b) == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "frechet_sq": pa.array([], pa.int64())})
+        f = frechet_sq(x[a], y[a], x[b], y[b])
+        return pa.table({
+            "pair": pa.array([g["pair"][0].as_py()], pa.int64()),
+            "n_a": pa.array([len(a)], pa.int64()),
+            "n_b": pa.array([len(b)], pa.int64()),
+            "frechet_sq": pa.array([f], pa.int64())})
+
+    return (ds.map_batches(pts, batch_format="pyarrow")
+            .groupby("pair").map_groups(group_f, batch_format="pyarrow"))
+
+
+def _frechet_sql(cap: int = 10) -> str:
+    big = 1 << 62
+    dk = []
+    for k in range(1, 2 * cap - 1):
+        dk.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT c.pair, c.i, c.j, greatest(c.d, least(
+      coalesce(p1.v, {big}), coalesce(p2.v, {big}),
+      coalesce(p3.v, {big}))) AS v
+  FROM c
+  LEFT JOIN d{k - 1} p1 ON p1.pair = c.pair AND p1.i = c.i - 1 AND p1.j = c.j
+  LEFT JOIN d{k - 1} p2 ON p2.pair = c.pair AND p2.i = c.i AND p2.j = c.j - 1
+  {"LEFT JOIN d" + str(k - 2) + " p3 ON p3.pair = c.pair AND p3.i = c.i - 1 AND p3.j = c.j - 1"
+   if k >= 2 else "LEFT JOIN d0 p3 ON FALSE"}
+  WHERE c.i + c.j = {k})""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM d{k}"
+                                 for k in range(2 * cap - 1))
+    return f"""
+WITH p AS (
+  SELECT user_id // 2 AS pair, user_id % 2 AS side,
+    epoch_us(ts) AS tsu, event_id AS eid,
+    (event_id * 48271 + 7) % 65536 AS x,
+    (event_id * 69621 + 3) % 65536 AS y
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY pair, side
+                                   ORDER BY tsu, eid) - 1 AS s FROM p),
+a AS (SELECT pair, s AS i, x, y FROM r WHERE side = 0 AND s < {cap}),
+b AS (SELECT pair, s AS j, x, y FROM r WHERE side = 1 AND s < {cap}),
+c AS MATERIALIZED (
+  SELECT a.pair, a.i, b.j,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d
+  FROM a JOIN b USING (pair)
+),
+d0 AS MATERIALIZED (SELECT pair, i, j, d AS v FROM c WHERE i = 0 AND j = 0),
+{",".join(dk)},
+alld AS ({union}),
+mx AS (SELECT pair, max(i) AS mi, max(j) AS mj FROM c GROUP BY pair)
+SELECT alld.pair, mx.mi + 1 AS n_a, mx.mj + 1 AS n_b, alld.v AS frechet_sq
+FROM alld JOIN mx ON alld.pair = mx.pair AND alld.i = mx.mi AND alld.j = mx.mj
+"""
+
+
+def q_los(sf_dir: str):
+    """Line-of-sight visibility join (the viewshed primitive): each
+    sight line DDA-samples its traversal cells (geom.dda_cells,
+    per-segment in-batch dedup — a segment's cells never leave the
+    batch that generated them), obstacle membership is tagged by the
+    grace MARK join (joins.bucketed_filter — keys-only spill, one
+    shuffle, no driver set), and one keyed aggregate scores each
+    segment: visible = no obstacle cell on the path."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.geom import dda_cells
+    from osmray.joins import bucketed_filter
+
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    def segs(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = eid[eid % 16 == 0]
+        ri, cx, cy = dda_cells((eid * 48271 + 7) % 65536,
+                               (eid * 69621 + 3) % 65536,
+                               (eid * 24693 + 11) % 65536,
+                               (eid * 37309 + 5) % 65536, shift=8)
+        seg = eid[ri]
+        cell = cx * 65536 + cy
+        packed = seg * 65536 * 256 + cell  # in-batch per-seg dedup
+        _, keep = np.unique(packed, return_index=True)
+        return pa.table({"seg": pa.array(seg[keep]),
+                         "cell": pa.array(cell[keep])})
+
+    def obstacles(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = (((k * 104723) % 65536) >> 8) * 65536 + (((k * 99989) % 65536) >> 8)
+        return pa.table({"cell": pa.array(np.unique(cell))})
+
+    cells = ev.map_batches(segs, batch_format="pyarrow")
+    obs = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        obstacles, batch_format="pyarrow")
+    marked = bucketed_filter(cells, obs, on="cell", mark="hit")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        hit = batch["hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"seg": batch["seg"], "hit": pa.array(hit)})
+
+    return (marked.map_batches(to_int, batch_format="pyarrow")
+            .groupby("seg")
+            .aggregate(Count(alias_name="n_cells"),
+                       Sum("hit", alias_name="n_hits")))
+
+
+Q_LOS_SQL = """
+WITH ev AS (
+  SELECT event_id AS eid,
+    (event_id * 48271 + 7) % 65536 AS x0, (event_id * 69621 + 3) % 65536 AS y0,
+    (event_id * 24693 + 11) % 65536 AS x1, (event_id * 37309 + 5) % 65536 AS y1
+  FROM events WHERE event_id % 16 = 0
+),
+n AS (SELECT *, greatest(abs(x1 - x0), abs(y1 - y0)) // 256 + 1 AS nn FROM ev),
+samp AS (
+  SELECT eid,
+    ((2 * (x0 * nn + (x1 - x0) * t.range) + nn) // (2 * nn)) // 256 * 65536
+    + ((2 * (y0 * nn + (y1 - y0) * t.range) + nn) // (2 * nn)) // 256 AS cell
+  FROM n, range(0, 258) t WHERE t.range <= nn
+),
+cells AS (SELECT DISTINCT eid, cell FROM samp),
+obs AS (
+  SELECT DISTINCT (((p_partkey * 104723) % 65536) // 256) * 65536
+                  + (((p_partkey * 99989) % 65536) // 256) AS cell
+  FROM part
+)
+SELECT eid AS seg, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN obs.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits
+FROM cells LEFT JOIN obs USING (cell)
+GROUP BY eid
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -7946,4 +8119,6 @@ def registry():
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),
+        "q_frechet": (q_frechet, _frechet_sql()),
+        "q_los": (q_los, Q_LOS_SQL),
     }

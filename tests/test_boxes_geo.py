@@ -140,3 +140,51 @@ def test_box_iou_join_matches_brute():
             rows.append((a.id, int(B.id[j]), int(inter[j]), int(uni[j])))
     rows.sort()
     assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_frechet_matches_brute_dp_and_dominates_hausdorff():
+    import functools
+
+    from osmray.geom import frechet_sq
+
+    def brute(a, b):
+        @functools.lru_cache(None)
+        def c(i, j):
+            d = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                return d
+            if i == 0:
+                return max(d, c(0, j - 1))
+            if j == 0:
+                return max(d, c(i - 1, 0))
+            return max(d, min(c(i - 1, j), c(i, j - 1), c(i - 1, j - 1)))
+        return c(len(a) - 1, len(b) - 1)
+
+    rng = np.random.RandomState(4)
+    for _ in range(50):
+        a = rng.randint(0, 800, (rng.randint(1, 12), 2))
+        b = rng.randint(0, 800, (rng.randint(1, 12), 2))
+        got = frechet_sq(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+        assert got == brute(tuple(map(tuple, a)), tuple(map(tuple, b)))
+        assert got >= max(
+            hausdorff_directed_sq(a[:, 0], a[:, 1], b[:, 0], b[:, 1]),
+            hausdorff_directed_sq(b[:, 0], b[:, 1], a[:, 0], a[:, 1]))
+
+
+def test_dda_cells_endpoints_and_adjacency():
+    from osmray.geom import dda_cells
+
+    rng = np.random.RandomState(6)
+    x0 = rng.randint(0, 60000, 200).astype(np.int64)
+    y0 = rng.randint(0, 60000, 200).astype(np.int64)
+    x1 = rng.randint(0, 60000, 200).astype(np.int64)
+    y1 = rng.randint(0, 60000, 200).astype(np.int64)
+    ri, cx, cy = dda_cells(x0, y0, x1, y1, shift=8)
+    for s in range(200):
+        m = ri == s
+        # first/last samples are exactly the endpoints' cells
+        assert cx[m][0] == x0[s] >> 8 and cy[m][0] == y0[s] >> 8
+        assert cx[m][-1] == x1[s] >> 8 and cy[m][-1] == y1[s] >> 8
+        # consecutive samples move at most one cell per axis
+        assert np.abs(np.diff(cx[m])).max(initial=0) <= 1
+        assert np.abs(np.diff(cy[m])).max(initial=0) <= 1
