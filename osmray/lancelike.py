@@ -29,7 +29,15 @@ The engine formalizes that for distributed output (north_rule:
 - every partition emits exactly one lineage record (part_id, rows,
   wall_ms, checksum, n_blocks, skipped); for skipped parts the record
   is taken from the manifest, i.e. it describes the bytes ON DISK,
-  not a recomputation.
+  not a recomputation;
+- writes are VERSIONED (Lance-style): a write whose file set differs
+  from the newest snapshot commits ``_versions/manifest-<n>.json``
+  (identical resumes commit nothing — block names are content-
+  derived, so same files == same data); ``read_dataset(version=N)``
+  time-travels, reads always resolve files through a manifest (never
+  a glob), stale-block cleanup spares fragments any committed version
+  still references, and ``vacuum(keep_last=k)`` is the only deleter
+  of versioned data.
 
 Layout is pyarrow-parquet behind a narrow adapter seam: on a cluster
 with pylance installed, ``write_block``/``read_dataset`` are the only
@@ -49,6 +57,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST = "manifest.json"
+VERSIONS_DIR = "_versions"
 FORMAT = "osmray-lancelike-v2"
 
 
@@ -110,12 +119,64 @@ def write_block(root: str, part_id: int, table: pa.Table, sort_key: str | None =
     }
 
 
-def read_manifest(root: str) -> dict | None:
-    p = os.path.join(root, MANIFEST)
+def read_manifest(root: str, version: int | None = None) -> dict | None:
+    """Latest manifest, or the snapshot at ``version`` (time travel)."""
+    if version is None:
+        p = os.path.join(root, MANIFEST)
+    else:
+        p = os.path.join(root, VERSIONS_DIR, f"manifest-{version:06d}.json")
     if not os.path.exists(p):
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def versions(root: str) -> list[int]:
+    """Committed dataset versions, oldest first (Lance-style: every
+    write that changes the partition set commits a numbered manifest
+    snapshot; an identical rerun commits nothing)."""
+    out = []
+    for p in glob.glob(os.path.join(root, VERSIONS_DIR, "manifest-*.json")):
+        try:
+            out.append(int(os.path.basename(p)[len("manifest-"):-len(".json")]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _referenced_blocks(root: str) -> set[str]:
+    """part=<id>/block-... paths referenced by ANY committed version —
+    these must survive stale-block cleanup so old versions stay
+    readable (vacuum is the only deleter of versioned data)."""
+    refs = set()
+    for v in versions(root):
+        m = read_manifest(root, v) or {}
+        for rec in m.get("partitions", []):
+            for b in rec.get("blocks", []):
+                refs.add(os.path.join(f"part={int(rec['part_id'])}", b))
+    return refs
+
+
+def vacuum(root: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` version snapshots, then
+    delete block fragments no surviving manifest (including the
+    latest) references. Returns {"versions_dropped": n,
+    "blocks_deleted": n}."""
+    vs = versions(root)
+    drop = vs[:-keep_last] if keep_last > 0 else vs
+    for v in drop:
+        os.remove(os.path.join(root, VERSIONS_DIR, f"manifest-{v:06d}.json"))
+    keep = _referenced_blocks(root)
+    for rec in _manifest_parts(root).values():
+        for b in rec.get("blocks", []):
+            keep.add(os.path.join(f"part={int(rec['part_id'])}", b))
+    deleted = 0
+    for f in glob.glob(os.path.join(root, "part=*", "block-*.parquet")):
+        rel = os.path.relpath(f, root)
+        if rel not in keep:
+            os.remove(f)
+            deleted += 1
+    return {"versions_dropped": len(drop), "blocks_deleted": deleted}
 
 
 def _manifest_parts(root: str) -> dict[int, dict]:
@@ -183,7 +244,10 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
     done = completed_parts(root)
 
     # stale blocks of incomplete parts (crashed run / deleted file /
-    # different parallelism) would duplicate rows — clear them first
+    # different parallelism) would duplicate rows — clear them first,
+    # EXCEPT blocks a committed version still references (time travel;
+    # vacuum() is the only deleter of versioned data)
+    pinned = _referenced_blocks(root)
     for d in glob.glob(os.path.join(root, "part=*")):
         try:
             pid = int(d.rsplit("=", 1)[1])
@@ -191,7 +255,8 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
             continue
         if pid not in done:
             for f in glob.glob(os.path.join(d, "block-*.parquet")):
-                os.remove(f)
+                if os.path.relpath(f, root) not in pinned:
+                    os.remove(f)
 
     ds = pending_filter(ds, root, part_col)
 
@@ -242,15 +307,48 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=int)
     os.replace(tmp, os.path.join(root, MANIFEST))
+
+    # Lance-style version commit: snapshot the manifest under a new
+    # number iff the FILE SET changed (skipped flags don't count —
+    # an identical resume commits nothing). Block names are content-
+    # derived, so "same files" == "same data".
+    def _fileset(m: dict) -> list:
+        return sorted((int(r["part_id"]), b)
+                      for r in m.get("partitions", []) for b in r["blocks"])
+
+    vs = versions(root)
+    latest = read_manifest(root, vs[-1]) if vs else None
+    if latest is None or _fileset(latest) != _fileset(manifest):
+        vdir = os.path.join(root, VERSIONS_DIR)
+        os.makedirs(vdir, exist_ok=True)
+        vnum = (vs[-1] + 1) if vs else 1
+        vtmp = os.path.join(vdir, f".tmp.{os.getpid()}")
+        with open(vtmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, default=int)
+        os.replace(vtmp, os.path.join(vdir, f"manifest-{vnum:06d}.json"))
     ldf = pd.DataFrame(
         [{k: v for k, v in rec.items() if k != "blocks"} for rec in partitions]
     )
     return ldf
 
 
-def read_dataset(root: str, columns: list[str] | None = None):
-    """Read a lancelike dataset back as a ray.data.Dataset."""
+def read_dataset(root: str, columns: list[str] | None = None,
+                 version: int | None = None):
+    """Read a lancelike dataset back as a ray.data.Dataset — the
+    MANIFEST's file list, never a directory glob (stale or
+    old-version fragments on disk must not leak into the read).
+    ``version=N`` time-travels to that committed snapshot; default is
+    the latest manifest (glob fallback only for manifest-less
+    roots)."""
     import ray.data
 
-    frags = sorted(glob.glob(os.path.join(root, "part=*", "block-*.parquet")))
+    m = read_manifest(root, version)
+    if m is None and version is not None:
+        raise FileNotFoundError(f"no committed version {version} under {root}")
+    if m is None:
+        frags = sorted(glob.glob(os.path.join(root, "part=*", "block-*.parquet")))
+    else:
+        frags = sorted(
+            os.path.join(root, f"part={int(rec['part_id'])}", b)
+            for rec in m.get("partitions", []) for b in rec.get("blocks", []))
     return ray.data.read_parquet(frags, columns=columns)

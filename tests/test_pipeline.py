@@ -277,3 +277,50 @@ def test_mask_oracle_parity_single_tile(ray_session, feats, CFG):
         elif kinds[i] == "exclusion":
             oracle.fill_poly(ref, pts)
     np.testing.assert_array_equal(canvas, np.asarray(ref, dtype=np.uint8))
+
+
+def test_versioned_manifests_time_travel_and_vacuum(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    root = str(tmp_path / "vds")
+
+    def ds_of(rows):
+        return ray.data.from_arrow(pa.table({
+            "part_id": pa.array([r[0] for r in rows], pa.int64()),
+            "k": pa.array([r[1] for r in rows], pa.int64())}))
+
+    v1_rows = [(0, 10), (0, 11), (1, 20), (2, 30)]
+    lancelike.write_dataset(ds_of(v1_rows), root, sort_key="k")
+    assert lancelike.versions(root) == [1]
+
+    # identical resume: all parts skipped, NO new version
+    lancelike.write_dataset(ds_of(v1_rows), root, sort_key="k")
+    assert lancelike.versions(root) == [1]
+
+    # logically invalidate part 1 (drop its manifest entry — an
+    # overwrite request) and rewrite it with different rows -> v2;
+    # the old block stays on disk, pinned by version 1
+    import json
+    import os
+
+    mpath = os.path.join(root, lancelike.MANIFEST)
+    m = json.load(open(mpath))
+    m["partitions"] = [r for r in m["partitions"] if r["part_id"] != 1]
+    json.dump(m, open(mpath, "w"))
+    v2_rows = [(0, 10), (0, 11), (1, 21), (1, 22), (2, 30)]
+    lancelike.write_dataset(ds_of(v2_rows), root, sort_key="k")
+    assert lancelike.versions(root) == [1, 2]
+
+    latest = sorted(lancelike.read_dataset(root).to_pandas()["k"])
+    assert latest == [10, 11, 21, 22, 30]
+    old = sorted(lancelike.read_dataset(root, version=1).to_pandas()["k"])
+    assert old == [10, 11, 20, 30]  # time travel sees the original part 1
+
+    # vacuum keeps only the newest snapshot and deletes v1's orphan block
+    res = lancelike.vacuum(root, keep_last=1)
+    assert res["versions_dropped"] == 1 and res["blocks_deleted"] >= 1
+    assert lancelike.versions(root) == [2]
+    assert sorted(lancelike.read_dataset(root).to_pandas()["k"]) == latest
+    with pytest.raises(FileNotFoundError):
+        lancelike.read_dataset(root, version=1)
