@@ -7806,6 +7806,63 @@ FROM hab JOIN hba USING (pair)
 """
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Tile-pyramid build (the z -> z-1 mipmap step of a slippy
+    stack): the planted fixture's 1024 images play a 32x32 tile grid;
+    each parent assembles its <= 4 children — decode, exact 2x
+    block-mean downsample (multimodal.resize_block_mean), quadrant
+    placement, re-encode — after ONE keyed shuffle on the parent key
+    (the classic reduce-by-parent pyramid pass; each level quarters
+    the data, so the whole stack is a geometric series of this job).
+    Constant 32px cells make the downsample exact, so parent pixel
+    sums have the closed form sum(child pix_sum) / 4 in the twin."""
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import resize_block_mean
+
+    images = oraclefix.load_phash()
+
+    def with_parent(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False)
+        tx, ty = idx % 32, idx // 32
+        return pa.table({
+            "pkey": pa.array((ty // 2) * 16 + tx // 2),
+            "qx": pa.array(tx % 2), "qy": pa.array(ty % 2),
+            "bytes": batch["bytes"], "fmt": batch["fmt"]})
+
+    def build_parent(g: pa.Table) -> pa.Table:
+        canvas = np.zeros((256, 256, 3), np.uint8)
+        for r in range(g.num_rows):
+            img = codecs.decode(g["bytes"][r].as_py(), g["fmt"][r].as_py())
+            small = resize_block_mean(img, 128, 128)
+            qx = int(g["qx"][r].as_py())
+            qy = int(g["qy"][r].as_py())
+            canvas[qy * 128:(qy + 1) * 128, qx * 128:(qx + 1) * 128] = small
+        blob = codecs.png_encode(canvas, level=1)
+        pk = int(g["pkey"][0].as_py())
+        return pa.table({
+            "ptx": pa.array([pk % 16], pa.int64()),
+            "pty": pa.array([pk // 16], pa.int64()),
+            "w": pa.array([256], pa.int64()),
+            "h": pa.array([256], pa.int64()),
+            "n_children": pa.array([g.num_rows], pa.int64()),
+            "pix_sum": pa.array(
+                [int(codecs.png_decode(blob).astype(np.int64).sum())],
+                pa.int64())})
+
+    return (images.map_batches(with_parent, batch_format="pyarrow")
+            .groupby("pkey").map_groups(build_parent, batch_format="pyarrow"))
+
+
+Q_TILE_PYRAMID_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS n1 FROM phbits GROUP BY i)
+SELECT (i % 32) // 2 AS ptx, (i // 32) // 2 AS pty,
+  256 AS w, 256 AS h, CAST(count(*) AS BIGINT) AS n_children,
+  CAST(SUM(3 * 1024 * (160 * n1 + 2560)) // 4 AS BIGINT) AS pix_sum
+FROM pc GROUP BY 1, 2
+"""
+
+
 def q_frechet(sf_dir: str):
     """Order-aware trajectory similarity: discrete Frechet distance
     squared (geom.frechet_sq — the coupled-walk DP, exact integers)
@@ -8121,4 +8178,5 @@ def registry():
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),
         "q_frechet": (q_frechet, _frechet_sql()),
         "q_los": (q_los, Q_LOS_SQL),
+        "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     }

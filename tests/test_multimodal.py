@@ -258,3 +258,24 @@ def test_integral_rect_stage_matches_direct_sums():
         x0, y0, x1, y1 = rects[row.rid]
         direct = int(imgs[row.idx][y0:y1, x0:x1].astype(np.int64).sum())
         assert row.rect_sum == direct
+
+
+def test_tile_pyramid_parent_assembles_quadrants():
+    import numpy as np
+
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import resize_block_mean
+
+    # parent (0,0) of the planted 32x32 tile grid: children 0,1,32,33
+    canvas = np.zeros((256, 256, 3), np.uint8)
+    for idx in (0, 1, 32, 33):
+        img = oraclefix.ph_image(idx)
+        qx, qy = (idx % 32) % 2, (idx // 32) % 2
+        canvas[qy * 128:(qy + 1) * 128,
+               qx * 128:(qx + 1) * 128] = resize_block_mean(img, 128, 128)
+    # 2x2 block-mean of constant 32px cells is exact: quadrant sums
+    # are exactly the child sums / 4, and the png roundtrip is lossless
+    expect = sum(int(oraclefix.ph_image(i).astype(np.int64).sum())
+                 for i in (0, 1, 32, 33)) // 4
+    blob = codecs.png_encode(canvas, level=1)
+    assert int(codecs.png_decode(blob).astype(np.int64).sum()) == expect
