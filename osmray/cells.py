@@ -306,6 +306,14 @@ def geohash_encode(x: np.ndarray, y: np.ndarray, chars: int = 6) -> np.ndarray:
     lat/lng -> lattice step is the caller's dyadic shift, keeping the
     whole path exact (and SQL-replayable). Returns a numpy array of
     ``chars``-byte ASCII strings; purely elementwise — no shuffle."""
+    return geohash_str(geohash_code(x, y, chars), chars)
+
+
+def geohash_code(x: np.ndarray, y: np.ndarray, chars: int = 6) -> np.ndarray:
+    """The integer half of geohash_encode: the ``chars*5``-bit
+    interleaved code, MSB-aligned (bit nbits-1 is x's top bit). Keys
+    for aggregation/shuffle stay integer; stringify post-aggregate
+    with geohash_str."""
     nbits = chars * 5
     nx = (nbits + 1) // 2
     ny = nbits // 2
@@ -316,7 +324,14 @@ def geohash_encode(x: np.ndarray, y: np.ndarray, chars: int = 6) -> np.ndarray:
         code |= ((x >> (nx - 1 - i)) & 1) << (nbits - 1 - 2 * i)
     for i in range(ny):
         code |= ((y >> (ny - 1 - i)) & 1) << (nbits - 2 - 2 * i)
-    out = np.empty((len(x), chars), dtype=np.uint8)
+    return code
+
+
+def geohash_str(code: np.ndarray, chars: int) -> np.ndarray:
+    """Base32 rendering of a ``chars*5``-bit geohash code (or any
+    5*chars-bit prefix of one)."""
+    code = np.asarray(code, dtype=np.int64)
+    out = np.empty((len(code), chars), dtype=np.uint8)
     alphabet = np.frombuffer(GEOHASH32.encode(), dtype=np.uint8)
     for c in range(chars):
         out[:, c] = alphabet[(code >> (5 * (chars - 1 - c))) & 31]
@@ -338,7 +353,8 @@ def hex_at(x: np.ndarray, y: np.ndarray,
     rounded). Only the two rows bounding y can host the nearest
     center (exact for w <= h*sqrt(3), which holds here), so the
     assignment is two candidate evaluations, all-integer and
-    SQL-replayable; ties break to the smaller row. Requires
+    SQL-replayable; a row tie breaks to the smaller row, a column
+    midpoint rounds half-up to the larger col. Requires
     x, y >= 0. Returns packed ``row * 32768 + col``."""
     x = np.asarray(x, dtype=np.int64)
     y = np.asarray(y, dtype=np.int64)
@@ -361,7 +377,10 @@ def hex_at(x: np.ndarray, y: np.ndarray,
 
 def hex_neighbors(cell: np.ndarray) -> np.ndarray:
     """The 6 hex neighbors of each packed cell (offset-coordinate
-    adjacency on the staggered lattice), shape (n, 6)."""
+    adjacency on the staggered lattice), shape (n, 6). Neighbors
+    falling off the lattice (col < 0, col >= 32768, or row < 0) are
+    -1, never a wrapped-around valid-looking key — boundary cells of
+    a wide grid must not silently connect to the opposite edge."""
     cell = np.asarray(cell, dtype=np.int64)
     j = cell // 32768
     i = cell % 32768
@@ -371,7 +390,11 @@ def hex_neighbors(cell: np.ndarray) -> np.ndarray:
     dj = np.stack([np.zeros_like(j), np.zeros_like(j),
                    np.full_like(j, -1), np.full_like(j, -1),
                    np.full_like(j, 1), np.full_like(j, 1)], axis=1)
-    return (j[:, None] + dj) * 32768 + (i[:, None] + di)
+    ni = i[:, None] + di
+    nj = j[:, None] + dj
+    out = nj * 32768 + ni
+    out[(ni < 0) | (ni >= 32768) | (nj < 0)] = -1
+    return out
 
 
 # --- Hilbert curve index (S2-style locality key) ---

@@ -575,8 +575,11 @@ def nms_boxes(score: np.ndarray, x0: np.ndarray, y0: np.ndarray,
     (the detection post-processing step): repeatedly keep the highest
     ``score`` (ties by ascending ``tie``) survivor, then drop every
     remaining box whose IoU with it meets ``iou_num/iou_den`` — exact
-    integer test ``inter * den >= num * union``, no floats. A box
-    suppressed earlier cannot suppress later (the chain-rescue
+    integer test ``inter * den >= num * union`` over the box
+    coordinates (scores may be float: they only order, never enter
+    the IoU arithmetic). Zero-union pairs (both boxes degenerate)
+    never suppress: IoU is defined as 0 when the union is empty. A
+    box suppressed earlier cannot suppress later (the chain-rescue
     property that separates greedy NMS from the one-shot
     "overlapped-by-any-better-box" filter). Returns the kept row
     indices in pick order.
@@ -588,7 +591,10 @@ def nms_boxes(score: np.ndarray, x0: np.ndarray, y0: np.ndarray,
     if n == 0:
         return np.empty(0, dtype=np.int64)
     tie = np.arange(n, dtype=np.int64) if tie is None else np.asarray(tie)
-    order = np.lexsort((tie, -np.asarray(score, dtype=np.int64)))
+    s = np.asarray(score)
+    if s.dtype.kind == "u":  # unsigned would wrap under negation
+        s = s.astype(np.int64)
+    order = np.lexsort((tie, -s))
     x0, y0 = x0[order].astype(np.int64), y0[order].astype(np.int64)
     x1, y1 = x1[order].astype(np.int64), y1[order].astype(np.int64)
     area = (x1 - x0) * (y1 - y0)
@@ -606,7 +612,7 @@ def nms_boxes(score: np.ndarray, x0: np.ndarray, y0: np.ndarray,
         ih = np.minimum(y1[i], y1[rem]) - np.maximum(y0[i], y0[rem])
         inter = np.maximum(iw, 0) * np.maximum(ih, 0)
         uni = area[i] + area[rem] - inter
-        alive[rem[inter * iou_den >= iou_num * uni]] = False
+        alive[rem[(inter * iou_den >= iou_num * uni) & (uni > 0)]] = False
     return np.asarray(kept, dtype=np.int64)
 
 

@@ -476,8 +476,10 @@ def _skyline(p: dict) -> Stage:
 
 
 def _box_overlap_join(p: dict) -> Stage:
-    """{"op": "box_overlap_join", "right_path": glob, "cell_shift": 8?}
-    — left = current stream of (id, x0, y0, x1, y1) boxes."""
+    """{"op": "box_overlap_join", "right_path": glob, "cell_shift": 8?,
+    "iou": [num, den]?} — left = current stream of (id, x0, y0, x1,
+    y1) boxes; with "iou" the join keeps only pairs meeting the
+    IoU threshold (the box_iou_join step is this with "iou" set)."""
     import glob as _g
 
     import ray.data
@@ -487,8 +489,10 @@ def _box_overlap_join(p: dict) -> Stage:
     def s(ds):
         files = sorted(_g.glob(p["right_path"]))
         right = ray.data.read_parquet(files, columns=p.get("right_columns"))
-        return box_overlap_join(ds, right,
-                                cell_shift=int(p.get("cell_shift", 8)))
+        iou = p.get("iou")
+        return box_overlap_join(
+            ds, right, cell_shift=int(p.get("cell_shift", 8)),
+            min_iou=(int(iou[0]), int(iou[1])) if iou else None)
 
     return s
 
@@ -825,21 +829,9 @@ STAGES.update({
 
 def _box_iou_join(p: dict) -> Stage:
     """{"op": "box_iou_join", "right_path": glob, "iou": [1, 5],
-    "cell_shift": 8?} — IoU-thresholded box association join."""
-    import glob as _g
-
-    import ray.data
-
-    from osmray.joins import box_overlap_join
-
-    def s(ds):
-        right = ray.data.read_parquet(sorted(_g.glob(p["right_path"])))
-        num, den = p.get("iou", [1, 5])
-        return box_overlap_join(ds, right,
-                                cell_shift=int(p.get("cell_shift", 8)),
-                                min_iou=(int(num), int(den)))
-
-    return s
+    "cell_shift": 8?, "right_columns": [...]?} — IoU-thresholded box
+    association join; box_overlap_join with a default "iou"."""
+    return _box_overlap_join({**p, "iou": p.get("iou", [1, 5])})
 
 
 def _box_nms(p: dict) -> Stage:

@@ -7444,18 +7444,14 @@ def q_geohash(sf_dir: str):
     rows — strings never enter the shuffle."""
     from ray.data.aggregate import Min, Sum
 
-    from osmray.cells import GEOHASH32
+    from osmray.cells import geohash_code, geohash_str
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
     def encode(batch: pa.Table) -> pa.Table:
         p = _li_points(batch)
-        x = p["m1"] >> 11  # 15-bit lattice (6-char geohash: 15+15 bits)
-        y = p["m2"] >> 11
-        code = np.zeros(len(x), np.int64)
-        for i in range(15):
-            code |= ((x >> (14 - i)) & 1) << (29 - 2 * i)
-            code |= ((y >> (14 - i)) & 1) << (28 - 2 * i)
+        # 15-bit lattice (6-char geohash: 15+15 bits)
+        code = geohash_code(p["m1"] >> 11, p["m2"] >> 11, 6)
         return pa.table({"pfx": pa.array(code >> 10), "code": pa.array(code)})
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -7475,21 +7471,13 @@ def q_geohash(sf_dir: str):
            .aggregate(Sum("cnt", alias_name="n"),
                       Min("code_min", alias_name="code_min")))
 
-    alphabet = np.frombuffer(GEOHASH32.encode(), dtype=np.uint8)
-
     def to_strings(batch: pa.Table) -> pa.Table:
         pfx = batch["pfx"].to_numpy(zero_copy_only=False)
         cmin = batch["code_min"].to_numpy(zero_copy_only=False)
-        gh4 = np.empty((len(pfx), 4), dtype=np.uint8)
-        for c in range(4):
-            gh4[:, c] = alphabet[(pfx >> (5 * (3 - c))) & 31]
-        gh6 = np.empty((len(pfx), 6), dtype=np.uint8)
-        for c in range(6):
-            gh6[:, c] = alphabet[(cmin >> (5 * (5 - c))) & 31]
         return pa.table({
-            "gh4": pa.array(gh4.view("S4").ravel().astype(str)),
+            "gh4": pa.array(geohash_str(pfx, 4)),
             "n": batch["n"],
-            "first_gh6": pa.array(gh6.view("S6").ravel().astype(str))})
+            "first_gh6": pa.array(geohash_str(cmin, 6))})
 
     return agg.map_batches(to_strings, batch_format="pyarrow")
 

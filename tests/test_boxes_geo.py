@@ -55,6 +55,37 @@ def test_nms_chain_rescue():
     assert list(kept) == [0, 2]
 
 
+def test_nms_float_scores_order_correctly():
+    # fractional detector confidences must not be truncated to int:
+    # 0.9 beats 0.1 even though both truncate to 0
+    x0 = np.array([0, 0], dtype=np.int64)
+    x1 = np.array([10, 10], dtype=np.int64)
+    y0 = np.zeros(2, dtype=np.int64)
+    y1 = y0 + 10
+    sc = np.array([0.1, 0.9])
+    kept = nms_boxes(sc, x0, y0, x1, y1, 1, 4)
+    assert list(kept) == [1]  # the 0.9 box wins, not row order
+
+
+def test_nms_degenerate_boxes_do_not_suppress():
+    # two zero-area boxes far apart: union 0 must read as IoU 0,
+    # never 0 >= 0 "full overlap" — both survive
+    sc = np.array([5, 4], dtype=np.int64)
+    x0 = np.array([0, 1000], dtype=np.int64)
+    y0 = np.array([0, 1000], dtype=np.int64)
+    kept = nms_boxes(sc, x0, y0, x0.copy(), y0.copy(), 1, 2)
+    assert sorted(kept) == [0, 1]
+
+
+def test_hex_neighbors_boundary_is_sentinel_not_wrap():
+    from osmray.cells import hex_neighbors
+
+    nb = hex_neighbors(np.array([0], dtype=np.int64))[0]  # row 0, col 0
+    assert -1 in nb  # off-lattice marked, and never a wrapped key
+    assert all(v == -1 or (v >= 0 and v % 32768 < 32768) for v in nb)
+    assert 32767 not in nb and (32768 * 1 - 1) not in nb
+
+
 def test_hausdorff_matches_brute():
     rng = np.random.RandomState(11)
     for _ in range(60):

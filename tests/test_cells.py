@@ -145,7 +145,10 @@ def test_hex_at_matches_brute_nearest_center():
                            (x[k] - off) // HEX_W + 3):
                 d = (x[k] - (i * HEX_W + off)) ** 2 + (y[k] - j * HEX_H) ** 2
                 cands.append((d, j, i))
-        cands.sort()
+        # kernel tie-breaks: smaller row wins a row tie (strict < on
+        # candidates, j1 evaluated first); a column MIDPOINT rounds
+        # half-up to the larger col — so brute must sort (d, j, -i).
+        cands.sort(key=lambda t: (t[0], t[1], -t[2]))
         d0, j0, i0 = cands[0]
         assert got[k] == j0 * 32768 + i0
         # Voronoi adjacency: the 2nd-nearest center is a hex neighbor

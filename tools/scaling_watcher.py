@@ -25,15 +25,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def canary() -> float:
-    import numpy as np
-    a = np.random.RandomState(0).rand(2000, 2000)
-    best = 9e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(3):
-            (a @ a).sum()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 2)
+    # the SAME workload bench.py records inside the scaling JSON —
+    # the gate thresholds below are calibrated against it, so the two
+    # must never drift apart
+    sys.path.insert(0, REPO)
+    from bench import canary_sec
+    return canary_sec()
 
 
 def fire(out_path: str, sentinel: str, reps: int, why: str) -> dict:
@@ -43,8 +40,19 @@ def fire(out_path: str, sentinel: str, reps: int, why: str) -> dict:
         res = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
             env=env, capture_output=True, text=True, cwd=REPO)
-        line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else "{}"
-        rec = json.loads(line)
+        rec = {}
+        if res.returncode == 0:
+            # last parseable JSON line wins; stray stdout must not
+            # kill the watcher before the final-unconditional run
+            for line in reversed(res.stdout.strip().splitlines() or []):
+                try:
+                    rec = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+        else:
+            rec = {"error": f"bench rc={res.returncode}",
+                   "stderr_tail": res.stderr.strip()[-500:]}
         rec["fired_because"] = why
         rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
         with open(out_path, "a") as f:
@@ -82,6 +90,9 @@ def main():
             print(f"[watcher] firing at {elapsed_min:.0f} min, canary {c} ({why})",
                   flush=True)
             rec = fire(args.out, args.sentinel, args.reps, why)
+            if final and "error" in rec:  # one retry: the final run
+                rec = fire(args.out, args.sentinel, args.reps,
+                           why + "-retry")  # must record a number
             eff = rec.get("scaling_efficiency")
             print(f"[watcher] efficiency {eff}, canaries {rec.get('canary_sec')}",
                   flush=True)
