@@ -559,6 +559,41 @@ def monotone_chain_hull(x: np.ndarray, y: np.ndarray):
     return np.asarray(ring, dtype=np.int64)
 
 
+def hull_diameter_sq(x: np.ndarray, y: np.ndarray) -> int:
+    """Squared diameter (farthest point pair) of an integer point set
+    via ROTATING CALIPERS over the strict convex hull: for each hull
+    edge, the antipodal vertex advances monotonically (triangle-area
+    comparison, exact int64 cross products), so the scan is O(h)
+    after the O(n log n) hull — never the O(n^2) all-pairs. The
+    farthest pair is always hull-antipodal, which the brute-force
+    pin test exercises on raw (non-hull) inputs."""
+    ring = monotone_chain_hull(np.asarray(x), np.asarray(y))
+    n = len(ring)
+    if n < 2:
+        return 0
+
+    def d2(i: int, j: int) -> int:
+        dx = int(ring[i, 0] - ring[j, 0])
+        dy = int(ring[i, 1] - ring[j, 1])
+        return dx * dx + dy * dy
+
+    if n == 2:
+        return d2(0, 1)
+
+    def a2(i: int, k: int, j: int) -> int:  # 2x area of (ring_i, ring_k, ring_j)
+        return int((ring[k, 0] - ring[i, 0]) * (ring[j, 1] - ring[i, 1])
+                   - (ring[k, 1] - ring[i, 1]) * (ring[j, 0] - ring[i, 0]))
+
+    best = 0
+    j = 1
+    for i in range(n):
+        k = (i + 1) % n
+        while a2(i, k, (j + 1) % n) > a2(i, k, j):
+            j = (j + 1) % n
+        best = max(best, d2(i, j), d2(k, j))
+    return best
+
+
 def hull_area2(ring: np.ndarray) -> int:
     """Twice the signed shoelace area of an ordered integer ring."""
     if len(ring) < 3:
@@ -614,6 +649,42 @@ def nms_boxes(score: np.ndarray, x0: np.ndarray, y0: np.ndarray,
         uni = area[i] + area[rem] - inter
         alive[rem[(inter * iou_den >= iou_num * uni) & (uni > 0)]] = False
     return np.asarray(kept, dtype=np.int64)
+
+
+def union_area_boxes(x0: np.ndarray, y0: np.ndarray,
+                     x1: np.ndarray, y1: np.ndarray) -> int:
+    """Exact area of the union of half-open integer boxes
+    [x0,x1) x [y0,y1) — the coverage measure (how much of a tile do
+    the detected footprints cover, double-counting overlaps never):
+    coordinate-compressed x slabs, and per slab the union length of
+    the spanning boxes' y intervals via the sorted running-max
+    (gaps-and-islands) scan. All integers; degenerate boxes
+    contribute nothing. O(n^2) per call — callers group first
+    (per-image / per-tile sets, bounded), the grouping shuffle is
+    the scale step."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    ok = (x1 > x0) & (y1 > y0)
+    x0, y0, x1, y1 = x0[ok], y0[ok], x1[ok], y1[ok]
+    if len(x0) == 0:
+        return 0
+    xs = np.unique(np.concatenate((x0, x1)))
+    area = 0
+    for k in range(len(xs) - 1):
+        xa, xb = xs[k], xs[k + 1]
+        m = (x0 <= xa) & (x1 >= xb)
+        if not m.any():
+            continue
+        o = np.lexsort((y1[m], y0[m]))
+        ys0, ys1 = y0[m][o], y1[m][o]
+        run_end = np.maximum.accumulate(ys1)
+        new_isl = np.concatenate(([True], ys0[1:] > run_end[:-1]))
+        starts = ys0[new_isl]
+        ends = np.maximum.reduceat(ys1, np.flatnonzero(new_isl))
+        area += int(xb - xa) * int((ends - starts).sum())
+    return area
 
 
 def hausdorff_directed_sq(ax: np.ndarray, ay: np.ndarray,

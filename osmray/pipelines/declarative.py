@@ -896,9 +896,57 @@ def _hist_eq(p: dict) -> Stage:
         concurrency=int(p.get("concurrency", 2)), num_cpus=1)
 
 
+def _box_union_area(p: dict) -> Stage:
+    """{"op": "box_union_area", "group": "img"} — exact union area of
+    each group's (x0, y0, x1, y1) boxes (overlaps counted once)."""
+    import pyarrow as _pa
+
+    from osmray.geom import union_area_boxes
+
+    gcol = p.get("group", "img")
+
+    def s(ds):
+        def g_area(g: _pa.Table) -> _pa.Table:
+            area = union_area_boxes(
+                g["x0"].to_numpy(zero_copy_only=False),
+                g["y0"].to_numpy(zero_copy_only=False),
+                g["x1"].to_numpy(zero_copy_only=False),
+                g["y1"].to_numpy(zero_copy_only=False))
+            return _pa.table({gcol: g[gcol][:1],
+                              "n_boxes": _pa.array([len(g)], _pa.int64()),
+                              "union_area": _pa.array([area], _pa.int64())})
+
+        return ds.groupby(gcol).map_groups(g_area, batch_format="pyarrow")
+
+    return s
+
+
+def _hull_diameter(p: dict) -> Stage:
+    """{"op": "hull_diameter", "group": col, "x": "x"?, "y": "y"?} —
+    squared farthest-pair distance per group (rotating calipers)."""
+    import pyarrow as _pa
+
+    from osmray.geom import hull_diameter_sq
+
+    gcol, xc, yc = p["group"], p.get("x", "x"), p.get("y", "y")
+
+    def s(ds):
+        def g_diam(g: _pa.Table) -> _pa.Table:
+            d = hull_diameter_sq(g[xc].to_numpy(zero_copy_only=False),
+                                 g[yc].to_numpy(zero_copy_only=False))
+            return _pa.table({gcol: g[gcol][:1],
+                              "diam_sq": _pa.array([d], _pa.int64())})
+
+        return ds.groupby(gcol).map_groups(g_diam, batch_format="pyarrow")
+
+    return s
+
+
 STAGES.update({
     "box_iou_join": _box_iou_join,
     "box_nms": _box_nms,
     "hex_agg": _hex_agg,
     "hist_eq": _hist_eq,
+    "box_union_area": _box_union_area,
+    "hull_diameter": _hull_diameter,
 })

@@ -5190,6 +5190,137 @@ def q_convex_hull(sf_dir: str):
             .groupby("brand").map_groups(hull, batch_format="pyarrow"))
 
 
+def q_emd_hist(sf_dir: str):
+    """1-D Earth Mover's Distance between per-group histograms (the
+    distribution-shift measure between two populations sharing a key):
+    each side bins a hashed value into 16 buckets per nation, and the
+    EMD is the exact cross-scaled CDF gap sum(|cumA*NB - cumB*NA|) —
+    all integers, no normalization floats. Plan: map-side _keyed_sums
+    partials on a packed (nation, side, bin) key -> one small keyed
+    Sum -> per-nation fold of the 32 bin rows. The SQL twin replays
+    the CDFs with window cumsums over a dense nation x bin grid."""
+    from ray.data.aggregate import Sum
+
+    def cust(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = nk * 32 + 0 * 16 + (k * 2654435761) % 16
+        return _keyed_sums(key, {}, "key")
+
+    def supp(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = nk * 32 + 1 * 16 + (k * 2654435761) % 16
+        return _keyed_sums(key, {}, "key")
+
+    a = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust, batch_format="pyarrow")
+    b = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp, batch_format="pyarrow")
+    agg = a.union(b).groupby("key").aggregate(Sum("cnt", alias_name="n"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"nationkey": pa.array(key // 32),
+                         "sb": pa.array(key % 32), "n": batch["n"]})
+
+    def emd(g: pa.Table) -> pa.Table:
+        sb = g["sb"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ha = np.zeros(16, np.int64)
+        hb = np.zeros(16, np.int64)
+        ha[sb[sb < 16]] = n[sb < 16]
+        hb[sb[sb >= 16] - 16] = n[sb >= 16]
+        ca, cb = np.cumsum(ha), np.cumsum(hb)
+        val = int(np.abs(ca * cb[-1] - cb * ca[-1]).sum())
+        return pa.table({"nationkey": g["nationkey"][:1],
+                         "emd": pa.array([val], pa.int64())})
+
+    return (agg.map_batches(unpack, batch_format="pyarrow")
+            .groupby("nationkey").map_groups(emd, batch_format="pyarrow"))
+
+
+Q_EMD_HIST_SQL = """
+WITH h AS (
+  SELECT c_nationkey AS nk, 0 AS side,
+         (c_custkey * 2654435761) % 16 AS b, count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT s_nationkey, 1, (s_suppkey * 2654435761) % 16, count(*)
+  FROM supplier GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT n_nationkey AS nk, s.side, r.range AS b
+  FROM nation, (SELECT 0 AS side UNION ALL SELECT 1) s, range(16) r
+),
+d AS (
+  SELECT g.nk, g.side, g.b, coalesce(h.n, 0) AS n
+  FROM grid g LEFT JOIN h ON h.nk = g.nk AND h.side = g.side AND h.b = g.b
+),
+ca AS (
+  SELECT nk, b, sum(n) OVER (PARTITION BY nk ORDER BY b) AS cum,
+         sum(n) OVER (PARTITION BY nk) AS tot
+  FROM d WHERE side = 0
+),
+cb AS (
+  SELECT nk, b, sum(n) OVER (PARTITION BY nk ORDER BY b) AS cum,
+         sum(n) OVER (PARTITION BY nk) AS tot
+  FROM d WHERE side = 1
+)
+SELECT CAST(ca.nk AS BIGINT) AS nationkey,
+       CAST(sum(abs(ca.cum * cb.tot - cb.cum * ca.tot)) AS BIGINT) AS emd
+FROM ca JOIN cb ON ca.nk = cb.nk AND ca.b = cb.b
+GROUP BY ca.nk
+"""
+
+
+def q_hull_diameter(sf_dir: str):
+    """Per-group point-set diameter (farthest pair, squared): rotating
+    calipers over the strict convex hull (geom.hull_diameter_sq) —
+    O(h) after the hull, never the all-pairs scan the SQL twin does.
+    Same hashed point fixture + bounded-group subsample as
+    q_convex_hull; ONE keyed shuffle, O(group) state."""
+    from osmray.geom import hull_diameter_sq
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    m = max(1, ds.count() // 2500)
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = k % m == 0
+        k = k[sel]
+        return pa.table({
+            "brand": batch["p_brand"].filter(pa.array(sel)),
+            "x": pa.array((k * 7919 + 11) % 1048573),
+            "y": pa.array((k * 6151 + 29) % 1048573)})
+
+    def diam(g: pa.Table) -> pa.Table:
+        d = hull_diameter_sq(
+            g["x"].to_numpy(zero_copy_only=False),
+            g["y"].to_numpy(zero_copy_only=False))
+        return pa.table({"brand": g["brand"][:1],
+                         "diam_sq": pa.array([d], pa.int64())})
+
+    return (ds.map_batches(pts, batch_format="pyarrow")
+            .groupby("brand").map_groups(diam, batch_format="pyarrow"))
+
+
+Q_HULL_DIAMETER_SQL = """
+WITH p0 AS (
+  SELECT p_brand AS g,
+         (p_partkey * 7919 + 11) % 1048573 AS x,
+         (p_partkey * 6151 + 29) % 1048573 AS y
+  FROM part
+  WHERE p_partkey % (SELECT greatest(1, count(*) // 2500) FROM part) = 0
+)
+SELECT a.g AS brand,
+       CAST(max((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS diam_sq
+FROM p0 a JOIN p0 b ON b.g = a.g
+GROUP BY a.g
+"""
+
+
 Q_CONVEX_HULL_SQL = """
 WITH p0 AS (
   SELECT DISTINCT p_brand AS g,
@@ -7434,6 +7565,93 @@ r{r} AS (
     return "".join(parts) + "\n" + union + "\n"
 
 
+def q_box_union_area(sf_dir: str):
+    """Union area of each image's detection boxes (the coverage
+    measure: how much of the frame the detections cover, overlaps
+    counted once) — geom.union_area_boxes per group after ONE keyed
+    shuffle; groups are per-image detection sets (<= 8 boxes here,
+    detector-capped in general). The SQL twin is the same sweep in
+    closed form: coordinate-compressed x slabs (lead window), then
+    gaps-and-islands over the spanning boxes' y intervals (running
+    max + island sum) — exact integers end to end."""
+    from osmray.geom import union_area_boxes
+
+    def mk_boxes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = 40 + (k * 7919) % 120
+        cy = 40 + (k * 6151) % 120
+        w = 20 + k % 30
+        h = 20 + (k * 31) % 30
+        return pa.table({
+            "img": pa.array(k // 8),
+            "x0": pa.array(cx - w), "y0": pa.array(cy - h),
+            "x1": pa.array(cx + w), "y1": pa.array(cy + h)})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_boxes, batch_format="pyarrow")
+
+    def group_area(g: pa.Table) -> pa.Table:
+        area = union_area_boxes(
+            g["x0"].to_numpy(zero_copy_only=False),
+            g["y0"].to_numpy(zero_copy_only=False),
+            g["x1"].to_numpy(zero_copy_only=False),
+            g["y1"].to_numpy(zero_copy_only=False))
+        return pa.table({"img": g["img"][:1],
+                         "n_boxes": pa.array([len(g)], pa.int64()),
+                         "union_area": pa.array([area], pa.int64())})
+
+    return ds.groupby("img").map_groups(group_area, batch_format="pyarrow")
+
+
+Q_BOX_UNION_AREA_SQL = """
+WITH b AS (
+  SELECT o_orderkey // 8 AS img,
+    40 + (o_orderkey * 7919) % 120 - (20 + o_orderkey % 30) AS x0,
+    40 + (o_orderkey * 6151) % 120 - (20 + (o_orderkey * 31) % 30) AS y0,
+    40 + (o_orderkey * 7919) % 120 + (20 + o_orderkey % 30) AS x1,
+    40 + (o_orderkey * 6151) % 120 + (20 + (o_orderkey * 31) % 30) AS y1
+  FROM orders
+),
+xs AS (
+  SELECT DISTINCT img, x0 AS x FROM b
+  UNION SELECT DISTINCT img, x1 FROM b
+),
+sl AS (
+  SELECT img, x AS xa,
+         lead(x) OVER (PARTITION BY img ORDER BY x) AS xb
+  FROM xs
+),
+cov AS (
+  SELECT s.img, s.xa, s.xb, b.y0, b.y1
+  FROM sl s JOIN b ON b.img = s.img AND b.x0 <= s.xa AND b.x1 >= s.xb
+  WHERE s.xb IS NOT NULL
+),
+mk AS (
+  SELECT img, xa, xb, y0, y1,
+    CASE WHEN y0 > coalesce(max(y1) OVER (
+        PARTITION BY img, xa ORDER BY y0, y1
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000)
+      THEN 1 ELSE 0 END AS ni
+  FROM cov
+),
+isl AS (
+  SELECT img, xa, xb, y0, y1,
+    sum(ni) OVER (PARTITION BY img, xa ORDER BY y0, y1
+                  ROWS UNBOUNDED PRECEDING) AS grp
+  FROM mk
+),
+ln AS (
+  SELECT img, xa, xb, grp, max(y1) - min(y0) AS ylen
+  FROM isl GROUP BY img, xa, xb, grp
+),
+cnt AS (SELECT img, CAST(count(*) AS BIGINT) AS n_boxes FROM b GROUP BY img)
+SELECT c.img, c.n_boxes,
+       CAST(sum((l.xb - l.xa) * l.ylen) AS BIGINT) AS union_area
+FROM ln l JOIN cnt c USING (img)
+GROUP BY c.img, c.n_boxes
+"""
+
+
 def q_geohash(sf_dir: str):
     """Geohash cell aggregation: each point encodes to a 6-char
     geohash (cells.geohash_encode — exact bit-interleave + base32,
@@ -8123,6 +8341,8 @@ def registry():
         "q_cube": (q_cube, Q_CUBE_SQL),
         "q_bfs": (q_bfs, Q_BFS_SQL),
         "q_convex_hull": (q_convex_hull, Q_CONVEX_HULL_SQL),
+        "q_hull_diameter": (q_hull_diameter, Q_HULL_DIAMETER_SQL),
+        "q_emd_hist": (q_emd_hist, Q_EMD_HIST_SQL),
         "q_edit_join": (q_edit_join, Q_EDIT_JOIN_SQL),
         "q_jaccard_join": (q_jaccard_join, Q_JACCARD_JOIN_SQL),
         "q_focal_stats": (q_focal_stats, Q_FOCAL_STATS_SQL),
@@ -8158,6 +8378,7 @@ def registry():
         "q_max_concurrency": (q_max_concurrency, Q_MAX_CONCURRENCY_SQL),
         "q_box_iou_join": (q_box_iou_join, Q_BOX_IOU_JOIN_SQL),
         "q_box_nms": (q_box_nms, _box_nms_sql()),
+        "q_box_union_area": (q_box_union_area, Q_BOX_UNION_AREA_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),

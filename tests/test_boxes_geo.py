@@ -86,6 +86,44 @@ def test_hex_neighbors_boundary_is_sentinel_not_wrap():
     assert 32767 not in nb and (32768 * 1 - 1) not in nb
 
 
+def test_union_area_matches_raster_count():
+    from osmray.geom import union_area_boxes
+
+    rng = np.random.RandomState(3)
+    for _ in range(40):
+        n = rng.randint(1, 12)
+        x0 = rng.randint(0, 60, n).astype(np.int64)
+        y0 = rng.randint(0, 60, n).astype(np.int64)
+        x1 = x0 + rng.randint(0, 30, n)  # some degenerate (zero width)
+        y1 = y0 + rng.randint(0, 30, n)
+        grid = np.zeros((100, 100), dtype=bool)
+        for i in range(n):
+            grid[x0[i]:x1[i], y0[i]:y1[i]] = True
+        assert union_area_boxes(x0, y0, x1, y1) == int(grid.sum())
+    assert union_area_boxes(np.array([5]), np.array([5]),
+                            np.array([5]), np.array([9])) == 0
+
+
+def test_hull_diameter_matches_brute_all_pairs():
+    from osmray.geom import hull_diameter_sq
+
+    rng = np.random.RandomState(17)
+    for _ in range(60):
+        n = rng.randint(1, 40)
+        x = rng.randint(0, 1000, n).astype(np.int64)
+        y = rng.randint(0, 1000, n).astype(np.int64)
+        brute = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                brute = max(brute, int((x[i] - x[j]) ** 2
+                                       + (y[i] - y[j]) ** 2))
+        assert hull_diameter_sq(x, y) == brute
+    # collinear and duplicate degenerate sets
+    assert hull_diameter_sq(np.array([3, 3, 3]), np.array([1, 5, 9])) == 64
+    assert hull_diameter_sq(np.array([7]), np.array([7])) == 0
+    assert hull_diameter_sq(np.array([2, 2]), np.array([4, 4])) == 0
+
+
 def test_hausdorff_matches_brute():
     rng = np.random.RandomState(11)
     for _ in range(60):
