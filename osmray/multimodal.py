@@ -409,3 +409,37 @@ class IntegralRectStage:
         return pa.table({"idx": pa.array(idxs, pa.int64()),
                          "rid": pa.array(rids, pa.int64()),
                          "rect_sum": pa.array(sums, pa.int64())})
+
+
+class RleMaskStage:
+    """Actor-pool stage: decode -> threshold to binary mask -> COCO
+    column-major RLE (raster.rle_encode) -> integer RLE observables
+    (fg run count, fg area, leading-background length) plus an
+    in-stage decode roundtrip check. The wire point of RLE at scale:
+    a label mask travels as O(#boundary) ints, never H*W pixels."""
+
+    def __init__(self, threshold: int = 128):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import rle_decode, rle_encode
+
+        idxs, n_fg, area, first, ok = [], [], [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            mask = (img[:, :, 0] >= self.threshold).astype(np.uint8) * 255
+            runs = rle_encode(mask)
+            rt = rle_decode(runs, mask.shape[0], mask.shape[1])
+            idxs.append(idx)
+            n_fg.append(len(runs) // 2)
+            area.append(int(runs[1::2].sum()))
+            first.append(int(runs[0]) if len(runs) else 0)
+            ok.append(bool((rt == mask).all()))
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "n_fg_runs": pa.array(n_fg, pa.int64()),
+            "fg_area": pa.array(area, pa.int64()),
+            "first_fg": pa.array(first, pa.int64()),
+            "roundtrip_ok": pa.array(ok, pa.bool_())})

@@ -921,6 +921,18 @@ def _box_union_area(p: dict) -> Stage:
     return s
 
 
+def _rle_mask(p: dict) -> Stage:
+    """{"op": "rle_mask", "threshold": 128?, "concurrency": 2?} —
+    decode -> threshold -> COCO column-major RLE observables."""
+    from osmray.multimodal import RleMaskStage
+
+    return lambda ds: ds.map_batches(
+        RleMaskStage,
+        fn_constructor_kwargs={"threshold": int(p.get("threshold", 128))},
+        batch_format="pyarrow",
+        concurrency=int(p.get("concurrency", 2)), num_cpus=1)
+
+
 def _hull_diameter(p: dict) -> Stage:
     """{"op": "hull_diameter", "group": col, "x": "x"?, "y": "y"?} —
     squared farthest-pair distance per group (rotating calipers)."""
@@ -949,4 +961,5 @@ STAGES.update({
     "hist_eq": _hist_eq,
     "box_union_area": _box_union_area,
     "hull_diameter": _hull_diameter,
+    "rle_mask": _rle_mask,
 })

@@ -7763,6 +7763,57 @@ FROM phx JOIN pc USING (i)
 """
 
 
+def q_rle_mask(sf_dir: str):
+    """COCO-style column-major RLE of each image's thresholded mask
+    (multimodal.RleMaskStage -> raster.rle_encode): the wire format
+    that ships a label mask as O(#boundary) ints instead of 64 Ki
+    pixels. Emits exact RLE observables (foreground run count, area,
+    leading-background length) plus an in-stage decode roundtrip
+    check. The SQL twin derives the run count in closed form from the
+    planted 8x8 bit grid: 32 image columns per block column, so
+    n_fg_runs = 32*(vertical 1-islands) - 31*(bottom&top self-merges)
+    - (bottom&next-top block-boundary merges); first_fg is the min
+    Fortran index 8192*cb + 32*rb over set bits."""
+    from osmray import oraclefix
+    from osmray.multimodal import RleMaskStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        RleMaskStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+Q_RLE_MASK_SQL = f"""
+WITH {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+isl0 AS (
+  SELECT i, cb, rb, bit,
+         coalesce(lag(bit) OVER (PARTITION BY i, cb ORDER BY rb), 0) AS up
+  FROM pb
+),
+isl AS (SELECT i, SUM(CASE WHEN bit = 1 AND up = 0 THEN 1 ELSE 0 END) AS n
+        FROM isl0 GROUP BY i),
+vm AS (SELECT a.i, SUM(a.bit * b.bit) AS n
+       FROM pb a JOIN pb b ON b.i = a.i AND b.cb = a.cb
+       WHERE a.rb = 7 AND b.rb = 0 GROUP BY a.i),
+hm AS (SELECT a.i, SUM(a.bit * b.bit) AS n
+       FROM pb a JOIN pb b ON b.i = a.i AND b.cb = a.cb + 1
+       WHERE a.rb = 7 AND b.rb = 0 GROUP BY a.i),
+ar AS (SELECT i, SUM(bit) AS n1,
+              MIN(CASE WHEN bit = 1 THEN 8192 * cb + 32 * rb END) AS ff
+       FROM pb GROUP BY i)
+SELECT isl.i AS idx,
+  CAST(32 * isl.n - 31 * vm.n - hm.n AS BIGINT) AS n_fg_runs,
+  CAST(1024 * ar.n1 AS BIGINT) AS fg_area,
+  CAST(coalesce(ar.ff, 65536) AS BIGINT) AS first_fg,
+  TRUE AS roundtrip_ok
+FROM isl JOIN vm USING (i) JOIN hm USING (i) JOIN ar USING (i)
+"""
+
+
 _INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
 
 
@@ -8382,6 +8433,7 @@ def registry():
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
+        "q_rle_mask": (q_rle_mask, Q_RLE_MASK_SQL),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

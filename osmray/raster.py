@@ -455,3 +455,29 @@ def mask_iou_popcounts(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     av = np.asarray(a) > 0
     bv = np.asarray(b) > 0
     return int(av.sum()), int(bv.sum()), int((av & bv).sum())
+
+
+def rle_encode(mask: np.ndarray) -> np.ndarray:
+    """COCO-style column-major run-length encoding of a binary mask:
+    counts of alternating runs over the Fortran-flattened pixels,
+    starting with background (a leading 0 count when pixel (0,0) is
+    foreground) — the compact wire format for label masks at scale
+    (a mask is O(#boundary) ints instead of H*W pixels). Vectorized:
+    one diff + one flatnonzero, no Python per-pixel loop."""
+    v = (np.asarray(mask) > 0).ravel(order="F").astype(np.int8)
+    if len(v) == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.flatnonzero(np.diff(v)) + 1
+    runs = np.diff(np.concatenate(([0], change, [len(v)]))).astype(np.int64)
+    if v[0] == 1:
+        runs = np.concatenate((np.zeros(1, np.int64), runs))
+    return runs
+
+
+def rle_decode(runs: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Inverse of rle_encode: alternating background/foreground
+    counts (column-major) back to an (h, w) uint8 {0,255} mask."""
+    runs = np.asarray(runs, dtype=np.int64)
+    vals = (np.arange(len(runs), dtype=np.int64) % 2).astype(np.uint8) * 255
+    v = np.repeat(vals, runs)
+    return v.reshape((h, w), order="F")

@@ -279,3 +279,25 @@ def test_tile_pyramid_parent_assembles_quadrants():
                  for i in (0, 1, 32, 33)) // 4
     blob = codecs.png_encode(canvas, level=1)
     assert int(codecs.png_decode(blob).astype(np.int64).sum()) == expect
+
+
+def test_rle_roundtrip_and_observables():
+    import numpy as np
+
+    from osmray.raster import rle_decode, rle_encode
+
+    rng = np.random.RandomState(5)
+    for _ in range(100):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        m = (rng.rand(h, w) < rng.rand()).astype(np.uint8) * 255
+        runs = rle_encode(m)
+        assert (rle_decode(runs, h, w) == m).all()
+        assert int(runs.sum()) == h * w
+        assert int(runs[1::2].sum()) == int((m > 0).sum())
+        assert (runs[1:] > 0).all()  # only a leading 0 is allowed
+    # all-background and all-foreground edges
+    z = np.zeros((4, 6), np.uint8)
+    assert list(rle_encode(z)) == [24]
+    f = np.full((4, 6), 255, np.uint8)
+    assert list(rle_encode(f)) == [0, 24]
+    assert (rle_decode(rle_encode(f), 4, 6) == f).all()
