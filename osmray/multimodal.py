@@ -443,3 +443,35 @@ class RleMaskStage:
             "fg_area": pa.array(area, pa.int64()),
             "first_fg": pa.array(first, pa.int64()),
             "roundtrip_ok": pa.array(ok, pa.bool_())})
+
+
+class DistanceTransformStage:
+    """Actor-pool stage: decode -> block-mean reduce to a coarse
+    occupancy grid -> EXACT L1 distance transform
+    (raster.l1_distance_transform, the separable two-pass scan) ->
+    integer proximity observables (sum and max distance). The coarse
+    grid is the scale lever: the proximity raster a 100 TB pipeline
+    ships downstream is cells, not pixels."""
+
+    def __init__(self, grid: int = 8, threshold: int = 128, cap: int = 16):
+        self.grid = grid
+        self.threshold = threshold
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import l1_distance_transform
+
+        idxs, sums, maxs = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            d = l1_distance_transform(coarse >= self.threshold, cap=self.cap)
+            idxs.append(idx)
+            sums.append(int(d.sum()))
+            maxs.append(int(d.max()))
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "dt_sum": pa.array(sums, pa.int64()),
+            "dt_max": pa.array(maxs, pa.int64())})

@@ -7814,6 +7814,44 @@ FROM isl JOIN vm USING (i) JOIN hm USING (i) JOIN ar USING (i)
 """
 
 
+def q_distance_transform(sf_dir: str):
+    """Proximity raster: decode -> coarse occupancy grid -> EXACT L1
+    distance transform (raster.l1_distance_transform — the separable
+    four-scan minimum.accumulate pass, no per-pixel loop) as an
+    actor-pool stage, emitting integer distance-sum/max per image.
+    On the planted fixture the 8x8 coarse grid IS the bit grid, so
+    the SQL twin brute-forces min(|dr|+|dc|) over the set bits
+    (capped at 16 for empty masks — unreachable otherwise, the 8x8
+    diameter is 14)."""
+    from osmray import oraclefix
+    from osmray.multimodal import DistanceTransformStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        DistanceTransformStage, batch_format="pyarrow",
+        concurrency=2, num_cpus=1)
+
+
+Q_DISTANCE_TRANSFORM_SQL = f"""
+WITH {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+fg AS (SELECT i, rb, cb FROM pb WHERE bit = 1),
+dt AS (
+  SELECT p.i, p.rb, p.cb,
+         coalesce(min(abs(p.rb - f.rb) + abs(p.cb - f.cb)), 16) AS d
+  FROM pb p LEFT JOIN fg f ON f.i = p.i
+  GROUP BY p.i, p.rb, p.cb
+)
+SELECT i AS idx, CAST(sum(d) AS BIGINT) AS dt_sum,
+       CAST(max(d) AS BIGINT) AS dt_max
+FROM dt GROUP BY i
+"""
+
+
 _INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
 
 
@@ -8434,6 +8472,8 @@ def registry():
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
         "q_rle_mask": (q_rle_mask, Q_RLE_MASK_SQL),
+        "q_distance_transform": (q_distance_transform,
+                                 Q_DISTANCE_TRANSFORM_SQL),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

@@ -301,3 +301,21 @@ def test_rle_roundtrip_and_observables():
     f = np.full((4, 6), 255, np.uint8)
     assert list(rle_encode(f)) == [0, 24]
     assert (rle_decode(rle_encode(f), 4, 6) == f).all()
+
+
+def test_l1_distance_transform_exact_vs_brute():
+    import numpy as np
+
+    from osmray.raster import l1_distance_transform
+
+    rng = np.random.RandomState(9)
+    for _ in range(50):
+        h, w = rng.randint(1, 14), rng.randint(1, 14)
+        m = rng.rand(h, w) < 0.15
+        d = l1_distance_transform(m, cap=99)
+        fg = np.argwhere(m)
+        for r in range(h):
+            for c in range(w):
+                brute = (99 if len(fg) == 0
+                         else int(np.abs(fg - [r, c]).sum(1).min()))
+                assert d[r, c] == brute
