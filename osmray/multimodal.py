@@ -475,3 +475,38 @@ class DistanceTransformStage:
             "idx": pa.array(idxs, pa.int64()),
             "dt_sum": pa.array(sums, pa.int64()),
             "dt_max": pa.array(maxs, pa.int64())})
+
+
+class MarchingSquaresStage:
+    """Actor-pool stage: decode -> coarse occupancy grid -> marching
+    squares (raster.marching_squares_cases/_segments) -> integer
+    contour observables per image (segment count, crossed-cell count,
+    case checksum). The raster->vector step of the tiling engine:
+    label masks leave as exact integer contour segments, chainable
+    into rings by an endpoint hash-join downstream."""
+
+    def __init__(self, grid: int = 8, threshold: int = 128):
+        self.grid = grid
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import (marching_squares_cases,
+                                   marching_squares_segments)
+
+        idxs, nseg, ncross, csum = [], [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            m = coarse >= self.threshold
+            cases = marching_squares_cases(m)
+            idxs.append(idx)
+            nseg.append(len(marching_squares_segments(m)))
+            ncross.append(int((~np.isin(cases, [0, 15])).sum()))
+            csum.append(int(cases.astype(np.int64).sum()))
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "n_segments": pa.array(nseg, pa.int64()),
+            "n_crossed": pa.array(ncross, pa.int64()),
+            "case_sum": pa.array(csum, pa.int64())})

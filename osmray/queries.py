@@ -7852,6 +7852,46 @@ FROM dt GROUP BY i
 """
 
 
+def q_contours(sf_dir: str):
+    """Raster -> vector: marching squares over each image's coarse
+    occupancy grid (multimodal.MarchingSquaresStage), emitting exact
+    integer contour observables (segment count with the standard
+    two-segment saddle rule, crossed-cell count, case checksum). The
+    SQL twin rebuilds every 2x2 case code from the planted bit grid
+    with three self-joins and replays the per-case segment counts."""
+    from osmray import oraclefix
+    from osmray.multimodal import MarchingSquaresStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        MarchingSquaresStage, batch_format="pyarrow",
+        concurrency=2, num_cpus=1)
+
+
+Q_CONTOURS_SQL = f"""
+WITH {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+c2 AS (
+  SELECT a.i,
+         8 * a.bit + 4 * b.bit + 2 * d.bit + 1 * c.bit AS cs
+  FROM pb a
+  JOIN pb b ON b.i = a.i AND b.rb = a.rb AND b.cb = a.cb + 1
+  JOIN pb c ON c.i = a.i AND c.rb = a.rb + 1 AND c.cb = a.cb
+  JOIN pb d ON d.i = a.i AND d.rb = a.rb + 1 AND d.cb = a.cb + 1
+)
+SELECT i AS idx,
+  CAST(SUM(CASE WHEN cs IN (0, 15) THEN 0
+                WHEN cs IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments,
+  CAST(SUM(CASE WHEN cs IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT) AS n_crossed,
+  CAST(SUM(cs) AS BIGINT) AS case_sum
+FROM c2 GROUP BY i
+"""
+
+
 _INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
 
 
@@ -8474,6 +8514,7 @@ def registry():
         "q_rle_mask": (q_rle_mask, Q_RLE_MASK_SQL),
         "q_distance_transform": (q_distance_transform,
                                  Q_DISTANCE_TRANSFORM_SQL),
+        "q_contours": (q_contours, Q_CONTOURS_SQL),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

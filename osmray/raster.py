@@ -508,3 +508,50 @@ def l1_distance_transform(mask: np.ndarray, cap: int | None = None) -> np.ndarra
     if cap is not None:
         d = np.minimum(d, cap)
     return d
+
+
+# marching-squares case tables: per 4-bit corner case (8*tl + 4*tr +
+# 2*br + 1*bl), the contour segments as (r0, c0, r1, c1) in DOUBLED
+# cell-local coordinates (edge midpoints: top=(0,1) bottom=(2,1)
+# left=(1,0) right=(1,2)) — integers, so every emitted vertex is
+# exact. Saddles (5, 10) take the standard two-segment resolution
+# that keeps the set-corner pairs separated.
+_MS_SEGS: dict[int, tuple] = {
+    0: (), 15: (),
+    1: ((1, 0, 2, 1),), 14: ((1, 0, 2, 1),),
+    2: ((2, 1, 1, 2),), 13: ((2, 1, 1, 2),),
+    4: ((0, 1, 1, 2),), 11: ((0, 1, 1, 2),),
+    8: ((0, 1, 1, 0),), 7: ((0, 1, 1, 0),),
+    3: ((1, 0, 1, 2),), 12: ((1, 0, 1, 2),),
+    6: ((0, 1, 2, 1),), 9: ((0, 1, 2, 1),),
+    5: ((0, 1, 1, 2), (1, 0, 2, 1)),
+    10: ((0, 1, 1, 0), (2, 1, 1, 2)),
+}
+
+
+def marching_squares_cases(mask: np.ndarray) -> np.ndarray:
+    """The (h-1, w-1) marching-squares case grid of a binary mask:
+    4-bit corner code 8*tl + 4*tr + 2*br + 1*bl per 2x2 cell —
+    the raster->vector isoline primitive, fully vectorized."""
+    b = (np.asarray(mask) > 0).astype(np.int8)
+    return (8 * b[:-1, :-1] + 4 * b[:-1, 1:]
+            + 2 * b[1:, 1:] + b[1:, :-1]).astype(np.int8)
+
+
+def marching_squares_segments(mask: np.ndarray) -> np.ndarray:
+    """Contour segments of a binary mask via marching squares, as an
+    (n, 4) int64 array of (r0, c0, r1, c1) in DOUBLED grid
+    coordinates (so edge midpoints are exact integers). Segments are
+    emitted per cell in row-major cell order; adjacent cells share
+    midpoint vertices, so downstream chaining into rings is a pure
+    integer hash-join on endpoints."""
+    cases = marching_squares_cases(mask)
+    out = []
+    for cs in range(1, 15):
+        rr, cc = np.nonzero(cases == cs)
+        for (r0, c0, r1, c1) in _MS_SEGS[cs]:
+            out.append(np.stack([2 * rr + r0, 2 * cc + c0,
+                                 2 * rr + r1, 2 * cc + c1], axis=1))
+    if not out:
+        return np.empty((0, 4), dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)

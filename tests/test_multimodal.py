@@ -319,3 +319,31 @@ def test_l1_distance_transform_exact_vs_brute():
                 brute = (99 if len(fg) == 0
                          else int(np.abs(fg - [r, c]).sum(1).min()))
                 assert d[r, c] == brute
+
+
+def test_marching_squares_contours_close_and_separate():
+    import numpy as np
+    from collections import Counter
+
+    from osmray.raster import marching_squares_cases, marching_squares_segments
+
+    rng = np.random.RandomState(21)
+    for _ in range(60):
+        h, w = rng.randint(2, 12), rng.randint(2, 12)
+        m = rng.rand(h, w) < rng.rand()
+        segs = marching_squares_segments(m)
+        cases = marching_squares_cases(m)
+        # count matches the case table (saddles contribute 2)
+        want = int(np.isin(cases, [5, 10]).sum()) * 2 + int(
+            (~np.isin(cases, [0, 5, 10, 15])).sum())
+        assert len(segs) == want
+        # interior vertices chain into loops: every edge-midpoint
+        # vertex strictly inside the cell grid has even degree
+        deg = Counter()
+        for r0, c0, r1, c1 in segs:
+            deg[(r0, c0)] += 1
+            deg[(r1, c1)] += 1
+        hc, wc = h - 1, w - 1
+        for (r, c), n in deg.items():
+            if 0 < r < 2 * hc and 0 < c < 2 * wc:
+                assert n % 2 == 0, ((r, c), n)
