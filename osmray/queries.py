@@ -7565,6 +7565,70 @@ r{r} AS (
     return "".join(parts) + "\n" + union + "\n"
 
 
+def q_hrw_parts(sf_dir: str):
+    """Rendezvous (HRW) consistent partitioning — the cluster-resize
+    primitive: every key hashes once per shard and goes to the argmax
+    (cells.hrw_shard). The op emits per-shard occupancy AND the
+    resize evidence: n_moved counts keys whose shard changes when an
+    8-shard layout grows to 9, n_moved_wrong counts moves to any shard
+    OTHER than the new one — structurally zero (the HRW guarantee:
+    old shards' relative order is untouched by adding a shard).
+    Map-side keyed-sum partials, one small Sum shuffle. The SQL twin
+    replays the hash matrix with range(9) + row_number argmax."""
+    from ray.data.aggregate import Sum
+
+    from osmray.cells import hrw_shard
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s8 = hrw_shard(k, 8)
+        s9 = hrw_shard(k, 9)
+        moved = (s9 != s8).astype(np.int64)
+        wrong = (moved & (s9 != 8)).astype(np.int64)
+        return _keyed_sums(s8, {"n_moved": moved, "n_moved_wrong": wrong},
+                           "shard")
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        assign, batch_format="pyarrow")
+    return ds.groupby("shard").aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Sum("n_moved", alias_name="n_moved"),
+        Sum("n_moved_wrong", alias_name="n_moved_wrong"))
+
+
+Q_HRW_PARTS_SQL = """
+WITH h AS (
+  SELECT o_orderkey AS key, r.range AS s,
+    (o_orderkey * (((r.range + 1) * (r.range + 1) * (r.range + 1)
+                    * 2654435761 + (r.range + 1) * 40503) % 1048573)
+     + (((r.range + 1) * (r.range + 1) * (r.range + 1) * 2654435761
+         + (r.range + 1) * 40503) % 1048573)
+       * (((r.range + 1) * (r.range + 1) * (r.range + 1) * 2654435761
+           + (r.range + 1) * 40503) % 1048573)) % 1048573 AS hv
+  FROM orders CROSS JOIN range(9) r
+),
+s8 AS (
+  SELECT key, s AS shard8 FROM (
+    SELECT key, s, row_number() OVER (
+      PARTITION BY key ORDER BY hv DESC, s) AS rn
+    FROM h WHERE s < 8) WHERE rn = 1
+),
+s9 AS (
+  SELECT key, s AS shard9 FROM (
+    SELECT key, s, row_number() OVER (
+      PARTITION BY key ORDER BY hv DESC, s) AS rn
+    FROM h) WHERE rn = 1
+)
+SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_moved_wrong
+FROM s8 JOIN s9 USING (key)
+GROUP BY shard8
+"""
+
+
 def q_box_union_area(sf_dir: str):
     """Union area of each image's detection boxes (the coverage
     measure: how much of the frame the detections cover, overlaps
@@ -8508,6 +8572,7 @@ def registry():
         "q_box_iou_join": (q_box_iou_join, Q_BOX_IOU_JOIN_SQL),
         "q_box_nms": (q_box_nms, _box_nms_sql()),
         "q_box_union_area": (q_box_union_area, Q_BOX_UNION_AREA_SQL),
+        "q_hrw_parts": (q_hrw_parts, Q_HRW_PARTS_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),

@@ -188,3 +188,21 @@ def test_hilbert_is_unit_step_bijection_and_beats_morton():
 
     # the locality claim in the docstring: tighter sorted-range bboxes
     assert spread(hilbert_d(x, y, 13)) < spread(morton(x, y))
+
+
+def test_hrw_minimal_movement_and_balance():
+    import numpy as np
+
+    from osmray.cells import hrw_shard
+
+    k = np.arange(100000, dtype=np.int64)
+    for n in (4, 8, 16):
+        sn = hrw_shard(k, n)
+        sn1 = hrw_shard(k, n + 1)
+        moved = sn1 != sn
+        # the HRW guarantee: adding a shard only moves keys INTO it
+        assert (sn1[moved] == n).all()
+        # expected 1/(n+1) movement, generous 2x window
+        assert abs(moved.mean() - 1 / (n + 1)) < 1 / (n + 1)
+        bal = np.bincount(sn, minlength=n)
+        assert bal.max() < 1.15 * len(k) / n  # near-uniform
