@@ -510,3 +510,35 @@ class MarchingSquaresStage:
             "n_segments": pa.array(nseg, pa.int64()),
             "n_crossed": pa.array(ncross, pa.int64()),
             "case_sum": pa.array(csum, pa.int64())})
+
+
+class ContourRingsStage:
+    """Actor-pool stage completing the raster -> vector path: decode
+    -> coarse grid -> marching-squares segments -> chain into RINGS
+    (raster.contour_ring_stats: connected components of the segment
+    graph), emitting per image the ring count, vertex count, and the
+    min-vertex-per-ring checksum a label-propagation twin replays."""
+
+    def __init__(self, grid: int = 8, threshold: int = 128):
+        self.grid = grid
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import contour_ring_stats
+
+        idxs, nr, nv, ck = [], [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            a, b, c = contour_ring_stats(coarse >= self.threshold)
+            idxs.append(idx)
+            nr.append(a)
+            nv.append(b)
+            ck.append(c)
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "n_rings": pa.array(nr, pa.int64()),
+            "n_vertices": pa.array(nv, pa.int64()),
+            "ring_checksum": pa.array(ck, pa.int64())})

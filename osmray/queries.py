@@ -7956,6 +7956,75 @@ FROM c2 GROUP BY i
 """
 
 
+def q_contour_rings(sf_dir: str):
+    """Vectorize completion: marching-squares segments chained into
+    RINGS per image (multimodal.ContourRingsStage -> union-find over
+    segment endpoints), emitting ring count, vertex count, and the
+    sum of per-ring minimum vertex ids. The SQL twin rebuilds the
+    segments from the case table (emitted from the same _MS_SEGS
+    source as the kernel), then converges the identical checksum by
+    recursive min-label propagation — the q_connected_components
+    twin pattern, per image over bounded contour graphs."""
+    from osmray import oraclefix
+    from osmray.multimodal import ContourRingsStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        ContourRingsStage, batch_format="pyarrow",
+        concurrency=2, num_cpus=1)
+
+
+def _contour_rings_sql() -> str:
+    from osmray.raster import _MS_SEGS
+
+    vals = ", ".join(
+        f"({cs}, {r0}, {c0}, {r1}, {c1})"
+        for cs in sorted(_MS_SEGS)
+        for (r0, c0, r1, c1) in _MS_SEGS[cs])
+    return f"""
+WITH RECURSIVE {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+c2 AS (
+  SELECT a.i, a.rb, a.cb,
+         8 * a.bit + 4 * b.bit + 2 * d.bit + 1 * c.bit AS cs
+  FROM pb a
+  JOIN pb b ON b.i = a.i AND b.rb = a.rb AND b.cb = a.cb + 1
+  JOIN pb c ON c.i = a.i AND c.rb = a.rb + 1 AND c.cb = a.cb
+  JOIN pb d ON d.i = a.i AND d.rb = a.rb + 1 AND d.cb = a.cb + 1
+),
+segs(cs, r0, c0, r1, c1) AS (VALUES {vals}),
+e0 AS (
+  SELECT c2.i,
+         (2 * c2.rb + s.r0) * 256 + (2 * c2.cb + s.c0) AS u,
+         (2 * c2.rb + s.r1) * 256 + (2 * c2.cb + s.c1) AS v
+  FROM c2 JOIN segs s ON s.cs = c2.cs
+),
+ee AS (SELECT i, u, v FROM e0 UNION SELECT i, v AS u, u AS v FROM e0),
+r AS (
+  SELECT i, u AS node, u AS label
+  FROM (SELECT i, u FROM ee UNION SELECT i, v FROM ee)
+  UNION
+  SELECT ee.i, ee.v AS node, r.label
+  FROM r JOIN ee ON ee.i = r.i AND ee.u = r.node WHERE r.label < ee.v
+),
+comp AS (SELECT i, node, min(label) AS l FROM r GROUP BY i, node),
+agg AS (
+  SELECT i, count(DISTINCT l) AS n_rings, count(*) AS n_vertices,
+         sum(DISTINCT l) AS ck
+  FROM comp GROUP BY i
+)
+SELECT ii.range AS idx,
+  CAST(coalesce(agg.n_rings, 0) AS BIGINT) AS n_rings,
+  CAST(coalesce(agg.n_vertices, 0) AS BIGINT) AS n_vertices,
+  CAST(coalesce(agg.ck, 0) AS BIGINT) AS ring_checksum
+FROM range(0, 1024) ii LEFT JOIN agg ON agg.i = ii.range
+"""
+
+
 _INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
 
 
@@ -8580,6 +8649,7 @@ def registry():
         "q_distance_transform": (q_distance_transform,
                                  Q_DISTANCE_TRANSFORM_SQL),
         "q_contours": (q_contours, Q_CONTOURS_SQL),
+        "q_contour_rings": (q_contour_rings, _contour_rings_sql()),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

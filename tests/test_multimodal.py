@@ -347,3 +347,21 @@ def test_marching_squares_contours_close_and_separate():
         for (r, c), n in deg.items():
             if 0 < r < 2 * hc and 0 < c < 2 * wc:
                 assert n % 2 == 0, ((r, c), n)
+
+
+def test_contour_ring_stats_counts_separate_loops():
+    import numpy as np
+
+    from osmray.raster import contour_ring_stats
+
+    m = np.zeros((8, 8), bool)
+    m[1:3, 1:3] = True   # one blob -> one ring
+    assert contour_ring_stats(m)[0] == 1
+    m[5:7, 4:7] = True   # second disjoint blob -> two rings
+    assert contour_ring_stats(m)[0] == 2
+    # a blob with a hole -> outer + inner ring
+    h = np.ones((7, 7), bool)
+    h[3, 3] = False
+    n_rings, n_vertices, ck = contour_ring_stats(h)
+    assert n_rings == 2
+    assert contour_ring_stats(np.zeros((4, 4), bool)) == (0, 0, 0)
