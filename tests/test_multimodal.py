@@ -359,9 +359,13 @@ def test_contour_ring_stats_counts_separate_loops():
     assert contour_ring_stats(m)[0] == 1
     m[5:7, 4:7] = True   # second disjoint blob -> two rings
     assert contour_ring_stats(m)[0] == 2
-    # a blob with a hole -> outer + inner ring
-    h = np.ones((7, 7), bool)
-    h[3, 3] = False
+    # a blob with a hole (not touching the border: marching squares
+    # only sees interior 2x2 cells) -> outer + inner ring
+    h = np.zeros((9, 9), bool)
+    h[1:8, 1:8] = True
+    h[4, 4] = False
     n_rings, n_vertices, ck = contour_ring_stats(h)
     assert n_rings == 2
+    # an all-true grid has no interior transitions -> no rings
+    assert contour_ring_stats(np.ones((7, 7), bool))[0] == 0
     assert contour_ring_stats(np.zeros((4, 4), bool)) == (0, 0, 0)
