@@ -542,3 +542,88 @@ class ContourRingsStage:
             "n_rings": pa.array(nr, pa.int64()),
             "n_vertices": pa.array(nv, pa.int64()),
             "ring_checksum": pa.array(ck, pa.int64())})
+
+
+class LargestSquareStage:
+    """Actor-pool stage: decode -> coarse occupancy grid -> largest
+    all-foreground square (raster.largest_square DP) — the free-space
+    placement primitive; emits the side and the number of positions
+    achieving it."""
+
+    def __init__(self, grid: int = 8, threshold: int = 128):
+        self.grid = grid
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import largest_square
+
+        idxs, sides, cnts = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            s, n = largest_square(coarse >= self.threshold)
+            idxs.append(idx)
+            sides.append(s)
+            cnts.append(n)
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "side": pa.array(sides, pa.int64()),
+            "n_max": pa.array(cnts, pa.int64())})
+
+
+def otsu_threshold(values: np.ndarray) -> tuple[int, int, int]:
+    """Exact integer Otsu: the threshold t maximizing between-class
+    variance over a 0..255 value set, compared as exact rationals —
+    sigma_b^2(t) is proportional to (s0*n - S*n0)^2 / (n0*n1), so two
+    thresholds compare by integer cross-multiplication, never floats.
+    Ties keep the smallest t; returns (t, num^2, den) at the argmax
+    ((0, 0, 0) when no threshold separates two non-empty classes).
+    Class 0 is v < t. Intended for small per-image value sets (the
+    coarse grid), keeping every product within int64."""
+    v = np.asarray(values, dtype=np.int64).ravel()
+    n = len(v)
+    hist = np.bincount(v, minlength=256)
+    cn = np.cumsum(hist)
+    cs = np.cumsum(hist * np.arange(256, dtype=np.int64))
+    s_tot = int(cs[-1])
+    best = (0, 0, 0)
+    for t in range(1, 256):
+        n0 = int(cn[t - 1])
+        n1 = n - n0
+        if n0 == 0 or n1 == 0:
+            continue
+        num = int(cs[t - 1]) * n - s_tot * n0
+        num2 = num * num
+        den = n0 * n1
+        if best[2] == 0 or num2 * best[2] > best[1] * den:
+            best = (t, num2, den)
+    return best
+
+
+class OtsuStage:
+    """Actor-pool stage: decode -> coarse grid -> exact integer Otsu
+    threshold (the automatic binarization step ahead of any of the
+    mask operators), emitting (t, objective numerator/denominator)."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, ts, nums, dens = [], [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            t, num2, den = otsu_threshold(coarse)
+            idxs.append(idx)
+            ts.append(t)
+            nums.append(num2)
+            dens.append(den)
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "otsu_t": pa.array(ts, pa.int64()),
+            "obj_num": pa.array(nums, pa.int64()),
+            "obj_den": pa.array(dens, pa.int64())})

@@ -8025,6 +8025,90 @@ FROM range(0, 1024) ii LEFT JOIN agg ON agg.i = ii.range
 """
 
 
+def q_largest_square(sf_dir: str):
+    """Largest all-foreground square per image (the free-space
+    placement primitive): the classic min-of-three DP
+    (raster.largest_square) over the coarse occupancy grid, emitting
+    side + number of achieving positions. The SQL twin enumerates all
+    204 (size, position) squares of the 8x8 grid and keeps those
+    whose bit sum fills the region — the DP must agree with brute
+    enumeration exactly."""
+    from osmray import oraclefix
+    from osmray.multimodal import LargestSquareStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        LargestSquareStage, batch_format="pyarrow",
+        concurrency=2, num_cpus=1)
+
+
+Q_LARGEST_SQUARE_SQL = f"""
+WITH {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+pos AS (
+  SELECT s.range + 1 AS s, r.range AS r0, c.range AS c0
+  FROM range(8) s, range(8) r, range(8) c
+  WHERE r.range + s.range + 1 <= 8 AND c.range + s.range + 1 <= 8
+),
+full_sq AS (
+  SELECT pb.i, p.s, p.r0, p.c0
+  FROM pos p JOIN pb ON pb.rb >= p.r0 AND pb.rb < p.r0 + p.s
+                    AND pb.cb >= p.c0 AND pb.cb < p.c0 + p.s
+  GROUP BY pb.i, p.s, p.r0, p.c0
+  HAVING sum(pb.bit) = p.s * p.s
+),
+mx AS (SELECT i, max(s) AS side FROM full_sq GROUP BY i),
+cnt AS (
+  SELECT f.i, count(*) AS n
+  FROM full_sq f JOIN mx ON mx.i = f.i AND mx.side = f.s
+  GROUP BY f.i
+)
+SELECT ii.range AS idx,
+  CAST(coalesce(mx.side, 0) AS BIGINT) AS side,
+  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_max
+FROM range(0, 1024) ii
+LEFT JOIN mx ON mx.i = ii.range
+LEFT JOIN cnt ON cnt.i = ii.range
+"""
+
+
+def q_otsu(sf_dir: str):
+    """Automatic binarization threshold per image: exact integer Otsu
+    (multimodal.otsu_threshold — between-class variance compared as
+    cross-multiplied rationals, smallest-t tie-break) over the coarse
+    grid. On the planted two-level fixture the argmax has a closed
+    form the SQL twin replays: every t in (40, 200] ties, so t = 41,
+    with objective numerator 25600*a^2*b^2 and denominator a*b for
+    dark/bright counts (a, b); single-level images yield (0, 0, 0)."""
+    from osmray import oraclefix
+    from osmray.multimodal import OtsuStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        OtsuStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+Q_OTSU_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS b FROM phbits GROUP BY i)
+SELECT i AS idx,
+  CAST(CASE WHEN b IN (0, 64) THEN 0 ELSE 41 END AS BIGINT) AS otsu_t,
+  CAST(CASE WHEN b IN (0, 64) THEN 0
+       ELSE 25600 * (64 - b) * (64 - b) * b * b END AS BIGINT) AS obj_num,
+  CAST(CASE WHEN b IN (0, 64) THEN 0
+       ELSE (64 - b) * b END AS BIGINT) AS obj_den
+FROM pc
+"""
+
+
 _INTEGRAL_RECTS = ((17, 9, 201, 155), (40, 40, 72, 72), (3, 229, 250, 256))
 
 
@@ -8650,6 +8734,8 @@ def registry():
                                  Q_DISTANCE_TRANSFORM_SQL),
         "q_contours": (q_contours, Q_CONTOURS_SQL),
         "q_contour_rings": (q_contour_rings, _contour_rings_sql()),
+        "q_largest_square": (q_largest_square, Q_LARGEST_SQUARE_SQL),
+        "q_otsu": (q_otsu, Q_OTSU_SQL),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

@@ -590,3 +590,26 @@ def contour_ring_stats(mask: np.ndarray) -> tuple[int, int, int]:
         r = find(i)
         roots[r] = min(roots.get(r, int(x)), int(x))
     return len(roots), len(verts), sum(roots.values())
+
+
+def largest_square(mask: np.ndarray) -> tuple[int, int]:
+    """(side, count) of the largest all-foreground square in a binary
+    mask and how many positions achieve it — the classic DP
+    d[r,c] = min(d[r-1,c], d[r,c-1], d[r-1,c-1]) + 1, vectorized
+    across each row (one np.minimum reduction per row). The free-space
+    placement primitive (largest clear patch for a label stamp)."""
+    m = (np.asarray(mask) > 0).astype(np.int64)
+    h, w = m.shape
+    if h == 0 or w == 0 or m.sum() == 0:
+        return 0, 0
+    d = np.zeros((h, w), dtype=np.int64)
+    d[0] = m[0]
+    for r in range(1, h):
+        # up/diag fold vectorizes; the left dependency is inherently
+        # sequential within the row (w is the coarse-grid side, small)
+        row = np.minimum(d[r - 1], np.concatenate(([0], d[r - 1, :-1])))
+        for c in range(w):
+            left_v = d[r, c - 1] if c else 0
+            d[r, c] = m[r, c] * (min(row[c], left_v) + 1)
+    best = int(d.max())
+    return best, int((d == best).sum())

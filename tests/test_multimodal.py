@@ -369,3 +369,50 @@ def test_contour_ring_stats_counts_separate_loops():
     # an all-true grid has no interior transitions -> no rings
     assert contour_ring_stats(np.ones((7, 7), bool))[0] == 0
     assert contour_ring_stats(np.zeros((4, 4), bool)) == (0, 0, 0)
+
+
+def test_largest_square_matches_brute():
+    import numpy as np
+
+    from osmray.raster import largest_square
+
+    rng = np.random.RandomState(4)
+    for _ in range(40):
+        h, w = rng.randint(1, 11), rng.randint(1, 11)
+        m = rng.rand(h, w) < 0.7
+        best, n = 0, 0
+        for s in range(1, min(h, w) + 1):
+            for r in range(h - s + 1):
+                for c in range(w - s + 1):
+                    if m[r:r + s, c:c + s].all():
+                        if s > best:
+                            best, n = s, 0
+                        if s == best:
+                            n += 1
+        assert largest_square(m) == (best, n)
+    assert largest_square(np.zeros((5, 5), bool)) == (0, 0)
+
+
+def test_otsu_exact_rational_argmax():
+    import numpy as np
+
+    from osmray.multimodal import otsu_threshold
+
+    v = np.array([40] * 40 + [200] * 24)
+    assert otsu_threshold(v) == (41, 25600 * 40 * 40 * 24 * 24, 40 * 24)
+    assert otsu_threshold(np.full(64, 7)) == (0, 0, 0)
+    rng = np.random.RandomState(1)
+    for _ in range(30):
+        v = rng.randint(0, 256, 64)
+        t, num2, den = otsu_threshold(v)
+        n, s_tot = len(v), v.sum()
+
+        def obj(u):
+            n0 = int((v < u).sum())
+            n1 = n - n0
+            if n0 == 0 or n1 == 0:
+                return -1.0
+            s0 = int(v[v < u].sum())
+            return (s0 * n - s_tot * n0) ** 2 / (n0 * n1)
+
+        assert abs(obj(t) - max(obj(u) for u in range(1, 256))) < 1e-9
