@@ -627,3 +627,32 @@ class OtsuStage:
             "otsu_t": pa.array(ts, pa.int64()),
             "obj_num": pa.array(nums, pa.int64()),
             "obj_den": pa.array(dens, pa.int64())})
+
+
+class GridPathStage:
+    """Actor-pool stage: decode -> coarse occupancy grid (foreground
+    = obstacle) -> vectorized BFS wavefront
+    (raster.bfs_grid_distance), emitting the corner-to-corner free-
+    space distance (255 = unreachable) and the reachable-cell count."""
+
+    def __init__(self, grid: int = 8, threshold: int = 128):
+        self.grid = grid
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.raster import bfs_grid_distance
+
+        idxs, ds_, nr = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            coarse = resize_block_mean(img, self.grid, self.grid)[:, :, 0]
+            dist = bfs_grid_distance(coarse >= self.threshold)
+            idxs.append(idx)
+            ds_.append(int(dist[self.grid - 1, self.grid - 1]))
+            nr.append(int((dist < 255).sum()))
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "dist": pa.array(ds_, pa.int64()),
+            "n_reachable": pa.array(nr, pa.int64())})

@@ -7565,6 +7565,59 @@ r{r} AS (
     return "".join(parts) + "\n" + union + "\n"
 
 
+_DICT_PATTERNS = ("table", "spark", "merge", "scan", "fast table")
+
+
+def q_dict_match(sf_dir: str):
+    """Multi-pattern dictionary matching over the corpus (the
+    keyword / PII-scan primitive): text.dict_count concatenates each
+    batch into one 0-separated byte buffer and matches every pattern
+    as a shifted-slice equality reduction — all positional
+    occurrences, no per-character Python loop — then per-pattern
+    (match, doc) totals fold through one tiny keyed Sum. The SQL twin
+    uses the replace-length count, which equals the all-occurrence
+    count because every pattern here is border-free (occurrences
+    cannot overlap themselves)."""
+    from ray.data.aggregate import Sum
+
+    from osmray.text import dict_count
+
+    pats = list(_DICT_PATTERNS)
+
+    def part(batch: pa.Table) -> pa.Table:
+        nm, nd = dict_count(batch["text"].to_pylist(), pats)
+        return pa.table({
+            "pid": pa.array(np.arange(len(pats), dtype=np.int64)),
+            "n_matches": pa.array(nm), "n_docs": pa.array(nd)})
+
+    agg = (_read(sf_dir, "documents", ["text"])
+           .map_batches(part, batch_format="pyarrow")
+           .groupby("pid")
+           .aggregate(Sum("n_matches", alias_name="n_matches"),
+                      Sum("n_docs", alias_name="n_docs")))
+
+    def name(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pattern": pa.array([pats[i] for i in pid], pa.string()),
+            "n_matches": batch["n_matches"], "n_docs": batch["n_docs"]})
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+def _dict_match_sql() -> str:
+    parts = []
+    for p in _DICT_PATTERNS:
+        parts.append(f"""
+SELECT '{p}' AS pattern,
+  CAST(sum((length(text) - length(replace(text, '{p}', ''))) // {len(p)})
+       AS BIGINT) AS n_matches,
+  CAST(sum(CASE WHEN position('{p}' IN text) > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_docs
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_hrw_parts(sf_dir: str):
     """Rendezvous (HRW) consistent partitioning — the cluster-resize
     primitive: every key hashes once per shard and goes to the argmax
@@ -8106,6 +8159,51 @@ SELECT i AS idx,
   CAST(CASE WHEN b IN (0, 64) THEN 0
        ELSE (64 - b) * b END AS BIGINT) AS obj_den
 FROM pc
+"""
+
+
+def q_grid_path(sf_dir: str):
+    """Free-space navigation per image: vectorized BFS wavefront over
+    the coarse occupancy grid (foreground = obstacle,
+    raster.bfs_grid_distance — four boolean shifts per round, rounds
+    bounded by the grid diameter), emitting the corner-to-corner
+    shortest free-space distance (255 = unreachable) and the
+    reachable-cell count. The SQL twin is recursive BFS label
+    propagation over the background cells with a d < 64 walk cap
+    (any 8x8 shortest path is <= 63), min(d) per cell."""
+    from osmray import oraclefix
+    from osmray.multimodal import GridPathStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        GridPathStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+Q_GRID_PATH_SQL = f"""
+WITH RECURSIVE {_PH_CTES},
+pb AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+bg AS (SELECT i, rb, cb FROM pb WHERE bit = 0),
+rch AS (
+  SELECT i, rb, cb, 0 AS d FROM bg WHERE rb = 0 AND cb = 0
+  UNION
+  SELECT b.i, b.rb, b.cb, r.d + 1
+  FROM rch r JOIN bg b ON b.i = r.i
+    AND abs(b.rb - r.rb) + abs(b.cb - r.cb) = 1
+  WHERE r.d < 64
+),
+m AS (SELECT i, rb, cb, min(d) AS d FROM rch GROUP BY i, rb, cb),
+agg AS (SELECT i, count(*) AS n_reach FROM m GROUP BY i),
+tgt AS (SELECT i, d FROM m WHERE rb = 7 AND cb = 7)
+SELECT ii.range AS idx,
+  CAST(coalesce(tgt.d, 255) AS BIGINT) AS dist,
+  CAST(coalesce(agg.n_reach, 0) AS BIGINT) AS n_reachable
+FROM range(0, 1024) ii
+LEFT JOIN agg ON agg.i = ii.range
+LEFT JOIN tgt ON tgt.i = ii.range
 """
 
 
@@ -8726,6 +8824,7 @@ def registry():
         "q_box_nms": (q_box_nms, _box_nms_sql()),
         "q_box_union_area": (q_box_union_area, Q_BOX_UNION_AREA_SQL),
         "q_hrw_parts": (q_hrw_parts, Q_HRW_PARTS_SQL),
+        "q_dict_match": (q_dict_match, _dict_match_sql()),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
@@ -8736,6 +8835,7 @@ def registry():
         "q_contour_rings": (q_contour_rings, _contour_rings_sql()),
         "q_largest_square": (q_largest_square, Q_LARGEST_SQUARE_SQL),
         "q_otsu": (q_otsu, Q_OTSU_SQL),
+        "q_grid_path": (q_grid_path, Q_GRID_PATH_SQL),
         "q_integral_rects": (q_integral_rects, _integral_rects_sql()),
         "q_hex_agg": (q_hex_agg, Q_HEX_AGG_SQL),
         "q_hilbert_parts": (q_hilbert_parts, _hilbert_parts_sql()),

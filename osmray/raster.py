@@ -613,3 +613,33 @@ def largest_square(mask: np.ndarray) -> tuple[int, int]:
             d[r, c] = m[r, c] * (min(row[c], left_v) + 1)
     best = int(d.max())
     return best, int((d == best).sum())
+
+
+def bfs_grid_distance(obstacles: np.ndarray,
+                      start: tuple[int, int] = (0, 0)) -> np.ndarray:
+    """4-connected BFS distance field over a grid with obstacles (the
+    navigation primitive: reachability and shortest path length
+    through free space). Vectorized wavefront: each round expands the
+    frontier by four boolean shifts — no per-cell loop; rounds are
+    bounded by the grid diameter. Unreached (or obstacle) cells hold
+    the sentinel 255."""
+    obst = np.asarray(obstacles) > 0
+    h, w = obst.shape
+    dist = np.full((h, w), 255, dtype=np.int64)
+    if obst[start]:
+        return dist
+    dist[start] = 0
+    frontier = np.zeros((h, w), dtype=bool)
+    frontier[start] = True
+    d = 0
+    while frontier.any():
+        d += 1
+        nxt = np.zeros_like(frontier)
+        nxt[1:, :] |= frontier[:-1, :]
+        nxt[:-1, :] |= frontier[1:, :]
+        nxt[:, 1:] |= frontier[:, :-1]
+        nxt[:, :-1] |= frontier[:, 1:]
+        nxt &= ~obst & (dist == 255)
+        dist[nxt] = d
+        frontier = nxt
+    return dist

@@ -365,3 +365,38 @@ def tfidf_topk(ds, k: int = 3, doc_col: str = "doc_id",
     return best.map_batches(
         lambda t: t.select(["doc_id", "term", "tf", "df", "score_milli"]),
         batch_format="pyarrow")
+
+
+def dict_count(texts: list[str], patterns: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-pattern dictionary matching over a batch of texts (the
+    keyword/PII scan primitive): returns (n_matches, n_docs_with) per
+    pattern, counting ALL positional occurrences. Vectorized — the
+    batch concatenates into ONE byte buffer (0-separated, so matches
+    never cross documents) and each pattern is a shifted-slice
+    equality reduction, then per-doc sums via add.reduceat; no
+    per-character Python loop. Patterns must not contain NUL."""
+    bufs = [t.encode() for t in texts]
+    if not bufs:
+        z = np.zeros(len(patterns), np.int64)
+        return z, z.copy()
+    sep = b"\x00"
+    joined = np.frombuffer(sep.join(bufs) + sep, dtype=np.uint8)
+    # document start offsets in the joined buffer
+    lens = np.array([len(b) + 1 for b in bufs], np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_matches = np.zeros(len(patterns), np.int64)
+    n_docs = np.zeros(len(patterns), np.int64)
+    for pi, p in enumerate(patterns):
+        pb = np.frombuffer(p.encode(), dtype=np.uint8)
+        m = len(pb)
+        if m == 0 or m > len(joined):
+            continue
+        hit = joined[: len(joined) - m + 1] == pb[0]
+        for k in range(1, m):
+            hit &= joined[k: len(joined) - m + 1 + k] == pb[k]
+        hits = hit.astype(np.int64)
+        per_doc = np.add.reduceat(hits, np.minimum(starts, len(hits) - 1))
+        per_doc[starts >= len(hits)] = 0
+        n_matches[pi] = int(hits.sum())
+        n_docs[pi] = int((per_doc > 0).sum())
+    return n_matches, n_docs

@@ -416,3 +416,44 @@ def test_otsu_exact_rational_argmax():
             return (s0 * n - s_tot * n0) ** 2 / (n0 * n1)
 
         assert abs(obj(t) - max(obj(u) for u in range(1, 256))) < 1e-9
+
+
+def test_bfs_grid_distance_walls_and_sentinels():
+    import numpy as np
+
+    from osmray.raster import bfs_grid_distance
+
+    m = np.zeros((8, 8), bool)
+    d = bfs_grid_distance(m)
+    assert d[7, 7] == 14 and (d < 255).sum() == 64
+    m[1, 1:] = True  # wall with a gap at col 0: detour-free L1 path
+    d = bfs_grid_distance(m)
+    assert d[7, 7] == 14 and (d < 255).sum() == 64 - 7
+    m2 = np.zeros((8, 8), bool)
+    m2[:, 4] = True  # full wall: right half unreachable
+    d2 = bfs_grid_distance(m2)
+    assert d2[7, 7] == 255 and (d2 < 255).sum() == 32
+    m3 = np.zeros((8, 8), bool)
+    m3[0, 0] = True  # blocked start
+    assert (bfs_grid_distance(m3) == 255).all()
+
+
+def test_dict_count_matches_brute():
+    import numpy as np
+
+    from osmray.text import dict_count
+
+    rng = np.random.RandomState(0)
+    vocab = ["key", "table", "spark", "merge", "scan", "a"]
+    for _ in range(15):
+        docs = [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+                for _ in range(20)]
+        pats = ["table", "spark", "merge scan", "e t"]
+        nm, nd = dict_count(docs, pats)
+        for i, p in enumerate(pats):
+            want = sum(sum(1 for j in range(len(dd) - len(p) + 1)
+                           if dd[j:j + len(p)] == p) for dd in docs)
+            assert nm[i] == want
+            assert nd[i] == sum(1 for dd in docs if p in dd)
+    nm, nd = dict_count([], ["x"])
+    assert list(nm) == [0] and list(nd) == [0]
