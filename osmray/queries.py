@@ -1237,6 +1237,59 @@ def sessionize_groups(ds):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+_SCD2_SENTINEL = 32503680000000000  # year ~3000 in microseconds
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 dimension build from a change stream: per user, the
+    event_type history collapses into validity intervals
+    (value, valid_from, valid_to), current rows closed by a fixed far-
+    future sentinel — the warehouse dimension-table primitive. Same
+    few-fat-keys regime as q_sessionize, so the map_groups path: one
+    keyed shuffle, a vectorized per-group change-point scan, O(group)
+    state. The SQL twin is lag-compare segment starts + lead close."""
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((eid, us))
+        us, eid, et = us[order], eid[order], et[order]
+        change = np.concatenate(([True], et[1:] != et[:-1]))
+        starts = us[change]
+        ends = np.concatenate((starts[1:],
+                               [np.int64(_SCD2_SENTINEL)])).astype(np.int64)
+        n = int(change.sum())
+        return pa.table({
+            "user_id": pa.array(np.repeat(
+                g["user_id"][0].as_py(), n).astype(np.int64)),
+            "event_type": pa.array(et[change], pa.string()),
+            "valid_from_us": pa.array(starts),
+            "valid_to_us": pa.array(ends)})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "event_type"])
+            .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+
+
+Q_SCD2_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+    CAST(epoch_us(ts) AS BIGINT) AS us,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id, event_type, us
+  FROM e WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, us AS valid_from_us,
+  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+           {_SCD2_SENTINEL}) AS valid_to_us
+FROM seg
+"""
+
+
 Q_SESSIONIZE_SQL = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
@@ -7618,6 +7671,61 @@ FROM documents""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_roaring_layout(sf_dir: str):
+    """Roaring-bitmap-style container layout planning over the key
+    space (the compressed-posting-list storage decision): keys group
+    into 1024-wide containers; per container the run structure
+    (gaps-and-islands over sorted keys) picks run / array / bitmap
+    encoding by exact serialized-size comparison (4*n_runs vs
+    min(2n, 8192)). ONE keyed shuffle, vectorized per-group diff
+    scan. The SQL twin replays islands with lag and the same rule."""
+    def per_container(g: pa.Table) -> pa.Table:
+        k = np.sort(np.unique(
+            g["key"].to_numpy(zero_copy_only=False).astype(np.int64)))
+        n = len(k)
+        n_runs = 1 + int((np.diff(k) > 1).sum()) if n else 0
+        if 4 * n_runs < min(2 * n, 8192):
+            layout = "run"
+        elif n < 4096:
+            layout = "array"
+        else:
+            layout = "bitmap"
+        return pa.table({
+            "container": pa.array([int(k[0] >> 10)], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "n_runs": pa.array([n_runs], pa.int64()),
+            "layout": pa.array([layout], pa.string())})
+
+    def keys(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"container": pa.array(k >> 10), "key": pa.array(k)})
+
+    return (_read(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(keys, batch_format="pyarrow")
+            .groupby("container")
+            .map_groups(per_container, batch_format="pyarrow"))
+
+
+Q_ROARING_LAYOUT_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+e AS (
+  SELECT key // 1024 AS c, key,
+    lag(key) OVER (PARTITION BY key // 1024 ORDER BY key) AS prev
+  FROM k
+),
+agg AS (
+  SELECT c, count(*) AS n,
+    sum(CASE WHEN prev IS NULL OR key - prev > 1 THEN 1 ELSE 0 END) AS n_runs
+  FROM e GROUP BY c
+)
+SELECT c AS container, CAST(n AS BIGINT) AS n,
+  CAST(n_runs AS BIGINT) AS n_runs,
+  CASE WHEN 4 * n_runs < least(2 * n, 8192) THEN 'run'
+       WHEN n < 4096 THEN 'array' ELSE 'bitmap' END AS layout
+FROM agg
+"""
+
+
 def q_hrw_parts(sf_dir: str):
     """Rendezvous (HRW) consistent partitioning — the cluster-resize
     primitive: every key hashes once per shard and goes to the argmax
@@ -8825,6 +8933,8 @@ def registry():
         "q_box_union_area": (q_box_union_area, Q_BOX_UNION_AREA_SQL),
         "q_hrw_parts": (q_hrw_parts, Q_HRW_PARTS_SQL),
         "q_dict_match": (q_dict_match, _dict_match_sql()),
+        "q_scd2": (q_scd2, Q_SCD2_SQL),
+        "q_roaring_layout": (q_roaring_layout, Q_ROARING_LAYOUT_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
