@@ -7950,6 +7950,92 @@ SELECT {gh4} AS gh4, n, {gh6} AS first_gh6 FROM agg
 """
 
 
+def q_quadkey(sf_dir: str):
+    """Quadkey tile naming (tilemath.quadkey_str — the Bing-style
+    base-4 string whose prefixes name ancestor tiles): points tile at
+    z12, aggregate per 6-digit prefix (= the z6 ancestor). Like
+    q_geohash the shuffle runs entirely on INTEGER Morton codes
+    (Sum/Min of per-block partials); strings materialize only on the
+    final aggregated rows. The twin rebuilds each digit with // and %
+    and concatenates."""
+    from ray.data.aggregate import Min, Sum
+
+    from osmray.tilemath import quadkey_str
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        tx = p["m1"] >> 14  # z12 tiles of the 26-bit lattice
+        ty = p["m2"] >> 14
+        code = np.zeros(len(tx), np.int64)
+        for i in range(12):
+            code |= ((tx >> i) & 1) << (2 * i)
+            code |= ((ty >> i) & 1) << (2 * i + 1)
+        return pa.table({"pfx": pa.array(code >> 12), "code": pa.array(code)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pfx = batch["pfx"].to_numpy(zero_copy_only=False)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pfx, kind="stable")
+        ks = pfx[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
+        counts = np.diff(np.concatenate((bounds, [len(ks)]))).astype(np.int64)
+        cmin = np.minimum.reduceat(code[order], bounds)
+        return pa.table({"pfx": pa.array(ks[bounds]), "cnt": pa.array(counts),
+                         "code_min": pa.array(cmin)})
+
+    agg = (ds.map_batches(encode, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("pfx")
+           .aggregate(Sum("cnt", alias_name="n"),
+                      Min("code_min", alias_name="code_min")))
+
+    def to_strings(batch: pa.Table) -> pa.Table:
+        pfx = batch["pfx"].to_numpy(zero_copy_only=False)
+        cmin = batch["code_min"].to_numpy(zero_copy_only=False)
+        # unpack morton -> (tx, ty) then render; prefix code is z6
+        def unpack(code, z):
+            tx = np.zeros(len(code), np.int64)
+            ty = np.zeros(len(code), np.int64)
+            for i in range(z):
+                tx |= ((code >> (2 * i)) & 1) << i
+                ty |= ((code >> (2 * i + 1)) & 1) << i
+            return tx, ty
+
+        tx6, ty6 = unpack(pfx, 6)
+        tx12, ty12 = unpack(cmin, 12)
+        return pa.table({
+            "qk6": pa.array(quadkey_str(tx6, ty6, 6)),
+            "n": batch["n"],
+            "first_qk12": pa.array(quadkey_str(tx12, ty12, 12))})
+
+    return agg.map_batches(to_strings, batch_format="pyarrow")
+
+
+def _quadkey_sql() -> str:
+    code = " + ".join(
+        f"(((m1 // 16384) // {1 << i}) % 2) * {1 << (2 * i)} + "
+        f"(((m2 // 16384) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(12))
+    qk6 = " || ".join(
+        f"CAST((pfx // {1 << (2 * (5 - i))}) % 4 AS VARCHAR)"
+        for i in range(6))
+    qk12 = " || ".join(
+        f"CAST((code_min // {1 << (2 * (11 - i))}) % 4 AS VARCHAR)"
+        for i in range(12))
+    return f"""
+WITH p AS ({_LI_SQL}),
+enc AS (SELECT {code} AS code FROM p),
+agg AS (
+  SELECT code // 4096 AS pfx, CAST(count(*) AS BIGINT) AS n,
+         min(code) AS code_min
+  FROM enc GROUP BY 1
+)
+SELECT {qk6} AS qk6, n, {qk12} AS first_qk12 FROM agg
+"""
+
+
 def q_hist_eq(sf_dir: str):
     """Photometric normalization: decode -> per-channel histogram
     equalization -> re-encode as an actor-pool stage
@@ -8935,6 +9021,7 @@ def registry():
         "q_dict_match": (q_dict_match, _dict_match_sql()),
         "q_scd2": (q_scd2, Q_SCD2_SQL),
         "q_roaring_layout": (q_roaring_layout, Q_ROARING_LAYOUT_SQL),
+        "q_quadkey": (q_quadkey, _quadkey_sql()),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),

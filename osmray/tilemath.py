@@ -228,3 +228,17 @@ def bbox_tiles(
     tx0, ty0, _, _ = tile_at_wgs(np.array([N]), np.array([W]), z, scheme)
     tx1, ty1, _, _ = tile_at_wgs(np.array([S]), np.array([E]), z, scheme)
     return int(tx0[0]), int(ty0[0]), int(tx1[0]), int(ty1[0])
+
+
+def quadkey_str(tx: np.ndarray, ty: np.ndarray, z: int) -> np.ndarray:
+    """Bing-style quadkey of slippy tiles: z base-4 digits, MSB first,
+    digit = 2*y_bit + x_bit per zoom level — the string tile name
+    whose lexicographic order IS the Morton order (a prefix names the
+    ancestor tile). Vectorized digit assembly, no per-tile loop."""
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    out = np.empty((len(tx), z), dtype=np.uint8)
+    for i in range(z):
+        d = 2 * ((ty >> (z - 1 - i)) & 1) + ((tx >> (z - 1 - i)) & 1)
+        out[:, i] = 48 + d
+    return out.view(f"S{z}").ravel().astype(str)

@@ -151,3 +151,20 @@ def test_scheme_is_immutable_value():
     s = TileScheme("t", flipy=True, offsetx=0.5)
     with pytest.raises(Exception):
         s.offsetx = 1.0
+
+
+def test_quadkey_canonical_and_prefix_property():
+    import numpy as np
+
+    from osmray.tilemath import quadkey_str
+
+    # the canonical Bing tile-system example: (3, 5) at z3 -> "213"
+    assert list(quadkey_str(np.array([3]), np.array([5]), 3)) == ["213"]
+    assert list(quadkey_str(np.array([0]), np.array([0]), 1)) == ["0"]
+    # prefix property: a child's quadkey extends its parent's
+    rng = np.random.RandomState(3)
+    tx = rng.randint(0, 1 << 12, 50).astype(np.int64)
+    ty = rng.randint(0, 1 << 12, 50).astype(np.int64)
+    q12 = quadkey_str(tx, ty, 12)
+    q6 = quadkey_str(tx >> 6, ty >> 6, 6)
+    assert all(a.startswith(b) for a, b in zip(q12, q6))
