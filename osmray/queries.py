@@ -1290,6 +1290,84 @@ FROM seg
 """
 
 
+def q_late_events(sf_dir: str):
+    """Streaming watermark accounting: replaying the stream in
+    arrival order (event_id), an event is LATE if its timestamp falls
+    behind the high-water mark (max ts seen so far) by more than the
+    allowed lateness (300 s) — the at-ingest bookkeeping every
+    event-time window needs. Distributed prefix-max: sort by arrival,
+    one row of (first_id, max_ts) per block, an O(#blocks) driver
+    fold of incoming offsets, then a per-block vectorized prefix max;
+    per-type late/total counts. The SQL twin is a running-max window
+    over arrival order."""
+    from ray.data.aggregate import Sum
+
+    lateness_us = 300_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    sds = ds.sort("event_id").materialize()
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "max_ts": pa.array([], pa.int64())})
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"first_id": pa.array([int(eid[0])]),
+                         "max_ts": pa.array([int(us.max())])})
+
+    heads = sds.map_batches(block_head, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    heads = heads.sort_values("first_id").reset_index(drop=True)
+    incoming = {}
+    run = None
+    for _, row in heads.iterrows():
+        incoming[int(row["first_id"])] = run
+        run = int(row["max_ts"]) if run is None else max(
+            run, int(row["max_ts"]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "late": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        inc = incoming.get(int(eid[0]))
+        # watermark BEFORE each event: shift the prefix max by one
+        pm = np.maximum.accumulate(us)
+        # -(1<<62): "no watermark yet" — still safe to subtract the
+        # lateness from without int64 wraparound
+        before = np.concatenate((
+            [-(1 << 62) if inc is None else inc], pm[:-1]))
+        if inc is not None:
+            before = np.maximum(before, inc)
+        late = (us < before - lateness_us).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "late": pa.array(late),
+                         "one": pa.array(np.ones(len(us), np.int64))})
+
+    return (sds.map_batches(score, batch_format="pyarrow", batch_size=None)
+            .groupby("event_type")
+            .aggregate(Sum("late", alias_name="n_late"),
+                       Sum("one", alias_name="n_total")))
+
+
+Q_LATE_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+    max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS wm
+  FROM events
+)
+SELECT event_type,
+  CAST(sum(CASE WHEN wm IS NOT NULL AND us < wm - 300000000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM e GROUP BY event_type
+"""
+
+
 Q_SESSIONIZE_SQL = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
@@ -9022,6 +9100,7 @@ def registry():
         "q_scd2": (q_scd2, Q_SCD2_SQL),
         "q_roaring_layout": (q_roaring_layout, Q_ROARING_LAYOUT_SQL),
         "q_quadkey": (q_quadkey, _quadkey_sql()),
+        "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
