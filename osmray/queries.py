@@ -1352,6 +1352,75 @@ def q_late_events(sf_dir: str):
                        Sum("one", alias_name="n_total")))
 
 
+def q_dod_stats(sf_dir: str):
+    """Gorilla-style timestamp compression planning: per user the
+    delta-of-delta of the sorted event times buckets into the
+    published bit classes (0 -> 1 bit, |dod| in (0, 64) -> 9,
+    < 256 -> 12, < 2048 -> 16, else 36), and the op reports per-user
+    bucket counts + the exact compressed bit total — the storage
+    estimate a time-series engine needs before choosing a codec.
+    Few-fat-keys regime: one keyed shuffle, vectorized double-diff
+    per group. The SQL twin double-lags in seconds."""
+    def per_user(g: pa.Table) -> pa.Table:
+        us = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        sec = us // 1_000_000
+        dod = np.diff(sec, n=2) if len(sec) >= 3 else np.empty(0, np.int64)
+        a = np.abs(dod)
+        b0 = int((a == 0).sum())
+        b1 = int(((a > 0) & (a < 64)).sum())
+        b2 = int(((a >= 64) & (a < 256)).sum())
+        b3 = int(((a >= 256) & (a < 2048)).sum())
+        b4 = int((a >= 2048).sum())
+        bits = b0 * 1 + b1 * 9 + b2 * 12 + b3 * 16 + b4 * 36
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "b_zero": pa.array([b0], pa.int64()),
+            "b_small": pa.array([b1], pa.int64()),
+            "b_med": pa.array([b2], pa.int64()),
+            "b_large": pa.array([b3], pa.int64()),
+            "b_huge": pa.array([b4], pa.int64()),
+            "total_bits": pa.array([bits], pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .groupby("user_id").map_groups(per_user, batch_format="pyarrow"))
+
+
+Q_DOD_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 1000000 AS sec,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+d AS (
+  SELECT user_id,
+    sec - 2 * lag(sec, 1) OVER w + lag(sec, 2) OVER w AS dod,
+    lag(sec, 2) OVER w AS ok
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, sec)
+),
+b AS (
+  SELECT user_id, abs(dod) AS a FROM d WHERE ok IS NOT NULL
+),
+agg AS (
+  SELECT user_id,
+    sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS b_zero,
+    sum(CASE WHEN a > 0 AND a < 64 THEN 1 ELSE 0 END) AS b_small,
+    sum(CASE WHEN a >= 64 AND a < 256 THEN 1 ELSE 0 END) AS b_med,
+    sum(CASE WHEN a >= 256 AND a < 2048 THEN 1 ELSE 0 END) AS b_large,
+    sum(CASE WHEN a >= 2048 THEN 1 ELSE 0 END) AS b_huge
+  FROM b GROUP BY user_id
+)
+SELECT u.user_id, CAST(coalesce(b_zero, 0) AS BIGINT) AS b_zero,
+  CAST(coalesce(b_small, 0) AS BIGINT) AS b_small,
+  CAST(coalesce(b_med, 0) AS BIGINT) AS b_med,
+  CAST(coalesce(b_large, 0) AS BIGINT) AS b_large,
+  CAST(coalesce(b_huge, 0) AS BIGINT) AS b_huge,
+  CAST(coalesce(b_zero * 1 + b_small * 9 + b_med * 12 + b_large * 16
+                + b_huge * 36, 0) AS BIGINT) AS total_bits
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg ON agg.user_id = u.user_id
+"""
+
+
 Q_LATE_EVENTS_SQL = """
 WITH e AS (
   SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
@@ -9101,6 +9170,7 @@ def registry():
         "q_roaring_layout": (q_roaring_layout, Q_ROARING_LAYOUT_SQL),
         "q_quadkey": (q_quadkey, _quadkey_sql()),
         "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
+        "q_dod_stats": (q_dod_stats, Q_DOD_STATS_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
