@@ -813,6 +813,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_mad(sf_dir: str):
+    """Robust outlier scale: per-group MAD (median absolute deviation
+    from the median), the two-pass exact-order-statistic composition —
+    pass 1 computes each group's discrete median (an actual element,
+    so integer-exact), pass 2 re-scans with the medians attached and
+    takes the discrete median of |x - med|. Medians are one tiny row
+    per group, broadcast into pass 2 (join-back via grace join is the
+    unbounded-group-count path). The SQL twin is percentile_disc over
+    the same join."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_quantity"].to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "med": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])]})
+
+    meds = {r["l_returnflag"]: int(r["med"])
+            for _, r in ds.groupby("l_returnflag")
+            .map_groups(med, batch_format="pandas").to_pandas().iterrows()}
+
+    def dev(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = batch["l_returnflag"].to_pylist()
+        m = np.array([meds[x] for x in f], np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "dev": pa.array(np.abs(q - m))})
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["dev"].to_numpy().astype(np.int64))
+        flag = g["l_returnflag"].iloc[0]
+        return pd.DataFrame({
+            "l_returnflag": [flag],
+            "median_qty": [meds[flag]],
+            "mad_qty": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])],
+            "n": [len(v)]})
+
+    return (ds.map_batches(dev, batch_format="pyarrow")
+            .groupby("l_returnflag").map_groups(mad, batch_format="pandas"))
+
+
+Q_MAD_SQL = """
+WITH m AS (
+  SELECT l_returnflag, percentile_disc(0.5) WITHIN GROUP (
+    ORDER BY CAST(l_quantity AS BIGINT)) AS med
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT l.l_returnflag, m.med,
+         abs(CAST(l.l_quantity AS BIGINT) - m.med) AS dev
+  FROM lineitem l JOIN m USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(max(med) AS BIGINT) AS median_qty,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT)
+    AS mad_qty,
+  CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY l_returnflag
+"""
+
+
 def q_inverted_index(sf_dir: str):
     """Inverted-index build over documents: exploded postings
     (term, doc_id, tf) + per-term document frequency — the text-index
@@ -9171,6 +9233,7 @@ def registry():
         "q_quadkey": (q_quadkey, _quadkey_sql()),
         "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
         "q_dod_stats": (q_dod_stats, Q_DOD_STATS_SQL),
+        "q_mad": (q_mad, Q_MAD_SQL),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),
