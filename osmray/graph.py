@@ -623,3 +623,106 @@ def sssp(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
                 zero_copy_only=False) >> 1)})
 
     return dist.map_batches(unpack, batch_format="pyarrow")
+
+
+def kcore(edges_ds, k: int = 2, src_col: str = "u", dst_col: str = "v",
+          max_rounds: int = 12, mode: str = "auto",
+          broadcast_cap: int = 50_000_000, num_partitions: int = 16):
+    """k-core decomposition by iterative peeling: drop every node
+    whose degree among SURVIVING nodes is < k, repeat to fixpoint;
+    returns Dataset (node, deg) of the core with each node's degree
+    inside it. Same two-engine policy as connected_components:
+    ``broadcast`` streams edges against an O(V) alive/degree array
+    per round; ``shuffle`` keeps the alive set as a Dataset and each
+    round is two grace SEMI joins (both endpoints alive) + one keyed
+    Count — nothing O(V) on the driver. Raises RuntimeError if the
+    peeling hasn't converged in ``max_rounds`` (the SQL twins unroll
+    a fixed round count, so non-convergence must be loud)."""
+    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    eng = _pick_mode(edges, mode, broadcast_cap)
+    if eng == "broadcast":
+        return _kcore_broadcast(edges, k, max_rounds)
+    return _kcore_shuffle(edges, k, max_rounds, num_partitions)
+
+
+def _kcore_broadcast(edges, k: int, max_rounds: int):
+    import ray
+    import ray.data
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([u, v])))})
+
+    nodes = np.unique(
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy())
+    alive = np.ones(len(nodes), dtype=bool)
+
+    for _ in range(max_rounds):
+        ref = ray.put((nodes, alive))
+
+        def degs(batch: pa.Table) -> pa.Table:
+            nd, al = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            keep = al[np.searchsorted(nd, u)] & al[np.searchsorted(nd, v)]
+            tgt = np.concatenate([u[keep], v[keep]])
+            if len(tgt) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            order = np.argsort(tgt, kind="stable")
+            ts = tgt[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(ts)) + 1))
+            cnt = np.diff(np.concatenate((bounds, [len(ts)]))).astype(np.int64)
+            return pa.table({"node": pa.array(ts[bounds]),
+                             "cnt": pa.array(cnt)})
+
+        parts = edges.map_batches(degs, batch_format="pyarrow").to_pandas()
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(parts):
+            np.add.at(deg, np.searchsorted(nodes, parts["node"].to_numpy()),
+                      parts["cnt"].to_numpy())
+        new_alive = alive & (deg >= k)
+        if (new_alive == alive).all():
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(nodes[alive]),
+                "deg": pa.array(deg[alive])}))
+        alive = new_alive
+    raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")
+
+
+def _kcore_shuffle(edges, k: int, max_rounds: int, num_partitions: int):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from osmray.joins import bucketed_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(np.concatenate([u, v])),
+                         "t": pa.array(np.concatenate([v, u]))})
+
+    ee = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    alive = _distinct_nodes(edges).materialize()
+    n_alive = alive.count()
+
+    for _ in range(max_rounds):
+        e1 = bucketed_join(ee, alive, on="s", right_on="node", how="semi")
+        e2 = bucketed_join(e1, alive, on="t", right_on="node", how="semi")
+        deg = e2.groupby("s").aggregate(Count(alias_name="deg"))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            sel = pa.array(d >= k)
+            return pa.table({"node": batch["s"].filter(sel),
+                             "deg": batch["deg"].filter(sel)})
+
+        core = deg.map_batches(keep, batch_format="pyarrow").materialize()
+        n_new = core.count()
+        if n_new == n_alive:
+            return core
+        alive = core.select_columns(["node"]).materialize()
+        n_alive = n_new
+    raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")

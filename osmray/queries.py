@@ -1981,6 +1981,82 @@ FROM r GROUP BY node
 """
 
 
+def q_kcore(sf_dir: str):
+    """2-core of the bounded order->part purchase graph (the
+    degeneracy peel: drop degree<2 nodes among survivors to
+    fixpoint) — graph.kcore, same two-engine policy as CC/PageRank
+    (broadcast alive/degree arrays under the cap; grace-semi-join
+    rounds above it, nothing O(V) on the driver). The kernel RAISES
+    if peeling needs more rounds than the SQL twin unrolls (13), so
+    twin truncation can never silently pass; emits each core node
+    with its in-core degree."""
+    from ray.data.aggregate import Count
+
+    from osmray.graph import kcore
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    # k-core DEGREES are duplicate-sensitive (unlike CC's min-label),
+    # so the edge set must be distinct: one keyed dedup shuffle on the
+    # packed pair, matching the twin's DISTINCT
+    def ekeys(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = o % 10 == 1
+        # fold parts into 256 hub nodes so the 2-core is non-trivial
+        key = (2 * o[sel]) * (np.int64(1) << 32) + (2 * (p[sel] % 256) + 1)
+        return pa.table({"ek": pa.array(np.unique(key))})
+
+    ded = (ds.map_batches(ekeys, batch_format="pyarrow")
+           .groupby("ek").aggregate(Count(alias_name="_n")))
+
+    def unpack_e(batch: pa.Table) -> pa.Table:
+        ek = batch["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(ek >> 32),
+                         "v": pa.array(ek & ((np.int64(1) << 32) - 1))})
+
+    out = kcore(ded.map_batches(unpack_e, batch_format="pyarrow"),
+                k=2, max_rounds=12)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kind": pa.array(np.where(node % 2 == 0, "o", "p")),
+            "key": pa.array(node // 2),
+            "deg": batch["deg"]})
+
+    return out.map_batches(decode, batch_format="pyarrow")
+
+
+def _kcore_sql(rounds: int = 13) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous CTE twice, so un-materialized inlining is exponential
+    # in the round count (and re-opens the parquet per copy)
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * (l_partkey % 256) + 1 AS v
+  FROM lineitem WHERE l_orderkey % 10 = 1
+),
+ee AS MATERIALIZED (
+  SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM ee)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT ee.s AS node, count(*) AS deg
+  FROM ee
+  JOIN a{r - 1} x ON x.node = ee.s
+  JOIN a{r - 1} y ON y.node = ee.t
+  GROUP BY ee.s HAVING count(*) >= 2
+)""")
+    parts.append(f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END AS kind,
+       node // 2 AS key, CAST(deg AS BIGINT) AS deg
+FROM a{rounds}
+""")
+    return "".join(parts)
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over the directed order->part purchase graph (same
     bounded edge filter as q_connected_components): power iteration
@@ -9234,6 +9310,7 @@ def registry():
         "q_late_events": (q_late_events, Q_LATE_EVENTS_SQL),
         "q_dod_stats": (q_dod_stats, Q_DOD_STATS_SQL),
         "q_mad": (q_mad, Q_MAD_SQL),
+        "q_kcore": (q_kcore, _kcore_sql()),
         "q_geohash": (q_geohash, _geohash_sql()),
         "q_hausdorff": (q_hausdorff, Q_HAUSDORFF_SQL),
         "q_hist_eq": (q_hist_eq, Q_HIST_EQ_SQL),

@@ -243,3 +243,46 @@ def test_knn_join_bruteforce(ray_session):
             exp.add((p.qid, fts["fid"].iloc[j], int(d2[j])))
     got_set = set(zip(got["qid"], got["fid"], got["d2"]))
     assert got_set == exp
+
+
+def test_kcore_broadcast_equals_shuffle_and_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.graph import kcore
+
+    rng = np.random.RandomState(6)
+    u = rng.randint(0, 60, 300).astype(np.int64)
+    v = rng.randint(0, 60, 300).astype(np.int64)
+    keep = u != v
+    # dedup undirected pairs for degree correctness
+    a, b = np.minimum(u[keep], v[keep]), np.maximum(u[keep], v[keep])
+    pairs = np.unique(a * 1000 + b)
+    u, v = pairs // 1000, pairs % 1000
+    edges = pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    def run(mode):
+        ds = ray.data.from_arrow(edges).repartition(4)
+        df = kcore(ds, k=3, mode=mode, max_rounds=30).to_pandas()
+        return sorted(map(tuple, df[["node", "deg"]].to_numpy()))
+
+    got_b = run("broadcast")
+    got_s = run("shuffle")
+    assert got_b == got_s
+
+    # brute peel
+    import collections
+    adj = collections.defaultdict(set)
+    for x, y in zip(u, v):
+        adj[x].add(y)
+        adj[y].add(x)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    want = sorted((n, len(adj[n] & alive)) for n in alive)
+    assert got_b == want
