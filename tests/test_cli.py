@@ -215,3 +215,33 @@ def test_new_declarative_steps_registered():
         stage = STAGES[op]({"op": op, "right_path": "/tmp/x", "x": "x",
                             "y": "y"})
         assert callable(stage)
+
+
+def test_declarative_image_chain_composes(ray_session):
+    """Composition check for the image-op steps: a declarative
+    hist_eq -> rle_mask chain must emit the same RLE observables as
+    the direct stage over the RAW images — hist-eq's remap is
+    monotone around the threshold (40 -> 0, 200 -> 255, degenerate
+    single-level images pass through), so the mask is invariant."""
+    from osmray import oraclefix
+    from osmray.multimodal import RleMaskStage
+    from osmray.pipelines import run_pipeline
+
+    oraclefix.write_phash()
+    steps = [
+        {"op": "read_parquet", "path": "/tmp/osmray_phash_fx/part-*.parquet",
+         "columns": ["image_id", "bytes", "fmt", "w", "h", "idx"]},
+        {"op": "hist_eq", "concurrency": 1},
+        {"op": "rle_mask", "concurrency": 1},
+    ]
+    got = (run_pipeline(steps).to_pandas()
+           .sort_values("idx").reset_index(drop=True))
+    want = (oraclefix.load_phash()
+            .map_batches(lambda b: b.select(["image_id", "bytes", "fmt",
+                                             "idx"]),
+                         batch_format="pyarrow")
+            .map_batches(RleMaskStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas().sort_values("idx").reset_index(drop=True))
+    assert got["roundtrip_ok"].all()
+    for col in ("n_fg_runs", "fg_area", "first_fg"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
