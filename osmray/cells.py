@@ -292,6 +292,57 @@ def rollup_cells(points_cells_ds, cell_col: str = "cell",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def quadtree_leaves(cells_ds, cell_col: str = "cell", max_res: int = 6,
+                    cap: int = 64):
+    """Adaptive quadtree refinement — the data-dependent spatial
+    partitioner: starting from the root cell, split every cell holding
+    more than ``cap`` points until ``max_res``. Input: a Dataset of
+    res-``max_res`` point cells. Output: the occupied LEAF cells as
+    ``(res, cx, cy, n)`` — a cell is a leaf iff its every ancestor
+    holds > ``cap`` points and it holds <= ``cap`` (or it sits at
+    ``max_res``, the forced-leaf floor).
+
+    Scale shape: ONE bounded keyed shuffle (the ``rollup_cells``
+    pyramid counts — map-side partials per block, never the points)
+    followed by one finish task whose input is bounded by the
+    occupied-cell pyramid (<= sum_k 4^k rows, already aggregated).
+    The leaf rule needs only each cell's own count and its parent's:
+    parent > cap implies every higher ancestor > cap (counts are
+    monotone up the pyramid), so a single parent lookup suffices.
+    """
+    levels = tuple(range(max_res, -1, -1))
+    roll = rollup_cells(cells_ds, cell_col=cell_col, levels=levels)
+
+    def finish(batch):
+        import pyarrow as pa
+
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        res = c >> 58
+        x = (c >> 29) & _XY_MASK
+        y = c & _XY_MASK
+        order = np.argsort(c, kind="stable")
+        cs, ns = c[order], n[order]
+        parent = ((res - 1) << 58) | ((x >> 1) << 29) | (y >> 1)
+        pos = np.searchsorted(cs, parent)
+        # every non-root occupied cell's parent is occupied, so the
+        # lookup always hits; guard anyway for the root rows
+        pos = np.clip(pos, 0, len(cs) - 1)
+        pn = np.where(res == 0, np.int64(cap) + 1, ns[pos])
+        leaf = (pn > cap) & ((n <= cap) | (res == max_res))
+        return pa.table({
+            "res": pa.array(res[leaf]),
+            "cx": pa.array(x[leaf]),
+            "cy": pa.array(y[leaf]),
+            "n": pa.array(n[leaf]),
+        })
+
+    # bounded by construction: the rollup output is aggregated cells,
+    # not points, and the parent rule needs the whole pyramid at once
+    return roll.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -886,6 +886,32 @@ def _hex_agg(p: dict) -> Stage:
     return s
 
 
+def _quadtree(p: dict) -> Stage:
+    """{"op": "quadtree", "x": col, "y": col, "bits": 26?, "max_res":
+    6?, "cap": 64?} — adaptive quadtree leaf cells of an integer
+    (x, y) point stream: split every cell holding > cap points until
+    max_res. Emits (res, cx, cy, n)."""
+    import pyarrow as _pa
+
+    from osmray.cells import quadtree_leaves
+
+    def s(ds):
+        bits = int(p.get("bits", 26))
+        max_res = int(p.get("max_res", 6))
+
+        def assign(b: _pa.Table) -> _pa.Table:
+            x = b[p["x"]].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b[p["y"]].to_numpy(zero_copy_only=False).astype(np.int64)
+            cell = (np.int64(max_res) << 58) | ((x >> (bits - max_res)) << 29) \
+                | (y >> (bits - max_res))
+            return _pa.table({"cell": _pa.array(cell)})
+
+        return quadtree_leaves(ds.map_batches(assign, batch_format="pyarrow"),
+                               max_res=max_res, cap=int(p.get("cap", 64)))
+
+    return s
+
+
 def _hist_eq(p: dict) -> Stage:
     """{"op": "hist_eq", "concurrency": 2?} — per-channel histogram
     equalization of the bytes column (decode -> remap -> re-encode)."""
@@ -962,4 +988,5 @@ STAGES.update({
     "box_union_area": _box_union_area,
     "hull_diameter": _hull_diameter,
     "rle_mask": _rle_mask,
+    "quadtree": _quadtree,
 })

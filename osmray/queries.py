@@ -9165,6 +9165,151 @@ GROUP BY eid
 """
 
 
+def q_quadtree(sf_dir: str):
+    """Adaptive quadtree refinement — the data-DEPENDENT spatial
+    partitioner (the skew answer when a fixed-res grid under/over
+    splits): derive res-6 cells from the dyadic point footprint, then
+    split every cell holding > 64 points until res 6
+    (cells.quadtree_leaves: ONE bounded rollup shuffle of map-side
+    pyramid partials + one bounded finish task — the points never
+    re-shuffle). Output: occupied leaf cells (res, cx, cy, n). The
+    SQL twin unrolls the 7 pyramid levels as grouped counts and
+    replays the leaf rule with a parent join."""
+    from osmray.cells import quadtree_leaves
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        x = p["m1"] >> 20
+        y = p["m2"] >> 20
+        cell = (np.int64(6) << 58) | (x << 29) | y
+        return pa.table({"cell": pa.array(cell)})
+
+    return quadtree_leaves(ds.map_batches(assign, batch_format="pyarrow"),
+                           max_res=6, cap=64)
+
+
+Q_QUADTREE_SQL = """
+WITH pts AS (
+  SELECT (l_orderkey * 7919 + l_linenumber * 104729) % 67108864 // 1048576 AS x6,
+         (l_orderkey * 6151 + l_linenumber * 99991) % 67108864 // 1048576 AS y6
+  FROM lineitem
+),
+counts AS (
+  SELECT 6 AS res, x6 AS cx, y6 AS cy, count(*) AS n FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 5, x6 // 2, y6 // 2, count(*) FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 4, x6 // 4, y6 // 4, count(*) FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 3, x6 // 8, y6 // 8, count(*) FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 2, x6 // 16, y6 // 16, count(*) FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 1, x6 // 32, y6 // 32, count(*) FROM pts GROUP BY 2, 3
+  UNION ALL SELECT 0, x6 // 64, y6 // 64, count(*) FROM pts GROUP BY 2, 3
+)
+SELECT CAST(c.res AS BIGINT) AS res, CAST(c.cx AS BIGINT) AS cx,
+       CAST(c.cy AS BIGINT) AS cy, CAST(c.n AS BIGINT) AS n
+FROM counts c
+LEFT JOIN counts p
+  ON p.res = c.res - 1 AND p.cx = c.cx // 2 AND p.cy = c.cy // 2
+WHERE (c.res = 0 OR p.n > 64) AND (c.n <= 64 OR c.res = 6)
+"""
+
+
+# fixed-point Hough angle table: theta = t*pi/12, cos/sin scaled by
+# 4096 and rounded — hardcoded so BOTH engines use identical integers
+# (no trig in any SQL-checked value, per the module-header contract)
+_HOUGH_COS = (4096, 3956, 3547, 2896, 2048, 1060, 0,
+              -1060, -2048, -2896, -3547, -3956)
+_HOUGH_SIN = (0, 1060, 2048, 2896, 3547, 3956, 4096,
+              3956, 3547, 2896, 2048, 1060)
+
+
+def q_hough(sf_dir: str):
+    """Hough line detection over a point cloud: plant three lines
+    (horizontal / vertical / diagonal) into 20% of the dyadic point
+    footprint, then vote every point into a quantized (theta, rho)
+    accumulator — 12 fixed-point angles, 4-px rho bins, all-integer
+    arithmetic — and return the top-10 peaks. Scale shape: map-side
+    _keyed_sums partials over the BOUNDED accumulator key space
+    (12 x ~128 bins) -> _combine_tree -> one bounded top-k task; the
+    points themselves never shuffle. The SQL twin replays the vote
+    with the same hardcoded integer trig table as a VALUES list."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def vote(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        pid = p["pid"]
+        # xor-fold hash, NOT the affine m1/m2 footprint: an affine
+        # derivation puts every background point on an LCG lattice
+        # whose wrapped lines Hough happily detects (measured: 2,600
+        # votes in one (theta, rho) bin at t~atan(6151/7919)); the
+        # xor fold breaks the lattice so only planted lines peak
+        a = (pid * 2654435761) % 4294967296
+        x = ((a >> 16) ^ (a & 65535)) % 256
+        b = (pid * 40503 + 99991) % 4294967296
+        y = ((b >> 16) ^ (b & 65535)) % 256
+        planted = pid % 5 == 0
+        line = (pid // 5) % 3
+        y = np.where(planted & (line == 0), 60, y)
+        x = np.where(planted & (line == 1), 200, x)
+        y = np.where(planted & (line == 2), x, y)
+        keys = []
+        for t in range(12):
+            rho = (x * _HOUGH_COS[t] + y * _HOUGH_SIN[t] + 1048576) >> 14
+            keys.append(np.int64(t) * 65536 + rho)
+        k = np.concatenate(keys)
+        return _keyed_sums(k, {}, "hk")
+
+    parts = ds.map_batches(vote, batch_format="pyarrow")
+    root = _combine_tree(parts, "hk", [])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        hk = batch["hk"].to_numpy(zero_copy_only=False)
+        n = batch["cnt"].to_numpy(zero_copy_only=False)
+        # deterministic total order: votes desc, then theta, then rho
+        order = np.lexsort((hk, -n))[:10]
+        return pa.table({
+            "t": pa.array((hk[order] // 65536).astype(np.int64)),
+            "rho": pa.array((hk[order] % 65536).astype(np.int64)),
+            "n": pa.array(n[order].astype(np.int64)),
+        })
+
+    return root.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def _hough_sql() -> str:
+    ang = ", ".join(f"({t}, {_HOUGH_COS[t]}, {_HOUGH_SIN[t]})"
+                    for t in range(12))
+    return f"""
+WITH ids AS (SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+hs AS (
+  SELECT pid, (pid * 2654435761) % 4294967296 AS a,
+         (pid * 40503 + 99991) % 4294967296 AS b
+  FROM ids
+),
+raw AS (
+  SELECT pid, xor(a // 65536, a % 65536) % 256 AS x0,
+         xor(b // 65536, b % 65536) % 256 AS y0
+  FROM hs
+),
+pts AS (
+  SELECT CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 1 THEN 200 ELSE x0 END AS x,
+         CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 0 THEN 60
+              WHEN pid % 5 = 0 AND (pid // 5) % 3 = 2 THEN x0
+              ELSE y0 END AS y
+  FROM raw
+),
+ang(t, c, s) AS (VALUES {ang}),
+acc AS (
+  SELECT t, (x * c + y * s + 1048576) // 16384 AS rho, count(*) AS n
+  FROM pts CROSS JOIN ang GROUP BY 1, 2
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, t, rho) AS r FROM acc)
+SELECT CAST(t AS BIGINT) AS t, CAST(rho AS BIGINT) AS rho,
+       CAST(n AS BIGINT) AS n
+FROM rk WHERE r <= 10
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9328,4 +9473,6 @@ def registry():
         "q_frechet": (q_frechet, _frechet_sql()),
         "q_los": (q_los, Q_LOS_SQL),
         "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+        "q_quadtree": (q_quadtree, Q_QUADTREE_SQL),
+        "q_hough": (q_hough, _hough_sql()),
     }

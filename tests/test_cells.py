@@ -206,3 +206,49 @@ def test_hrw_minimal_movement_and_balance():
         assert abs(moved.mean() - 1 / (n + 1)) < 1 / (n + 1)
         bal = np.bincount(sn, minlength=n)
         assert bal.max() < 1.15 * len(k) / n  # near-uniform
+
+
+def test_quadtree_leaves_vs_brute():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.cells import quadtree_leaves
+
+    rng = np.random.RandomState(7)
+    # clustered + uniform mix so leaves land at several depths
+    xu = rng.randint(0, 1 << 12, 3000)
+    yu = rng.randint(0, 1 << 12, 3000)
+    xc = 300 + rng.randint(0, 64, 4000)
+    yc = 2900 + rng.randint(0, 64, 4000)
+    x = np.concatenate((xu, xc)).astype(np.int64)
+    y = np.concatenate((yu, yc)).astype(np.int64)
+    max_res, cap, bits = 5, 50, 12
+
+    cell = (np.int64(max_res) << 58) | ((x >> (bits - max_res)) << 29) | (
+        y >> (bits - max_res))
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cell)})).repartition(5)
+    got = quadtree_leaves(ds, max_res=max_res, cap=cap).to_pandas()
+    got = got.sort_values(["res", "cx", "cy"]).reset_index(drop=True)
+
+    # brute: recursive split from the root
+    def brute(res, cx, cy):
+        sh = bits - res
+        m = (x >> sh == cx) & (y >> sh == cy)
+        n = int(m.sum())
+        if n == 0:
+            return []
+        if n <= cap or res == max_res:
+            return [(res, cx, cy, n)]
+        out = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                out += brute(res + 1, 2 * cx + dx, 2 * cy + dy)
+        return out
+
+    exp = sorted(brute(0, 0, 0))
+    assert list(map(tuple, got.to_numpy())) == exp
+    # leaves partition the points: counts sum to the input size
+    assert got["n"].sum() == len(x)
+    # multiple depths actually exercised
+    assert got["res"].nunique() >= 3

@@ -168,3 +168,38 @@ def test_full_outer_grace_join_vs_duckdb(ray_session):
                COALESCE(r.k2,-1) k2, COALESCE(r.rv,-1) rv
         FROM l FULL OUTER JOIN r ON l.k = r.k2""").df()
     pd.testing.assert_frame_equal(got, _sorted(want), check_dtype=False)
+
+
+def test_hough_recovers_planted_lines(ray_session):
+    """The three planted lines (horizontal y=60, vertical x=200,
+    diagonal y=x) must surface as accumulator peaks at their exact
+    quantized (theta, rho) bins: t=6/rho=79, t=0/rho=114, t=9/rho=64."""
+    from osmray.queries import q_hough
+
+    df = q_hough("/root/testdata/sf0.001").to_pandas()
+    peaks = set(zip(df["t"], df["rho"]))
+    assert {(6, 79), (0, 114), (9, 64)} <= peaks
+    # the diagonal collapses every planted point into ONE bin -> top-1
+    top = df.sort_values(["n"], ascending=False).iloc[0]
+    assert (top["t"], top["rho"]) == (9, 64)
+
+
+def test_quadtree_declarative_step(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    rng = np.random.RandomState(3)
+    t = pa.table({"x": pa.array(rng.randint(0, 4096, 5000), pa.int64()),
+                  "y": pa.array(rng.randint(0, 4096, 5000), pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(t, "/tmp/qt_pts.parquet")
+    out = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/qt_pts.parquet"},
+        {"op": "quadtree", "x": "x", "y": "y", "bits": 12,
+         "max_res": 4, "cap": 100},
+    ]).to_pandas()
+    assert out["n"].sum() == 5000
+    assert (out["n"][out["res"] < 4] <= 100).all()
