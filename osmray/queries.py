@@ -9214,6 +9214,49 @@ WHERE (c.res = 0 OR p.n > 64) AND (c.n <= 64 OR c.res = 6)
 """
 
 
+def _planted_xy(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Point cloud with three planted lines (horizontal y=60,
+    vertical x=200, diagonal y=x) over an xor-fold-hashed background.
+    NOT the affine m1/m2 footprint: an affine derivation puts every
+    background point on an LCG lattice whose wrapped lines Hough
+    happily detects (measured: 2,600 votes in one (theta, rho) bin at
+    t ~ atan(6151/7919)); the xor fold breaks the lattice so only the
+    planted structure peaks. Shared by q_hough / q_ransac."""
+    a = (pid * 2654435761) % 4294967296
+    x = ((a >> 16) ^ (a & 65535)) % 256
+    b = (pid * 40503 + 99991) % 4294967296
+    y = ((b >> 16) ^ (b & 65535)) % 256
+    planted = pid % 5 == 0
+    line = (pid // 5) % 3
+    y = np.where(planted & (line == 0), 60, y)
+    x = np.where(planted & (line == 1), 200, x)
+    y = np.where(planted & (line == 2), x, y)
+    return x, y
+
+
+# the same derivation as SQL text (shared CTE prefix for the twins)
+_PLANTED_XY_CTES = """
+ids AS (SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+hs AS (
+  SELECT pid, (pid * 2654435761) % 4294967296 AS a,
+         (pid * 40503 + 99991) % 4294967296 AS b
+  FROM ids
+),
+raw AS (
+  SELECT pid, xor(a // 65536, a % 65536) % 256 AS x0,
+         xor(b // 65536, b % 65536) % 256 AS y0
+  FROM hs
+),
+pts AS (
+  SELECT pid,
+         CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 1 THEN 200 ELSE x0 END AS x,
+         CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 0 THEN 60
+              WHEN pid % 5 = 0 AND (pid // 5) % 3 = 2 THEN x0
+              ELSE y0 END AS y
+  FROM raw
+)"""
+
+
 # fixed-point Hough angle table: theta = t*pi/12, cos/sin scaled by
 # 4096 and rounded — hardcoded so BOTH engines use identical integers
 # (no trig in any SQL-checked value, per the module-header contract)
@@ -9237,21 +9280,7 @@ def q_hough(sf_dir: str):
 
     def vote(batch: pa.Table) -> pa.Table:
         p = _li_points(batch)
-        pid = p["pid"]
-        # xor-fold hash, NOT the affine m1/m2 footprint: an affine
-        # derivation puts every background point on an LCG lattice
-        # whose wrapped lines Hough happily detects (measured: 2,600
-        # votes in one (theta, rho) bin at t~atan(6151/7919)); the
-        # xor fold breaks the lattice so only planted lines peak
-        a = (pid * 2654435761) % 4294967296
-        x = ((a >> 16) ^ (a & 65535)) % 256
-        b = (pid * 40503 + 99991) % 4294967296
-        y = ((b >> 16) ^ (b & 65535)) % 256
-        planted = pid % 5 == 0
-        line = (pid // 5) % 3
-        y = np.where(planted & (line == 0), 60, y)
-        x = np.where(planted & (line == 1), 200, x)
-        y = np.where(planted & (line == 2), x, y)
+        x, y = _planted_xy(p["pid"])
         keys = []
         for t in range(12):
             rho = (x * _HOUGH_COS[t] + y * _HOUGH_SIN[t] + 1048576) >> 14
@@ -9280,24 +9309,7 @@ def _hough_sql() -> str:
     ang = ", ".join(f"({t}, {_HOUGH_COS[t]}, {_HOUGH_SIN[t]})"
                     for t in range(12))
     return f"""
-WITH ids AS (SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
-hs AS (
-  SELECT pid, (pid * 2654435761) % 4294967296 AS a,
-         (pid * 40503 + 99991) % 4294967296 AS b
-  FROM ids
-),
-raw AS (
-  SELECT pid, xor(a // 65536, a % 65536) % 256 AS x0,
-         xor(b // 65536, b % 65536) % 256 AS y0
-  FROM hs
-),
-pts AS (
-  SELECT CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 1 THEN 200 ELSE x0 END AS x,
-         CASE WHEN pid % 5 = 0 AND (pid // 5) % 3 = 0 THEN 60
-              WHEN pid % 5 = 0 AND (pid // 5) % 3 = 2 THEN x0
-              ELSE y0 END AS y
-  FROM raw
-),
+WITH {_PLANTED_XY_CTES},
 ang(t, c, s) AS (VALUES {ang}),
 acc AS (
   SELECT t, (x * c + y * s + 1048576) // 16384 AS rho, count(*) AS n
@@ -9307,6 +9319,105 @@ rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, t, rho) AS r FROM acc)
 SELECT CAST(t AS BIGINT) AS t, CAST(rho AS BIGINT) AS rho,
        CAST(n AS BIGINT) AS n
 FROM rk WHERE r <= 10
+"""
+
+
+def q_ransac(sf_dir: str):
+    """Deterministic RANSAC line fit (consensus maximization): seed
+    16 anchor points from a fixed stratum (the 16 smallest planted
+    pids — the stratum guarantees same-line anchor pairs so the
+    consensus step has real structure to find), form all
+    non-degenerate anchor pairs as candidate lines, then count each
+    model's inliers (squared point-line distance <= 2 px, compared as
+    cross-multiplied integers — no division or sqrt anywhere) over
+    the full cloud. Top-5 models by (inliers desc, a, b).
+
+    Scale shape: anchor selection is per-block partial min-k then one
+    bounded combine (never a full sort); the ~120 models are captured
+    in the closure (broadcast once per task); inlier counting is one
+    vectorized N x M pass per batch folded by _keyed_sums over the
+    BOUNDED model space + _combine_tree. Points never shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def planted_pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        x, y = _planted_xy(p["pid"])
+        keep = p["pid"] % 5 == 0
+        return pa.table({"pid": pa.array(p["pid"][keep]),
+                         "x": pa.array(x[keep]), "y": pa.array(y[keep])})
+
+    def min16(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(pid, kind="stable")[:16]
+        return batch.take(keep)
+
+    anchors = (
+        ds.map_batches(planted_pts, batch_format="pyarrow")
+        .map_batches(min16, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(min16, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    anchors = sorted((int(r["pid"]), int(r["x"]), int(r["y"])) for r in anchors)
+    models = []
+    for i in range(len(anchors)):
+        for j in range(i + 1, len(anchors)):
+            (pa_, ax, ay), (pb_, bx, by) = anchors[i], anchors[j]
+            if (bx - ax) ** 2 + (by - ay) ** 2 > 0:
+                models.append((pa_, pb_, ax, ay, bx, by))
+    ma = np.array(models, np.int64)  # (M, 6)
+
+    def count_inliers(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        x, y = _planted_xy(p["pid"])
+        dx = (ma[:, 4] - ma[:, 2])[None, :]
+        dy = (ma[:, 5] - ma[:, 3])[None, :]
+        cross = dx * (y[:, None] - ma[:, 3][None, :]) - \
+            dy * (x[:, None] - ma[:, 2][None, :])
+        d2 = dx * dx + dy * dy
+        inl = (cross * cross <= 4 * d2).sum(axis=0).astype(np.int64)
+        # anchors are the 16 smallest planted pids, so pa/pb stay far
+        # below the 1e9 packing radix at any scale factor
+        mid = ma[:, 0] * 1000000000 + ma[:, 1]
+        return _keyed_sums(mid, {"n_inliers": inl}, "mid",
+                           cnt=np.ones(len(mid), np.int64))
+
+    parts = ds.map_batches(count_inliers, batch_format="pyarrow")
+    root = _combine_tree(parts, "mid", ["n_inliers"])
+
+    def top5(batch: pa.Table) -> pa.Table:
+        mid = batch["mid"].to_numpy(zero_copy_only=False)
+        n = batch["n_inliers"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((mid, -n))[:5]
+        return pa.table({
+            "a": pa.array((mid[order] // 1000000000).astype(np.int64)),
+            "b": pa.array((mid[order] % 1000000000).astype(np.int64)),
+            "n_inliers": pa.array(n[order].astype(np.int64)),
+        })
+
+    return root.map_batches(top5, batch_format="pyarrow", batch_size=None)
+
+
+Q_RANSAC_SQL = f"""
+WITH {_PLANTED_XY_CTES},
+anch AS (SELECT pid, x, y FROM pts WHERE pid % 5 = 0 ORDER BY pid LIMIT 16),
+models AS (
+  SELECT a.pid AS pa, a.x AS ax, a.y AS ay, b.pid AS pb, b.x AS bx, b.y AS by2
+  FROM anch a JOIN anch b ON a.pid < b.pid
+  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) > 0
+),
+cnt AS (
+  SELECT m.pa, m.pb, count(*) AS n
+  FROM models m CROSS JOIN pts p
+  WHERE ((m.bx - m.ax) * (p.y - m.ay) - (m.by2 - m.ay) * (p.x - m.ax))
+      * ((m.bx - m.ax) * (p.y - m.ay) - (m.by2 - m.ay) * (p.x - m.ax))
+     <= 4 * ((m.bx - m.ax) * (m.bx - m.ax) + (m.by2 - m.ay) * (m.by2 - m.ay))
+  GROUP BY m.pa, m.pb
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, pa, pb) AS r FROM cnt)
+SELECT CAST(pa AS BIGINT) AS a, CAST(pb AS BIGINT) AS b,
+       CAST(n AS BIGINT) AS n_inliers
+FROM rk WHERE r <= 5
 """
 
 
@@ -9475,4 +9586,5 @@ def registry():
         "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
         "q_quadtree": (q_quadtree, Q_QUADTREE_SQL),
         "q_hough": (q_hough, _hough_sql()),
+        "q_ransac": (q_ransac, Q_RANSAC_SQL),
     }

@@ -203,3 +203,16 @@ def test_quadtree_declarative_step(ray_session):
     ]).to_pandas()
     assert out["n"].sum() == 5000
     assert (out["n"][out["res"] < 4] <= 100).all()
+
+
+def test_ransac_consensus_finds_planted_line(ray_session):
+    """Best RANSAC model must be an anchor pair on the planted
+    diagonal (line id 2), with a consensus far above noise pairs."""
+    from osmray.queries import q_ransac
+
+    df = q_ransac("/root/testdata/sf0.001").to_pandas()
+    top = df.iloc[0]
+    assert (top["a"] // 5) % 3 == 2 and (top["b"] // 5) % 3 == 2
+    assert top["n_inliers"] > 1000
+    # ranking is deterministic: inliers desc, then (a, b)
+    assert (df["n_inliers"].is_monotonic_decreasing)
