@@ -656,3 +656,49 @@ class GridPathStage:
             "idx": pa.array(idxs, pa.int64()),
             "dist": pa.array(ds_, pa.int64()),
             "n_reachable": pa.array(nr, pa.int64())})
+
+
+# template: 2x2 cells of 32 px, bits ((1,0),(0,1)) -> values 200/40 —
+# hardcoded so the SQL twin can replay it as literals
+TEMPLATE_BITS = ((1, 0), (0, 1))
+
+
+class TemplateMatchStage:
+    """Actor-pool stage: decode -> sliding-window SAD template match
+    (the classic block-matching primitive) of a fixed 64x64
+    piecewise-constant template at stride-16 offsets over the 256x256
+    image, emitting the best offset (min SAD; ties -> smallest oy
+    then ox) and its SAD. The per-offset scan is a vectorized
+    abs-diff reduction; the template is built once per actor."""
+
+    def __init__(self, stride: int = 16):
+        self.stride = stride
+        t = np.empty((64, 64), np.int32)
+        for v in range(2):
+            for u in range(2):
+                t[32 * v:32 * v + 32, 32 * u:32 * u + 32] = \
+                    40 + 160 * TEMPLATE_BITS[v][u]
+        self.template = t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, oys, oxs, sads = [], [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt).astype(np.int32)
+            best = (1 << 62, -1, -1)
+            for oy in range(0, 256 - 64 + 1, self.stride):
+                for ox in range(0, 256 - 64 + 1, self.stride):
+                    win = img[oy:oy + 64, ox:ox + 64]
+                    sad = int(np.abs(win - self.template[:, :, None]).sum())
+                    if sad < best[0]:
+                        best = (sad, oy, ox)
+            idxs.append(idx)
+            sads.append(best[0])
+            oys.append(best[1])
+            oxs.append(best[2])
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "oy": pa.array(oys, pa.int64()),
+            "ox": pa.array(oxs, pa.int64()),
+            "sad": pa.array(sads, pa.int64())})

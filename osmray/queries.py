@@ -9421,6 +9421,60 @@ FROM rk WHERE r <= 5
 """
 
 
+def q_template_match(sf_dir: str):
+    """Sliding-window SAD template matching (the block-matching
+    primitive behind motion search / patch retrieval): decode ->
+    scan a fixed 64x64 piecewise-constant template at stride-16
+    offsets -> best (oy, ox, sad) per image (ties -> smallest oy
+    then ox), over a deterministic quarter of the planted-phash
+    fixture. Both the image and the template are piecewise constant
+    on 32-px cells, so the SQL twin replays every offset's SAD from
+    the bit table with integer overlap arithmetic (|imgval - tval| =
+    160*|bit - tbit|; the 40-gray base cancels) — the actual pixel
+    scan is what is being checked."""
+    from osmray import oraclefix
+    from osmray.multimodal import TemplateMatchStage
+
+    images = oraclefix.load_phash()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.select(["image_id", "bytes", "fmt", "idx"])
+        idx = t["idx"].to_numpy(zero_copy_only=False)
+        return t.take(np.flatnonzero(idx % 4 == 0))
+
+    return images.map_batches(keep, batch_format="pyarrow").map_batches(
+        TemplateMatchStage, batch_format="pyarrow", concurrency=4, num_cpus=1)
+
+
+def _template_match_sql() -> str:
+    from osmray.multimodal import TEMPLATE_BITS
+
+    tvals = ", ".join(f"({u}, {v}, {TEMPLATE_BITS[v][u]})"
+                      for v in range(2) for u in range(2))
+    return f"""
+WITH {_PH_CTES},
+cells AS (SELECT i, j % 8 AS cb, j // 8 AS rb, bit FROM phbits WHERE i % 4 = 0),
+tc(u, v, tbit) AS (VALUES {tvals}),
+off AS (SELECT 16 * a.range AS ox, 16 * b.range AS oy
+        FROM range(0, 13) a CROSS JOIN range(0, 13) b),
+sadt AS (
+  SELECT c.i, o.oy, o.ox,
+    480 * SUM(abs(c.bit - t.tbit)
+      * greatest(least(32*c.cb+32, o.ox+32*t.u+32)
+                 - greatest(32*c.cb, o.ox+32*t.u), 0)
+      * greatest(least(32*c.rb+32, o.oy+32*t.v+32)
+                 - greatest(32*c.rb, o.oy+32*t.v), 0)) AS sad
+  FROM cells c CROSS JOIN off o CROSS JOIN tc t
+  GROUP BY c.i, o.oy, o.ox
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY i ORDER BY sad, oy, ox) AS r
+       FROM sadt)
+SELECT i AS idx, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+       CAST(sad AS BIGINT) AS sad
+FROM rk WHERE r = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9587,4 +9641,5 @@ def registry():
         "q_quadtree": (q_quadtree, Q_QUADTREE_SQL),
         "q_hough": (q_hough, _hough_sql()),
         "q_ransac": (q_ransac, Q_RANSAC_SQL),
+        "q_template_match": (q_template_match, _template_match_sql()),
     }

@@ -457,3 +457,28 @@ def test_dict_count_matches_brute():
             assert nd[i] == sum(1 for dd in docs if p in dd)
     nm, nd = dict_count([], ["x"])
     assert list(nm) == [0] and list(nd) == [0]
+
+
+def test_template_match_stage_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import TemplateMatchStage
+
+    ds = oraclefix.load_phash()
+    rows = ds.take(8)
+    stage = TemplateMatchStage()
+    out = stage(pa.Table.from_pylist(
+        [{k: r[k] for k in ("image_id", "bytes", "fmt", "idx")} for r in rows]))
+    for k in range(8):
+        img = codecs.decode(rows[k]["bytes"], rows[k]["fmt"]).astype(np.int64)
+        best = None
+        for oy in range(0, 193, 16):
+            for ox in range(0, 193, 16):
+                sad = int(np.abs(img[oy:oy + 64, ox:ox + 64]
+                                 - stage.template[:, :, None]).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, oy, ox)
+        assert (out["sad"][k].as_py(), out["oy"][k].as_py(),
+                out["ox"][k].as_py()) == best
