@@ -726,3 +726,298 @@ def _kcore_shuffle(edges, k: int, max_rounds: int, num_partitions: int):
         alive = core.select_columns(["node"]).materialize()
         n_alive = n_new
     raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning forest (Boruvka)
+# ---------------------------------------------------------------------------
+
+_WKEY_SHIFT = np.int64(1) << 32
+
+
+def boruvka_mst(edges_ds, src_col: str = "u", dst_col: str = "v",
+                w_col: str = "w", eid_col: str = "eid", mode: str = "auto",
+                broadcast_cap: int = 2_000_000, max_rounds: int = 40,
+                num_partitions: int = 16):
+    """Minimum spanning forest by Boruvka rounds, under the module's
+    two-engine policy. Edge weights are totally ordered by the packed
+    key ``w * 2^32 + eid`` (requires 0 <= w < 2^30, 0 <= eid < 2^32),
+    so the forest is UNIQUE and both engines — and a Kruskal replay,
+    which the SQL twin uses — select the identical edge set. Returns
+    the forest edges ``(eid, u, v, w)`` as a Dataset; self-loops are
+    dropped.
+
+    - broadcast: per round, the edge list streams through one
+      map_batches emitting per-block per-component min-edge partials
+      against the broadcast O(V) label array; the driver folds the
+      bounded partials, merges components with vectorized min-label +
+      pointer jumping, and accumulates the chosen edges (<= V-1
+      total, bounded by the same cap that admitted the broadcast).
+    - shuffle: nothing O(V) on the driver — labels are a Dataset;
+      per round: two hash joins attach component labels, per-block
+      partial min-edge candidates shuffle ONCE into a keyed Min, an
+      equi-join on (comp, wkey) recovers the argmin payload, the
+      chosen component graph contracts via the existing shuffle-mode
+      connected_components, and a grace LEFT join relabels. Rounds
+      <= log2(V) as always for Boruvka.
+    """
+
+    def view(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].cast(pa.int64())
+        v = batch[dst_col].cast(pa.int64())
+        keep = _pc.invert(_pc.equal(u, v))
+        t = pa.table({
+            "u": u, "v": v,
+            "w": batch[w_col].cast(pa.int64()),
+            "eid": batch[eid_col].cast(pa.int64()),
+        }).filter(keep)
+        wk = t["w"].to_numpy(zero_copy_only=False) * _WKEY_SHIFT + \
+            t["eid"].to_numpy(zero_copy_only=False)
+        return t.append_column("wkey", pa.array(wk))
+
+    edges = edges_ds.map_batches(view, batch_format="pyarrow").materialize()
+    if mode == "auto":
+        mode = _pick_mode(edges, mode, broadcast_cap)
+    if mode == "broadcast":
+        return _mst_broadcast(edges, max_rounds)
+    return _mst_shuffle(edges, max_rounds, num_partitions)
+
+
+def _mst_partial_min(comp2, wk2, payload_cols):
+    """First row per component by (comp, wkey) lexsort; payload_cols
+    is a dict of equally-indexed arrays."""
+    if len(comp2) == 0:
+        out = {"c": comp2, "wkey": wk2}
+        out.update(payload_cols)
+        return pa.table({k: pa.array(np.asarray(v, np.int64))
+                         for k, v in out.items()})
+    order = np.lexsort((wk2, comp2))
+    cs = comp2[order]
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1))
+    sel = order[bounds]
+    out = {"c": comp2[sel], "wkey": wk2[sel]}
+    for name, arr in payload_cols.items():
+        out[name] = arr[sel]
+    return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
+def _mst_broadcast(edges, max_rounds: int):
+    import ray
+    import ray.data
+
+    nodes = np.unique(
+        edges.map_batches(
+            lambda b: pa.table({"node": pa.array(np.unique(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)])))}),
+            batch_format="pyarrow").to_pandas()["node"].to_numpy()
+    )
+    comp = nodes.copy()
+    chosen = []
+
+    for _ in range(max_rounds):
+        ref = ray.put((nodes, comp))
+
+        def cand(batch: pa.Table) -> pa.Table:
+            nd, lb = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            cu = lb[np.searchsorted(nd, u)]
+            cv = lb[np.searchsorted(nd, v)]
+            keep = cu != cv
+            if not keep.any():
+                return pa.table({"c": pa.array([], pa.int64()),
+                                 "wkey": pa.array([], pa.int64()),
+                                 "eid": pa.array([], pa.int64()),
+                                 "u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64()),
+                                 "cu": pa.array([], pa.int64()),
+                                 "cv": pa.array([], pa.int64())})
+            wk = batch["wkey"].to_numpy(zero_copy_only=False)[keep]
+            pay = {
+                "eid": batch["eid"].to_numpy(zero_copy_only=False)[keep],
+                "u": u[keep], "v": v[keep],
+                "w": batch["w"].to_numpy(zero_copy_only=False)[keep],
+                "cu": cu[keep], "cv": cv[keep],
+            }
+            comp2 = np.concatenate([cu[keep], cv[keep]])
+            wk2 = np.concatenate([wk, wk])
+            pay2 = {k: np.concatenate([a, a]) for k, a in pay.items()}
+            return _mst_partial_min(comp2, wk2, pay2)
+
+        parts = edges.map_batches(cand, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:
+            break
+        sel = _mst_partial_min(
+            parts["c"].to_numpy(), parts["wkey"].to_numpy(),
+            {k: parts[k].to_numpy() for k in ("eid", "u", "v", "w", "cu", "cv")})
+        sp = sel.to_pandas()
+        # distinct edges (an edge may be the min of both its sides)
+        sp = sp.drop_duplicates("wkey")
+        chosen.append(sp[["eid", "u", "v", "w", "cu", "cv"]])
+        # merge: vectorized min-label union iterated with pointer
+        # jumps to a WITHIN-round fixpoint. One minimum.at pass is
+        # not enough: labels only flow downhill through pointers, so
+        # a chain cu1-cv1-cu2 can leave the high endpoint stranded
+        # (measured: re-chosen edges in the next round). The chosen
+        # graph is a forest over <= #comps reps, driver-resident by
+        # the same cap that admitted the broadcast engine.
+        a = np.searchsorted(nodes, sp["cu"].to_numpy())
+        b = np.searchsorted(nodes, sp["cv"].to_numpy())
+        while True:
+            m = np.minimum(comp[a], comp[b])
+            before = comp.copy()
+            np.minimum.at(comp, a, m)
+            np.minimum.at(comp, b, m)
+            while True:
+                jumped = np.minimum(comp, comp[np.searchsorted(nodes, comp)])
+                if (jumped == comp).all():
+                    break
+                comp = jumped
+            if (comp == before).all():
+                break
+
+    import pandas as pd
+    import ray.data
+
+    if not chosen:
+        return ray.data.from_arrow(pa.table({
+            "eid": pa.array([], pa.int64()), "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+    out = pd.concat(chosen, ignore_index=True)[["eid", "u", "v", "w"]]
+    return ray.data.from_pandas(out)
+
+
+def _min_label_fixpoint(cu: np.ndarray, cv: np.ndarray):
+    """Vectorized union of the (cu, cv) pair graph: min-label
+    propagation iterated with pointer jumps to a fixpoint. Returns
+    (ids, lab) — every distinct endpoint and its component's min id.
+    Bounded by the pair-graph size, NOT the node universe."""
+    ids = np.unique(np.concatenate([cu, cv]))
+    lab = ids.copy()
+    a = np.searchsorted(ids, cu)
+    b = np.searchsorted(ids, cv)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        while True:
+            j = np.minimum(lab, lab[np.searchsorted(ids, lab)])
+            if (j == lab).all():
+                break
+            lab = j
+        if (lab == before).all():
+            break
+    return ids, lab
+
+
+def _mst_shuffle(edges, max_rounds: int, num_partitions: int,
+                 contract_cap: int = 200_000):
+    """Keyed Boruvka rounds on grace joins (osmray.joins.bucketed_join)
+    rather than Ray's native hash join: the chosen component graph
+    SHRINKS geometrically, and native hash-join partitions that come
+    up empty on the late small rounds crash pyarrow's join (zero-
+    column left tables). The grace join is empty-safe at any size.
+    Contraction of the per-round chosen graph (<= one edge per
+    component, halving each round) runs driver-side under
+    ``contract_cap`` and through the shuffle CC engine above it."""
+    from ray.data.aggregate import Min
+
+    from osmray.joins import bucketed_join
+
+    labels = (
+        _distinct_nodes(edges)
+        .map_batches(lambda b: pa.table({"node": b["node"], "comp": b["node"]}),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    chosen_all = None
+
+    for _ in range(max_rounds):
+        e1 = bucketed_join(edges, labels, on="u", right_on="node",
+                           num_buckets=num_partitions)
+        lv = labels.map_batches(
+            lambda b: pa.table({"nodev": b["node"], "compv": b["comp"]}),
+            batch_format="pyarrow")
+        e2 = bucketed_join(e1, lv, on="v", right_on="nodev",
+                           num_buckets=num_partitions)
+
+        def cand(batch: pa.Table) -> pa.Table:
+            cu = batch["comp"].to_numpy(zero_copy_only=False)
+            cv = batch["compv"].to_numpy(zero_copy_only=False)
+            keep = cu != cv
+            wk = batch["wkey"].to_numpy(zero_copy_only=False)[keep]
+            pay = {k: batch[k].to_numpy(zero_copy_only=False)[keep]
+                   for k in ("eid", "u", "v", "w")}
+            pay["cu"] = cu[keep]
+            pay["cv"] = cv[keep]
+            comp2 = np.concatenate([cu[keep], cv[keep]])
+            wk2 = np.concatenate([wk, wk])
+            pay2 = {k: np.concatenate([a, a]) for k, a in pay.items()}
+            return _mst_partial_min(comp2, wk2, pay2)
+
+        cands = e2.map_batches(cand, batch_format="pyarrow").materialize()
+        if cands.count() == 0:
+            break
+        mins = cands.groupby("c").aggregate(Min("wkey", alias_name="wkey"))
+        mins2 = mins.map_batches(
+            lambda b: pa.table({"mc": b["c"], "wkey": b["wkey"]}),
+            batch_format="pyarrow")
+        best = bucketed_join(mins2, cands, on="wkey", right_on="wkey",
+                             num_buckets=num_partitions)
+
+        def keep_argmin(batch: pa.Table) -> pa.Table:
+            sel = _pc.equal(batch["mc"], batch["c"])
+            return batch.filter(sel).select(
+                ["wkey", "eid", "u", "v", "w", "cu", "cv"])
+
+        def dedup(g: pa.Table) -> pa.Table:
+            return g.slice(0, 1)
+
+        this = (
+            best.map_batches(keep_argmin, batch_format="pyarrow")
+            .groupby("wkey").map_groups(dedup, batch_format="pyarrow")
+            .select_columns(["eid", "u", "v", "w", "cu", "cv"])
+            .materialize()
+        )
+        n_chosen = this.count()
+        if n_chosen == 0:
+            break
+        picked = this.select_columns(["eid", "u", "v", "w"])
+        chosen_all = picked if chosen_all is None else chosen_all.union(picked)
+        chosen_all = chosen_all.materialize()
+
+        if n_chosen <= contract_cap:
+            pairs = this.select_columns(["cu", "cv"]).to_pandas()
+            ids, lab = _min_label_fixpoint(pairs["cu"].to_numpy(),
+                                           pairs["cv"].to_numpy())
+            import ray.data
+            mapping = ray.data.from_arrow(pa.table(
+                {"old": pa.array(ids), "newc": pa.array(lab)}))
+        else:
+            mapping = _cc_shuffle(
+                _edge_view(this.select_columns(["cu", "cv"]), "cu", "cv"),
+                max_rounds, num_partitions,
+            ).map_batches(
+                lambda b: pa.table({"old": b["node"], "newc": b["comp"]}),
+                batch_format="pyarrow")
+        joined = bucketed_join(labels, mapping, on="comp", right_on="old",
+                               how="left")
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "comp": _pc.coalesce(batch["newc"].cast(pa.int64()),
+                                     batch["comp"]),
+            })
+
+        labels = joined.map_batches(relabel, batch_format="pyarrow").materialize()
+
+    if chosen_all is None:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "eid": pa.array([], pa.int64()), "u": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+    return chosen_all

@@ -9475,6 +9475,98 @@ FROM rk WHERE r = 1
 """
 
 
+def q_mst(sf_dir: str):
+    """Minimum spanning forest (graph.boruvka_mst): Boruvka rounds
+    under the graph module's two-engine policy, on a 256-node
+    multigraph derived from the lineitem stream (xor-fold endpoint
+    hashes, weight = pid*7919 % 1000, eid = pid). Weights are totally
+    ordered by (w, eid) so the forest is UNIQUE, which lets the SQL
+    twin replay KRUSKAL instead — a recursive CTE carrying the
+    union-find label state as a LIST column, one edge per step in
+    (w, eid) order — and still select the identical edge set. The
+    shuffle engine is pinned equal to broadcast (and both to brute
+    Kruskal) in pytest on multi-block random graphs."""
+    from osmray.graph import boruvka_mst
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        # the pid window bounds the demo graph (~180 edges) at every
+        # scale factor: the SQL twin replays Kruskal one edge per
+        # recursion step at a fixed ~15 ms/step DuckDB overhead, so
+        # the edge count must not scale with sf (the ENGINE has no
+        # such limit — the pytest pins it on larger random graphs)
+        pid = p["pid"][(p["pid"] % 37 == 0) & (p["pid"] < 65536)]
+        a = (pid * 2654435761) % 4294967296
+        u = ((a >> 16) ^ (a & 65535)) % 256
+        b = (pid * 48271 + 12345) % 4294967296
+        v = ((b >> 16) ^ (b & 65535)) % 256
+        w = (pid * 7919) % 1000
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "w": pa.array(w), "eid": pa.array(pid)})
+
+    return boruvka_mst(ds.map_batches(mk, batch_format="pyarrow"))
+
+
+# Kruskal replay notes: (1) every base CTE the recursion touches is
+# MATERIALIZED and, more importantly, the edge/position lists are
+# PACKED INTO the recursion state — a recursive member that re-reads
+# an outer CTE (even a materialized one) pays ~0.3 s/iteration in
+# DuckDB, vs ~15 ms/iteration for a self-contained working table;
+# (2) the union step rewrites every occurrence of the losing root in
+# the label list, so labels are always fully-compressed roots.
+Q_MST_SQL = """
+WITH RECURSIVE ids AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+sel AS MATERIALIZED (SELECT pid FROM ids
+                     WHERE pid % 37 = 0 AND pid < 65536),
+hs AS MATERIALIZED (SELECT pid, (pid * 2654435761) % 4294967296 AS a,
+              (pid * 48271 + 12345) % 4294967296 AS b FROM sel),
+g0 AS MATERIALIZED (SELECT pid AS eid, xor(a // 65536, a % 65536) % 256 AS u,
+              xor(b // 65536, b % 65536) % 256 AS v,
+              (pid * 7919) % 1000 AS w FROM hs),
+-- DISTINCT: the synthetic lineitem carries duplicate (orderkey,
+-- linenumber) rows, i.e. identical duplicate edges; the engine
+-- dedups them implicitly through the wkey-keyed chosen set
+g AS MATERIALIZED (SELECT DISTINCT * FROM g0 WHERE u <> v),
+e AS MATERIALIZED (SELECT *, row_number() OVER (ORDER BY w, eid) AS rn FROM g),
+nd AS MATERIALIZED (SELECT DISTINCT n FROM
+  (SELECT u AS n FROM g UNION ALL SELECT v FROM g)),
+nn AS MATERIALIZED (SELECT n, row_number() OVER (ORDER BY n) AS p FROM nd),
+e2 AS MATERIALIZED (SELECT e.rn, e.eid, pu.p AS pu, pv.p AS pv
+       FROM e JOIN nn pu ON pu.n = e.u JOIN nn pv ON pv.n = e.v),
+packed AS MATERIALIZED (
+  SELECT coalesce((SELECT list(pu ORDER BY rn) FROM e2), []) AS pus,
+         coalesce((SELECT list(pv ORDER BY rn) FROM e2), []) AS pvs,
+         coalesce((SELECT list(eid ORDER BY rn) FROM e2), []) AS eids,
+         coalesce((SELECT list(n ORDER BY n) FROM nn), []) AS lab0,
+         (SELECT count(*) FROM e2) AS n
+),
+kr AS (
+  SELECT 0 AS step, pus, pvs, eids, lab0 AS lab,
+         CAST([] AS BIGINT[]) AS chosen, n
+  FROM packed
+  UNION ALL
+  SELECT step + 1, pus, pvs, eids,
+    CASE WHEN lab[pus[step + 1]] <> lab[pvs[step + 1]] THEN
+      list_transform(lab, x ->
+        CASE WHEN x = greatest(lab[pus[step + 1]], lab[pvs[step + 1]])
+        THEN least(lab[pus[step + 1]], lab[pvs[step + 1]]) ELSE x END)
+    ELSE lab END,
+    CASE WHEN lab[pus[step + 1]] <> lab[pvs[step + 1]]
+    THEN list_append(chosen, eids[step + 1]) ELSE chosen END,
+    n
+  FROM kr WHERE step < n
+),
+fin AS (SELECT chosen FROM kr ORDER BY step DESC LIMIT 1),
+ch AS (SELECT unnest(chosen) AS eid FROM fin)
+SELECT g.eid, CAST(g.u AS BIGINT) AS u, CAST(g.v AS BIGINT) AS v,
+       CAST(g.w AS BIGINT) AS w
+FROM g JOIN ch USING (eid)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9642,4 +9734,5 @@ def registry():
         "q_hough": (q_hough, _hough_sql()),
         "q_ransac": (q_ransac, Q_RANSAC_SQL),
         "q_template_match": (q_template_match, _template_match_sql()),
+        "q_mst": (q_mst, Q_MST_SQL),
     }

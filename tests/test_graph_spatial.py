@@ -286,3 +286,46 @@ def test_kcore_broadcast_equals_shuffle_and_brute(ray_session):
         alive -= drop
     want = sorted((n, len(adj[n] & alive)) for n in alive)
     assert got_b == want
+
+
+def test_boruvka_mst_engines_match_brute_kruskal(ray_session):
+    """Both MST engines must select the exact brute-Kruskal edge set
+    (unique under the (w, eid) total order), including w-ties,
+    multi-edges, self-loops and forests (disconnected graphs)."""
+    import ray.data
+
+    from osmray.graph import boruvka_mst
+
+    def brute_kruskal(u, v, w, eid):
+        order = np.lexsort((eid, w))
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        chosen = []
+        for i in order:
+            if u[i] == v[i]:
+                continue
+            ru, rv = find(u[i]), find(v[i])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                chosen.append((int(eid[i]), int(u[i]), int(v[i]), int(w[i])))
+        return sorted(chosen)
+
+    rng = np.random.RandomState(42)
+    for n_nodes, n_edges in ((50, 30), (64, 300), (200, 1000)):
+        u = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        v = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        w = rng.randint(0, 50, n_edges).astype(np.int64)  # deliberate ties
+        eid = np.arange(n_edges, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table(
+            {"u": u, "v": v, "w": w, "eid": eid})).repartition(4)
+        exp = brute_kruskal(u, v, w, eid)
+        for mode in ("broadcast", "shuffle"):
+            got = boruvka_mst(ds, mode=mode, num_partitions=4).to_pandas()
+            got = sorted(map(tuple, got[["eid", "u", "v", "w"]].to_numpy()))
+            assert got == exp, (mode, n_nodes, n_edges)
