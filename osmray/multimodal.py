@@ -702,3 +702,51 @@ class TemplateMatchStage:
             "oy": pa.array(oys, pa.int64()),
             "ox": pa.array(oxs, pa.int64()),
             "sad": pa.array(sads, pa.int64())})
+
+
+class SeamStage:
+    """Actor-pool stage: decode -> coarse grid -> replicate-border
+    gradient energy -> vertical seam DP (the content-aware-resize
+    primitive): dp(r,c) = e(r,c) + min of the three predecessors,
+    then a backtrack with ties broken toward the smaller column.
+    Emits the seam cost and the seam path packed as sum(col_r * 8^r)."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.grid
+        idxs, costs, paths = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            g = resize_block_mean(img, n, n)[:, :, 0].astype(np.int64)
+            cp = np.clip(np.arange(n) + 1, 0, n - 1)
+            cm = np.clip(np.arange(n) - 1, 0, n - 1)
+            e = np.abs(g[:, cp] - g[:, cm]) + np.abs(g[cp, :] - g[cm, :])
+            dp = np.empty_like(e)
+            dp[0] = e[0]
+            big = np.int64(1) << 40
+            for r in range(1, n):
+                prev = dp[r - 1]
+                left = np.concatenate(([big], prev[:-1]))
+                right = np.concatenate((prev[1:], [big]))
+                dp[r] = e[r] + np.minimum(np.minimum(left, prev), right)
+            c = int(np.argmin(dp[n - 1]))  # first min = smallest col
+            cost = int(dp[n - 1, c])
+            cols = [c]
+            for r in range(n - 2, -1, -1):
+                lo, hi = max(0, c - 1), min(n - 1, c + 1)
+                seg = dp[r, lo:hi + 1]
+                c = lo + int(np.argmin(seg))
+                cols.append(c)
+            cols.reverse()  # cols[r] = seam column at row r
+            path = sum(cols[r] * (8 ** r) for r in range(n))
+            idxs.append(idx)
+            costs.append(cost)
+            paths.append(path)
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "seam_cost": pa.array(costs, pa.int64()),
+            "seam_path": pa.array(paths, pa.int64())})

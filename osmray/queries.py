@@ -9567,6 +9567,63 @@ FROM g JOIN ch USING (eid)
 """
 
 
+def q_seam(sf_dir: str):
+    """Seam carving (content-aware resize primitive): decode ->
+    coarse grid -> replicate-border gradient energy -> vertical-seam
+    DP with three-predecessor minima -> backtrack with ties toward
+    the smaller column (multimodal.SeamStage). Emits seam cost and
+    the path packed as sum(col_r * 8^r). The SQL twin unrolls the 8
+    DP rows as grouped-min CTEs and the backtrack as 8 QUALIFY
+    argmin picks over the planted bit grid."""
+    from osmray import oraclefix
+    from osmray.multimodal import SeamStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        SeamStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+def _seam_sql() -> str:
+    dps = []
+    for r in range(1, 8):
+        dps.append(
+            f"dp{r} AS (SELECT e.i, e.cb, e.e + min(p.dp) AS dp FROM en e "
+            f"JOIN dp{r-1} p ON p.i = e.i AND abs(p.cb - e.cb) <= 1 "
+            f"WHERE e.rb = {r} GROUP BY e.i, e.cb, e.e)")
+    bts = ["b7 AS (SELECT i, cb AS c, dp FROM dp7 "
+           "QUALIFY row_number() OVER (PARTITION BY i ORDER BY dp, cb) = 1)"]
+    for r in range(6, -1, -1):
+        bts.append(
+            f"b{r} AS (SELECT d.i, d.cb AS c FROM dp{r} d "
+            f"JOIN b{r+1} b ON b.i = d.i AND abs(d.cb - b.c) <= 1 "
+            f"QUALIFY row_number() OVER (PARTITION BY d.i ORDER BY d.dp, d.cb) = 1)")
+    path = " + ".join(f"{8 ** r} * b{r}.c" for r in range(8))
+    joins = " ".join(f"JOIN b{r} ON b{r}.i = b7.i" for r in range(7))
+    return f"""
+WITH {_PH_CTES},
+gr AS (SELECT i, j // 8 AS rb, j % 8 AS cb, 40 + 160 * bit AS val FROM phbits),
+en AS (
+  SELECT g.i, g.rb, g.cb,
+    abs(xp.val - xm.val) + abs(yp.val - ym.val) AS e
+  FROM gr g
+  JOIN gr xp ON xp.i = g.i AND xp.rb = g.rb AND xp.cb = least(g.cb + 1, 7)
+  JOIN gr xm ON xm.i = g.i AND xm.rb = g.rb AND xm.cb = greatest(g.cb - 1, 0)
+  JOIN gr yp ON yp.i = g.i AND yp.cb = g.cb AND yp.rb = least(g.rb + 1, 7)
+  JOIN gr ym ON ym.i = g.i AND ym.cb = g.cb AND ym.rb = greatest(g.rb - 1, 0)
+),
+dp0 AS (SELECT i, cb, e AS dp FROM en WHERE rb = 0),
+{", ".join(dps)},
+{", ".join(bts)}
+SELECT b7.i AS idx, CAST(b7.dp AS BIGINT) AS seam_cost,
+       CAST({path} AS BIGINT) AS seam_path
+FROM b7 {joins}
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9735,4 +9792,5 @@ def registry():
         "q_ransac": (q_ransac, Q_RANSAC_SQL),
         "q_template_match": (q_template_match, _template_match_sql()),
         "q_mst": (q_mst, Q_MST_SQL),
+        "q_seam": (q_seam, _seam_sql()),
     }

@@ -482,3 +482,38 @@ def test_template_match_stage_vs_brute(ray_session):
                     best = (sad, oy, ox)
         assert (out["sad"][k].as_py(), out["oy"][k].as_py(),
                 out["ox"][k].as_py()) == best
+
+
+def test_seam_stage_vs_scalar_dp(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import SeamStage, resize_block_mean
+
+    ds = oraclefix.load_phash()
+    rows = ds.take(6)
+    out = SeamStage()(pa.Table.from_pylist(
+        [{k: r[k] for k in ("image_id", "bytes", "fmt", "idx")} for r in rows]))
+    for k in range(6):
+        img = codecs.decode(rows[k]["bytes"], rows[k]["fmt"])
+        g = resize_block_mean(img, 8, 8)[:, :, 0].astype(int)
+        e = [[abs(g[r][min(c + 1, 7)] - g[r][max(c - 1, 0)])
+              + abs(g[min(r + 1, 7)][c] - g[max(r - 1, 0)][c])
+              for c in range(8)] for r in range(8)]
+        dp = [e[0][:]]
+        for r in range(1, 8):
+            dp.append([e[r][c] + min(dp[r - 1][max(0, c - 1):c + 2])
+                       for c in range(8)])
+        cost = min(dp[7])
+        c = dp[7].index(cost)
+        cols = [c]
+        for r in range(6, -1, -1):
+            lo = max(0, c - 1)
+            seg = dp[r][lo:c + 2]
+            c = lo + seg.index(min(seg))
+            cols.append(c)
+        cols.reverse()
+        assert out["seam_cost"][k].as_py() == cost
+        assert out["seam_path"][k].as_py() == sum(
+            cols[r] * 8 ** r for r in range(8))
