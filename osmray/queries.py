@@ -9624,6 +9624,110 @@ FROM b7 {joins}
 """
 
 
+_VIT_ROADS = (40, 100, 160, 220)
+_VIT_SWITCH = 25
+_VIT_MOD = 1 << 40
+
+
+def q_viterbi(sf_dir: str):
+    """HMM map-matching decode (the Viterbi step real map-matchers
+    run after the candidate snap): per user, observations are the
+    ts-ordered hashed waypoint stream; states are 4 fixed roads;
+    emission cost |y - road|, switch penalty 25; ties break toward
+    the smaller predecessor state. Emits per user the min total cost,
+    the final matched road, and a base-31 rolling hash of the WHOLE
+    decoded path (each state carries its best-predecessor path hash,
+    so the argmin chain is verified end-to-end without emitting T
+    rows). One keyed shuffle (groupby user), vectorized 4-state DP
+    inside the group. The SQL twin runs the same DP as a recursive
+    CTE with one row per user carrying (d0..d3, h0..h3) and the
+    packed observation list."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    R = np.array(_VIT_ROADS, np.int64)
+    P = _VIT_SWITCH
+    ks = np.arange(4)
+    trans = P * (1 - np.eye(4, dtype=np.int64))
+
+    def decode(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        y = (ii[order] * 69621 + 3) % 256
+        d = np.abs(y[0] - R)
+        h = ks.astype(np.int64).copy()
+        for t in range(1, len(y)):
+            cand = d[:, None] + trans  # (from j, to k)
+            jmin = np.argmin(cand, axis=0)  # first min = smallest j
+            d = np.abs(y[t] - R) + cand[jmin, ks]
+            h = (h[jmin] * 31 + ks) % _VIT_MOD
+        k = int(np.argmin(d))
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_obs": pa.array([len(y)], pa.int64()),
+            "viterbi_cost": pa.array([int(d[k])], pa.int64()),
+            "final_road": pa.array([k], pa.int64()),
+            "path_hash": pa.array([int(h[k])], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(decode, batch_format="pyarrow")
+
+
+def _viterbi_sql() -> str:
+    R, P, MOD = _VIT_ROADS, _VIT_SWITCH, _VIT_MOD
+
+    def cost(j, k, ds="d"):
+        pen = 0 if j == k else P
+        return f"{ds}{j} + {pen}" if pen else f"{ds}{j}"
+
+    d_new, h_new = [], []
+    for k in range(4):
+        d_new.append(
+            f"abs(ys[t + 1] - {R[k]}) + least({', '.join(cost(j, k) for j in range(4))}) AS d{k}")
+        # argmin chain in j order: <= against the least of the rest
+        # picks the SMALLEST j on ties
+        chain = []
+        for j in range(3):
+            rest = ", ".join(cost(jj, k) for jj in range(j + 1, 4))
+            chain.append(f"WHEN {cost(j, k)} <= least({rest}) "
+                         f"THEN (h{j} * 31 + {k}) % {MOD}")
+        h_new.append("CASE " + " ".join(chain) +
+                     f" ELSE (h3 * 31 + {k}) % {MOD} END AS h{k}")
+    anchor_d = ", ".join(f"CAST(abs(ys[1] - {R[k]}) AS BIGINT) AS d{k}"
+                         for k in range(4))
+    anchor_h = ", ".join(f"CAST({k} AS BIGINT) AS h{k}" for k in range(4))
+    fin_chain_road, fin_chain_hash = [], []
+    for k in range(3):
+        rest = ", ".join(f"d{j}" for j in range(k + 1, 4))
+        fin_chain_road.append(f"WHEN d{k} <= least({rest}) THEN {k}")
+        fin_chain_hash.append(f"WHEN d{k} <= least({rest}) THEN h{k}")
+    return f"""
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, ts, event_id, (event_id * 69621 + 3) % 256 AS y
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(y ORDER BY ts, event_id) AS ys,
+         count(*) AS n
+  FROM p GROUP BY user_id
+),
+vt AS (
+  SELECT user_id, ys, n, 1 AS t, {anchor_d}, {anchor_h}
+  FROM ob
+  UNION ALL
+  SELECT user_id, ys, n, t + 1,
+    {", ".join(d_new)},
+    {", ".join(h_new)}
+  FROM vt WHERE t < n
+),
+fin AS (SELECT * FROM vt WHERE t = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+  CAST(least(d0, d1, d2, d3) AS BIGINT) AS viterbi_cost,
+  CAST(CASE {" ".join(fin_chain_road)} ELSE 3 END AS BIGINT) AS final_road,
+  CAST(CASE {" ".join(fin_chain_hash)} ELSE h3 END AS BIGINT) AS path_hash
+FROM fin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9793,4 +9897,5 @@ def registry():
         "q_template_match": (q_template_match, _template_match_sql()),
         "q_mst": (q_mst, Q_MST_SQL),
         "q_seam": (q_seam, _seam_sql()),
+        "q_viterbi": (q_viterbi, _viterbi_sql()),
     }

@@ -122,3 +122,45 @@ def test_parallelism_independence(ray_session, events_df):
             ds = ray.data.from_pandas(events_df).repartition(parts)
             outs.append(_sorted(op(ds).to_pandas()))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_viterbi_decode_vs_scalar(ray_session):
+    """The vectorized 4-state Viterbi must match a scalar
+    full-trellis decode (cost, final state, AND the base-31 path
+    hash, i.e. the entire argmin chain)."""
+    import numpy as np
+
+    from osmray.queries import _VIT_MOD, _VIT_ROADS, _VIT_SWITCH, q_viterbi
+
+    df = q_viterbi("/root/testdata/sf0.001").to_pandas()
+
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["event_id", "user_id", "ts"])
+    pdf = t.to_pandas()
+    pdf["tsv"] = pdf["ts"].astype("int64")
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["tsv", "event_id"])
+        y = (g["event_id"].to_numpy().astype(np.int64) * 69621 + 3) % 256
+        K = len(_VIT_ROADS)
+        d = [abs(int(y[0]) - r) for r in _VIT_ROADS]
+        paths = [[k] for k in range(K)]
+        for tt in range(1, len(y)):
+            nd, np_ = [], []
+            for k in range(K):
+                best_j, best_c = 0, None
+                for j in range(K):
+                    c = d[j] + (0 if j == k else _VIT_SWITCH)
+                    if best_c is None or c < best_c:
+                        best_j, best_c = j, c
+                nd.append(abs(int(y[tt]) - _VIT_ROADS[k]) + best_c)
+                np_.append(paths[best_j] + [k])
+            d, paths = nd, np_
+        k = int(np.argmin(d))
+        h = 0
+        for s in paths[k]:
+            h = (h * 31 + s) % _VIT_MOD
+        row = df[df["user_id"] == uid].iloc[0]
+        assert row["viterbi_cost"] == d[k]
+        assert row["final_road"] == k
+        assert row["path_hash"] == h
