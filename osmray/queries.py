@@ -9728,6 +9728,131 @@ FROM fin
 """
 
 
+def q_moving_median(sf_dir: str):
+    """Moving MEDIAN (robust rolling statistic, the outlier-immune
+    twin of the existing running sums): per user, the exact median of
+    the trailing 5-row window over the ts-ordered value stream,
+    emitted as 2*median so even-width head windows (median = mean of
+    the two middle values) stay integral. One keyed shuffle; full
+    windows are one vectorized sort over a sliding-window view, the
+    <=4-row heads a tiny per-group loop. The twin is DuckDB's native
+    windowed median over the same frame."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def roll(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        eid = ii[order]
+        v = (eid * 40503) % 1000
+        n = len(v)
+        m2 = np.empty(n, np.int64)
+        for t in range(min(4, n)):
+            s = np.sort(v[:t + 1])
+            m2[t] = 2 * s[t // 2] if (t + 1) % 2 else s[t // 2] + s[t // 2 + 1]
+        if n >= 5:
+            win = np.lib.stride_tricks.sliding_window_view(v, 5)
+            m2[4:] = 2 * np.sort(win, axis=1)[:, 2]
+        return pa.table({
+            "user_id": pa.array(np.full(n, g["user_id"][0].as_py(), np.int64)),
+            "event_id": pa.array(eid),
+            "m2": pa.array(m2)})
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
+Q_MOVING_MEDIAN_SQL = """
+WITH p AS (SELECT user_id, event_id, ts, (event_id * 40503) % 1000 AS v
+           FROM events)
+SELECT user_id, event_id,
+  CAST(2 * median(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+FROM p
+"""
+
+
+def q_matmul(sf_dir: str):
+    """Blocked distributed matrix multiply — the canonical dataflow
+    GEMM: A (96x96) and B (96x96) live as Datasets of 32x32 BLOCKS
+    (list<int64> payloads), the k-dimension pairs via a grace join on
+    the block-k key, each pair runs one vectorized np.dot, and the
+    partial products fold with a keyed groupby on the packed (bi,bj)
+    output-block key before unpacking to (i, j, v) cells. At any
+    matrix size the same plan shuffles only fixed-size block partials
+    (O(blocks^3) of them), never scalar cells. The SQL twin is the
+    scalar 3-way join + grouped sum over the same closed-form
+    entries."""
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    nb, bs = 3, 32
+
+    def a_blocks(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch["id"].to_pylist():
+            bi, bk = divmod(int(r), nb)
+            i = bi * bs + np.arange(bs)[:, None]
+            k = bk * bs + np.arange(bs)[None, :]
+            blk = (i * 7919 + k * 104729 + 13) % 97
+            rows.append({"bi": bi, "bk": bk,
+                         "a": blk.astype(np.int64).ravel().tolist()})
+        return pa.Table.from_pylist(rows)
+
+    def b_blocks(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch["id"].to_pylist():
+            bk, bj = divmod(int(r), nb)
+            k = bk * bs + np.arange(bs)[:, None]
+            j = bj * bs + np.arange(bs)[None, :]
+            blk = (k * 6151 + j * 99991 + 7) % 89
+            rows.append({"bk2": bk, "bj": bj,
+                         "b": blk.astype(np.int64).ravel().tolist()})
+        return pa.Table.from_pylist(rows)
+
+    ads = ray.data.range(nb * nb).map_batches(a_blocks, batch_format="pyarrow")
+    bds = ray.data.range(nb * nb).map_batches(b_blocks, batch_format="pyarrow")
+    pairs = bucketed_join(ads, bds, on="bk", right_on="bk2", num_buckets=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            av = np.array(r["a"], np.int64).reshape(bs, bs)
+            bv = np.array(r["b"], np.int64).reshape(bs, bs)
+            rows.append({"cell": r["bi"] * nb + r["bj"],
+                         "p": (av @ bv).ravel().tolist()})
+        return pa.Table.from_pylist(rows)
+
+    def fold(g: pa.Table) -> pa.Table:
+        cell = int(g["cell"][0].as_py())
+        acc = np.zeros(bs * bs, np.int64)
+        for p in g["p"].to_pylist():
+            acc += np.array(p, np.int64)
+        bi, bj = divmod(cell, nb)
+        blk = acc.reshape(bs, bs)
+        i = bi * bs + np.arange(bs)[:, None] + np.zeros((1, bs), np.int64)
+        j = bj * bs + np.arange(bs)[None, :] + np.zeros((bs, 1), np.int64)
+        return pa.table({"i": pa.array(i.ravel()), "j": pa.array(j.ravel()),
+                         "v": pa.array(blk.ravel())})
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell").map_groups(fold, batch_format="pyarrow"))
+
+
+Q_MATMUL_SQL = """
+WITH ii AS (SELECT range AS i FROM range(0, 96)),
+kk AS (SELECT range AS k FROM range(0, 96)),
+jj AS (SELECT range AS j FROM range(0, 96)),
+a AS (SELECT i, k, (i * 7919 + k * 104729 + 13) % 97 AS av
+      FROM ii CROSS JOIN kk),
+b AS (SELECT k, j, (k * 6151 + j * 99991 + 7) % 89 AS bv
+      FROM kk CROSS JOIN jj)
+SELECT a.i, b.j, CAST(SUM(av * bv) AS BIGINT) AS v
+FROM a JOIN b USING (k) GROUP BY a.i, b.j
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -9898,4 +10023,6 @@ def registry():
         "q_mst": (q_mst, Q_MST_SQL),
         "q_seam": (q_seam, _seam_sql()),
         "q_viterbi": (q_viterbi, _viterbi_sql()),
+        "q_moving_median": (q_moving_median, Q_MOVING_MEDIAN_SQL),
+        "q_matmul": (q_matmul, Q_MATMUL_SQL),
     }
