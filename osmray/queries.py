@@ -9853,6 +9853,145 @@ FROM a JOIN b USING (k) GROUP BY a.i, b.j
 """
 
 
+def q_glcm(sf_dir: str):
+    """Gray-level co-occurrence texture features (Haralick's GLCM):
+    per image, the 2x2 co-occurrence counts of (level, right-neighbor
+    level) over the coarse grid plus the derived contrast count —
+    the classic texture descriptor, all integer. Emits one row per
+    image: (idx, n00, n01, n10, n11, contrast)."""
+    from osmray import oraclefix
+    from osmray.multimodal import resize_block_mean
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    from osmray import codecs
+
+    def glcm(batch: pa.Table) -> pa.Table:
+        out = {"idx": [], "n00": [], "n01": [], "n10": [], "n11": [],
+               "contrast": []}
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            g = (resize_block_mean(img, 8, 8)[:, :, 0] >= 128).astype(np.int64)
+            a, b = g[:, :-1], g[:, 1:]
+            out["idx"].append(idx)
+            out["n00"].append(int(((a == 0) & (b == 0)).sum()))
+            out["n01"].append(int(((a == 0) & (b == 1)).sum()))
+            out["n10"].append(int(((a == 1) & (b == 0)).sum()))
+            out["n11"].append(int(((a == 1) & (b == 1)).sum()))
+            out["contrast"].append(int((a != b).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        glcm, batch_format="pyarrow")
+
+
+Q_GLCM_SQL = f"""
+WITH {_PH_CTES},
+gr AS (SELECT i, j // 8 AS rb, j % 8 AS cb, bit FROM phbits),
+pr AS (
+  SELECT a.i, a.bit AS ab, b.bit AS bb
+  FROM gr a JOIN gr b ON b.i = a.i AND b.rb = a.rb AND b.cb = a.cb + 1
+)
+SELECT i AS idx,
+  CAST(SUM(CASE WHEN ab = 0 AND bb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+  CAST(SUM(CASE WHEN ab = 0 AND bb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+  CAST(SUM(CASE WHEN ab = 1 AND bb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+  CAST(SUM(CASE WHEN ab = 1 AND bb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+  CAST(SUM(CASE WHEN ab <> bb THEN 1 ELSE 0 END) AS BIGINT) AS contrast
+FROM pr GROUP BY i
+"""
+
+
+def q_corners(sf_dir: str):
+    """Harris corner response (the classic keypoint detector), exact
+    in integers: replicate-border central gradients on the coarse
+    grid, 3x3 structure-tensor sums, response R16 = 16*(Sxx*Syy -
+    Sxy^2) - (Sxx+Syy)^2 (k = 1/16 cleared of the denominator), top-3
+    cells per image by (R16 desc, r, c). The SQL twin replays
+    gradients and window sums with neighbor joins."""
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import resize_block_mean
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    def corners(batch: pa.Table) -> pa.Table:
+        out = {"idx": [], "rank": [], "r": [], "c": [], "r16": []}
+        cp = np.clip(np.arange(8) + 1, 0, 7)
+        cm = np.clip(np.arange(8) - 1, 0, 7)
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)
+            g = resize_block_mean(img, 8, 8)[:, :, 0].astype(np.int64)
+            ix = g[:, cp] - g[:, cm]
+            iy = g[cp, :] - g[cm, :]
+            xx, yy, xy = ix * ix, iy * iy, ix * iy
+
+            def wsum(m):
+                p = np.zeros((10, 10), np.int64)
+                p[1:9, 1:9] = m
+                ii = np.zeros((11, 11), np.int64)
+                ii[1:, 1:] = p.cumsum(0).cumsum(1)
+                return (ii[3:11, 3:11] - ii[0:8, 3:11]
+                        - ii[3:11, 0:8] + ii[0:8, 0:8])
+
+            sxx, syy, sxy = wsum(xx), wsum(yy), wsum(xy)
+            r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            flat = r16.ravel()
+            rr, cc = np.divmod(np.arange(64), 8)
+            order = np.lexsort((cc, rr, -flat))[:3]
+            for rank, o in enumerate(order):
+                out["idx"].append(idx)
+                out["rank"].append(rank)
+                out["r"].append(int(rr[o]))
+                out["c"].append(int(cc[o]))
+                out["r16"].append(int(flat[o]))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        corners, batch_format="pyarrow")
+
+
+Q_CORNERS_SQL = f"""
+WITH {_PH_CTES},
+gr AS (SELECT i, j // 8 AS rb, j % 8 AS cb, 40 + 160 * bit AS val FROM phbits),
+gd AS (
+  SELECT g.i, g.rb, g.cb, xp.val - xm.val AS ix, yp.val - ym.val AS iy
+  FROM gr g
+  JOIN gr xp ON xp.i = g.i AND xp.rb = g.rb AND xp.cb = least(g.cb + 1, 7)
+  JOIN gr xm ON xm.i = g.i AND xm.rb = g.rb AND xm.cb = greatest(g.cb - 1, 0)
+  JOIN gr yp ON yp.i = g.i AND yp.cb = g.cb AND yp.rb = least(g.rb + 1, 7)
+  JOIN gr ym ON ym.i = g.i AND ym.cb = g.cb AND ym.rb = greatest(g.rb - 1, 0)
+),
+st AS (
+  SELECT a.i, a.rb, a.cb,
+    SUM(n.ix * n.ix) AS sxx, SUM(n.iy * n.iy) AS syy,
+    SUM(n.ix * n.iy) AS sxy
+  FROM gd a JOIN gd n ON n.i = a.i
+    AND abs(n.rb - a.rb) <= 1 AND abs(n.cb - a.cb) <= 1
+  GROUP BY a.i, a.rb, a.cb
+),
+resp AS (
+  SELECT i, rb, cb,
+    16 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r16
+  FROM st
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY i ORDER BY r16 DESC, rb, cb)
+              AS rr FROM resp)
+SELECT i AS idx, CAST(rr - 1 AS BIGINT) AS rank, CAST(rb AS BIGINT) AS r,
+       CAST(cb AS BIGINT) AS c, CAST(r16 AS BIGINT) AS r16
+FROM rk WHERE rr <= 3
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10025,4 +10164,6 @@ def registry():
         "q_viterbi": (q_viterbi, _viterbi_sql()),
         "q_moving_median": (q_moving_median, Q_MOVING_MEDIAN_SQL),
         "q_matmul": (q_matmul, Q_MATMUL_SQL),
+        "q_glcm": (q_glcm, Q_GLCM_SQL),
+        "q_corners": (q_corners, Q_CORNERS_SQL),
     }
