@@ -726,6 +726,91 @@ def _focal(p: dict) -> Stage:
     return lambda ds: sorted_fold_sums(ds, p["key"], list(p["vals"]))
 
 
+
+
+def _mst(p: dict) -> Stage:
+    """{"op": "mst", "src": "u"?, "dst": "v"?, "w": "w"?, "eid":
+    "eid"?, "mode": "auto"?} — Boruvka minimum spanning forest of the
+    upstream edge Dataset; emits the unique (eid, u, v, w) forest
+    under the (w, eid) total order."""
+    from osmray.graph import boruvka_mst
+
+    def s(ds):
+        return boruvka_mst(ds, src_col=p.get("src", "u"),
+                           dst_col=p.get("dst", "v"),
+                           w_col=p.get("w", "w"),
+                           eid_col=p.get("eid", "eid"),
+                           mode=p.get("mode", "auto"))
+
+    return s
+
+
+def _template_match(p: dict) -> Stage:
+    """{"op": "template_match", "stride": 16?, "concurrency": 2?} —
+    best SAD offset of the fixed template per image (actor pool)."""
+    from osmray.multimodal import TemplateMatchStage
+
+    def s(ds):
+        return ds.map_batches(
+            TemplateMatchStage,
+            fn_constructor_kwargs={"stride": int(p.get("stride", 16))},
+            batch_format="pyarrow",
+            concurrency=int(p.get("concurrency", 2)), num_cpus=1)
+
+    return s
+
+
+def _seam(p: dict) -> Stage:
+    """{"op": "seam", "concurrency": 2?} — vertical seam-carving DP
+    per image (actor pool): seam cost + base-8 packed path."""
+    from osmray.multimodal import SeamStage
+
+    def s(ds):
+        return ds.map_batches(
+            SeamStage, batch_format="pyarrow",
+            concurrency=int(p.get("concurrency", 2)), num_cpus=1)
+
+    return s
+
+
+def _moving_median(p: dict) -> Stage:
+    """{"op": "moving_median", "group": col, "order": [cols], "value":
+    col, "width": 5?} — exact trailing-window median per group,
+    emitted as 2*median (integral for even head windows)."""
+
+    def s(ds):
+        width = int(p.get("width", 5))
+        gcol, vcol = p["group"], p["value"]
+        ocols = list(p["order"])
+
+        def roll(g: pa.Table) -> pa.Table:
+            ordv = [g[c].to_numpy(zero_copy_only=False) for c in ocols]
+            order = np.lexsort(tuple(reversed(ordv)))
+            v = g[vcol].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            n = len(v)
+            m2 = np.empty(n, np.int64)
+            for t in range(min(width - 1, n)):
+                sarr = np.sort(v[:t + 1])
+                m2[t] = (2 * sarr[t // 2] if (t + 1) % 2
+                         else sarr[t // 2] + sarr[t // 2 + 1])
+            if n >= width:
+                win = np.lib.stride_tricks.sliding_window_view(v, width)
+                sw = np.sort(win, axis=1)
+                m2[width - 1:] = (2 * sw[:, width // 2] if width % 2
+                                  else sw[:, width // 2 - 1]
+                                  + sw[:, width // 2])
+            cols = {gcol: pa.array(np.full(n, g[gcol][0].as_py(),
+                                            np.int64)),
+                    "m2": pa.array(m2)}
+            for c in ocols:
+                cols[c] = g[c].take(pa.array(order))
+            return pa.table(cols)
+
+        return ds.groupby(gcol).map_groups(roll, batch_format="pyarrow")
+
+    return s
+
+
 STAGES.update({
     "grace_join": _grace_join,
     "cooccur_pairs": _cooccur,
@@ -845,7 +930,7 @@ def _box_nms(p: dict) -> Stage:
         num, den = p.get("iou", [1, 5])
         gcol = p.get("group", "img")
 
-        def g_nms(g: _pa.Table) -> _pa.Table:
+        def g_nms(g: pa.Table) -> pa.Table:
             import numpy as _np
 
             kept = nms_boxes(
@@ -856,8 +941,8 @@ def _box_nms(p: dict) -> Stage:
                 g["y1"].to_numpy(zero_copy_only=False),
                 int(num), int(den),
                 tie=g["id"].to_numpy(zero_copy_only=False).astype(_np.int64))
-            sel = _pa.array(kept)
-            return _pa.table({gcol: g[gcol].take(sel), "id": g["id"].take(sel),
+            sel = pa.array(kept)
+            return pa.table({gcol: g[gcol].take(sel), "id": g["id"].take(sel),
                               "score": g["score"].take(sel)})
 
         return ds.groupby(gcol).map_groups(g_nms, batch_format="pyarrow")
@@ -874,11 +959,11 @@ def _hex_agg(p: dict) -> Stage:
     from osmray.cells import HEX_H, HEX_W, hex_at
 
     def s(ds):
-        def assign(b: _pa.Table) -> _pa.Table:
+        def assign(b: pa.Table) -> pa.Table:
             cell = hex_at(b[p["x"]].to_numpy(zero_copy_only=False),
                           b[p["y"]].to_numpy(zero_copy_only=False),
                           w=int(p.get("w", HEX_W)), h=int(p.get("h", HEX_H)))
-            return _pa.table({"cell": _pa.array(cell)})
+            return pa.table({"cell": pa.array(cell)})
 
         return (ds.map_batches(assign, batch_format="pyarrow")
                 .groupby("cell").aggregate(Count(alias_name="n")))
@@ -899,12 +984,12 @@ def _quadtree(p: dict) -> Stage:
         bits = int(p.get("bits", 26))
         max_res = int(p.get("max_res", 6))
 
-        def assign(b: _pa.Table) -> _pa.Table:
+        def assign(b: pa.Table) -> pa.Table:
             x = b[p["x"]].to_numpy(zero_copy_only=False).astype(np.int64)
             y = b[p["y"]].to_numpy(zero_copy_only=False).astype(np.int64)
             cell = (np.int64(max_res) << 58) | ((x >> (bits - max_res)) << 29) \
                 | (y >> (bits - max_res))
-            return _pa.table({"cell": _pa.array(cell)})
+            return pa.table({"cell": pa.array(cell)})
 
         return quadtree_leaves(ds.map_batches(assign, batch_format="pyarrow"),
                                max_res=max_res, cap=int(p.get("cap", 64)))
@@ -989,4 +1074,8 @@ STAGES.update({
     "hull_diameter": _hull_diameter,
     "rle_mask": _rle_mask,
     "quadtree": _quadtree,
+    "mst": _mst,
+    "template_match": _template_match,
+    "seam": _seam,
+    "moving_median": _moving_median,
 })

@@ -245,3 +245,45 @@ def test_declarative_image_chain_composes(ray_session):
     assert got["roundtrip_ok"].all()
     for col in ("n_fg_runs", "fg_area", "first_fg"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_declarative_session8_steps(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    rng = np.random.RandomState(5)
+    t = pa.table({"u": pa.array(rng.randint(0, 40, 200), pa.int64()),
+                  "v": pa.array(rng.randint(0, 40, 200), pa.int64()),
+                  "w": pa.array(rng.randint(0, 30, 200), pa.int64()),
+                  "eid": pa.array(np.arange(200), pa.int64())})
+    pq.write_table(t, "/tmp/d8_edges.parquet")
+    mst = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/d8_edges.parquet"},
+        {"op": "mst"},
+    ]).to_pandas()
+    # forest: fewer edges than nodes, no duplicate eids
+    assert 0 < len(mst) < 40
+    assert mst["eid"].is_unique
+
+    ev = pa.table({"g": pa.array([1] * 8 + [2] * 6, pa.int64()),
+                   "t": pa.array(list(range(8)) + list(range(6)), pa.int64()),
+                   "x": pa.array([5, 9, 1, 7, 3, 8, 2, 6, 4, 4, 4, 9, 9, 9],
+                                 pa.int64())})
+    pq.write_table(ev, "/tmp/d8_ev.parquet")
+    mm = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/d8_ev.parquet"},
+        {"op": "moving_median", "group": "g", "order": ["t"], "value": "x",
+         "width": 3},
+    ]).to_pandas().sort_values(["g", "t"]).reset_index(drop=True)
+    g1 = mm[mm["g"] == 1]["m2"].tolist()
+    # brute trailing-3 medians of [5,9,1,7,3,8,2,6] doubled
+    exp = []
+    xs = [5, 9, 1, 7, 3, 8, 2, 6]
+    for i in range(len(xs)):
+        w = sorted(xs[max(0, i - 2):i + 1])
+        exp.append(2 * w[len(w) // 2] if len(w) % 2 else w[0] + w[1])
+    assert g1 == exp
