@@ -750,3 +750,41 @@ class SeamStage:
             "idx": pa.array(idxs, pa.int64()),
             "seam_cost": pa.array(costs, pa.int64()),
             "seam_path": pa.array(paths, pa.int64())})
+
+
+class WarpStage:
+    """Actor-pool stage: decode -> full-image inverse-mapped affine
+    rotation warp (fixed-point cos/sin 3956/1060 over 4096, ~15
+    degrees about the image center, nearest-neighbor sampling,
+    out-of-bounds -> 0) -> per-image observables: a position-weighted
+    checksum over a 16x16 sample lattice of the WARPED image and the
+    lattice's out-of-bounds count. Numerators carry a +2^22 bias so
+    the floor division matches engines that truncate toward zero."""
+
+    BIAS = 4194304  # 1024 * 4096
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ty, tx = np.mgrid[0:256, 0:256]
+        xs = ((tx - 128) * 3956 + (ty - 128) * 1060 + self.BIAS) // 4096 \
+            - 1024 + 128
+        ys = ((ty - 128) * 3956 - (tx - 128) * 1060 + self.BIAS) // 4096 \
+            - 1024 + 128
+        inb = (xs >= 0) & (xs < 256) & (ys >= 0) & (ys < 256)
+        xs_c = np.clip(xs, 0, 255)
+        ys_c = np.clip(ys, 0, 255)
+        si = (np.arange(16) * 16 + 8)
+        wgt = (np.arange(16)[None, :] + 16 * np.arange(16)[:, None] + 1)
+        idxs, sums, oobs = [], [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)[:, :, 0].astype(np.int64)
+            warped = np.where(inb, img[ys_c, xs_c], 0)
+            samp = warped[np.ix_(si, si)]
+            idxs.append(idx)
+            sums.append(int((samp * wgt).sum()))
+            oobs.append(int((~inb[np.ix_(si, si)]).sum()))
+        return pa.table({
+            "idx": pa.array(idxs, pa.int64()),
+            "warp_sum": pa.array(sums, pa.int64()),
+            "n_oob": pa.array(oobs, pa.int64())})

@@ -9992,6 +9992,53 @@ FROM rk WHERE rr <= 3
 """
 
 
+def q_warp(sf_dir: str):
+    """Affine rotation warp (multimodal.WarpStage): full-image
+    inverse-mapped nearest-neighbor rotation (~15 degrees, fixed-point
+    3956/1060 over 4096) about the center, out-of-bounds -> 0;
+    verified through a position-weighted checksum over a 16x16 sample
+    lattice of the WARPED image plus the lattice OOB count. The SQL
+    twin inverse-maps each lattice point analytically onto the
+    planted bit grid; numerators carry a +2^22 bias because DuckDB's
+    // truncates toward zero while numpy floors."""
+    from osmray import oraclefix
+    from osmray.multimodal import WarpStage
+
+    images = oraclefix.load_phash()
+
+    def keep_idx(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep_idx, batch_format="pyarrow").map_batches(
+        WarpStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+Q_WARP_SQL = f"""
+WITH {_PH_CTES},
+ss AS (SELECT a.range AS sa, b.range AS sb,
+              8 + 16 * b.range AS tx, 8 + 16 * a.range AS ty
+       FROM range(0, 16) a CROSS JOIN range(0, 16) b),
+m AS (SELECT sa, sb,
+        ((tx - 128) * 3956 + (ty - 128) * 1060 + 4194304) // 4096 - 896 AS xs,
+        ((ty - 128) * 3956 - (tx - 128) * 1060 + 4194304) // 4096 - 896 AS ys
+      FROM ss),
+mm AS (SELECT sa, sb, xs, ys,
+              (xs BETWEEN 0 AND 255) AND (ys BETWEEN 0 AND 255) AS inb
+       FROM m),
+vals AS (
+  SELECT ii.range AS i, mm.sb + 16 * mm.sa + 1 AS w,
+         CASE WHEN mm.inb THEN 40 + 160 * pb.bit ELSE 0 END AS val,
+         CASE WHEN mm.inb THEN 0 ELSE 1 END AS oob
+  FROM mm CROSS JOIN range(0, 1024) ii
+  LEFT JOIN phbits pb ON pb.i = ii.range
+    AND pb.j = (mm.ys // 32) * 8 + (mm.xs // 32) AND mm.inb
+)
+SELECT i AS idx, CAST(SUM(val * w) AS BIGINT) AS warp_sum,
+       CAST(SUM(oob) AS BIGINT) AS n_oob
+FROM vals GROUP BY i
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10166,4 +10213,5 @@ def registry():
         "q_matmul": (q_matmul, Q_MATMUL_SQL),
         "q_glcm": (q_glcm, Q_GLCM_SQL),
         "q_corners": (q_corners, Q_CORNERS_SQL),
+        "q_warp": (q_warp, Q_WARP_SQL),
     }
