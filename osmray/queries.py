@@ -10039,6 +10039,102 @@ FROM vals GROUP BY i
 """
 
 
+def q_onion(sf_dir: str):
+    """Convex LAYERS (onion peeling — the depth-ordering primitive
+    behind robust location estimates): per brand group, the strict
+    hull vertices are layer 1, the hull of the remainder layer 2,
+    then layer 3. Strictly-between collinear points survive to the
+    next layer (strict-hull semantics, same as q_convex_hull);
+    2-point remainders are their own layer. The SQL twin applies the
+    extreme-edge characterization three times with anti-join
+    peeling between layers."""
+    from osmray.geom import monotone_chain_hull
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    m = max(1, ds.count() // 2500)
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = k % m == 0
+        k = k[sel]
+        return pa.table({
+            "brand": batch["p_brand"].filter(pa.array(sel)),
+            "x": pa.array((k * 7919 + 11) % 1048573),
+            "y": pa.array((k * 6151 + 29) % 1048573)})
+
+    def layers(g: pa.Table) -> pa.Table:
+        xy = np.unique(np.stack([
+            g["x"].to_numpy(zero_copy_only=False),
+            g["y"].to_numpy(zero_copy_only=False)], axis=1), axis=0)
+        brand = g["brand"][0].as_py()
+        out = {"brand": [], "layer": [], "x": [], "y": []}
+        rem = xy
+        for lay in (1, 2, 3):
+            if len(rem) < 2:
+                break
+            if len(rem) == 2:
+                verts = rem
+            else:
+                ring = monotone_chain_hull(rem[:, 0], rem[:, 1])
+                verts = np.unique(ring, axis=0)
+            for vx, vy in verts:
+                out["brand"].append(brand)
+                out["layer"].append(lay)
+                out["x"].append(int(vx))
+                out["y"].append(int(vy))
+            vk = verts[:, 0] * 2097152 + verts[:, 1]
+            rk = rem[:, 0] * 2097152 + rem[:, 1]
+            rem = rem[~np.isin(rk, vk)]
+        return pa.table({
+            "brand": pa.array(out["brand"], pa.string()),
+            "layer": pa.array(out["layer"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64())})
+
+    return (ds.map_batches(pts, batch_format="pyarrow")
+            .groupby("brand").map_groups(layers, batch_format="pyarrow"))
+
+
+def _onion_sql() -> str:
+    def layer(src, L):
+        return f"""
+e{L} AS (
+  SELECT a.g, a.x AS ax, a.y AS ay
+  FROM {src} a
+  JOIN {src} b ON b.g = a.g AND (b.x <> a.x OR b.y <> a.y)
+  JOIN {src} c ON c.g = a.g
+  GROUP BY a.g, a.x, a.y, b.x, b.y
+  HAVING min(CASE
+    WHEN (c.x = a.x AND c.y = a.y) OR (c.x = b.x AND c.y = b.y) THEN 1
+    WHEN (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0 THEN 1
+    WHEN (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+         AND (c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) > 0
+         AND (c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) <
+             (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) THEN 1
+    ELSE 0 END) = 1
+),
+v{L} AS (SELECT DISTINCT g, ax AS x, ay AS y FROM e{L}),
+p{L} AS (SELECT p.* FROM {src} p LEFT JOIN v{L}
+         ON v{L}.g = p.g AND v{L}.x = p.x AND v{L}.y = p.y
+         WHERE v{L}.x IS NULL)"""
+
+    return f"""
+WITH p0 AS (
+  SELECT DISTINCT p_brand AS g,
+         (p_partkey * 7919 + 11) % 1048573 AS x,
+         (p_partkey * 6151 + 29) % 1048573 AS y
+  FROM part
+  WHERE p_partkey % (SELECT greatest(1, count(*) // 2500) FROM part) = 0
+),
+{layer('p0', 1)},
+{layer('p1', 2)},
+{layer('p2', 3)}
+SELECT g AS brand, CAST(1 AS BIGINT) AS layer, x, y FROM v1
+UNION ALL SELECT g, 2, x, y FROM v2
+UNION ALL SELECT g, 3, x, y FROM v3
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10214,4 +10310,5 @@ def registry():
         "q_glcm": (q_glcm, Q_GLCM_SQL),
         "q_corners": (q_corners, Q_CORNERS_SQL),
         "q_warp": (q_warp, Q_WARP_SQL),
+        "q_onion": (q_onion, _onion_sql()),
     }
