@@ -1021,3 +1021,52 @@ def _mst_shuffle(edges, max_rounds: int, num_partitions: int,
             "eid": pa.array([], pa.int64()), "u": pa.array([], pa.int64()),
             "v": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
     return chosen_all
+
+
+def dag_longest_path(edges_ds, dur: np.ndarray, src_col: str = "u",
+                     dst_col: str = "v", max_rounds: int = 10_000):
+    """Critical-path analysis on a DAG (task scheduling): longest
+    finish time per task, lp(v) = dur(v) + max over predecessors
+    lp(u), sources at their own duration. Broadcast engine: the edge
+    list streams once per round emitting per-block per-target MAX
+    partials against the broadcast lp array; rounds are bounded by
+    the longest chain (lp values are monotone non-decreasing and
+    bounded, so the fixpoint is exact). ``dur`` indexes task id ->
+    duration and must cover every endpoint; a shuffle variant would
+    compose exactly like the CC rounds with Max in place of Min."""
+    import ray
+    import ray.data
+
+    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    dur = np.asarray(dur, np.int64)
+    lp = dur.copy()
+
+    for _ in range(max_rounds):
+        ref = ray.put(lp)
+
+        def prop(batch: pa.Table) -> pa.Table:
+            l = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            cand = l[u] + dur[v]
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(vs)) + 1))
+            return pa.table({
+                "v": pa.array(vs[bounds]),
+                "lp": pa.array(np.maximum.reduceat(cand[order], bounds)),
+            })
+
+        parts = edges.map_batches(prop, batch_format="pyarrow").to_pandas()
+        new = lp.copy()
+        if len(parts):
+            np.maximum.at(new, parts["v"].to_numpy(), parts["lp"].to_numpy())
+        if (new == lp).all():
+            break
+        lp = new
+    else:
+        raise RuntimeError("dag_longest_path: no fixpoint (cycle?)")
+
+    return ray.data.from_arrow(pa.table({
+        "task": pa.array(np.arange(len(dur), dtype=np.int64)),
+        "lp": pa.array(lp)}))

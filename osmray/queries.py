@@ -10135,6 +10135,58 @@ UNION ALL SELECT g, 3, x, y FROM v3
 """
 
 
+def q_critical_path(sf_dir: str):
+    """Critical-path scheduling (graph.dag_longest_path): a 120-task
+    precedence DAG (edges u < v by construction, so acyclic) with
+    per-task durations; lp(v) = dur(v) + max over predecessors.
+    Broadcast max-plus rounds, exact fixpoint. The SQL twin
+    propagates (task, partial lp) states recursively — state count is
+    bounded by tasks x the lp value range, which the small duration
+    alphabet keeps tractable — and takes max(lp) per task."""
+    from osmray.graph import dag_longest_path
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    N = 120
+    dur = (np.arange(N, dtype=np.int64) * 7919) % 16 + 1
+
+    def mk(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        pid = p["pid"][p["pid"] % 101 == 0]
+        a = (pid * 2654435761) % 4294967296
+        u = ((a >> 16) ^ (a & 65535)) % N
+        b = (pid * 48271 + 99) % 4294967296
+        v = ((b >> 16) ^ (b & 65535)) % N
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+
+    return dag_longest_path(ds.map_batches(mk, batch_format="pyarrow"),
+                            dur, max_rounds=N + 2)
+
+
+Q_CRITICAL_PATH_SQL = """
+WITH RECURSIVE ids AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+sel AS MATERIALIZED (SELECT pid FROM ids WHERE pid % 101 = 0),
+hs AS MATERIALIZED (SELECT pid, (pid * 2654435761) % 4294967296 AS a,
+              (pid * 48271 + 99) % 4294967296 AS b FROM sel),
+g0 AS MATERIALIZED (SELECT xor(a // 65536, a % 65536) % 120 AS u0,
+              xor(b // 65536, b % 65536) % 120 AS v0 FROM hs),
+e AS MATERIALIZED (SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+                   FROM g0 WHERE u0 <> v0),
+tasks AS MATERIALIZED (SELECT range AS task, (range * 7919) % 16 + 1 AS d
+                       FROM range(0, 120)),
+lp AS (
+  SELECT task, d AS lp FROM tasks
+  UNION
+  SELECT e.v, lp.lp + t.d
+  FROM lp JOIN e ON e.u = lp.task JOIN tasks t ON t.task = e.v
+)
+SELECT task, CAST(max(lp) AS BIGINT) AS lp FROM lp GROUP BY task
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10311,4 +10363,5 @@ def registry():
         "q_corners": (q_corners, Q_CORNERS_SQL),
         "q_warp": (q_warp, Q_WARP_SQL),
         "q_onion": (q_onion, _onion_sql()),
+        "q_critical_path": (q_critical_path, Q_CRITICAL_PATH_SQL),
     }
