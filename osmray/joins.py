@@ -1059,3 +1059,119 @@ def snap_join(points, segments, radius: int, cell_shift: int | None = None,
     return best.map_batches(
         lambda t: t.select([pid_c, sid_c, "d2_num", "d2_den"]),
         batch_format="pyarrow")
+
+
+def skew_join(left, right, on: str, right_on: str | None = None,
+              hot_threshold: int = 100_000, num_buckets: int = 64,
+              spill_root: str | None = None, hot_rows_cap: int = 5_000_000):
+    """Skew-aware inner join — the hot-key answer for zipfian keys,
+    where a plain hash/grace join sends every row of the hottest key
+    to ONE bucket and that straggler holds the whole stage:
+
+    1. one keys-only pass counts LEFT key frequencies (per-block
+       partials, then a keyed Sum — never the payload);
+    2. keys with frequency > ``hot_threshold`` are HOT; their count
+       is bounded by ``n_left / hot_threshold``, so the hot-key set
+       always fits a broadcast regardless of skew;
+    3. the RIGHT rows of hot keys (dimension-like: few rows per key;
+       ``hot_rows_cap`` guards the assumption loudly) broadcast via
+       ``ray.put`` and hot LEFT rows join IN-TASK while streaming —
+       the hottest keys never enter any shuffle;
+    4. the cold remainder takes the grace ``bucketed_join``.
+
+    Returns the union of both paths (same columns as bucketed_join's
+    inner output). Left row order is not preserved (join outputs are
+    set-semantics here, as with every shuffle join in this module).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    counts = (left.select_columns([on])
+              .map_batches(key_counts, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("c", alias_name="c")))
+    hot_tbl = counts.filter(expr=f"c > {int(hot_threshold)}")\
+        .select_columns(["k"]).to_pandas()
+    # an empty filtered Dataset round-trips to a ZERO-COLUMN frame
+    hot_keys = (np.sort(hot_tbl["k"].to_numpy().astype(np.int64))
+                if "k" in hot_tbl.columns else np.array([], np.int64))
+
+    if len(hot_keys) == 0:
+        return bucketed_join(left, right, on=on, right_on=right_on,
+                             num_buckets=num_buckets, spill_root=spill_root)
+
+    # build-side rows of the hot keys: bounded by the dimension-like
+    # assumption, guarded loudly
+    r_hot = broadcast_filter(right, right_on, hot_keys).materialize()
+    if r_hot.count() > hot_rows_cap:
+        raise ValueError(
+            f"skew_join: {r_hot.count()} right rows for {len(hot_keys)} hot "
+            f"keys exceeds hot_rows_cap={hot_rows_cap}; the right side is "
+            "not dimension-like for these keys — raise the cap or use "
+            "bucketed_join with more buckets")
+    r_tbl = pa.Table.from_pandas(r_hot.to_pandas(), preserve_index=False)
+    l_names = set(left.schema(fetch_if_missing=True).names)
+    rename = {c: (c + "_r" if c in l_names else c) for c in r_tbl.schema.names}
+    r_tbl = r_tbl.rename_columns([rename[c] for c in r_tbl.schema.names])
+    r_ref = ray.put(r_tbl)
+    r_key = rename[right_on]
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(k, hot_keys)
+        g = batch.filter(pa.array(is_hot))
+        if len(g) == 0:
+            return None
+        r = ray.get(r_ref)
+        rk = r[r_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
+        lk = g[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rks, lk, "left")
+        hi = np.searchsorted(rks, lk, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(lk)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        within = np.arange(total) - np.repeat(offs[:-1], cnt)
+        lt = g.take(pa.array(li))
+        rt = r.take(pa.array(order[np.repeat(lo, cnt) + within]))
+        for name in rt.schema.names:
+            lt = lt.append_column(name, rt[name])
+        return lt
+
+    def hot_nonempty(batch: pa.Table) -> pa.Table:
+        out = hot_join(batch)
+        if out is None:
+            # empty with the full joined schema
+            r = ray.get(r_ref)
+            cols = {n: batch[n].slice(0, 0) for n in batch.schema.names}
+            for n in r.schema.names:
+                cols[n] = r[n].slice(0, 0)
+            return pa.table(cols)
+        return out
+
+    hot_out = left.map_batches(hot_nonempty, batch_format="pyarrow")
+
+    def cold_only(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(k, hot_keys)))
+
+    cold_left = left.map_batches(cold_only, batch_format="pyarrow")
+
+    def cold_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(k, hot_keys)))
+
+    cold_out = bucketed_join(cold_left,
+                             right.map_batches(cold_right,
+                                               batch_format="pyarrow"),
+                             on=on, right_on=right_on,
+                             num_buckets=num_buckets, spill_root=spill_root)
+    return hot_out.union(cold_out)

@@ -10187,6 +10187,67 @@ SELECT task, CAST(max(lp) AS BIGINT) AS lp FROM lp GROUP BY task
 """
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware join (joins.skew_join) on a deliberately zipfian
+    key set — HALF of all fact rows share key 7: frequencies are
+    counted keys-only, hot keys' dimension rows broadcast and join
+    in-task while the fact side streams (the hot key never enters a
+    shuffle), the cold tail takes the grace join. Verified through
+    the joined aggregate (count + sum of value products per key) so
+    multiplicities are hash-checked."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmray.joins import skew_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def fact(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        pid = p["pid"]
+        k = np.where(pid % 2 == 0, 7, pid % 500)
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "lv": pa.array((pid % 100).astype(np.int64))})
+
+    pt = _read(sf_dir, "part", ["p_partkey"])
+
+    def dim(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = pk[pk < 500]
+        return pa.table({"dk": pa.array(pk),
+                         "rv": pa.array((pk * 3) % 97)})
+
+    joined = skew_join(li.map_batches(fact, batch_format="pyarrow"),
+                       pt.map_batches(dim, batch_format="pyarrow"),
+                       on="k", right_on="dk", hot_threshold=1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        lv = batch["lv"].to_numpy(zero_copy_only=False)
+        rv = batch["rv"].to_numpy(zero_copy_only=False)
+        return _keyed_sums(k, {"s": lv * rv}, "k")
+
+    agg = joined.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _S
+
+    return (agg.groupby("k")
+            .aggregate(_S("cnt", alias_name="n"), _S("s", alias_name="s")))
+
+
+Q_SKEW_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN (l_orderkey * 10 + l_linenumber) % 2 = 0 THEN 7
+         ELSE (l_orderkey * 10 + l_linenumber) % 500 END AS k,
+         (l_orderkey * 10 + l_linenumber) % 100 AS lv
+  FROM lineitem
+),
+dim AS (SELECT p_partkey AS dk, (p_partkey * 3) % 97 AS rv
+        FROM part WHERE p_partkey < 500)
+SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(SUM(lv * rv) AS BIGINT) AS s
+FROM fact JOIN dim ON dim.dk = fact.k
+GROUP BY k
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10364,4 +10425,5 @@ def registry():
         "q_warp": (q_warp, Q_WARP_SQL),
         "q_onion": (q_onion, _onion_sql()),
         "q_critical_path": (q_critical_path, Q_CRITICAL_PATH_SQL),
+        "q_skew_join": (q_skew_join, Q_SKEW_JOIN_SQL),
     }

@@ -363,3 +363,34 @@ def test_bucketed_join_semi_anti(ray_session):
     assert sorted(semi["lid"]) == sorted(left.loc[in_r, "lid"])
     assert sorted(anti["lid"]) == sorted(left.loc[~in_r, "lid"])
     assert set(semi.columns) == {"k", "lid"}  # probe columns only
+
+
+def test_skew_join_matches_grace_join(ray_session):
+    """Hot-key broadcast path + cold grace path must together equal a
+    plain grace join row-for-row on a zipfian key set, including the
+    no-hot-keys fallback."""
+    import ray.data
+
+    from osmray.joins import bucketed_join, skew_join
+
+    rng = np.random.RandomState(0)
+    n = 20000
+    keys = np.where(rng.rand(n) < 0.5, 7,
+                    rng.randint(0, 300, n)).astype(np.int64)
+    left = ray.data.from_arrow(pa.table(
+        {"k": keys, "lv": rng.randint(0, 50, n).astype(np.int64)}
+    )).repartition(6)
+    rk = np.arange(300, dtype=np.int64)
+    right = ray.data.from_arrow(pa.table({"k": rk, "rv": rk * 3 + 1}))
+
+    def norm(df):
+        return df.sort_values(list(sorted(df.columns)))[
+            sorted(df.columns)].reset_index(drop=True)
+
+    exp = norm(bucketed_join(left, right, on="k").to_pandas())
+    got = norm(skew_join(left, right, on="k", hot_threshold=2000).to_pandas())
+    assert got.equals(exp)
+    # threshold nobody reaches -> pure grace fallback, same rows
+    got2 = norm(skew_join(left, right, on="k",
+                          hot_threshold=10 ** 9).to_pandas())
+    assert got2.equals(exp)
