@@ -10248,6 +10248,149 @@ GROUP BY k
 """
 
 
+def q_max_subarray(sf_dir: str):
+    """Maximum-sum contiguous subarray per user (Kadane over the
+    ts-ordered signed value stream — the burst-detection primitive):
+    emitted via the prefix-sum identity max_subarray = max over t of
+    (prefix(t) - min prefix before t), so the SQL twin is pure window
+    functions (no recursion). Engine: one keyed shuffle, vectorized
+    cumsum + running-min per group; also emits the subarray's end
+    position (first maximum, ties to the earliest end)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def kad(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        v = ((ii[order] * 40503) % 201) - 100  # signed in [-100, 100]
+        pref = np.cumsum(v)
+        prev_min = np.minimum.accumulate(np.concatenate(([0], pref[:-1])))
+        best_at = pref - prev_min
+        end = int(np.argmax(best_at))  # first max = earliest end
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "best_sum": pa.array([int(best_at[end])], pa.int64()),
+            "end_pos": pa.array([end + 1], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(kad, batch_format="pyarrow")
+
+
+Q_MAX_SUBARRAY_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, (event_id * 40503) % 201 - 100 AS v
+  FROM events
+),
+pf0 AS (
+  SELECT user_id, ts, event_id,
+         sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pref,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM p
+),
+pf AS (
+  SELECT user_id, rn, pref,
+         coalesce(min(pref) OVER (PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_min
+  FROM pf0
+),
+sc AS (SELECT user_id, rn, pref - least(prev_min, 0) AS cand FROM pf),
+rk AS (SELECT user_id, cand, rn,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cand DESC, rn) AS r
+       FROM sc)
+SELECT user_id, CAST(cand AS BIGINT) AS best_sum, CAST(rn AS BIGINT) AS end_pos
+FROM rk WHERE r = 1
+"""
+
+
+def q_routes(sf_dir: str):
+    """Greedy nearest-neighbor route construction (the VRP seed
+    heuristic): per vehicle (user), start at the lowest-id stop and
+    repeatedly drive to the nearest unvisited stop — squared integer
+    distances, ties to the smaller stop position. Emits per vehicle
+    the stop count, the tour's total SQUARED step length (exact in
+    integers; distance comparisons are order-isomorphic to squared
+    ones), and a base-31 hash of the visiting order, so the entire
+    greedy sequence is verified. One keyed shuffle; O(n^2) vectorized
+    scan inside each group. The SQL twin replays the greedy walk as a
+    per-user recursion over (visited, cur, total, hash) with the
+    coordinate lists packed into the state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    BIG = 2097152
+    MOD = 1 << 40
+
+    def tour(g: pa.Table) -> pa.Table:
+        ii = np.sort(g["event_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        x = (ii * 48271 + 7) % 1024
+        y = (ii * 69621 + 3) % 1024
+        n = len(ii)
+        visited = np.zeros(n, bool)
+        visited[0] = True
+        cur, total, h = 0, 0, 1
+        for _ in range(n - 1):
+            d = (x - x[cur]) ** 2 + (y - y[cur]) ** 2
+            key = d * BIG + np.arange(1, n + 1)
+            key[visited] = np.iinfo(np.int64).max
+            pick = int(np.argmin(key))
+            total += int(d[pick])
+            h = (h * 31 + (pick + 1)) % MOD
+            visited[pick] = True
+            cur = pick
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_stops": pa.array([n], pa.int64()),
+            "tour_sq": pa.array([total], pa.int64()),
+            "tour_hash": pa.array([h], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(tour, batch_format="pyarrow")
+
+
+Q_ROUTES_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, event_id, (event_id * 48271 + 7) % 1024 AS x,
+         (event_id * 69621 + 3) % 1024 AS y
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(x ORDER BY event_id) AS xs,
+         list(y ORDER BY event_id) AS ys, count(*) AS n
+  FROM p GROUP BY user_id
+),
+tr AS (
+  SELECT user_id, xs, ys, n, 1 AS step,
+         list_transform(range(1, CAST(n AS INTEGER) + 1), i -> i = 1)
+           AS visited,
+         1 AS cur, CAST(0 AS BIGINT) AS total, CAST(1 AS BIGINT) AS h
+  FROM ob
+  UNION ALL
+  SELECT user_id, xs, ys, n, step + 1,
+    list_transform(range(1, CAST(n AS INTEGER) + 1),
+                   i -> visited[i] OR i = CAST(pick AS INTEGER)),
+    CAST(pick AS INTEGER),
+    total + dmin,
+    (h * 31 + pick) % 1099511627776
+  FROM (
+    SELECT *,
+      list_min(list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+        CASE WHEN visited[i] THEN NULL
+        ELSE ((xs[i] - xs[cur]) * (xs[i] - xs[cur])
+              + (ys[i] - ys[cur]) * (ys[i] - ys[cur])) * 2097152 + i
+        END)) AS kmin
+    FROM tr WHERE step < n
+  )
+  CROSS JOIN LATERAL (SELECT kmin % 2097152 AS pick,
+                             kmin // 2097152 AS dmin) q
+),
+fin AS (SELECT * FROM tr WHERE step = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_stops, total AS tour_sq,
+       h AS tour_hash
+FROM fin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10426,4 +10569,6 @@ def registry():
         "q_onion": (q_onion, _onion_sql()),
         "q_critical_path": (q_critical_path, Q_CRITICAL_PATH_SQL),
         "q_skew_join": (q_skew_join, Q_SKEW_JOIN_SQL),
+        "q_max_subarray": (q_max_subarray, Q_MAX_SUBARRAY_SQL),
+        "q_routes": (q_routes, Q_ROUTES_SQL),
     }
