@@ -10391,6 +10391,142 @@ FROM fin
 """
 
 
+def q_ewma(sf_dir: str):
+    """Streaming exponential smoothing with an EXACT integer
+    recurrence: s_t = s_{t-1} + floor((v_t - s_{t-1}) / 4) (alpha =
+    1/4 with floor division toward minus infinity in both engines),
+    seeded at the first value. Emits each user's final smoothed
+    level, a checksum of the whole trajectory (sum of s_t), and the
+    observation count — the full recurrence is verified, not just the
+    endpoint. The SQL twin replays the recurrence per user with the
+    value list packed into the recursion state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def smooth(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        v = (ii[order] * 40503) % 10000
+        s = int(v[0])
+        csum = s
+        for t in range(1, len(v)):
+            s = s + (int(v[t]) - s) // 4
+            csum += s
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_obs": pa.array([len(v)], pa.int64()),
+            "s_final": pa.array([s], pa.int64()),
+            "s_sum": pa.array([csum], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(smooth, batch_format="pyarrow")
+
+
+Q_EWMA_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, ts, event_id, (event_id * 40503) % 10000 AS v
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(v ORDER BY ts, event_id) AS vs, count(*) AS n
+  FROM p GROUP BY user_id
+),
+ew AS (
+  SELECT user_id, vs, n, 1 AS t, CAST(vs[1] AS BIGINT) AS s,
+         CAST(vs[1] AS BIGINT) AS csum
+  FROM ob
+  UNION ALL
+  SELECT user_id, vs, n, t + 1,
+    s + CAST(floor((vs[t + 1] - s) / 4.0) AS BIGINT),
+    csum + s + CAST(floor((vs[t + 1] - s) / 4.0) AS BIGINT)
+  FROM ew WHERE t < n
+),
+fin AS (SELECT * FROM ew WHERE t = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs, s AS s_final, csum AS s_sum
+FROM fin
+"""
+
+
+def q_binpack(sf_dir: str):
+    """First-fit-decreasing bin packing per user (the scheduling /
+    shard-packing heuristic): item sizes from the hashed event
+    stream, sorted size-desc (ties by position asc), placed into the
+    FIRST bin with room at capacity 1000. Emits per user the bin
+    count, the max bin load, and a base-31 hash of each item's bin
+    index in placement order — the entire packing is verified. The
+    SQL twin replays FFD as a per-user recursion carrying the bin
+    load LIST in the state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    CAP, MOD = 1000, 1 << 40
+
+    def pack(g: pa.Table) -> pa.Table:
+        ii = np.sort(g["event_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        sz = (ii * 48271) % 900 + 50  # sizes 50..949
+        order = np.lexsort((np.arange(len(sz)), -sz))
+        items = sz[order]
+        loads: list[int] = []
+        h = 0
+        for it in items:
+            for b, ld in enumerate(loads):
+                if ld + it <= CAP:
+                    loads[b] = ld + it
+                    h = (h * 31 + (b + 1)) % MOD
+                    break
+            else:
+                loads.append(int(it))
+                h = (h * 31 + len(loads)) % MOD
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_items": pa.array([len(items)], pa.int64()),
+            "n_bins": pa.array([len(loads)], pa.int64()),
+            "max_load": pa.array([max(loads) if loads else 0], pa.int64()),
+            "pack_hash": pa.array([h], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(pack, batch_format="pyarrow")
+
+
+Q_BINPACK_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, event_id, (event_id * 48271) % 900 + 50 AS sz
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id,
+         list(sz ORDER BY sz DESC, event_id ASC) AS szs,
+         count(*) AS n
+  FROM p GROUP BY user_id
+),
+bp AS (
+  SELECT user_id, szs, n, 0 AS t, CAST([] AS BIGINT[]) AS loads,
+         CAST(0 AS BIGINT) AS h
+  FROM ob
+  UNION ALL
+  SELECT user_id, szs, n, t + 1,
+    CASE WHEN fit IS NULL THEN list_append(loads, CAST(szs[t + 1] AS BIGINT))
+         ELSE list_transform(range(1, CAST(len(loads) AS INTEGER) + 1),
+                i -> CASE WHEN i = CAST(fit AS INTEGER)
+                     THEN loads[i] + szs[t + 1] ELSE loads[i] END)
+    END,
+    (h * 31 + coalesce(fit, len(loads) + 1)) % 1099511627776
+  FROM (
+    SELECT *,
+      -- list_position returns 0 (not NULL) on no match in DuckDB
+      nullif(list_position(
+        list_transform(range(1, CAST(len(loads) AS INTEGER) + 1),
+                       i -> loads[i] + szs[t + 1] <= 1000), true), 0) AS fit
+    FROM bp WHERE t < n
+  )
+),
+fin AS (SELECT * FROM bp WHERE t = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_items,
+       CAST(len(loads) AS BIGINT) AS n_bins,
+       CAST(coalesce(list_max(loads), 0) AS BIGINT) AS max_load,
+       h AS pack_hash
+FROM fin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10571,4 +10707,6 @@ def registry():
         "q_skew_join": (q_skew_join, Q_SKEW_JOIN_SQL),
         "q_max_subarray": (q_max_subarray, Q_MAX_SUBARRAY_SQL),
         "q_routes": (q_routes, Q_ROUTES_SQL),
+        "q_ewma": (q_ewma, Q_EWMA_SQL),
+        "q_binpack": (q_binpack, Q_BINPACK_SQL),
     }
