@@ -10527,6 +10527,107 @@ FROM fin
 """
 
 
+def q_huffman(sf_dir: str):
+    """Huffman code planning over the corpus (the compression-layout
+    primitive): letter frequencies are counted DISTRIBUTED (per-block
+    bincount partials over the raw bytes, one bounded combine), then
+    the optimal prefix tree builds in a bounded finish step —
+    repeatedly merge the two lightest nodes, total order (weight,
+    node id), leaf ids 0..25, merged ids appended — and each letter's
+    code LENGTH (its leaf depth) is emitted with its count. The SQL
+    twin counts via replace() arithmetic and replays the merge loop
+    as a recursion carrying (active nodes, per-leaf root, per-leaf
+    depth) lists."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        buf = "".join(batch["text"].to_pylist()).encode()
+        bc = np.bincount(np.frombuffer(buf, np.uint8), minlength=256)
+        return pa.table({"sym": pa.array(np.arange(26, dtype=np.int64)),
+                         "cnt": pa.array(bc[97:123].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    root = _combine_tree(parts.map_batches(
+        lambda t: pa.table({"sym": t["sym"], "cnt": pa.array(
+            np.ones(len(t), np.int64)), "c": t["cnt"]}),
+        batch_format="pyarrow"), "sym", ["c"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        sym = batch["sym"].to_numpy(zero_copy_only=False)
+        cnt = batch["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sym)
+        sym, cnt = sym[order], cnt[order]
+        alive = cnt > 0
+        # nodes: (weight, id); leaves keep root pointers and depths
+        nodes = {int(s): int(c) for s, c in zip(sym[alive], cnt[alive])}
+        roots = {int(s): int(s) for s in sym[alive]}
+        depth = {int(s): 0 for s in sym[alive]}
+        nxt = 26
+        while len(nodes) > 1:
+            (i1, w1), (i2, w2) = sorted(nodes.items(),
+                                        key=lambda kv: (kv[1], kv[0]))[:2]
+            del nodes[i1], nodes[i2]
+            for s, r in roots.items():
+                if r == i1 or r == i2:
+                    roots[s] = nxt
+                    depth[s] += 1
+            nodes[nxt] = w1 + w2
+            nxt += 1
+        return pa.table({
+            "sym": pa.array(sorted(depth), pa.int64()),
+            "cnt": pa.array([int(cnt[s]) for s in sorted(depth)], pa.int64()),
+            "code_len": pa.array([depth[s] for s in sorted(depth)],
+                                 pa.int64())})
+
+    return root.map_batches(build, batch_format="pyarrow", batch_size=None)
+
+
+Q_HUFFMAN_SQL = """
+WITH RECURSIVE syms AS MATERIALIZED (
+  SELECT range AS s FROM range(0, 26)
+),
+counts AS MATERIALIZED (
+  SELECT s, CAST(coalesce(SUM(length(text)
+              - length(replace(text, chr(97 + CAST(s AS INTEGER)), ''))), 0)
+            AS BIGINT) AS c
+  FROM syms CROSS JOIN documents GROUP BY s
+),
+base AS MATERIALIZED (
+  SELECT coalesce(list(s ORDER BY s) FILTER (WHERE c > 0), []) AS lsyms,
+         coalesce(list(c ORDER BY s) FILTER (WHERE c > 0), []) AS lcnts,
+         coalesce(list(c * 64 + s ORDER BY s) FILTER (WHERE c > 0), [])
+           AS nks0,
+         count(*) FILTER (WHERE c > 0) AS nl
+  FROM counts
+),
+hf AS (
+  SELECT 0 AS step, nl, lsyms, lcnts,
+         list_transform(lsyms, x -> CAST(x AS BIGINT)) AS roots,
+         list_transform(lsyms, x -> CAST(0 AS BIGINT)) AS depths,
+         list_transform(nks0, x -> CAST(x AS BIGINT)) AS nks
+  FROM base
+  UNION ALL
+  SELECT step + 1, nl, lsyms, lcnts,
+    list_transform(roots, r -> CASE WHEN r = k1 % 64 OR r = k2 % 64
+                               THEN 25 + step + 1 ELSE r END),
+    list_transform(range(1, CAST(len(roots) AS INTEGER) + 1),
+      i -> depths[i] + CASE WHEN roots[i] = k1 % 64 OR roots[i] = k2 % 64
+                       THEN 1 ELSE 0 END),
+    list_append(list_filter(nks, x -> x <> k1 AND x <> k2),
+                (k1 // 64 + k2 // 64) * 64 + 25 + step + 1)
+  FROM (
+    SELECT *, list_min(list_filter(nks, x -> x <> k1)) AS k2
+    FROM (SELECT *, list_min(nks) AS k1 FROM hf WHERE step < nl - 1)
+  )
+),
+fin AS (SELECT * FROM hf ORDER BY step DESC LIMIT 1)
+SELECT CAST(unnest(lsyms) AS BIGINT) AS sym,
+       CAST(unnest(lcnts) AS BIGINT) AS cnt,
+       CAST(unnest(depths) AS BIGINT) AS code_len
+FROM fin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10709,4 +10810,5 @@ def registry():
         "q_routes": (q_routes, Q_ROUTES_SQL),
         "q_ewma": (q_ewma, Q_EWMA_SQL),
         "q_binpack": (q_binpack, Q_BINPACK_SQL),
+        "q_huffman": (q_huffman, Q_HUFFMAN_SQL),
     }
