@@ -10628,6 +10628,152 @@ FROM fin
 """
 
 
+def q_knapsack(sf_dir: str):
+    """0/1 knapsack per user (budgeted selection): items from the
+    hashed event stream (weight 1..15, value 1..99), capacity 40,
+    classic DP over the capacity axis. Emits the optimal value, plus
+    the full DP-row checksum (sum over capacities of best value) so
+    the whole frontier is verified, not just the optimum. One keyed
+    shuffle; the per-group DP is one vectorized shift-and-max per
+    item. The twin replays the DP as a recursion carrying the
+    41-entry dp list."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    CAP = 40
+
+    def knap(g: pa.Table) -> pa.Table:
+        ii = np.sort(g["event_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        w = (ii * 48271) % 15 + 1
+        v = (ii * 40503) % 99 + 1
+        dp = np.zeros(CAP + 1, np.int64)
+        for wi, vi in zip(w.tolist(), v.tolist()):
+            cand = np.concatenate((dp[:wi], dp[:CAP + 1 - wi] + vi))
+            dp = np.maximum(dp, cand)
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_items": pa.array([len(ii)], pa.int64()),
+            "best_value": pa.array([int(dp[CAP])], pa.int64()),
+            "dp_sum": pa.array([int(dp.sum())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(knap, batch_format="pyarrow")
+
+
+Q_KNAPSACK_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, event_id, (event_id * 48271) % 15 + 1 AS w,
+         (event_id * 40503) % 99 + 1 AS v
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(w ORDER BY event_id) AS ws,
+         list(v ORDER BY event_id) AS vs, count(*) AS n
+  FROM p GROUP BY user_id
+),
+kp AS (
+  SELECT user_id, ws, vs, n, 0 AS t,
+         list_transform(range(0, 41), c -> CAST(0 AS BIGINT)) AS dp
+  FROM ob
+  UNION ALL
+  SELECT user_id, ws, vs, n, t + 1,
+    list_transform(range(1, 42), ci ->
+      CASE WHEN ci - 1 >= ws[t + 1]
+      THEN greatest(dp[ci],
+                    dp[CAST(ci - ws[t + 1] AS INTEGER)] + vs[t + 1])
+      ELSE dp[ci] END)
+  FROM kp WHERE t < n
+),
+fin AS (SELECT * FROM kp WHERE t = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_items,
+       CAST(dp[41] AS BIGINT) AS best_value,
+       CAST(list_sum(dp) AS BIGINT) AS dp_sum
+FROM fin
+"""
+
+
+def q_levenshtein(sf_dir: str):
+    """Full edit-distance kernel (the generalization of the existing
+    PassJoin ed-1 blocking): deterministic sampled document pairs run
+    the complete Wagner-Fischer DP, vectorized along the
+    anti-diagonal-free row axis (one numpy minimum-chain per row).
+    The twin is DuckDB's NATIVE levenshtein() over the same pairs —
+    an independent implementation, not a replay."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mat = ds.materialize()
+    n_docs = mat.count()
+
+    def pairs_of(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = did % 10 == 0
+        did = did[keep]
+        txt = [t[:160] for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        out_a, out_b, out_d = [], [], []
+        for d, t in zip(did.tolist(), txt):
+            partner = (d + 10) % (max(10, (n_docs // 10) * 10))
+            out_a.append(d)
+            out_b.append(partner)
+            out_d.append(t)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "ta": pa.array(out_d, pa.string())})
+
+    from osmray.joins import bucketed_join
+
+    def btexts(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = did % 10 == 0
+        return pa.table({
+            "bid": pa.array(did[keep]),
+            "tb": pa.array([t[:160] for t, k in
+                            zip(batch["text"].to_pylist(), keep) if k],
+                           pa.string())})
+
+    lhs = mat.map_batches(pairs_of, batch_format="pyarrow")
+    rhs = mat.map_batches(btexts, batch_format="pyarrow")
+    joined = bucketed_join(lhs, rhs, on="b", right_on="bid", num_buckets=8)
+
+    def lev(batch: pa.Table) -> pa.Table:
+        out = []
+        for a, b, ta, tb in zip(batch["a"].to_pylist(),
+                                batch["b"].to_pylist(),
+                                batch["ta"].to_pylist(),
+                                batch["tb"].to_pylist()):
+            sa = np.frombuffer(ta.encode(), np.uint8)
+            sb = np.frombuffer(tb.encode(), np.uint8)
+            prev = np.arange(len(sb) + 1, dtype=np.int64)
+            ar = np.arange(len(sb), dtype=np.int64)
+            for i, ca in enumerate(sa):
+                cur = np.empty(len(sb) + 1, np.int64)
+                cur[0] = i + 1
+                sub = prev[:-1] + (sb != ca)
+                np.minimum(sub, prev[1:] + 1, out=sub)
+                # insertion chain cur[j+1] = min(sub[j], cur[j]+1)
+                # vectorized via the prefix-min identity:
+                # cur[j+1] = j + min(min_{k<=j}(sub[k]-k), cur[0]+1)
+                cur[1:] = ar + np.minimum(
+                    np.minimum.accumulate(sub - ar), i + 2)
+                prev = cur
+            out.append((a, b, int(prev[-1])))
+        return pa.table({
+            "a": pa.array([o[0] for o in out], pa.int64()),
+            "b": pa.array([o[1] for o in out], pa.int64()),
+            "dist": pa.array([o[2] for o in out], pa.int64())})
+
+    return joined.map_batches(lev, batch_format="pyarrow")
+
+
+Q_LEVENSHTEIN_SQL = """
+WITH sel AS (SELECT doc_id, substr(text, 1, 160) AS t FROM documents
+             WHERE doc_id % 10 = 0),
+n AS (SELECT greatest(10, (count(*) // 10) * 10) AS m
+      FROM (SELECT 1 FROM documents)),
+prs AS (SELECT a.doc_id AS a, (a.doc_id + 10) % (SELECT m FROM n) AS b,
+               a.t AS ta
+        FROM sel a)
+SELECT p.a, p.b, CAST(levenshtein(p.ta, s2.t) AS BIGINT) AS dist
+FROM prs p JOIN sel s2 ON s2.doc_id = p.b
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10811,4 +10957,6 @@ def registry():
         "q_ewma": (q_ewma, Q_EWMA_SQL),
         "q_binpack": (q_binpack, Q_BINPACK_SQL),
         "q_huffman": (q_huffman, Q_HUFFMAN_SQL),
+        "q_knapsack": (q_knapsack, Q_KNAPSACK_SQL),
+        "q_levenshtein": (q_levenshtein, Q_LEVENSHTEIN_SQL),
     }
