@@ -10774,6 +10774,132 @@ FROM prs p JOIN sel s2 ON s2.doc_id = p.b
 """
 
 
+def q_stable_match(sf_dir: str):
+    """Gale-Shapley stable matching per market (assignment with
+    two-sided preferences): 6 proposers x 6 acceptors per nation,
+    preference orders from integer hashes (ties by id), smallest free
+    proposer proposes next — the proposer-optimal matching, which is
+    ORDER-INDEPENDENT, so the engine's per-market loop and the SQL
+    twin's lockstep recursion must agree exactly. Emits (market,
+    proposer, acceptor)."""
+    ds = _read(sf_dir, "nation", ["n_nationkey"])
+    K = 6
+
+    def match(batch: pa.Table) -> pa.Table:
+        out_m, out_p, out_a = [], [], []
+        for m in batch["n_nationkey"].to_pylist():
+            m = int(m)
+            # prefs[p][r] = r-th choice acceptor of proposer p (1-based ids)
+            prefs, arank = {}, {}
+            for p in range(1, K + 1):
+                h = [((m * 7919 + p * 104729 + a * 40503) % 997, a)
+                     for a in range(1, K + 1)]
+                prefs[p] = [a for _, a in sorted(h)]
+            for a in range(1, K + 1):
+                h = [((m * 6151 + p * 99991 + a * 48271) % 997, p)
+                     for p in range(1, K + 1)]
+                arank[a] = {p: r for r, (_, p) in enumerate(sorted(h), 1)}
+            pm = {p: 0 for p in range(1, K + 1)}
+            am = {a: 0 for a in range(1, K + 1)}
+            nxt = {p: 0 for p in range(1, K + 1)}
+            while True:
+                free = [p for p in range(1, K + 1) if pm[p] == 0]
+                if not free:
+                    break
+                p = free[0]
+                a = prefs[p][nxt[p]]
+                nxt[p] += 1
+                inc = am[a]
+                if inc == 0:
+                    am[a] = p
+                    pm[p] = a
+                elif arank[a][p] < arank[a][inc]:
+                    am[a] = p
+                    pm[p] = a
+                    pm[inc] = 0
+            for p in range(1, K + 1):
+                out_m.append(m)
+                out_p.append(p)
+                out_a.append(pm[p])
+        return pa.table({"market": pa.array(out_m, pa.int64()),
+                         "proposer": pa.array(out_p, pa.int64()),
+                         "acceptor": pa.array(out_a, pa.int64())})
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+Q_STABLE_MATCH_SQL = """
+WITH RECURSIVE mk AS MATERIALIZED (SELECT n_nationkey AS m FROM nation),
+pa_ AS MATERIALIZED (
+  SELECT m, p.range AS p, a.range AS a,
+         (m * 7919 + p.range * 104729 + a.range * 40503) % 997 AS h1,
+         (m * 6151 + p.range * 99991 + a.range * 48271) % 997 AS h2
+  FROM mk CROSS JOIN range(1, 7) p CROSS JOIN range(1, 7) a
+),
+pr AS MATERIALIZED (
+  SELECT m, p, a,
+         row_number() OVER (PARTITION BY m, p ORDER BY h1, a) AS r
+  FROM pa_
+),
+ar AS MATERIALIZED (
+  SELECT m, p, a,
+         row_number() OVER (PARTITION BY m, a ORDER BY h2, p) AS r
+  FROM pa_
+),
+packed AS MATERIALIZED (
+  SELECT m,
+    (SELECT list(a ORDER BY p, r) FROM pr WHERE pr.m = mk2.m) AS prefs,
+    (SELECT list(r ORDER BY a, p) FROM ar WHERE ar.m = mk2.m) AS aranks
+  FROM mk mk2
+),
+gs AS (
+  SELECT m, prefs, aranks, 0 AS step,
+         list_transform(range(1, 7), x -> CAST(0 AS BIGINT)) AS pm,
+         list_transform(range(1, 7), x -> CAST(0 AS BIGINT)) AS am,
+         list_transform(range(1, 7), x -> CAST(0 AS BIGINT)) AS nxt
+  FROM packed
+  UNION ALL
+  SELECT m, prefs, aranks, step + 1,
+    list_transform(range(1, 7), i ->
+      CASE WHEN i = fp THEN (CASE WHEN inc = 0 OR betters THEN tgt
+                             ELSE CAST(0 AS BIGINT) END)
+           WHEN inc <> 0 AND betters AND CAST(i AS BIGINT) = inc
+             THEN CAST(0 AS BIGINT)
+           ELSE pm[i] END),
+    list_transform(range(1, 7), i ->
+      CASE WHEN CAST(i AS BIGINT) = tgt AND (inc = 0 OR betters)
+           THEN CAST(fp AS BIGINT) ELSE am[i] END),
+    list_transform(range(1, 7), i ->
+      CASE WHEN i = fp THEN nxt[i] + 1 ELSE nxt[i] END)
+  FROM (
+    SELECT *,
+      am[CAST(tgt AS INTEGER)] AS inc,
+      CASE WHEN am[CAST(tgt AS INTEGER)] = 0 THEN true
+           ELSE aranks[CAST((tgt - 1) * 6 + fp AS INTEGER)]
+              < aranks[CAST((tgt - 1) * 6 + am[CAST(tgt AS INTEGER)]
+                            AS INTEGER)]
+      END AS betters
+    FROM (
+      SELECT *,
+        prefs[CAST((fp - 1) * 6 + nxt[CAST(fp AS INTEGER)] + 1
+                   AS INTEGER)] AS tgt
+      FROM (
+        SELECT *, nullif(list_position(pm, 0), 0) AS fp
+        FROM gs WHERE step < 36
+      ) WHERE fp IS NOT NULL
+    )
+  )
+),
+fin AS (
+  SELECT m, pm, row_number() OVER (PARTITION BY m ORDER BY step DESC) AS rr
+  FROM gs
+)
+SELECT m AS market, CAST(unnest(range(1, 7)) AS BIGINT) AS proposer,
+       CAST(unnest(pm) AS BIGINT) AS acceptor
+FROM fin WHERE rr = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -10959,4 +11085,5 @@ def registry():
         "q_huffman": (q_huffman, Q_HUFFMAN_SQL),
         "q_knapsack": (q_knapsack, Q_KNAPSACK_SQL),
         "q_levenshtein": (q_levenshtein, Q_LEVENSHTEIN_SQL),
+        "q_stable_match": (q_stable_match, Q_STABLE_MATCH_SQL),
     }
