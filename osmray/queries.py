@@ -10900,6 +10900,104 @@ FROM fin WHERE rr = 1
 """
 
 
+def q_range_parts(sf_dir: str):
+    """The sample-split-assign RANGE PARTITIONER every distributed
+    sort rests on, surfaced as a query: a deterministic 1/101 key
+    sample is folded once (bounded), its 15 evenly-spaced order
+    statistics become the split points, every row assigns to a
+    partition by binary search against the broadcast splits, and
+    per-partition (count, min, max) come back through map-side keyed
+    partials. Emits the 16 partitions' stats — the balance the
+    sampled splits actually achieved is exactly what is verified.
+    The SQL twin takes the same order statistics via row_number on
+    the sample and assigns with a scalar list scan."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    NP = 16
+
+    def keyvals(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        pid = p["pid"]
+        a = (pid * 2654435761) % 4294967296
+        v = (a >> 8) ^ (a & 255)
+        return pa.table({"pid": pa.array(pid), "v": pa.array(v)})
+
+    kv = ds.map_batches(keyvals, batch_format="pyarrow").materialize()
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        keep = pid % 101 == 0
+        return pa.table({"v": batch["v"].filter(pa.array(keep))})
+
+    sv = np.sort(kv.map_batches(sample, batch_format="pyarrow")
+                 .to_pandas()["v"].to_numpy().astype(np.int64))
+    ns = len(sv)
+    # splits: the i*ns//NP-th order statistics, i = 1..NP-1 (1-based
+    # ranks floor(i*ns/NP), clamped to >= 1)
+    splits = sv[np.maximum((np.arange(1, NP) * ns) // NP, 1) - 1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.searchsorted(splits, v, side="right")
+        order = np.argsort(part, kind="stable")
+        ps = part[order]
+        vs = v[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ps)) + 1))
+        return pa.table({
+            "part": pa.array(ps[bounds].astype(np.int64)),
+            "n": pa.array(np.diff(np.concatenate(
+                (bounds, [len(ps)]))).astype(np.int64)),
+            "vmin": pa.array(np.minimum.reduceat(vs, bounds)),
+            "vmax": pa.array(np.maximum.reduceat(vs, bounds))})
+
+    parts = kv.map_batches(assign, batch_format="pyarrow")
+
+    def comb(batch: pa.Table) -> pa.Table:
+        p = batch["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        ps = p[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ps)) + 1))
+        n = batch["n"].to_numpy(zero_copy_only=False)[order]
+        vmin = batch["vmin"].to_numpy(zero_copy_only=False)[order]
+        vmax = batch["vmax"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            "part": pa.array(ps[bounds]),
+            "n": pa.array(np.add.reduceat(n, bounds)),
+            "vmin": pa.array(np.minimum.reduceat(vmin, bounds)),
+            "vmax": pa.array(np.maximum.reduceat(vmax, bounds))})
+
+    mid = parts.repartition(4).map_batches(comb, batch_format="pyarrow",
+                                           batch_size=None)
+    return mid.repartition(1).map_batches(comb, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+Q_RANGE_PARTS_SQL = """
+WITH kv AS (
+  SELECT pid, xor((pid * 2654435761) % 4294967296 // 256,
+                  (pid * 2654435761) % 4294967296 % 256) AS v
+  FROM (SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem)
+),
+samp AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS r,
+         count(*) OVER () AS ns
+  FROM kv WHERE pid % 101 = 0
+),
+sp AS (
+  SELECT list(v ORDER BY r) AS splits FROM samp
+  WHERE r IN (SELECT greatest(i.range * (SELECT max(ns) FROM samp) // 16, 1)
+              FROM range(1, 16) i)
+),
+asg AS (
+  SELECT len(list_filter((SELECT splits FROM sp), s -> s <= kv.v)) AS part,
+         v
+  FROM kv
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+FROM asg GROUP BY part
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -11086,4 +11184,5 @@ def registry():
         "q_knapsack": (q_knapsack, Q_KNAPSACK_SQL),
         "q_levenshtein": (q_levenshtein, Q_LEVENSHTEIN_SQL),
         "q_stable_match": (q_stable_match, Q_STABLE_MATCH_SQL),
+        "q_range_parts": (q_range_parts, Q_RANGE_PARTS_SQL),
     }
