@@ -10998,6 +10998,116 @@ FROM asg GROUP BY part
 """
 
 
+def q_lis(sf_dir: str):
+    """Longest STRICTLY increasing subsequence per user (patience
+    algorithm): the tails array admits a binary-search update per
+    element, making the per-group cost O(n log n) where the textbook
+    DP is O(n^2). Emits the LIS length and the final tails-array
+    checksum (sum), so the whole pile structure is verified. The SQL
+    twin replays patience with the tails list in the recursion
+    state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lis(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        v = (ii[order] * 40503) % 100000
+        tails: list[int] = []
+        for x in v.tolist():
+            k = int(np.searchsorted(np.asarray(tails), x))  # strict LIS
+            if k == len(tails):
+                tails.append(x)
+            else:
+                tails[k] = x
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "lis_len": pa.array([len(tails)], pa.int64()),
+            "tails_sum": pa.array([int(sum(tails))], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(lis, batch_format="pyarrow")
+
+
+Q_LIS_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, ts, event_id, (event_id * 40503) % 100000 AS v
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(v ORDER BY ts, event_id) AS vs, count(*) AS n
+  FROM p GROUP BY user_id
+),
+ls AS (
+  SELECT user_id, vs, n, 0 AS t, CAST([] AS BIGINT[]) AS tails
+  FROM ob
+  UNION ALL
+  SELECT user_id, vs, n, t + 1,
+    CASE WHEN k IS NULL THEN list_append(tails, CAST(vs[t + 1] AS BIGINT))
+         ELSE list_transform(range(1, CAST(len(tails) AS INTEGER) + 1),
+                i -> CASE WHEN i = CAST(k AS INTEGER)
+                     THEN CAST(vs[t + 1] AS BIGINT) ELSE tails[i] END)
+    END
+  FROM (
+    SELECT *,
+      nullif(list_position(list_transform(tails, x -> x >= vs[t + 1]),
+                           true), 0) AS k
+    FROM ls WHERE t < n
+  )
+),
+fin AS (SELECT * FROM ls WHERE t = n)
+SELECT user_id, CAST(len(tails) AS BIGINT) AS lis_len,
+       CAST(coalesce(list_sum(tails), 0) AS BIGINT) AS tails_sum
+FROM fin
+"""
+
+
+def q_rainwater(sf_dir: str):
+    """Trapping rain water per user over the hashed elevation stream
+    (the two-sided prefix-max identity): trapped(t) = min(running max
+    from the left, running max from the right) - height — entirely
+    window-expressible, so the twin needs no recursion. Engine: one
+    keyed shuffle, two vectorized accumulates per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rain(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        h = (ii[order] * 48271) % 1000
+        lm = np.maximum.accumulate(h)
+        rm = np.maximum.accumulate(h[::-1])[::-1]
+        trapped = np.minimum(lm, rm) - h
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_obs": pa.array([len(h)], pa.int64()),
+            "water": pa.array([int(trapped.sum())], pa.int64()),
+            "peak": pa.array([int(h.max())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(rain, batch_format="pyarrow")
+
+
+Q_RAINWATER_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, (event_id * 48271) % 1000 AS h
+  FROM events
+),
+mx AS (
+  SELECT user_id, h,
+    max(h) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lm,
+    max(h) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rm
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(SUM(least(lm, rm) - h) AS BIGINT) AS water,
+       CAST(max(h) AS BIGINT) AS peak
+FROM mx GROUP BY user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -11185,4 +11295,6 @@ def registry():
         "q_levenshtein": (q_levenshtein, Q_LEVENSHTEIN_SQL),
         "q_stable_match": (q_stable_match, Q_STABLE_MATCH_SQL),
         "q_range_parts": (q_range_parts, Q_RANGE_PARTS_SQL),
+        "q_lis": (q_lis, Q_LIS_SQL),
+        "q_rainwater": (q_rainwater, Q_RAINWATER_SQL),
     }
