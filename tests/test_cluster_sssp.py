@@ -222,3 +222,28 @@ def test_snap_join_matches_bruteforce():
     got_m = {int(r.pid): (int(r.sid), int(r.d2_num), int(r.d2_den))
              for r in got.itertuples()}
     assert got_m == want
+
+
+def test_sssp_broadcast_equals_grace_engine(ray_session):
+    """The driver-state broadcast engine (one edge pass per round)
+    must match the keyed grace-join engine row-for-row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.graph import _pick_mode, sssp
+
+    rng = np.random.RandomState(11)
+    m = 600
+    u = rng.randint(0, 200, m).astype(np.int64)
+    v = rng.randint(0, 200, m).astype(np.int64)
+    w = rng.randint(1, 8, m).astype(np.int64)
+    e = ray.data.from_arrow(pa.table({"u": u, "v": v, "w": w})).repartition(4)
+    seeds = ray.data.from_arrow(pa.table({"node": pa.array([2, 36, 70],
+                                                           pa.int64())}))
+    a = sssp(e, seeds, max_dist=20, broadcast_cap=10 ** 9) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = sssp(e, seeds, max_dist=20, broadcast_cap=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
