@@ -219,12 +219,25 @@ def grid_components(pixels, width: int, key_col: str = "key",
     if n_pix <= broadcast_cap:
         keys = np.unique(pixels.to_pandas()[key_col].to_numpy())
         edges = broadcast_filter(cand, "v", keys)
+        # the adjacency is keys-only and bounded by 2x the painted
+        # set, so label it with ONE collect + the vectorized driver
+        # fixpoint instead of per-round Ray jobs: the dataflow CC's
+        # ~log(diameter) rounds each pay full job latency (measured
+        # 36 s for a 207k-pixel canvas; the fixpoint runs in <1 s)
+        from osmray.graph import _min_label_fixpoint
+
+        ep = edges.to_pandas()
+        ids, lab = _min_label_fixpoint(ep["u"].to_numpy().astype(np.int64),
+                                       ep["v"].to_numpy().astype(np.int64))
+        import ray.data as _rd
+
+        comp = _rd.from_arrow(pa.table({"node": pa.array(ids),
+                                        "comp": pa.array(lab)})).materialize()
     else:
         edges = bucketed_filter(cand, pixels, on="v", right_on=key_col,
                                 num_buckets=num_buckets)
-
-    comp = connected_components(edges, broadcast_cap=broadcast_cap
-                                ).materialize()
+        comp = connected_components(edges, broadcast_cap=broadcast_cap
+                                    ).materialize()
 
     if n_pix <= broadcast_cap:
         cp = comp.to_pandas()

@@ -107,25 +107,37 @@ def _cc_broadcast(edges, max_rounds: int):
     )
     labels = nodes.copy()
 
+    converged = False
     for _ in range(max_rounds):
         ref = ray.put((nodes, labels))
 
         def propagate(batch: pa.Table) -> pa.Table:
+            # collapse the block's LOCAL components in one shot
+            # (vectorized fixpoint over local topology), then emit
+            # each local component's min global label for every
+            # member. One-hop-per-round propagation needs ~diameter
+            # rounds — a Ray job each — on grid/snake graphs
+            # (measured: >64 rounds, i.e. silent WRONG labels, on a
+            # 207k-pixel blob canvas); local collapse cuts rounds to
+            # the BLOCK-graph diameter.
             nd, lb = ray.get(ref)
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            # both directions: min(label[u]) -> v and min(label[v]) -> u
-            tgt = np.concatenate([v, u])
-            lab = lb[np.searchsorted(nd, np.concatenate([u, v]))]
-            order = np.argsort(tgt, kind="stable")
-            ts = tgt[order]
-            bounds = np.concatenate(([0], np.flatnonzero(np.diff(ts)) + 1))
-            return pa.table(
-                {
-                    "node": pa.array(ts[bounds]),
-                    "lab": pa.array(np.minimum.reduceat(lab[order], bounds)),
-                }
-            )
+            if len(u) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "lab": pa.array([], pa.int64())})
+            ids, loc = _min_label_fixpoint(u, v)
+            glb = lb[np.searchsorted(nd, ids)]
+            order = np.argsort(loc, kind="stable")
+            ls = loc[order]
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(ls)) + 1))
+            mins = np.minimum.reduceat(glb[order], bounds)
+            # scatter each component's min back to every member
+            comp_idx = np.cumsum(np.concatenate(
+                ([0], (np.diff(ls) != 0).astype(np.int64))))
+            out = np.empty(len(ids), glb.dtype)
+            out[order] = mins[comp_idx]
+            return pa.table({"node": pa.array(ids), "lab": pa.array(out)})
 
         parts = edges.map_batches(propagate, batch_format="pyarrow").to_pandas()
         new = labels.copy()
@@ -139,8 +151,12 @@ def _cc_broadcast(edges, max_rounds: int):
                 break
             new = jumped
         if (new == labels).all():
+            converged = True
             break
         labels = new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} rounds")
     import ray.data
 
     return ray.data.from_arrow(
@@ -213,9 +229,10 @@ def _cc_shuffle(edges, max_rounds: int, num_partitions: int):
         labels = jumped.map_batches(jump, batch_format="pyarrow").materialize()
         s = labels.sum("comp")
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+    raise RuntimeError(
+        f"connected_components(shuffle): no fixpoint within {max_rounds} rounds")
 
 
 def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
