@@ -1144,14 +1144,24 @@ def dag_longest_path(edges_ds, dur: np.ndarray, src_col: str = "u",
             l = ray.get(ref)
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            cand = l[u] + dur[v]
-            order = np.argsort(v, kind="stable")
-            vs = v[order]
-            bounds = np.concatenate(([0], np.flatnonzero(np.diff(vs)) + 1))
-            return pa.table({
-                "v": pa.array(vs[bounds]),
-                "lp": pa.array(np.maximum.reduceat(cand[order], bounds)),
-            })
+            if len(u) == 0:
+                return pa.table({"v": pa.array([], pa.int64()),
+                                 "lp": pa.array([], pa.int64())})
+            # relax the block's OWN chains to a local fixpoint before
+            # emitting (the CC lesson: one-hop-per-round costs a Ray
+            # job per chain hop; local collapse cuts global rounds to
+            # the block-graph diameter)
+            ids = np.unique(np.concatenate([u, v]))
+            cur = l[ids].copy()
+            ui = np.searchsorted(ids, u)
+            vi = np.searchsorted(ids, v)
+            dv = dur[v]
+            while True:
+                before = cur.copy()
+                np.maximum.at(cur, vi, cur[ui] + dv)
+                if (cur == before).all():
+                    break
+            return pa.table({"v": pa.array(ids), "lp": pa.array(cur)})
 
         parts = edges.map_batches(prop, batch_format="pyarrow").to_pandas()
         new = lp.copy()
