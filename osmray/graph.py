@@ -36,6 +36,21 @@ import pyarrow as pa
 import pyarrow.compute as _pc
 
 
+def _coalesce_edges(e, target_rows: int = 500_000):
+    """Re-block a small materialized edge view into ~target_rows
+    blocks. Block-LOCAL collapse (CC / DAG relaxation) only sees the
+    chains a block actually holds: 64 blocks of ~100 edges each make
+    every chain cross blocks once per hop and the round count
+    degenerates back to the graph diameter (measured on the 120-task
+    DAG demo: ~20 rounds of Ray job latency). At real scale blocks
+    are already large, so this is a no-op there."""
+    n = e.count()
+    want = max(1, -(-n // target_rows))
+    if e.num_blocks() > want * 2:
+        return e.repartition(want).materialize()
+    return e
+
+
 def _edge_view(edges_ds, src_col: str, dst_col: str):
     """Normalize to int64 (u, v) columns."""
 
@@ -86,7 +101,8 @@ def connected_components(edges_ds, src_col: str = "u", dst_col: str = "v",
     (node, comp) where comp is the component's minimum node id. Node
     ids must be nonnegative int64. ``mode``: "broadcast" | "shuffle" |
     "auto" (see module docstring)."""
-    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    edges = _coalesce_edges(
+        _edge_view(edges_ds, src_col, dst_col).materialize())
     eng = _pick_mode(edges, mode, broadcast_cap)
     if eng == "broadcast":
         return _cc_broadcast(edges, max_rounds)
@@ -244,7 +260,8 @@ def pagerank(edges_ds, src_col: str = "u", dst_col: str = "v",
     adjacency-count formulation). ``mode`` as in
     ``connected_components``; the two engines agree to summation-order
     round-off (~1e-13)."""
-    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    edges = _coalesce_edges(
+        _edge_view(edges_ds, src_col, dst_col).materialize())
     eng = _pick_mode(edges, mode, broadcast_cap)
     if eng == "broadcast":
         return _pagerank_broadcast(edges, damping, n_iters)
@@ -561,7 +578,8 @@ def sssp(edges_ds, seeds_ds, src_col: str = "u", dst_col: str = "v",
                          "v": batch[dst_col].cast(pa.int64()),
                          "w": batch[w_col].cast(pa.int64())})
 
-    e = edges_ds.map_batches(eview, batch_format="pyarrow").materialize()
+    e = _coalesce_edges(
+        edges_ds.map_batches(eview, batch_format="pyarrow").materialize())
 
     # broadcast-state engine when the NODE universe fits the cap:
     # ONE streaming edge pass per round (driver fold), vs ~4 keyed
@@ -734,7 +752,8 @@ def kcore(edges_ds, k: int = 2, src_col: str = "u", dst_col: str = "v",
     Count — nothing O(V) on the driver. Raises RuntimeError if the
     peeling hasn't converged in ``max_rounds`` (the SQL twins unroll
     a fixed round count, so non-convergence must be loud)."""
-    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    edges = _coalesce_edges(
+        _edge_view(edges_ds, src_col, dst_col).materialize())
     eng = _pick_mode(edges, mode, broadcast_cap)
     if eng == "broadcast":
         return _kcore_broadcast(edges, k, max_rounds)
@@ -1133,7 +1152,8 @@ def dag_longest_path(edges_ds, dur: np.ndarray, src_col: str = "u",
     import ray
     import ray.data
 
-    edges = _edge_view(edges_ds, src_col, dst_col).materialize()
+    edges = _coalesce_edges(
+        _edge_view(edges_ds, src_col, dst_col).materialize())
     dur = np.asarray(dur, np.int64)
     lp = dur.copy()
 
