@@ -11108,6 +11108,62 @@ FROM mx GROUP BY user_id
 """
 
 
+def q_markov(sf_dir: str):
+    """Markov transition-matrix estimation over behavioral sequences
+    (the session-model primitive): per user, consecutive event-type
+    pairs in ts order; global (from_type, to_type) counts plus each
+    cell's first-observing user. One keyed shuffle groups the
+    sequences; transition pairs fold through map-side keyed partials
+    and one bounded aggregate (the type alphabet bounds the matrix).
+    The twin is a lag window + grouped count/min."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        et = np.asarray(g["event_type"].to_pylist(), object)[order]
+        if len(et) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "first_user": pa.array([], pa.int64())})
+        uid = int(g["user_id"][0].as_py())
+        a, b = et[:-1], et[1:]
+        keys = np.char.add(np.char.add(a.astype(str), "\x1f"), b.astype(str))
+        u, c = np.unique(keys, return_counts=True)
+        fr = [k.split("\x1f")[0] for k in u.tolist()]
+        to = [k.split("\x1f")[1] for k in u.tolist()]
+        return pa.table({"from_type": pa.array(fr, pa.string()),
+                         "to_type": pa.array(to, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "first_user": pa.array(
+                             np.full(len(u), uid, np.int64))})
+
+    return (ds.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("cnt", alias_name="n"),
+                       Min("first_user", alias_name="first_user")))
+
+
+Q_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(user_id) AS BIGINT) AS first_user
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -11297,4 +11353,5 @@ def registry():
         "q_range_parts": (q_range_parts, Q_RANGE_PARTS_SQL),
         "q_lis": (q_lis, Q_LIS_SQL),
         "q_rainwater": (q_rainwater, Q_RAINWATER_SQL),
+        "q_markov": (q_markov, Q_MARKOV_SQL),
     }
