@@ -11164,6 +11164,48 @@ GROUP BY prev, event_type
 """
 
 
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation NUMERATORS per user (seasonality
+    screening kept exact): n, sum v, sum v^2, and the lag-1
+    cross-moment sum(v_t * v_{t+1}) over the ts-ordered stream — the
+    correlation itself is a pure function of these integers, computed
+    downstream where floats are acceptable. One keyed shuffle,
+    vectorized shifted product; lag-window twin."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def mom(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        v = (ii[order] * 40503) % 1000
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n": pa.array([len(v)], pa.int64()),
+            "s1": pa.array([int(v.sum())], pa.int64()),
+            "s2": pa.array([int((v * v).sum())], pa.int64()),
+            "cross1": pa.array([int((v[:-1] * v[1:]).sum())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(mom, batch_format="pyarrow")
+
+
+Q_AUTOCORR_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, (event_id * 40503) % 1000 AS v
+  FROM events
+),
+lagged AS (
+  SELECT user_id, v,
+         lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2,
+       CAST(coalesce(SUM(v * nxt), 0) AS BIGINT) AS cross1
+FROM lagged GROUP BY user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -11354,4 +11396,5 @@ def registry():
         "q_lis": (q_lis, Q_LIS_SQL),
         "q_rainwater": (q_rainwater, Q_RAINWATER_SQL),
         "q_markov": (q_markov, Q_MARKOV_SQL),
+        "q_autocorr": (q_autocorr, Q_AUTOCORR_SQL),
     }
