@@ -679,25 +679,26 @@ def _sssp_broadcast(e, seeds_ds, seed_col: str, max_dist: int,
     import ray
     import ray.data
 
-    nodes = np.unique(
-        e.map_batches(
-            lambda b: pa.table({"n": pa.array(np.unique(np.concatenate(
-                [b["u"].to_numpy(zero_copy_only=False),
-                 b["v"].to_numpy(zero_copy_only=False)])))}),
-            batch_format="pyarrow").to_pandas()["n"].to_numpy()
-    ).astype(np.int64)
-    INF = np.int64(1) << 60
-    dist = np.full(len(nodes), INF, np.int64)
     sp = seeds_ds.map_batches(
         lambda b: pa.table({"n": pa.array(np.unique(
             b[seed_col].to_numpy(zero_copy_only=False).astype(np.int64)))}),
         batch_format="pyarrow").to_pandas()["n"].to_numpy().astype(np.int64)
+    # Union seeds into the node universe so an isolated seed (no
+    # incident edges) is still emitted at dist 0, matching the keyed
+    # engine, which returns the initial seed dataset as-is.
+    nodes = np.unique(np.concatenate([
+        e.map_batches(
+            lambda b: pa.table({"n": pa.array(np.unique(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)])))}),
+            batch_format="pyarrow").to_pandas()["n"].to_numpy(),
+        sp])).astype(np.int64)
+    INF = np.int64(1) << 60
+    dist = np.full(len(nodes), INF, np.int64)
     spos = np.searchsorted(nodes, sp)
-    ok = (spos < len(nodes))
-    ok &= nodes[np.minimum(spos, len(nodes) - 1)] == sp
-    dist[spos[ok]] = 0
+    dist[spos] = 0
     frontier = np.zeros(len(nodes), bool)
-    frontier[spos[ok]] = True
+    frontier[spos] = True
 
     for _ in range(max_rounds):
         if not frontier.any():
@@ -1176,7 +1177,11 @@ def dag_longest_path(edges_ds, dur: np.ndarray, src_col: str = "u",
             ui = np.searchsorted(ids, u)
             vi = np.searchsorted(ids, v)
             dv = dur[v]
-            while True:
+            # Bound the local relaxation to len(ids) sweeps (the
+            # longest simple chain): a positive cycle confined to one
+            # block would otherwise spin forever here instead of
+            # reaching the driver's max_rounds RuntimeError.
+            for _ in range(len(ids)):
                 before = cur.copy()
                 np.maximum.at(cur, vi, cur[ui] + dv)
                 if (cur == before).all():

@@ -10978,14 +10978,16 @@ WITH kv AS (
   FROM (SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem)
 ),
 samp AS (
-  SELECT v, row_number() OVER (ORDER BY v) AS r,
-         count(*) OVER () AS ns
+  SELECT list(v ORDER BY v) AS vs, count(*) AS ns
   FROM kv WHERE pid % 101 = 0
 ),
+-- positional split list: one entry per i in 1..15, duplicates KEPT
+-- (rank collisions on a small sample must not dedup — the engine's
+-- splits array always has 15 entries)
 sp AS (
-  SELECT list(v ORDER BY r) AS splits FROM samp
-  WHERE r IN (SELECT greatest(i.range * (SELECT max(ns) FROM samp) // 16, 1)
-              FROM range(1, 16) i)
+  SELECT list_transform(range(1, 16),
+                        i -> vs[greatest((i * ns) // 16, 1)]) AS splits
+  FROM samp
 ),
 asg AS (
   SELECT len(list_filter((SELECT splits FROM sp), s -> s <= kv.v)) AS part,

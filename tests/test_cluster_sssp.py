@@ -247,3 +247,68 @@ def test_sssp_broadcast_equals_grace_engine(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     assert a["node"].tolist() == b["node"].tolist()
     assert a["dist"].tolist() == b["dist"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_isolated_seed_both_engines():
+    """ADVICE r3: a seed with no incident edges must still be emitted
+    at dist 0 by the broadcast engine (it already was by the keyed
+    engine), so results do not change with broadcast_cap."""
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.graph import sssp
+
+    e = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 2], pa.int64()),
+        "v": pa.array([2, 3], pa.int64()),
+        "w": pa.array([1, 1], pa.int64())}))
+    # seed 99 has no incident edges at all
+    seeds = ray.data.from_arrow(pa.table({"node": pa.array([1, 99],
+                                                           pa.int64())}))
+    a = (sssp(e, seeds, max_dist=10, broadcast_cap=10 ** 9).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (sssp(e, seeds, max_dist=10, broadcast_cap=0).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert a["node"].tolist() == [1, 2, 3, 99]
+    assert a["dist"].tolist() == [0, 1, 2, 0]
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["dist"].tolist() == b["dist"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dag_longest_path_cycle_raises():
+    """ADVICE r3: a positive cycle confined to one block must reach
+    the driver's RuntimeError, not spin in the worker's local
+    relaxation loop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.graph import dag_longest_path
+
+    # 0 -> 1 -> 2 -> 0 cycle, all in one block
+    e = ray.data.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([1, 2, 0], pa.int64())}))
+    dur = np.array([1, 1, 1], np.int64)
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_longest_path(e, dur, max_rounds=6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dag_longest_path_acyclic_still_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.graph import dag_longest_path
+
+    # chain 0->1->2->3 plus shortcut 0->2; dur = [2,3,4,5]
+    e = ray.data.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2, 0], pa.int64()),
+        "v": pa.array([1, 2, 3, 2], pa.int64())}))
+    dur = np.array([2, 3, 4, 5], np.int64)
+    got = (dag_longest_path(e, dur).to_pandas()
+           .sort_values("task")["lp"].tolist())
+    assert got == [2, 5, 9, 14]
