@@ -429,17 +429,14 @@ def ivf_partition(emb_ds, centroids: np.ndarray, root: str | None = None,
     no shuffle), giving a STANDING index searches read selectively.
     Returns the layout root."""
     import os
-    import tempfile
     import uuid
 
     import pyarrow.parquet as pq
     import ray
 
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    if root is None:
-        root = tempfile.mkdtemp(prefix="osmray_ivf_")
-        _cleanup_at_exit(root)
+    root = _resolve_spill(root, "ivf")
     cref = ray.put(_norm_rows(np.asarray(centroids, dtype=np.float64)))
 
     def spill(batch: pa.Table) -> pa.Table:

@@ -283,16 +283,14 @@ def _sharded_bucket_pairs(sig_ds, id_col: str, max_bucket: int):
     import glob as _glob
     import logging
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
     import ray.data
 
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
     log = logging.getLogger("osmray.dedup")
-    spill = tempfile.mkdtemp(prefix="osmray_lshshard_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "lshshard")
 
     def spill_shards(batch: pa.Table) -> pa.Table:
         sh = (
@@ -419,7 +417,6 @@ def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
     join — the documents spill bucketed from ``map_batches``, only the
     small pair table shuffles), then each joined row is verified.
     No driver-side id->text materialization anywhere."""
-    import tempfile
 
     from osmray.joins import bucketed_join
 
@@ -444,10 +441,9 @@ def verify_pairs_joined(pairs_ds, docs_ds, text_col="text", id_col="doc_id",
         return f
 
     # the docs spill is built ONCE and probed by both id columns
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    spill = tempfile.mkdtemp(prefix="osmray_verify_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "verify")
     j1 = bucketed_join(pairs_ds, docs, on="a", right_on=id_col, num_buckets=num_buckets,
                        spill_root=spill)
     j1 = j1.map_batches(_rename(text_col, "__text_a"), batch_format="pyarrow").drop_columns(
@@ -534,7 +530,6 @@ def _verify_vector_pairs(pairs_ds, emb_ds, threshold, id_col, vec_col, num_bucke
     """Join each candidate pair's two vectors back (grace hash join —
     vectors spill bucketed, only the pair table shuffles) and keep
     exact cosine >= threshold."""
-    import tempfile
 
     from osmray.joins import bucketed_join
 
@@ -549,10 +544,9 @@ def _verify_vector_pairs(pairs_ds, emb_ds, threshold, id_col, vec_col, num_bucke
         return f
 
     # the vector spill is built ONCE and probed by both id columns
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    spill = tempfile.mkdtemp(prefix="osmray_vverify_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "vverify")
     j1 = bucketed_join(pairs_ds, vecs, on="a", right_on=id_col, num_buckets=num_buckets,
                        spill_root=spill)
     j1 = j1.map_batches(_rename(vec_col, "__vec_a"), batch_format="pyarrow").drop_columns(
@@ -585,15 +579,13 @@ def _embedding_pairs_grid(emb_ds, threshold, id_col, vec_col, n_groups):
     (gi <= gj) cross-matmuls the two spilled groups."""
     import glob
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
     import ray.data
 
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    spill = tempfile.mkdtemp(prefix="osmray_embgrid_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "embgrid")
 
     def spill_groups(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -729,12 +721,11 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     all-pairs popcount cost inside the shard tasks."""
     import glob as _glob
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
     import ray.data
 
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
     n_bands = max_hamming + 1
     base = n_bits // n_bands
@@ -743,8 +734,7 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
     offs = np.concatenate(([0], np.cumsum(widths)[:-1]))
 
     sigs_ds = sigs_ds.select_columns([id_col, sig_col])
-    spill = tempfile.mkdtemp(prefix="osmray_hampairs_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "hampairs")
 
     def spill_shards(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)

@@ -573,7 +573,6 @@ def q_distinct_count(sf_dir: str):
     groupby over every pair."""
     import glob as _glob
     import os
-    import tempfile
     import uuid
 
     import pyarrow.parquet as pq
@@ -581,10 +580,9 @@ def q_distinct_count(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    spill = tempfile.mkdtemp(prefix="osmray_distinct_")
-    _cleanup_at_exit(spill)
+    spill = _resolve_spill(None, "distinct")
     n_buckets = 32
 
     def spill_pairs(batch: pa.Table) -> pa.Table:

@@ -249,13 +249,10 @@ def jaccard_join(docs_ds, id_col: str, toks_col: str,
     uniq = cand.map_batches(local_dedup, batch_format="pyarrow")
 
     # the token-set spill is built ONCE and probed by both pair ids
-    import tempfile
 
-    from osmray.joins import _cleanup_at_exit
+    from osmray.joins import _resolve_spill
 
-    if spill_root is None:
-        spill_root = tempfile.mkdtemp(prefix="osmray_simjoin_")
-        _cleanup_at_exit(spill_root)
+    spill_root = _resolve_spill(spill_root, "simjoin")
     sets = docs_ds.select_columns([id_col, toks_col])
     j1 = bucketed_join(uniq.select_columns(["a", "b"]), sets, on="a",
                        right_on=id_col, num_buckets=num_buckets,

@@ -581,3 +581,26 @@ def test_bm25_topk_ranking_properties(ray_session):
     score = dict(zip(out["doc_id"], out["score_milli"]))
     assert score[0] > score[1]  # two matching terms beat one diluted
     assert score[3] > score[1]  # rarer term out-scores common at same tf/dl
+
+
+def test_spill_default_refuses_multi_node(ray_session, monkeypatch):
+    """r3 verdict #1: dedup/ann/simjoin spill defaults must route
+    through joins._resolve_spill, so a multi-node cluster with no
+    explicit spill_root is refused loudly instead of silently reading
+    empty fragments on remote nodes."""
+    import ray
+
+    import pyarrow as pa
+    import ray.data
+
+    from osmray import dedup
+
+    monkeypatch.setattr(
+        ray, "nodes",
+        lambda: [{"Alive": True, "NodeID": "a"},
+                 {"Alive": True, "NodeID": "b"}])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb cc", "aa bb cc"])}))
+    with pytest.raises(ValueError, match="spill_root"):
+        dedup.minhash_lsh_candidates(ds)
