@@ -41,8 +41,14 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray, level: int = 6) -> bytes:
-    """Encode HWC uint8 (H, W, 3) or (H, W) to PNG bytes (filter 0)."""
+def png_encode(img: np.ndarray, level: int = 6, filt: int = 0) -> bytes:
+    """Encode HWC uint8 (H, W, 3) or (H, W) to PNG bytes.
+
+    ``filt`` 0 (none) or 2 (up, every row): the up filter turns
+    smooth vertical content into near-zero residuals — on the bench
+    imagery it shrinks the deflate-level-1 payload ~3x at the same
+    encode cost, and decode stays vectorized (cumsum fast path in
+    ``_unfilter``)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w = img.shape
@@ -56,7 +62,15 @@ def png_encode(img: np.ndarray, level: int = 6) -> bytes:
         raise ValueError(f"unsupported image shape {img.shape}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     filtered = np.zeros((h, rows.shape[1] + 1), dtype=np.uint8)
-    filtered[:, 1:] = rows
+    if filt == 2:
+        filtered[:, 0] = 2
+        r16 = rows.astype(np.int16)
+        filtered[0, 1:] = rows[0]
+        filtered[1:, 1:] = (r16[1:] - r16[:-1]).astype(np.uint8)
+    elif filt == 0:
+        filtered[:, 1:] = rows
+    else:
+        raise ValueError(f"unsupported PNG filter {filt} (0 or 2)")
     idat = zlib.compress(filtered.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -67,9 +81,13 @@ def _unfilter(filtered: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
     acceptable because engine-written PNGs are filter 0 (pure reshape
     fast path)."""
     ftypes = filtered[:, 0]
-    data = filtered[:, 1:].astype(np.int32)
     if not ftypes.any():
-        return data.astype(np.uint8)
+        return np.ascontiguousarray(filtered[:, 1:])
+    if (ftypes == 2).all():
+        # all-up fast path (what png_encode(filt=2) writes): row-sums
+        # mod 256 == uint32 cumsum truncated to uint8
+        return np.cumsum(filtered[:, 1:], axis=0, dtype=np.uint32).astype(np.uint8)
+    data = filtered[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
         ft = ftypes[y]
@@ -213,9 +231,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
-def encode(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
+def encode(img: np.ndarray, fmt: str, level: int = 6, filt: int = 0) -> bytes:
     if fmt == "png":
-        return png_encode(img, level)
+        return png_encode(img, level, filt=filt)
     if fmt == "raw":
         return raw_encode(img)
     if fmt == "qzl":

@@ -778,28 +778,26 @@ SELECT l_returnflag, pid, h FROM r WHERE rn <= 20
 
 def q_group_median(sf_dir: str):
     """Exact per-group quantiles (median + p90 of l_quantity per
-    returnflag) — discrete quantiles pick an ACTUAL element (index
-    ceil(q*n) - 1 of the sorted run), so both engines agree exactly.
-    Per-group sort happens inside one map_groups task (bounded group
-    count; the huge-group path would be windows.py's range sort)."""
+    returnflag) — discrete quantiles pick an ACTUAL element (rank
+    ceil(q*n) of the sorted run), so both engines agree exactly.
+    Scale path: ``tableops.grouped_order_stats`` (one distributed
+    sort by (flag, qty); interior key-runs resolve in-block, edge
+    runs via O(#blocks) driver offsets) — no task holds a whole
+    group, so a 3-value flag over 100 TB never lands in one sort."""
     import pandas as pd
 
+    from osmray.tableops import grouped_order_stats
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["l_quantity"].to_numpy().astype(np.int64))
-        n = len(v)
-        pick = lambda q: int(v[max(0, int(np.ceil(q * n)) - 1)])
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "median_qty": [pick(0.5)],
-                "p90_qty": [pick(0.9)],
-                "n": [n],
-            }
-        )
-
-    return ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+    st = grouped_order_stats(ds, "l_returnflag", "l_quantity", [50, 90]).to_pandas()
+    wide = st.pivot(index="l_returnflag", columns="p", values="value")
+    n = st.groupby("l_returnflag")["n"].max()
+    return pd.DataFrame({
+        "l_returnflag": wide.index,
+        "median_qty": wide[50].astype(np.int64).to_numpy(),
+        "p90_qty": wide[90].astype(np.int64).to_numpy(),
+        "n": n.loc[wide.index].astype(np.int64).to_numpy(),
+    }).reset_index(drop=True)
 
 
 Q_GROUP_MEDIAN_SQL = """

@@ -424,6 +424,134 @@ def exact_order_stats(ds, col: str, percents: list[int],
     )
 
 
+def grouped_order_stats(ds, key_col: str, col: str, percents: list[int]):
+    """EXACT per-group order statistics (percentile_disc rank
+    ``r = max(1, ceil(n*p/100))`` of an integer column) — the
+    per-group variant of ``exact_order_stats``, same distributed
+    shape: ONE sort by ``[key_col, col]``, then each block resolves
+    the key-runs strictly INTERIOR to it locally (a run bounded by
+    other rows on both sides is a complete group: the global sort
+    makes a key's rows contiguous), while runs touching a block edge
+    (<= 2 per block, so O(#blocks) driver state regardless of group
+    count) get their within-group offsets from a tiny driver pass and
+    emit only the ranks they own. No task ever holds a whole
+    spanning group; no group's raw rows ride through the driver.
+
+    Tie ambiguity: two edge runs of one key sharing (mn, mx, n) must
+    be all-tie ranges (contiguity in the sorted order forces
+    mn == mx), so colliding runs take the UNION span and every
+    ambiguous rank carries the tie value; a final Min groupby
+    collapses the duplicates without affecting values (same argument
+    as ``exact_order_stats``).
+
+    Returns a Dataset of (``key_col``, p, rank, value, n)."""
+    from ray.data.aggregate import Min
+
+    import ray
+
+    sds = ds.sort([key_col, col]).materialize()
+
+    def _ranks(n: int) -> dict:
+        return {p: max(1, -((-n * p) // 100)) for p in percents}
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], batch.schema.field(key_col).type),
+                          "mn": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        kk = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        b = _runs(kk)
+        rows = []
+        for i in (0, len(b) - 2):  # first and last run of the block
+            lo, hi = int(b[i]), int(b[i + 1])
+            rows.append((lo, hi))
+            if len(b) == 2:
+                break  # single-run block: first IS last
+        idx = sorted(set(rows))
+        return pa.table({
+            key_col: pa.array([kk[lo] for lo, _ in idx]),
+            "mn": pa.array([int(v[lo]) for lo, _ in idx], pa.int64()),
+            "mx": pa.array([int(v[hi - 1]) for _, hi in idx], pa.int64()),
+            "n": pa.array([hi - lo for lo, hi in idx], pa.int64()),
+        })
+
+    stats = (
+        sds.map_batches(edge_partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values([key_col, "mn", "mx"], kind="stable")
+    )
+    # per-key offsets: a key's edge runs, ordered by (mn, mx), are its
+    # consecutive sorted slices; colliding signatures take union spans
+    offsets: dict = {}
+    totals: dict = {}
+    for kv, g in stats.groupby(key_col, sort=False):
+        ns = g["n"].to_numpy()
+        offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        totals[kv] = int(ns.sum())
+        for o, (_, r) in zip(offs.tolist(), g.iterrows()):
+            sig = (kv, int(r.mn), int(r.mx), int(r.n))
+            span = (int(o), int(o) + int(r.n))
+            if sig in offsets:
+                prev = offsets[sig]
+                offsets[sig] = (min(prev[0], span[0]), max(prev[1], span[1]))
+            else:
+                offsets[sig] = span
+    off_ref = ray.put((offsets, totals))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key_col).type if len(batch) else pa.int64()
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "p": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        offsets_d, totals_d = ray.get(off_ref)
+        kk = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        b = _runs(kk)
+        out_k, out_p, out_r, out_v, out_n = [], [], [], [], []
+        for i in range(len(b) - 1):
+            lo, hi = int(b[i]), int(b[i + 1])
+            kv = kk[lo]
+            if lo > 0 and hi < len(kk):
+                # interior run == complete group: resolve locally
+                n = hi - lo
+                for p, r in _ranks(n).items():
+                    out_k.append(kv)
+                    out_p.append(p)
+                    out_r.append(r)
+                    out_v.append(int(v[lo + r - 1]))
+                    out_n.append(n)
+                continue
+            o, end = offsets_d[(kv, int(v[lo]), int(v[hi - 1]), hi - lo)]
+            tie_span = end - o != hi - lo
+            n = totals_d[kv]
+            for p, r in _ranks(n).items():
+                if o < r <= end:
+                    out_k.append(kv)
+                    out_p.append(p)
+                    out_r.append(r)
+                    out_v.append(int(v[lo]) if tie_span else int(v[lo + r - o - 1]))
+                    out_n.append(n)
+        return pa.table({key_col: pa.array(out_k, ktype),
+                         "p": pa.array(out_p, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64()),
+                         "value": pa.array(out_v, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    picked = sds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    return picked.groupby([key_col, "p"]).aggregate(
+        Min("rank", alias_name="rank"),
+        Min("value", alias_name="value"),
+        Min("n", alias_name="n"),
+    )
+
+
 def bag_set_ops(a_ds, b_ds, key: str):
     """Multiset INTERSECT ALL / EXCEPT ALL cardinalities per key:
     returns (key, n_int, n_exc) over the distinct keys of side A,

@@ -125,6 +125,34 @@ def test_hamming64():
     np.testing.assert_array_equal(codecs.hamming64(a, b), [0, 64, 2])
 
 
+def test_decode_roundtrip_recompresses_raw_losslessly():
+    import pyarrow as pa
+
+    from osmray import synth
+    from osmray.stages import decode_roundtrip
+
+    t = synth.make_images(8)  # fmt mix includes raw rows
+    out = decode_roundtrip(t)
+    in_fmts = t["fmt"].to_pylist()
+    assert "raw" in in_fmts
+    for i, fmt in enumerate(in_fmts):
+        ofmt = out["fmt"][i].as_py()
+        if fmt == "raw":
+            assert ofmt == "png"
+            assert len(out["bytes"][i].as_py()) < len(t["bytes"][i].as_py()) // 4
+        else:
+            assert ofmt == fmt
+        # decoded pixels bit-exact vs the input for lossless formats
+        if fmt in ("raw", "png"):
+            a = codecs.decode(t["bytes"][i].as_py(), fmt)
+            b = codecs.decode(out["bytes"][i].as_py(), ofmt)
+            np.testing.assert_array_equal(a, b)
+    assert out["psnr_ok"].to_pylist() == [True] * 8
+    # opt-out preserves the storage format
+    keep = decode_roundtrip(t, recompress=False)
+    assert keep["fmt"].to_pylist() == in_fmts
+
+
 def test_decode_roundtrip_resilient_to_corrupt_rows():
     import pyarrow as pa
 
