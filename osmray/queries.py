@@ -815,22 +815,18 @@ def q_mad(sf_dir: str):
     pass 1 computes each group's discrete median (an actual element,
     so integer-exact), pass 2 re-scans with the medians attached and
     takes the discrete median of |x - med|. Medians are one tiny row
-    per group, broadcast into pass 2 (join-back via grace join is the
-    unbounded-group-count path). The SQL twin is percentile_disc over
-    the same join."""
+    per group, broadcast into pass 2. Both passes run through
+    ``tableops.grouped_order_stats`` (distributed sort + in-block
+    interior runs + O(#blocks) edge offsets) so no task ever holds a
+    whole group. The SQL twin is percentile_disc over the same
+    join."""
     import pandas as pd
 
+    from osmray.tableops import grouped_order_stats
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["l_quantity"].to_numpy().astype(np.int64))
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "med": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])]})
-
-    meds = {r["l_returnflag"]: int(r["med"])
-            for _, r in ds.groupby("l_returnflag")
-            .map_groups(med, batch_format="pandas").to_pandas().iterrows()}
+    m1 = grouped_order_stats(ds, "l_returnflag", "l_quantity", [50]).to_pandas()
+    meds = dict(zip(m1["l_returnflag"], m1["value"].astype(int)))
 
     def dev(batch: pa.Table) -> pa.Table:
         q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -839,17 +835,14 @@ def q_mad(sf_dir: str):
         return pa.table({"l_returnflag": batch["l_returnflag"],
                          "dev": pa.array(np.abs(q - m))})
 
-    def mad(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["dev"].to_numpy().astype(np.int64))
-        flag = g["l_returnflag"].iloc[0]
-        return pd.DataFrame({
-            "l_returnflag": [flag],
-            "median_qty": [meds[flag]],
-            "mad_qty": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])],
-            "n": [len(v)]})
-
-    return (ds.map_batches(dev, batch_format="pyarrow")
-            .groupby("l_returnflag").map_groups(mad, batch_format="pandas"))
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    m2 = grouped_order_stats(devs, "l_returnflag", "dev", [50]).to_pandas()
+    return pd.DataFrame({
+        "l_returnflag": m2["l_returnflag"],
+        "median_qty": m2["l_returnflag"].map(meds).astype(np.int64),
+        "mad_qty": m2["value"].astype(np.int64),
+        "n": m2["n"].astype(np.int64),
+    }).reset_index(drop=True)
 
 
 Q_MAD_SQL = """

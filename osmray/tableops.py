@@ -449,6 +449,8 @@ def grouped_order_stats(ds, key_col: str, col: str, percents: list[int]):
 
     import ray
 
+    from osmray.windows import _runs
+
     sds = ds.sort([key_col, col]).materialize()
 
     def _ranks(n: int) -> dict:

@@ -450,3 +450,40 @@ def test_parallelism_independence(ray_session):
     ):
         a, b = runs(op)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_order_stats_multiblock(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from osmray.tableops import grouped_order_stats
+
+    rng = np.random.default_rng(7)
+    # skewed group sizes: one giant spanning group, several small
+    # ones, one all-tie group (exercises the union-span collapse)
+    keys = (["big"] * 5000 + ["s1"] * 7 + ["s2"] * 31 + ["tie"] * 900
+            + ["edge"] * 1)
+    vals = np.concatenate([
+        rng.integers(0, 1000, 5000),
+        rng.integers(0, 50, 7),
+        rng.integers(0, 50, 31),
+        np.full(900, 42),
+        [5],
+    ]).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(17)
+    got = (grouped_order_stats(ds, "k", "v", [50, 90])
+           .to_pandas().sort_values(["k", "p"]).reset_index(drop=True))
+    # brute-force oracle: percentile_disc rank = ceil(p*n/100)
+    rows = []
+    for k, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        for p in (50, 90):
+            r = max(1, -((-n * p) // 100))
+            rows.append((k, p, r, int(v[r - 1]), n))
+    exp = (pd.DataFrame(rows, columns=["k", "p", "rank", "value", "n"])
+           .sort_values(["k", "p"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "p", "rank", "value", "n"]].astype({"p": np.int64}), exp,
+        check_dtype=False)
