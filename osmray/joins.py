@@ -396,27 +396,185 @@ def bucketed_join(left, right, on: str, right_on: str | None = None, num_buckets
     )
 
 
+def _asof_ts_us(col) -> np.ndarray:
+    """Arrow ts column -> exact int64 microseconds."""
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _asof_sorted(both, on: str, ts_col: str, left_cols: list[str],
+                 right_cols: list[str], col_type: dict):
+    """Sorted-scan as-of engine (see ``asof_join``): one distributed
+    sort by (key, ts, right-first), in-block prefix-max matching, and
+    an O(#blocks) driver carry pass for rows before a block's first
+    in-block right row (at most the block-opening key run; all its
+    pending rows share ONE cross-block match because every earlier
+    block's rows — hence every candidate carry — time at or before
+    them)."""
+    import ray
+
+    from osmray.windows import _runs
+
+    # right rows sort BEFORE left rows at equal (key, ts): a state row
+    # stamped at t is visible to an event at t (<= semantics)
+    sds = both.sort([on, ts_col, "__side"],
+                    descending=[False, False, True]).materialize()
+
+    def _pend_and_carry(batch: pa.Table):
+        """(first-run pending prefix bounds, last-run carry index)."""
+        n = len(batch)
+        kk = batch[on].to_numpy(zero_copy_only=False)
+        side = batch["__side"].to_numpy(zero_copy_only=False)
+        b = _runs(kk)
+        # first run: left rows before the run's first right row
+        lo, hi = int(b[0]), int(b[1])
+        rpos = np.flatnonzero(side[lo:hi] == 1)
+        cut = int(rpos[0]) if len(rpos) else hi
+        pend = np.flatnonzero(side[:cut] == 0)
+        # last run: its last right row feeds later blocks of the key
+        llo, lhi = int(b[-2]), int(b[-1])
+        lr = np.flatnonzero(side[llo:lhi] == 1)
+        carry = (llo + int(lr[-1])) if len(lr) else -1
+        return pend, carry
+
+    def edge_scan(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(on).type if len(batch) else pa.int64()
+        cols = {on: pa.array([], ktype), "__ts": pa.array([], pa.int64()),
+                "__kind": pa.array([], pa.int8()),
+                **{c: pa.array([], col_type[c]) for c in right_cols}}
+        if len(batch) == 0:
+            return pa.table(cols)
+        ts = _asof_ts_us(batch[ts_col].combine_chunks())
+        pend, carry = _pend_and_carry(batch)
+        rows_k, rows_t, rows_kind, rows_idx = [], [], [], []
+        if len(pend):
+            rows_k.append(batch[on][int(pend[0])].as_py())
+            rows_t.append(int(ts[int(pend[0])]))
+            rows_kind.append(1)
+            rows_idx.append(None)
+        if carry >= 0:
+            rows_k.append(batch[on][carry].as_py())
+            rows_t.append(int(ts[carry]))
+            rows_kind.append(0)
+            rows_idx.append(carry)
+        out = {on: pa.array(rows_k, ktype),
+               "__ts": pa.array(rows_t, pa.int64()),
+               "__kind": pa.array(rows_kind, pa.int8())}
+        for c in right_cols:
+            out[c] = pa.array(
+                [None if i is None else batch[c][i].as_py() for i in rows_idx],
+                col_type[c])
+        return pa.table(out)
+
+    edges = (sds.map_batches(edge_scan, batch_format="pyarrow",
+                             batch_size=None).to_pandas())
+    # per key: carries sorted by ts; each pending (key, t_min) takes
+    # the max-ts carry <= t_min (value-based, so equal signatures from
+    # different blocks agree by construction)
+    assign: dict = {}
+    if len(edges):
+        carries = edges[edges["__kind"] == 0]
+        pends = edges[edges["__kind"] == 1]
+        by_key: dict = {}
+        for kv, g in carries.groupby(on, sort=False):
+            g = g.sort_values("__ts", kind="stable")
+            by_key[kv] = (g["__ts"].to_numpy(),
+                          [tuple(r[c] for c in right_cols)
+                           for _, r in g.iterrows()])
+        for _, r in pends.iterrows():
+            hit = by_key.get(r[on])
+            if hit is None:
+                continue
+            cts, pays = hit
+            j = int(np.searchsorted(cts, int(r["__ts"]), side="right")) - 1
+            if j >= 0:
+                assign[(r[on], int(r["__ts"]))] = (int(cts[j]), pays[j])
+    assign_ref = ray.put(assign)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            **{c: pa.array([], col_type[c]) for c in left_cols},
+            **{f"state_{c}": pa.array([], col_type[c]) for c in right_cols},
+            "gap_us": pa.array([], pa.int64())})
+        n = len(batch)
+        if n == 0:
+            return empty
+        kk = batch[on].to_numpy(zero_copy_only=False)
+        side = batch["__side"].to_numpy(zero_copy_only=False)
+        ts = _asof_ts_us(batch[ts_col].combine_chunks())
+        b = _runs(kk)
+        run_start = np.repeat(b[:-1], np.diff(b))
+        ridx = np.where(side == 1, np.arange(n), -1)
+        f = np.maximum.accumulate(ridx)
+        valid = (side == 0) & (f >= run_start)
+        li = np.flatnonzero(valid)
+        pieces = []
+        if len(li):
+            lt = batch.take(pa.array(li))
+            rt = batch.take(pa.array(f[li]))
+            cols = {c: lt[c] for c in left_cols}
+            for c in right_cols:
+                cols[f"state_{c}"] = rt[c]
+            cols["gap_us"] = pa.array(ts[li] - ts[f[li]], pa.int64())
+            pieces.append(pa.table(cols))
+        pend, _ = _pend_and_carry(batch)
+        if len(pend):
+            hit = ray.get(assign_ref).get(
+                (batch[on][int(pend[0])].as_py(), int(ts[int(pend[0])])))
+            if hit is not None:
+                cts, pay = hit
+                lt = batch.take(pa.array(pend))
+                cols = {c: lt[c] for c in left_cols}
+                for c, v in zip(right_cols, pay):
+                    cols[f"state_{c}"] = pa.array([v] * len(pend), col_type[c])
+                cols["gap_us"] = pa.array(ts[pend] - cts, pa.int64())
+                pieces.append(pa.table(cols))
+        if not pieces:
+            return empty
+        out = pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+        return out.combine_chunks()
+
+    return sds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
 def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
-              left_cols: list[str] | None = None, right_cols: list[str] | None = None):
+              left_cols: list[str] | None = None, right_cols: list[str] | None = None,
+              engine: str = "auto", max_group_rows: int = 500_000):
     """As-of join (inner, backward): each left row matches the right
     row of the same key with the LARGEST ``ts_col`` <= the left row's
     — the standard event-to-latest-state lookup Ray Data lacks.
 
-    Ray-Data-first: both sides are tagged and unioned, ONE keyed
-    shuffle (``groupby(on)``) co-locates each key, and the per-group
-    merge is a vectorized two-sort + ``np.searchsorted`` — no per-row
-    Python. Right-side columns come back prefixed ``state_``; the
-    match gap is emitted as ``gap_us`` (int64 microseconds, exact).
-    Unmatched left rows (no state row at or before them) are dropped
-    (inner semantics, matching DuckDB's ASOF JOIN).
+    Two engines (two-engine policy, as graph.py):
+
+    - ``grouped`` (bounded keys): both sides tagged and unioned, ONE
+      keyed shuffle (``groupby(on)``) co-locates each key, and the
+      per-group merge is a vectorized two-sort + ``np.searchsorted``.
+      One key's full history must fit one group task.
+    - ``sorted`` (unbounded keys): ONE distributed sort of the tagged
+      union by ``(key, ts, right-first)``; each block then matches
+      its left rows against the nearest preceding in-block right row
+      (vectorized prefix-max), and ONLY the rows before a block's
+      first in-block right match — at most the block-opening key run,
+      whose rows all share one cross-block match — resolve through an
+      O(#blocks) driver carry pass (per-block last-right records).
+      No task ever holds a whole key; a hot key spanning thousands of
+      blocks costs thousands of O(1) carry records, not memory.
+
+    ``engine="auto"`` runs a keys-only per-key count fold (ints only
+    shuffle) and picks ``sorted`` when the hottest key exceeds
+    ``max_group_rows``.
+
+    Right-side columns come back prefixed ``state_``; the match gap
+    is emitted as ``gap_us`` (int64 microseconds, exact). Unmatched
+    left rows (no state row at or before them) are dropped (inner
+    semantics, matching DuckDB's ASOF JOIN).
 
     ``left_cols`` / ``right_cols`` may be asymmetric: each tagged side
     is null-padded to the unified column set before the union, so the
     block schemas always line up. A column named on BOTH sides must
-    have the same Arrow type (checked up front).
-
-    Partitioning assumption: one key's rows fit one group task (the
-    usual keyed-window premise; salt hot keys upstream if not)."""
+    have the same Arrow type (checked up front)."""
     import pandas as pd
 
     def _arrow_schema(ds) -> pa.Schema:
@@ -460,6 +618,27 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
     lt = left.map_batches(tag(0, left_cols), batch_format="pyarrow")
     rt = right.map_batches(tag(1, right_cols), batch_format="pyarrow")
     both = lt.union(rt)
+
+    if engine == "auto":
+        from ray.data.aggregate import Sum
+
+        # keys-only partial count fold: per-block unique+counts, one
+        # tiny keyed Sum, then a driver max — O(distinct keys) ints
+        def partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            vc = pd.Series(batch[on].to_pandas()).value_counts()
+            return pa.table({on: pa.array(vc.index.to_numpy()),
+                             "c": pa.array(vc.to_numpy().astype(np.int64))})
+
+        counts = (both.map_batches(partial, batch_format="pyarrow")
+                  .groupby(on).aggregate(Sum("c", alias_name="c")))
+        mx = counts.max("c")
+        engine = "sorted" if (mx or 0) > max_group_rows else "grouped"
+
+    if engine == "sorted":
+        return _asof_sorted(both, on, ts_col, left_cols, right_cols, col_type)
+    if engine != "grouped":
+        raise ValueError(f"asof_join: unknown engine {engine!r}")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)

@@ -394,3 +394,46 @@ def test_skew_join_matches_grace_join(ray_session):
     got2 = norm(skew_join(left, right, on="k",
                           hot_threshold=10 ** 9).to_pandas())
     assert got2.equals(exp)
+
+
+def test_asof_join_sorted_engine_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osmray.joins import asof_join
+
+    rng = np.random.default_rng(3)
+    # hot key spanning many blocks with sparse rights; keys with no
+    # rights; a right-only key; left-only key 99
+    lk = np.concatenate([np.full(4000, 7), rng.integers(0, 20, 800), [99] * 5])
+    lt = rng.integers(0, 100000, len(lk))
+    left = pd.DataFrame({"user_id": lk, "ts": pd.to_datetime(lt, unit="s"),
+                         "event_id": np.arange(len(lk))})
+    rk = np.concatenate([np.full(6, 7), rng.integers(0, 15, 60), [55] * 3])
+    rt = rng.integers(0, 100000, len(rk))
+    right = pd.DataFrame({"user_id": rk, "ts": pd.to_datetime(rt, unit="s"),
+                          "event_id": 100000 + np.arange(len(rk))})
+    left = left.drop_duplicates(["user_id", "ts"])
+    right = right.drop_duplicates(["user_id", "ts"])
+
+    lds = ray.data.from_pandas(left).repartition(11)
+    rds = ray.data.from_pandas(right).repartition(5)
+    kw = dict(left_cols=["event_id"], right_cols=["event_id"])
+    g = asof_join(lds, rds, engine="grouped", **kw).to_pandas()
+    s = asof_join(lds, rds, engine="sorted", **kw).to_pandas()
+    a = asof_join(lds, rds, engine="auto", max_group_rows=100, **kw).to_pandas()
+    cols = ["event_id", "state_event_id", "gap_us"]
+    for df in (g, s, a):
+        df.sort_values("event_id", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(g[cols], s[cols])
+    pd.testing.assert_frame_equal(g[cols], a[cols])
+    # brute pandas oracle
+    m = (pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                       on="ts", by="user_id", suffixes=("", "_r"))
+         .dropna(subset=["event_id_r"]).sort_values("event_id")
+         .reset_index(drop=True))
+    assert len(m) == len(g)
+    assert (m["event_id_r"].astype(np.int64).to_numpy()
+            == g["state_event_id"].to_numpy()).all()
