@@ -575,7 +575,6 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
     is null-padded to the unified column set before the union, so the
     block schemas always line up. A column named on BOTH sides must
     have the same Arrow type (checked up front)."""
-    import pandas as pd
 
     def _arrow_schema(ds) -> pa.Schema:
         base = ds.schema(fetch_if_missing=True).base_schema
@@ -640,19 +639,21 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
     if engine != "grouped":
         raise ValueError(f"asof_join: unknown engine {engine!r}")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
-        side = g["__side"].to_numpy()
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow-native: take() preserves the declared column types, so
+        # the pandas null-padding widen (int64 -> float64) can't happen
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        side = g["__side"].to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
         if len(li) == 0 or len(ri) == 0:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    **{c: pd.Series(dtype=col_type[c].to_pandas_dtype())
-                       for c in left_cols},
-                    **{f"state_{c}": pd.Series(dtype=col_type[c].to_pandas_dtype())
+                    **{c: pa.array([], type=col_type[c]) for c in left_cols},
+                    **{f"state_{c}": pa.array([], type=col_type[c])
                        for c in right_cols},
-                    "gap_us": pd.Series(dtype=np.int64),
+                    "gap_us": pa.array([], type=pa.int64()),
                 }
             )
         rorder = ri[np.argsort(ts[ri], kind="stable")]
@@ -661,22 +662,14 @@ def asof_join(left, right, on: str = "user_id", ts_col: str = "ts",
         ok = idx >= 0
         lm = li[ok]
         rm = rorder[idx[ok]]
-
-        def vals(c: str, rows: np.ndarray) -> np.ndarray:
-            # null-padding the other side's rows can widen e.g. int64
-            # to float64 in pandas; the selected rows are all non-null
-            # by construction, so cast back to the declared type
-            v = g[c].to_numpy()[rows]
-            want = np.dtype(col_type[c].to_pandas_dtype())
-            return v.astype(want) if v.dtype != want else v
-
-        out = {c: vals(c, lm) for c in left_cols}
+        lmi, rmi = pa.array(lm), pa.array(rm)
+        out = {c: g[c].take(lmi) for c in left_cols}
         for c in right_cols:
-            out[f"state_{c}"] = vals(c, rm)
-        out["gap_us"] = ts[lm] - ts[rm]
-        return pd.DataFrame(out)
+            out[f"state_{c}"] = g[c].take(rmi)
+        out["gap_us"] = pa.array(ts[lm] - ts[rm], type=pa.int64())
+        return pa.table(out)
 
-    return both.groupby(on).map_groups(merge, batch_format="pandas")
+    return both.groupby(on).map_groups(merge, batch_format="pyarrow")
 
 
 def bloom_semi_join(left, right, on: str, right_on: str | None = None,

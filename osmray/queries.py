@@ -735,7 +735,7 @@ def q_stratified_sample(sf_dir: str):
     PER GROUP (returnflag), ranked by a salted hash of the row key —
     the per-group analogue of q_sample_hash (no RNG, rerun-stable,
     one keyed shuffle of key+hash rows only)."""
-    import pandas as pd
+    import pyarrow.compute as pc
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
 
@@ -750,14 +750,15 @@ def q_stratified_sample(sf_dir: str):
             }
         )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h", "pid"]).head(20)
-        return g[["l_returnflag", "pid", "h"]]
+    def pick(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), ("pid", "ascending")])
+        return g.take(idx[:20]).select(["l_returnflag", "pid", "h"])
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("l_returnflag")
-        .map_groups(pick, batch_format="pandas")
+        .map_groups(pick, batch_format="pyarrow")
     )
 
 
@@ -1273,19 +1274,21 @@ def q_sessionize(sf_dir: str):
 
 def sessionize_groups(ds):
     """map_groups reference twin of windows.sessionize_sorted."""
-    import pandas as pd
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].astype("int64").to_numpy() // 1_000_000
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
         us.sort()
-        new_sess = np.ones(len(us), dtype=np.int64)
-        new_sess[1:] = (np.diff(us) > 1800).astype(np.int64)
-        return pd.DataFrame(
-            [{"user_id": int(g["user_id"].iloc[0]), "n_sessions": int(new_sess.sum()),
-              "n_events": len(us)}]
+        n_sessions = 1 + int((np.diff(us) > 1800).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(us)], pa.int64()),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
 _SCD2_SENTINEL = 32503680000000000  # year ~3000 in microseconds
@@ -1517,17 +1520,27 @@ def q_running_sum(sf_dir: str):
 
 def running_sum_groups(ds):
     """map_groups reference twin of windows.running_sum_sorted."""
-    import pandas as pd
+    import pyarrow.compute as pc
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        g["running_cents"] = np.cumsum(cents)
-        g["row_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        out = g.head(3)[["event_id", "user_id", "row_n", "running_cents"]].copy()
-        return out
+    def per_user(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = g.take(idx)
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        run = np.cumsum(cents)
+        n = min(3, len(g))
+        return pa.table(
+            {
+                "event_id": g["event_id"].slice(0, n),
+                "user_id": g["user_id"].slice(0, n),
+                "row_n": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "running_cents": pa.array(run[:n], pa.int64()),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
 Q_RUNNING_SUM_SQL = """
