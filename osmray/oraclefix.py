@@ -21,8 +21,8 @@ Construction rules (why the SQL twin is bit-exact):
   are oracle-checked, not just row-counted.
 - One image per canvas tile (the realistic shape: tile images ARE the
   table rows), so the first-writer dedup is deterministic without
-  reproducing crc32 in SQL; the hash-split ``split`` column is the one
-  output the SQL twin does not check in the label job (crc32-based).
+  reproducing crc32 in SQL; the ``split`` column is a tile-key hash64
+  at seed+1, so the train/valid assignment also replays bit-exactly.
 """
 
 from __future__ import annotations

@@ -605,7 +605,11 @@ def make_label_winners(win_ref, pos_ref, cfg: LabelJobConfig):
         k2 = key[cand][keep]
         is_pos = np.isin(k2, ray.get(pos_ref))
         lab = np.where(is_pos, pos_label, neg_label)
-        hs = hash_str(sel["image_id"], seed + 1)
+        # tile-key splitmix64 split (seed+1): the same hash64 family as
+        # the sampling passes, so the split column replays bit-exactly
+        # in the SQL oracle (queries.hash64_ctes) — the crc32 string
+        # hash it replaces had no DuckDB twin
+        hs = hash64(k2, seed + 1)
         split = np.where(
             (hs.astype(np.uint64) % np.uint64(1000)) < np.uint64(int(train_frac * 1000)),
             "train",

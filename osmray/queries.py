@@ -2889,10 +2889,10 @@ def q_image_label_job(sf_dir: str):
     painter (way strokes + sampled-lamp dots), complement negative
     sampling, the label semi/anti join, per-tile 256x256 mask
     rasterization (checked as exact popcounts), decode->re-encode
-    roundtrip (checked as decoded-pixel sums + psnr/phash gates) and
-    the cell/partition key derivations. The crc32-based ``split``
-    column is the one output not SQL-checkable (no crc32 in DuckDB);
-    it stays pytest-locked."""
+    roundtrip (checked as decoded-pixel sums + psnr/phash gates), the
+    cell/partition key derivations, and the tile-key hash64 train/valid
+    split (seed+1, replayed via hash64_ctes — closing the last
+    un-oracled flagship output)."""
     from osmray import codecs, oraclefix, pipeline
 
     images, feats = oraclefix.load()
@@ -2916,6 +2916,7 @@ def q_image_label_job(sf_dir: str):
                 "cell": batch["cell"],
                 "part_id": batch["part_id"],
                 "label": batch["label"],
+                "split": batch["split"],
                 "caption": batch["caption"],
                 "phash": batch["phash"],
                 "pix_sum": pa.array(pix, pa.int64()),
@@ -2951,6 +2952,13 @@ freek AS (SELECT u, v,
 negs AS (SELECT u, v FROM nh5 ORDER BY h, key LIMIT 200),
 labeled AS (SELECT u, v, 'lamp' AS label FROM pos
             UNION ALL SELECT u, v, 'nolamp' FROM negs),
+{hash64_ctes('sh', 'labeled', 'u, v, label',
+             '19*288230376151711744 + (290000 + u + 268435456)*536870912'
+             ' + (170000 + v + 268435456)', 43)},
+spl AS (SELECT u, v, label,
+  CASE WHEN (CAST(h AS HUGEINT)
+             + CASE WHEN h < 0 THEN 18446744073709551616 ELSE 0 END) % 1000 < 800
+       THEN 'train' ELSE 'valid' END AS split FROM sh5),
 npx AS (SELECT c.u, c.v, n.rxn + 256*n.ryn AS pxl
         FROM nd n JOIN labeled c ON c.u = n.un AND c.v = n.vn),
 wpx AS (SELECT c.u, c.v, (xs.x - 256*c.u) + 256*(128 + yy.range) AS pxl
@@ -2969,13 +2977,13 @@ SELECT
     + ((170000 + l.v) // 128) AS cell,
   15*288230376151711744 + (((290000 + l.u) // 16) % 32768)*536870912
     + ((170000 + l.v) // 16) AS part_id,
-  l.label,
+  l.label, l.split,
   'cap ' || (290000 + l.u) || ' ' || (170000 + l.v) AS caption,
   i.ph AS phash, i.pix_sum,
   COALESCE(mp.mask_pop, 0) AS mask_pop,
   COALESCE(mp.mask_pop, 0) > 0 AS mask_any,
   true AS psnr_ok, true AS phash_ok, true AS decode_ok
-FROM labeled l
+FROM spl l
 JOIN imgp i USING (u, v)
 LEFT JOIN mp USING (u, v)
 """
@@ -3355,10 +3363,10 @@ def q_buildings_label_job(sf_dir: str):
     painter drawing width-1 CLOSED OUTLINES of every building polygon
     (make_buildings.py:52-59; the oracle polygons are axis-aligned
     rectangles, so the outline tile set is the exact perimeter),
-    complement negative sampling, yes/no labels, and the
-    decode->re-encode roundtrip (decoded-pixel sums + psnr/phash
-    gates). The crc32-based ``split`` column stays pytest-locked
-    (tests/test_buildings.py), as in q_image_label_job."""
+    complement negative sampling, yes/no labels, the decode->re-encode
+    roundtrip (decoded-pixel sums + psnr/phash gates), and the tile-key
+    hash64 train/valid split (seed+1, replayed via hash64_ctes), as in
+    q_image_label_job."""
     import dataclasses
 
     from osmray import codecs, oraclefix, pipeline
@@ -3381,6 +3389,7 @@ def q_buildings_label_job(sf_dir: str):
                 "cell": batch["cell"],
                 "part_id": batch["part_id"],
                 "label": batch["label"],
+                "split": batch["split"],
                 "caption": batch["caption"],
                 "phash": batch["phash"],
                 "pix_sum": pa.array(pix, pa.int64()),
@@ -3438,7 +3447,14 @@ freek AS (SELECT u, v,
 {hash64_ctes('nh', 'freek', 'u, v, key', 'key', 42)},
 negs AS (SELECT u, v FROM nh5 ORDER BY h, key LIMIT 200),
 labeled AS (SELECT u, v, 'yes' AS label FROM pos
-            UNION ALL SELECT u, v, 'no' FROM negs)
+            UNION ALL SELECT u, v, 'no' FROM negs),
+{hash64_ctes('sh', 'labeled', 'u, v, label',
+             '19*288230376151711744 + (290000 + u + 268435456)*536870912'
+             ' + (170000 + v + 268435456)', 43)},
+spl AS (SELECT u, v, label,
+  CASE WHEN (CAST(h AS HUGEINT)
+             + CASE WHEN h < 0 THEN 18446744073709551616 ELSE 0 END) % 1000 < 800
+       THEN 'train' ELSE 'valid' END AS split FROM sh5)
 SELECT
   'im' || CAST(10000 + l.v*100 + l.u AS VARCHAR) AS image_id,
   290000 + l.u AS tx, 170000 + l.v AS ty,
@@ -3448,11 +3464,11 @@ SELECT
     + ((170000 + l.v) // 128) AS cell,
   15*288230376151711744 + (((290000 + l.u) // 16) % 32768)*536870912
     + ((170000 + l.v) // 16) AS part_id,
-  l.label,
+  l.label, l.split,
   'cap ' || (290000 + l.u) || ' ' || (170000 + l.v) AS caption,
   i.ph AS phash, i.pix_sum,
   true AS psnr_ok, true AS phash_ok, true AS decode_ok
-FROM labeled l
+FROM spl l
 JOIN imgp i USING (u, v)
 """
 
