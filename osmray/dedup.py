@@ -699,7 +699,8 @@ SIMHASH_BITS = 62
 
 
 def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
-                  sig_col: str = "simhash", n_bits: int = 62):
+                  sig_col: str = "simhash", n_bits: int = 62,
+                  max_pairs_per_shard: int | None = None):
     """EXACT hamming near-dup pairs over ANY precomputed int64
     signature column (simhash, image phash, ...) by pigeonhole
     multi-index banding.
@@ -718,7 +719,12 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
 
     No bucket-size cap: dropping a hot bucket would break exactness.
     A corpus of near-identical items degenerates to its honest
-    all-pairs popcount cost inside the shard tasks."""
+    all-pairs popcount cost inside the shard tasks. For such
+    pathological corpora ``max_pairs_per_shard`` is a LOUD guard, not
+    a silent drop: when any shard's candidate-pair count would exceed
+    it, the task raises with a skew diagnosis (shard, hottest
+    band/bucket run, projected pair count) instead of grinding —
+    exactness is never traded for progress."""
     import glob as _glob
     import os
 
@@ -779,6 +785,7 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
 
     def pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_h = [], [], []
+        cand_pairs = 0
         for sh in batch["s"].to_pylist():
             files = sorted(_glob.glob(os.path.join(spill, f"s={sh}", "block-*.parquet")))
             if not files:
@@ -802,6 +809,18 @@ def hamming_pairs(sigs_ds, max_hamming: int = 4, id_col: str = "doc_id",
                 rid, rsig = rid[keep], rsig[keep]
                 if len(rid) < 2:
                     continue
+                m = len(rid)
+                cand_pairs += m * (m - 1) // 2
+                if max_pairs_per_shard is not None and cand_pairs > max_pairs_per_shard:
+                    raise RuntimeError(
+                        f"hamming_pairs: shard {sh} exceeds max_pairs_per_shard="
+                        f"{max_pairs_per_shard} (>= {cand_pairs} candidate pairs; "
+                        f"hottest run band={int(band[st])} bucket={int(bucket[st])} "
+                        f"holds {m} distinct ids). The corpus is degenerate for "
+                        f"banded hamming (near-identical signatures collapse into "
+                        f"one bucket): dedup exact-equal signatures first, raise "
+                        f"the cap, or accept the all-pairs cost with cap=None."
+                    )
                 ai, bi = np.triu_indices(len(rid), k=1)
                 h = _popcount64(rsig[ai] ^ rsig[bi])
                 ok = h <= max_hamming

@@ -604,3 +604,27 @@ def test_spill_default_refuses_multi_node(ray_session, monkeypatch):
         "text": pa.array(["aa bb cc", "aa bb cc"])}))
     with pytest.raises(ValueError, match="spill_root"):
         dedup.minhash_lsh_candidates(ds)
+
+
+def test_hamming_pairs_loud_skew_guard(ray_session):
+    """max_pairs_per_shard is a LOUD guard: a degenerate corpus of
+    identical signatures raises with a skew diagnosis instead of
+    grinding; a generous cap returns the exact (uncapped) result."""
+    import pytest
+    import ray.data
+
+    from osmray import dedup
+
+    n = 60  # all-identical sigs -> one bucket run of 60 -> 1770 pairs
+    ds = ray.data.from_items(
+        [{"doc_id": int(i), "simhash": 12345} for i in range(n)]
+    ).repartition(2)
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="max_pairs_per_shard"):
+        dedup.hamming_pairs(ds, max_hamming=2, max_pairs_per_shard=100).count()
+
+    got = dedup.hamming_pairs(
+        ds, max_hamming=2, max_pairs_per_shard=10_000
+    ).to_pandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["hamming"] == 0).all()
