@@ -1079,3 +1079,123 @@ STAGES.update({
     "seam": _seam,
     "moving_median": _moving_median,
 })
+
+
+def _pip_cell_join(p: dict) -> Stage:
+    """{"op": "pip_cell_join", "polys_path": glob, "cell_shift": 12?,
+    "num_buckets": 64?} — left = (qid, px, py) points stream; the
+    polys parquet holds (pid, xs, ys) ring-vertex list columns. The
+    large-x-large PIP regime (joins.pip_cell_join)."""
+    import ray.data
+
+    from osmray.joins import pip_cell_join
+
+    def s(ds):
+        polys = ray.data.read_parquet(
+            sorted(_glob.glob(p["polys_path"])), columns=p.get("polys_columns"))
+        return pip_cell_join(ds, polys,
+                             cell_shift=int(p.get("cell_shift", 12)),
+                             num_buckets=int(p.get("num_buckets", 64)))
+
+    return s
+
+
+def _segment_intersection_join(p: dict) -> Stage:
+    """{"op": "segment_intersection_join", "right_path": glob,
+    "cell_shift": 8?} — left/right = (id, x1, y1, x2, y2) segments."""
+    import ray.data
+
+    from osmray.joins import segment_intersection_join
+
+    def s(ds):
+        right = ray.data.read_parquet(
+            sorted(_glob.glob(p["right_path"])), columns=p.get("right_columns"))
+        return segment_intersection_join(
+            ds, right, cell_shift=int(p.get("cell_shift", 8)),
+            num_buckets=int(p.get("num_buckets", 64)))
+
+    return s
+
+
+def _skew_join(p: dict) -> Stage:
+    """{"op": "skew_join", "right_path": glob, "on": col,
+    "right_on": col?, "hot_threshold": 100000?} — zipfian-key inner
+    join: hot keys broadcast, cold remainder takes the grace path."""
+    import ray.data
+
+    from osmray.joins import skew_join
+
+    def s(ds):
+        right = ray.data.read_parquet(
+            sorted(_glob.glob(p["right_path"])), columns=p.get("right_columns"))
+        return skew_join(ds, right, on=p["on"], right_on=p.get("right_on"),
+                         hot_threshold=int(p.get("hot_threshold", 100_000)),
+                         num_buckets=int(p.get("num_buckets", 64)))
+
+    return s
+
+
+def _bloom_semi_join(p: dict) -> Stage:
+    """{"op": "bloom_semi_join", "right_path": glob, "on": col,
+    "right_on": col?} — Bloom-prefiltered large-x-large semi join."""
+    import ray.data
+
+    from osmray.joins import bloom_semi_join
+
+    def s(ds):
+        right = ray.data.read_parquet(
+            sorted(_glob.glob(p["right_path"])), columns=p.get("right_columns"))
+        return bloom_semi_join(ds, right, on=p["on"],
+                               right_on=p.get("right_on"),
+                               num_buckets=int(p.get("num_buckets", 64)))
+
+    return s
+
+
+def _kmv(p: dict) -> Stage:
+    """{"op": "kmv", "col": value_col, "k": 256?} — bottom-k distinct
+    sketch (rank, h, est_distinct)."""
+    from osmray.sketch import kmv_bottom_k
+
+    return lambda ds: kmv_bottom_k(ds, p["col"], k=int(p.get("k", 256)))
+
+
+def _count_min(p: dict) -> Stage:
+    """{"op": "count_min", "col": value_col, "depth": 4?, "width":
+    1024?} — mergeable Count-Min frequency sketch (d, col, n)."""
+    from osmray.sketch import count_min
+
+    return lambda ds: count_min(ds, p["col"], depth=int(p.get("depth", 4)),
+                                width=int(p.get("width", 1024)))
+
+
+def _order_stats(p: dict) -> Stage:
+    """{"op": "order_stats", "col": int_col, "percents": [50, 90,
+    99]} — EXACT global percentiles by distributed sort + rank
+    offsets (tableops.exact_order_stats)."""
+    from osmray.tableops import exact_order_stats
+
+    return lambda ds: exact_order_stats(
+        ds, p["col"], [int(x) for x in p["percents"]])
+
+
+def _grouped_order_stats(p: dict) -> Stage:
+    """{"op": "grouped_order_stats", "key": key_col, "col": int_col,
+    "percents": [50]} — EXACT per-group percentiles; no task holds a
+    whole spanning group (tableops.grouped_order_stats)."""
+    from osmray.tableops import grouped_order_stats
+
+    return lambda ds: grouped_order_stats(
+        ds, p["key"], p["col"], [int(x) for x in p["percents"]])
+
+
+STAGES.update({
+    "pip_cell_join": _pip_cell_join,
+    "segment_intersection_join": _segment_intersection_join,
+    "skew_join": _skew_join,
+    "bloom_semi_join": _bloom_semi_join,
+    "kmv": _kmv,
+    "count_min": _count_min,
+    "order_stats": _order_stats,
+    "grouped_order_stats": _grouped_order_stats,
+})

@@ -287,3 +287,123 @@ def test_declarative_session8_steps(ray_session):
         w = sorted(xs[max(0, i - 2):i + 1])
         exp.append(2 * w[len(w) // 2] if len(w) % 2 else w[0] + w[1])
     assert g1 == exp
+
+
+def test_declarative_round4_steps(ray_session, tmp_path):
+    """Round-4 step wave (spatial joins, sketches, order-stats): each
+    spec equals the direct kernel call on the same inputs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import joins, sketch, tableops
+    from osmray.pipelines import run_pipeline
+
+    rng = np.random.RandomState(11)
+
+    def rp(name: str, t: pa.Table) -> str:
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(t, path)
+        return path
+
+    def norm(df, by):
+        return df.sort_values(by).reset_index(drop=True)
+
+    # --- order_stats / grouped_order_stats
+    vals = pa.table({"k": pa.array(rng.randint(0, 5, 500), pa.int64()),
+                     "x": pa.array(rng.randint(0, 10_000, 500), pa.int64())})
+    vp = rp("vals", vals)
+    got = run_pipeline([{"op": "read_parquet", "path": vp},
+                        {"op": "order_stats", "col": "x",
+                         "percents": [50, 90, 99]}]).to_pandas()
+    want = tableops.exact_order_stats(
+        ray.data.read_parquet(vp), "x", [50, 90, 99]).to_pandas()
+    assert norm(got, list(got.columns)).equals(norm(want, list(got.columns)))
+
+    gg = run_pipeline([{"op": "read_parquet", "path": vp},
+                       {"op": "grouped_order_stats", "key": "k", "col": "x",
+                        "percents": [50]}]).to_pandas()
+    gw = tableops.grouped_order_stats(
+        ray.data.read_parquet(vp), "k", "x", [50]).to_pandas()
+    assert norm(gg, list(gg.columns)).equals(norm(gw, list(gg.columns)))
+
+    # --- kmv / count_min
+    got = run_pipeline([{"op": "read_parquet", "path": vp},
+                        {"op": "kmv", "col": "x", "k": 64}]).to_pandas()
+    want = sketch.kmv_bottom_k(
+        ray.data.read_parquet(vp), "x", k=64).to_pandas()
+    assert norm(got, ["rank"]).equals(norm(want, ["rank"]))
+
+    got = run_pipeline([{"op": "read_parquet", "path": vp},
+                        {"op": "count_min", "col": "x", "depth": 2,
+                         "width": 128}]).to_pandas()
+    want = sketch.count_min(
+        ray.data.read_parquet(vp), "x", depth=2, width=128).to_pandas()
+    assert norm(got, ["d", "col"]).equals(norm(want, ["d", "col"]))
+
+    # --- skew_join / bloom_semi_join
+    left = pa.table({"k": pa.array(np.concatenate(
+        [np.zeros(150, np.int64), rng.randint(1, 30, 100)])),
+        "lv": pa.array(np.arange(250), pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(0, 30), pa.int64()),
+                      "rv": pa.array(np.arange(0, 30) * 7, pa.int64())})
+    lp, rpth = rp("l", left), rp("r", right)
+    got = run_pipeline([{"op": "read_parquet", "path": lp},
+                        {"op": "skew_join", "right_path": rpth, "on": "k",
+                         "hot_threshold": 50}]).to_pandas()
+    want = joins.bucketed_join(ray.data.read_parquet(lp),
+                               ray.data.read_parquet(rpth), on="k").to_pandas()
+    cols = sorted(got.columns)
+    assert norm(got[cols], cols).equals(norm(want[cols], cols))
+
+    got = run_pipeline([{"op": "read_parquet", "path": lp},
+                        {"op": "bloom_semi_join", "right_path": rpth,
+                         "on": "k"}]).to_pandas()
+    want = joins.bucketed_join(ray.data.read_parquet(lp),
+                               ray.data.read_parquet(rpth), on="k",
+                               how="semi").to_pandas()
+    cols = sorted(got.columns)
+    assert norm(got[cols], cols).equals(norm(want[cols], cols))
+
+    # --- pip_cell_join: rectangles as rings
+    pts = pa.table({"qid": pa.array(np.arange(80), pa.int64()),
+                    "px": pa.array(rng.uniform(0, 100, 80)),
+                    "py": pa.array(rng.uniform(0, 100, 80))})
+    x0 = rng.uniform(0, 80, 12); y0 = rng.uniform(0, 80, 12)
+    w = rng.uniform(5, 20, 12); h = rng.uniform(5, 20, 12)
+    polys = pa.table({
+        "pid": pa.array(np.arange(12), pa.int64()),
+        "xs": pa.array([[a, a + b, a + b, a] for a, b in zip(x0, w)],
+                       pa.list_(pa.float64())),
+        "ys": pa.array([[c, c, c + d, c + d] for c, d in zip(y0, h)],
+                       pa.list_(pa.float64()))})
+    pp, gp = rp("pts", pts), rp("polys", polys)
+    got = run_pipeline([{"op": "read_parquet", "path": pp},
+                        {"op": "pip_cell_join", "polys_path": gp,
+                         "cell_shift": 5}]).to_pandas()
+    want = joins.pip_cell_join(ray.data.read_parquet(pp),
+                               ray.data.read_parquet(gp),
+                               cell_shift=5).to_pandas()
+    assert norm(got, ["qid", "pid"]).equals(norm(want, ["qid", "pid"]))
+    assert len(got) > 0
+
+    # --- segment_intersection_join
+    seg_a = pa.table({"id": pa.array(np.arange(40), pa.int64()),
+                      "x1": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "y1": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "x2": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "y2": pa.array(rng.randint(0, 500, 40), pa.int64())})
+    seg_b = pa.table({"id": pa.array(np.arange(40), pa.int64()),
+                      "x1": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "y1": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "x2": pa.array(rng.randint(0, 500, 40), pa.int64()),
+                      "y2": pa.array(rng.randint(0, 500, 40), pa.int64())})
+    sa, sb = rp("sa", seg_a), rp("sb", seg_b)
+    got = run_pipeline([{"op": "read_parquet", "path": sa},
+                        {"op": "segment_intersection_join",
+                         "right_path": sb}]).to_pandas()
+    want = joins.segment_intersection_join(
+        ray.data.read_parquet(sa), ray.data.read_parquet(sb)).to_pandas()
+    assert norm(got, ["a_id", "b_id"]).equals(norm(want, ["a_id", "b_id"]))
+    assert len(got) > 0
