@@ -11226,6 +11226,293 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_terrain(sf_dir: str):
+    """Terrain analysis over the sparse integer cell DEM — the GIS
+    slope/aspect shape (Horn-style 3x3 gradient): per-block per-cell
+    elevation partials SCATTER signed Horn weights to their 8
+    neighbors (the gradient is linear in z, so block partials sum
+    exactly — no pre-fold needed), and ONE sorted-scan fold sums
+    gx/gy per receiving cell. Aspect is the trig-free 8-octant
+    quantization: integer comparisons only, identical CASE-priority
+    chain in the SQL twin, so the result is bit-exact."""
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cx = (p["m1"] >> 18).astype(np.int64)
+        cy = (p["m2"] >> 18).astype(np.int64)
+        v = (p["pid"] % 1000).astype(np.int64)
+        key = cx * 4096 + cy
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "cell0": pa.array(u),
+            "z": pa.array(np.bincount(inv, weights=v, minlength=len(u))
+                          .astype(np.int64))})
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        u = batch["cell0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ucx, ucy = u // 4096, u % 4096
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gxw = 0 if dx == 0 else (1 if dx > 0 else -1) * (2 if dy == 0 else 1)
+                gyw = 0 if dy == 0 else (1 if dy > 0 else -1) * (2 if dx == 0 else 1)
+                outs.append(pa.table({
+                    "cell": pa.array((ucx - dx) * 8192 + (ucy - dy) + 4096),
+                    "gx": pa.array(gxw * z), "gy": pa.array(gyw * z)}))
+        return pa.concat_tables(outs)
+
+    folded = sorted_fold_sums(
+        ds.map_batches(per_cell, batch_format="pyarrow")
+          .map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["gx", "gy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = batch["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = batch["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax, ay = np.abs(gx), np.abs(gy)
+        # priority chain == the twin's CASE order
+        aspect = np.select(
+            [(gx == 0) & (gy == 0), ax >= 2 * ay, ay >= 2 * ax,
+             (gx > 0) & (gy > 0), (gx < 0) & (gy > 0), (gx < 0) & (gy < 0)],
+            [np.full_like(gx, -1), np.where(gx > 0, 0, 4),
+             np.where(gy > 0, 2, 6), np.full_like(gx, 1),
+             np.full_like(gx, 3), np.full_like(gx, 5)],
+            default=7).astype(np.int64)
+        return pa.table({
+            "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
+            "gx": pa.array(gx), "gy": pa.array(gy),
+            "slope_l1": pa.array(ax + ay), "aspect": pa.array(aspect)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+Q_TERRAIN_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                         (SELECT unnest([-1, 0, 1]) AS dy) b
+      WHERE NOT (dx = 0 AND dy = 0)),
+g AS (
+  SELECT c.cx - d.dx AS cx, c.cy - d.dy AS cy,
+    sum(CASE WHEN d.dx = 0 THEN 0
+             ELSE (CASE WHEN d.dx > 0 THEN 1 ELSE -1 END)
+                  * (CASE WHEN d.dy = 0 THEN 2 ELSE 1 END) * c.z END) AS gx,
+    sum(CASE WHEN d.dy = 0 THEN 0
+             ELSE (CASE WHEN d.dy > 0 THEN 1 ELSE -1 END)
+                  * (CASE WHEN d.dx = 0 THEN 2 ELSE 1 END) * c.z END) AS gy
+  FROM c, d GROUP BY 1, 2
+)
+SELECT cx, cy, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+  CAST(abs(gx) + abs(gy) AS BIGINT) AS slope_l1,
+  CAST(CASE WHEN gx = 0 AND gy = 0 THEN -1
+    WHEN abs(gx) >= 2 * abs(gy) THEN CASE WHEN gx > 0 THEN 0 ELSE 4 END
+    WHEN abs(gy) >= 2 * abs(gx) THEN CASE WHEN gy > 0 THEN 2 ELSE 6 END
+    WHEN gx > 0 AND gy > 0 THEN 1
+    WHEN gx < 0 AND gy > 0 THEN 3
+    WHEN gx < 0 AND gy < 0 THEN 5
+    ELSE 7 END AS BIGINT) AS aspect
+FROM g
+"""
+
+
+_D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def q_d8_flow(sf_dir: str):
+    """D8 flow direction — the hydrology primitive over the same
+    sparse cell DEM: each cell drains to its lowest EXISTING 8-
+    neighbor if that neighbor is strictly lower (ties between equal
+    neighbors break to the smallest direction code; a flat or pit
+    cell is a sink, flow_dir = -1). Unlike the gradient, argmin is
+    NOT additive over partials, so elevations first total through one
+    sorted-scan sum fold; totals then scatter (z*16 + code) candidates
+    to their neighbors plus a (z*16 + 0) self row — the self row wins
+    exact-z ties, which IS the strictly-lower rule — and a second
+    sorted-scan MIN fold picks the winner; receivers without a self
+    row (phantom cells named only by neighbors) drop out via a
+    max-fold presence flag."""
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        cx = (p["m1"] >> 18).astype(np.int64)
+        cy = (p["m2"] >> 18).astype(np.int64)
+        v = (p["pid"] % 1000).astype(np.int64)
+        key = cx * 8192 + cy + 4096
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "cell": pa.array(u),
+            "z": pa.array(np.bincount(inv, weights=v, minlength=len(u))
+                          .astype(np.int64))})
+
+    totals = sorted_fold_sums(
+        ds.map_batches(per_cell, batch_format="pyarrow"), "cell", ["z"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c // 8192, c % 8192 - 4096
+        outs = [pa.table({"cell": pa.array(c), "packed": pa.array(z * 16),
+                          "selfflag": pa.array(np.ones_like(z))})]
+        for code, (dx, dy) in enumerate(_D8_DIRS, start=1):
+            outs.append(pa.table({
+                "cell": pa.array((cx - dx) * 8192 + (cy - dy) + 4096),
+                "packed": pa.array(z * 16 + code),
+                "selfflag": pa.array(np.zeros_like(z))}))
+        return pa.concat_tables(outs)
+
+    folded = sorted_fold(
+        totals.map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["packed", "selfflag"], ["min", "max"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hs = batch["selfflag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = hs == 1
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        mp = batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        code = mp % 16
+        return pa.table({
+            "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
+            "flow_dir": pa.array(np.where(code == 0, -1, code - 1)
+                                 .astype(np.int64))})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+Q_D8_FLOW_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d(dx, dy, code) AS (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 3), (0, -1, 4),
+                           (0, 1, 5), (1, -1, 6), (1, 0, 7), (1, 1, 8)),
+cand AS (
+  SELECT cx, cy, z * 16 AS packed, 1 AS selfflag FROM c
+  UNION ALL
+  SELECT c.cx - d.dx, c.cy - d.dy, c.z * 16 + d.code, 0 FROM c, d
+),
+f AS (SELECT cx, cy, min(packed) AS mp, max(selfflag) AS hs
+      FROM cand GROUP BY cx, cy)
+SELECT cx, cy,
+  CAST(CASE WHEN mp % 16 = 0 THEN -1 ELSE mp % 16 - 1 END AS BIGINT)
+    AS flow_dir
+FROM f WHERE hs = 1
+"""
+
+
+def q_sobel_nms(sf_dir: str):
+    """Edge detection with non-max suppression (Canny minus the
+    hysteresis pass) on DECODED pixels: decode -> exact 32x32
+    block-mean grid (the fixture is piecewise constant per block, so
+    integer pixel sums // 1024 are exact) -> Sobel gx/gy on the 6x6
+    interior -> direction-quantized NMS on the squared magnitude
+    (border magnitude = 0; plateau ties keep BOTH cells — non-strict
+    compare, same rule in the twin). Emits surviving edge cells."""
+    from osmray import codecs, oraclefix
+
+    images = oraclefix.load_phash()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = np.stack([
+            codecs.png_decode(b)[:, :, 0].astype(np.int64)
+            for b in batch["bytes"].to_pylist()])
+        bm = mats.reshape(-1, 8, 32, 8, 32).sum(axis=(2, 4)) // 1024
+        n = bm.shape[0]
+        gx = np.zeros_like(bm)
+        gy = np.zeros_like(bm)
+        gx[:, 1:7, 1:7] = (bm[:, 0:6, 2:8] + 2 * bm[:, 1:7, 2:8]
+                           + bm[:, 2:8, 2:8] - bm[:, 0:6, 0:6]
+                           - 2 * bm[:, 1:7, 0:6] - bm[:, 2:8, 0:6])
+        gy[:, 1:7, 1:7] = (bm[:, 2:8, 0:6] + 2 * bm[:, 2:8, 1:7]
+                           + bm[:, 2:8, 2:8] - bm[:, 0:6, 0:6]
+                           - 2 * bm[:, 0:6, 1:7] - bm[:, 0:6, 2:8])
+        m2 = gx * gx + gy * gy
+        ax, ay = np.abs(gx), np.abs(gy)
+        horiz = ax >= 2 * ay
+        vert = (~horiz) & (ay >= 2 * ax)
+        diag_dr = (~horiz) & (~vert) & (gx * gy > 0)
+        dy1 = np.where(horiz, 0, 1)
+        dx1 = np.where(horiz, 1, np.where(vert, 0,
+                                          np.where(diag_dr, 1, -1)))
+        ii = np.arange(n)[:, None, None]
+        rb = np.arange(8)[None, :, None]
+        cb = np.arange(8)[None, None, :]
+        # interior +-1 stays in [0, 7]; border m2 is 0 by construction
+        r1 = np.clip(rb + dy1, 0, 7)
+        c1 = np.clip(cb + dx1, 0, 7)
+        r2 = np.clip(rb - dy1, 0, 7)
+        c2 = np.clip(cb - dx1, 0, 7)
+        n1 = m2[ii, r1, c1]
+        n2 = m2[ii, r2, c2]
+        keep = (m2 > 0) & (m2 >= n1) & (m2 >= n2)
+        keep[:, 0, :] = keep[:, 7, :] = False
+        keep[:, :, 0] = keep[:, :, 7] = False
+        w = np.nonzero(keep)
+        return pa.table({
+            "idx": pa.array(idx[w[0]]),
+            "rb": pa.array(w[1].astype(np.int64)),
+            "cb": pa.array(w[2].astype(np.int64)),
+            "gx": pa.array(gx[keep]), "gy": pa.array(gy[keep]),
+            "m2": pa.array(m2[keep])})
+
+    return images.select_columns(["idx", "bytes"]).map_batches(
+        stage, batch_format="pyarrow")
+
+
+Q_SOBEL_NMS_SQL = f"""
+WITH {_PH_CTES},
+bm AS (SELECT i, j // 8 AS rb, j % 8 AS cb, 40 + 160 * bit AS v
+       FROM phbits),
+g AS (
+  SELECT b.i, b.rb, b.cb,
+    sum(CASE WHEN n.cb = b.cb + 1
+             THEN (CASE WHEN n.rb = b.rb THEN 2 ELSE 1 END) * n.v
+             WHEN n.cb = b.cb - 1
+             THEN -(CASE WHEN n.rb = b.rb THEN 2 ELSE 1 END) * n.v
+             ELSE 0 END) AS gx,
+    sum(CASE WHEN n.rb = b.rb + 1
+             THEN (CASE WHEN n.cb = b.cb THEN 2 ELSE 1 END) * n.v
+             WHEN n.rb = b.rb - 1
+             THEN -(CASE WHEN n.cb = b.cb THEN 2 ELSE 1 END) * n.v
+             ELSE 0 END) AS gy
+  FROM bm b JOIN bm n ON n.i = b.i
+    AND abs(n.rb - b.rb) <= 1 AND abs(n.cb - b.cb) <= 1
+    AND NOT (n.rb = b.rb AND n.cb = b.cb)
+  WHERE b.rb BETWEEN 1 AND 6 AND b.cb BETWEEN 1 AND 6
+  GROUP BY b.i, b.rb, b.cb
+),
+m AS (SELECT i, rb, cb, gx, gy, gx * gx + gy * gy AS m2,
+        CASE WHEN abs(gx) >= 2 * abs(gy) THEN 0 ELSE 1 END AS dy1,
+        CASE WHEN abs(gx) >= 2 * abs(gy) THEN 1
+             WHEN abs(gy) >= 2 * abs(gx) THEN 0
+             WHEN gx * gy > 0 THEN 1 ELSE -1 END AS dx1
+      FROM g)
+SELECT m.i AS idx, m.rb, m.cb,
+  CAST(m.gx AS BIGINT) AS gx, CAST(m.gy AS BIGINT) AS gy,
+  CAST(m.m2 AS BIGINT) AS m2
+FROM m
+LEFT JOIN m n1 ON n1.i = m.i AND n1.rb = m.rb + m.dy1
+              AND n1.cb = m.cb + m.dx1
+LEFT JOIN m n2 ON n2.i = m.i AND n2.rb = m.rb - m.dy1
+              AND n2.cb = m.cb - m.dx1
+WHERE m.m2 > 0 AND m.m2 >= coalesce(n1.m2, 0)
+  AND m.m2 >= coalesce(n2.m2, 0)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -11417,4 +11704,7 @@ def registry():
         "q_rainwater": (q_rainwater, Q_RAINWATER_SQL),
         "q_markov": (q_markov, Q_MARKOV_SQL),
         "q_autocorr": (q_autocorr, Q_AUTOCORR_SQL),
+        "q_terrain": (q_terrain, Q_TERRAIN_SQL),
+        "q_d8_flow": (q_d8_flow, Q_D8_FLOW_SQL),
+        "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
     }

@@ -748,14 +748,36 @@ def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
 
 
 def sorted_fold_sums(ds, key_col: str, val_cols: list[str]):
-    """Keyed integer-sum fold for HIGH-CARDINALITY keys: Ray's
-    generic aggregate pays per-GROUP overhead, ruinous when groups
-    approach row count. This is the vectorized alternative: sort by
-    key, per-block np.unique + bincount partials (interior keys are
-    final — a key spanning blocks is necessarily the first/last
-    distinct key of each), and the two edge keys per block fold in an
-    O(#blocks)-group fix-up. Emits (key_col, *val_cols) summed."""
+    """Keyed integer-sum fold for HIGH-CARDINALITY keys — see
+    :func:`sorted_fold` (this is the all-``sum`` special case kept
+    for the many existing call sites)."""
+    return sorted_fold(ds, key_col, val_cols, ["sum"] * len(val_cols))
+
+
+def _fold_col(inv: np.ndarray, nu: int, v: np.ndarray, op: str) -> np.ndarray:
+    if op == "sum":
+        return np.bincount(inv, weights=v, minlength=nu).astype(np.int64)
+    out = np.full(nu, np.iinfo(np.int64).max if op == "min"
+                  else np.iinfo(np.int64).min, dtype=np.int64)
+    (np.minimum if op == "min" else np.maximum).at(out, inv, v)
+    return out
+
+
+def sorted_fold(ds, key_col: str, val_cols: list[str], ops: list[str]):
+    """Keyed integer fold (``sum`` / ``min`` / ``max`` per column) for
+    HIGH-CARDINALITY keys: Ray's generic aggregate pays per-GROUP
+    overhead, ruinous when groups approach row count. This is the
+    vectorized alternative: sort by key, per-block np.unique + bincount
+    (or ufunc.at extrema) partials (interior keys are final — a key
+    spanning blocks is necessarily the first/last distinct key of
+    each), and the two edge keys per block fold in an
+    O(#blocks)-group fix-up. All folds are associative+commutative, so
+    partial-then-refold is exact. Emits (key_col, *val_cols)."""
     import pyarrow.compute as _pc
+
+    assert len(ops) == len(val_cols) and all(
+        o in ("sum", "min", "max") for o in ops), ops
+    by_col = dict(zip(val_cols, ops))
 
     def fold(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -768,9 +790,7 @@ def sorted_fold_sums(ds, key_col: str, val_cols: list[str]):
         cols = {key_col: pa.array(u)}
         for c in val_cols:
             v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
-            cols[c] = pa.array(
-                np.bincount(inv, weights=v, minlength=len(u))
-                .astype(np.int64))
+            cols[c] = pa.array(_fold_col(inv, len(u), v, by_col[c]))
         edge = np.zeros(len(u), dtype=bool)
         edge[0] = True
         edge[-1] = True
@@ -784,11 +804,13 @@ def sorted_fold_sums(ds, key_col: str, val_cols: list[str]):
         lambda t: t.filter(_pc.invert(t["__edge"])).drop_columns(["__edge"]),
         batch_format="pyarrow")
 
+    _red = {"sum": np.sum, "min": np.min, "max": np.max}
+
     def fix(g: pa.Table) -> pa.Table:
         cols = {key_col: g[key_col].slice(0, 1)}
         for c in val_cols:
             cols[c] = pa.array(
-                [int(np.sum(g[c].to_numpy(zero_copy_only=False)))],
+                [int(_red[by_col[c]](g[c].to_numpy(zero_copy_only=False)))],
                 pa.int64())
         return pa.table(cols)
 

@@ -216,3 +216,29 @@ def test_ransac_consensus_finds_planted_line(ray_session):
     assert top["n_inliers"] > 1000
     # ranking is deterministic: inliers desc, then (a, b)
     assert (df["n_inliers"].is_monotonic_decreasing)
+
+
+def test_sorted_fold_min_max_vs_numpy(ray_session):
+    """sorted_fold with mixed sum/min/max ops equals the numpy
+    groupby reduction on multi-block data with keys spanning blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.tableops import sorted_fold
+
+    rng = np.random.RandomState(7)
+    k = rng.randint(0, 50, 5000).astype(np.int64)
+    a = rng.randint(-1000, 1000, 5000).astype(np.int64)
+    b = rng.randint(-1000, 1000, 5000).astype(np.int64)
+    c = rng.randint(-1000, 1000, 5000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": k, "a": a, "b": b, "c": c})).repartition(16)
+    got = (sorted_fold(ds, "k", ["a", "b", "c"], ["sum", "min", "max"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == len(np.unique(k))
+    for i, key in enumerate(got["k"]):
+        m = k == key
+        assert got["a"][i] == a[m].sum()
+        assert got["b"][i] == b[m].min()
+        assert got["c"][i] == c[m].max()

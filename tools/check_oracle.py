@@ -42,8 +42,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("OSMRAY_GATE_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -70,14 +74,16 @@ def main() -> int:
             if len(rdf) == 0 and name != "q_embedding_dups":
                 print(f"WARN {name}: empty result")
             continue
+        t1 = time.perf_counter()
         odf = con.sql(sql).to_df()
+        sql_dt = time.perf_counter() - t1
         a, b = normalize(rdf), normalize(odf)
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
         ok_dtypes = ok_cols and all(str(a[c].dtype) == str(b[c].dtype) for c in a.columns)
         ok_vals = ok_rows and ok_cols and value_hash(a) == value_hash(b)
         if ok_rows and ok_cols and ok_dtypes and ok_vals:
-            print(f"PASS {name}: rows={len(a)} [{dt:.1f}s]")
+            print(f"PASS {name}: rows={len(a)} [{dt:.1f}s ray, {sql_dt:.1f}s sql]")
         else:
             failures += 1
             print(

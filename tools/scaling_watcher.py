@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--deadline-min", type=float, default=240,
                     help="unconditional final run this many minutes in")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--target-eff", type=float, default=0.75,
+                    help="good-enough early-exit efficiency")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -102,7 +104,7 @@ def main():
                 break
             # good-enough early exit: a quiet-window number at or above
             # the best prior session record ends the watch
-            if eff is not None and eff >= 0.75:
+            if eff is not None and eff >= args.target_eff:
                 break
             # otherwise keep watching for an even quieter window
             time.sleep(args.poll_sec * 2)
