@@ -11328,19 +11328,11 @@ _D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
             (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def q_d8_flow(sf_dir: str):
-    """D8 flow direction — the hydrology primitive over the same
-    sparse cell DEM: each cell drains to its lowest EXISTING 8-
-    neighbor if that neighbor is strictly lower (ties between equal
-    neighbors break to the smallest direction code; a flat or pit
-    cell is a sink, flow_dir = -1). Unlike the gradient, argmin is
-    NOT additive over partials, so elevations first total through one
-    sorted-scan sum fold; totals then scatter (z*16 + code) candidates
-    to their neighbors plus a (z*16 + 0) self row — the self row wins
-    exact-z ties, which IS the strictly-lower rule — and a second
-    sorted-scan MIN fold picks the winner; receivers without a self
-    row (phantom cells named only by neighbors) drop out via a
-    max-fold presence flag."""
+def _d8_cells(sf_dir: str):
+    """Shared D8 core: Dataset (cell, code) over the sparse cell DEM,
+    cell = cx*8192 + cy + 4096 and code = 0 for a sink else 1-based
+    index into _D8_DIRS of the steepest strictly-lower neighbor (see
+    q_d8_flow for the fold construction)."""
     from osmray.tableops import sorted_fold, sorted_fold_sums
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
@@ -11382,13 +11374,33 @@ def q_d8_flow(sf_dir: str):
         m = hs == 1
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         mp = batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        code = mp % 16
+        return pa.table({"cell": pa.array(c), "code": pa.array(mp % 16)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def q_d8_flow(sf_dir: str):
+    """D8 flow direction — the hydrology primitive over the sparse
+    cell DEM: each cell drains to its lowest EXISTING 8-neighbor if
+    that neighbor is strictly lower (ties between equal neighbors
+    break to the smallest direction code; a flat or pit cell is a
+    sink, flow_dir = -1). Unlike the gradient, argmin is NOT additive
+    over partials, so elevations first total through one sorted-scan
+    sum fold; totals then scatter (z*16 + code) candidates to their
+    neighbors plus a (z*16 + 0) self row — the self row wins exact-z
+    ties, which IS the strictly-lower rule — and a second sorted-scan
+    MIN fold picks the winner; receivers without a self row (phantom
+    cells named only by neighbors) drop out via a max-fold presence
+    flag."""
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
             "flow_dir": pa.array(np.where(code == 0, -1, code - 1)
                                  .astype(np.int64))})
 
-    return folded.map_batches(finish, batch_format="pyarrow")
+    return _d8_cells(sf_dir).map_batches(fmt, batch_format="pyarrow")
 
 
 Q_D8_FLOW_SQL = f"""
@@ -11409,6 +11421,92 @@ SELECT cx, cy,
   CAST(CASE WHEN mp % 16 = 0 THEN -1 ELSE mp % 16 - 1 END AS BIGINT)
     AS flow_dir
 FROM f WHERE hs = 1
+"""
+
+
+def q_watershed(sf_dir: str):
+    """Watershed segmentation over the D8 drain forest — label every
+    cell with THE SINK it eventually drains to (the hydrology basin /
+    image-watershed shape). Because the drain rule is strictly-lower,
+    the (cell -> drain) edges form a forest with exactly one sink per
+    tree, so basins ARE connected components: CC over the drain edges
+    (two-engine graph policy), one bucketed join to name each
+    component by its sink, one to attach that sink to every member,
+    and an anti join to restore isolated sinks (no in-edges, so no CC
+    row). The twin walks the drain pointers with a recursive CTE."""
+    from osmray.graph import connected_components
+    from osmray.joins import bucketed_join
+
+    d8 = _d8_cells(sf_dir).materialize()  # keys-only; read three times
+    dirs = np.asarray(_D8_DIRS, dtype=np.int64)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = code > 0
+        d = dirs[code[m] - 1]
+        cx, cy = c[m] // 8192, c[m] % 8192 - 4096
+        return pa.table({
+            "u": pa.array(c[m]),
+            "v": pa.array((cx + d[:, 0]) * 8192 + (cy + d[:, 1]) + 4096)})
+
+    def sinks_only(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(c[code == 0])})
+
+    cc = connected_components(
+        d8.map_batches(edges, batch_format="pyarrow")).materialize()
+    sinks = d8.map_batches(sinks_only, batch_format="pyarrow")
+
+    sink_map = bucketed_join(cc, sinks, on="node").map_batches(
+        lambda t: pa.table({"comp": t["comp"], "sink": t["node"]}),
+        batch_format="pyarrow")
+    members = bucketed_join(cc, sink_map, on="comp")
+    iso = bucketed_join(sinks, cc.select_columns(["node"]),
+                        on="node", how="anti").map_batches(
+        lambda t: pa.table({"node": t["node"], "sink": t["node"]}),
+        batch_format="pyarrow")
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
+            "sink_cx": pa.array(s // 8192),
+            "sink_cy": pa.array(s % 8192 - 4096)})
+
+    return members.select_columns(["node", "sink"]).union(iso).map_batches(
+        fmt, batch_format="pyarrow")
+
+
+Q_WATERSHED_SQL = f"""
+WITH RECURSIVE pts AS MATERIALIZED ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS MATERIALIZED (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d(dx, dy, code) AS (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 3), (0, -1, 4),
+                           (0, 1, 5), (1, -1, 6), (1, 0, 7), (1, 1, 8)),
+cand AS (
+  SELECT cx, cy, z * 16 AS packed, 1 AS selfflag FROM c
+  UNION ALL
+  SELECT c.cx - d.dx, c.cy - d.dy, c.z * 16 + d.code, 0 FROM c, d
+),
+d8 AS MATERIALIZED (
+  SELECT cx, cy, min(packed) % 16 AS code
+  FROM cand GROUP BY cx, cy
+  HAVING max(selfflag) = 1),
+r AS (
+  SELECT cx, cy, cx AS px, cy AS py, code AS pcode FROM d8
+  UNION ALL
+  SELECT r.cx, r.cy, n.cx, n.cy, n.code
+  FROM r
+  JOIN d dd ON dd.code = r.pcode
+  JOIN d8 n ON n.cx = r.px + dd.dx AND n.cy = r.py + dd.dy
+  WHERE r.pcode <> 0
+)
+SELECT cx, cy, px AS sink_cx, py AS sink_cy
+FROM r WHERE pcode = 0
 """
 
 
@@ -11706,5 +11804,6 @@ def registry():
         "q_autocorr": (q_autocorr, Q_AUTOCORR_SQL),
         "q_terrain": (q_terrain, Q_TERRAIN_SQL),
         "q_d8_flow": (q_d8_flow, Q_D8_FLOW_SQL),
+        "q_watershed": (q_watershed, Q_WATERSHED_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
     }
