@@ -788,3 +788,68 @@ class WarpStage:
             "idx": pa.array(idxs, pa.int64()),
             "warp_sum": pa.array(sums, pa.int64()),
             "n_oob": pa.array(oobs, pa.int64())})
+
+
+class SobelNmsStage:
+    """Actor-pool stage: decode -> exact block-mean grid (pixel sums
+    // block area; exact when blocks are piecewise constant, a
+    documented integer-mean policy otherwise) -> Sobel gx/gy on the
+    grid interior -> direction-quantized non-max suppression on the
+    squared magnitude (border magnitude 0; non-strict plateau ties
+    keep BOTH cells). Emits one row per surviving edge cell:
+    (idx, rb, cb, gx, gy, m2). The Canny front half as a dataflow
+    stage; channel 0 only."""
+
+    def __init__(self, block_px: int = 32):
+        self.block_px = int(block_px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.block_px
+        out_idx, out_rb, out_cb, out_gx, out_gy, out_m2 = \
+            [], [], [], [], [], []
+        for blob, idx in zip(batch["bytes"].to_pylist(),
+                             batch["idx"].to_pylist()):
+            img = codecs.png_decode(blob)[:, :, 0].astype(np.int64)
+            h, w = img.shape
+            gh, gw = h // b, w // b
+            bm = (img[:gh * b, :gw * b]
+                  .reshape(gh, b, gw, b).sum(axis=(1, 3)) // (b * b))
+            gx = np.zeros_like(bm)
+            gy = np.zeros_like(bm)
+            gx[1:-1, 1:-1] = (bm[:-2, 2:] + 2 * bm[1:-1, 2:] + bm[2:, 2:]
+                              - bm[:-2, :-2] - 2 * bm[1:-1, :-2]
+                              - bm[2:, :-2])
+            gy[1:-1, 1:-1] = (bm[2:, :-2] + 2 * bm[2:, 1:-1] + bm[2:, 2:]
+                              - bm[:-2, :-2] - 2 * bm[:-2, 1:-1]
+                              - bm[:-2, 2:])
+            m2 = gx * gx + gy * gy
+            ax, ay = np.abs(gx), np.abs(gy)
+            horiz = ax >= 2 * ay
+            vert = (~horiz) & (ay >= 2 * ax)
+            diag_dr = (~horiz) & (~vert) & (gx * gy > 0)
+            dy1 = np.where(horiz, 0, 1)
+            dx1 = np.where(horiz, 1,
+                           np.where(vert, 0, np.where(diag_dr, 1, -1)))
+            rb = np.arange(gh)[:, None]
+            cb = np.arange(gw)[None, :]
+            r1 = np.clip(rb + dy1, 0, gh - 1)
+            c1 = np.clip(cb + dx1, 0, gw - 1)
+            r2 = np.clip(rb - dy1, 0, gh - 1)
+            c2 = np.clip(cb - dx1, 0, gw - 1)
+            keep = (m2 > 0) & (m2 >= m2[r1, c1]) & (m2 >= m2[r2, c2])
+            keep[0, :] = keep[-1, :] = False
+            keep[:, 0] = keep[:, -1] = False
+            wy, wx = np.nonzero(keep)
+            out_idx.extend([idx] * len(wy))
+            out_rb.extend(wy.tolist())
+            out_cb.extend(wx.tolist())
+            out_gx.extend(gx[keep].tolist())
+            out_gy.extend(gy[keep].tolist())
+            out_m2.extend(m2[keep].tolist())
+        return pa.table({
+            "idx": pa.array(out_idx, pa.int64()),
+            "rb": pa.array(out_rb, pa.int64()),
+            "cb": pa.array(out_cb, pa.int64()),
+            "gx": pa.array(out_gx, pa.int64()),
+            "gy": pa.array(out_gy, pa.int64()),
+            "m2": pa.array(out_m2, pa.int64())})

@@ -1199,3 +1199,78 @@ STAGES.update({
     "order_stats": _order_stats,
     "grouped_order_stats": _grouped_order_stats,
 })
+
+
+def _terrain(p: dict) -> Stage:
+    """{"op": "terrain", "x": col, "y": col, "v": col} — Horn
+    slope/aspect over the sparse integer cell DEM (osmray/terrain.py);
+    emits (cx, cy, gx, gy, slope_l1, aspect)."""
+    from osmray import terrain
+
+    return lambda ds: terrain.horn_gradient(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"]))
+
+
+def _d8_flow(p: dict) -> Stage:
+    """{"op": "d8_flow", "x": col, "y": col, "v": col} — D8 drain
+    direction per cell; emits (cx, cy, flow_dir) with -1 = sink."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import terrain
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "flow_dir": pa.array(np.where(code == 0, -1, code - 1)
+                                 .astype(np.int64))})
+
+    return lambda ds: terrain.d8_codes(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"])).map_batches(
+            fmt, batch_format="pyarrow")
+
+
+def _watershed(p: dict) -> Stage:
+    """{"op": "watershed", "x": col, "y": col, "v": col} — D8 basin
+    labels; emits (cx, cy, sink_cx, sink_cy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import terrain
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        sx, sy = terrain.unpack(s)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "sink_cx": pa.array(sx), "sink_cy": pa.array(sy)})
+
+    return lambda ds: terrain.watershed(terrain.d8_codes(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"]))).map_batches(
+            fmt, batch_format="pyarrow")
+
+
+def _sobel_nms(p: dict) -> Stage:
+    """{"op": "sobel_nms", "block_px": 32?, "concurrency": 4?} —
+    decode -> block-mean Sobel + direction-quantized NMS over an
+    images dataset with (idx, bytes); emits surviving edge cells."""
+    from osmray.multimodal import SobelNmsStage
+
+    return lambda ds: ds.select_columns(["idx", "bytes"]).map_batches(
+        SobelNmsStage,
+        fn_constructor_kwargs={"block_px": int(p.get("block_px", 32))},
+        batch_format="pyarrow",
+        concurrency=int(p.get("concurrency", 4)), num_cpus=1)
+
+
+STAGES.update({
+    "terrain": _terrain,
+    "d8_flow": _d8_flow,
+    "watershed": _watershed,
+    "sobel_nms": _sobel_nms,
+})

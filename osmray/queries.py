@@ -11235,62 +11235,23 @@ def q_terrain(sf_dir: str):
     gx/gy per receiving cell. Aspect is the trig-free 8-octant
     quantization: integer comparisons only, identical CASE-priority
     chain in the SQL twin, so the result is bit-exact."""
-    from osmray.tableops import sorted_fold_sums
+    from osmray import terrain
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return terrain.horn_gradient(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"))
 
-    def per_cell(batch: pa.Table) -> pa.Table:
-        p = _li_points(batch)
-        cx = (p["m1"] >> 18).astype(np.int64)
-        cy = (p["m2"] >> 18).astype(np.int64)
-        v = (p["pid"] % 1000).astype(np.int64)
-        key = cx * 4096 + cy
-        u, inv = np.unique(key, return_inverse=True)
-        return pa.table({
-            "cell0": pa.array(u),
-            "z": pa.array(np.bincount(inv, weights=v, minlength=len(u))
-                          .astype(np.int64))})
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        u = batch["cell0"].to_numpy(zero_copy_only=False).astype(np.int64)
-        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ucx, ucy = u // 4096, u % 4096
-        outs = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                if dx == 0 and dy == 0:
-                    continue
-                gxw = 0 if dx == 0 else (1 if dx > 0 else -1) * (2 if dy == 0 else 1)
-                gyw = 0 if dy == 0 else (1 if dy > 0 else -1) * (2 if dx == 0 else 1)
-                outs.append(pa.table({
-                    "cell": pa.array((ucx - dx) * 8192 + (ucy - dy) + 4096),
-                    "gx": pa.array(gxw * z), "gy": pa.array(gyw * z)}))
-        return pa.concat_tables(outs)
-
-    folded = sorted_fold_sums(
-        ds.map_batches(per_cell, batch_format="pyarrow")
-          .map_batches(scatter, batch_format="pyarrow"),
-        "cell", ["gx", "gy"])
-
-    def finish(batch: pa.Table) -> pa.Table:
-        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gx = batch["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gy = batch["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ax, ay = np.abs(gx), np.abs(gy)
-        # priority chain == the twin's CASE order
-        aspect = np.select(
-            [(gx == 0) & (gy == 0), ax >= 2 * ay, ay >= 2 * ax,
-             (gx > 0) & (gy > 0), (gx < 0) & (gy > 0), (gx < 0) & (gy < 0)],
-            [np.full_like(gx, -1), np.where(gx > 0, 0, 4),
-             np.where(gy > 0, 2, 6), np.full_like(gx, 1),
-             np.full_like(gx, 3), np.full_like(gx, 5)],
-            default=7).astype(np.int64)
-        return pa.table({
-            "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
-            "gx": pa.array(gx), "gy": pa.array(gy),
-            "slope_l1": pa.array(ax + ay), "aspect": pa.array(aspect)})
-
-    return folded.map_batches(finish, batch_format="pyarrow")
+def _li_cell_points(batch: pa.Table) -> pa.Table:
+    """The shared sparse-DEM view of lineitem: 256x256 integer cells,
+    elevation value = pid % 1000 (kernels: osmray/terrain.py)."""
+    p = _li_points(batch)
+    return pa.table({
+        "cx": pa.array((p["m1"] >> 18).astype(np.int64)),
+        "cy": pa.array((p["m2"] >> 18).astype(np.int64)),
+        "v": pa.array((p["pid"] % 1000).astype(np.int64))})
 
 
 Q_TERRAIN_SQL = f"""
@@ -11324,59 +11285,19 @@ FROM g
 """
 
 
-_D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
-            (0, 1), (1, -1), (1, 0), (1, 1)]
-
-
 def _d8_cells(sf_dir: str):
-    """Shared D8 core: Dataset (cell, code) over the sparse cell DEM,
-    cell = cx*8192 + cy + 4096 and code = 0 for a sink else 1-based
-    index into _D8_DIRS of the steepest strictly-lower neighbor (see
-    q_d8_flow for the fold construction)."""
-    from osmray.tableops import sorted_fold, sorted_fold_sums
+    """Shared D8 core: Dataset (cell, code) over the sparse cell DEM
+    (terrain.pack packing; code = 0 for a sink else 1-based index
+    into terrain.D8_DIRS of the steepest strictly-lower neighbor).
+    Kernels: osmray/terrain.py (elevation totals -> packed-min
+    candidate fold)."""
+    from osmray import terrain
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-
-    def per_cell(batch: pa.Table) -> pa.Table:
-        p = _li_points(batch)
-        cx = (p["m1"] >> 18).astype(np.int64)
-        cy = (p["m2"] >> 18).astype(np.int64)
-        v = (p["pid"] % 1000).astype(np.int64)
-        key = cx * 8192 + cy + 4096
-        u, inv = np.unique(key, return_inverse=True)
-        return pa.table({
-            "cell": pa.array(u),
-            "z": pa.array(np.bincount(inv, weights=v, minlength=len(u))
-                          .astype(np.int64))})
-
-    totals = sorted_fold_sums(
-        ds.map_batches(per_cell, batch_format="pyarrow"), "cell", ["z"])
-
-    def scatter(batch: pa.Table) -> pa.Table:
-        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cx, cy = c // 8192, c % 8192 - 4096
-        outs = [pa.table({"cell": pa.array(c), "packed": pa.array(z * 16),
-                          "selfflag": pa.array(np.ones_like(z))})]
-        for code, (dx, dy) in enumerate(_D8_DIRS, start=1):
-            outs.append(pa.table({
-                "cell": pa.array((cx - dx) * 8192 + (cy - dy) + 4096),
-                "packed": pa.array(z * 16 + code),
-                "selfflag": pa.array(np.zeros_like(z))}))
-        return pa.concat_tables(outs)
-
-    folded = sorted_fold(
-        totals.map_batches(scatter, batch_format="pyarrow"),
-        "cell", ["packed", "selfflag"], ["min", "max"])
-
-    def finish(batch: pa.Table) -> pa.Table:
-        hs = batch["selfflag"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = hs == 1
-        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        mp = batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        return pa.table({"cell": pa.array(c), "code": pa.array(mp % 16)})
-
-    return folded.map_batches(finish, batch_format="pyarrow")
+    return terrain.d8_codes(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"))
 
 
 def q_d8_flow(sf_dir: str):
@@ -11434,50 +11355,20 @@ def q_watershed(sf_dir: str):
     component by its sink, one to attach that sink to every member,
     and an anti join to restore isolated sinks (no in-edges, so no CC
     row). The twin walks the drain pointers with a recursive CTE."""
-    from osmray.graph import connected_components
-    from osmray.joins import bucketed_join
+    from osmray import terrain
 
-    d8 = _d8_cells(sf_dir).materialize()  # keys-only; read three times
-    dirs = np.asarray(_D8_DIRS, dtype=np.int64)
-
-    def edges(batch: pa.Table) -> pa.Table:
-        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = code > 0
-        d = dirs[code[m] - 1]
-        cx, cy = c[m] // 8192, c[m] % 8192 - 4096
-        return pa.table({
-            "u": pa.array(c[m]),
-            "v": pa.array((cx + d[:, 0]) * 8192 + (cy + d[:, 1]) + 4096)})
-
-    def sinks_only(batch: pa.Table) -> pa.Table:
-        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(c[code == 0])})
-
-    cc = connected_components(
-        d8.map_batches(edges, batch_format="pyarrow")).materialize()
-    sinks = d8.map_batches(sinks_only, batch_format="pyarrow")
-
-    sink_map = bucketed_join(cc, sinks, on="node").map_batches(
-        lambda t: pa.table({"comp": t["comp"], "sink": t["node"]}),
-        batch_format="pyarrow")
-    members = bucketed_join(cc, sink_map, on="comp")
-    iso = bucketed_join(sinks, cc.select_columns(["node"]),
-                        on="node", how="anti").map_batches(
-        lambda t: pa.table({"node": t["node"], "sink": t["node"]}),
-        batch_format="pyarrow")
+    ws = terrain.watershed(_d8_cells(sf_dir))
 
     def fmt(batch: pa.Table) -> pa.Table:
-        c = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch["sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        sx, sy = terrain.unpack(s)
         return pa.table({
-            "cx": pa.array(c // 8192), "cy": pa.array(c % 8192 - 4096),
-            "sink_cx": pa.array(s // 8192),
-            "sink_cy": pa.array(s % 8192 - 4096)})
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "sink_cx": pa.array(sx), "sink_cy": pa.array(sy)})
 
-    return members.select_columns(["node", "sink"]).union(iso).map_batches(
-        fmt, batch_format="pyarrow")
+    return ws.map_batches(fmt, batch_format="pyarrow")
 
 
 Q_WATERSHED_SQL = f"""
@@ -11517,57 +11408,15 @@ def q_sobel_nms(sf_dir: str):
     integer pixel sums // 1024 are exact) -> Sobel gx/gy on the 6x6
     interior -> direction-quantized NMS on the squared magnitude
     (border magnitude = 0; plateau ties keep BOTH cells — non-strict
-    compare, same rule in the twin). Emits surviving edge cells."""
-    from osmray import codecs, oraclefix
+    compare, same rule in the twin). Actor stage:
+    multimodal.SobelNmsStage."""
+    from osmray import oraclefix
+    from osmray.multimodal import SobelNmsStage
 
     images = oraclefix.load_phash()
-
-    def stage(batch: pa.Table) -> pa.Table:
-        idx = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mats = np.stack([
-            codecs.png_decode(b)[:, :, 0].astype(np.int64)
-            for b in batch["bytes"].to_pylist()])
-        bm = mats.reshape(-1, 8, 32, 8, 32).sum(axis=(2, 4)) // 1024
-        n = bm.shape[0]
-        gx = np.zeros_like(bm)
-        gy = np.zeros_like(bm)
-        gx[:, 1:7, 1:7] = (bm[:, 0:6, 2:8] + 2 * bm[:, 1:7, 2:8]
-                           + bm[:, 2:8, 2:8] - bm[:, 0:6, 0:6]
-                           - 2 * bm[:, 1:7, 0:6] - bm[:, 2:8, 0:6])
-        gy[:, 1:7, 1:7] = (bm[:, 2:8, 0:6] + 2 * bm[:, 2:8, 1:7]
-                           + bm[:, 2:8, 2:8] - bm[:, 0:6, 0:6]
-                           - 2 * bm[:, 0:6, 1:7] - bm[:, 0:6, 2:8])
-        m2 = gx * gx + gy * gy
-        ax, ay = np.abs(gx), np.abs(gy)
-        horiz = ax >= 2 * ay
-        vert = (~horiz) & (ay >= 2 * ax)
-        diag_dr = (~horiz) & (~vert) & (gx * gy > 0)
-        dy1 = np.where(horiz, 0, 1)
-        dx1 = np.where(horiz, 1, np.where(vert, 0,
-                                          np.where(diag_dr, 1, -1)))
-        ii = np.arange(n)[:, None, None]
-        rb = np.arange(8)[None, :, None]
-        cb = np.arange(8)[None, None, :]
-        # interior +-1 stays in [0, 7]; border m2 is 0 by construction
-        r1 = np.clip(rb + dy1, 0, 7)
-        c1 = np.clip(cb + dx1, 0, 7)
-        r2 = np.clip(rb - dy1, 0, 7)
-        c2 = np.clip(cb - dx1, 0, 7)
-        n1 = m2[ii, r1, c1]
-        n2 = m2[ii, r2, c2]
-        keep = (m2 > 0) & (m2 >= n1) & (m2 >= n2)
-        keep[:, 0, :] = keep[:, 7, :] = False
-        keep[:, :, 0] = keep[:, :, 7] = False
-        w = np.nonzero(keep)
-        return pa.table({
-            "idx": pa.array(idx[w[0]]),
-            "rb": pa.array(w[1].astype(np.int64)),
-            "cb": pa.array(w[2].astype(np.int64)),
-            "gx": pa.array(gx[keep]), "gy": pa.array(gy[keep]),
-            "m2": pa.array(m2[keep])})
-
     return images.select_columns(["idx", "bytes"]).map_batches(
-        stage, batch_format="pyarrow")
+        SobelNmsStage, fn_constructor_kwargs={"block_px": 32},
+        batch_format="pyarrow", concurrency=4, num_cpus=1)
 
 
 Q_SOBEL_NMS_SQL = f"""

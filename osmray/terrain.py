@@ -1,0 +1,190 @@
+"""Terrain / raster-DEM kernels over sparse integer cell grids.
+
+The reusable core behind q_terrain / q_d8_flow / q_watershed
+(osmray/queries.py): a DEM is any Dataset of integer cell coordinates
+plus an integer value column; elevation is the per-cell SUM of values.
+All kernels are scatter + sorted-scan folds — no all-to-all beyond the
+one keyed sort each fold performs, no driver-side state, and every
+intermediate is keys-only (int64 columns), so the shapes hold at
+arbitrary scale.
+
+Grid packing: cell = cx * GRID + cy + GRID // 2, which round-trips
+negative-by-one coordinates (scatter targets one step outside the
+occupied grid) through numpy floor division. Callers must keep
+cx in [-1, GRID/2) and cy in [-GRID/2 + 1, GRID/2 - 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+GRID = 8192
+_OFF = GRID // 2
+
+# D8 neighbor order; code = index + 1 (0 is reserved for "self/sink")
+D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+           (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def pack(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return cx * GRID + cy + _OFF
+
+
+def unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return cell // GRID, cell % GRID - _OFF
+
+
+def elevation_partials(ds, x_col: str, y_col: str, v_col: str):
+    """Per-block per-cell elevation partials: (cell, z). Partials, not
+    totals — linear consumers (the Horn gradient) scatter them
+    directly; argmin consumers must total first (see d8_codes)."""
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        cx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = pack(cx, cy)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "cell": pa.array(u),
+            "z": pa.array(np.bincount(inv, weights=v, minlength=len(u))
+                          .astype(np.int64))})
+
+    return ds.map_batches(per_cell, batch_format="pyarrow")
+
+
+def horn_gradient(partials):
+    """Horn-style 3x3 gradient + trig-free 8-octant aspect:
+    (cell, z) partials -> (cx, cy, gx, gy, slope_l1, aspect). The
+    gradient is linear in z, so partials scatter signed weights
+    directly and ONE sorted-scan fold sums gx/gy per receiving cell."""
+    from osmray.tableops import sorted_fold_sums
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = unpack(c)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gxw = 0 if dx == 0 else (1 if dx > 0 else -1) * (2 if dy == 0 else 1)
+                gyw = 0 if dy == 0 else (1 if dy > 0 else -1) * (2 if dx == 0 else 1)
+                outs.append(pa.table({
+                    "cell": pa.array(pack(cx - dx, cy - dy)),
+                    "gx": pa.array(gxw * z), "gy": pa.array(gyw * z)}))
+        return pa.concat_tables(outs)
+
+    folded = sorted_fold_sums(
+        partials.map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["gx", "gy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = batch["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = batch["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax, ay = np.abs(gx), np.abs(gy)
+        # priority chain == the SQL twin's CASE order (queries.py)
+        aspect = np.select(
+            [(gx == 0) & (gy == 0), ax >= 2 * ay, ay >= 2 * ax,
+             (gx > 0) & (gy > 0), (gx < 0) & (gy > 0), (gx < 0) & (gy < 0)],
+            [np.full_like(gx, -1), np.where(gx > 0, 0, 4),
+             np.where(gy > 0, 2, 6), np.full_like(gx, 1),
+             np.full_like(gx, 3), np.full_like(gx, 5)],
+            default=7).astype(np.int64)
+        cx, cy = unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "gx": pa.array(gx), "gy": pa.array(gy),
+            "slope_l1": pa.array(ax + ay), "aspect": pa.array(aspect)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def d8_codes(partials):
+    """D8 steepest-descent drain codes: (cell, z) partials ->
+    (cell, code), code = 0 for a sink else 1-based index into
+    D8_DIRS. Argmin is NOT additive over partials, so elevations
+    first total through a sum fold; totals scatter (z*16 + code)
+    candidates plus a (z*16 + 0) self row — self wins exact-z ties,
+    which IS the strictly-lower drain rule — and a MIN fold picks the
+    winner; phantom receivers (named only by neighbors) drop out via
+    a max-fold presence flag."""
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    totals = sorted_fold_sums(partials, "cell", ["z"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = unpack(c)
+        outs = [pa.table({"cell": pa.array(c), "packed": pa.array(z * 16),
+                          "selfflag": pa.array(np.ones_like(z))})]
+        for code, (dx, dy) in enumerate(D8_DIRS, start=1):
+            outs.append(pa.table({
+                "cell": pa.array(pack(cx - dx, cy - dy)),
+                "packed": pa.array(z * 16 + code),
+                "selfflag": pa.array(np.zeros_like(z))}))
+        return pa.concat_tables(outs)
+
+    folded = sorted_fold(
+        totals.map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["packed", "selfflag"], ["min", "max"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hs = batch["selfflag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = hs == 1
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        mp = batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({"cell": pa.array(c), "code": pa.array(mp % 16)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def watershed(codes):
+    """Basin labeling over the D8 drain forest: (cell, code) ->
+    (cell, sink). Strictly-lower drains make every basin exactly one
+    tree of the (cell -> drain) forest, so basins ARE connected
+    components: CC over drain edges (two-engine graph policy), one
+    bucketed join names each component by its sink, one attaches the
+    sink to every member, and an anti join restores isolated sinks
+    (no in-edges, so no CC row)."""
+    from osmray.graph import connected_components
+    from osmray.joins import bucketed_join
+
+    d8 = codes.materialize()  # keys-only; read three times
+    dirs = np.asarray(D8_DIRS, dtype=np.int64)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = code > 0
+        d = dirs[code[m] - 1]
+        cx, cy = unpack(c[m])
+        return pa.table({
+            "u": pa.array(c[m]),
+            "v": pa.array(pack(cx + d[:, 0], cy + d[:, 1]))})
+
+    def sinks_only(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(c[code == 0])})
+
+    cc = connected_components(
+        d8.map_batches(edges, batch_format="pyarrow")).materialize()
+    sinks = d8.map_batches(sinks_only, batch_format="pyarrow")
+
+    sink_map = bucketed_join(cc, sinks, on="node").map_batches(
+        lambda t: pa.table({"comp": t["comp"], "sink": t["node"]}),
+        batch_format="pyarrow")
+    members = bucketed_join(cc, sink_map, on="comp")
+    iso = bucketed_join(sinks, cc.select_columns(["node"]),
+                        on="node", how="anti").map_batches(
+        lambda t: pa.table({"node": t["node"], "sink": t["node"]}),
+        batch_format="pyarrow")
+
+    return members.select_columns(["node", "sink"]).union(iso).map_batches(
+        lambda t: pa.table({"cell": t["node"], "sink": t["sink"]}),
+        batch_format="pyarrow")

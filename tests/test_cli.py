@@ -407,3 +407,108 @@ def test_declarative_round4_steps(ray_session, tmp_path):
         ray.data.read_parquet(sa), ray.data.read_parquet(sb)).to_pandas()
     assert norm(got, ["a_id", "b_id"]).equals(norm(want, ["a_id", "b_id"]))
     assert len(got) > 0
+
+
+def test_declarative_terrain_steps(ray_session, tmp_path):
+    """terrain / d8_flow / watershed steps equal the direct kernel
+    calls; watershed sinks are reachable fixed points (every cell's
+    sink exists and is itself a sink)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import terrain
+    from osmray.pipelines import run_pipeline
+
+    rng = np.random.RandomState(5)
+    pts = pa.table({
+        "cx": pa.array(rng.randint(0, 40, 4000), pa.int64()),
+        "cy": pa.array(rng.randint(0, 40, 4000), pa.int64()),
+        "v": pa.array(rng.randint(0, 100, 4000), pa.int64())})
+    path = str(tmp_path / "dem.parquet")
+    pq.write_table(pts, path)
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    got = run_pipeline([{"op": "read_parquet", "path": path},
+                        {"op": "terrain", "x": "cx", "y": "cy",
+                         "v": "v"}]).to_pandas()
+    want = terrain.horn_gradient(terrain.elevation_partials(
+        ray.data.read_parquet(path), "cx", "cy", "v")).to_pandas()
+    assert norm(got).equals(norm(want))
+
+    flow = run_pipeline([{"op": "read_parquet", "path": path},
+                         {"op": "d8_flow", "x": "cx", "y": "cy",
+                          "v": "v"}]).to_pandas()
+    ws = run_pipeline([{"op": "read_parquet", "path": path},
+                       {"op": "watershed", "x": "cx", "y": "cy",
+                        "v": "v"}]).to_pandas()
+    assert len(flow) == len(ws)  # every existing cell labeled once
+    sinks = {(r.cx, r.cy) for r in flow.itertuples() if r.flow_dir == -1}
+    assert sinks  # a finite strictly-descending flow always has sinks
+    assert {(r.sink_cx, r.sink_cy) for r in ws.itertuples()} <= sinks
+    # sinks label themselves
+    own = ws[(ws.cx == ws.sink_cx) & (ws.cy == ws.sink_cy)]
+    assert len(own) == len(sinks)
+
+
+def test_sobel_nms_stage_vs_brute(ray_session):
+    """SobelNmsStage equals a per-image brute-force numpy reference
+    on random piecewise-constant images (block_px=8, 5x6 grid)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray import codecs
+    from osmray.multimodal import SobelNmsStage
+
+    rng = np.random.RandomState(9)
+    rows = []
+    mats = {}
+    for i in range(6):
+        grid = rng.randint(0, 256, (5, 6)).astype(np.int64)
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        img3 = np.stack([img, img, img], axis=2).astype(np.uint8)
+        rows.append({"idx": i, "bytes": codecs.png_encode(img3, level=1)})
+        mats[i] = grid
+    ds = ray.data.from_items(rows)
+    got = ds.map_batches(
+        SobelNmsStage, fn_constructor_kwargs={"block_px": 8},
+        batch_format="pyarrow", concurrency=2, num_cpus=1).to_pandas()
+
+    exp_rows = []
+    for i, bm in mats.items():
+        gh, gw = bm.shape
+        gx = np.zeros_like(bm)
+        gy = np.zeros_like(bm)
+        for r in range(1, gh - 1):
+            for c in range(1, gw - 1):
+                gx[r, c] = (bm[r - 1, c + 1] + 2 * bm[r, c + 1]
+                            + bm[r + 1, c + 1] - bm[r - 1, c - 1]
+                            - 2 * bm[r, c - 1] - bm[r + 1, c - 1])
+                gy[r, c] = (bm[r + 1, c - 1] + 2 * bm[r + 1, c]
+                            + bm[r + 1, c + 1] - bm[r - 1, c - 1]
+                            - 2 * bm[r - 1, c] - bm[r - 1, c + 1])
+        m2 = gx * gx + gy * gy
+        for r in range(1, gh - 1):
+            for c in range(1, gw - 1):
+                if m2[r, c] == 0:
+                    continue
+                ax, ay = abs(gx[r, c]), abs(gy[r, c])
+                if ax >= 2 * ay:
+                    dy1, dx1 = 0, 1
+                elif ay >= 2 * ax:
+                    dy1, dx1 = 1, 0
+                elif gx[r, c] * gy[r, c] > 0:
+                    dy1, dx1 = 1, 1
+                else:
+                    dy1, dx1 = 1, -1
+                if (m2[r, c] >= m2[r + dy1, c + dx1]
+                        and m2[r, c] >= m2[r - dy1, c - dx1]):
+                    exp_rows.append((i, r, c, gx[r, c], gy[r, c], m2[r, c]))
+    exp = sorted(exp_rows)
+    gotl = sorted(zip(got["idx"], got["rb"], got["cb"],
+                      got["gx"], got["gy"], got["m2"]))
+    assert gotl == exp

@@ -39,10 +39,22 @@ def main() -> int:
     sys.path.insert(0, ".")
     from osmray import queries as Q
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
     import os
+
+    argv = list(sys.argv[1:])
+    resume_log = None
+    if "--resume-log" in argv:
+        i = argv.index("--resume-log")
+        resume_log = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    done = set()
+    if resume_log and os.path.exists(resume_log):
+        for line in open(resume_log):
+            if line.startswith(("PASS ", "ok   ")):
+                done.add(line.split()[1].rstrip(":"))
+        print(f"resume: skipping {len(done)} already-green queries")
 
     if not ray.is_initialized():
         ray.init(address="local",
@@ -53,12 +65,31 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     con = duckdb.connect()
+    # bound DuckDB so a fat twin spills to disk instead of OOM-killing
+    # the whole gate; optional per-twin timeout for twins that are
+    # intractable at the larger scale factors (recorded, not fatal)
+    con.sql(f"SET memory_limit='{os.environ.get('OSMRAY_GATE_SQL_MEM', '24GB')}'")
+    con.sql("SET temp_directory='/tmp/osmray_gate_duck_tmp'")
+    sql_timeout = float(os.environ.get("OSMRAY_GATE_SQL_TIMEOUT", "0"))
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def run_sql(q: str):
+        if not sql_timeout:
+            return con.sql(q).to_df()
+        import threading
+        timer = threading.Timer(sql_timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(q).to_df()
+        finally:
+            timer.cancel()
 
     failures = 0
     for name, (fn, sql) in Q.registry().items():
         if only and name not in only:
+            continue
+        if name in done:
             continue
         t0 = time.perf_counter()
         try:
@@ -75,7 +106,13 @@ def main() -> int:
                 print(f"WARN {name}: empty result")
             continue
         t1 = time.perf_counter()
-        odf = con.sql(sql).to_df()
+        try:
+            odf = run_sql(sql)
+        except Exception as e:
+            failures += 1
+            print(f"SQLERR {name}: {type(e).__name__}: {str(e)[:200]} "
+                  f"[{time.perf_counter() - t1:.0f}s]", flush=True)
+            continue
         sql_dt = time.perf_counter() - t1
         a, b = normalize(rdf), normalize(odf)
         ok_rows = len(a) == len(b)
