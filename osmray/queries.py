@@ -11401,6 +11401,76 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_bilinear_zoom(sf_dir: str):
+    """Fixed-point 2x bilinear upsampling (align_corners=False,
+    replicate-border clamp) — the interpolation arithmetic the
+    block-mean resize never exercises: the 8x8 block-mean grid of
+    DECODED pixels upsamples to 16x16 with per-axis weights {1,3}/4,
+    kept exact as v16 = 16x the interpolated value (one integer
+    matmul W @ bm @ W.T per image). The twin replays every output
+    cell from the bit table through an identical two-row-per-index
+    weight relation, so clamping, parity weights, and the decode all
+    get checked cell-by-cell."""
+    from osmray import codecs, oraclefix
+
+    images = oraclefix.load_phash()
+
+    # W[i, k]: weight of input row/col k for output index i
+    W = np.zeros((16, 8), dtype=np.int64)
+    for i in range(16):
+        if i % 2 == 0:
+            lo, hi, wlo, whi = i // 2 - 1, i // 2, 1, 3
+        else:
+            lo, hi, wlo, whi = (i - 1) // 2, (i - 1) // 2 + 1, 3, 1
+        W[i, min(max(lo, 0), 7)] += wlo
+        W[i, min(max(hi, 0), 7)] += whi
+
+    def stage(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = np.stack([
+            codecs.png_decode(b)[:, :, 0].astype(np.int64)
+            for b in batch["bytes"].to_pylist()])
+        bm = mats.reshape(-1, 8, 32, 8, 32).sum(axis=(2, 4)) // 1024
+        out = np.einsum("ik,nkl,jl->nij", W, bm, W)  # (n, 16, 16)
+        n = out.shape[0]
+        r = np.tile(np.repeat(np.arange(16, dtype=np.int64), 16), n)
+        c = np.tile(np.tile(np.arange(16, dtype=np.int64), 16), n)
+        return pa.table({
+            "idx": pa.array(np.repeat(idx, 256)),
+            "r": pa.array(r), "c": pa.array(c),
+            "v16": pa.array(out.reshape(-1))})
+
+    return images.select_columns(["idx", "bytes"]).map_batches(
+        stage, batch_format="pyarrow")
+
+
+Q_BILINEAR_ZOOM_SQL = f"""
+WITH {_PH_CTES},
+ax AS (
+  SELECT i, least(greatest(k, 0), 7) AS k, wt FROM (
+    SELECT r.range AS i,
+      CASE WHEN r.range % 2 = 0 THEN r.range // 2 - 1
+           ELSE (r.range - 1) // 2 END AS k,
+      CASE WHEN r.range % 2 = 0 THEN 1 ELSE 3 END AS wt
+    FROM range(0, 16) r
+    UNION ALL
+    SELECT r.range,
+      CASE WHEN r.range % 2 = 0 THEN r.range // 2
+           ELSE (r.range - 1) // 2 + 1 END,
+      CASE WHEN r.range % 2 = 0 THEN 3 ELSE 1 END
+    FROM range(0, 16) r)
+),
+bm AS (SELECT i AS img, j // 8 AS rb, j % 8 AS cb, 40 + 160 * bit AS v
+       FROM phbits)
+SELECT bm.img AS idx, ar.i AS r, ac.i AS c,
+       CAST(SUM(ar.wt * ac.wt * bm.v) AS BIGINT) AS v16
+FROM bm
+JOIN ax ar ON ar.k = bm.rb
+JOIN ax ac ON ac.k = bm.cb
+GROUP BY bm.img, ar.i, ac.i
+"""
+
+
 def q_flow_accum(sf_dir: str):
     """D8 flow accumulation — the hydrology upstream-area raster:
     accum(cell) = number of cells whose drain path passes through it,
@@ -11708,5 +11778,6 @@ def registry():
         "q_d8_flow": (q_d8_flow, Q_D8_FLOW_SQL),
         "q_watershed": (q_watershed, Q_WATERSHED_SQL),
         "q_flow_accum": (q_flow_accum, Q_FLOW_ACCUM_SQL),
+        "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
     }
