@@ -11401,6 +11401,134 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_motion_flow(sf_dir: str):
+    """Block-matching motion estimation between frame pairs — the
+    video-flow primitive: frame A is the decoded fixture image, frame
+    B is A cyclically shifted by a PLANTED per-image motion (multiples
+    of the 32-px block so the piecewise structure stays aligned; the
+    shift is a pure function of idx, so the twin knows it too). The
+    engine scans all 25 candidate shifts in [-2, 2]^2 cells on the
+    exact block grid, scoring integer SAD with wraparound, and emits
+    the argmin (ties -> smallest dy then dx). The planted shift is in
+    the candidate set, so its SAD is 0 — but periodic patterns can
+    have other zeros, which is exactly what the deterministic
+    tie-break (and the twin's identical ORDER BY) resolves."""
+    from osmray import codecs, oraclefix
+
+    images = oraclefix.load_phash()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = np.stack([
+            codecs.png_decode(b)[:, :, 0].astype(np.int64)
+            for b in batch["bytes"].to_pylist()])
+        bm = mats.reshape(-1, 8, 32, 8, 32).sum(axis=(2, 4)) // 1024
+        n = bm.shape[0]
+        sy = idx % 3 - 1
+        sx = (idx // 3) % 3 - 1
+        rows = np.arange(8)
+        # frame B per image: A rolled by the planted (sy, sx)
+        fb = bm[np.arange(n)[:, None, None],
+                (rows[None, :, None] - sy[:, None, None]) % 8,
+                (rows[None, None, :] - sx[:, None, None]) % 8]
+        best = np.full(n, 1 << 62, dtype=np.int64)
+        bdy = np.zeros(n, dtype=np.int64)
+        bdx = np.zeros(n, dtype=np.int64)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                cand = bm[:, (rows[:, None] - dy) % 8,
+                          (rows[None, :] - dx) % 8]
+                sad = np.abs(cand - fb).sum(axis=(1, 2))
+                win = sad < best  # strict: earlier (dy, dx) wins ties
+                best = np.where(win, sad, best)
+                bdy = np.where(win, dy, bdy)
+                bdx = np.where(win, dx, bdx)
+        return pa.table({
+            "idx": pa.array(idx), "dy": pa.array(bdy),
+            "dx": pa.array(bdx), "sad": pa.array(best)})
+
+    return images.select_columns(["idx", "bytes"]).map_batches(
+        stage, batch_format="pyarrow")
+
+
+Q_MOTION_FLOW_SQL = f"""
+WITH {_PH_CTES},
+bm AS (SELECT i AS img, j // 8 AS rb, j % 8 AS cb, 40 + 160 * bit AS v
+       FROM phbits),
+sh AS (SELECT DISTINCT img, img % 3 - 1 AS sy, (img // 3) % 3 - 1 AS sx
+       FROM bm),
+cand AS (SELECT a.range - 2 AS dy, b.range - 2 AS dx
+         FROM range(0, 5) a CROSS JOIN range(0, 5) b),
+sad AS (
+  SELECT a.img, c.dy, c.dx,
+    SUM(abs(ac.v - fb.v)) AS sad
+  FROM bm a
+  JOIN sh ON sh.img = a.img
+  CROSS JOIN cand c
+  JOIN bm ac ON ac.img = a.img
+    AND ac.rb = ((a.rb - c.dy) % 8 + 8) % 8
+    AND ac.cb = ((a.cb - c.dx) % 8 + 8) % 8
+  JOIN bm fb ON fb.img = a.img
+    AND fb.rb = ((a.rb - sh.sy) % 8 + 8) % 8
+    AND fb.cb = ((a.cb - sh.sx) % 8 + 8) % 8
+  GROUP BY a.img, c.dy, c.dx
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY img
+         ORDER BY sad, dy, dx) AS r FROM sad)
+SELECT img AS idx, CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
+       CAST(sad AS BIGINT) AS sad
+FROM rk WHERE r = 1
+"""
+
+
+def q_image_moments(sf_dir: str):
+    """Integer image moments over thresholded DECODED pixels — the
+    shape-descriptor primitive (centroid / orientation feed): cells
+    with block value > 100 (i.e. the bit=1 cells) contribute their
+    (rb, cb); emits raw moments m00/m10/m01 and second moments
+    mxx/myy/mxy per image, all exact int64."""
+    from osmray import codecs, oraclefix
+
+    images = oraclefix.load_phash()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        idx = batch["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = np.stack([
+            codecs.png_decode(b)[:, :, 0].astype(np.int64)
+            for b in batch["bytes"].to_pylist()])
+        bm = mats.reshape(-1, 8, 32, 8, 32).sum(axis=(2, 4)) // 1024
+        on = bm > 100
+        rb = np.arange(8)[None, :, None]
+        cb = np.arange(8)[None, None, :]
+        z = np.zeros_like(bm)
+        r = np.where(on, rb + z, 0)
+        c = np.where(on, cb + z, 0)
+        return pa.table({
+            "idx": pa.array(idx),
+            "m00": pa.array(on.sum(axis=(1, 2)).astype(np.int64)),
+            "m10": pa.array(r.sum(axis=(1, 2))),
+            "m01": pa.array(c.sum(axis=(1, 2))),
+            "mxx": pa.array((r * r).sum(axis=(1, 2))),
+            "myy": pa.array((c * c).sum(axis=(1, 2))),
+            "mxy": pa.array((r * c).sum(axis=(1, 2)))})
+
+    return images.select_columns(["idx", "bytes"]).map_batches(
+        stage, batch_format="pyarrow")
+
+
+Q_IMAGE_MOMENTS_SQL = f"""
+WITH {_PH_CTES}
+SELECT i AS idx,
+  CAST(SUM(bit) AS BIGINT) AS m00,
+  CAST(SUM(bit * (j // 8)) AS BIGINT) AS m10,
+  CAST(SUM(bit * (j % 8)) AS BIGINT) AS m01,
+  CAST(SUM(bit * (j // 8) * (j // 8)) AS BIGINT) AS mxx,
+  CAST(SUM(bit * (j % 8) * (j % 8)) AS BIGINT) AS myy,
+  CAST(SUM(bit * (j // 8) * (j % 8)) AS BIGINT) AS mxy
+FROM phbits GROUP BY i
+"""
+
+
 def q_bilinear_zoom(sf_dir: str):
     """Fixed-point 2x bilinear upsampling (align_corners=False,
     replicate-border clamp) — the interpolation arithmetic the
@@ -11779,5 +11907,7 @@ def registry():
         "q_watershed": (q_watershed, Q_WATERSHED_SQL),
         "q_flow_accum": (q_flow_accum, Q_FLOW_ACCUM_SQL),
         "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
+        "q_motion_flow": (q_motion_flow, Q_MOTION_FLOW_SQL),
+        "q_image_moments": (q_image_moments, Q_IMAGE_MOMENTS_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
     }
