@@ -1274,3 +1274,28 @@ STAGES.update({
     "watershed": _watershed,
     "sobel_nms": _sobel_nms,
 })
+
+
+def _flow_accum(p: dict) -> Stage:
+    """{"op": "flow_accum", "x": col, "y": col, "v": col,
+    "mode": "auto"?} — D8 upstream-area counts per cell; emits
+    (cx, cy, accum)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import terrain
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "accum": batch["accum"].cast(pa.int64())})
+
+    return lambda ds: terrain.flow_accumulation(
+        terrain.d8_codes(terrain.elevation_partials(
+            ds, p["x"], p["y"], p["v"])),
+        mode=p.get("mode", "auto")).map_batches(fmt, batch_format="pyarrow")
+
+
+STAGES.update({"flow_accum": _flow_accum})

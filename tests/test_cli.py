@@ -537,3 +537,21 @@ def test_flow_accumulation_engines_agree(ray_session):
          .to_pandas().sort_values("cell").reset_index(drop=True))
     assert a.equals(b)
     assert (a["accum"] >= 1).all()
+
+    # the declarative step equals the direct kernel composition
+    import pyarrow.parquet as pq
+    from osmray.pipelines import run_pipeline
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pts, os.path.join(d, "dem.parquet"))
+    got = (run_pipeline([
+        {"op": "read_parquet", "path": os.path.join(d, "dem.parquet")},
+        {"op": "flow_accum", "x": "cx", "y": "cy", "v": "v"}])
+        .to_pandas().sort_values(["cx", "cy"]).reset_index(drop=True))
+    from osmray import terrain as T
+    import numpy as _np
+    cells = a["cell"].to_numpy()
+    cx, cy = T.unpack(cells)
+    want = (a.assign(cx=cx, cy=cy)[["cx", "cy", "accum"]]
+            .sort_values(["cx", "cy"]).reset_index(drop=True))
+    assert got.equals(want)
