@@ -11401,6 +11401,34 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_tri(sf_dir: str):
+    """Terrain Ruggedness Index over the sparse cell DEM
+    (terrain.ruggedness): the NONLINEAR focal — |z_n - z_c| does not
+    distribute over partials, so totals scatter raw z and ONE
+    bucketed join + ONE sorted fold finish per receiving cell."""
+    from osmray import terrain
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return terrain.ruggedness(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"))
+
+
+Q_TRI_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy)
+SELECT a.cx, a.cy, CAST(SUM(abs(b.z - a.z)) AS BIGINT) AS tri,
+       CAST(count(*) AS BIGINT) AS n_nbr
+FROM c a JOIN c b
+  ON abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+  AND NOT (b.cx = a.cx AND b.cy = a.cy)
+GROUP BY a.cx, a.cy
+"""
+
+
 def q_motion_flow(sf_dir: str):
     """Block-matching motion estimation between frame pairs — the
     video-flow primitive: frame A is the decoded fixture image, frame
@@ -11907,6 +11935,7 @@ def registry():
         "q_watershed": (q_watershed, Q_WATERSHED_SQL),
         "q_flow_accum": (q_flow_accum, Q_FLOW_ACCUM_SQL),
         "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
+        "q_tri": (q_tri, Q_TRI_SQL),
         "q_motion_flow": (q_motion_flow, Q_MOTION_FLOW_SQL),
         "q_image_moments": (q_image_moments, Q_IMAGE_MOMENTS_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),

@@ -288,3 +288,55 @@ def flow_accumulation(codes, mode: str = "auto",
     return sorted_fold_sums(acc, "cell", ["m"]).map_batches(
         lambda t: pa.table({"cell": t["cell"], "accum": t["m"]}),
         batch_format="pyarrow")
+
+
+def ruggedness(partials):
+    """Terrain Ruggedness Index: (cell, z) partials -> (cx, cy, tri,
+    n_nbr) where tri = sum of |z_neighbor - z_center| over existing
+    8-neighbors. UNLIKE the gradient, the absolute value is nonlinear
+    in z, so partials must total first; each total then scatters its
+    raw z to its neighbors, one bucketed join attaches the receiving
+    cell's own z (inner: phantom receivers and isolated cells drop
+    out on both sides), and one sorted fold sums |z_n - z_c| and the
+    neighbor count."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    totals = sorted_fold_sums(partials, "cell", ["z"]).materialize()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = unpack(c)
+        outs = []
+        for dx, dy in D8_DIRS:
+            outs.append(pa.table({
+                "cell": pa.array(pack(cx - dx, cy - dy)),
+                "zn": pa.array(z)}))
+        return pa.concat_tables(outs)
+
+    joined = bucketed_join(
+        totals.map_batches(scatter, batch_format="pyarrow"),
+        totals, on="cell")
+
+    def diff(batch: pa.Table) -> pa.Table:
+        zn = batch["zn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": batch["cell"],
+            "tri": pa.array(np.abs(zn - z)),
+            "n_nbr": pa.array(np.ones(len(zn), np.int64))})
+
+    folded = sorted_fold_sums(
+        joined.map_batches(diff, batch_format="pyarrow"),
+        "cell", ["tri", "n_nbr"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "tri": batch["tri"].cast(pa.int64()),
+            "n_nbr": batch["n_nbr"].cast(pa.int64())})
+
+    return folded.map_batches(fmt, batch_format="pyarrow")
