@@ -47,7 +47,8 @@ def sessionize_sorted(ds, key: str = "user_id", ts: str = "ts", gap_sec: int = 1
 
     def partials(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
-        sec = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        sec = batch[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
         b = _runs(k)
         out = {key: [], "n_sess": [], "n_events": [], "first_sec": [], "last_sec": [],
                "complete": []}
@@ -125,7 +126,8 @@ def running_sum_sorted(ds, key: str = "user_id", ts: str = "ts", id_col: str = "
     def partials(batch: pa.Table) -> pa.Table:
         kk = batch[key].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        tsv = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tsv = batch[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         cents = np.floor(
             batch[val_col].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
@@ -339,7 +341,8 @@ def lag_lead_sorted(ds, key: str = "user_id", ts: str = "ts",
     def local(batch: pa.Table) -> pa.Table:
         kk = batch[key].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        tsv = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tsv = batch[ts].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         n = len(kk)
         lag = np.full(n, -1, dtype=np.int64)
         lead = np.full(n, -1, dtype=np.int64)
