@@ -11401,6 +11401,116 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_hillshade(sf_dir: str):
+    """Trig-free integer hillshade over the sparse cell DEM: the
+    classic terrain-visualization op, expressed exactly — illumination
+    score = -(gx*lx + gy*ly) for the fixed light vector (1, 1)
+    (northwest light), emitted raw plus a 3-way lit/flat/shadow class
+    (sign comparisons only, so the twin replays it with the identical
+    CASE chain on the same Horn gradient)."""
+    from osmray import terrain
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    g = terrain.horn_gradient(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"))
+
+    def shade(batch: pa.Table) -> pa.Table:
+        gx = batch["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = batch["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = -(gx + gy)
+        cls = np.sign(s).astype(np.int64)
+        return pa.table({
+            "cx": batch["cx"], "cy": batch["cy"],
+            "shade": pa.array(s), "lit_class": pa.array(cls)})
+
+    return g.map_batches(shade, batch_format="pyarrow")
+
+
+Q_HILLSHADE_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                         (SELECT unnest([-1, 0, 1]) AS dy) b
+      WHERE NOT (dx = 0 AND dy = 0)),
+g AS (
+  SELECT c.cx - d.dx AS cx, c.cy - d.dy AS cy,
+    sum(CASE WHEN d.dx = 0 THEN 0
+             ELSE (CASE WHEN d.dx > 0 THEN 1 ELSE -1 END)
+                  * (CASE WHEN d.dy = 0 THEN 2 ELSE 1 END) * c.z END) AS gx,
+    sum(CASE WHEN d.dy = 0 THEN 0
+             ELSE (CASE WHEN d.dy > 0 THEN 1 ELSE -1 END)
+                  * (CASE WHEN d.dx = 0 THEN 2 ELSE 1 END) * c.z END) AS gy
+  FROM c, d GROUP BY 1, 2
+)
+SELECT cx, cy, CAST(-(gx + gy) AS BIGINT) AS shade,
+  CAST(CASE WHEN -(gx + gy) > 0 THEN 1
+            WHEN -(gx + gy) < 0 THEN -1 ELSE 0 END AS BIGINT) AS lit_class
+FROM g
+"""
+
+
+def q_grid_pool(sf_dir: str):
+    """2x2 max-pool over the sparse cell DEM — the CNN-pooling shape
+    as keyed dataflow: elevations total (argmax is not additive),
+    every cell re-keys to its 2x2 super-cell, and ONE packed-max
+    sorted fold picks (z, then smaller cell id on ties) per pool;
+    emits (px, py, max_z, argmax_cx, argmax_cy)."""
+    from osmray import terrain
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    totals = sorted_fold_sums(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"),
+        "cell", ["z"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        # pack (z, -cell) so max prefers higher z then the SMALLER
+        # cell id; cell < 2^24 here so z*2^25 never collides
+        return pa.table({
+            "pool": pa.array((cx // 2) * 4096 + (cy // 2)),
+            "packed": pa.array(z * (1 << 25) + ((1 << 25) - 1 - c))})
+
+    folded = sorted_fold(
+        totals.map_batches(rekey, batch_format="pyarrow"),
+        "pool", ["packed"], ["max"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        p = batch["pool"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mp = batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (1 << 25) - 1 - mp % (1 << 25)
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "px": pa.array(p // 4096), "py": pa.array(p % 4096),
+            "max_z": pa.array(mp >> 25),
+            "argmax_cx": pa.array(cx), "argmax_cy": pa.array(cy)})
+
+    return folded.map_batches(fmt, batch_format="pyarrow")
+
+
+Q_GRID_POOL_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+rk AS (SELECT cx // 2 AS px, cy // 2 AS py, z, cx, cy,
+         row_number() OVER (PARTITION BY cx // 2, cy // 2
+                            ORDER BY z DESC, cx * 8192 + cy + 4096) AS r
+       FROM c)
+SELECT px, py, CAST(z AS BIGINT) AS max_z,
+       cx AS argmax_cx, cy AS argmax_cy
+FROM rk WHERE r = 1
+"""
+
+
 def q_tri(sf_dir: str):
     """Terrain Ruggedness Index over the sparse cell DEM
     (terrain.ruggedness): the NONLINEAR focal — |z_n - z_c| does not
@@ -11936,6 +12046,8 @@ def registry():
         "q_flow_accum": (q_flow_accum, Q_FLOW_ACCUM_SQL),
         "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
         "q_tri": (q_tri, Q_TRI_SQL),
+        "q_hillshade": (q_hillshade, Q_HILLSHADE_SQL),
+        "q_grid_pool": (q_grid_pool, Q_GRID_POOL_SQL),
         "q_motion_flow": (q_motion_flow, Q_MOTION_FLOW_SQL),
         "q_image_moments": (q_image_moments, Q_IMAGE_MOMENTS_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
