@@ -252,3 +252,55 @@ def test_quadtree_leaves_vs_brute():
     assert got["n"].sum() == len(x)
     # multiple depths actually exercised
     assert got["res"].nunique() >= 3
+
+
+def test_terrain_kernel_invariants(ray_session):
+    """Structural invariants on random DEMs: (1) Horn gradient sums
+    to zero globally (antisymmetric weights cancel); (2) every D8
+    drain is strictly lower than its source; (3) watershed partitions
+    the cells exactly (one label each, labels are sinks); (4) basin
+    sizes sum to the cell count and equal the sinks' flow accumulation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray import terrain
+
+    for seed in (1, 2):
+        rng = np.random.RandomState(seed)
+        n = 2500
+        pts = pa.table({
+            "cx": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "cy": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "v": pa.array(rng.randint(0, 80, n), pa.int64())})
+        partials = terrain.elevation_partials(
+            ray.data.from_arrow(pts).repartition(6), "cx", "cy", "v")
+
+        g = terrain.horn_gradient(partials).to_pandas()
+        assert g["gx"].sum() == 0 and g["gy"].sum() == 0
+
+        codes = terrain.d8_codes(partials).materialize()
+        cdf = codes.to_pandas()
+        zmap = {}
+        df = pts.to_pandas().groupby(["cx", "cy"])["v"].sum().reset_index()
+        for r in df.itertuples():
+            zmap[terrain.pack(np.int64(r.cx), np.int64(r.cy))] = r.v
+        dirs = np.asarray(terrain.D8_DIRS)
+        for r in cdf.itertuples():
+            if r.code == 0:
+                continue
+            cx, cy = terrain.unpack(np.int64(r.cell))
+            d = dirs[r.code - 1]
+            drain = int(terrain.pack(cx + d[0], cy + d[1]))
+            assert zmap[drain] < zmap[r.cell]
+
+        ws = terrain.watershed(codes).to_pandas()
+        assert len(ws) == len(cdf)
+        assert set(ws["cell"]) == set(cdf["cell"])
+        sink_cells = set(cdf[cdf["code"] == 0]["cell"])
+        assert set(ws["sink"]) <= sink_cells
+        acc = terrain.flow_accumulation(codes).to_pandas()
+        acc_map = dict(zip(acc["cell"], acc["accum"]))
+        basin_sizes = ws.groupby("sink").size()
+        for sink, size in basin_sizes.items():
+            assert acc_map[sink] == size
