@@ -39,7 +39,9 @@ def test_lag_lead_multiblock(ray_session):
         .reset_index(drop=True)
     )
     sdf = df.sort_values(["user_id", "ts", "event_id"]).copy()
-    us = sdf["ts"].astype("int64")
+    # the kernel normalizes ts to MICROseconds (the lag_us contract);
+    # pandas Timestamps are ns, so the expectation divides
+    us = sdf["ts"].astype("int64") // 1000
     g = sdf.groupby("user_id")
     exp = pd.DataFrame(
         {
