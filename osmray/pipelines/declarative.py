@@ -1299,3 +1299,15 @@ def _flow_accum(p: dict) -> Stage:
 
 
 STAGES.update({"flow_accum": _flow_accum})
+
+
+def _ruggedness(p: dict) -> Stage:
+    """{"op": "ruggedness", "x": col, "y": col, "v": col} — Terrain
+    Ruggedness Index per cell; emits (cx, cy, tri, n_nbr)."""
+    from osmray import terrain
+
+    return lambda ds: terrain.ruggedness(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"]))
+
+
+STAGES.update({"ruggedness": _ruggedness})

@@ -439,6 +439,13 @@ def test_declarative_terrain_steps(ray_session, tmp_path):
         ray.data.read_parquet(path), "cx", "cy", "v")).to_pandas()
     assert norm(got).equals(norm(want))
 
+    rg = run_pipeline([{"op": "read_parquet", "path": path},
+                       {"op": "ruggedness", "x": "cx", "y": "cy",
+                        "v": "v"}]).to_pandas()
+    rw = terrain.ruggedness(terrain.elevation_partials(
+        ray.data.read_parquet(path), "cx", "cy", "v")).to_pandas()
+    assert norm(rg).equals(norm(rw))
+
     flow = run_pipeline([{"op": "read_parquet", "path": path},
                          {"op": "d8_flow", "x": "cx", "y": "cy",
                           "v": "v"}]).to_pandas()
