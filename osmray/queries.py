@@ -11401,6 +11401,160 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_morph_grid(sf_dir: str):
+    """Binary morphology on the sparse occupancy grid — dilation
+    membership, 3x3 support count, and erosion survival in one pass:
+    every OCCUPIED cell scatters presence 1 to its full 3x3
+    neighborhood (dilation = any support) and a selfflag to itself;
+    one mixed sorted fold (sum support, max selfflag) finishes.
+    eroded = occupied with all 9 supports present. Emits every cell
+    of the DILATED set."""
+    from osmray import terrain
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    totals = sorted_fold_sums(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"),
+        "cell", ["z"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        one = np.ones(len(c), np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cell": pa.array(terrain.pack(cx + dx, cy + dy)),
+                    "support": pa.array(one),
+                    "selfflag": pa.array(one * (dx == 0 and dy == 0))}))
+        return pa.concat_tables(outs)
+
+    folded = sorted_fold(
+        totals.map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["support", "selfflag"], ["sum", "max"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = batch["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        occ = batch["selfflag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "n_support": pa.array(sup), "occupied": pa.array(occ),
+            "eroded": pa.array(((occ == 1) & (sup == 9))
+                               .astype(np.int64))})
+
+    return folded.map_batches(fmt, batch_format="pyarrow")
+
+
+Q_MORPH_GRID_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy FROM pts),
+c AS (SELECT DISTINCT cx, cy FROM p),
+d AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                         (SELECT unnest([-1, 0, 1]) AS dy) b),
+s AS (
+  SELECT c.cx + d.dx AS cx, c.cy + d.dy AS cy,
+         count(*) AS n_support,
+         max(CASE WHEN d.dx = 0 AND d.dy = 0 THEN 1 ELSE 0 END) AS occupied
+  FROM c, d GROUP BY 1, 2
+)
+SELECT cx, cy, CAST(n_support AS BIGINT) AS n_support,
+  CAST(occupied AS BIGINT) AS occupied,
+  CAST(CASE WHEN occupied = 1 AND n_support = 9 THEN 1 ELSE 0 END
+       AS BIGINT) AS eroded
+FROM s
+"""
+
+
+def q_basin_boundary(sf_dir: str):
+    """Watershed ridge extraction — the raster-to-vector step: a
+    boundary cell is an occupied cell with at least one occupied
+    4-neighbor in a DIFFERENT basin. Basins come from the D8
+    watershed; each labeled cell scatters its sink to its 4
+    neighbors, one bucketed join attaches the receiver's own sink,
+    and a sum fold counts disagreeing neighbors. Emits boundary
+    cells only."""
+    from osmray import terrain
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ws = terrain.watershed(_d8_cells(sf_dir)).materialize()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        outs = []
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            outs.append(pa.table({
+                "cell": pa.array(terrain.pack(cx + dx, cy + dy)),
+                "nbr_sink": pa.array(s)}))
+        return pa.concat_tables(outs)
+
+    joined = bucketed_join(
+        ws.map_batches(scatter, batch_format="pyarrow"), ws, on="cell")
+
+    def diff(batch: pa.Table) -> pa.Table:
+        ns = batch["nbr_sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sink"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": batch["cell"],
+            "n_diff": pa.array((ns != s).astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        joined.map_batches(diff, batch_format="pyarrow"), "cell", ["n_diff"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        nd = batch["n_diff"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = nd > 0
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cx, cy = terrain.unpack(c)
+        return pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "n_diff_nbrs": pa.array(nd[m])})
+
+    return folded.map_batches(fmt, batch_format="pyarrow")
+
+
+Q_BASIN_BOUNDARY_SQL = f"""
+WITH RECURSIVE pts AS MATERIALIZED ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS MATERIALIZED (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+d(dx, dy, code) AS (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 3), (0, -1, 4),
+                           (0, 1, 5), (1, -1, 6), (1, 0, 7), (1, 1, 8)),
+cand AS (
+  SELECT cx, cy, z * 16 AS packed, 1 AS selfflag FROM c
+  UNION ALL
+  SELECT c.cx - d.dx, c.cy - d.dy, c.z * 16 + d.code, 0 FROM c, d
+),
+d8 AS MATERIALIZED (
+  SELECT cx, cy, min(packed) % 16 AS code
+  FROM cand GROUP BY cx, cy
+  HAVING max(selfflag) = 1),
+r AS (
+  SELECT cx, cy, cx AS px, cy AS py, code AS pcode FROM d8
+  UNION ALL
+  SELECT r.cx, r.cy, n.cx, n.cy, n.code
+  FROM r
+  JOIN d dd ON dd.code = r.pcode
+  JOIN d8 n ON n.cx = r.px + dd.dx AND n.cy = r.py + dd.dy
+  WHERE r.pcode <> 0
+),
+ws AS MATERIALIZED (
+  SELECT cx, cy, px AS sx, py AS sy FROM r WHERE pcode = 0)
+SELECT a.cx, a.cy, CAST(count(*) AS BIGINT) AS n_diff_nbrs
+FROM ws a JOIN ws b
+  ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+WHERE a.sx <> b.sx OR a.sy <> b.sy
+GROUP BY a.cx, a.cy
+"""
+
+
 def q_hillshade(sf_dir: str):
     """Trig-free integer hillshade over the sparse cell DEM: the
     classic terrain-visualization op, expressed exactly — illumination
@@ -12047,6 +12201,8 @@ def registry():
         "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
         "q_tri": (q_tri, Q_TRI_SQL),
         "q_hillshade": (q_hillshade, Q_HILLSHADE_SQL),
+        "q_morph_grid": (q_morph_grid, Q_MORPH_GRID_SQL),
+        "q_basin_boundary": (q_basin_boundary, Q_BASIN_BOUNDARY_SQL),
         "q_grid_pool": (q_grid_pool, Q_GRID_POOL_SQL),
         "q_motion_flow": (q_motion_flow, Q_MOTION_FLOW_SQL),
         "q_image_moments": (q_image_moments, Q_IMAGE_MOMENTS_SQL),
