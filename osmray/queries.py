@@ -11423,14 +11423,22 @@ def q_morph_grid(sf_dir: str):
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         cx, cy = terrain.unpack(c)
         one = np.ones(len(c), np.int64)
-        outs = []
+        ks, sups, flags = [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                outs.append(pa.table({
-                    "cell": pa.array(terrain.pack(cx + dx, cy + dy)),
-                    "support": pa.array(one),
-                    "selfflag": pa.array(one * (dx == 0 and dy == 0))}))
-        return pa.concat_tables(outs)
+                ks.append(terrain.pack(cx + dx, cy + dy))
+                sups.append(one)
+                flags.append(one * (dx == 0 and dy == 0))
+        # block-local combine (sum support / max selfflag): exact for
+        # the downstream fold, cuts the keyed sort input up to 9x
+        k = np.concatenate(ks)
+        u, inv = np.unique(k, return_inverse=True)
+        sup = np.bincount(inv, weights=np.concatenate(sups),
+                          minlength=len(u)).astype(np.int64)
+        fmax = np.zeros(len(u), np.int64)
+        np.maximum.at(fmax, inv, np.concatenate(flags))
+        return pa.table({"cell": pa.array(u), "support": pa.array(sup),
+                         "selfflag": pa.array(fmax)})
 
     folded = sorted_fold(
         totals.map_batches(scatter, batch_format="pyarrow"),

@@ -54,6 +54,21 @@ def elevation_partials(ds, x_col: str, y_col: str, v_col: str):
     return ds.map_batches(per_cell, batch_format="pyarrow")
 
 
+def _combine_sums(keys: np.ndarray, cols: dict[str, np.ndarray],
+                  key_name: str = "cell") -> pa.Table:
+    """Block-local combiner: sum every column per distinct key. The
+    scatters below emit up to 9 rows per source cell and neighbors
+    inside one block mostly target the same receivers, so combining
+    BEFORE the keyed sort cuts shuffle volume up to 9x; the downstream
+    fold re-sums partials, which is exact."""
+    u, inv = np.unique(keys, return_inverse=True)
+    out = {key_name: pa.array(u)}
+    for name, v in cols.items():
+        out[name] = pa.array(
+            np.bincount(inv, weights=v, minlength=len(u)).astype(np.int64))
+    return pa.table(out)
+
+
 def horn_gradient(partials):
     """Horn-style 3x3 gradient + trig-free 8-octant aspect:
     (cell, z) partials -> (cx, cy, gx, gy, slope_l1, aspect). The
@@ -65,17 +80,19 @@ def horn_gradient(partials):
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
         cx, cy = unpack(c)
-        outs = []
+        ks, gxs, gys = [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 if dx == 0 and dy == 0:
                     continue
                 gxw = 0 if dx == 0 else (1 if dx > 0 else -1) * (2 if dy == 0 else 1)
                 gyw = 0 if dy == 0 else (1 if dy > 0 else -1) * (2 if dx == 0 else 1)
-                outs.append(pa.table({
-                    "cell": pa.array(pack(cx - dx, cy - dy)),
-                    "gx": pa.array(gxw * z), "gy": pa.array(gyw * z)}))
-        return pa.concat_tables(outs)
+                ks.append(pack(cx - dx, cy - dy))
+                gxs.append(gxw * z)
+                gys.append(gyw * z)
+        return _combine_sums(np.concatenate(ks),
+                             {"gx": np.concatenate(gxs),
+                              "gy": np.concatenate(gys)})
 
     folded = sorted_fold_sums(
         partials.map_batches(scatter, batch_format="pyarrow"),
@@ -120,14 +137,25 @@ def d8_codes(partials):
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
         cx, cy = unpack(c)
-        outs = [pa.table({"cell": pa.array(c), "packed": pa.array(z * 16),
-                          "selfflag": pa.array(np.ones_like(z))})]
+        ks = [c]
+        ps = [z * 16]
+        fs = [np.ones_like(z)]
         for code, (dx, dy) in enumerate(D8_DIRS, start=1):
-            outs.append(pa.table({
-                "cell": pa.array(pack(cx - dx, cy - dy)),
-                "packed": pa.array(z * 16 + code),
-                "selfflag": pa.array(np.zeros_like(z))}))
-        return pa.concat_tables(outs)
+            ks.append(pack(cx - dx, cy - dy))
+            ps.append(z * 16 + code)
+            fs.append(np.zeros_like(z))
+        # block-local combine (min packed / max selfflag per key):
+        # exact for extrema folds, cuts the keyed sort input up to 9x
+        k = np.concatenate(ks)
+        p = np.concatenate(ps)
+        f = np.concatenate(fs)
+        u, inv = np.unique(k, return_inverse=True)
+        pmin = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(pmin, inv, p)
+        fmax = np.zeros(len(u), np.int64)
+        np.maximum.at(fmax, inv, f)
+        return pa.table({"cell": pa.array(u), "packed": pa.array(pmin),
+                         "selfflag": pa.array(fmax)})
 
     folded = sorted_fold(
         totals.map_batches(scatter, batch_format="pyarrow"),
