@@ -11491,6 +11491,7 @@ def q_basin_boundary(sf_dir: str):
     from osmray.tableops import sorted_fold_sums
 
     ws = terrain.watershed(_d8_cells(sf_dir)).materialize()
+    nb = max(1, min(64, ws.count() // 250_000 + 1))
 
     def scatter(batch: pa.Table) -> pa.Table:
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -11504,7 +11505,8 @@ def q_basin_boundary(sf_dir: str):
         return pa.concat_tables(outs)
 
     joined = bucketed_join(
-        ws.map_batches(scatter, batch_format="pyarrow"), ws, on="cell")
+        ws.map_batches(scatter, batch_format="pyarrow"), ws, on="cell",
+        num_buckets=nb)
 
     def diff(batch: pa.Table) -> pa.Table:
         ns = batch["nbr_sink"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -183,6 +183,11 @@ def watershed(codes):
     from osmray.joins import bucketed_join
 
     d8 = codes.materialize()  # keys-only; read three times
+    # keys-only joins on a counted input: size the grace buckets to
+    # ~250k rows each so small DEMs run one merge task per join
+    # instead of 64 near-empty ones (measured: q_basin_boundary
+    # 33 s -> the join overhead, not compute, at sf0.1)
+    nb = max(1, min(64, d8.count() // 250_000 + 1))
     dirs = np.asarray(D8_DIRS, dtype=np.int64)
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -204,12 +209,13 @@ def watershed(codes):
         d8.map_batches(edges, batch_format="pyarrow")).materialize()
     sinks = d8.map_batches(sinks_only, batch_format="pyarrow")
 
-    sink_map = bucketed_join(cc, sinks, on="node").map_batches(
+    sink_map = bucketed_join(cc, sinks, on="node",
+                             num_buckets=nb).map_batches(
         lambda t: pa.table({"comp": t["comp"], "sink": t["node"]}),
         batch_format="pyarrow")
-    members = bucketed_join(cc, sink_map, on="comp")
+    members = bucketed_join(cc, sink_map, on="comp", num_buckets=nb)
     iso = bucketed_join(sinks, cc.select_columns(["node"]),
-                        on="node", how="anti").map_batches(
+                        on="node", how="anti", num_buckets=nb).map_batches(
         lambda t: pa.table({"node": t["node"], "sink": t["node"]}),
         batch_format="pyarrow")
 
@@ -293,13 +299,15 @@ def flow_accumulation(codes, mode: str = "auto",
                                                 cy + d[:, 1]))})
 
     drain_map = codes.map_batches(drains, batch_format="pyarrow").materialize()
+    nb = max(1, min(64, n // 250_000 + 1))
     mass = codes.map_batches(
         lambda t: pa.table({"cell": t["cell"],
                             "m": pa.array(np.ones(len(t), np.int64))}),
         batch_format="pyarrow").materialize()
     views = [mass]
     for _ in range(max_rounds):
-        moved = bucketed_join(mass, drain_map, on="cell").map_batches(
+        moved = bucketed_join(mass, drain_map, on="cell",
+                              num_buckets=nb).map_batches(
             lambda t: pa.table({"cell": t["drain"], "m": t["m"]}),
             batch_format="pyarrow")
         mass = sorted_fold_sums(moved, "cell", ["m"]).materialize()
@@ -343,9 +351,10 @@ def ruggedness(partials):
                 "zn": pa.array(z)}))
         return pa.concat_tables(outs)
 
+    nb = max(1, min(64, totals.count() // 250_000 + 1))
     joined = bucketed_join(
         totals.map_batches(scatter, batch_format="pyarrow"),
-        totals, on="cell")
+        totals, on="cell", num_buckets=nb)
 
     def diff(batch: pa.Table) -> pa.Table:
         zn = batch["zn"].to_numpy(zero_copy_only=False).astype(np.int64)
