@@ -11401,6 +11401,71 @@ FROM r WHERE pcode = 0
 """
 
 
+def q_substring_dups(sf_dir: str):
+    """Exact repeated-substring detection over the corpus — the
+    substring-level dedup signal (the "train-data memorization"
+    shape): every document emits its 32-char grams at stride 8; grams
+    shuffle keyed by their FIRST-8-BYTES packed int64 (keys-only —
+    the 32-char gram rides as the verification payload), and one
+    map_groups verifies full-gram equality per prefix group, emitting
+    (gram, n_docs, n_occ) for grams shared by >= 2 documents. No
+    pair expansion anywhere — group summaries, not doc pairs, leave
+    the shuffle. ASCII corpus: character == byte offsets, so the
+    twin's substr() replay is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    L, S = 32, 8
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, grams, docs = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            n = len(text)
+            for off in range(0, n - L + 1, S):
+                g = text[off:off + L]
+                ks.append(int.from_bytes(g[:8].encode(), "big", signed=True))
+                grams.append(g)
+                docs.append(did)
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+            "doc_id": pa.array(docs, pa.int64())})
+
+    def verify(g: pa.Table) -> pa.Table:
+        grams = np.asarray(g["gram"].to_pylist())
+        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, grams))
+        gs, ds_ = grams[order], docs[order]
+        # per full gram: total occurrences + distinct docs
+        new_gram = np.concatenate(([True], gs[1:] != gs[:-1]))
+        gid = np.cumsum(new_gram) - 1
+        n_occ = np.bincount(gid).astype(np.int64)
+        new_pair = new_gram | np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        n_docs = np.bincount(gid[new_pair]).astype(np.int64)
+        keep = n_docs >= 2
+        return pa.table({
+            "gram": pa.array(gs[new_gram][keep]),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_occ": pa.array(n_occ[keep])})
+
+    return (ds.map_batches(windows, batch_format="pyarrow")
+            .groupby("k").map_groups(verify, batch_format="pyarrow"))
+
+
+Q_SUBSTRING_DUPS_SQL = """
+WITH off AS (
+  SELECT unnest(generate_series(
+    0, (SELECT COALESCE(max(length(text)), 32) - 32 FROM documents),
+    8)) AS o),
+w AS (
+  SELECT d.doc_id, substr(d.text, off.o + 1, 32) AS gram
+  FROM documents d JOIN off ON off.o + 32 <= length(d.text)
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_morph_grid(sf_dir: str):
     """Binary morphology on the sparse occupancy grid — dilation
     membership, 3x3 support count, and erosion survival in one pass:
@@ -12211,6 +12276,7 @@ def registry():
         "q_bilinear_zoom": (q_bilinear_zoom, Q_BILINEAR_ZOOM_SQL),
         "q_tri": (q_tri, Q_TRI_SQL),
         "q_hillshade": (q_hillshade, Q_HILLSHADE_SQL),
+        "q_substring_dups": (q_substring_dups, Q_SUBSTRING_DUPS_SQL),
         "q_morph_grid": (q_morph_grid, Q_MORPH_GRID_SQL),
         "q_basin_boundary": (q_basin_boundary, Q_BASIN_BOUNDARY_SQL),
         "q_grid_pool": (q_grid_pool, Q_GRID_POOL_SQL),
