@@ -12078,6 +12078,209 @@ WHERE m.m2 > 0 AND m.m2 >= coalesce(n1.m2, 0)
 """
 
 
+def _hashed_string_counts(rows, key_cols: list[str]):
+    """Exact counts per distinct string tuple at UNBOUNDED vocabulary:
+    rows carry block-local pre-aggregated (``*key_cols``, ``cnt``)
+    partials plus an int64 shuffle key ``k`` (a deterministic string
+    hash — stages.hash_str). One keyed shuffle; each group counts by
+    the FULL strings, so hash collisions only co-locate two tuples in
+    one group (balance, never correctness). Emits (*key_cols, n)."""
+
+    def verify(g: pa.Table) -> pa.Table:
+        parts = [np.asarray(g[c].to_pylist()) for c in key_cols]
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = parts[0] if len(parts) == 1 else np.char.add(
+            np.char.add(parts[0], "\x1f"), parts[1])
+        order = np.argsort(packed, kind="stable")
+        ps = packed[order]
+        new = np.concatenate(([True], ps[1:] != ps[:-1]))
+        gid = np.cumsum(new) - 1
+        n = np.bincount(gid, weights=cnt[order]).astype(np.int64)
+        cols = {c: pa.array(p[order][new]) for c, p in zip(key_cols, parts)}
+        cols["n"] = pa.array(n)
+        return pa.table(cols)
+
+    return rows.groupby("k").map_groups(verify, batch_format="pyarrow")
+
+
+def _token_block_partials(batch: pa.Table, bigrams: bool) -> pa.Table:
+    """Block-local tokenize + pre-aggregate: distinct unigrams (or
+    bigrams) with counts, hashed AFTER the local np.unique so the
+    per-string Python hash runs on the (vocab-bounded) distinct set,
+    never the per-token row stream."""
+    from osmray.stages import hash_str
+
+    toks = []
+    for text in batch["text"].to_pylist():
+        ws = text.split(" ")
+        if bigrams:
+            toks.extend(f"{a}\x1f{b}" for a, b in zip(ws, ws[1:]))
+        else:
+            toks.extend(ws)
+    if not toks:
+        cols = ({"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+                if bigrams else {"w": pa.array([], pa.string())})
+        cols["cnt"] = pa.array([], pa.int64())
+        cols["k"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    u, cnt = np.unique(np.asarray(toks), return_counts=True)
+    if bigrams:
+        sep = np.char.partition(u, "\x1f")
+        cols = {"w1": pa.array(sep[:, 0]), "w2": pa.array(sep[:, 2])}
+    else:
+        cols = {"w": pa.array(u)}
+    cols["cnt"] = pa.array(cnt.astype(np.int64))
+    cols["k"] = pa.array(hash_str(list(u), 11))
+    return pa.table(cols)
+
+
+def q_collocations(sf_dir: str):
+    """Bigram collocation extraction over the corpus — the
+    phrase-mining / tokenizer-vocab primitive: exact bigram and
+    unigram counts at unbounded vocabulary (block-local np.unique
+    partials -> one hashed-key shuffle -> in-group exact string
+    counts), unigram counts attached to each surviving bigram, and
+    the lift>=2 test expressed as the cross-multiplied INTEGER
+    predicate n_xy * N >= 2 * n_x * n_y (no float PMI anywhere, so
+    the SQL twin is bit-exact). Unigram attach is two-engine: a
+    broadcast dict under ``broadcast_cap`` distinct words, else two
+    grace joins keyed by the same string hash with in-bucket
+    full-string verification."""
+    return _collocations(_read(sf_dir, "documents", ["text"]))
+
+
+def _collocations(docs, min_count: int = 5, broadcast_cap: int = 2_000_000):
+    import pyarrow.compute as pc
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash_str
+
+    uni = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, False),
+                         batch_format="pyarrow"), ["w"]).materialize()
+    n_tokens = int(sum(r["n"] for r in uni.iter_rows()) or 0) \
+        if uni.count() <= 4096 else int(uni.sum("n"))
+    big = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, True),
+                         batch_format="pyarrow"), ["w1", "w2"])
+    big = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count))
+        .rename_columns(["w1", "w2", "n_xy"]),
+        batch_format="pyarrow")
+
+    if uni.count() <= broadcast_cap:
+        ref = ray.put({r["w"]: r["n"] for r in uni.iter_rows()})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            w1 = batch["w1"].to_pylist()
+            w2 = batch["w2"].to_pylist()
+            return batch.append_column(
+                "n_x", pa.array([lut[w] for w in w1], pa.int64())
+            ).append_column(
+                "n_y", pa.array([lut[w] for w in w2], pa.int64()))
+
+        out = big.map_batches(attach, batch_format="pyarrow")
+    else:  # keyed path: grace join on the string hash + exact verify
+        def key_on(col):
+            def add(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "jk", pa.array(hash_str(batch[col].to_pylist(), 11)))
+            return add
+
+        uk = uni.map_batches(key_on("w"), batch_format="pyarrow")
+        out = bucketed_join(
+            big.map_batches(key_on("w1"), batch_format="pyarrow"),
+            uk.rename_columns(["w", "n_x", "jk"]), on="jk")
+        out = out.map_batches(
+            lambda t: t.filter(pc.equal(t["w1"], t["w"]))
+            .drop_columns(["w", "jk", "jk_r"]), batch_format="pyarrow")
+        out = bucketed_join(
+            out.map_batches(key_on("w2"), batch_format="pyarrow"),
+            uk.rename_columns(["w", "n_y", "jk"]), on="jk")
+        out = out.map_batches(
+            lambda t: t.filter(pc.equal(t["w2"], t["w"]))
+            .drop_columns(["w", "jk", "jk_r"]), batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nxy = batch["n_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = batch["n_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ny = batch["n_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift2 = (nxy * n_tokens >= 2 * nx * ny).astype(np.int64)
+        return batch.select(["w1", "w2", "n_xy", "n_x", "n_y"]).append_column(
+            "lift2", pa.array(lift2))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_COLLOCATIONS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM uni),
+big AS (SELECT ws[idx.i] AS w1, ws[idx.i + 1] AS w2
+        FROM toks JOIN idx ON idx.i + 1 <= len(ws)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM big GROUP BY 1, 2)
+SELECT bc.w1, bc.w2, bc.n_xy, u1.n AS n_x, u2.n AS n_y,
+       CAST(CASE WHEN bc.n_xy * tot.n_tokens >= 2 * u1.n * u2.n
+            THEN 1 ELSE 0 END AS BIGINT) AS lift2
+FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2 CROSS JOIN tot
+WHERE bc.n_xy >= 5
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage / UNK-rate screening — the tokenizer-budget
+    question "what fraction of each document survives a top-K
+    vocabulary": exact corpus word counts (same unbounded-vocab fold
+    as q_collocations), top-K=20 by (count desc, word asc) via
+    sort+limit (K rows of driver state, bounded by construction), the
+    K-word set broadcast once, and one vectorized per-doc membership
+    pass. oov_mil is the integer milli-rate floor(n_oov*1e6/n_tokens)
+    so the twin compares integers."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    K = 20
+    uni = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, False),
+                         batch_format="pyarrow"), ["w"])
+    top = uni.sort(["n", "w"], descending=[True, False]).limit(K)
+    vocab = frozenset(r["w"] for r in top.iter_rows())
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok, n_oov = [], []
+        for text in batch["text"].to_pylist():
+            ws = text.split(" ")
+            n_tok.append(len(ws))
+            n_oov.append(sum(1 for w in ws if w not in vocab))
+        nt = np.asarray(n_tok, np.int64)
+        no = np.asarray(n_oov, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids), "n_tokens": pa.array(nt),
+            "n_oov": pa.array(no),
+            "oov_mil": pa.array(no * 1_000_000 // nt)})
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+Q_OOV_RATE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT w, count(*) AS n
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+topk AS (SELECT w FROM uni ORDER BY n DESC, w ASC LIMIT 20),
+tw AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+agg AS (SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN topk.w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM tw LEFT JOIN topk ON topk.w = tw.w GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_mil
+FROM agg
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -12283,4 +12486,6 @@ def registry():
         "q_motion_flow": (q_motion_flow, Q_MOTION_FLOW_SQL),
         "q_image_moments": (q_image_moments, Q_IMAGE_MOMENTS_SQL),
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
+        "q_collocations": (q_collocations, Q_COLLOCATIONS_SQL),
+        "q_oov_rate": (q_oov_rate, Q_OOV_RATE_SQL),
     }

@@ -628,3 +628,28 @@ def test_hamming_pairs_loud_skew_guard(ray_session):
     ).to_pandas()
     assert len(got) == n * (n - 1) // 2
     assert (got["hamming"] == 0).all()
+
+
+def test_collocations_keyed_equals_broadcast(ray_session):
+    """The grace-join unigram attach (vocab above broadcast_cap) must
+    emit exactly the broadcast path's rows."""
+    import ray.data
+
+    from osmray.queries import _collocations
+
+    texts = [
+        "a b a b a b c a b x",
+        "a b a b q c c c c c",
+        "b a b a b a b a b a",
+    ] * 4
+    docs = ray.data.from_items([{"text": t} for t in texts])
+
+    def key(rows):
+        return sorted(map(tuple, rows))
+
+    bc = _collocations(docs, min_count=3).take_all()
+    keyed = _collocations(docs, min_count=3, broadcast_cap=0).take_all()
+    cols = ["w1", "w2", "n_xy", "n_x", "n_y", "lift2"]
+    assert key([[r[c] for c in cols] for r in bc]) == \
+        key([[r[c] for c in cols] for r in keyed])
+    assert len(bc) > 0
