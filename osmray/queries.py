@@ -12281,6 +12281,110 @@ FROM agg
 """
 
 
+def q_kcenter(sf_dir: str):
+    """Farthest-point sampling (greedy k-center) over the occupied
+    cell set — the diversity-coreset selection primitive for training
+    data curation: k=8 rounds, each one full scan computing every
+    cell's min squared distance to the chosen set (vectorized against
+    the <=k broadcast centers) with a per-block (max d2, then min
+    (cx,cy)) partial and an O(#blocks) driver reduce. Driver state is
+    the k centers — O(k) regardless of input size; the scan is k
+    passes over a once-materialized distinct-cell set. Ties broken
+    (d2 desc, cx asc, cy asc) in both engines; all distances are
+    exact int64."""
+    from osmray import terrain
+    from osmray.tableops import sorted_fold_sums
+
+    K = 8
+    pts = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]) \
+        .map_batches(_li_cell_points, batch_format="pyarrow")
+
+    def block_cells(batch: pa.Table) -> pa.Table:
+        cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(terrain.pack(cx, cy))
+        return pa.table({"cell": pa.array(u),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    def to_xy(batch: pa.Table) -> pa.Table:
+        cx, cy = terrain.unpack(
+            batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    cells = (sorted_fold_sums(
+        pts.map_batches(block_cells, batch_format="pyarrow"), "cell", ["one"])
+        .map_batches(to_xy, batch_format="pyarrow"))
+    return kcenter(cells, K)
+
+
+def kcenter(cells, K: int) -> pa.Table:
+    """Greedy k-center over a Dataset of distinct (cx, cy) int cells —
+    see q_kcenter for the round structure and determinism rule."""
+    cells = cells.materialize()
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        cx = batch["cx"].to_numpy(zero_copy_only=False)
+        cy = batch["cy"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(cx * 4096 + cy))
+        return pa.table({"cx": pa.array([cx[i]]), "cy": pa.array([cy[i]])})
+
+    rows = cells.map_batches(block_min, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    centers = [min((int(r["cx"]), int(r["cy"])) for r in rows)]
+    d2s = [0]
+    for _ in range(1, K):
+        ccx = np.asarray([c[0] for c in centers], np.int64)
+        ccy = np.asarray([c[1] for c in centers], np.int64)
+
+        def block_far(batch: pa.Table, ccx=ccx, ccy=ccy) -> pa.Table:
+            cx = batch["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cy = batch["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = ((cx[:, None] - ccx) ** 2 +
+                  (cy[:, None] - ccy) ** 2).min(axis=1)
+            i = int(np.lexsort((cx * 4096 + cy, -d2))[0])
+            return pa.table({"d2": pa.array([d2[i]]),
+                             "cx": pa.array([cx[i]]), "cy": pa.array([cy[i]])})
+
+        parts = cells.map_batches(block_far, batch_format="pyarrow",
+                                  batch_size=None).take_all()
+        best = min(parts, key=lambda r: (-int(r["d2"]),
+                                         int(r["cx"]), int(r["cy"])))
+        centers.append((int(best["cx"]), int(best["cy"])))
+        d2s.append(int(best["d2"]))
+    return pa.table({
+        "rnk": pa.array(np.arange(K, dtype=np.int64)),
+        "cx": pa.array([c[0] for c in centers], pa.int64()),
+        "cy": pa.array([c[1] for c in centers], pa.int64()),
+        "d2min": pa.array(d2s, pa.int64())})
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Chained-CTE replay of the greedy k-center selection: ci = the
+    argmax over cells of the min squared distance to c0..c{i-1},
+    ties (d2 desc, cx, cy) — the same deterministic rule the engine
+    applies."""
+    parts = [
+        f"pts AS ({_LI_SQL})",
+        "cells AS (SELECT DISTINCT m1 // 262144 AS cx, m2 // 262144 AS cy "
+        "FROM pts)",
+        "c0 AS (SELECT cx, cy, CAST(0 AS BIGINT) AS d2 FROM cells "
+        "ORDER BY cx, cy LIMIT 1)",
+    ]
+    for i in range(1, k):
+        terms = ", ".join(
+            f"(c.cx - s{j}.cx)*(c.cx - s{j}.cx) + "
+            f"(c.cy - s{j}.cy)*(c.cy - s{j}.cy)" for j in range(i))
+        expr = f"least({terms})" if i > 1 else terms
+        joins = " ".join(f"CROSS JOIN c{j} s{j}" for j in range(i))
+        parts.append(
+            f"c{i} AS (SELECT c.cx, c.cy, CAST({expr} AS BIGINT) AS d2 "
+            f"FROM cells c {joins} ORDER BY d2 DESC, c.cx, c.cy LIMIT 1)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, cx, cy, d2 AS d2min FROM c{i}"
+        for i in range(k))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -12488,4 +12592,5 @@ def registry():
         "q_sobel_nms": (q_sobel_nms, Q_SOBEL_NMS_SQL),
         "q_collocations": (q_collocations, Q_COLLOCATIONS_SQL),
         "q_oov_rate": (q_oov_rate, Q_OOV_RATE_SQL),
+        "q_kcenter": (q_kcenter, _kcenter_sql()),
     }

@@ -242,3 +242,36 @@ def test_sorted_fold_min_max_vs_numpy(ray_session):
         assert got["a"][i] == a[m].sum()
         assert got["b"][i] == b[m].min()
         assert got["c"][i] == c[m].max()
+
+
+def test_kcenter_matches_brute_force(ray_session):
+    """Greedy farthest-point sampling == the scalar reference on a
+    multi-block point set, including the (d2 desc, cx, cy) tie rule."""
+    import numpy as np
+    import ray.data
+
+    from osmray.queries import kcenter
+
+    rng = np.random.RandomState(7)
+    pts = sorted({(int(x), int(y)) for x, y in rng.randint(0, 50, (120, 2))})
+    K = 6
+    # scalar reference
+    centers = [min(pts)]
+    d2s = [0]
+    for _ in range(1, K):
+        best = None
+        for (x, y) in pts:
+            d2 = min((x - cx) ** 2 + (y - cy) ** 2 for cx, cy in centers)
+            k = (-d2, x, y)
+            if best is None or k < best[0]:
+                best = (k, (x, y), d2)
+        centers.append(best[1])
+        d2s.append(best[2])
+
+    ds = ray.data.from_items(
+        [{"cx": x, "cy": y} for x, y in pts]).repartition(7)
+    out = kcenter(ds, K).to_pylist()
+    assert [(r["cx"], r["cy"]) for r in out] == centers
+    assert [r["d2min"] for r in out] == d2s
+    # selection radius is non-increasing after the first pick
+    assert all(a >= b for a, b in zip(d2s[1:], d2s[2:]))
