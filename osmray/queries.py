@@ -12385,6 +12385,84 @@ def _kcenter_sql(k: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def q_lbp(sf_dir: str):
+    """Local-binary-pattern texture histogram over the sparse cell
+    DEM (terrain.lbp_histogram): per cell an 8-bit code from sign
+    comparisons with its EXISTING D8 neighbors (absent => bit 0),
+    then the corpus histogram keyed by (n_nbr, code) — totals scatter
+    raw z (the comparison is nonlinear), one bucketed join, two keyed
+    folds."""
+    from osmray import terrain
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return terrain.lbp_histogram(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"))
+
+
+# D8_DIRS order with bit weights 2^i — must match terrain.D8_DIRS
+_LBP_DIRS_SQL = ("(VALUES (-1,-1,1),(-1,0,2),(-1,1,4),(0,-1,8),"
+                 "(0,1,16),(1,-1,32),(1,0,64),(1,1,128)) d(dx, dy, w)")
+
+Q_LBP_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+codes AS (
+  SELECT a.cx, a.cy, count(*) AS sup,
+         SUM(CASE WHEN b.z > a.z THEN d.w ELSE 0 END) AS code
+  FROM c a CROSS JOIN {_LBP_DIRS_SQL}
+  JOIN c b ON b.cx = a.cx + d.dx AND b.cy = a.cy + d.dy
+  GROUP BY a.cx, a.cy)
+SELECT CAST(sup AS BIGINT) AS n_nbr, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM codes GROUP BY sup, code
+"""
+
+
+def q_laplacian_pyramid(sf_dir: str):
+    """Laplacian-pyramid band energies (terrain.laplacian_levels):
+    2x2 SUM pooling per level (linear, so partials commute), band
+    residual 4*z - z_parent via one bucketed join per level, and the
+    per-band scalar triple (n_cells, sum_abs_lap, sum_z) reduced from
+    O(#blocks) partials — the multi-scale detail-energy profile of
+    the raster."""
+    from osmray import terrain
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return terrain.laplacian_levels(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"), n_levels=2)
+
+
+Q_LAPLACIAN_PYRAMID_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c0 AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+c1 AS (SELECT cx // 2 AS cx, cy // 2 AS cy, sum(z) AS z FROM c0
+       GROUP BY 1, 2),
+c2 AS (SELECT cx // 2 AS cx, cy // 2 AS cy, sum(z) AS z FROM c1
+       GROUP BY 1, 2),
+l0 AS (SELECT CAST(0 AS BIGINT) AS level, count(*) AS n_cells,
+              SUM(abs(4 * a.z - b.z)) AS sum_abs_lap, SUM(a.z) AS sum_z
+       FROM c0 a JOIN c1 b ON b.cx = a.cx // 2 AND b.cy = a.cy // 2),
+l1 AS (SELECT CAST(1 AS BIGINT) AS level, count(*) AS n_cells,
+              SUM(abs(4 * a.z - b.z)) AS sum_abs_lap, SUM(a.z) AS sum_z
+       FROM c1 a JOIN c2 b ON b.cx = a.cx // 2 AND b.cy = a.cy // 2),
+l2 AS (SELECT CAST(2 AS BIGINT) AS level, count(*) AS n_cells,
+              SUM(abs(z)) AS sum_abs_lap, SUM(z) AS sum_z FROM c2)
+SELECT level, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(sum_abs_lap AS BIGINT) AS sum_abs_lap,
+       CAST(sum_z AS BIGINT) AS sum_z
+FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL
+      SELECT * FROM l2)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -12593,4 +12671,7 @@ def registry():
         "q_collocations": (q_collocations, Q_COLLOCATIONS_SQL),
         "q_oov_rate": (q_oov_rate, Q_OOV_RATE_SQL),
         "q_kcenter": (q_kcenter, _kcenter_sql()),
+        "q_lbp": (q_lbp, Q_LBP_SQL),
+        "q_laplacian_pyramid": (q_laplacian_pyramid,
+                                Q_LAPLACIAN_PYRAMID_SQL),
     }

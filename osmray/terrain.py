@@ -377,3 +377,142 @@ def ruggedness(partials):
             "n_nbr": batch["n_nbr"].cast(pa.int64())})
 
     return folded.map_batches(fmt, batch_format="pyarrow")
+
+
+def lbp_histogram(partials):
+    """Local Binary Patterns over the cell DEM — the classic texture
+    descriptor: per cell with >=1 occupied D8 neighbor,
+    code = sum over D8_DIRS index i of 2^i * [z(neighbor_i) > z(c)]
+    (an ABSENT neighbor contributes bit 0 — the standard sparse-raster
+    padding; isolated cells drop out, as in :func:`ruggedness`);
+    output is the corpus histogram keyed by (n_nbr, code) so the
+    support is explicit. Same scatter + one-bucketed-join + fold
+    shape as ruggedness (the comparison is nonlinear, so totals
+    scatter raw z), plus one more keyed fold for the histogram."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    totals = sorted_fold_sums(partials, "cell", ["z"]).materialize()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = unpack(c)
+        outs = []
+        for i, (dx, dy) in enumerate(D8_DIRS):
+            # receiver r = s - d_i: from r's view the source sits at
+            # offset +d_i, i.e. it IS r's neighbor i
+            outs.append(pa.table({
+                "cell": pa.array(pack(cx - dx, cy - dy)),
+                "zn": pa.array(z),
+                "w": pa.array(np.full(len(z), 1 << i, np.int64))}))
+        return pa.concat_tables(outs)
+
+    nb = max(1, min(64, totals.count() // 250_000 + 1))
+    joined = bucketed_join(
+        totals.map_batches(scatter, batch_format="pyarrow"),
+        totals, on="cell", num_buckets=nb)
+
+    def bits(batch: pa.Table) -> pa.Table:
+        zn = batch["zn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": batch["cell"],
+            "code": pa.array(np.where(zn > z, w, 0)),
+            "sup": pa.array(np.ones(len(z), np.int64))})
+
+    folded = sorted_fold_sums(
+        joined.map_batches(bits, batch_format="pyarrow"),
+        "cell", ["code", "sup"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        sup = batch["sup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = batch["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(sup * 256 + code, return_counts=True)
+        return pa.table({"sc": pa.array(u),
+                         "n_cells": pa.array(cnt.astype(np.int64))})
+
+    hist = sorted_fold_sums(
+        folded.map_batches(hist_partial, batch_format="pyarrow"),
+        "sc", ["n_cells"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        sc = batch["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_nbr": pa.array(sc // 256), "code": pa.array(sc % 256),
+            "n_cells": batch["n_cells"].cast(pa.int64())})
+
+    return hist.map_batches(fmt, batch_format="pyarrow")
+
+
+def laplacian_levels(partials, n_levels: int = 2):
+    """Laplacian-pyramid band energies over the cell DEM (domain:
+    non-negative cell coords): level l+1 = 2x2 SUM pooling of level l
+    (linear — partials commute with pooling), band residual at an
+    occupied level-l cell = 4*z_l(c) - z_{l+1}(parent(c)) (nearest
+    reconstruction; exact integers). Emits one row per band:
+    (level, n_cells, sum_abs_lap, sum_z) plus the coarsest base row
+    where the "residual" is the signal itself. Pooling is a keyed
+    fold per level; the parent attach is one bucketed join; the three
+    per-band scalars reduce via O(#blocks) partials."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    levels = [sorted_fold_sums(partials, "cell", ["z"]).materialize()]
+    for _ in range(n_levels):
+        def to_parent(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx, cy = unpack(c)
+            return pa.table({"cell": pa.array(pack(cx // 2, cy // 2)),
+                             "z": batch["z"]})
+
+        levels.append(sorted_fold_sums(
+            levels[-1].map_batches(to_parent, batch_format="pyarrow"),
+            "cell", ["z"]).materialize())
+
+    rows = []
+    for lvl in range(n_levels):
+        def child_key(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx, cy = unpack(c)
+            return pa.table({"pkey": pa.array(pack(cx // 2, cy // 2)),
+                             "z": batch["z"]})
+
+        joined = bucketed_join(
+            levels[lvl].map_batches(child_key, batch_format="pyarrow"),
+            levels[lvl + 1], on="pkey", right_on="cell", num_buckets=8)
+
+        def band_partial(batch: pa.Table) -> pa.Table:
+            zc = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            zp = batch["z_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lap = np.abs(4 * zc - zp)
+            return pa.table({
+                "n_cells": pa.array([len(zc)], pa.int64()),
+                "sum_abs_lap": pa.array([int(lap.sum())], pa.int64()),
+                "sum_z": pa.array([int(zc.sum())], pa.int64())})
+
+        parts = joined.map_batches(band_partial, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+        rows.append((lvl, sum(r["n_cells"] for r in parts),
+                     sum(r["sum_abs_lap"] for r in parts),
+                     sum(r["sum_z"] for r in parts)))
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_cells": pa.array([len(z)], pa.int64()),
+            "sum_abs_lap": pa.array([int(np.abs(z).sum())], pa.int64()),
+            "sum_z": pa.array([int(z.sum())], pa.int64())})
+
+    parts = levels[n_levels].map_batches(
+        base_partial, batch_format="pyarrow", batch_size=None).take_all()
+    rows.append((n_levels, sum(r["n_cells"] for r in parts),
+                 sum(r["sum_abs_lap"] for r in parts),
+                 sum(r["sum_z"] for r in parts)))
+    lv, nc, sa, sz = zip(*rows)
+    return pa.table({
+        "level": pa.array(lv, pa.int64()),
+        "n_cells": pa.array(nc, pa.int64()),
+        "sum_abs_lap": pa.array(sa, pa.int64()),
+        "sum_z": pa.array(sz, pa.int64())})

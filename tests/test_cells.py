@@ -304,3 +304,56 @@ def test_terrain_kernel_invariants(ray_session):
         basin_sizes = ws.groupby("sink").size()
         for sink, size in basin_sizes.items():
             assert acc_map[sink] == size
+
+
+def test_lbp_and_laplacian_vs_brute(ray_session):
+    """terrain.lbp_histogram and terrain.laplacian_levels against
+    scalar references on a small random sparse grid spanning blocks."""
+    import numpy as np
+    import ray.data
+
+    from osmray import terrain
+
+    rng = np.random.RandomState(3)
+    cells = sorted({(int(x), int(y)) for x, y in rng.randint(0, 12, (60, 2))})
+    zval = {c: int(rng.randint(1, 50)) for c in cells}
+    ds = ray.data.from_items(
+        [{"cx": x, "cy": y, "v": zval[(x, y)]} for x, y in cells]
+    ).repartition(5)
+    partials = terrain.elevation_partials(ds, "cx", "cy", "v")
+
+    # --- LBP brute force
+    hist = {}
+    for (x, y), z in zval.items():
+        code = sup = 0
+        for i, (dx, dy) in enumerate(terrain.D8_DIRS):
+            zn = zval.get((x + dx, y + dy))
+            if zn is not None:
+                sup += 1
+                if zn > z:
+                    code |= 1 << i
+        if sup:
+            hist[(sup, code)] = hist.get((sup, code), 0) + 1
+    got = {(r["n_nbr"], r["code"]): r["n_cells"]
+           for r in terrain.lbp_histogram(partials).to_pandas().to_dict("records")}
+    assert got == hist
+
+    # --- Laplacian brute force
+    lv0 = dict(zval)
+    lv1, lv2 = {}, {}
+    for (x, y), z in lv0.items():
+        lv1[(x // 2, y // 2)] = lv1.get((x // 2, y // 2), 0) + z
+    for (x, y), z in lv1.items():
+        lv2[(x // 2, y // 2)] = lv2.get((x // 2, y // 2), 0) + z
+    exp = []
+    for lvl, (cur, par) in enumerate([(lv0, lv1), (lv1, lv2)]):
+        sa = sum(abs(4 * z - par[(x // 2, y // 2)])
+                 for (x, y), z in cur.items())
+        exp.append((lvl, len(cur), sa, sum(cur.values())))
+    exp.append((2, len(lv2), sum(abs(z) for z in lv2.values()),
+                sum(lv2.values())))
+    out = terrain.laplacian_levels(
+        terrain.elevation_partials(ds, "cx", "cy", "v"), n_levels=2)
+    got = [(r["level"], r["n_cells"], r["sum_abs_lap"], r["sum_z"])
+           for r in out.to_pandas().to_dict("records")]
+    assert got == exp
