@@ -12463,6 +12463,170 @@ FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL
 """
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic seeded random walks over the bipartite
+    order<->part graph — the node2vec / DeepWalk corpus-generation
+    primitive: L=4 steps, step choice = splitmix64(walk_id*1000003 +
+    step) taken modulo the current node's degree, resolved against a
+    RANKED adjacency (neighbors ordered by id). Ranked adjacency =
+    one distinct-edge fold + degree-bounded map_groups; each step is
+    two grace joins (frontier->degree, then (node, rank)->neighbor) —
+    the frontier is the only thing that moves, O(1) driver state.
+    The twin replays the same hash via hash64_ctes and the same
+    pmod/rank picks as unrolled CTEs."""
+    return _random_walks(sf_dir)
+
+
+def _random_walks(sf_dir: str, broadcast_cap: int = 4_000_000):
+    import pyarrow.compute as pc
+
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash64
+    from osmray.tableops import sorted_fold_sums
+
+    L, SEED = 4, 5
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        u = 2 * o[sel]
+        v = 2 * p[sel] + 1
+        uu = np.concatenate((u, v))
+        vv = np.concatenate((v, u))
+        k = np.unique(uu * (1 << 32) + vv)
+        return pa.table({"k": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    ek = sorted_fold_sums(
+        ds.map_batches(edge_partials, batch_format="pyarrow"), "k", ["one"])
+
+    def unpack_edges(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(k >> 32),
+                         "v": pa.array(k & 0xFFFFFFFF)})
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        v = np.sort(g["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        u = int(g["u"][0].as_py())
+        deg = len(v)
+        if deg >= 1 << 20:
+            raise RuntimeError(f"degree {deg} exceeds the 2^20 rank-pack "
+                               f"cap at node {u}; raise the pack width")
+        r = np.arange(deg, dtype=np.int64)
+        return pa.table({
+            "ak": pa.array(u * (1 << 20) + r), "v": pa.array(v),
+            "u": pa.array(np.full(deg, u, np.int64)),
+            "r": pa.array(r),
+            "deg": pa.array(np.full(deg, deg, np.int64))})
+
+    adj = (ek.map_batches(unpack_edges, batch_format="pyarrow")
+           .groupby("u").map_groups(rank_group, batch_format="pyarrow")
+           .materialize())
+    deg = adj.map_batches(
+        lambda t: t.filter(pc.equal(t["r"], 0)).select(["u", "deg"]),
+        batch_format="pyarrow")
+    adj_kv = adj.select_columns(["ak", "v"])
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = u[(u % 2 == 0) & ((u // 2) % 400 == 1)]
+        return pa.table({"walk_id": pa.array(uu), "node": pa.array(uu)})
+
+    seeds = deg.map_batches(seed_rows, batch_format="pyarrow")
+
+    def step_table(ds_f, i: int) -> pa.Table:
+        return ds_f.map_batches(
+            lambda t, i=i: pa.table({
+                "walk_id": t["walk_id"].cast(pa.int64()),
+                "step": pa.array(np.full(len(t), i, np.int64)),
+                "node": t["node"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    # two-engine policy (as in osmray/graph.py): a bounded adjacency
+    # broadcasts once as CSR arrays and every seed batch walks all L
+    # steps vectorized in ONE task pass; above the cap the frontier
+    # advances through two grace joins per step (O(1) driver state).
+    if adj.count() <= broadcast_cap:
+        import ray as _ray
+
+        at = adj.sort("ak").select_columns(["ak", "v", "deg"]).to_pandas()
+        ak = at["ak"].to_numpy().astype(np.int64)
+        av = at["v"].to_numpy().astype(np.int64)
+        adeg = at["deg"].to_numpy().astype(np.int64)
+        ref = _ray.put((ak, av, adeg))
+
+        def walk_all(batch: pa.Table) -> pa.Table:
+            ak, av, adeg = _ray.get(ref)
+            w = batch["walk_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cur = batch["node"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ws, ss, ns = [w], [np.zeros(len(w), np.int64)], [cur]
+            for i in range(1, L + 1):
+                base = np.searchsorted(ak, cur * (1 << 20))
+                r = hash64(w * 1000003 + i, SEED) % adeg[base]
+                cur = av[base + r]
+                ws.append(w)
+                ss.append(np.full(len(w), i, np.int64))
+                ns.append(cur)
+            return pa.table({
+                "walk_id": pa.array(np.concatenate(ws)),
+                "step": pa.array(np.concatenate(ss)),
+                "node": pa.array(np.concatenate(ns))})
+
+        return seeds.map_batches(walk_all, batch_format="pyarrow")
+
+    outs = [step_table(seeds, 0)]
+    frontier = seeds
+    for i in range(1, L + 1):
+        fd = bucketed_join(frontier, deg, on="node", right_on="u",
+                           num_buckets=8)
+
+        def pick(batch: pa.Table, i=i) -> pa.Table:
+            w = batch["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = hash64(w * 1000003 + i, SEED) % dg  # numpy %: pmod
+            return pa.table({"walk_id": pa.array(w),
+                             "ak": pa.array(n * (1 << 20) + r)})
+
+        fn = bucketed_join(
+            fd.map_batches(pick, batch_format="pyarrow"), adj_kv,
+            on="ak", num_buckets=8)
+        frontier = fn.map_batches(
+            lambda t: pa.table({"walk_id": t["walk_id"].cast(pa.int64()),
+                                "node": t["v"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        outs.append(step_table(frontier, i))
+    return outs[0].union(*outs[1:])
+
+
+def _random_walks_sql(L: int = 4, seed: int = 5) -> str:
+    parts = [
+        "e0 AS (SELECT DISTINCT 2*l_orderkey AS u, 2*l_partkey+1 AS v "
+        "FROM lineitem WHERE l_orderkey%40=1 AND l_partkey%5=0)",
+        "ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0)",
+        "adj AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v)"
+        " - 1 AS r, count(*) OVER (PARTITION BY u) AS deg FROM ed)",
+        "s0 AS (SELECT u AS walk_id, CAST(0 AS BIGINT) AS step, u AS node "
+        "FROM (SELECT DISTINCT u FROM ed WHERE u % 2 = 0 "
+        "AND (u // 2) % 400 = 1))",
+    ]
+    for i in range(1, L + 1):
+        parts.append(hash64_ctes(
+            f"h{i}", f"s{i-1}", "walk_id, node",
+            f"walk_id * 1000003 + {i}", seed).strip())
+        parts.append(
+            f"s{i} AS (SELECT h.walk_id, CAST({i} AS BIGINT) AS step, "
+            f"a.v AS node FROM h{i}5 h JOIN adj a ON a.u = h.node "
+            f"AND a.r = ((h.h % a.deg) + a.deg) % a.deg)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{i}" for i in range(L + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -12674,4 +12838,5 @@ def registry():
         "q_lbp": (q_lbp, Q_LBP_SQL),
         "q_laplacian_pyramid": (q_laplacian_pyramid,
                                 Q_LAPLACIAN_PYRAMID_SQL),
+        "q_random_walks": (q_random_walks, _random_walks_sql()),
     }

@@ -329,3 +329,17 @@ def test_boruvka_mst_engines_match_brute_kruskal(ray_session):
             got = boruvka_mst(ds, mode=mode, num_partitions=4).to_pandas()
             got = sorted(map(tuple, got[["eid", "u", "v", "w"]].to_numpy()))
             assert got == exp, (mode, n_nodes, n_edges)
+
+
+def test_random_walks_engines_agree(ray_session):
+    """The broadcast-CSR walk engine and the keyed two-join-per-step
+    engine must emit identical (walk_id, step, node) sets."""
+    from osmray.queries import _random_walks
+
+    def key(res):
+        return sorted((r["walk_id"], r["step"], r["node"])
+                      for r in res.to_pandas().to_dict("records"))
+
+    bc = key(_random_walks("/root/testdata/sf0.001"))
+    keyed = key(_random_walks("/root/testdata/sf0.001", broadcast_cap=0))
+    assert bc == keyed and len(bc) == 20
