@@ -1311,3 +1311,65 @@ def _ruggedness(p: dict) -> Stage:
 
 
 STAGES.update({"ruggedness": _ruggedness})
+
+
+def _lbp(p: dict) -> Stage:
+    """{"op": "lbp", "x": col, "y": col, "v": col} — Local Binary
+    Pattern texture histogram over the cell grid; emits
+    (n_nbr, code, n_cells)."""
+    from osmray import terrain
+
+    return lambda ds: terrain.lbp_histogram(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"]))
+
+
+def _laplacian_pyramid(p: dict) -> Stage:
+    """{"op": "laplacian_pyramid", "x": col, "y": col, "v": col,
+    "levels": 2?} — per-band detail energies; emits
+    (level, n_cells, sum_abs_lap, sum_z)."""
+    import ray.data
+
+    from osmray import terrain
+
+    return lambda ds: ray.data.from_arrow(terrain.laplacian_levels(
+        terrain.elevation_partials(ds, p["x"], p["y"], p["v"]),
+        n_levels=int(p.get("levels", 2))))
+
+
+def _collocations(p: dict) -> Stage:
+    """{"op": "collocations", "min_count": 5?} — bigram collocation
+    mining over a dataset with a ``text`` column; emits
+    (w1, w2, n_xy, n_x, n_y, lift2)."""
+    from osmray.queries import _collocations as colloc
+
+    return lambda ds: colloc(ds, min_count=int(p.get("min_count", 5)))
+
+
+def _oov_rate(p: dict) -> Stage:
+    """{"op": "oov_rate", "k": 20?} — per-doc UNK rate against the
+    corpus top-k vocabulary; emits (doc_id, n_tokens, n_oov,
+    oov_mil)."""
+    from osmray.queries import oov_rate
+
+    return lambda ds: oov_rate(ds, K=int(p.get("k", 20)))
+
+
+def _kcenter(p: dict) -> Stage:
+    """{"op": "kcenter", "k": 8?} — greedy farthest-point sampling
+    over a dataset of distinct (cx, cy) cells; emits
+    (rnk, cx, cy, d2min)."""
+    import ray.data
+
+    from osmray.queries import kcenter
+
+    return lambda ds: ray.data.from_arrow(
+        kcenter(ds, int(p.get("k", 8))))
+
+
+STAGES.update({
+    "lbp": _lbp,
+    "laplacian_pyramid": _laplacian_pyramid,
+    "collocations": _collocations,
+    "oov_rate": _oov_rate,
+    "kcenter": _kcenter,
+})

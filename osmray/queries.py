@@ -12240,8 +12240,10 @@ def q_oov_rate(sf_dir: str):
     K-word set broadcast once, and one vectorized per-doc membership
     pass. oov_mil is the integer milli-rate floor(n_oov*1e6/n_tokens)
     so the twin compares integers."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    K = 20
+    return oov_rate(_read(sf_dir, "documents", ["doc_id", "text"]), K=20)
+
+
+def oov_rate(docs, K: int = 20):
     uni = _hashed_string_counts(
         docs.map_batches(lambda b: _token_block_partials(b, False),
                          batch_format="pyarrow"), ["w"])

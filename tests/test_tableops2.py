@@ -275,3 +275,50 @@ def test_kcenter_matches_brute_force(ray_session):
     assert [r["d2min"] for r in out] == d2s
     # selection radius is non-increasing after the first pick
     assert all(a >= b for a, b in zip(d2s[1:], d2s[2:]))
+
+
+def test_new_family_declarative_steps(ray_session):
+    """lbp / laplacian_pyramid / collocations / oov_rate / kcenter
+    steps emit the same results as their kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    rng = np.random.RandomState(5)
+    grid = pa.table({
+        "x": pa.array(rng.randint(0, 16, 300), pa.int64()),
+        "y": pa.array(rng.randint(0, 16, 300), pa.int64()),
+        "v": pa.array(rng.randint(1, 9, 300), pa.int64())})
+    pq.write_table(grid, "/tmp/step_grid.parquet")
+    lbp = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/step_grid.parquet"},
+        {"op": "lbp", "x": "x", "y": "y", "v": "v"}]).to_pandas()
+    assert lbp["n_cells"].sum() > 0 and set(lbp.columns) == {
+        "n_nbr", "code", "n_cells"}
+    lap = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/step_grid.parquet"},
+        {"op": "laplacian_pyramid", "x": "x", "y": "y", "v": "v"},
+    ]).to_pandas()
+    assert list(lap["level"]) == [0, 1, 2]
+    assert lap["sum_z"].iloc[0] == 300 * 0 + grid["v"].to_pandas().sum()
+    cells = pa.table({
+        "cx": grid["x"], "cy": grid["y"]})
+    pq.write_table(cells, "/tmp/step_cells.parquet")
+    kc = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/step_cells.parquet"},
+        {"op": "kcenter", "k": 4}]).to_pandas()
+    assert len(kc) == 4 and kc["d2min"].iloc[0] == 0
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["a b a b a b c"] * 2)})
+    pq.write_table(docs, "/tmp/step_docs.parquet")
+    col = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/step_docs.parquet"},
+        {"op": "collocations", "min_count": 3}]).to_pandas()
+    assert set(zip(col["w1"], col["w2"])) == {("a", "b"), ("b", "a")}
+    oov = run_pipeline([
+        {"op": "read_parquet", "path": "/tmp/step_docs.parquet"},
+        {"op": "oov_rate", "k": 2}]).to_pandas()
+    assert (oov["n_oov"] == 1).all() and (oov["n_tokens"] == 7).all()
