@@ -12629,6 +12629,194 @@ def _random_walks_sql(L: int = 4, seed: int = 5) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty — the "how much of this doc is
+    unique text" curation score: corpus-wide token-trigram counts,
+    then per doc the number of its trigrams that occur EXACTLY ONCE
+    in the whole corpus. The join back to documents is avoided by an
+    owner trick: a count-1 trigram has exactly one occurrence, so the
+    counting fold also carries min(doc_id) per gram and novel counts
+    group directly by that owner — one hashed-key shuffle + one small
+    keyed fold, no doc<->gram join anywhere. n_trigrams comes from a
+    stateless per-doc pass; the two attach with one left grace join
+    (docs with zero novel grams keep 0)."""
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash_str
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gs, ds_ = [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            ws = text.split(" ")
+            gs.extend(f"{a}\x1f{b}\x1f{c}"
+                      for a, b, c in zip(ws, ws[1:], ws[2:]))
+            ds_.extend([did] * max(len(ws) - 2, 0))
+        if not gs:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "mdoc": pa.array([], pa.int64())})
+        garr = np.asarray(gs)
+        darr = np.asarray(ds_, np.int64)
+        order = np.argsort(garr, kind="stable")
+        gsrt, dsrt = garr[order], darr[order]
+        new = np.concatenate(([True], gsrt[1:] != gsrt[:-1]))
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid).astype(np.int64)
+        mdoc = np.full(len(cnt), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mdoc, gid, dsrt)
+        u = gsrt[new]
+        return pa.table({"k": pa.array(hash_str(list(u), 13)),
+                         "g": pa.array(u), "cnt": pa.array(cnt),
+                         "mdoc": pa.array(mdoc)})
+
+    def verify(g: pa.Table) -> pa.Table:
+        gr = np.asarray(g["g"].to_pylist())
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        md = g["mdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gr, kind="stable")
+        gs, cs, ms = gr[order], cnt[order], md[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        gid = np.cumsum(new) - 1
+        n = np.bincount(gid, weights=cs).astype(np.int64)
+        mm = np.full(len(n), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mm, gid, ms)
+        novel = n == 1
+        # per-owner novel-gram partial counts (gram strings stop here)
+        u, inv = np.unique(mm[novel], return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(u),
+            "novel": pa.array(np.bincount(inv).astype(np.int64))})
+
+    from osmray.tableops import sorted_fold_sums
+
+    grams = docs.map_batches(gram_partials, batch_format="pyarrow")
+    nov = sorted_fold_sums(
+        grams.groupby("k").map_groups(verify, batch_format="pyarrow"),
+        "doc_id", ["novel"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.asarray([max(len(t.split(" ")) - 2, 0)
+                         for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({"doc_id": pa.array(ids), "n_trigrams": pa.array(nt)})
+
+    base = docs.map_batches(per_doc, batch_format="pyarrow")
+    joined = bucketed_join(base, nov, on="doc_id", num_buckets=8, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = batch["n_trigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = pc.fill_null(batch["novel"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_trigrams": pa.array(nt),
+            "n_novel": pa.array(nv),
+            "novel_mil": pa.array(
+                np.where(nt > 0, nv * 1_000_000 // np.maximum(nt, 1), 0))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+Q_NGRAM_NOVELTY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+tg AS (SELECT doc_id, ws[idx.i] || chr(31) || ws[idx.i + 1] || chr(31) ||
+              ws[idx.i + 2] AS g
+       FROM toks JOIN idx ON idx.i + 2 <= len(ws)),
+gc AS (SELECT g, count(*) AS n, min(doc_id) AS owner FROM tg GROUP BY g),
+nov AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM gc WHERE n = 1 GROUP BY 1),
+base AS (SELECT doc_id,
+                CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_trigrams
+         FROM toks)
+SELECT b.doc_id, b.n_trigrams, COALESCE(nov.n_novel, 0) AS n_novel,
+       CAST(CASE WHEN b.n_trigrams > 0
+            THEN COALESCE(nov.n_novel, 0) * 1000000 // b.n_trigrams
+            ELSE 0 END AS BIGINT) AS novel_mil
+FROM base b LEFT JOIN nov ON nov.doc_id = b.doc_id
+"""
+
+
+def q_graph_voronoi(sf_dir: str):
+    """Graph Voronoi / catchment assignment: every reachable node
+    labeled with its NEAREST seed (weighted distance; ties -> the
+    smaller seed id) — the isochrone-assignment primitive. Runs as
+    plain ``graph.sssp`` on a packed lexicographic state: pd =
+    dist * 2^32 + seed, a super-source node 0 feeding each seed s an
+    edge of weight s (dist 0, seed s), and real edges re-weighted
+    w * 2^32 — the min-fold over pd IS nearest-seed-then-min-id, so
+    the whole op inherits sssp's two-engine policy and round bounds
+    unchanged. Same bounded fixture graph and dist cap (24) as
+    q_sssp."""
+    from osmray.graph import sssp
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    SHIFT = 1 << 32
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        u = 2 * o[sel]
+        v = 2 * p[sel] + 1
+        k = np.unique(u * SHIFT + v)
+        uu, vv = k // SHIFT, k % SHIFT
+        us = np.concatenate((uu, vv))
+        vs = np.concatenate((vv, uu))
+        w = (1 + (us * 3 + vs * 5) % 7) * SHIFT
+        # super-source 0 -> seed s with weight s packs (dist 0, seed s)
+        seed_mask = (us % 34 == 2) & (us % 2 == 0)
+        sv = np.unique(us[seed_mask])
+        return pa.table({
+            "u": pa.array(np.concatenate((us, np.zeros(len(sv), np.int64)))),
+            "v": pa.array(np.concatenate((vs, sv))),
+            "w": pa.array(np.concatenate((w, sv)))})
+
+    import ray.data as _rd
+
+    out = sssp(ds.map_batches(edges, batch_format="pyarrow"),
+               _rd.from_items([{"node": 0}]),
+               max_dist=25 * SHIFT - 1)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pd_ = batch["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = node != 0
+        return pa.table({
+            "node": pa.array(node[keep]),
+            "dist": pa.array(pd_[keep] // SHIFT),
+            "seed": pa.array(pd_[keep] % SHIFT)})
+
+    return out.map_batches(decode, batch_format="pyarrow")
+
+
+Q_GRAPH_VORONOI_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+e AS (
+  SELECT u, v, 1 + (u * 3 + v * 5) % 7 AS w FROM raw
+  UNION SELECT v, u, 1 + (v * 3 + u * 5) % 7 FROM raw
+),
+r(node, pd) AS (
+  SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS pd
+  FROM raw WHERE u % 34 = 2
+  UNION
+  SELECT e.v, r.pd + e.w * 4294967296 FROM r JOIN e ON e.u = r.node
+  WHERE r.pd // 4294967296 + e.w <= 24
+)
+SELECT node, CAST(min(pd) // 4294967296 AS BIGINT) AS dist,
+       CAST(min(pd) % 4294967296 AS BIGINT) AS seed
+FROM r GROUP BY node
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -12841,4 +13029,6 @@ def registry():
         "q_laplacian_pyramid": (q_laplacian_pyramid,
                                 Q_LAPLACIAN_PYRAMID_SQL),
         "q_random_walks": (q_random_walks, _random_walks_sql()),
+        "q_ngram_novelty": (q_ngram_novelty, Q_NGRAM_NOVELTY_SQL),
+        "q_graph_voronoi": (q_graph_voronoi, Q_GRAPH_VORONOI_SQL),
     }

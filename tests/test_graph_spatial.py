@@ -343,3 +343,48 @@ def test_random_walks_engines_agree(ray_session):
     bc = key(_random_walks("/root/testdata/sf0.001"))
     keyed = key(_random_walks("/root/testdata/sf0.001", broadcast_cap=0))
     assert bc == keyed and len(bc) == 20
+
+
+def test_graph_voronoi_packed_state(ray_session):
+    """The packed (dist, seed) lexicographic trick through graph.sssp
+    equals brute multi-source Dijkstra with min-seed tie-break."""
+    import heapq
+
+    import numpy as np
+    import ray.data
+
+    from osmray.graph import sssp
+
+    rng = np.random.RandomState(11)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(1, n, (120, 2))
+                    if a != b})
+    w = {e: int(rng.randint(1, 6)) for e in edges}
+    seeds = [1, 5, 9]
+    SHIFT = 1 << 32
+
+    # brute: Dijkstra over (dist, seed) pairs
+    best = {s: (0, s) for s in seeds}
+    pq = [(0, s, s) for s in seeds]
+    heapq.heapify(pq)
+    adj = {}
+    for (a, b), ww in w.items():
+        adj.setdefault(a, []).append((b, ww))
+    while pq:
+        d, sd, u = heapq.heappop(pq)
+        if best.get(u, (1 << 60, 0)) < (d, sd):
+            continue
+        for v, ww in adj.get(u, []):
+            cand = (d + ww, sd)
+            if cand < best.get(v, (1 << 60, 0)) and d + ww <= 24:
+                best[v] = cand
+                heapq.heappush(pq, (d + ww, sd, v))
+
+    rows = ([{"u": 0, "v": s, "w": s} for s in seeds] +
+            [{"u": a, "v": b, "w": ww * SHIFT} for (a, b), ww in w.items()])
+    out = sssp(ray.data.from_items(rows).repartition(4),
+               ray.data.from_items([{"node": 0}]),
+               max_dist=25 * SHIFT - 1)
+    got = {int(r["node"]): (int(r["dist"]) // SHIFT, int(r["dist"]) % SHIFT)
+           for r in out.take_all() if r["node"] != 0}
+    assert got == best

@@ -653,3 +653,41 @@ def test_collocations_keyed_equals_broadcast(ray_session):
     assert key([[r[c] for c in cols] for r in bc]) == \
         key([[r[c] for c in cols] for r in keyed])
     assert len(bc) > 0
+
+
+def test_ngram_novelty_owner_trick(ray_session):
+    """The min-owner trick equals the brute per-doc unique-trigram
+    count on a corpus with planted shared and unique trigrams."""
+    import ray.data
+
+    from osmray.queries import q_ngram_novelty  # noqa: F401 (shape)
+    from osmray import queries as Q
+
+    texts = {
+        1: "x y z a b c d",          # 'x y z' unique; others shared below
+        2: "a b c d e f",
+        3: "a b c d e f",            # doc2/doc3 trigrams all shared
+        4: "p q",                    # too short: 0 trigrams
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()))}),
+        os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: (r["n_trigrams"], r["n_novel"])
+           for r in Q.q_ngram_novelty(d).to_pandas().to_dict("records")}
+    # brute
+    from collections import Counter
+    grams = Counter()
+    per = {}
+    for did, t in texts.items():
+        ws = t.split(" ")
+        gs = list(zip(ws, ws[1:], ws[2:]))
+        per[did] = gs
+        grams.update(gs)
+    exp = {did: (len(gs), sum(1 for g in gs if grams[g] == 1))
+           for did, gs in per.items()}
+    assert out == exp
