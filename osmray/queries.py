@@ -2751,9 +2751,11 @@ def q_ivf_ann(sf_dir: str):
     return out.map_batches(quant, batch_format="pyarrow")
 
 
-def _ivf_ann_sql(n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4,
-                 k: int = 10, dim: int = 64) -> str:
-    """DuckDB twin of kmeans_fit + ivf_ann_topk (see q_ivf_ann)."""
+def _ivf_fit_ctes(n_centroids: int = 16, n_iters: int = 3,
+                  dim: int = 64) -> list[str]:
+    """The kmeans_fit replay shared by q_ivf_ann and q_semdedup: CTE
+    chain from norm0 through cent{n_iters} and the final ``assign``
+    (vec_id, e, list_id)."""
     nrm = ("list_transform({v}, x -> x / greatest(sqrt("
            "list_dot_product({v}, {v})), 1e-12))")
     parts = [f"""WITH norm0 AS MATERIALIZED (
@@ -2794,8 +2796,16 @@ cent{i} AS MATERIALIZED (
                          ORDER BY list_dot_product(n.e, c.c) DESC, c.list_id) AS rn
     FROM norm0 n CROSS JOIN cent{n} c
   ) WHERE rn = 1
-),
-qv AS MATERIALIZED (SELECT vec_id AS qid, e AS qe FROM norm0 WHERE vec_id < 5),
+)""")
+    return parts
+
+
+def _ivf_ann_sql(n_centroids: int = 16, n_iters: int = 3, n_probe: int = 4,
+                 k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_fit + ivf_ann_topk (see q_ivf_ann)."""
+    parts = _ivf_fit_ctes(n_centroids, n_iters, dim)
+    n = n_iters
+    parts.append(f"""qv AS MATERIALIZED (SELECT vec_id AS qid, e AS qe FROM norm0 WHERE vec_id < 5),
 probes AS MATERIALIZED (
   SELECT qid, list_id FROM (
     SELECT q.qid, c.list_id,
@@ -12817,6 +12827,104 @@ FROM r GROUP BY node
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication over embeddings: the
+    spherical k-means quantizer (ann.kmeans_fit — the exact fit the
+    q_ivf_ann twin replays) partitions the corpus; each cluster's
+    REPRESENTATIVE is its max-cosine-to-centroid vector (ties -> min
+    vec_id, via per-block partial argmax + an O(#blocks x k) driver
+    reduce); every vector then scores against its cluster's broadcast
+    representative and keep = (is-rep OR cos_rep_mil < 450). Driver
+    state is k=16 reps; the corpus streams through two stateless
+    passes. Float note: like q_ivf_ann/q_embedding_dups, cosines are
+    milli-quantized and the ranking margins are re-checked at sf0.1."""
+    import ray
+
+    from osmray.ann import _norm_rows, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(emb, n_centroids=16, n_iters=3)
+    cref = ray.put(cent)
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = _norm_rows(np.asarray(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        sims = E @ c.T
+        lid = np.argmax(sims, axis=1)  # first max == smallest list_id
+        s = sims[np.arange(len(ids)), lid]
+        rows = []
+        for li in np.unique(lid):
+            m = lid == li
+            # max sim, tie -> min vec_id
+            order = np.lexsort((ids[m], -s[m]))
+            j = np.flatnonzero(m)[order[0]]
+            rows.append((int(li), int(ids[j]), float(s[j]), E[j].tolist()))
+        li_, id_, s_, e_ = zip(*rows) if rows else ((), (), (), ())
+        return pa.table({
+            "list_id": pa.array(li_, pa.int64()),
+            "vec_id": pa.array(id_, pa.int64()),
+            "sim": pa.array(s_, pa.float64()),
+            "e": pa.array(list(e_), pa.list_(pa.float64()))})
+
+    parts = emb.map_batches(block_best, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    best: dict[int, tuple] = {}
+    for r in parts:
+        key = (-r["sim"], r["vec_id"])
+        if r["list_id"] not in best or key < best[r["list_id"]][0]:
+            best[r["list_id"]] = (key, r["vec_id"], np.asarray(r["e"]))
+    rep_id = {li: v[1] for li, v in best.items()}
+    rep_vec = {li: v[2] for li, v in best.items()}
+    rid_arr = np.full(16, -1, np.int64)
+    rvec_arr = np.zeros((16, cent.shape[1]), np.float64)
+    for li, rid in rep_id.items():
+        rid_arr[li] = rid
+        rvec_arr[li] = rep_vec[li]
+    rref = ray.put((rid_arr, rvec_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        rid_arr, rvec_arr = ray.get(rref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = _norm_rows(np.asarray(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        lid = np.argmax(E @ c.T, axis=1).astype(np.int64)
+        cosr = np.einsum("ij,ij->i", E, rvec_arr[lid])
+        mil = np.floor(cosr * 1000.0 + 0.5).astype(np.int64)
+        keep = ((ids == rid_arr[lid]) | (mil < 450)).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids), "list_id": pa.array(lid),
+            "rep_id": pa.array(rid_arr[lid]),
+            "cos_rep_mil": pa.array(mil), "keep": pa.array(keep)})
+
+    return emb.map_batches(score, batch_format="pyarrow")
+
+
+def _semdedup_sql(n_centroids: int = 16, n_iters: int = 3,
+                  dim: int = 64, tau_mil: int = 450) -> str:
+    parts = _ivf_fit_ctes(n_centroids, n_iters, dim)
+    n = n_iters
+    parts.append(f"""reps AS MATERIALIZED (
+  SELECT list_id, vec_id AS rep_id, e AS re FROM (
+    SELECT a.list_id, a.vec_id, a.e,
+      ROW_NUMBER() OVER (PARTITION BY a.list_id
+        ORDER BY list_dot_product(a.e, c.c) DESC, a.vec_id) AS rn
+    FROM assign a JOIN cent{n} c USING (list_id)
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts) + f"""
+SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id, r.rep_id,
+  CAST(floor(list_dot_product(a.e, r.re) * 1000 + 0.5) AS BIGINT)
+    AS cos_rep_mil,
+  CAST(CASE WHEN a.vec_id = r.rep_id
+       OR floor(list_dot_product(a.e, r.re) * 1000 + 0.5) < {tau_mil}
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign a JOIN reps r USING (list_id)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13031,4 +13139,5 @@ def registry():
         "q_random_walks": (q_random_walks, _random_walks_sql()),
         "q_ngram_novelty": (q_ngram_novelty, Q_NGRAM_NOVELTY_SQL),
         "q_graph_voronoi": (q_graph_voronoi, Q_GRAPH_VORONOI_SQL),
+        "q_semdedup": (q_semdedup, _semdedup_sql()),
     }

@@ -691,3 +691,40 @@ def test_ngram_novelty_owner_trick(ray_session):
     exp = {did: (len(gs), sum(1 for g in gs if grams[g] == 1))
            for did, gs in per.items()}
     assert out == exp
+
+
+def test_semdedup_drops_planted_near_dups(ray_session):
+    """Planted near-identical vectors land in one cluster and only
+    the representative survives; orthogonal-ish vectors all keep."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmray import queries as Q
+
+    rng = np.random.RandomState(2)
+    base = rng.randn(100, 64)
+    # a tight 30-copy bundle: it dominates its cluster, so the
+    # cluster's representative must be a bundle member and the other
+    # 29 near-copies (cos ~ 1 to the rep) are dropped
+    bundle = base[0] + rng.randn(30, 64) * 1e-3
+    vecs = np.vstack([base[1:], bundle])
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}),
+        os.path.join(d, "embeddings.parquet"))
+    out = Q.q_semdedup(d).to_pandas()
+    bundle_ids = set(range(99, 129))
+    br = out[out["vec_id"].isin(bundle_ids)]
+    assert br["list_id"].nunique() == 1
+    assert int(br["rep_id"].iloc[0]) in bundle_ids
+    assert br["keep"].sum() == 1
+    # every cluster's representative is kept
+    reps = out.groupby("list_id")["rep_id"].first()
+    kept = set(out[out["keep"] == 1]["vec_id"])
+    assert set(reps) <= kept
