@@ -12925,6 +12925,72 @@ FROM assign a JOIN reps r USING (list_id)
 """
 
 
+def q_seq_packing(sf_dir: str):
+    """Deterministic sequence packing for training shards: within
+    each source (the natural shard key — the partition a real
+    pipeline packs independently), docs in doc_id order fill
+    128-token sequences greedily (next doc overflows -> new
+    sequence); emits (doc_id, source, seq_id, off_tokens). The fold
+    is a true reset-on-overflow scan (not associative, so no
+    parallel prefix): one keyed shuffle, one vectorizable-order pass
+    per group, O(group) state — per-shard packing is exactly how
+    this runs at scale. The twin replays the scan as a recursive
+    CTE stepping the per-source row index."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    C = 128
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "source": batch["source"],
+            "t": pa.array([len(t.split(" "))
+                           for t in batch["text"].to_pylist()], pa.int64())})
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, t = ids[order], t[order]
+        bins = np.empty(len(ids), np.int64)
+        offs = np.empty(len(ids), np.int64)
+        b, cur = 0, 0
+        for i in range(len(ids)):
+            if cur + t[i] > C:
+                b += 1
+                cur = 0
+            offs[i] = cur
+            bins[i] = b
+            cur += t[i]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "source": pa.array([g["source"][0].as_py()] * len(ids)),
+            "seq_id": pa.array(bins), "off_tokens": pa.array(offs)})
+
+    return (docs.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("source").map_groups(pack_group,
+                                          batch_format="pyarrow"))
+
+
+Q_SEQ_PACKING_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM documents),
+r(source, i, doc_id, t, bin, cur) AS (
+  SELECT source, i, doc_id, t, CAST(0 AS BIGINT), t FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.source, b.i, b.doc_id, b.t,
+         CASE WHEN r.cur + b.t > 128 THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.cur + b.t > 128 THEN b.t ELSE r.cur + b.t END
+  FROM r JOIN base b ON b.source = r.source AND b.i = r.i + 1
+)
+SELECT doc_id, source, CAST(bin AS BIGINT) AS seq_id,
+       CAST(cur - t AS BIGINT) AS off_tokens
+FROM r
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13140,4 +13206,5 @@ def registry():
         "q_ngram_novelty": (q_ngram_novelty, Q_NGRAM_NOVELTY_SQL),
         "q_graph_voronoi": (q_graph_voronoi, Q_GRAPH_VORONOI_SQL),
         "q_semdedup": (q_semdedup, _semdedup_sql()),
+        "q_seq_packing": (q_seq_packing, Q_SEQ_PACKING_SQL),
     }

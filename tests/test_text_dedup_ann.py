@@ -728,3 +728,37 @@ def test_semdedup_drops_planted_near_dups(ray_session):
     reps = out.groupby("list_id")["rep_id"].first()
     kept = set(out[out["keep"] == 1]["vec_id"])
     assert set(reps) <= kept
+
+
+def test_seq_packing_invariants(ray_session):
+    """Packing never exceeds capacity (single-doc overflows aside),
+    covers every doc exactly once, and offsets tile each sequence."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmray import queries as Q
+
+    rng = np.random.RandomState(4)
+    texts = [" ".join(["w"] * int(n)) for n in rng.randint(10, 90, 120)]
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(120)]),
+        "text": pa.array(texts)}),
+        os.path.join(d, "documents.parquet"))
+    out = Q.q_seq_packing(d).to_pandas()
+    assert len(out) == 120 and out["doc_id"].is_unique
+    toks = {i: len(t.split(" ")) for i, t in enumerate(texts)}
+    for (_, _), grp in out.groupby(["source", "seq_id"]):
+        grp = grp.sort_values("doc_id")
+        total = sum(toks[i] for i in grp["doc_id"])
+        assert total <= 128
+        # offsets are the running prefix within the sequence
+        run = 0
+        for _, r in grp.iterrows():
+            assert r["off_tokens"] == run
+            run += toks[r["doc_id"]]
