@@ -12088,13 +12088,24 @@ WHERE m.m2 > 0 AND m.m2 >= coalesce(n1.m2, 0)
 """
 
 
-def _hashed_string_counts(rows, key_cols: list[str]):
+def _hashed_string_counts(rows, key_cols: list[str], num_buckets: int = 1024):
     """Exact counts per distinct string tuple at UNBOUNDED vocabulary:
     rows carry block-local pre-aggregated (``*key_cols``, ``cnt``)
-    partials plus an int64 shuffle key ``k`` (a deterministic string
-    hash — stages.hash_str). One keyed shuffle; each group counts by
-    the FULL strings, so hash collisions only co-locate two tuples in
-    one group (balance, never correctness). Emits (*key_cols, n)."""
+    partials plus an int64 string hash ``k`` (stages.hash_str). The
+    shuffle key is ``|k| % num_buckets`` — BOUNDED groups, so the
+    per-group overhead of Ray's map_groups is paid 1024 times, not
+    once per distinct string; each group counts by the FULL strings,
+    so hash/bucket collisions only co-locate tuples (balance, never
+    correctness). Emits (*key_cols, n). Raise ``num_buckets`` with
+    corpus size to keep groups worker-sized."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.set_column(
+            batch.schema.get_field_index("k"), "k",
+            pa.array(np.abs(k) % num_buckets))
+
+    rows = rows.map_batches(bucket, batch_format="pyarrow")
 
     def verify(g: pa.Table) -> pa.Table:
         parts = [np.asarray(g[c].to_pylist()) for c in key_cols]
@@ -12702,7 +12713,16 @@ def q_ngram_novelty(sf_dir: str):
 
     from osmray.tableops import sorted_fold_sums
 
-    grams = docs.map_batches(gram_partials, batch_format="pyarrow")
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.set_column(
+            batch.schema.get_field_index("k"), "k",
+            pa.array(np.abs(k) % 1024))
+
+    # bucketed shuffle key (see _hashed_string_counts): bounded groups,
+    # in-group exact full-string counting
+    grams = docs.map_batches(gram_partials, batch_format="pyarrow") \
+        .map_batches(bucket, batch_format="pyarrow")
     nov = sorted_fold_sums(
         grams.groupby("k").map_groups(verify, batch_format="pyarrow"),
         "doc_id", ["novel"])

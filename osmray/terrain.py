@@ -472,6 +472,7 @@ def laplacian_levels(partials, n_levels: int = 2):
             "cell", ["z"]).materialize())
 
     rows = []
+    broadcast_cap = 4_000_000
     for lvl in range(n_levels):
         def child_key(batch: pa.Table) -> pa.Table:
             c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -479,9 +480,29 @@ def laplacian_levels(partials, n_levels: int = 2):
             return pa.table({"pkey": pa.array(pack(cx // 2, cy // 2)),
                              "z": batch["z"]})
 
-        joined = bucketed_join(
-            levels[lvl].map_batches(child_key, batch_format="pyarrow"),
-            levels[lvl + 1], on="pkey", right_on="cell", num_buckets=8)
+        children = levels[lvl].map_batches(child_key,
+                                           batch_format="pyarrow")
+        # two-engine parent attach: the parent level is 4x smaller, so
+        # up to the cap it broadcasts as sorted arrays (one searchsorted
+        # per child batch, no shuffle); above it, one grace join
+        if levels[lvl + 1].count() <= broadcast_cap:
+            import ray as _ray
+
+            pt = levels[lvl + 1].sort("cell").to_pandas()
+            pref = _ray.put((pt["cell"].to_numpy().astype(np.int64),
+                             pt["z"].to_numpy().astype(np.int64)))
+
+            def attach(batch: pa.Table, pref=pref) -> pa.Table:
+                pk, pz = _ray.get(pref)
+                key = batch["pkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return batch.append_column(
+                    "z_r", pa.array(pz[np.searchsorted(pk, key)]))
+
+            joined = children.map_batches(attach, batch_format="pyarrow")
+        else:
+            joined = bucketed_join(children, levels[lvl + 1], on="pkey",
+                                   right_on="cell", num_buckets=8)
 
         def band_partial(batch: pa.Table) -> pa.Table:
             zc = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
