@@ -13011,6 +13011,52 @@ FROM r
 """
 
 
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension feature statistics over the embedding corpus —
+    the normalization/whitening profile a feature store computes:
+    each element quantizes to milli-units FIRST (floor(x*1000+0.5) on
+    the float32->float64 value, identical in both engines), then
+    integer count/sum/sumsq/min/max fold per dimension — quantize-
+    then-sum is order-independent, so the hash is exact with no float
+    luck. One pass of 64-row per-block partials + one bounded fold."""
+    from osmray.tableops import sorted_fold
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        E = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(E * 1000.0 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "n": pa.array(np.full(dim, q.shape[0], np.int64)),
+            "sum_q": pa.array(q.sum(axis=0)),
+            "sumsq_q": pa.array((q * q).sum(axis=0)),
+            "min_q": pa.array(q.min(axis=0)),
+            "max_q": pa.array(q.max(axis=0))})
+
+    return sorted_fold(
+        emb.map_batches(partials, batch_format="pyarrow"),
+        "dim", ["n", "sum_q", "sumsq_q", "min_q", "max_q"],
+        ["sum", "sum", "sum", "min", "max"])
+
+
+Q_EMBEDDING_STATS_SQL = """
+WITH el AS (
+  SELECT g.pos AS dim,
+         CAST(floor(CAST(e.embedding[g.pos] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e
+  CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 65)) g
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+       CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q
+FROM el GROUP BY dim
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13227,4 +13273,5 @@ def registry():
         "q_graph_voronoi": (q_graph_voronoi, Q_GRAPH_VORONOI_SQL),
         "q_semdedup": (q_semdedup, _semdedup_sql()),
         "q_seq_packing": (q_seq_packing, Q_SEQ_PACKING_SQL),
+        "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
     }
