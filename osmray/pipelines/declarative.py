@@ -1373,3 +1373,40 @@ STAGES.update({
     "oov_rate": _oov_rate,
     "kcenter": _kcenter,
 })
+
+
+def _read_json(p: dict) -> Stage:
+    """{"op": "read_json", "path": glob} — JSON-lines source (the
+    reference's Overpass-cache shape, lib/loaders.py:13-24, as a
+    first-class input format)."""
+    import glob as _g
+
+    import ray.data
+
+    def s(ds):
+        assert ds is None, "read_json must be the first step"
+        files = sorted(_g.glob(p["path"]))
+        if not files:
+            raise FileNotFoundError(f"no files match {p['path']}")
+        return ray.data.read_json(files)
+
+    return s
+
+
+def _read_csv(p: dict) -> Stage:
+    """{"op": "read_csv", "path": glob} — CSV source."""
+    import glob as _g
+
+    import ray.data
+
+    def s(ds):
+        assert ds is None, "read_csv must be the first step"
+        files = sorted(_g.glob(p["path"]))
+        if not files:
+            raise FileNotFoundError(f"no files match {p['path']}")
+        return ray.data.read_csv(files)
+
+    return s
+
+
+STAGES.update({"read_json": _read_json, "read_csv": _read_csv})

@@ -324,3 +324,26 @@ def test_versioned_manifests_time_travel_and_vacuum(ray_session, tmp_path):
     assert sorted(lancelike.read_dataset(root).to_pandas()["k"]) == latest
     with pytest.raises(FileNotFoundError):
         lancelike.read_dataset(root, version=1)
+
+
+def test_read_json_and_csv_steps(ray_session, tmp_path):
+    import json
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    jp = tmp_path / "rows.jsonl"
+    jp.write_text("\n".join(json.dumps({"a": i, "b": i * 2})
+                            for i in range(10)) + "\n")
+    out = run_pipeline([
+        {"op": "read_json", "path": str(jp)},
+        {"op": "filter", "column": "a", "cmp": ">=", "value": 5},
+    ]).to_pandas()
+    assert len(out) == 5 and (out["b"] == out["a"] * 2).all()
+
+    cp = tmp_path / "rows.csv"
+    cp.write_text("a,b\n" + "\n".join(f"{i},{i*3}" for i in range(8)) + "\n")
+    out = run_pipeline([
+        {"op": "read_csv", "path": str(cp)},
+        {"op": "filter", "column": "a", "cmp": "<", "value": 3},
+    ]).to_pandas()
+    assert len(out) == 3 and (out["b"] == out["a"] * 3).all()
