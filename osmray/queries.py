@@ -13057,6 +13057,80 @@ FROM el GROUP BY dim
 """
 
 
+def q_containment(sf_dir: str):
+    """Directional containment self-join (quote / excerpt detection —
+    the asymmetric sibling of q_jaccard_join): pairs (a, b) whose
+    word-trigram shingle sets satisfy |Ta ∩ Tb| >= 0.8|Ta|, via
+    simjoin.containment_join (asymmetric prefix filter: probe-side
+    prefixes vs full posting lists, all-integer verify). Random docs
+    share almost no trigrams, so every doc_id % 10 == 0 doc also
+    yields a PLANTED half-length snippet (id + 10_000_000) whose
+    trigram set is contained in its source by construction — the
+    derivation is pure SQL, so the twin plants the identical rows.
+    Docs are modulus-capped like q_jaccard_join (quadratic twin)."""
+    from osmray.simjoin import containment_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = max(1, ds.count() // 700)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % m == 0
+        ids = ids[sel]
+        texts = [t for t, s in zip(batch["text"].to_pylist(), sel) if s]
+        out_id, out_t = [], []
+        for did, t in zip(ids, texts):
+            ws = _WORD_RE.findall(t.lower())
+            out_id.append(int(did))
+            out_t.append(sorted({f"{ws[i]}_{ws[i + 1]}_{ws[i + 2]}"
+                                 for i in range(len(ws) - 2)}))
+            if did % 10 == 0:
+                half = ws[:(len(ws) + 1) // 2]
+                out_id.append(int(did) + 10_000_000)
+                out_t.append(sorted({
+                    f"{half[i]}_{half[i + 1]}_{half[i + 2]}"
+                    for i in range(len(half) - 2)}))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "toks": pa.array(out_t, pa.list_(pa.string()))})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    return containment_join(tok_ds, "doc_id", "toks", t_num=4, t_den=5)
+
+
+Q_CONTAINMENT_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT greatest(1, count(*) // 700) FROM documents) = 0
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM d
+),
+wu AS (
+  SELECT doc_id, ws FROM w
+  UNION ALL
+  SELECT doc_id + 10000000, ws[1:(len(ws) + 1) // 2] FROM w
+  WHERE doc_id % 10 = 0
+),
+big AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2]
+                        FOR i IN range(1, len(ws) - 1)]) AS toks
+  FROM wu
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM big WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+)
+SELECT a, b, inter, na, nb FROM p WHERE 5 * inter >= 4 * na
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13274,4 +13348,5 @@ def registry():
         "q_semdedup": (q_semdedup, _semdedup_sql()),
         "q_seq_packing": (q_seq_packing, Q_SEQ_PACKING_SQL),
         "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
+        "q_containment": (q_containment, Q_CONTAINMENT_SQL),
     }

@@ -295,3 +295,105 @@ def hash64_str(s: str) -> int:
     for ch in s.encode():
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def containment_join(docs_ds, id_col: str, toks_col: str,
+                     t_num: int = 4, t_den: int = 5, num_buckets: int = 16,
+                     spill_root: str | None = None):
+    """Directional set-containment self-join: ordered pairs (a, b),
+    a != b, with |Ta ∩ Tb| >= (t_num/t_den) * |Ta| — the quote /
+    excerpt-detection dedup (asymmetric, unlike :func:`jaccard_join`).
+    Returns (a, b, inter, na, nb); all-integer threshold test.
+
+    Candidate generation is the asymmetric prefix filter: under the
+    hashed global token order, side A probes with its first
+    n - ceil(t*n) + 1 tokens while side B indexes ALL its tokens
+    (containment gives no prefix bound on the containing set), so a
+    token group pairs its prefix rows against its full posting list.
+    Hot tokens therefore bound candidates by their posting-list
+    length - cap input cardinality or raise the threshold for
+    pathological corpora (same honesty note as hamming_pairs)."""
+    from osmray.joins import _resolve_spill, bucketed_join
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = batch[toks_col].to_pylist()
+        out_t, out_id, out_n, out_p = [], [], [], []
+        for i, ts in enumerate(toks):
+            n = len(ts)
+            if n == 0:
+                continue
+            order = sorted(ts, key=lambda s: (hash64_str(s), s))
+            p = n - (t_num * n + t_den - 1) // t_den + 1
+            for j, tok in enumerate(order):
+                out_t.append(tok)
+                out_id.append(int(ids[i]))
+                out_n.append(n)
+                out_p.append(j < p)
+        return pa.table({"tok": pa.array(out_t, pa.string()),
+                         "id": pa.array(out_id, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "pref": pa.array(out_p, pa.bool_())})
+
+    post = docs_ds.map_batches(postings, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        pf = g["pref"].to_numpy(zero_copy_only=False)
+        pi = np.flatnonzero(pf)
+        if len(pi) == 0 or len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        A = np.repeat(pi, len(ids))
+        B = np.tile(np.arange(len(ids)), len(pi))
+        a, b = ids[A], ids[B]
+        na, nb = ns[A], ns[B]
+        # |A∩B| <= nb, so containment needs t*na <= t_den*nb
+        m = (a != b) & (t_num * na <= t_den * nb)
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
+
+    cand = post.groupby("tok").map_groups(pairs, batch_format="pyarrow")
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        pk = a * (1 << 32) + b
+        first = np.unique(pk, return_index=True)[1]
+        return batch.take(pa.array(np.sort(first)))
+
+    uniq = cand.map_batches(local_dedup, batch_format="pyarrow")
+
+    spill_root = _resolve_spill(spill_root, "containment")
+    sets = docs_ds.select_columns([id_col, toks_col])
+    j1 = bucketed_join(uniq.select_columns(["a", "b"]), sets, on="a",
+                       right_on=id_col, num_buckets=num_buckets,
+                       spill_root=spill_root)
+    j1 = j1.map_batches(
+        lambda tbl: tbl.rename_columns(
+            [n if n != toks_col else "toks_a" for n in tbl.schema.names]),
+        batch_format="pyarrow")
+    j2 = bucketed_join(j1, sets, on="b", right_on=id_col,
+                       num_buckets=num_buckets, spill_root=spill_root,
+                       prebuilt=True)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["toks_a"].to_pylist()
+        tb = batch[toks_col].to_pylist()
+        inter = np.array(
+            [len(np.intersect1d(np.asarray(x, dtype=object),
+                                np.asarray(y, dtype=object)))
+             for x, y in zip(ta, tb)], dtype=np.int64)
+        na = np.array([len(x) for x in ta], dtype=np.int64)
+        nb = np.array([len(y) for y in tb], dtype=np.int64)
+        keep = t_den * inter >= t_num * na
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(a[keep]), "b": pa.array(b[keep]),
+            "inter": pa.array(inter[keep]),
+            "na": pa.array(na[keep]), "nb": pa.array(nb[keep]),
+            "pk": pa.array(a[keep] * (1 << 32) + b[keep])})
+
+    verified = j2.map_batches(verify, batch_format="pyarrow")
+    return _dedup_rows(verified, "pk").drop_columns(["pk"])

@@ -139,3 +139,34 @@ def test_jaccard_join_vs_brute(ray_session):
                 rows.append((i, j, inter, uni))
     want = pd.DataFrame(rows, columns=["a", "b", "inter", "uni"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_containment_join_directional(ray_session):
+    """Asymmetric containment: the snippet is reported contained in
+    its source, the source is NOT contained in the snippet, and the
+    prefix-filter path finds exactly the brute-force pairs."""
+    import itertools
+
+    import ray.data
+
+    from osmray.simjoin import containment_join
+
+    docs = {
+        1: ["a", "b", "c", "d", "e", "f", "g", "h"],
+        2: ["a", "b", "c", "d"],            # contained in 1
+        3: ["a", "b", "x", "y"],            # 50% of 3 in 1 — below 0.8
+        4: ["p", "q", "r"],                 # disjoint
+        5: ["a", "b", "c", "d"],            # duplicate of 2 (mutual)
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "toks": v} for k, v in docs.items()]).repartition(3)
+    out = containment_join(ds, "doc_id", "toks", t_num=4, t_den=5)
+    got = {(r["a"], r["b"]) for r in out.to_pandas().to_dict("records")}
+    brute = set()
+    for a, b in itertools.permutations(docs, 2):
+        inter = len(set(docs[a]) & set(docs[b]))
+        if 5 * inter >= 4 * len(set(docs[a])):
+            brute.add((a, b))
+    assert got == brute
+    assert (2, 1) in got and (1, 2) not in got
+    assert (2, 5) in got and (5, 2) in got
