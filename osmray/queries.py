@@ -13131,6 +13131,51 @@ SELECT a, b, inter, na, nb FROM p WHERE 5 * inter >= 4 * na
 """
 
 
+def q_mixture(sf_dir: str):
+    """Deterministic dataset-mixture rebalancing: every source
+    downsamples toward the smallest source's count by hash
+    thresholding — keep doc iff pmod(splitmix64(doc_id), 1e6) <
+    n_min * 1e6 // n_s. Stateless given the per-source counts (one
+    tiny aggregate, sources are few), repartition-independent,
+    resumable (the keep decision is a pure function of the row), and
+    the exact op a mixture-weighted training exporter runs. Twin
+    replays the hash via hash64_ctes."""
+    from osmray.stages import hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = {r["source"]: r["count()"]
+              for r in docs.groupby("source").count().take_all()}
+    n_min = min(counts.values())
+    rate = {s: n_min * 1_000_000 // (2 * n) for s, n in counts.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_pylist()
+        h = hash64(ids, 21)
+        r = ((h % 1_000_000) + 1_000_000) % 1_000_000
+        thr = np.asarray([rate[s] for s in src], np.int64)
+        m = r < thr
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "source": pa.array([s for s, k in zip(src, m) if k])})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _mixture_sql(seed: int = 21) -> str:
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS n_min FROM counts),
+rates AS (SELECT source, (SELECT n_min FROM mn) * 1000000 // (2 * n) AS rate
+          FROM counts),
+docs AS (SELECT doc_id, source FROM documents),
+{hash64_ctes('mh', 'docs', 'doc_id, source', 'doc_id', seed).strip().lstrip(',')}
+SELECT d.doc_id, d.source
+FROM mh5 d JOIN rates r ON r.source = d.source
+WHERE ((d.h % 1000000) + 1000000) % 1000000 < r.rate
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13349,4 +13394,5 @@ def registry():
         "q_seq_packing": (q_seq_packing, Q_SEQ_PACKING_SQL),
         "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
         "q_containment": (q_containment, Q_CONTAINMENT_SQL),
+        "q_mixture": (q_mixture, _mixture_sql()),
     }
