@@ -13176,6 +13176,276 @@ WHERE ((d.h % 1000000) + 1000000) % 1000000 < r.rate
 """
 
 
+def q_interarrival(sf_dir: str):
+    """Per-user inter-arrival burstiness moments — the bot/anomaly
+    screening feature: per user the ts-ordered gaps (SECONDS —
+    floor(us diff / 1e6); event_id tie-break), emitted as exact
+    integer count/sum/sumsq/min/max so variance and CV derive at the
+    edge without float order effects (second granularity keeps the
+    squares inside int64 at any realistic fan-in). Few-fat-keys regime (same as q_sessionize): one
+    keyed shuffle, vectorized per-group diff."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        gaps = np.diff(tv[order]) // 1_000_000
+        if len(gaps) == 0:
+            gaps = np.array([], np.int64)
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_gaps": pa.array([len(gaps)], pa.int64()),
+            "sum_gap": pa.array([int(gaps.sum())], pa.int64()),
+            "sumsq_gap": pa.array([int((gaps * gaps).sum())], pa.int64()),
+            "min_gap": pa.array([int(gaps.min()) if len(gaps) else 0],
+                                pa.int64()),
+            "max_gap": pa.array([int(gaps.max()) if len(gaps) else 0],
+                                pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_INTERARRIVAL_SQL = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap,
+       CAST(COALESCE(sum(gap * gap), 0) AS BIGINT) AS sumsq_gap,
+       CAST(COALESCE(min(gap), 0) AS BIGINT) AS min_gap,
+       CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap
+FROM e GROUP BY user_id
+"""
+
+
+def q_decayed_counts(sf_dir: str):
+    """Time-decayed activity counts per (user, day-bucket recency):
+    each event contributes weight 2^(40 - min(age_days, 40)) —
+    EXACT integer exponential decay (half-life = one day),
+    so the decayed scores fold additively in one keyed pass and the
+    hash needs no float argument. The watermark (max ts) is one tiny
+    aggregate; weights are pure functions of the row after it."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    hi = us_ds.max("us")
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (hi - us) // DAY
+        K = 40  # cap: max weight 2^40, so ~8M max-weight
+        # events per user still fit int64
+        w = np.int64(1) << np.maximum(K - np.minimum(age, K), 0)
+        from osmray.queries import _keyed_sums  # self-module partial
+        return _keyed_sums(u, {"decayed": w, "n": np.ones(len(u), np.int64)},
+                           "user_id")
+
+    from osmray.tableops import sorted_fold_sums
+    parts = us_ds.map_batches(weigh, batch_format="pyarrow")
+    out = sorted_fold_sums(parts, "user_id", ["cnt", "decayed", "n"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "decayed", "n"]),
+        batch_format="pyarrow")
+
+
+Q_DECAYED_COUNTS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+hi AS (SELECT max(us) AS hi FROM e),
+w AS (
+  SELECT user_id,
+         CAST(1 AS BIGINT) << greatest(
+           40 - least((hi.hi - us) // 86400000000, 40), 0) AS w
+  FROM e CROSS JOIN hi
+)
+SELECT user_id, CAST(sum(w) AS BIGINT) AS decayed,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY user_id
+"""
+
+
+def q_two_hop(sf_dir: str):
+    """Distinct 2-hop neighborhood size per node (friends-of-friends
+    — the graph feature-engineering staple) over the bounded
+    bipartite fixture graph: one grace self-join edge->edge, then a
+    distinct (node, 2hop-neighbor) fold; self excluded, direct
+    neighbors counted separately so the twin checks both rings."""
+    return _two_hop(sf_dir)
+
+
+def _two_hop(sf_dir: str, broadcast_cap: int = 4_000_000):
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (o % 40 == 1) & (p % 5 == 0)
+        u = 2 * o[sel]
+        v = 2 * p[sel] + 1
+        k = np.unique(u * (1 << 32) + v)
+        uu, vv = k >> 32, k & 0xFFFFFFFF
+        return pa.table({"u": pa.array(np.concatenate((uu, vv))),
+                         "v": pa.array(np.concatenate((vv, uu)))})
+
+    e = ds.map_batches(edges, batch_format="pyarrow").materialize()
+
+    # ring 2: e(u, m) x e(m, w), distinct (u, w), w != u, (u, w) not a
+    # direct edge. Two-engine (the graph.py policy): bounded edge sets
+    # broadcast as CSR arrays, each edge block expands its second hop
+    # in-task, ring-1 counts come straight off the driver-held sorted
+    # key set, and n2 attaches by dict (ONE keyed fold total); above
+    # the cap: keyed folds + one grace self-join + anti-filter + left
+    # grace join.
+    if e.count() <= broadcast_cap:
+        import ray as _ray
+
+        et = e.to_pandas()
+        eu = et["u"].to_numpy().astype(np.int64)
+        ev = et["v"].to_numpy().astype(np.int64)
+        order = np.lexsort((ev, eu))
+        eu, ev = eu[order], ev[order]
+        ek_sorted = np.unique(eu * (1 << 32) + ev)
+        ref = _ray.put((eu, ev, ek_sorted))
+
+        def pairs2_bc(batch: pa.Table) -> pa.Table:
+            eu, ev, ek_sorted = _ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lo = np.searchsorted(eu, m, "left")
+            hi = np.searchsorted(eu, m, "right")
+            cnt = hi - lo
+            src = np.repeat(u, cnt)
+            idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi)]) \
+                if len(lo) else np.array([], np.int64)
+            w = ev[idx]
+            keep = src != w
+            k = np.unique(src[keep] * (1 << 32) + w[keep])
+            pos = np.searchsorted(ek_sorted, k)
+            direct = (pos < len(ek_sorted)) & (ek_sorted[
+                np.minimum(pos, len(ek_sorted) - 1)] == k)
+            k = k[~direct]
+            return pa.table({"k": pa.array(k),
+                             "one": pa.array(np.ones(len(k), np.int64))})
+
+        ring2 = sorted_fold_sums(
+            e.map_batches(pairs2_bc, batch_format="pyarrow"), "k", ["one"])
+
+        def n2_partial(batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uu, cnt = np.unique(k >> 32, return_counts=True)
+            return pa.table({"node": pa.array(uu),
+                             "n2": pa.array(cnt.astype(np.int64))})
+
+        n2_rows = ring2.map_batches(
+            n2_partial, batch_format="pyarrow").take_all()
+        n2_map: dict[int, int] = {}
+        for r in n2_rows:  # a node can appear in 2 adjacent partials
+            n2_map[r["node"]] = n2_map.get(r["node"], 0) + r["n2"]
+        nodes, n1c = np.unique(ek_sorted >> 32, return_counts=True)
+        return pa.table({
+            "node": pa.array(nodes),
+            "n1": pa.array(n1c.astype(np.int64)),
+            "n2": pa.array([n2_map.get(int(n), 0) for n in nodes],
+                           pa.int64())})
+
+    # keyed engine above the cap: distinct-edge fold for ring 1, one
+    # grace self-join for ring 2, keyed anti-filter, left grace join
+    def d1(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.unique(u * (1 << 32) + v)
+        return pa.table({"k": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    ring1 = sorted_fold_sums(
+        e.map_batches(d1, batch_format="pyarrow"), "k", ["one"])
+
+    def n1_counts(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(k >> 32, return_counts=True)
+        return pa.table({"node": pa.array(uu),
+                         "n1": pa.array(cnt.astype(np.int64))})
+
+    n1 = sorted_fold_sums(
+        ring1.map_batches(n1_counts, batch_format="pyarrow"),
+        "node", ["n1"])
+
+    j = bucketed_join(e, e.rename_columns(["m", "w"]), on="v",
+                      right_on="m", num_buckets=8)
+
+    def pairs2(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = u != w
+        k = np.unique(u[m] * (1 << 32) + w[m])
+        return pa.table({"k": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    cand2 = sorted_fold_sums(
+        j.map_batches(pairs2, batch_format="pyarrow"), "k", ["one"])
+    from osmray.joins import bucketed_filter
+    ring2 = bucketed_filter(cand2, ring1, on="k", anti=True)
+
+    def n2_counts(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(k >> 32, return_counts=True)
+        return pa.table({"node": pa.array(uu),
+                         "n2": pa.array(cnt.astype(np.int64))})
+
+    n2 = sorted_fold_sums(
+        ring2.map_batches(n2_counts, batch_format="pyarrow"),
+        "node", ["n2"])
+    out = bucketed_join(n1, n2, on="node", num_buckets=8, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": batch["node"].cast(pa.int64()),
+            "n1": batch["n1"].cast(pa.int64()),
+            "n2": pc.fill_null(batch["n2"].combine_chunks().cast(pa.int64()),
+                               0)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_TWO_HOP_SQL = """
+WITH raw AS (
+  SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_partkey + 1 AS v
+  FROM lineitem WHERE l_orderkey % 40 = 1 AND l_partkey % 5 = 0
+),
+e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+n1 AS (SELECT u AS node, CAST(count(DISTINCT v) AS BIGINT) AS n1
+       FROM e GROUP BY u),
+r2 AS (
+  SELECT DISTINCT a.u AS node, b.v AS w
+  FROM e a JOIN e b ON b.u = a.v
+  WHERE b.v <> a.u
+    AND NOT EXISTS (SELECT 1 FROM e d WHERE d.u = a.u AND d.v = b.v)
+),
+n2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM r2 GROUP BY node)
+SELECT n1.node, n1.n1, COALESCE(n2.n2, 0) AS n2
+FROM n1 LEFT JOIN n2 ON n2.node = n1.node
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13395,4 +13665,7 @@ def registry():
         "q_embedding_stats": (q_embedding_stats, Q_EMBEDDING_STATS_SQL),
         "q_containment": (q_containment, Q_CONTAINMENT_SQL),
         "q_mixture": (q_mixture, _mixture_sql()),
+        "q_interarrival": (q_interarrival, Q_INTERARRIVAL_SQL),
+        "q_decayed_counts": (q_decayed_counts, Q_DECAYED_COUNTS_SQL),
+        "q_two_hop": (q_two_hop, Q_TWO_HOP_SQL),
     }

@@ -488,9 +488,13 @@ def laplacian_levels(partials, n_levels: int = 2):
         if levels[lvl + 1].count() <= broadcast_cap:
             import ray as _ray
 
-            pt = levels[lvl + 1].sort("cell").to_pandas()
-            pref = _ray.put((pt["cell"].to_numpy().astype(np.int64),
-                             pt["z"].to_numpy().astype(np.int64)))
+            # driver-local argsort of the <=cap parent table — cheaper
+            # than a distributed sort job at this size
+            pt = levels[lvl + 1].to_pandas()
+            pk = pt["cell"].to_numpy().astype(np.int64)
+            pz = pt["z"].to_numpy().astype(np.int64)
+            order = np.argsort(pk, kind="stable")
+            pref = _ray.put((pk[order], pz[order]))
 
             def attach(batch: pa.Table, pref=pref) -> pa.Table:
                 pk, pz = _ray.get(pref)

@@ -388,3 +388,17 @@ def test_graph_voronoi_packed_state(ray_session):
     got = {int(r["node"]): (int(r["dist"]) // SHIFT, int(r["dist"]) % SHIFT)
            for r in out.take_all() if r["node"] != 0}
     assert got == best
+
+
+def test_two_hop_engines_agree(ray_session):
+    """Broadcast-CSR and keyed grace-join 2-hop engines emit the same
+    (node, n1, n2) rows."""
+    from osmray.queries import _two_hop
+
+    def key(res):
+        return sorted((r["node"], r["n1"], r["n2"])
+                      for r in res.to_pandas().to_dict("records"))
+
+    bc = key(_two_hop("/root/testdata/sf0.001"))
+    keyed = key(_two_hop("/root/testdata/sf0.001", broadcast_cap=0))
+    assert bc == keyed and len(bc) > 0
