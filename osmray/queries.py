@@ -13446,6 +13446,185 @@ FROM n1 LEFT JOIN n2 ON n2.node = n1.node
 """
 
 
+def q_reproject(sf_dir: str):
+    """Raster reprojection (nearest-neighbor) under an integer
+    fixed-point affine transform — the grid-to-grid resampling op a
+    tile engine runs between CRS-aligned layouts: target cell =
+    ((a*cx + b*cy + tx) >> 8, (c*cx + d*cy + ty) >> 8) with the
+    rotation-ish matrix [[250,-60],[60,250]]/256 and a translation;
+    colliding source cells SUM (mass-preserving). One stateless map
+    over cell totals + one keyed fold; the twin replays the shifts
+    (>> on non-negative ints == // 256 in DuckDB)."""
+    from osmray import terrain
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    totals = sorted_fold_sums(
+        terrain.elevation_partials(
+            ds.map_batches(_li_cell_points, batch_format="pyarrow"),
+            "cx", "cy", "v"), "cell", ["z"])
+    A, B, C, D, TX, TY = 250, -60, 60, 250, 65536, 0
+
+    def remap(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = terrain.unpack(c)
+        qx = (A * cx + B * cy + TX) >> 8
+        qy = (C * cx + D * cy + TY) >> 8
+        return pa.table({"cell": pa.array(terrain.pack(qx, qy)),
+                         "z": pa.array(z)})
+
+    out = sorted_fold_sums(
+        totals.map_batches(remap, batch_format="pyarrow"), "cell", ["z"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx, qy = terrain.unpack(c)
+        return pa.table({"qx": pa.array(qx), "qy": pa.array(qy),
+                         "z": batch["z"].cast(pa.int64())})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+Q_REPROJECT_SQL = f"""
+WITH pts AS ({_LI_SQL}),
+p AS (SELECT m1 // 262144 AS cx, m2 // 262144 AS cy, pid % 1000 AS v
+      FROM pts),
+c AS (SELECT cx, cy, sum(v) AS z FROM p GROUP BY cx, cy),
+r AS (SELECT (250 * cx - 60 * cy + 65536) // 256 AS qx,
+             (60 * cx + 250 * cy) // 256 AS qy, z FROM c)
+SELECT qx, qy, CAST(sum(z) AS BIGINT) AS z FROM r GROUP BY qx, qy
+"""
+
+
+def q_source_drift(sf_dir: str):
+    """Distribution-drift screening between corpus shards: pairwise
+    histogram intersection of per-source word distributions —
+    inter(a,b) = sum over words of min(count_a, count_b), with the
+    per-source totals alongside so overlap coefficients derive at
+    the edge. The pairwise mins are computed PER WORD inside the
+    count fold's groups (sources are few; words are many), so only
+    (a, b, partial) triples leave the second fold — no driver
+    vocabulary, no cross join."""
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        toks, tsrc = [], []
+        for s, t in zip(srcs, batch["text"].to_pylist()):
+            ws = t.split(" ")
+            toks.extend(ws)
+            tsrc.extend([s] * len(ws))
+        key = np.asarray([f"{w}\x1f{s}" for w, s in zip(toks, tsrc)])
+        u, cnt = np.unique(key, return_counts=True)
+        sep = np.char.partition(u, "\x1f")
+        return pa.table({
+            "k": pa.array(hash_str(list(sep[:, 0]), 17) % 1024),
+            "w": pa.array(sep[:, 0]), "src": pa.array(sep[:, 2]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    def per_word_pairs(g: pa.Table) -> pa.Table:
+        w = np.asarray(g["w"].to_pylist())
+        s = np.asarray(g["src"].to_pylist())
+        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, w))
+        w, s, c = w[order], s[order], c[order]
+        # exact per (word, src) counts first
+        key = np.char.add(np.char.add(w, "\x1f"), s)
+        new = np.concatenate(([True], key[1:] != key[:-1]))
+        gid = np.cumsum(new) - 1
+        cc = np.bincount(gid, weights=c).astype(np.int64)
+        ww, ss = w[new], s[new]
+        pa_, pb_, pv_ = [], [], []
+        tot_s, tot_c = [], []
+        start = 0
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ww[1:] != ww[:-1], [True])))
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            for x in range(lo, hi):
+                tot_s.append(ss[x])
+                tot_c.append(int(cc[x]))
+                for y in range(x + 1, hi):
+                    a, b = sorted((ss[x], ss[y]))
+                    pa_.append(a)
+                    pb_.append(b)
+                    pv_.append(int(min(cc[x], cc[y])))
+        return pa.table({
+            "a": pa.array(pa_ + tot_s, pa.string()),
+            "b": pa.array(pb_ + ["\x01TOT"] * len(tot_s), pa.string()),
+            "v": pa.array(pv_ + tot_c, pa.int64())})
+
+    rows = (docs.map_batches(partials, batch_format="pyarrow")
+            .groupby("k").map_groups(per_word_pairs,
+                                     batch_format="pyarrow"))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str as hs
+        key = [f"{a}\x1f{b}" for a, b in zip(batch["a"].to_pylist(),
+                                             batch["b"].to_pylist())]
+        return pa.table({"k": pa.array(hs(key, 19) % 64),
+                         "a": batch["a"], "b": batch["b"],
+                         "v": batch["v"]})
+
+    def fold_pairs(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["a"].to_pylist())
+        b = np.asarray(g["b"].to_pylist())
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(a, "\x1f"), b)
+        order = np.argsort(key, kind="stable")
+        ks, vs = key[order], v[order]
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=vs).astype(np.int64)
+        sep = np.char.partition(ks[new], "\x1f")
+        return pa.table({"a": pa.array(sep[:, 0]),
+                         "b": pa.array(sep[:, 2]),
+                         "v": pa.array(tot)})
+
+    folded = (rows.map_batches(pack, batch_format="pyarrow")
+              .groupby("k").map_groups(fold_pairs,
+                                       batch_format="pyarrow")
+              .materialize())
+    tot = {r["a"]: r["v"] for r in folded.iter_rows()
+           if r["b"] == "\x01TOT"}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = [x != "\x01TOT" for x in b]
+        a = [x for x, k in zip(a, keep) if k]
+        b = [x for x, k in zip(b, keep) if k]
+        v = v[np.asarray(keep, bool)] if len(keep) else v
+        return pa.table({
+            "src_a": pa.array(a, pa.string()),
+            "src_b": pa.array(b, pa.string()),
+            "inter": pa.array(v),
+            "tot_a": pa.array([tot[x] for x in a], pa.int64()),
+            "tot_b": pa.array([tot[x] for x in b], pa.int64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+Q_SOURCE_DRIFT_SQL = """
+WITH tw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT source, w, count(*) AS n FROM tw GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(least(a.n, b.n)) AS BIGINT) AS inter
+  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.inter, ta.tot AS tot_a, tb.tot AS tot_b
+FROM p JOIN t ta ON ta.source = p.src_a JOIN t tb ON tb.source = p.src_b
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13668,4 +13847,6 @@ def registry():
         "q_interarrival": (q_interarrival, Q_INTERARRIVAL_SQL),
         "q_decayed_counts": (q_decayed_counts, Q_DECAYED_COUNTS_SQL),
         "q_two_hop": (q_two_hop, Q_TWO_HOP_SQL),
+        "q_reproject": (q_reproject, Q_REPROJECT_SQL),
+        "q_source_drift": (q_source_drift, Q_SOURCE_DRIFT_SQL),
     }

