@@ -13625,6 +13625,144 @@ FROM p JOIN t ta ON ta.source = p.src_a JOIN t tb ON tb.source = p.src_b
 """
 
 
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+def q_profile(sf_dir: str):
+    """Table profiling — the per-column statistics pass a catalog /
+    data-quality layer runs before anything else: for each integer
+    column, (n, min, max) fold from per-block partials plus an EXACT
+    distinct count per column via one keyed fold over (col_id <<
+    48 | value) packed keys (values here fit 48 bits) — one shuffle
+    profiles every column at once instead of one groupby per
+    column."""
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = {}
+        kparts, mins, maxs, ns = [], [], [], []
+        for ci, name in enumerate(_PROFILE_COLS):
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            assert (v >= 0).all() and (v < 1 << 48).all(), name
+            kparts.append(np.unique(v) | (np.int64(ci) << 48))
+            mins.append(v.min() if len(v) else 0)
+            maxs.append(v.max() if len(v) else 0)
+            ns.append(len(v))
+        cols["col_id"] = pa.array(np.arange(len(_PROFILE_COLS), dtype=np.int64))
+        cols["n"] = pa.array(np.asarray(ns, np.int64))
+        cols["mn"] = pa.array(np.asarray(mins, np.int64))
+        cols["mx"] = pa.array(np.asarray(maxs, np.int64))
+        return pa.table(cols), pa.table({"k": pa.array(np.concatenate(kparts))})
+
+    # two passes (stats + distinct) keep each output single-schema
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        return partials(batch)[0]
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        t = partials(batch)[1]
+        return pa.table({"k": t["k"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    stats = sorted_fold(
+        ds.map_batches(stat_partials, batch_format="pyarrow"),
+        "col_id", ["n", "mn", "mx"], ["sum", "min", "max"])
+    dk = sorted_fold_sums(
+        ds.map_batches(key_partials, batch_format="pyarrow"), "k", ["one"])
+
+    def dist_partials(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci, cnt = np.unique(k >> 48, return_counts=True)
+        return pa.table({"col_id": pa.array(ci),
+                         "n_distinct": pa.array(cnt.astype(np.int64))})
+
+    nd = sorted_fold_sums(
+        dk.map_batches(dist_partials, batch_format="pyarrow"),
+        "col_id", ["n_distinct"])
+    nd_map = {r["col_id"]: r["n_distinct"] for r in nd.take_all()}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ci = batch["col_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "col_name": pa.array([_PROFILE_COLS[i] for i in ci]),
+            "n": batch["n"].cast(pa.int64()),
+            "mn": batch["mn"].cast(pa.int64()),
+            "mx": batch["mx"].cast(pa.int64()),
+            "n_distinct": pa.array([nd_map[int(i)] for i in ci],
+                                   pa.int64())})
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+Q_PROFILE_SQL = """
+SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+  CAST(min(l_orderkey) AS BIGINT) AS mn, CAST(max(l_orderkey) AS BIGINT) AS mx,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*), min(l_partkey), max(l_partkey),
+  count(DISTINCT l_partkey) FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(*), min(l_suppkey), max(l_suppkey),
+  count(DISTINCT l_suppkey) FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), min(l_linenumber), max(l_linenumber),
+  count(DISTINCT l_linenumber) FROM lineitem
+"""
+
+
+def q_delta_encode(sf_dir: str):
+    """Encoding-cost estimation for a timestamp column — the storage
+    planner's question "how many bytes would delta+varint encoding
+    take per user stream": per user the ts-ordered (event_id
+    tie-break) second-granularity deltas, summed as exact varint
+    byte widths (1 + floor(log128(delta)) bytes, computed by integer
+    thresholds). Same few-fat-keys keyed shuffle as q_sessionize."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        gaps = np.diff(tv[order]) // 1_000_000
+        bytes_ = np.ones(len(gaps), np.int64)
+        b = 128
+        while True:
+            over = gaps >= b
+            if not over.any():
+                break
+            bytes_ += over
+            b *= 128
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_deltas": pa.array([len(gaps)], pa.int64()),
+            "enc_bytes": pa.array([int(bytes_.sum())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_DELTA_ENCODE_SQL = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_deltas,
+  CAST(COALESCE(sum(CASE WHEN gap IS NULL THEN NULL ELSE
+    1 + CASE WHEN gap >= 128 THEN 1 ELSE 0 END
+      + CASE WHEN gap >= 16384 THEN 1 ELSE 0 END
+      + CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END
+      + CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END
+      + CASE WHEN gap >= 34359738368 THEN 1 ELSE 0 END END), 0) AS BIGINT)
+    AS enc_bytes
+FROM e GROUP BY user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13849,4 +13987,6 @@ def registry():
         "q_two_hop": (q_two_hop, Q_TWO_HOP_SQL),
         "q_reproject": (q_reproject, Q_REPROJECT_SQL),
         "q_source_drift": (q_source_drift, Q_SOURCE_DRIFT_SQL),
+        "q_profile": (q_profile, Q_PROFILE_SQL),
+        "q_delta_encode": (q_delta_encode, Q_DELTA_ENCODE_SQL),
     }
