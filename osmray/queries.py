@@ -13640,30 +13640,30 @@ def q_profile(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
 
-    def partials(batch: pa.Table) -> pa.Table:
-        cols = {}
-        kparts, mins, maxs, ns = [], [], [], []
+    # two passes (stats + distinct) keep each output single-schema
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        mins, maxs, ns = [], [], []
+        for name in _PROFILE_COLS:
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            mins.append(v.min() if len(v) else 0)
+            maxs.append(v.max() if len(v) else 0)
+            ns.append(len(v))
+        return pa.table({
+            "col_id": pa.array(np.arange(len(_PROFILE_COLS),
+                                         dtype=np.int64)),
+            "n": pa.array(np.asarray(ns, np.int64)),
+            "mn": pa.array(np.asarray(mins, np.int64)),
+            "mx": pa.array(np.asarray(maxs, np.int64))})
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        kparts = []
         for ci, name in enumerate(_PROFILE_COLS):
             v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
             assert (v >= 0).all() and (v < 1 << 48).all(), name
             kparts.append(np.unique(v) | (np.int64(ci) << 48))
-            mins.append(v.min() if len(v) else 0)
-            maxs.append(v.max() if len(v) else 0)
-            ns.append(len(v))
-        cols["col_id"] = pa.array(np.arange(len(_PROFILE_COLS), dtype=np.int64))
-        cols["n"] = pa.array(np.asarray(ns, np.int64))
-        cols["mn"] = pa.array(np.asarray(mins, np.int64))
-        cols["mx"] = pa.array(np.asarray(maxs, np.int64))
-        return pa.table(cols), pa.table({"k": pa.array(np.concatenate(kparts))})
-
-    # two passes (stats + distinct) keep each output single-schema
-    def stat_partials(batch: pa.Table) -> pa.Table:
-        return partials(batch)[0]
-
-    def key_partials(batch: pa.Table) -> pa.Table:
-        t = partials(batch)[1]
-        return pa.table({"k": t["k"],
-                         "one": pa.array(np.ones(len(t), np.int64))})
+        k = np.concatenate(kparts) if kparts else np.array([], np.int64)
+        return pa.table({"k": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64))})
 
     stats = sorted_fold(
         ds.map_batches(stat_partials, batch_format="pyarrow"),
