@@ -13763,6 +13763,60 @@ FROM e GROUP BY user_id
 """
 
 
+def q_debounce(sf_dir: str):
+    """Streaming throttle-dedup (debounce): per (user, event_type)
+    stream in (ts, event_id) order, keep an event only if >= 600 s
+    have passed since the LAST KEPT event — the burst-collapse rule
+    real event pipelines run at ingest. The state resets on every
+    keep, so the scan is non-associative (no parallel prefix; same
+    class as q_seq_packing): one keyed shuffle, one O(group) pass.
+    Emits kept event_ids; the twin replays the scan as a recursive
+    CTE stepping the per-stream row index."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    G = 600
+
+    def per_stream(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((ii, tv, et))
+        tv, ii, et = tv[order], ii[order], et[order]
+        keep = np.zeros(len(ii), bool)
+        new_stream = np.concatenate(([True], et[1:] != et[:-1]))
+        last = 0
+        for i in range(len(ii)):
+            if new_stream[i] or tv[i] - last >= G:
+                keep[i] = True
+                last = tv[i]
+        return pa.table({
+            "event_id": pa.array(np.sort(ii[keep]))})
+
+    return ds.groupby("user_id").map_groups(per_stream,
+                                            batch_format="pyarrow")
+
+
+Q_DEBOUNCE_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) // 1000000, event_id)
+           AS i
+  FROM events),
+r(user_id, event_type, i, event_id, s, last_kept, keep) AS (
+  SELECT user_id, event_type, i, event_id, s, s, TRUE
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.user_id, b.event_type, b.i, b.event_id, b.s,
+         CASE WHEN b.s - r.last_kept >= 600 THEN b.s ELSE r.last_kept END,
+         b.s - r.last_kept >= 600
+  FROM r JOIN base b ON b.user_id = r.user_id
+    AND b.event_type = r.event_type AND b.i = r.i + 1
+)
+SELECT event_id FROM r WHERE keep
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -13989,4 +14043,5 @@ def registry():
         "q_source_drift": (q_source_drift, Q_SOURCE_DRIFT_SQL),
         "q_profile": (q_profile, Q_PROFILE_SQL),
         "q_delta_encode": (q_delta_encode, Q_DELTA_ENCODE_SQL),
+        "q_debounce": (q_debounce, Q_DEBOUNCE_SQL),
     }
