@@ -13817,6 +13817,98 @@ SELECT event_id FROM r WHERE keep
 """
 
 
+def q_dedup_sweep(sf_dir: str):
+    """Dedup threshold-sensitivity sweep — the "how aggressive should
+    the near-dup filter be" calibration curve: ONE prefix-filtered
+    Jaccard pass at the loosest threshold (2/5), then every pair
+    classifies into all five thresholds it clears (cross-multiplied
+    integer tests), one tiny fold. Planted half-snippets (same
+    pure-SQL derivation as q_containment) populate the high end on
+    the otherwise overlap-free corpus."""
+    from osmray.simjoin import jaccard_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    m = max(1, ds.count() // 700)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % m == 0
+        ids = ids[sel]
+        texts = [t for t, s in zip(batch["text"].to_pylist(), sel) if s]
+        out_id, out_t = [], []
+        for did, t in zip(ids, texts):
+            ws = _WORD_RE.findall(t.lower())
+            out_id.append(int(did))
+            out_t.append(sorted({f"{ws[i]}_{ws[i + 1]}_{ws[i + 2]}"
+                                 for i in range(len(ws) - 2)}))
+            if did % 10 == 0:
+                half = ws[:(len(ws) + 1) // 2]
+                out_id.append(int(did) + 10_000_000)
+                out_t.append(sorted({
+                    f"{half[i]}_{half[i + 1]}_{half[i + 2]}"
+                    for i in range(len(half) - 2)}))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "toks": pa.array(out_t, pa.list_(pa.string()))})
+
+    pairs = jaccard_join(ds.map_batches(toks, batch_format="pyarrow"),
+                         "doc_id", "toks", t_num=2, t_den=5)
+    THRESH = [400, 500, 600, 700, 800]
+
+    def classify(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = batch["uni"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts, ns = [], []
+        for t in THRESH:
+            ts.append(t)
+            ns.append(int((inter * 1000 >= t * uni).sum()))
+        return pa.table({"thr_mil": pa.array(ts, pa.int64()),
+                         "n_pairs": pa.array(ns, pa.int64())})
+
+    return sorted_fold_sums(
+        pairs.map_batches(classify, batch_format="pyarrow"),
+        "thr_mil", ["n_pairs"])
+
+
+Q_DEDUP_SWEEP_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % (SELECT greatest(1, count(*) // 700) FROM documents) = 0
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM d
+),
+wu AS (
+  SELECT doc_id, ws FROM w
+  UNION ALL
+  SELECT doc_id + 10000000, ws[1:(len(ws) + 1) // 2] FROM w
+  WHERE doc_id % 10 = 0
+),
+big AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2]
+                        FOR i IN range(1, len(ws) - 1)]) AS toks
+  FROM wu
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM big WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         a.n + b.n - len(list_intersect(a.toks, b.toks)) AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+),
+t AS (SELECT unnest([400, 500, 600, 700, 800]) AS thr_mil)
+SELECT CAST(t.thr_mil AS BIGINT) AS thr_mil,
+       CAST(count_if(p.inter * 1000 >= t.thr_mil * p.uni) AS BIGINT)
+         AS n_pairs
+FROM t LEFT JOIN p ON TRUE
+GROUP BY t.thr_mil
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14044,4 +14136,5 @@ def registry():
         "q_profile": (q_profile, Q_PROFILE_SQL),
         "q_delta_encode": (q_delta_encode, Q_DELTA_ENCODE_SQL),
         "q_debounce": (q_debounce, Q_DEBOUNCE_SQL),
+        "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
     }
