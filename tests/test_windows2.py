@@ -164,3 +164,47 @@ def test_viterbi_decode_vs_scalar(ray_session):
         assert row["viterbi_cost"] == d[k]
         assert row["final_road"] == k
         assert row["path_hash"] == h
+
+
+def test_debounce_matches_scalar(ray_session, tmp_path):
+    """q_debounce == the scalar reset-on-keep scan on synthetic
+    bursty events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmray import queries as Q
+
+    rng = np.random.RandomState(6)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(60):
+            t += int(rng.randint(1, 400))  # bursts under the 600s gap
+            rows.append((eid, u, ["view", "click"][rng.randint(2)], t))
+            eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "ts": pa.array([r[3] * 1_000_000 for r in rows],
+                       pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+    got = sorted(r["event_id"] for r in
+                 Q.q_debounce(str(tmp_path)).to_pandas().to_dict("records"))
+    # scalar reference
+    keep = []
+    import collections
+    streams = collections.defaultdict(list)
+    for e, u, et, t in rows:
+        streams[(u, et)].append((t, e))
+    for (u, et), evs in streams.items():
+        evs.sort()
+        last = None
+        for t, e in evs:
+            if last is None or t - last >= 600:
+                keep.append(e)
+                last = t
+    assert got == sorted(keep)
+    assert len(got) < len(rows)  # bursts actually collapsed
