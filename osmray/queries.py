@@ -13909,6 +13909,248 @@ GROUP BY t.thr_mil
 """
 
 
+def q_token_bucket(sf_dir: str):
+    """Token-bucket rate limiting (admission control) per user
+    stream: capacity 3 tokens, one token refilled per FULL 300 s
+    elapsed on the refill clock (the clock advances only in whole
+    periods — the standard bucket discretization), bucket full at
+    each user's first event. Non-associative reset scan (same class
+    as q_debounce / q_seq_packing: state resets on every admit, so no
+    parallel prefix exists): one keyed shuffle, one O(group) pass,
+    emits admitted event_ids. The twin replays the scan as a
+    recursive CTE carrying (post-admit tokens, refill clock)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    C, P = 3, 300
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, ii = tv[order], ii[order]
+        keep = np.zeros(len(ii), bool)
+        tokens, last = C, int(tv[0]) if len(tv) else 0
+        for i in range(len(ii)):
+            refills = (int(tv[i]) - last) // P
+            tokens = min(C, tokens + refills)
+            last += refills * P
+            if tokens > 0:
+                keep[i] = True
+                tokens -= 1
+        return pa.table({"event_id": pa.array(np.sort(ii[keep]))})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_TOKEN_BUCKET_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) // 1000000, event_id)
+           AS i
+  FROM events),
+r(user_id, i, event_id, tokens, last_s, admit) AS (
+  SELECT user_id, i, event_id, 2, s, TRUE FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.user_id, b.i, b.event_id,
+         least(3, r.tokens + (b.s - r.last_s) // 300)
+           - CASE WHEN least(3, r.tokens + (b.s - r.last_s) // 300) > 0
+                  THEN 1 ELSE 0 END,
+         r.last_s + 300 * ((b.s - r.last_s) // 300),
+         least(3, r.tokens + (b.s - r.last_s) // 300) > 0
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.i = r.i + 1
+)
+SELECT event_id FROM r WHERE admit
+"""
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram language-model commonness scoring — the n-gram-LM data
+    quality filter shape (perplexity ranking without floats): exact
+    global bigram counts (the same unbounded-vocab fold as
+    q_collocations), attached back to each document's bigram
+    occurrences two-engine (broadcast under cap / grace join keyed
+    by the string hash with in-bucket exact-string verify), then
+    score_mil = floor(1000 * sum(global count over the doc's bigram
+    slots) / n_slots) — high = common/repetitive phrasing, low =
+    novel text. All integers end to end."""
+    return lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def lm_score(docs, broadcast_cap: int = 2_000_000):
+    import pyarrow.compute as pc
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    counts = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, True),
+                         batch_format="pyarrow"), ["w1", "w2"]).materialize()
+
+    def doc_posts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_d, out_g, out_tf = [], [], []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            ws = text.split(" ")
+            if len(ws) < 2:
+                continue
+            grams = np.asarray([f"{a}\x1f{b}" for a, b in zip(ws, ws[1:])])
+            u, c = np.unique(grams, return_counts=True)
+            out_d.append(np.full(len(u), ids[i], np.int64))
+            out_g.append(u)
+            out_tf.append(c.astype(np.int64))
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                         "g": pa.array(np.concatenate(out_g)),
+                         "tf": pa.array(np.concatenate(out_tf))})
+
+    posts = docs.map_batches(doc_posts, batch_format="pyarrow")
+    if counts.count() <= broadcast_cap:
+        cp = counts.to_pandas()
+        keys = (cp["w1"] + "\x1f" + cp["w2"]).to_numpy().astype(str)
+        nv = cp["n"].to_numpy().astype(np.int64)
+        o = np.argsort(keys)
+        ref = ray.put((keys[o], nv[o]))
+
+        def attach(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            ks, nv2 = ray.get(_ref)
+            g = batch["g"].to_numpy(zero_copy_only=False).astype(str)
+            pos = np.searchsorted(ks, g)
+            return batch.append_column("n", pa.array(nv2[pos]))
+
+        scored = posts.map_batches(attach, batch_format="pyarrow")
+    else:  # grace join on the string hash + in-bucket exact verify
+        def key_posts(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "jk", pa.array(hash_str(batch["g"].to_pylist(), 11)))
+
+        def key_counts(batch: pa.Table) -> pa.Table:
+            packed = [f"{a}\x1f{b}" for a, b in
+                      zip(batch["w1"].to_pylist(), batch["w2"].to_pylist())]
+            return pa.table({"g2": pa.array(packed, pa.string()),
+                             "n": batch["n"],
+                             "jk": pa.array(hash_str(packed, 11))})
+
+        joined = bucketed_join(
+            posts.map_batches(key_posts, batch_format="pyarrow"),
+            counts.map_batches(key_counts, batch_format="pyarrow"), on="jk")
+        scored = joined.map_batches(
+            lambda t: t.filter(pc.equal(t["g"], t["g2"]))
+            .drop_columns(["g2", "jk", "jk_r"]), batch_format="pyarrow")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _keyed_sums(d, {"hits": tf * n, "slots": tf},
+                           "doc_id").select(["doc_id", "hits", "slots"])
+
+    folded = sorted_fold_sums(
+        scored.map_batches(partials, batch_format="pyarrow"),
+        "doc_id", ["hits", "slots"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h = batch["hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["slots"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_slots": pa.array(s),
+                         "score_mil": pa.array(1000 * h // s)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+Q_LM_SCORE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+big AS (SELECT doc_id, ws[idx.i] AS w1, ws[idx.i + 1] AS w2
+        FROM toks JOIN idx ON idx.i + 1 <= len(ws)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1, 2),
+per AS (SELECT b.doc_id, bc.n
+        FROM big b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(1000 * sum(n) // count(*) AS BIGINT) AS score_mil
+FROM per GROUP BY doc_id
+"""
+
+
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction — the graph-ML candidate
+    generator: on the synthesized 65536-node graph, score every
+    non-adjacent pair (a, b) by |N(a) ∩ N(b)| and emit the top 50 by
+    (score DESC, a, b). Common-neighbor counts are exactly the
+    market-basket machinery (tableops.cooccur_pairs keyed by the
+    shared neighbor: ONE sort shuffle + one packed-key fold, per-key
+    duplicate-safe); existing edges leave via a grace ANTI join on
+    the packed pair key (no broadcast edge set); the top-k is a
+    distributed sort + limit with a fully deterministic tie-break."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import cooccur_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def adj(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        u, v = p["m1"] % 65536, p["m2"] % 65536
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"via": pa.array(np.concatenate((u, v))),
+                         "nb": pa.array(np.concatenate((v, u)))})
+
+    adj_ds = ds.map_batches(adj, batch_format="pyarrow").materialize()
+    return link_predict_topk(adj_ds, k=50)
+
+
+def link_predict_topk(adj_ds, k: int = 50):
+    """Top-k common-neighbor link prediction over a symmetric
+    adjacency dataset (via, nb) — see q_link_predict."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import cooccur_pairs
+
+    pairs = cooccur_pairs(adj_ds, "via", "nb", min_count=1)
+
+    def pack_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("pk", pa.array((a << 32) | b))
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        x = batch["via"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(
+            (np.minimum(x, y) << 32) | np.maximum(x, y))})
+
+    cand = bucketed_join(
+        pairs.map_batches(pack_pairs, batch_format="pyarrow"),
+        adj_ds.map_batches(pack_edges, batch_format="pyarrow"),
+        on="pk", how="anti", right_dedup=True)
+    top = cand.sort(["n", "pk"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"],
+                            "cn": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+Q_LINK_PREDICT_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 65536 AS u, m2 % 65536 AS v FROM p
+        WHERE m1 % 65536 <> m2 % 65536),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+w AS (SELECT n1.y AS a, n2.y AS b FROM adj n1
+      JOIN adj n2 ON n1.x = n2.x AND n1.y < n2.y),
+cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM w GROUP BY 1, 2),
+cand AS (SELECT cn.a, cn.b, cn.cn FROM cn WHERE NOT EXISTS
+         (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b))
+SELECT a, b, cn FROM cand ORDER BY cn DESC, a, b LIMIT 50
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14136,5 +14378,8 @@ def registry():
         "q_profile": (q_profile, Q_PROFILE_SQL),
         "q_delta_encode": (q_delta_encode, Q_DELTA_ENCODE_SQL),
         "q_debounce": (q_debounce, Q_DEBOUNCE_SQL),
+        "q_token_bucket": (q_token_bucket, Q_TOKEN_BUCKET_SQL),
+        "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
+        "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
     }

@@ -20,7 +20,13 @@ def test_tile_assignment_matches_oracle(lat, lng, z, maxar):
     tx, ty, rx, ry = tilemath.tile_at_wgs(np.array([lat]), np.array([lng]), z, scheme)
     otx, oty, orx, ory = oracle.tile_at_wgs(lat, lng, z, scheme.offsetx, scheme.offsety)
     assert (int(tx[0]), int(ty[0])) == (otx, oty)
-    assert abs(rx[0] - orx) < 1e-6 and abs(ry[0] - ory) < 1e-6
+    # rx/ry are the fractional part of a ~2^z*256-magnitude web pixel
+    # coordinate, so engine-vs-oracle float noise scales with the ulp
+    # at that magnitude (vectorized np vs scalar math evaluate log/tan
+    # in different orders) — a fixed 1e-6 flakes near the poles at
+    # high z (hypothesis found 1.07e-6 at lat 88.09, z=18)
+    tol = max(1e-6, 4096 * np.spacing((1 << z) * 256.0))
+    assert abs(rx[0] - orx) < tol and abs(ry[0] - ory) < tol
     for edge in (16, 24):
         assert bool(tilemath.edge_ok(rx, ry, edge)[0]) == oracle.edge_ok(orx, ory, edge)
 

@@ -762,3 +762,54 @@ def test_seq_packing_invariants(ray_session):
         for _, r in grp.iterrows():
             assert r["off_tokens"] == run
             run += toks[r["doc_id"]]
+
+
+def test_lm_score_two_engines_and_hand_check(ray_session):
+    """lm_score broadcast == keyed-grace engines, and both equal the
+    hand-computed bigram-commonness score on a tiny corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.queries import lm_score
+
+    texts = ["a b a b c", "a b x", "c a b", "z q"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts)}))
+    want = {}
+    from collections import Counter
+    grams = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        grams.update(zip(ws, ws[1:]))
+    for did, t in zip([1, 2, 3, 4], texts):
+        ws = t.split(" ")
+        slots = list(zip(ws, ws[1:]))
+        want[did] = (len(slots),
+                     1000 * sum(grams[s] for s in slots) // len(slots))
+    for cap in (2_000_000, 0):  # broadcast / keyed-grace engines
+        df = lm_score(ds, broadcast_cap=cap).to_pandas()
+        got = {int(r.doc_id): (int(r.n_slots), int(r.score_mil))
+               for r in df.itertuples()}
+        assert got == want, cap
+
+
+def test_link_predict_planted_graph(ray_session):
+    """link_predict_topk on a planted graph: path a-b-c plus square
+    1-2-3-4 — candidates (a,c) cn=1 and the two square diagonals
+    cn=2, existing edges excluded, order (cn DESC, a, b)."""
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.queries import link_predict_topk
+
+    edges = [(10, 11), (11, 12),            # path: candidate (10,12)
+             (1, 2), (2, 3), (3, 4), (4, 1)]  # square: (1,3),(2,4) cn=2
+    via = [u for u, v in edges] + [v for u, v in edges]
+    nb = [v for u, v in edges] + [u for u, v in edges]
+    adj = ray.data.from_arrow(pa.table({
+        "via": pa.array(via, pa.int64()), "nb": pa.array(nb, pa.int64())}))
+    df = link_predict_topk(adj, k=10).to_pandas()
+    got = [(int(r.a), int(r.b), int(r.cn)) for r in df.itertuples()]
+    assert got == [(1, 3, 2), (2, 4, 2), (10, 12, 1)]

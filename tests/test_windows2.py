@@ -208,3 +208,52 @@ def test_debounce_matches_scalar(ray_session, tmp_path):
                 last = t
     assert got == sorted(keep)
     assert len(got) < len(rows)  # bursts actually collapsed
+
+
+def test_token_bucket_matches_scalar(ray_session, tmp_path):
+    """q_token_bucket == the scalar bucket scan (capacity 3, one
+    token per full 300 s on the aligned refill clock) on synthetic
+    bursty events, including the burst-exhaustion + refill cases."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmray import queries as Q
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(60):
+            # mix sub-period bursts (drain the bucket) with long gaps
+            t += int(rng.choice([5, 40, 150, 700, 1300]))
+            rows.append((eid, u, t))
+            eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] * 1_000_000 for r in rows],
+                       pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+    got = sorted(r["event_id"] for r in
+                 Q.q_token_bucket(str(tmp_path)).to_pandas()
+                 .to_dict("records"))
+    # scalar reference
+    import collections
+    streams = collections.defaultdict(list)
+    for e, u, t in rows:
+        streams[u].append((t, e))
+    keep = []
+    for u, evs in streams.items():
+        evs.sort()
+        tokens, last = 3, evs[0][0]
+        for t, e in evs:
+            refills = (t - last) // 300
+            tokens = min(3, tokens + refills)
+            last += refills * 300
+            if tokens > 0:
+                keep.append(e)
+                tokens -= 1
+    assert got == sorted(keep)
+    assert 0 < len(got) < len(rows)  # bucket actually throttled
