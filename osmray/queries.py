@@ -13909,6 +13909,155 @@ GROUP BY t.thr_mil
 """
 
 
+_CF_MOD = 2147483647  # 2^31 - 1: char-fold word hash stays in int64
+_CF_B = 131
+
+
+def _char_fold_hash(words: np.ndarray) -> np.ndarray:
+    """Per-word polynomial codepoint hash mod 2^31-1 (acc*131+c) —
+    the SQL twin is a list_reduce over ord(substr(w, i, 1)), so the
+    two sides agree bit-exactly for any unicode text. Callers hash
+    the vocab-level np.unique set, never the per-token stream."""
+    out = np.empty(len(words), np.int64)
+    for k, w in enumerate(words):
+        acc = 0
+        for ch in w:
+            acc = (acc * _CF_B + ord(ch)) % _CF_MOD
+        out[k] = acc
+    return out
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing document fingerprints (the MOSS scheme): per doc,
+    hash every word-3-gram (char-fold word hashes combined base
+    524287 mod 2^31-1), slide a window of 4 gram hashes, select the
+    RIGHTMOST minimum of each window (the robust-winnowing
+    tie-break), and emit the distinct selected hashes as the doc's
+    fingerprint set (count / min / sum — integer-exact). Guarantees
+    every 4-gram-window of the doc shares a fingerprint with any
+    copy, the property plagiarism/near-dup pipelines rely on. Docs
+    shorter than one window contribute their global rightmost-min.
+    Embarrassingly parallel (one map_batches, no shuffle)."""
+    return winnow_fingerprints(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+
+
+def winnow_fingerprints(docs, w: int = 4, B: int = 524287):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [wd for ws in toks for wd in ws]
+        out = {"doc_id": [], "n_fp": [], "fp_min": [], "fp_sum": []}
+        if flat:
+            u = np.unique(np.asarray(flat))
+            hu = _char_fold_hash(u)
+            for did, ws in zip(ids, toks):
+                hws = hu[np.searchsorted(u, np.asarray(ws))]
+                if len(hws) < 3:
+                    continue
+                h = ((hws[:-2] * B + hws[1:-1]) % _CF_MOD * B
+                     + hws[2:]) % _CF_MOD
+                if len(h) < w:
+                    pos = np.array([len(h) - 1 - int(np.argmin(h[::-1]))])
+                else:
+                    W = sliding_window_view(h, w)
+                    pos = (np.arange(len(W))
+                           + (w - 1 - np.argmin(W[:, ::-1], axis=1)))
+                fps = np.unique(h[pos])
+                out["doc_id"].append(int(did))
+                out["n_fp"].append(len(fps))
+                out["fp_min"].append(int(fps.min()))
+                out["fp_sum"].append(int(fps.sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+_CF_HASH_LAMBDA = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length({w}) + 1),
+            i -> CAST(ord(substr({w}, i, 1)) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 2147483647)"""
+
+Q_WINNOW_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wh AS (SELECT doc_id, list_transform(ws, w ->
+        {_CF_HASH_LAMBDA.format(w='w')}) AS hs
+      FROM toks),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+g AS (SELECT doc_id, idx.i AS i,
+        ((hs[idx.i] * 524287 + hs[idx.i + 1]) % 2147483647 * 524287
+          + hs[idx.i + 2]) % 2147483647 AS h
+      FROM wh JOIN idx ON idx.i + 2 <= len(hs)),
+mg AS (SELECT doc_id, max(i) AS m FROM g GROUP BY doc_id),
+wins AS (SELECT doc_id, i AS e FROM g WHERE i >= 4
+         UNION ALL SELECT doc_id, m FROM mg WHERE m < 4),
+cand AS (SELECT w.doc_id, w.e, b.i, b.h FROM wins w
+         JOIN g b ON b.doc_id = w.doc_id AND b.i BETWEEN w.e - 3 AND w.e),
+mins AS (SELECT doc_id, e, min(h) AS mh FROM cand GROUP BY 1, 2),
+sel AS (SELECT c.doc_id, max(c.i) AS j FROM cand c
+        JOIN mins m ON m.doc_id = c.doc_id AND m.e = c.e AND c.h = m.mh
+        GROUP BY c.doc_id, c.e),
+fp AS (SELECT DISTINCT s.doc_id, g.h FROM sel s
+       JOIN g ON g.doc_id = s.doc_id AND g.i = s.j)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(min(h) AS BIGINT) AS fp_min,
+       CAST(sum(h) AS BIGINT) AS fp_sum
+FROM fp GROUP BY doc_id
+"""
+
+
+def q_quality_clf(sf_dir: str):
+    """Model-based quality filtering, fastText-shaped: a hashed
+    bag-of-words LINEAR classifier — each token hashes (char-fold)
+    into one of 256 buckets whose fixed integer weight is the
+    Knuth-mix formula (b * 2654435761) % 2^32 % 2001 - 1000, the doc
+    score is the sum over tokens, keep = score >= 0. Deterministic
+    stand-in for a trained quality model with the exact runtime
+    shape (hash -> embed -> sum -> threshold); integer end to end.
+    One vectorized map_batches, weights computed on the vocab-level
+    unique set per block, no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [wd for ws in toks for wd in ws]
+        if not flat:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.int64())})
+        u = np.unique(np.asarray(flat))
+        wt = (_char_fold_hash(u) % 256) * 2654435761 % (1 << 32) % 2001 - 1000
+        scores, n_tok = np.empty(len(ids), np.int64), np.empty(len(ids), np.int64)
+        for k, ws in enumerate(toks):
+            wts = wt[np.searchsorted(u, np.asarray(ws))]
+            n_tok[k] = len(ws)
+            scores[k] = int(wts.sum())
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n_tok),
+                         "score": pa.array(scores),
+                         "keep": pa.array((scores >= 0).astype(np.int64))})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+Q_QUALITY_CLF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id,
+        {_CF_HASH_LAMBDA.format(w='w')} % 256 AS b
+      FROM toks),
+s AS (SELECT doc_id, b * 2654435761 % 4294967296 % 2001 - 1000 AS wt FROM h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wt) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(wt) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s GROUP BY doc_id
+"""
+
+
 def q_token_bucket(sf_dir: str):
     """Token-bucket rate limiting (admission control) per user
     stream: capacity 3 tokens, one token refilled per FULL 300 s
@@ -14379,6 +14528,8 @@ def registry():
         "q_delta_encode": (q_delta_encode, Q_DELTA_ENCODE_SQL),
         "q_debounce": (q_debounce, Q_DEBOUNCE_SQL),
         "q_token_bucket": (q_token_bucket, Q_TOKEN_BUCKET_SQL),
+        "q_winnow": (q_winnow, Q_WINNOW_SQL),
+        "q_quality_clf": (q_quality_clf, Q_QUALITY_CLF_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
