@@ -14300,6 +14300,79 @@ SELECT a, b, cn FROM cand ORDER BY cn DESC, a, b LIMIT 50
 """
 
 
+def q_gopher_rules(sf_dir: str):
+    """Within-document repetition quality rules (the Gopher /
+    MassiveText filters): per doc, the fraction of characters covered
+    by word-bigrams that repeat WITHIN the doc (``dup2_mil``) and the
+    fraction of characters attributable to the single most frequent
+    bigram (``top2_mil``, ties broken by lexicographically smallest
+    gram) — both integer milli-rates over the doc's non-space chars.
+    Embarrassingly parallel: one map_batches, counts via block-local
+    np.unique per doc, no shuffle — the cheapest possible shape at
+    100 TB (pure scan)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"doc_id": [], "n_tokens": [], "dup2_mil": [], "top2_mil": []}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            ws = text.split(" ")
+            lens = np.asarray([len(w) for w in ws], np.int64)
+            n_chars = max(int(lens.sum()), 1)
+            dup_mil = top_mil = 0
+            if len(ws) >= 2:
+                grams = np.asarray([f"{a}\x1f{b}"
+                                    for a, b in zip(ws, ws[1:])])
+                u, inv, cnt = np.unique(grams, return_inverse=True,
+                                        return_counts=True)
+                occ = np.flatnonzero(cnt[inv] >= 2)
+                cover = np.zeros(len(ws), bool)
+                cover[occ] = True
+                cover[occ + 1] = True
+                dup_mil = int(lens[cover].sum()) * 1_000_000 // n_chars
+                cmax = int(cnt.max())
+                # ties -> smallest gram: np.unique output is sorted,
+                # so the first max-count entry is the winner
+                g = u[np.flatnonzero(cnt == cmax)[0]]
+                top_mil = cmax * (len(g) - 1) * 1_000_000 // n_chars
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(len(ws))
+            out["dup2_mil"].append(dup_mil)
+            out["top2_mil"].append(top_mil)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+Q_GOPHER_RULES_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws,
+              greatest(length(replace(text, ' ', '')), 1) AS n_chars
+              FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+g AS (SELECT doc_id, idx.i AS i, ws[idx.i] || chr(31) || ws[idx.i + 1] AS g
+      FROM toks JOIN idx ON idx.i + 1 <= len(ws)),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+docc AS (SELECT g.doc_id, g.i FROM g JOIN cnt
+         ON cnt.doc_id = g.doc_id AND cnt.g = g.g AND cnt.c >= 2),
+cpos AS (SELECT DISTINCT doc_id, p FROM (
+           SELECT doc_id, i AS p FROM docc
+           UNION ALL SELECT doc_id, i + 1 FROM docc)),
+cov AS (SELECT c.doc_id, sum(length(t.ws[c.p])) AS cchars
+        FROM cpos c JOIN toks t ON t.doc_id = c.doc_id GROUP BY 1),
+top AS (SELECT doc_id, c, g FROM (
+          SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, g ASC) AS rn FROM cnt) WHERE rn = 1)
+SELECT t.doc_id,
+  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+  CAST(coalesce(cov.cchars, 0) * 1000000 // t.n_chars AS BIGINT)
+    AS dup2_mil,
+  CAST(coalesce(top.c * (length(top.g) - 1), 0) * 1000000 // t.n_chars
+    AS BIGINT) AS top2_mil
+FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+LEFT JOIN top ON top.doc_id = t.doc_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14530,6 +14603,7 @@ def registry():
         "q_token_bucket": (q_token_bucket, Q_TOKEN_BUCKET_SQL),
         "q_winnow": (q_winnow, Q_WINNOW_SQL),
         "q_quality_clf": (q_quality_clf, Q_QUALITY_CLF_SQL),
+        "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
