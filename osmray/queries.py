@@ -14373,6 +14373,40 @@ LEFT JOIN top ON top.doc_id = t.doc_id
 """
 
 
+def q_boilerplate(sf_dir: str):
+    """Corpus-level boilerplate coverage (CCNet / RefinedWeb shared-
+    template removal): word-trigrams occurring in >= 2 DISTINCT docs
+    are boilerplate; each doc reports covered token positions and the
+    integer milli-rate. See text.boilerplate_coverage for the
+    two-engine (broadcast gram set / keyed grace semi-join) scale
+    design — this entry runs mode="auto"."""
+    from osmray.text import boilerplate_coverage
+
+    return boilerplate_coverage(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_docs=2)
+
+
+Q_BOILERPLATE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+g AS (SELECT doc_id, idx.i AS i, ws[idx.i] || chr(31) || ws[idx.i + 1]
+        || chr(31) || ws[idx.i + 2] AS g
+      FROM toks JOIN idx ON idx.i + 2 <= len(ws)),
+bp AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                      FROM g GROUP BY g) WHERE nd >= 2),
+occ AS (SELECT g.doc_id, g.i FROM g JOIN bp ON bp.g = g.g),
+cpos AS (SELECT DISTINCT doc_id, i + o.k AS p FROM occ
+         CROSS JOIN (SELECT CAST(t.range AS INT) AS k
+                     FROM range(0, 3) t) o),
+cov AS (SELECT doc_id, count(*) AS n_cov FROM cpos GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+  CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_cov,
+  CAST(coalesce(cov.n_cov, 0) * 1000000 // greatest(len(t.ws), 1)
+    AS BIGINT) AS boiler_mil
+FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14604,6 +14638,7 @@ def registry():
         "q_winnow": (q_winnow, Q_WINNOW_SQL),
         "q_quality_clf": (q_quality_clf, Q_QUALITY_CLF_SQL),
         "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+        "q_boilerplate": (q_boilerplate, Q_BOILERPLATE_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

@@ -400,3 +400,195 @@ def dict_count(texts: list[str], patterns: list[str]) -> tuple[np.ndarray, np.nd
         n_matches[pi] = int(hits.sum())
         n_docs[pi] = int((per_doc > 0).sum())
     return n_matches, n_docs
+
+
+def _doc_grams(text: str, n: int) -> np.ndarray:
+    ws = text.split(" ")
+    if len(ws) < n:
+        return np.asarray([], dtype=object)
+    return np.asarray(["\x1f".join(ws[i:i + n])
+                       for i in range(len(ws) - n + 1)], dtype=object)
+
+
+def boilerplate_coverage(docs, n: int = 3, min_docs: int = 2,
+                         mode: str = "auto", broadcast_cap: int = 2_000_000,
+                         num_buckets: int = 256):
+    """Corpus-level boilerplate detection (the CCNet / RefinedWeb
+    shared-template signal): a word-``n``-gram is *boilerplate* when
+    it occurs in >= ``min_docs`` DISTINCT documents; each doc reports
+    how many of its token positions are covered by at least one
+    boilerplate-gram occurrence (``n_cov``) and the integer
+    milli-rate ``boiler_mil``. Unlike n-gram novelty (count-1 grams,
+    min-owner trick, no join) coverage needs the doc<->gram positions
+    back, so this is the honest two-sided shape:
+
+    - Phase 1 (both engines): block-distinct (gram, doc) pairs ->
+      hashed-gram bucket shuffle -> in-group exact distinct-doc
+      counts on FULL gram strings -> the boilerplate gram set.
+    - Phase 2 ``broadcast``: the bp gram strings ship once via
+      ray.put (sorted array, exact membership by searchsorted) and
+      one per-doc pass unions the covered intervals — zero extra
+      shuffles. Chosen when the bp set is <= ``broadcast_cap`` chars.
+    - Phase 2 ``keyed``: occurrences (doc, pos, gram-hash) semi-join
+      the bp hash set in ``num_buckets`` grace buckets, survivors
+      expand to covered positions, and a packed (doc, pos) distinct
+      fold counts coverage — nothing O(corpus) on the driver
+      (64-bit-hash membership; collision odds ~2^-64 per pair,
+      documented divergence from the string-exact broadcast path).
+
+    Both engines are pinned equal in pytest."""
+    import ray
+
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gs, ds_ = [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            u = np.unique(_doc_grams(text, n))
+            gs.extend(u.tolist())
+            ds_.extend([int(did)] * len(u))
+        if not gs:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        h = hash_str(gs, 29)
+        return pa.table({"b": pa.array(np.abs(h) % num_buckets),
+                         "g": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ds_, pa.int64())})
+
+    def bp_in_group(g: pa.Table) -> pa.Table:
+        gr = np.asarray(g["g"].to_pylist(), dtype=object)
+        order = np.argsort(gr, kind="stable")
+        gs = gr[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        gid = np.cumsum(new) - 1
+        nd = np.bincount(gid).astype(np.int64)  # pairs are block-
+        # distinct per doc already, but not globally — dedup exactly:
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[order]
+        packed = np.stack([gid, did], axis=1)
+        uniq = np.unique(packed, axis=0)
+        nd = np.bincount(uniq[:, 0], minlength=len(nd)).astype(np.int64)
+        keep = nd >= min_docs
+        return pa.table({"g": pa.array(gs[new][keep], pa.string())})
+
+    pairs = docs.map_batches(pair_partials, batch_format="pyarrow")
+    bp = pairs.groupby("b").map_groups(bp_in_group, batch_format="pyarrow")
+
+    eng = mode
+    if mode == "auto":
+        total = bp.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [sum(len(s) for s in b["g"].to_pylist())], pa.int64())}),
+            batch_format="pyarrow").to_pandas()["c"].sum()
+        eng = "broadcast" if total <= broadcast_cap else "keyed"
+
+    def doc_base(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.asarray([len(t.split(" "))
+                         for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(nt)})
+
+    if eng == "broadcast":
+        bps = np.sort(np.asarray(bp.to_pandas()["g"].to_numpy(),
+                                 dtype=object))
+        ref = ray.put(bps)
+
+        def cover(batch: pa.Table) -> pa.Table:
+            bpa = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nt, nc = [], []
+            for text in batch["text"].to_pylist():
+                ws = text.split(" ")
+                grams = _doc_grams(text, n)
+                cov = np.zeros(len(ws), bool)
+                if len(grams) and len(bpa):
+                    pos = np.searchsorted(bpa, grams)
+                    pos_c = np.minimum(pos, len(bpa) - 1)
+                    hit = np.flatnonzero(bpa[pos_c] == grams)
+                    for k in range(n):
+                        cov[hit + k] = True
+                nt.append(len(ws))
+                nc.append(int(cov.sum()))
+            ntb = np.asarray(nt, np.int64)
+            ncb = np.asarray(nc, np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids), "n_tokens": pa.array(ntb),
+                "n_cov": pa.array(ncb),
+                "boiler_mil": pa.array(
+                    ncb * 1_000_000 // np.maximum(ntb, 1))})
+
+        return docs.map_batches(cover, batch_format="pyarrow")
+
+    # keyed engine: occurrence rows (ghash bucket, ghash, doc, pos)
+    # semi-join the bp hash set per bucket, survivors expand to the
+    # n covered positions, distinct (doc, pos) fold, per-doc counts.
+    from osmray.joins import bucketed_join
+
+    def bp_keys(batch: pa.Table) -> pa.Table:
+        h = hash_str(batch["g"].to_pylist(), 29)
+        return pa.table({"gh": pa.array(h)})
+
+    bpk = bp.map_batches(bp_keys, batch_format="pyarrow")
+
+    def occs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gh, dd, pp = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            grams = _doc_grams(text, n)
+            if len(grams) == 0:
+                continue
+            gh.append(hash_str(grams.tolist(), 29))
+            dd.append(np.full(len(grams), did, np.int64))
+            pp.append(np.arange(len(grams), dtype=np.int64))
+        if not gh:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"gh": pa.array(np.concatenate(gh)),
+                         "doc_id": pa.array(np.concatenate(dd)),
+                         "pos": pa.array(np.concatenate(pp))})
+
+    occ = docs.map_batches(occs, batch_format="pyarrow")
+    hit = bucketed_join(occ, bpk, on="gh", num_buckets=num_buckets,
+                        right_dedup=True, how="semi")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = np.repeat(d, n)
+        pp = (p[:, None] + np.arange(n, dtype=np.int64)).ravel()
+        packed = np.unique(dd * (1 << 22) + pp)
+        return pa.table({"b": pa.array(np.abs(packed) % num_buckets),
+                         "pk": pa.array(packed)})
+
+    def distinct_counts(g: pa.Table) -> pa.Table:
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        d = pk >> 22
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "n_cov": pa.array(cnt.astype(np.int64))})
+
+    cov = sorted_fold_sums(
+        hit.map_batches(expand, batch_format="pyarrow")
+           .groupby("b").map_groups(distinct_counts,
+                                    batch_format="pyarrow"),
+        "doc_id", ["n_cov"])
+    base = docs.map_batches(doc_base, batch_format="pyarrow")
+    joined = bucketed_join(base, cov, on="doc_id", num_buckets=8, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = pc.fill_null(batch["n_cov"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(nt), "n_cov": pa.array(nc),
+            "boiler_mil": pa.array(nc * 1_000_000 // np.maximum(nt, 1))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

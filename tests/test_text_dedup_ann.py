@@ -813,3 +813,44 @@ def test_link_predict_planted_graph(ray_session):
     df = link_predict_topk(adj, k=10).to_pandas()
     got = [(int(r.a), int(r.b), int(r.cn)) for r in df.itertuples()]
     assert got == [(1, 3, 2), (2, 4, 2), (10, 12, 1)]
+
+
+def test_boilerplate_two_engines_and_scalar_oracle(ray_session):
+    import ray.data
+
+    from osmray import text as T
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(12)]
+    docs = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 25)]
+        docs.append({"doc_id": int(i), "text": " ".join(words)})
+    docs.append({"doc_id": 60, "text": "solo"})  # < n tokens: zero row
+    ds = ray.data.from_items(docs).repartition(5)
+
+    got_b = (T.boilerplate_coverage(ds, n=3, min_docs=2, mode="broadcast")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got_k = (T.boilerplate_coverage(ds, n=3, min_docs=2, mode="keyed",
+                                    num_buckets=7)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got_b.equals(got_k)
+
+    # scalar oracle: brute-force gram -> distinct docs -> coverage
+    from collections import defaultdict
+    owners = defaultdict(set)
+    for d in docs:
+        ws = d["text"].split(" ")
+        for i in range(len(ws) - 2):
+            owners["\x1f".join(ws[i:i + 3])].add(d["doc_id"])
+    bp = {g for g, o in owners.items() if len(o) >= 2}
+    for d in docs:
+        ws = d["text"].split(" ")
+        cov = [False] * len(ws)
+        for i in range(len(ws) - 2):
+            if "\x1f".join(ws[i:i + 3]) in bp:
+                cov[i] = cov[i + 1] = cov[i + 2] = True
+        row = got_b[got_b.doc_id == d["doc_id"]].iloc[0]
+        assert row.n_tokens == len(ws)
+        assert row.n_cov == sum(cov)
+        assert row.boiler_mil == sum(cov) * 1_000_000 // max(len(ws), 1)
