@@ -993,3 +993,119 @@ def decontaminate_counts(docs_ds, id_col: str = "doc_id", text_col: str = "text"
         )
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the storage/corpus dedup
+# primitive robust to insertions (fixed-stride grams shift, CDC
+# boundaries re-synchronize): boundaries where an 8-char rolling
+# polynomial hash (base 131 mod 2^31-1, the same char-fold family the
+# SQL twins replay) satisfies h % mask_mod == 0.
+
+_CDC_MOD = 2147483647
+_CDC_B = 131
+
+
+def _cdc_chunks(text: str, window: int = 8,
+                mask_mod: int = 64) -> list[str]:
+    """Split ``text`` at content-defined boundaries; '' -> []."""
+    L = len(text)
+    if L == 0:
+        return []
+    if L < window:
+        return [text]
+    cp = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(np.int64)
+    h = np.zeros(L - window + 1, np.int64)
+    for k in range(window):
+        h = (h * _CDC_B + cp[k:L - window + 1 + k]) % _CDC_MOD
+    # boundary AFTER 0-based end index j  ->  cut position j+1
+    cuts = np.flatnonzero(h % mask_mod == 0) + window
+    cuts = np.unique(np.concatenate(([0], cuts, [L])))
+    return [text[a:b] for a, b in zip(cuts[:-1], cuts[1:])]
+
+
+def cdc_chunk_dups(docs, window: int = 8, mask_mod: int = 64,
+                   num_buckets: int = 256):
+    """Per-doc CDC dedup stats: chunk the text content-defined, call a
+    chunk *duplicated* when it occurs in >= 2 DISTINCT documents, and
+    report (n_chunks, n_dup occurrences, dup_mil) per doc. Scale
+    shape == the novelty fold: per-block per-doc chunk counts shuffle
+    keyed by a bounded |hash| % num_buckets bucket (full chunk strings
+    ride for EXACT equality), each group sees all occurrences of its
+    chunks, emits per-doc dup partials — group summaries, never doc
+    pairs — and a keyed integer fold + one grace left join attach the
+    stateless per-doc totals. Nothing corpus-sized on the driver."""
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch, dd, cc = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            u, cnt = np.unique(np.asarray(
+                _cdc_chunks(text, window, mask_mod), dtype=object),
+                return_counts=True)
+            ch.extend(u.tolist())
+            dd.extend([int(did)] * len(u))
+            cc.extend(cnt.astype(np.int64).tolist())
+        if not ch:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "ch": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({
+            "b": pa.array(np.abs(hash_str(ch, 41)) % num_buckets),
+            "ch": pa.array(ch, pa.string()),
+            "doc_id": pa.array(dd, pa.int64()),
+            "c": pa.array(cc, pa.int64())})
+
+    def dup_in_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        ch = np.asarray(g["ch"].to_pylist(), dtype=object)
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ch, kind="stable")
+        cs, ds_, cc = ch[order], did[order], c[order]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        gid = np.cumsum(new) - 1
+        # distinct docs per chunk (rows are per-block per-doc, so a
+        # doc may appear twice per chunk — dedup exactly)
+        pair = np.unique(np.stack([gid, ds_], axis=1), axis=0)
+        nd = np.bincount(pair[:, 0], minlength=gid[-1] + 1)
+        dup = nd[gid] >= 2
+        u, inv = np.unique(ds_[dup], return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(u),
+            "n_dup": pa.array(np.bincount(
+                inv, weights=cc[dup]).astype(np.int64))})
+
+    occ = docs.map_batches(partials, batch_format="pyarrow")
+    dups = sorted_fold_sums(
+        occ.groupby("b").map_groups(dup_in_group, batch_format="pyarrow"),
+        "doc_id", ["n_dup"])
+
+    def base(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = np.asarray([len(_cdc_chunks(t, window, mask_mod))
+                         for t in batch["text"].to_pylist()], np.int64)
+        return pa.table({"doc_id": pa.array(ids), "n_chunks": pa.array(nc)})
+
+    joined = bucketed_join(
+        docs.map_batches(base, batch_format="pyarrow"), dups,
+        on="doc_id", num_buckets=8, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nc = batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = pc.fill_null(batch["n_dup"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_chunks": pa.array(nc), "n_dup": pa.array(nd),
+            "dup_mil": pa.array(nd * 1_000_000 // np.maximum(nc, 1))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

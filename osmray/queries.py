@@ -14407,6 +14407,53 @@ FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
 """
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined-chunking dedup (the rsync/LBFS/storage-dedup
+    primitive, insertion-robust where fixed-stride grams shift):
+    chunk boundaries where the 8-char rolling polynomial hash
+    (base 131 mod 2^31-1) % 64 == 0; a chunk is duplicated when it
+    occurs in >= 2 distinct docs; per-doc (n_chunks, n_dup, dup_mil).
+    See dedup.cdc_chunk_dups for the bounded-bucket shuffle design."""
+    from osmray.dedup import cdc_chunk_dups
+
+    return cdc_chunk_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+Q_CDC_CHUNKS_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+pos AS (SELECT CAST(t.range AS INT) AS j FROM range(8, 65536) t),
+h AS (SELECT doc_id, pos.j,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(j - 7, j + 1),
+           i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (a, c) -> (a * 131 + c) % 2147483647) AS hv
+      FROM d JOIN pos ON pos.j <= d.L),
+cuts AS (SELECT DISTINCT doc_id, c FROM (
+          SELECT doc_id, 0 AS c FROM d WHERE L > 0
+          UNION ALL SELECT doc_id, j FROM h WHERE hv % 64 = 0
+          UNION ALL SELECT doc_id, L FROM d WHERE L > 0)),
+seg AS (SELECT doc_id, lag(c) OVER (PARTITION BY doc_id ORDER BY c) AS s,
+               c AS e FROM cuts),
+chunks AS (SELECT seg.doc_id,
+             substr(d.text, CAST(seg.s + 1 AS INT),
+                    CAST(seg.e - seg.s AS INT)) AS ch
+           FROM seg JOIN d ON d.doc_id = seg.doc_id
+           WHERE seg.s IS NOT NULL),
+pc AS (SELECT doc_id, ch, count(*) AS c FROM chunks GROUP BY 1, 2),
+ndk AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch),
+dup AS (SELECT pc.doc_id, sum(pc.c) AS n_dup FROM pc
+        JOIN ndk ON ndk.ch = pc.ch AND ndk.nd >= 2 GROUP BY 1),
+nch AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(nch.n_chunks, 0) AS BIGINT) AS n_chunks,
+  CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+  CAST(coalesce(dup.n_dup, 0) * 1000000
+    // greatest(coalesce(nch.n_chunks, 0), 1) AS BIGINT) AS dup_mil
+FROM d LEFT JOIN nch ON nch.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14639,6 +14686,7 @@ def registry():
         "q_quality_clf": (q_quality_clf, Q_QUALITY_CLF_SQL),
         "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
         "q_boilerplate": (q_boilerplate, Q_BOILERPLATE_SQL),
+        "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

@@ -854,3 +854,49 @@ def test_boilerplate_two_engines_and_scalar_oracle(ray_session):
         assert row.n_tokens == len(ws)
         assert row.n_cov == sum(cov)
         assert row.boiler_mil == sum(cov) * 1_000_000 // max(len(ws), 1)
+
+
+def test_cdc_chunks_resync_and_pipeline(ray_session):
+    import ray.data
+
+    from osmray import dedup
+
+    # chunker invariants: concat of chunks == text, '' -> []
+    rng = np.random.default_rng(5)
+    alpha = "abcdefgh "
+    text = "".join(alpha[j] for j in rng.integers(0, len(alpha), 800))
+    chunks = dedup._cdc_chunks(text)
+    assert "".join(chunks) == text and all(chunks)
+    assert dedup._cdc_chunks("") == []
+    assert dedup._cdc_chunks("short") == ["short"]
+
+    # insertion robustness: one char inserted near the front changes
+    # only a prefix of chunks — the boundary stream re-synchronizes,
+    # so most chunk strings are shared (the property stride-grams lack)
+    mutated = text[:5] + "X" + text[5:]
+    shared = set(chunks) & set(dedup._cdc_chunks(mutated))
+    assert len(shared) >= int(0.8 * len(chunks))
+
+    # pipeline vs scalar oracle
+    docs = [{"doc_id": 0, "text": text},
+            {"doc_id": 1, "text": mutated},
+            {"doc_id": 2, "text": "zzz unrelated content qqq"}]
+    got = (dedup.cdc_chunk_dups(ray.data.from_items(docs).repartition(3),
+                                num_buckets=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    from collections import Counter
+    owners = {}
+    per_doc = {}
+    for d in docs:
+        cs = dedup._cdc_chunks(d["text"])
+        per_doc[d["doc_id"]] = Counter(cs)
+        for c in set(cs):
+            owners.setdefault(c, set()).add(d["doc_id"])
+    for d in docs:
+        cnt = per_doc[d["doc_id"]]
+        n_dup = sum(c for ch, c in cnt.items() if len(owners[ch]) >= 2)
+        row = got[got.doc_id == d["doc_id"]].iloc[0]
+        assert row.n_chunks == sum(cnt.values())
+        assert row.n_dup == n_dup
+    assert got[got.doc_id == 2].iloc[0].n_dup == 0
+    assert got[got.doc_id == 0].iloc[0].n_dup > 0
