@@ -1201,3 +1201,149 @@ def dag_longest_path(edges_ds, dur: np.ndarray, src_col: str = "u",
     return ray.data.from_arrow(pa.table({
         "task": pa.array(np.arange(len(dur), dtype=np.int64)),
         "lp": pa.array(lp)}))
+
+
+def label_propagation(edges_ds, rounds: int = 3, src_col: str = "u",
+                      dst_col: str = "v", mode: str = "auto",
+                      broadcast_cap: int = 50_000_000,
+                      num_partitions: int = 16):
+    """Synchronous label-propagation community detection (LPA): every
+    node starts labeled with its own id; each round every node takes
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label — fully deterministic, and a fixed ``rounds``
+    count so the SQL twin unrolls the identical computation. Edges
+    are undirected and deduplicated first.
+
+    Two engines behind one API (pinned equal in pytest):
+
+    - ``broadcast``: labels live in an O(V) driver array shipped via
+      ray.put; one map_batches per round emits per-block partial
+      (target, label) counts and the driver folds + argmaxes. The
+      fold is O(distinct (node, neighbor-label) pairs) <= 2|E| —
+      fine under the cap, where edge blocks stream and only bounded
+      partials return.
+    - ``shuffle``: labels are a Dataset; each round is ONE grace join
+      (attach the neighbor's current label) + ONE keyed groupby whose
+      groups are exactly a node's neighbor multiset (bounded by max
+      degree — a pathological hot node makes a fat group; salt-free
+      by design because the argmax needs the full tally). Nothing
+      O(V) on the driver.
+    """
+    import ray
+    import ray.data
+
+    e = _coalesce_edges(_edge_view(edges_ds, src_col, dst_col).materialize())
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        pk = np.unique(a * (np.int64(1) << 32) + b)
+        return pa.table({"u": pa.array(pk >> 32),
+                         "v": pa.array(pk & ((np.int64(1) << 32) - 1))})
+
+    # block-local dedup; exact global dedup happens on the packed key
+    ded = e.map_batches(undirect, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    def pack(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(u * (np.int64(1) << 32) + v)})
+
+    edges = (ded.map_batches(pack, batch_format="pyarrow")
+             .groupby("pk").aggregate(Count(alias_name="_n"))
+             .map_batches(lambda b: pa.table({
+                 "u": pa.array(b["pk"].to_numpy(
+                     zero_copy_only=False) >> 32),
+                 "v": pa.array(b["pk"].to_numpy(
+                     zero_copy_only=False) & ((np.int64(1) << 32) - 1))}),
+                 batch_format="pyarrow")).materialize()
+
+    eng = _pick_mode(edges, mode, broadcast_cap)
+    if eng in ("broadcast",):
+        return _lpa_broadcast(edges, rounds)
+    return _lpa_keyed(edges, rounds, num_partitions)
+
+
+def _lpa_broadcast(edges, rounds: int):
+    import ray
+    import ray.data
+
+    nodes = np.unique(np.concatenate([
+        edges.map_batches(
+            lambda b: pa.table({"n": pa.array(np.unique(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)])))}),
+            batch_format="pyarrow").to_pandas()["n"].to_numpy()])).astype(
+                np.int64)
+    V = np.int64(len(nodes))
+    labels = np.arange(V, dtype=np.int64)  # label INDEX into nodes
+
+    for _ in range(rounds):
+        ref = ray.put(labels)
+
+        def tally(batch: pa.Table) -> pa.Table:
+            lb = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            tgt = np.concatenate([ui, vi])
+            lbl = np.concatenate([lb[vi], lb[ui]])
+            pk, cnt = np.unique(tgt * V + lbl, return_counts=True)
+            return pa.table({"pk": pa.array(pk),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        parts = edges.map_batches(tally, batch_format="pyarrow").to_pandas()
+        pk = parts["pk"].to_numpy()
+        u, inv = np.unique(pk, return_inverse=True)
+        cc = np.bincount(inv, weights=parts["c"].to_numpy()).astype(np.int64)
+        ti, li = u // V, u % V
+        order = np.lexsort((li, -cc, ti))
+        ts = ti[order]
+        first = np.concatenate(([True], ts[1:] != ts[:-1]))
+        new = labels.copy()
+        new[ts[first]] = li[order][first]
+        labels = new
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "lbl": pa.array(nodes[labels])}))
+
+
+def _lpa_keyed(edges, rounds: int, num_partitions: int):
+    from osmray.joins import bucketed_join
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(np.concatenate([u, v])),
+                         "y": pa.array(np.concatenate([v, u]))})
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    labels = _distinct_nodes(edges).map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "lbl": b["node"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def new_label(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "lbl": pa.array([], pa.int64())})
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.int64)[0]
+        lb = g["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(lb, return_counts=True)
+        win = u[np.lexsort((u, -cnt))[0]]
+        return pa.table({"node": pa.array([x]),
+                         "lbl": pa.array([int(win)], pa.int64())})
+
+    for _ in range(rounds):
+        j = bucketed_join(adj, labels, on="y", right_on="node",
+                          num_buckets=num_partitions)
+        labels = (j.groupby("x")
+                  .map_groups(new_label, batch_format="pyarrow")
+                  .materialize())
+
+    return labels

@@ -14454,6 +14454,49 @@ LEFT JOIN dup ON dup.doc_id = d.doc_id
 """
 
 
+def q_label_prop(sf_dir: str):
+    """Label-propagation community detection (synchronous LPA, 3
+    fixed rounds, most-frequent-neighbor-label with smallest-label
+    tie-break) on the synthesized 65536-node graph — deterministic
+    end to end, so the DuckDB twin unrolls the identical 3 rounds.
+    See graph.label_propagation for the broadcast/shuffle two-engine
+    design (pinned equal in pytest)."""
+    from osmray.graph import label_propagation
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        u, v = p["m1"] % 65536, p["m2"] % 65536
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    return label_propagation(
+        ds.map_batches(edges, batch_format="pyarrow"), rounds=3)
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""c{cur} AS (SELECT a.x AS node, l.lbl, count(*) AS c
+  FROM adj a JOIN l{prev} l ON l.node = a.y GROUP BY 1, 2),
+l{cur} AS (SELECT node, lbl FROM (
+  SELECT node, lbl, row_number() OVER (PARTITION BY node
+    ORDER BY c DESC, lbl ASC) AS rn FROM c{cur}) WHERE rn = 1)"""
+
+
+Q_LABEL_PROP_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 65536 AS u, m2 % 65536 AS v FROM p
+        WHERE m1 % 65536 <> m2 % 65536),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM adj),
+{_lpa_round_sql('0', '1')},
+{_lpa_round_sql('1', '2')},
+{_lpa_round_sql('2', '3')}
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl FROM l3
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14687,6 +14730,7 @@ def registry():
         "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
         "q_boilerplate": (q_boilerplate, Q_BOILERPLATE_SQL),
         "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
+        "q_label_prop": (q_label_prop, Q_LABEL_PROP_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

@@ -402,3 +402,49 @@ def test_two_hop_engines_agree(ray_session):
     bc = key(_two_hop("/root/testdata/sf0.001"))
     keyed = key(_two_hop("/root/testdata/sf0.001", broadcast_cap=0))
     assert bc == keyed and len(bc) > 0
+
+
+def test_label_propagation_two_engines_scalar(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osmray.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    edges = []
+    for base in (0, 50):  # two planted communities + a bridge
+        for _ in range(80):
+            a, b = rng.integers(0, 20, 2) + base
+            if a != b:
+                edges.append((int(a), int(b)))
+    edges.append((3, 53))
+    ds = ray.data.from_items(
+        [{"u": a, "v": b} for a, b in edges]).repartition(4)
+
+    gb = (label_propagation(ds, rounds=3, mode="broadcast")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    gk = (label_propagation(ds, rounds=3, mode="shuffle",
+                            num_partitions=5)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert gb.equals(gk)
+
+    from collections import Counter
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(lbl[m] for m in ns)
+            mx = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == mx)
+        lbl = new
+    ref = pd.DataFrame(sorted(lbl.items()), columns=["node", "lbl"])
+    assert gb.astype(np.int64).equals(ref.astype(np.int64))
+    # the planted structure is recovered: few communities, none
+    # spanning both blocks of nodes
+    assert gb["lbl"].nunique() <= 6
