@@ -1410,3 +1410,49 @@ def _read_csv(p: dict) -> Stage:
 
 
 STAGES.update({"read_json": _read_json, "read_csv": _read_csv})
+
+
+def _gopher_rules(p: dict) -> Stage:
+    """{"op": "gopher_rules"} — within-doc repetition quality rules
+    over a (doc_id, text) dataset; see queries.q_gopher_rules."""
+    from osmray.text import gopher_repetition
+
+    return lambda ds: gopher_repetition(ds)
+
+
+def _boilerplate(p: dict) -> Stage:
+    """{"op": "boilerplate", "n": 3?, "min_docs": 2?, "mode":
+    "auto"?} — corpus-level boilerplate coverage."""
+    from osmray.text import boilerplate_coverage
+
+    return lambda ds: boilerplate_coverage(
+        ds, n=int(p.get("n", 3)), min_docs=int(p.get("min_docs", 2)),
+        mode=p.get("mode", "auto"))
+
+
+def _cdc_chunks(p: dict) -> Stage:
+    """{"op": "cdc_chunks", "window": 8?, "mask_mod": 64?} —
+    content-defined-chunking dedup stats."""
+    from osmray.dedup import cdc_chunk_dups
+
+    return lambda ds: cdc_chunk_dups(
+        ds, window=int(p.get("window", 8)),
+        mask_mod=int(p.get("mask_mod", 64)))
+
+
+def _label_prop(p: dict) -> Stage:
+    """{"op": "label_prop", "rounds": 3?, "src": "u"?, "dst": "v"?,
+    "mode": "auto"?} — LPA community detection."""
+    from osmray.graph import label_propagation
+
+    return lambda ds: label_propagation(
+        ds, rounds=int(p.get("rounds", 3)), src_col=p.get("src", "u"),
+        dst_col=p.get("dst", "v"), mode=p.get("mode", "auto"))
+
+
+STAGES.update({
+    "gopher_rules": _gopher_rules,
+    "boilerplate": _boilerplate,
+    "cdc_chunks": _cdc_chunks,
+    "label_prop": _label_prop,
+})

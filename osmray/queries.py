@@ -14309,39 +14309,11 @@ def q_gopher_rules(sf_dir: str):
     gram) — both integer milli-rates over the doc's non-space chars.
     Embarrassingly parallel: one map_batches, counts via block-local
     np.unique per doc, no shuffle — the cheapest possible shape at
-    100 TB (pure scan)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    100 TB (pure scan). Kernel: text.gopher_repetition."""
+    from osmray.text import gopher_repetition
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = {"doc_id": [], "n_tokens": [], "dup2_mil": [], "top2_mil": []}
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            ws = text.split(" ")
-            lens = np.asarray([len(w) for w in ws], np.int64)
-            n_chars = max(int(lens.sum()), 1)
-            dup_mil = top_mil = 0
-            if len(ws) >= 2:
-                grams = np.asarray([f"{a}\x1f{b}"
-                                    for a, b in zip(ws, ws[1:])])
-                u, inv, cnt = np.unique(grams, return_inverse=True,
-                                        return_counts=True)
-                occ = np.flatnonzero(cnt[inv] >= 2)
-                cover = np.zeros(len(ws), bool)
-                cover[occ] = True
-                cover[occ + 1] = True
-                dup_mil = int(lens[cover].sum()) * 1_000_000 // n_chars
-                cmax = int(cnt.max())
-                # ties -> smallest gram: np.unique output is sorted,
-                # so the first max-count entry is the winner
-                g = u[np.flatnonzero(cnt == cmax)[0]]
-                top_mil = cmax * (len(g) - 1) * 1_000_000 // n_chars
-            out["doc_id"].append(int(did))
-            out["n_tokens"].append(len(ws))
-            out["dup2_mil"].append(dup_mil)
-            out["top2_mil"].append(top_mil)
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
-
-    return docs.map_batches(per_batch, batch_format="pyarrow")
+    return gopher_repetition(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
 
 
 Q_GOPHER_RULES_SQL = """

@@ -592,3 +592,37 @@ def boilerplate_coverage(docs, n: int = 3, min_docs: int = 2,
             "boiler_mil": pa.array(nc * 1_000_000 // np.maximum(nt, 1))})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def gopher_repetition(docs):
+    """Within-doc repetition rules — see queries.q_gopher_rules."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"doc_id": [], "n_tokens": [], "dup2_mil": [], "top2_mil": []}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            ws = text.split(" ")
+            lens = np.asarray([len(w) for w in ws], np.int64)
+            n_chars = max(int(lens.sum()), 1)
+            dup_mil = top_mil = 0
+            if len(ws) >= 2:
+                grams = np.asarray([f"{a}\x1f{b}"
+                                    for a, b in zip(ws, ws[1:])])
+                u, inv, cnt = np.unique(grams, return_inverse=True,
+                                        return_counts=True)
+                occ = np.flatnonzero(cnt[inv] >= 2)
+                cover = np.zeros(len(ws), bool)
+                cover[occ] = True
+                cover[occ + 1] = True
+                dup_mil = int(lens[cover].sum()) * 1_000_000 // n_chars
+                cmax = int(cnt.max())
+                # ties -> smallest gram: np.unique output is sorted
+                g = u[np.flatnonzero(cnt == cmax)[0]]
+                top_mil = cmax * (len(g) - 1) * 1_000_000 // n_chars
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(len(ws))
+            out["dup2_mil"].append(dup_mil)
+            out["top2_mil"].append(top_mil)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

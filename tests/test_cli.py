@@ -562,3 +562,39 @@ def test_flow_accumulation_engines_agree(ray_session):
     want = (a.assign(cx=cx, cy=cy)[["cx", "cy", "accum"]]
             .sort_values(["cx", "cy"]).reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_declarative_curation_graph_steps(ray_session):
+    """gopher_rules / boilerplate / cdc_chunks / label_prop steps
+    equal their direct kernel calls."""
+    import ray.data
+
+    from osmray import dedup, text
+    from osmray.graph import label_propagation
+    from osmray.pipelines import run_pipeline
+
+    doc_steps = [{"op": "read_parquet",
+                  "path": "/root/testdata/sf0.001/documents.parquet",
+                  "columns": ["doc_id", "text"]}]
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    for extra, direct in [
+        ([{"op": "gopher_rules"}], text.gopher_repetition(docs)),
+        ([{"op": "boilerplate", "n": 3, "min_docs": 2}],
+         text.boilerplate_coverage(docs, n=3, min_docs=2)),
+        ([{"op": "cdc_chunks"}], dedup.cdc_chunk_dups(docs)),
+    ]:
+        got = (run_pipeline(doc_steps + extra)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = (direct.to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    edges = ray.data.from_items(
+        [{"u": i % 7, "v": (i * 3 + 1) % 7} for i in range(30)])
+    got = (run_pipeline([{"op": "label_prop", "rounds": 2}], ds=edges)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (label_propagation(edges, rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got.equals(want)
