@@ -14469,6 +14469,223 @@ SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl FROM l3
 """
 
 
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity components of the undirected 65536-node
+    graph — the graph-topology screen (hub-hub vs hub-leaf wiring):
+    over all ORDERED endpoint pairs (x, y) of distinct undirected
+    edges, the exact integer sums (m, sx, sxx, sxy) that determine
+    Pearson's r = (m*sxy - sx^2) / (m*sxx - sx^2) — emitted as
+    integers so the twin is bit-exact (no float correlation).
+    Shape: one fold for degrees (keyed int sums), one grace join to
+    attach degrees to edge endpoints, one tree-reduce of four
+    scalars — no O(V) driver state."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        u, v = p["m1"] % 65536, p["m2"] % 65536
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        pk = np.unique(a * 65536 + b)
+        return pa.table({"pk": pa.array(pk)})
+
+    from ray.data.aggregate import Count
+
+    e = (ds.map_batches(edges, batch_format="pyarrow")
+         .groupby("pk").aggregate(Count(alias_name="_n"))
+         .map_batches(lambda b: pa.table({
+             "u": pa.array(b["pk"].to_numpy(zero_copy_only=False) // 65536),
+             "v": pa.array(b["pk"].to_numpy(zero_copy_only=False) % 65536)}),
+             batch_format="pyarrow").materialize())
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        n = np.concatenate([batch["u"].to_numpy(zero_copy_only=False),
+                            batch["v"].to_numpy(zero_copy_only=False)])
+        u, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = sorted_fold_sums(
+        e.map_batches(deg_partials, batch_format="pyarrow"),
+        "node", ["deg"])
+
+    ju = bucketed_join(e, deg, on="u", right_on="node", num_buckets=16)
+    jb = bucketed_join(ju.map_batches(
+        lambda b: pa.table({"v": b["v"], "du": b["deg"]}),
+        batch_format="pyarrow"), deg, on="v", right_on="node",
+        num_buckets=16)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        du = batch["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ordered pairs: (du, dv) and (dv, du) — symmetric sums fold
+        return pa.table({
+            "m": pa.array([2 * len(du)], pa.int64()),
+            "sx": pa.array([int((du + dv).sum())], pa.int64()),
+            "sxx": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
+            "sxy": pa.array([2 * int((du * dv).sum())], pa.int64())})
+
+    parts = jb.map_batches(sums, batch_format="pyarrow").to_pandas()
+    return pa.table({k: pa.array([int(parts[k].sum())], pa.int64())
+                     for k in ("m", "sx", "sxx", "sxy")})
+
+
+Q_ASSORTATIVITY_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 65536 AS u, m2 % 65536 AS v FROM p
+        WHERE m1 % 65536 <> m2 % 65536),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT x AS node, count(*) AS d FROM adj GROUP BY 1),
+pairs AS (SELECT dx.d AS du, dy.d AS dv FROM adj
+          JOIN deg dx ON dx.node = adj.x JOIN deg dy ON dy.node = adj.y)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(du) AS BIGINT) AS sx,
+       CAST(sum(du * du) AS BIGINT) AS sxx,
+       CAST(sum(du * dv) AS BIGINT) AS sxy
+FROM pairs
+"""
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs-and-authorities, two UNROLLED integer rounds (no
+    float normalization — fixed round count keeps every score an
+    exact int64, so the SQL twin replays it bit-exactly): hub0 = 1,
+    auth1 = indegree, hub1 = sum of auth1 over out-neighbors,
+    auth2 = sum of hub1 over in-neighbors, hub2 = sum of auth2 over
+    out-neighbors. Each round is ONE grace join (attach the previous
+    score at the edge) + ONE keyed integer fold — the same
+    scatter/fold shape the shuffle graph engines use; zero driver
+    state beyond the plan."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        u, v = p["m1"] % 65536, p["m2"] % 65536
+        keep = u != v
+        pk = np.unique(u[keep] * 65536 + v[keep])
+        return pa.table({"pk": pa.array(pk)})
+
+    from ray.data.aggregate import Count
+
+    e = (ds.map_batches(edges, batch_format="pyarrow")
+         .groupby("pk").aggregate(Count(alias_name="_n"))
+         .map_batches(lambda b: pa.table({
+             "u": pa.array(b["pk"].to_numpy(zero_copy_only=False) // 65536),
+             "v": pa.array(b["pk"].to_numpy(zero_copy_only=False) % 65536)}),
+             batch_format="pyarrow").materialize())
+
+    def fold_over(edge_key: str, score, score_col: str, out_key: str,
+                  out_col: str):
+        """attach score at edge_key, sum into out_key."""
+        j = bucketed_join(e, score, on=edge_key, right_on="node",
+                          num_buckets=16)
+
+        def part(batch: pa.Table) -> pa.Table:
+            k = batch[out_key].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            s = batch[score_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            u, inv = np.unique(k, return_inverse=True)
+            return pa.table({"node": pa.array(u), out_col: pa.array(
+                np.bincount(inv, weights=s).astype(np.int64))})
+
+        return sorted_fold_sums(
+            j.map_batches(part, batch_format="pyarrow"), "node", [out_col])
+
+    def indeg(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "a1": pa.array(cnt.astype(np.int64))})
+
+    auth1 = sorted_fold_sums(
+        e.map_batches(indeg, batch_format="pyarrow"), "node", ["a1"])
+    hub1 = fold_over("v", auth1, "a1", "u", "h1")
+    auth2 = fold_over("u", hub1, "h1", "v", "a2")
+    hub2 = fold_over("v", auth2, "a2", "u", "h2")
+
+    def universe(batch: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate(
+            [batch["u"].to_numpy(zero_copy_only=False),
+             batch["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(n), "_one": pa.array(
+            np.ones(len(n), np.int64))})
+
+    uni = sorted_fold_sums(
+        e.map_batches(universe, batch_format="pyarrow"), "node", ["_one"])
+    j = bucketed_join(
+        bucketed_join(uni, auth2, on="node", num_buckets=16, how="left"),
+        hub2, on="node", num_buckets=16, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": batch["node"].cast(pa.int64()),
+            "auth2": pc.fill_null(batch["a2"].combine_chunks(), 0).cast(
+                pa.int64()),
+            "hub2": pc.fill_null(batch["h2"].combine_chunks(), 0).cast(
+                pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+Q_HITS_SQL = f"""
+WITH p AS ({_LI_SQL}),
+e AS (SELECT DISTINCT m1 % 65536 AS u, m2 % 65536 AS v FROM p
+      WHERE m1 % 65536 <> m2 % 65536),
+a1 AS (SELECT v AS node, count(*) AS a1 FROM e GROUP BY 1),
+h1 AS (SELECT e.u AS node, sum(a1.a1) AS h1 FROM e
+       JOIN a1 ON a1.node = e.v GROUP BY 1),
+a2 AS (SELECT e.v AS node, sum(h1.h1) AS a2 FROM e
+       JOIN h1 ON h1.node = e.u GROUP BY 1),
+h2 AS (SELECT e.u AS node, sum(a2.a2) AS h2 FROM e
+       JOIN a2 ON a2.node = e.v GROUP BY 1),
+uni AS (SELECT DISTINCT u AS node FROM e
+        UNION SELECT DISTINCT v FROM e)
+SELECT CAST(uni.node AS BIGINT) AS node,
+       CAST(coalesce(a2.a2, 0) AS BIGINT) AS auth2,
+       CAST(coalesce(h2.h2, 0) AS BIGINT) AS hub2
+FROM uni LEFT JOIN a2 ON a2.node = uni.node
+LEFT JOIN h2 ON h2.node = uni.node
+"""
+
+
+def q_embed_infer(sf_dir: str):
+    """Batched embedding "inference" over documents on an actor pool
+    (text.HashedEncoderStage — weight table built once per actor in
+    __init__, vectorized hashed-bag-of-words in __call__): the exact
+    runtime shape of model scoring at scale, with a deterministic
+    integer model so DuckDB replays every dimension bit-exactly."""
+    from osmray.text import HashedEncoderStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        HashedEncoderStage, concurrency=2, batch_size=256,
+        batch_format="pyarrow")
+
+
+_EMBED_DIM_SQL = ",\n".join(
+    f"  CAST(sum((b * 2654435761 + {d} * 40503) % 4294967296 % 2001 - 1000)"
+    f" AS BIGINT) AS e{d}" for d in range(16))
+
+Q_EMBED_INFER_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id, {_CF_HASH_LAMBDA.format(w='w')} % 64 AS b FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+{_EMBED_DIM_SQL}
+FROM h GROUP BY doc_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14703,6 +14920,9 @@ def registry():
         "q_boilerplate": (q_boilerplate, Q_BOILERPLATE_SQL),
         "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
         "q_label_prop": (q_label_prop, Q_LABEL_PROP_SQL),
+        "q_assortativity": (q_assortativity, Q_ASSORTATIVITY_SQL),
+        "q_hits": (q_hits, Q_HITS_SQL),
+        "q_embed_infer": (q_embed_infer, Q_EMBED_INFER_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

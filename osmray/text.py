@@ -626,3 +626,42 @@ def gopher_repetition(docs):
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+class HashedEncoderStage:
+    """Batched "model inference" as a stateful actor-pool stage — the
+    runtime shape of embedding-model scoring at 100 TB (model loaded
+    ONCE per actor in __init__, vectorized batches in __call__), with
+    a deterministic stand-in model so the result is integer-exact:
+    a 64-bucket x dim weight table W[b, d] = (b * 2654435761 +
+    d * 40503) % 2^32 % 2001 - 1000; token -> bucket by the char-fold
+    hash; doc embedding = sum of token rows. Pass to
+    ``docs.map_batches(HashedEncoderStage, concurrency=N,
+    batch_size=B)``."""
+
+    DIM = 16
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+        b = np.arange(64, dtype=np.int64)[:, None]
+        d = np.arange(dim, dtype=np.int64)[None, :]
+        self.W = (b * 2654435761 + d * 40503) % (1 << 32) % 2001 - 1000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmray.queries import _char_fold_hash
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        emb = np.zeros((len(ids), self.dim), np.int64)
+        ntk = np.zeros(len(ids), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            rows = self.W[_char_fold_hash(u) % 64]
+            for k, ws in enumerate(toks):
+                ntk[k] = len(ws)
+                emb[k] = rows[np.searchsorted(u, np.asarray(ws))].sum(axis=0)
+        cols = {"doc_id": pa.array(ids), "n_tokens": pa.array(ntk)}
+        for d in range(self.dim):
+            cols[f"e{d}"] = pa.array(emb[:, d])
+        return pa.table(cols)
