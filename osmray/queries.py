@@ -14686,6 +14686,83 @@ FROM h GROUP BY doc_id
 """
 
 
+def q_stay_points(sf_dir: str):
+    """Stay-point detection (Li et al., GeoLife) over per-user
+    trajectories: positions are a deterministic random walk (cumsum
+    of hashed ±2 steps — a window SUM in SQL), and the classic
+    anchor scan finds maximal runs staying within radius 5 of the
+    run's FIRST point; a run lasting >= 900 s is a stay. The scan is
+    non-associative (anchor resets on break — same class as
+    q_debounce/q_seq_packing): one keyed shuffle, one O(group)
+    anchor-jump pass (vectorized distance slice per anchor, loop
+    over ANCHORS not points); the twin replays it as a recursive CTE
+    carrying (anchor, anchor_x, anchor_y) and groups rows by their
+    anchor."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    D2, T = 25, 900
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, ii = tv[order], ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2)
+        y = np.cumsum(ii * 104729 % 5 - 2)
+        uid = int(g["user_id"][0].as_py())
+        out = {"user_id": [], "start_event": [], "n_pts": [], "dur_s": []}
+        i, n = 0, len(ii)
+        while i < n:
+            dx, dy = x[i:] - x[i], y[i:] - y[i]
+            far = dx * dx + dy * dy > D2
+            j = i + (int(np.argmax(far)) if far.any() else n - i)
+            dur = int(tv[j - 1] - tv[i])
+            if dur >= T:
+                out["user_id"].append(uid)
+                out["start_event"].append(int(ii[i]))
+                out["n_pts"].append(j - i)
+                out["dur_s"].append(dur)
+            i = j
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_STAY_POINTS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) // 1000000, event_id) AS i,
+         SUM(event_id * 7919 % 5 - 2) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) // 1000000, event_id) AS x,
+         SUM(event_id * 104729 % 5 - 2) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) // 1000000, event_id) AS y
+  FROM events),
+r(user_id, i, event_id, s, ax, ay, anchor) AS (
+  SELECT user_id, i, event_id, s, x, y, event_id
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.user_id, b.i, b.event_id, b.s,
+         CASE WHEN (b.x - r.ax) * (b.x - r.ax)
+                 + (b.y - r.ay) * (b.y - r.ay) > 25
+              THEN b.x ELSE r.ax END,
+         CASE WHEN (b.x - r.ax) * (b.x - r.ax)
+                 + (b.y - r.ay) * (b.y - r.ay) > 25
+              THEN b.y ELSE r.ay END,
+         CASE WHEN (b.x - r.ax) * (b.x - r.ax)
+                 + (b.y - r.ay) * (b.y - r.ay) > 25
+              THEN b.event_id ELSE r.anchor END
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.i = r.i + 1),
+seg AS (SELECT user_id, anchor AS start_event, count(*) AS n_pts,
+               max(s) - min(s) AS dur_s
+        FROM r GROUP BY 1, 2)
+SELECT user_id, start_event, CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(dur_s AS BIGINT) AS dur_s
+FROM seg WHERE dur_s >= 900
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -14923,6 +15000,7 @@ def registry():
         "q_assortativity": (q_assortativity, Q_ASSORTATIVITY_SQL),
         "q_hits": (q_hits, Q_HITS_SQL),
         "q_embed_infer": (q_embed_infer, Q_EMBED_INFER_SQL),
+        "q_stay_points": (q_stay_points, Q_STAY_POINTS_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
