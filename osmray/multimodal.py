@@ -853,3 +853,34 @@ class SobelNmsStage:
             "gx": pa.array(out_gx, pa.int64()),
             "gy": pa.array(out_gy, pa.int64()),
             "m2": pa.array(out_m2, pa.int64())})
+
+
+_BAYER4 = np.array([[0, 8, 2, 10],
+                    [12, 4, 14, 6],
+                    [3, 11, 1, 9],
+                    [15, 7, 13, 5]], np.int64)
+
+
+class DitherStage:
+    """Actor-pool stage: decode -> 4x4 Bayer ORDERED dithering of the
+    gray channel (halftoning — the classic display/print raster op;
+    ordered, not error-diffusing, so it is position-independent and
+    fully vectorized): pixel white iff v > bayer[y%4, x%4]*16 + 8.
+    Emits (idx, n_white). The threshold matrix tiles in __init__
+    (state once per actor); __call__ is one broadcasted compare per
+    image."""
+
+    def __init__(self, h: int = 256, w: int = 256):
+        self.thr = np.tile(_BAYER4 * 16 + 8,
+                           (h // 4, w // 4))[:h, :w]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, nw = [], []
+        for blob, fmt, idx in zip(batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist(),
+                                  batch["idx"].to_pylist()):
+            img = codecs.decode(blob, fmt)[:, :, 0].astype(np.int64)
+            idxs.append(idx)
+            nw.append(int((img > self.thr).sum()))
+        return pa.table({"idx": pa.array(idxs, pa.int64()),
+                         "n_white": pa.array(nw, pa.int64())})

@@ -14763,6 +14763,36 @@ FROM seg WHERE dur_s >= 900
 """
 
 
+def q_dither(sf_dir: str):
+    """Ordered 4x4 Bayer dithering (halftoning) as an actor-pool
+    stage (multimodal.DitherStage — threshold matrix tiled once per
+    actor) over the planted two-level fixture: a 40-gray pixel turns
+    white under 2 of the 16 Bayer thresholds and a 200-gray pixel
+    under 12, so per image n_white = 768*n1 + 128*(64 - n1) for n1
+    bright 32x32 blocks — the closed form the twin replays from the
+    planted bit pattern while the engine dithers real decoded
+    pixels."""
+    from osmray import oraclefix
+    from osmray.multimodal import DitherStage
+
+    images = oraclefix.load_phash()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id", "bytes", "fmt", "idx"])
+
+    return images.map_batches(keep, batch_format="pyarrow").map_batches(
+        DitherStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+Q_DITHER_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS n1 FROM phbits GROUP BY i)
+SELECT i AS idx,
+  CAST(768 * n1 + 128 * (64 - n1) AS BIGINT) AS n_white
+FROM pc
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15001,6 +15031,7 @@ def registry():
         "q_hits": (q_hits, Q_HITS_SQL),
         "q_embed_infer": (q_embed_infer, Q_EMBED_INFER_SQL),
         "q_stay_points": (q_stay_points, Q_STAY_POINTS_SQL),
+        "q_dither": (q_dither, Q_DITHER_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

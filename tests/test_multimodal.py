@@ -517,3 +517,28 @@ def test_seam_stage_vs_scalar_dp(ray_session):
         assert out["seam_cost"][k].as_py() == cost
         assert out["seam_path"][k].as_py() == sum(
             cols[r] * 8 ** r for r in range(8))
+
+
+def test_dither_stage_brute(ray_session):
+    """DitherStage equals a brute per-pixel ordered dither."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray import codecs
+    from osmray.multimodal import _BAYER4, DitherStage
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)
+    img[:, :, 1] = img[:, :, 0]
+    img[:, :, 2] = img[:, :, 0]
+    blob = codecs.png_encode(img, level=1)
+    batch = pa.table({"bytes": pa.array([blob], pa.binary()),
+                      "fmt": pa.array(["png"]),
+                      "idx": pa.array([7], pa.int64())})
+    got = DitherStage()(batch).to_pandas()
+    brute = 0
+    for y in range(256):
+        for x in range(256):
+            if img[y, x, 0] > _BAYER4[y % 4, x % 4] * 16 + 8:
+                brute += 1
+    assert got.iloc[0].idx == 7 and got.iloc[0].n_white == brute
