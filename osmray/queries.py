@@ -14793,6 +14793,80 @@ FROM pc
 """
 
 
+def q_wordpiece(sf_dir: str):
+    """Subword tokenization cost under a learned vocabulary — the
+    tokenizer-budget operator: the vocab is the exact top-20 corpus
+    words (count desc, word asc — one distributed count + K rows of
+    driver state, as q_oov_rate) plus implicit single characters;
+    every word tokenizes by GREEDY LONGEST-MATCH (at each position
+    take the longest vocab piece matching there, else one char) —
+    the WordPiece/maximal-munch runtime. Per doc: n_tokens and total
+    n_subtokens. Tokenization is per-word pure, computed once per
+    block-distinct word; the twin replays the greedy scan as a
+    recursive CTE stepping (word, pos) with a LEFT JOIN picking
+    max(length(piece)) per step."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, False),
+                         batch_format="pyarrow"), ["w"])
+    top = uni.sort(["n", "w"], descending=[True, False]).limit(20)
+    vocab = sorted(r["w"] for r in top.iter_rows())
+
+    def n_sub(word: str) -> int:
+        pos, cnt = 0, 0
+        while pos < len(word):
+            step = 1
+            for v in vocab:
+                lv = len(v)
+                if lv > step and word[pos:pos + lv] == v:
+                    step = lv
+            pos += step
+            cnt += 1
+        return cnt
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        nt = np.asarray([len(ws) for ws in toks], np.int64)
+        ns = np.zeros(len(ids), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            costs = np.asarray([n_sub(w) for w in u], np.int64)
+            for k, ws in enumerate(toks):
+                ns[k] = int(costs[np.searchsorted(u, np.asarray(ws))].sum())
+        return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(nt),
+                         "n_subtokens": pa.array(ns)})
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+Q_WORDPIECE_SQL = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+uni AS (SELECT w, count(*) AS n
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+vocab AS (SELECT w FROM uni ORDER BY n DESC, w ASC LIMIT 20),
+words AS (SELECT DISTINCT unnest(ws) AS word FROM toks),
+r(word, pos, nt) AS (
+  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM words
+  UNION ALL
+  SELECT r.word,
+         r.pos + coalesce(max(CASE WHEN length(v.w) > 1
+                               THEN length(v.w) END), 1),
+         r.nt + 1
+  FROM r LEFT JOIN vocab v
+    ON substr(r.word, CAST(r.pos AS INT), length(v.w)) = v.w
+  WHERE r.pos <= length(r.word)
+  GROUP BY r.word, r.pos, r.nt),
+done AS (SELECT word, nt AS n_sub FROM r WHERE pos > length(word)),
+tw AS (SELECT doc_id, unnest(ws) AS w FROM toks)
+SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(done.n_sub) AS BIGINT) AS n_subtokens
+FROM tw JOIN done ON done.word = tw.w GROUP BY 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15032,6 +15106,7 @@ def registry():
         "q_embed_infer": (q_embed_infer, Q_EMBED_INFER_SQL),
         "q_stay_points": (q_stay_points, Q_STAY_POINTS_SQL),
         "q_dither": (q_dither, Q_DITHER_SQL),
+        "q_wordpiece": (q_wordpiece, Q_WORDPIECE_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
