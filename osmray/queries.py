@@ -14867,6 +14867,115 @@ FROM tw JOIN done ON done.word = tw.w GROUP BY 1
 """
 
 
+def q_st_join(sf_dir: str):
+    """Spatio-temporal join — the incident-correlation primitive
+    (events within 8 px Chebyshev AND 600 s of each incident): the
+    PBSM distance-join pattern lifted to THREE dimensions — incidents
+    (event_id % 97 == 0) replicate to the (16 px x 16 px x 1024 s)
+    grid cells covering their space-time box (<= ~12 copies), points
+    live in exactly ONE cell (pairs born deduplicated), one grace
+    join on the packed (t, x, y) cell key, exact integer box verify
+    in-task, keyed count fold, and a left join keeps zero-match
+    incidents. No broadcast side, no driver state — the partitioning
+    key is the composite space-time cell, the single key every stage
+    reuses."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    D, T = 48, 14400  # 64 px spatial cells, 16384 s time cells
+
+    def pts(batch: pa.Table) -> pa.Table:
+        ii = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        return pa.table({
+            "pid": pa.array(ii),
+            "x": pa.array(ii * 7919 % 256), "y": pa.array(ii * 104729 % 256),
+            "s": pa.array(s),
+            "cell": pa.array(((s >> 14) + 2) * 64
+                             + (((ii * 7919 % 256) >> 6) + 1) * 8
+                             + (((ii * 104729 % 256) >> 6) + 1))})
+
+    points = ds.map_batches(pts, batch_format="pyarrow")
+
+    def explode_inc(batch: pa.Table) -> pa.Table:
+        ii = batch["pid"].to_numpy(zero_copy_only=False)
+        keep = ii % 97 == 0
+        ii = ii[keep]
+        x = batch["x"].to_numpy(zero_copy_only=False)[keep]
+        y = batch["y"].to_numpy(zero_copy_only=False)[keep]
+        s = batch["s"].to_numpy(zero_copy_only=False)[keep]
+        cx0, cx1 = (x - D) >> 6, (x + D) >> 6
+        cy0, cy1 = (y - D) >> 6, (y + D) >> 6
+        ct0, ct1 = (s - T) >> 14, (s + T) >> 14
+        out = {"iid": [], "ix": [], "iy": [], "is_": [], "cell": []}
+        for k in range(len(ii)):
+            for ct in range(int(ct0[k]), int(ct1[k]) + 1):
+                for cx in range(int(cx0[k]), int(cx1[k]) + 1):
+                    for cy in range(int(cy0[k]), int(cy1[k]) + 1):
+                        out["iid"].append(int(ii[k]))
+                        out["ix"].append(int(x[k]))
+                        out["iy"].append(int(y[k]))
+                        out["is_"].append(int(s[k]))
+                        out["cell"].append(
+                            (ct + 2) * 64 + (cx + 1) * 8 + (cy + 1))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    inc = points.map_batches(explode_inc, batch_format="pyarrow")
+    j = bucketed_join(points, inc, on="cell", num_buckets=32)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = batch["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = batch["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_ = batch["is_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iid = batch["iid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ((np.abs(px - ix) <= D) & (np.abs(py - iy) <= D)
+              & (np.abs(ps - is_) <= T) & (pid != iid))
+        u, cnt = np.unique(iid[ok], return_counts=True)
+        return pa.table({"iid": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    matched = sorted_fold_sums(
+        j.map_batches(verify, batch_format="pyarrow"), "iid", ["n"])
+
+    def inc_ids(batch: pa.Table) -> pa.Table:
+        ii = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"iid": pa.array(ii[ii % 97 == 0])})
+
+    base = points.map_batches(inc_ids, batch_format="pyarrow")
+    out = bucketed_join(base, matched, on="iid", num_buckets=8, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": batch["iid"].cast(pa.int64()),
+            "n_near": pc.fill_null(batch["n"].combine_chunks(), 0).cast(
+                pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ST_JOIN_SQL = """
+WITH pts AS (SELECT event_id, event_id * 7919 % 256 AS x,
+                    event_id * 104729 % 256 AS y,
+                    epoch_us(ts) // 1000000 AS s FROM events),
+inc AS (SELECT * FROM pts WHERE event_id % 97 = 0),
+m AS (SELECT i.event_id AS iid, count(*) AS n FROM inc i JOIN pts p
+      ON abs(p.x - i.x) <= 48 AND abs(p.y - i.y) <= 48
+         AND abs(p.s - i.s) <= 14400 AND p.event_id <> i.event_id
+      GROUP BY 1)
+SELECT inc.event_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_near
+FROM inc LEFT JOIN m ON m.iid = inc.event_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15107,6 +15216,7 @@ def registry():
         "q_stay_points": (q_stay_points, Q_STAY_POINTS_SQL),
         "q_dither": (q_dither, Q_DITHER_SQL),
         "q_wordpiece": (q_wordpiece, Q_WORDPIECE_SQL),
+        "q_st_join": (q_st_join, Q_ST_JOIN_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
