@@ -14976,6 +14976,188 @@ FROM inc LEFT JOIN m ON m.iid = inc.event_id
 """
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank as INTEGER mass diffusion (random walk
+    with restart, floor-division arithmetic — no float op-order to
+    match, every round bit-exact by construction): seeds (node %
+    1009 == 0) get a restart injection of 1e9 every round; each round
+    every node pushes floor(floor(m*85/100)/outdeg) along each
+    out-edge; 6 unrolled rounds. Two engines (graph-engine policy,
+    pinned equal in pytest): broadcast O(V) mass array + one edge
+    pass per round under the cap; above it, per round ONE grace join
+    (attach mass+outdeg at the source) + ONE keyed integer fold —
+    the q_hits scatter/fold shape, zero driver state."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        u, v = p["m1"] % 65536, p["m2"] % 65536
+        keep = u != v
+        pk = np.unique(u[keep] * 65536 + v[keep])
+        return pa.table({"pk": pa.array(pk)})
+
+    return ppr_mass(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def ppr_mass(packed_edges, rounds: int = 6, R: int = 1_000_000_000,
+             seed_mod: int = 1009, mode: str = "auto",
+             broadcast_cap: int = 50_000_000):
+    """Integer personalized-PageRank diffusion — see q_ppr. Input:
+    Dataset with a packed ``pk = u * 65536 + v`` edge column (may
+    contain duplicates; deduplicated exactly here)."""
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    from ray.data.aggregate import Count
+
+    e = (packed_edges.groupby("pk").aggregate(Count(alias_name="_n"))
+         .map_batches(lambda b: pa.table({
+             "u": pa.array(b["pk"].to_numpy(zero_copy_only=False) // 65536),
+             "v": pa.array(b["pk"].to_numpy(zero_copy_only=False) % 65536)}),
+             batch_format="pyarrow").materialize())
+
+    if mode == "auto":
+        mode = "broadcast" if 2 * e.count() <= broadcast_cap else "keyed"
+
+    if mode == "broadcast":
+        nodes = np.unique(np.concatenate([
+            e.map_batches(
+                lambda b: pa.table({"n": pa.array(np.unique(np.concatenate(
+                    [b["u"].to_numpy(zero_copy_only=False),
+                     b["v"].to_numpy(zero_copy_only=False)])))}),
+                batch_format="pyarrow").to_pandas()["n"].to_numpy()])
+        ).astype(np.int64)
+        deg = np.zeros(len(nodes), np.int64)
+        dparts = e.map_batches(
+            lambda b: pa.table({"n": pa.array(np.unique(
+                b["u"].to_numpy(zero_copy_only=False),
+                return_counts=True)[0]),
+                "c": pa.array(np.unique(
+                    b["u"].to_numpy(zero_copy_only=False),
+                    return_counts=True)[1].astype(np.int64))}),
+            batch_format="pyarrow").to_pandas()
+        np.add.at(deg, np.searchsorted(nodes, dparts["n"].to_numpy()),
+                  dparts["c"].to_numpy())
+        seed = nodes % seed_mod == 0
+        mass = np.where(seed, R, 0).astype(np.int64)
+        # the keyed engine / SQL twin keep a row for every node that
+        # was pushed to (even with floor-division mass 0) or seeded —
+        # track that "touched" set exactly
+        touched = seed.copy()
+        for _ in range(rounds):
+            ref = ray.put((mass, touched))
+
+            def push(batch: pa.Table) -> pa.Table:
+                m, tch = ray.get(ref)
+                u = batch["u"].to_numpy(zero_copy_only=False)
+                v = batch["v"].to_numpy(zero_copy_only=False)
+                ui = np.searchsorted(nodes, u)
+                sel = tch[ui]
+                p = m[ui[sel]] * 85 // 100 // deg[ui[sel]]
+                t, inv = np.unique(v[sel], return_inverse=True)
+                return pa.table({"n": pa.array(t), "m": pa.array(
+                    np.bincount(inv, weights=p).astype(np.int64))})
+
+            parts = e.map_batches(push, batch_format="pyarrow").to_pandas()
+            new = np.where(seed, R, 0).astype(np.int64)
+            new_touched = seed.copy()
+            if len(parts):
+                ti = np.searchsorted(nodes, parts["n"].to_numpy())
+                np.add.at(new, ti, parts["m"].to_numpy().astype(np.int64))
+                new_touched[ti] = True
+            mass, touched = new, new_touched
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[touched]),
+            "mass": pa.array(mass[touched])}))
+
+    def outdeg(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = sorted_fold_sums(
+        e.map_batches(outdeg, batch_format="pyarrow"), "node", ["deg"])
+    ed = bucketed_join(e, deg, on="u", right_on="node",
+                       num_buckets=16).materialize()
+
+    def seed_mass(batch: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate(
+            [batch["u"].to_numpy(zero_copy_only=False),
+             batch["v"].to_numpy(zero_copy_only=False)]))
+        s = n[n % seed_mod == 0]
+        return pa.table({"node": pa.array(s),
+                         "m": pa.array(np.full(len(s), 1, np.int64))})
+
+    # block-partial seed emission folds to the exact seed set
+    seeds = sorted_fold_sums(
+        e.map_batches(seed_mass, batch_format="pyarrow"), "node", ["m"])
+
+    def to_R(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "m": pa.array(
+            np.full(b.num_rows, R, np.int64))})
+
+    mass = seeds.map_batches(to_R, batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        j = bucketed_join(ed, mass, on="u", right_on="node",
+                          num_buckets=16)
+
+        def push(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = m * 85 // 100 // d
+            u, inv = np.unique(v, return_inverse=True)
+            return pa.table({"node": pa.array(u), "m": pa.array(
+                np.bincount(inv, weights=p).astype(np.int64))})
+
+        pushed = sorted_fold_sums(
+            j.map_batches(push, batch_format="pyarrow"), "node", ["m"])
+        restart = seeds.map_batches(to_R, batch_format="pyarrow")
+        mass = sorted_fold_sums(pushed.union(restart),
+                                "node", ["m"]).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"].cast(pa.int64()),
+                         "mass": batch["m"].cast(pa.int64())})
+
+    return mass.map_batches(finish, batch_format="pyarrow")
+
+
+def _ppr_round_sql(prev: str, cur: str) -> str:
+    return f"""p{cur} AS (SELECT e.v AS node,
+    sum(m{prev}.m * 85 // 100 // deg.d) AS m
+  FROM e JOIN m{prev} ON m{prev}.node = e.u
+  JOIN deg ON deg.node = e.u GROUP BY 1),
+m{cur} AS (SELECT node, CAST(sum(m) AS BIGINT) AS m FROM (
+  SELECT node, m FROM p{cur}
+  UNION ALL SELECT node, 1000000000 AS m FROM seeds) GROUP BY 1)"""
+
+
+Q_PPR_SQL = f"""
+WITH p AS ({_LI_SQL}),
+e AS (SELECT DISTINCT m1 % 65536 AS u, m2 % 65536 AS v FROM p
+      WHERE m1 % 65536 <> m2 % 65536),
+deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY 1),
+uni AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+seeds AS (SELECT node FROM uni WHERE node % 1009 = 0),
+m0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS m FROM seeds),
+{_ppr_round_sql('0', '1')},
+{_ppr_round_sql('1', '2')},
+{_ppr_round_sql('2', '3')},
+{_ppr_round_sql('3', '4')},
+{_ppr_round_sql('4', '5')},
+{_ppr_round_sql('5', '6')}
+SELECT CAST(node AS BIGINT) AS node, m AS mass FROM m6
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15217,6 +15399,7 @@ def registry():
         "q_dither": (q_dither, Q_DITHER_SQL),
         "q_wordpiece": (q_wordpiece, Q_WORDPIECE_SQL),
         "q_st_join": (q_st_join, Q_ST_JOIN_SQL),
+        "q_ppr": (q_ppr, Q_PPR_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),

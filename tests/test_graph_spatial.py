@@ -448,3 +448,25 @@ def test_label_propagation_two_engines_scalar(ray_session):
     # the planted structure is recovered: few communities, none
     # spanning both blocks of nodes
     assert gb["lbl"].nunique() <= 6
+
+
+def test_ppr_two_engines_equal(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.queries import ppr_mass
+
+    rng = np.random.default_rng(13)
+    u = rng.integers(0, 40, 300).astype(np.int64) * 1009 // 17  # mix of
+    v = rng.integers(0, 40, 300).astype(np.int64) * 31          # seeds+not
+    keep = u != v
+    pk = (u[keep] * 65536 + v[keep])
+    ds = ray.data.from_arrow(pa.table({"pk": pa.array(pk)})).repartition(4)
+
+    gb = (ppr_mass(ds, mode="broadcast")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    gk = (ppr_mass(ds, mode="keyed")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert gb.equals(gk)
+    assert (gb["mass"] >= 0).all() and gb["mass"].max() >= 1_000_000_000
