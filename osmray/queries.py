@@ -15158,6 +15158,52 @@ SELECT CAST(node AS BIGINT) AS node, m AS mass FROM m6
 """
 
 
+def q_dp_counts(sf_dir: str):
+    """Noisy-histogram release, differential-privacy SHAPED (the
+    aggregate -> per-cell seeded noise -> clamp pipeline a private
+    telemetry release runs; the noise here is a DETERMINISTIC
+    splitmix64 draw standing in for Laplace — same runtime shape, not
+    a privacy guarantee): per user-bucket (user_id % 64) event
+    counts, noise = pmod(hash64(bucket, seed 7), 21) - 10, released =
+    max(count + noise, 0). One pre-aggregated keyed fold over 64
+    bounded cells; the twin replays hash64 via the HUGEINT limb
+    CTEs."""
+    from osmray.stages import hash64
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64) % 64
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = sorted_fold_sums(
+        ds.map_batches(partials, batch_format="pyarrow"), "bucket", ["n"])
+
+    def release(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        noise = hash64(b, 7) % 21 - 10  # numpy % is pmod
+        return pa.table({
+            "bucket": pa.array(b), "released": pa.array(
+                np.maximum(n + noise, 0).astype(np.int64))})
+
+    return counts.map_batches(release, batch_format="pyarrow")
+
+
+Q_DP_COUNTS_SQL = f"""
+WITH cnt AS (SELECT user_id % 64 AS bucket, count(*) AS n
+             FROM events GROUP BY 1),
+{hash64_ctes('dh', 'cnt', 'bucket, n', 'bucket', 7)}
+SELECT bucket,
+  CAST(greatest(n + ((h % 21) + 21) % 21 - 10, 0) AS BIGINT) AS released
+FROM dh5
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15400,6 +15446,7 @@ def registry():
         "q_wordpiece": (q_wordpiece, Q_WORDPIECE_SQL),
         "q_st_join": (q_st_join, Q_ST_JOIN_SQL),
         "q_ppr": (q_ppr, Q_PPR_SQL),
+        "q_dp_counts": (q_dp_counts, Q_DP_COUNTS_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
