@@ -1232,7 +1232,10 @@ def label_propagation(edges_ds, rounds: int = 3, src_col: str = "u",
     import ray
     import ray.data
 
-    e = _coalesce_edges(_edge_view(edges_ds, src_col, dst_col).materialize())
+    # no materialize of the raw view: the block-dedup + packed-key
+    # groupby below is the single full pass; only the (small) distinct
+    # edge set materializes, re-blocked for the iterative engines
+    e = _edge_view(edges_ds, src_col, dst_col)
 
     def undirect(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -1261,6 +1264,7 @@ def label_propagation(edges_ds, rounds: int = 3, src_col: str = "u",
                  "v": pa.array(b["pk"].to_numpy(
                      zero_copy_only=False) & ((np.int64(1) << 32) - 1))}),
                  batch_format="pyarrow")).materialize()
+    edges = _coalesce_edges(edges)
 
     eng = _pick_mode(edges, mode, broadcast_cap)
     if eng in ("broadcast",):

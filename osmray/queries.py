@@ -14476,12 +14476,10 @@ def q_assortativity(sf_dir: str):
     edges, the exact integer sums (m, sx, sxx, sxy) that determine
     Pearson's r = (m*sxy - sx^2) / (m*sxx - sx^2) — emitted as
     integers so the twin is bit-exact (no float correlation).
-    Shape: one fold for degrees (keyed int sums), one grace join to
-    attach degrees to edge endpoints, one tree-reduce of four
-    scalars — no O(V) driver state."""
-    from osmray.joins import bucketed_join
-    from osmray.tableops import sorted_fold_sums
-
+    Two engines (pinned equal in pytest): ``broadcast`` ships the
+    O(V) degree array once and ONE edge pass tree-reduces the four
+    scalars; ``keyed`` folds degrees, grace-joins them onto the edge
+    endpoints and reduces — zero O(V) driver state."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -14493,14 +14491,55 @@ def q_assortativity(sf_dir: str):
         pk = np.unique(a * 65536 + b)
         return pa.table({"pk": pa.array(pk)})
 
-    from ray.data.aggregate import Count
+    return assortativity_sums(ds.map_batches(edges, batch_format="pyarrow"))
 
-    e = (ds.map_batches(edges, batch_format="pyarrow")
-         .groupby("pk").aggregate(Count(alias_name="_n"))
-         .map_batches(lambda b: pa.table({
-             "u": pa.array(b["pk"].to_numpy(zero_copy_only=False) // 65536),
-             "v": pa.array(b["pk"].to_numpy(zero_copy_only=False) % 65536)}),
-             batch_format="pyarrow").materialize())
+
+def assortativity_sums(packed_edges, mode: str = "auto",
+                       broadcast_cap: int = 50_000_000):
+    """Integer degree-assortativity components — see q_assortativity.
+    Input: packed DISTINCT-able undirected edges pk = a*65536 + b."""
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    e = _dedup_packed_edges(packed_edges)
+    if mode == "auto":
+        mode = "broadcast" if 2 * e.count() <= broadcast_cap else "keyed"
+
+    if mode == "broadcast":
+        nodes = _node_universe(e)
+        deg = np.zeros(len(nodes), np.int64)
+
+        def deg_part(b: pa.Table) -> pa.Table:
+            u, cnt = np.unique(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)]),
+                return_counts=True)
+            return pa.table({"n": pa.array(u),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        dparts = e.map_batches(deg_part, batch_format="pyarrow").to_pandas()
+        np.add.at(deg, np.searchsorted(nodes, dparts["n"].to_numpy()),
+                  dparts["c"].to_numpy())
+        ref = ray.put(deg)
+
+        def sums(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            du = d[np.searchsorted(
+                nodes, batch["u"].to_numpy(zero_copy_only=False))]
+            dv = d[np.searchsorted(
+                nodes, batch["v"].to_numpy(zero_copy_only=False))]
+            return pa.table({
+                "m": pa.array([2 * len(du)], pa.int64()),
+                "sx": pa.array([int((du + dv).sum())], pa.int64()),
+                "sxx": pa.array([int((du * du + dv * dv).sum())],
+                                pa.int64()),
+                "sxy": pa.array([2 * int((du * dv).sum())], pa.int64())})
+
+        parts = e.map_batches(sums, batch_format="pyarrow").to_pandas()
+        return pa.table({k: pa.array([int(parts[k].sum())], pa.int64())
+                         for k in ("m", "sx", "sxx", "sxy")})
 
     def deg_partials(batch: pa.Table) -> pa.Table:
         n = np.concatenate([batch["u"].to_numpy(zero_copy_only=False),
@@ -14557,13 +14596,13 @@ def q_hits(sf_dir: str):
     exact int64, so the SQL twin replays it bit-exactly): hub0 = 1,
     auth1 = indegree, hub1 = sum of auth1 over out-neighbors,
     auth2 = sum of hub1 over in-neighbors, hub2 = sum of auth2 over
-    out-neighbors. Each round is ONE grace join (attach the previous
-    score at the edge) + ONE keyed integer fold — the same
-    scatter/fold shape the shuffle graph engines use; zero driver
-    state beyond the plan."""
-    from osmray.joins import bucketed_join
-    from osmray.tableops import sorted_fold_sums
-
+    out-neighbors. Two engines (hits_scores, pinned equal in pytest):
+    ``broadcast`` (node universe under the cap) runs each round as
+    one streaming edge pass against a ray.put score array with an
+    O(V) driver fold; ``keyed`` runs ONE grace join (attach the
+    previous score at the edge) + ONE keyed integer fold per round —
+    the scatter/fold shape of the shuffle graph engines, zero driver
+    state."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -14573,14 +14612,78 @@ def q_hits(sf_dir: str):
         pk = np.unique(u[keep] * 65536 + v[keep])
         return pa.table({"pk": pa.array(pk)})
 
+    return hits_scores(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def _dedup_packed_edges(packed_edges):
+    """Exact distinct (u, v) from a packed pk = u*65536 + v stream
+    (one keyed dedup shuffle), materialized."""
     from ray.data.aggregate import Count
 
-    e = (ds.map_batches(edges, batch_format="pyarrow")
-         .groupby("pk").aggregate(Count(alias_name="_n"))
-         .map_batches(lambda b: pa.table({
-             "u": pa.array(b["pk"].to_numpy(zero_copy_only=False) // 65536),
-             "v": pa.array(b["pk"].to_numpy(zero_copy_only=False) % 65536)}),
-             batch_format="pyarrow").materialize())
+    return (packed_edges.groupby("pk").aggregate(Count(alias_name="_n"))
+            .map_batches(lambda b: pa.table({
+                "u": pa.array(b["pk"].to_numpy(
+                    zero_copy_only=False) // 65536),
+                "v": pa.array(b["pk"].to_numpy(
+                    zero_copy_only=False) % 65536)}),
+                batch_format="pyarrow").materialize())
+
+
+def _node_universe(e) -> np.ndarray:
+    return np.unique(np.concatenate([
+        e.map_batches(
+            lambda b: pa.table({"n": pa.array(np.unique(np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False),
+                 b["v"].to_numpy(zero_copy_only=False)])))}),
+            batch_format="pyarrow").to_pandas()["n"].to_numpy()])
+    ).astype(np.int64)
+
+
+def hits_scores(packed_edges, mode: str = "auto",
+                broadcast_cap: int = 50_000_000):
+    """Two-round integer HITS — see q_hits."""
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    e = _dedup_packed_edges(packed_edges)
+    if mode == "auto":
+        mode = "broadcast" if 2 * e.count() <= broadcast_cap else "keyed"
+
+    if mode == "broadcast":
+        import ray.data
+
+        nodes = _node_universe(e)
+
+        def edge_pass(score: np.ndarray, src: str, dst: str) -> np.ndarray:
+            ref = ray.put(score)
+
+            def part(batch: pa.Table) -> pa.Table:
+                sc = ray.get(ref)
+                s = np.searchsorted(
+                    nodes, batch[src].to_numpy(zero_copy_only=False))
+                d = np.searchsorted(
+                    nodes, batch[dst].to_numpy(zero_copy_only=False))
+                t_, inv = np.unique(d, return_inverse=True)
+                return pa.table({"i": pa.array(t_), "s": pa.array(
+                    np.bincount(inv, weights=sc[s]).astype(np.int64))})
+
+            parts = e.map_batches(part, batch_format="pyarrow").to_pandas()
+            out = np.zeros(len(nodes), np.int64)
+            if len(parts):
+                np.add.at(out, parts["i"].to_numpy(),
+                          parts["s"].to_numpy().astype(np.int64))
+            return out
+
+        ones = np.ones(len(nodes), np.int64)
+        auth1 = edge_pass(ones, "u", "v")
+        hub1 = edge_pass(auth1, "v", "u")
+        auth2 = edge_pass(hub1, "u", "v")
+        hub2 = edge_pass(auth2, "v", "u")
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes), "auth2": pa.array(auth2),
+            "hub2": pa.array(hub2)}))
 
     def fold_over(edge_key: str, score, score_col: str, out_key: str,
                   out_col: str):

@@ -470,3 +470,32 @@ def test_ppr_two_engines_equal(ray_session):
           .to_pandas().sort_values("node").reset_index(drop=True))
     assert gb.equals(gk)
     assert (gb["mass"] >= 0).all() and gb["mass"].max() >= 1_000_000_000
+
+
+def test_hits_assortativity_two_engines(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.queries import assortativity_sums, hits_scores
+
+    rng = np.random.default_rng(17)
+    u = rng.integers(0, 60, 400).astype(np.int64)
+    v = rng.integers(0, 60, 400).astype(np.int64)
+    keep = u != v
+    pk = u[keep] * 65536 + v[keep]
+    ds = ray.data.from_arrow(pa.table({"pk": pa.array(pk)})).repartition(4)
+
+    hb = (hits_scores(ds, mode="broadcast")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    hk = (hits_scores(ds, mode="keyed")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert hb.equals(hk)
+
+    a = np.minimum(u[keep], v[keep])
+    b = np.maximum(u[keep], v[keep])
+    und = ray.data.from_arrow(pa.table(
+        {"pk": pa.array(a * 65536 + b)})).repartition(4)
+    sb = assortativity_sums(und, mode="broadcast").to_pandas()
+    sk = assortativity_sums(und, mode="keyed").to_pandas()
+    assert sb.equals(sk)
