@@ -1456,3 +1456,35 @@ STAGES.update({
     "cdc_chunks": _cdc_chunks,
     "label_prop": _label_prop,
 })
+
+
+def _hits(p: dict) -> Stage:
+    """{"op": "hits", "mode": "auto"?} — two-round integer HITS over
+    a packed-edge (pk = u*65536 + v) dataset."""
+    from osmray.queries import hits_scores
+
+    return lambda ds: hits_scores(ds, mode=p.get("mode", "auto"))
+
+
+def _ppr(p: dict) -> Stage:
+    """{"op": "ppr", "rounds": 6?, "seed_mod": 1009?, "mode":
+    "auto"?} — integer personalized-PageRank diffusion over a
+    packed-edge dataset."""
+    from osmray.queries import ppr_mass
+
+    return lambda ds: ppr_mass(
+        ds, rounds=int(p.get("rounds", 6)),
+        seed_mod=int(p.get("seed_mod", 1009)),
+        mode=p.get("mode", "auto"))
+
+
+def _assortativity(p: dict) -> Stage:
+    """{"op": "assortativity", "mode": "auto"?} — integer
+    degree-assortativity components over packed undirected edges."""
+    from osmray.queries import assortativity_sums
+
+    return lambda ds: assortativity_sums(ds, mode=p.get("mode", "auto"))
+
+
+STAGES.update({"hits": _hits, "ppr": _ppr,
+               "assortativity": _assortativity})

@@ -598,3 +598,33 @@ def test_declarative_curation_graph_steps(ray_session):
     want = (label_propagation(edges, rounds=2)
             .to_pandas().sort_values("node").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_declarative_graph_score_steps(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.pipelines import run_pipeline
+    from osmray.queries import hits_scores, ppr_mass
+
+    rng = np.random.default_rng(23)
+    u = rng.integers(0, 30, 200).astype(np.int64)
+    v = rng.integers(0, 30, 200).astype(np.int64)
+    pk = (u[u != v] * 65536 + v[u != v])
+    ds = ray.data.from_arrow(pa.table({"pk": pa.array(pk)})).repartition(3)
+
+    got = (run_pipeline([{"op": "hits"}], ds=ds)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (hits_scores(ds).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert got.equals(want)
+
+    got = (run_pipeline([{"op": "ppr", "rounds": 3, "seed_mod": 7}], ds=ds)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = (ppr_mass(ds, rounds=3, seed_mod=7).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert got.equals(want)
+
+    got = run_pipeline([{"op": "assortativity"}], ds=ds).to_pandas()
+    assert list(got.columns) == ["m", "sx", "sxx", "sxy"]
