@@ -884,3 +884,37 @@ class DitherStage:
             nw.append(int((img > self.thr).sum()))
         return pa.table({"idx": pa.array(idxs, pa.int64()),
                          "n_white": pa.array(nw, pa.int64())})
+
+
+class AudioPitchStage:
+    """Actor-pool stage: audio binary -> integer AMDF pitch estimate
+    (average-magnitude-difference pitch tracking, the classic
+    autocorrelation-family detector in pure integers): over the first
+    ``frame`` samples, amdf(L) = sum |pcm[t+L] - pcm[t]| for lag L in
+    [1, max_lag]; the pitch lag is the argmin (ties -> smallest L).
+    Real RIFF/PCM16 decode (wav_decode); vectorized — one shifted
+    subtraction per lag."""
+
+    def __init__(self, frame: int = 2048, max_lag: int = 128):
+        self.frame = frame
+        self.max_lag = max_lag
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, lags, mins = [], [], []
+        for mid, blob in zip(batch["media_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            pcm, _rate = wav_decode(blob)
+            if pcm.ndim == 2:
+                pcm = pcm.mean(axis=1).astype(np.int16)
+            x = pcm[:self.frame].astype(np.int64)
+            best_l, best_v = 0, None
+            for L in range(1, self.max_lag + 1):
+                v = int(np.abs(x[L:] - x[:-L]).sum())
+                if best_v is None or v < best_v:
+                    best_l, best_v = L, v
+            ids.append(mid)
+            lags.append(best_l)
+            mins.append(int(best_v))
+        return pa.table({"media_id": pa.array(ids, pa.string()),
+                         "pitch_lag": pa.array(lags, pa.int64()),
+                         "amdf_min": pa.array(mins, pa.int64())})

@@ -15307,6 +15307,55 @@ FROM dh5
 """
 
 
+def q_audio_pitch(sf_dir: str):
+    """AMDF pitch tracking (integer average-magnitude-difference,
+    the autocorrelation-family detector) over REAL RIFF/PCM16 wav
+    bytes on an actor pool (multimodal.AudioPitchStage): pitch lag =
+    argmin over lag L in [1, 128] of sum |pcm[t+L] - pcm[t]| on the
+    first 2048 samples, ties to the smallest lag. The planted
+    sawtooth makes every AMDF value a closed integer the twin
+    recomputes from the same formula — the engine decodes real
+    bytes, the oracle never sees them."""
+    import ray.data
+
+    from osmray.multimodal import AudioPitchStage, wav_encode
+
+    n = 128
+    rows = [
+        {
+            "media_id": f"aud{i:05d}",
+            "bytes": wav_encode(_planted_pcm(i, 16384 + (i % 7) * 1000),
+                                16000),
+            "fmt": "wav",
+        }
+        for i in range(n)
+    ]
+    return ray.data.from_items(rows).map_batches(
+        AudioPitchStage, batch_format="pyarrow", concurrency=2,
+        num_cpus=1)
+
+
+Q_AUDIO_PITCH_SQL = """
+WITH au AS (SELECT CAST(t.range AS BIGINT) AS i,
+                   3 + 2 * (t.range % 5) AS a,
+                   (t.range * 17) % 4096 AS b
+            FROM range(0, 128) t),
+lag_t AS (SELECT CAST(t.range AS BIGINT) AS L FROM range(1, 129) t),
+tt AS (SELECT CAST(t.range AS BIGINT) AS s FROM range(0, 2048) t),
+d AS (SELECT au.i, lag_t.L,
+        sum(abs((((tt.s + lag_t.L) * au.a + au.b) % 4096)
+                - ((tt.s * au.a + au.b) % 4096))) AS amdf
+      FROM au CROSS JOIN lag_t JOIN tt ON tt.s + lag_t.L <= 2047
+      GROUP BY 1, 2),
+best AS (SELECT i, L, amdf,
+           row_number() OVER (PARTITION BY i ORDER BY amdf ASC, L ASC)
+             AS rn FROM d)
+SELECT printf('aud%05d', i) AS media_id,
+       CAST(L AS BIGINT) AS pitch_lag, CAST(amdf AS BIGINT) AS amdf_min
+FROM best WHERE rn = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15550,6 +15599,7 @@ def registry():
         "q_st_join": (q_st_join, Q_ST_JOIN_SQL),
         "q_ppr": (q_ppr, Q_PPR_SQL),
         "q_dp_counts": (q_dp_counts, Q_DP_COUNTS_SQL),
+        "q_audio_pitch": (q_audio_pitch, Q_AUDIO_PITCH_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
