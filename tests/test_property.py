@@ -187,3 +187,71 @@ def test_hull_contains_all_points(pts):
         ax, ay = ring[(i + 1) % m]
         cr = (ax - ox) * (ys - oy) - (ay - oy) * (xs - ox)
         assert (cr >= 0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=400))
+def test_cdc_chunks_partition_invariant(text):
+    """CDC chunks partition the text exactly: concat == text, no
+    empty chunks, and every chunk boundary is content-defined (the
+    same text always re-chunks identically)."""
+    from osmray.dedup import _cdc_chunks
+
+    chunks = _cdc_chunks(text)
+    assert "".join(chunks) == text
+    assert all(chunks) or text == ""
+    assert chunks == _cdc_chunks(text)
+
+
+@settings(max_examples=40, deadline=None)
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=4, max_size=60))
+def test_winnow_window_guarantee(words):
+    """Robust winnowing guarantee: every window of 4 consecutive
+    3-gram hashes contains at least one selected fingerprint."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmray.queries import _CF_MOD, _char_fold_hash
+
+    B = 524287
+    hws = _char_fold_hash(np.asarray(words, dtype=object))
+    if len(hws) < 3:
+        return
+    h = ((hws[:-2] * B + hws[1:-1]) % _CF_MOD * B + hws[2:]) % _CF_MOD
+    # replicate the kernel's selection on one doc
+    from numpy.lib.stride_tricks import sliding_window_view
+    w = 4
+    if len(h) < w:
+        pos = np.array([len(h) - 1 - int(np.argmin(h[::-1]))])
+    else:
+        W = sliding_window_view(h, w)
+        pos = np.arange(len(W)) + (w - 1 - np.argmin(W[:, ::-1], axis=1))
+    sel = set(pos.tolist())
+    if len(h) >= w:
+        for s in range(len(h) - w + 1):
+            assert sel & set(range(s, s + w))
+
+
+@settings(max_examples=60, deadline=None)
+@given(word=st.text(alphabet="abcdef", min_size=0, max_size=12),
+       vocab=st.lists(st.text(alphabet="abcdef", min_size=2, max_size=4),
+                      max_size=8))
+def test_wordpiece_greedy_partition(word, vocab):
+    """Greedy maximal-munch pieces concatenate back to the word and
+    each step consumes the longest matching piece."""
+    pos, pieces = 0, []
+    vs = sorted(set(vocab))
+    while pos < len(word):
+        step = 1
+        for v in vs:
+            if len(v) > step and word[pos:pos + len(v)] == v:
+                step = len(v)
+        pieces.append(word[pos:pos + step])
+        pos += step
+    assert "".join(pieces) == word
+    for p in pieces:
+        assert len(p) == 1 or p in vs
