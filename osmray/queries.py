@@ -15356,6 +15356,75 @@ FROM best WHERE rn = 1
 """
 
 
+def q_cusum(sf_dir: str):
+    """CUSUM changepoint / drift alarms per user value stream (the
+    statistical-process-control detector): values quantize to integer
+    centi-units (floor(value*100) — one IEEE op, bit-identical in
+    both engines), the one-sided CUSUM statistic steps
+    s = max(0, s + vi - 7500) in (ts, event_id) order, and an ALARM
+    fires when s > 40000, resetting s to 0 (reset-on-alarm makes the
+    scan non-associative — q_debounce's class: one keyed shuffle, one
+    O(group) pass). Emits per user (n_alarms, max_s); the twin
+    replays the scan as a recursive CTE."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    K, H = 7500, 40000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.floor(g["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        vi = vi[order]
+        uid = int(g["user_id"][0].as_py())
+        s = 0
+        n_alarms = 0
+        max_s = 0
+        for x in vi:
+            s = max(0, s + int(x) - K)
+            if s > H:
+                n_alarms += 1
+                s = 0
+            max_s = max(max_s, s)
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "n_alarms": pa.array([n_alarms], pa.int64()),
+                         "max_s": pa.array([max_s], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_CUSUM_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vi,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS i
+  FROM events),
+r(user_id, i, s, n_alarms, max_s) AS (
+  SELECT user_id, i,
+         CASE WHEN greatest(0, vi - 7500) > 40000 THEN 0
+              ELSE greatest(0, vi - 7500) END,
+         CASE WHEN greatest(0, vi - 7500) > 40000 THEN 1 ELSE 0 END,
+         CASE WHEN greatest(0, vi - 7500) > 40000 THEN 0
+              ELSE greatest(0, vi - 7500) END
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.user_id, b.i,
+         CASE WHEN greatest(0, r.s + b.vi - 7500) > 40000 THEN 0
+              ELSE greatest(0, r.s + b.vi - 7500) END,
+         r.n_alarms + CASE WHEN greatest(0, r.s + b.vi - 7500) > 40000
+                           THEN 1 ELSE 0 END,
+         greatest(r.max_s,
+           CASE WHEN greatest(0, r.s + b.vi - 7500) > 40000 THEN 0
+                ELSE greatest(0, r.s + b.vi - 7500) END)
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.i = r.i + 1)
+SELECT user_id, CAST(max(n_alarms) AS BIGINT) AS n_alarms,
+       CAST(max(max_s) AS BIGINT) AS max_s
+FROM r GROUP BY user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15600,6 +15669,7 @@ def registry():
         "q_ppr": (q_ppr, Q_PPR_SQL),
         "q_dp_counts": (q_dp_counts, Q_DP_COUNTS_SQL),
         "q_audio_pitch": (q_audio_pitch, Q_AUDIO_PITCH_SQL),
+        "q_cusum": (q_cusum, Q_CUSUM_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
