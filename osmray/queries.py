@@ -15425,6 +15425,85 @@ FROM r GROUP BY user_id
 """
 
 
+def q_sax(sf_dir: str):
+    """SAX symbolization (PAA + breakpoint quantization — the
+    time-series indexing/similarity primitive): each user's (ts,
+    event_id)-ordered centi-unit value series splits into 8 PAA
+    segments (element i -> segment i*8//n); the global breakpoints are
+    the EXACT quartiles of all values (tableops.exact_order_stats —
+    one distributed sort, O(#blocks) driver state, ranks
+    max(1, n*p//100)); a segment's symbol is the count of
+    breakpoints b with seg_sum > b*seg_len (cross-multiplied — no
+    division, integer-exact), and the 8 symbols pack base-4 into one
+    int64 SAX word. Output (user_id, sax); equal words = similarity
+    buckets. The twin recomputes quartiles by rank and replays the
+    same integer comparisons."""
+    from osmray.tableops import exact_order_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def vi_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"vi": pa.array(np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64))})
+
+    qs = exact_order_stats(
+        ds.map_batches(vi_col, batch_format="pyarrow"),
+        "vi", [25, 50, 75]).to_pandas().sort_values("p")
+    bks = qs["value"].to_numpy().astype(np.int64)  # q1, q2, q3
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.floor(g["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        vi = vi[order]
+        n = len(vi)
+        uid = int(g["user_id"][0].as_py())
+        seg_of = np.arange(n, dtype=np.int64) * 8 // n
+        word = 0
+        for k in range(8):
+            m = seg_of == k
+            seg_len = int(m.sum())
+            seg_sum = int(vi[m].sum())
+            sym = sum(1 for bk in bks
+                      if seg_len > 0 and seg_sum > int(bk) * seg_len)
+            word = word * 4 + sym
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "sax": pa.array([word], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_SAX_SQL = """
+WITH v AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vi,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - 1 AS i,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+allv AS (SELECT CAST(floor(value * 100) AS BIGINT) AS vi,
+                ROW_NUMBER() OVER (ORDER BY floor(value * 100)) AS r,
+                count(*) OVER () AS n
+         FROM events),
+bk AS (SELECT p.p AS p, a.vi AS b FROM (VALUES (25), (50), (75)) p(p)
+       JOIN allv a ON a.r = greatest(1, a.n * p.p // 100)),
+seg AS (SELECT user_id, CAST(i * 8 // n AS BIGINT) AS k,
+               sum(vi) AS seg_sum, count(*) AS seg_len
+        FROM v GROUP BY 1, 2),
+sym AS (SELECT seg.user_id, seg.k,
+               sum(CASE WHEN seg.seg_sum > bk.b * seg.seg_len
+                        THEN 1 ELSE 0 END) AS s
+        FROM seg CROSS JOIN bk GROUP BY 1, 2),
+word AS (SELECT user_id,
+                sum(s * CAST(pow(4, 7 - k) AS BIGINT)) AS sax
+         FROM sym GROUP BY 1)
+SELECT user_id, CAST(sax AS BIGINT) AS sax FROM word
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15670,6 +15749,7 @@ def registry():
         "q_dp_counts": (q_dp_counts, Q_DP_COUNTS_SQL),
         "q_audio_pitch": (q_audio_pitch, Q_AUDIO_PITCH_SQL),
         "q_cusum": (q_cusum, Q_CUSUM_SQL),
+        "q_sax": (q_sax, Q_SAX_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
