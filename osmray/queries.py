@@ -15504,6 +15504,78 @@ SELECT user_id, CAST(sax AS BIGINT) AS sax FROM word
 """
 
 
+def q_auc(sf_dir: str):
+    """Exact AUC (Mann-Whitney rank-sum with tie-averaged ranks) of
+    the hashed-linear quality score predicting lang == 'en' — the
+    classifier-evaluation primitive, in pure integers: per distinct
+    score the fold carries (n, n_pos); the tie-corrected doubled
+    positive rank-sum is sum over score groups of
+    n_pos*(2*n_below + n + 1), and the emitted single row
+    (n_pos, n_neg, u2 = 2R+ - P*(P+1)) determines
+    AUC = u2 / (2*P*N) exactly. One keyed fold by score + a driver
+    prefix over DISTINCT scores (bounded by the integer model's
+    score range; swap in the distributed prefix-scan machinery if a
+    model had unbounded outputs)."""
+    from osmray.tableops import sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def scored(batch: pa.Table) -> pa.Table:
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        lbl = np.asarray(
+            [1 if l == "en" else 0 for l in batch["lang"].to_pylist()],
+            np.int64)
+        flat = [w for ws in toks for w in ws]
+        sc = np.zeros(len(toks), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            wt = (_char_fold_hash(u) % 256) * 2654435761 % (1 << 32) \
+                % 2001 - 1000
+            for k, ws in enumerate(toks):
+                sc[k] = int(wt[np.searchsorted(u, np.asarray(ws))].sum())
+        # block partials per distinct score
+        us, inv = np.unique(sc, return_inverse=True)
+        return pa.table({
+            "score": pa.array(us),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "npos": pa.array(np.bincount(
+                inv, weights=lbl).astype(np.int64))})
+
+    g = sorted_fold_sums(
+        docs.map_batches(scored, batch_format="pyarrow"),
+        "score", ["n", "npos"]).to_pandas().sort_values("score")
+    n = g["n"].to_numpy().astype(np.int64)
+    npos = g["npos"].to_numpy().astype(np.int64)
+    below = np.concatenate(([0], np.cumsum(n)[:-1]))
+    P = int(npos.sum())
+    N = int(n.sum()) - P
+    r2 = int((npos * (2 * below + n + 1)).sum())
+    return pa.table({"n_pos": pa.array([P], pa.int64()),
+                     "n_neg": pa.array([N], pa.int64()),
+                     "u2": pa.array([r2 - P * (P + 1)], pa.int64())})
+
+
+Q_AUC_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id, lang,
+        {_CF_HASH_LAMBDA.format(w='w')} % 256 AS b FROM toks),
+s AS (SELECT doc_id, max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS lbl,
+        sum(b * 2654435761 % 4294967296 % 2001 - 1000) AS score
+      FROM h GROUP BY doc_id),
+g AS (SELECT score, count(*) AS n, sum(lbl) AS npos FROM s GROUP BY 1),
+w AS (SELECT score, n, npos,
+        coalesce(sum(n) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM g),
+tot AS (SELECT sum(npos) AS p, sum(n) - sum(npos) AS nn FROM g),
+r AS (SELECT sum(npos * (2 * below + n + 1)) AS r2 FROM w)
+SELECT CAST(tot.p AS BIGINT) AS n_pos, CAST(tot.nn AS BIGINT) AS n_neg,
+       CAST(r.r2 - tot.p * (tot.p + 1) AS BIGINT) AS u2
+FROM r, tot
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15750,6 +15822,7 @@ def registry():
         "q_audio_pitch": (q_audio_pitch, Q_AUDIO_PITCH_SQL),
         "q_cusum": (q_cusum, Q_CUSUM_SQL),
         "q_sax": (q_sax, Q_SAX_SQL),
+        "q_auc": (q_auc, Q_AUC_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
