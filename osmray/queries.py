@@ -15576,6 +15576,64 @@ FROM r, tot
 """
 
 
+def q_geofence(sf_dir: str):
+    """Geofence transition counting (the enter/exit event stream a
+    location platform derives per device): over the same
+    deterministic random-walk trajectories as q_stay_points, the
+    fence is the box |x| <= 10 AND |y| <= 10; per user emit counts of
+    ENTER transitions (outside -> inside), EXIT transitions and
+    total inside samples. One keyed shuffle, vectorized lag compare
+    per group; lag-window SQL twin."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        ii = ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2)
+        y = np.cumsum(ii * 104729 % 5 - 2)
+        inside = (np.abs(x) <= 10) & (np.abs(y) <= 10)
+        prev = np.concatenate(([False], inside[:-1]))
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_enter": pa.array([int((inside & ~prev).sum())], pa.int64()),
+            "n_exit": pa.array([int((~inside & prev).sum())], pa.int64()),
+            "n_inside": pa.array([int(inside.sum())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_GEOFENCE_SQL = """
+WITH base AS (
+  SELECT user_id,
+         SUM(event_id * 7919 % 5 - 2) OVER w AS x,
+         SUM(event_id * 104729 % 5 - 2) OVER w AS y,
+         ROW_NUMBER() OVER w AS i
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id)),
+f AS (SELECT user_id, i,
+        CASE WHEN abs(x) <= 10 AND abs(y) <= 10 THEN 1 ELSE 0 END
+          AS inside
+      FROM base),
+t AS (SELECT user_id, inside,
+        coalesce(lag(inside) OVER (PARTITION BY user_id ORDER BY i), 0)
+          AS prev
+      FROM f)
+SELECT user_id,
+  CAST(sum(CASE WHEN inside = 1 AND prev = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_enter,
+  CAST(sum(CASE WHEN inside = 0 AND prev = 1 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_exit,
+  CAST(sum(inside) AS BIGINT) AS n_inside
+FROM t GROUP BY user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15823,6 +15881,7 @@ def registry():
         "q_cusum": (q_cusum, Q_CUSUM_SQL),
         "q_sax": (q_sax, Q_SAX_SQL),
         "q_auc": (q_auc, Q_AUC_SQL),
+        "q_geofence": (q_geofence, Q_GEOFENCE_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
