@@ -15634,6 +15634,85 @@ FROM t GROUP BY user_id
 """
 
 
+def q_lpm(sf_dir: str):
+    """Longest-prefix-match routing join (the IP-routing / CIDR
+    lookup primitive): a route table of (length, prefix, route_id)
+    entries at lengths {8, 12, 16} over 24-bit addresses, each
+    address matches the LONGEST route whose prefix equals
+    address >> (24 - L) (ties at equal length -> min route_id);
+    unmatched addresses fall to route -1. Addresses probe exactly 3
+    candidate keys each — the bounded-expansion trick that makes LPM
+    a hash join instead of a scan. Route side broadcasts (route
+    tables are small by nature — ray.put once, binary-searched per
+    batch); output is the bounded per-route address count."""
+    import ray
+
+    from osmray.tableops import sorted_fold_sums
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    pt = _read(sf_dir, "part", ["p_partkey"])
+
+    def routes(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k % 50 == 0]
+        L = 8 + 4 * (k % 3)
+        pre = (k * 2654435761 % (1 << 24)) >> (24 - L)
+        return pa.table({"L": pa.array(L), "pre": pa.array(pre),
+                         "rid": pa.array(k)})
+
+    # route side extracted distributed, only the route ENTRIES come
+    # to the driver (route tables are small by nature)
+    rt = pt.map_batches(routes, batch_format="pyarrow").to_pandas()
+    # dedup (L, pre) -> min rid; sorted arrays for binary search
+    L = rt["L"].to_numpy().astype(np.int64)
+    pre = rt["pre"].to_numpy().astype(np.int64)
+    rid = rt["rid"].to_numpy().astype(np.int64)
+    key = L * (1 << 24) + pre
+    order = np.lexsort((rid, key))
+    ks, rs = key[order], rid[order]
+    first = np.concatenate(([True], ks[1:] != ks[:-1]))
+    route_keys, route_ids = ks[first], rs[first]
+    ref = ray.put((route_keys, route_ids))
+
+    def match(batch: pa.Table) -> pa.Table:
+        rk, ri = ray.get(ref)
+        p = _li_points(batch)
+        a = p["m1"] % (1 << 24)
+        out = np.full(len(a), -1, np.int64)
+        for Lc in (8, 12, 16):  # ascending: longer match overwrites
+            cand = np.int64(Lc) * (1 << 24) + (a >> (24 - Lc))
+            pos = np.searchsorted(rk, cand)
+            pos_c = np.minimum(pos, len(rk) - 1)
+            hit = rk[pos_c] == cand if len(rk) else np.zeros(len(a), bool)
+            out[hit] = ri[pos_c[hit]]
+        u, cnt = np.unique(out, return_counts=True)
+        return pa.table({"route_id": pa.array(u),
+                         "n_addrs": pa.array(cnt.astype(np.int64))})
+
+    return sorted_fold_sums(
+        li.map_batches(match, batch_format="pyarrow"),
+        "route_id", ["n_addrs"])
+
+
+Q_LPM_SQL = f"""
+WITH p AS ({_LI_SQL}),
+a AS (SELECT m1 % 16777216 AS addr FROM p),
+r0 AS (SELECT p_partkey AS rid, 8 + 4 * (p_partkey % 3) AS L,
+              (p_partkey * 2654435761 % 16777216)
+                >> CAST(24 - (8 + 4 * (p_partkey % 3)) AS INT) AS pre
+       FROM part WHERE p_partkey % 50 = 0),
+r AS (SELECT L, pre, min(rid) AS rid FROM r0 GROUP BY 1, 2),
+ac AS (SELECT addr, count(*) AS c FROM a GROUP BY 1),
+mm AS (SELECT ac.addr, max_by(r.rid, r.L) AS rid
+       FROM ac JOIN r ON r.pre = ac.addr >> CAST(24 - r.L AS INT)
+       GROUP BY ac.addr)
+SELECT coalesce(mm.rid, -1) AS route_id,
+       CAST(sum(ac.c) AS BIGINT) AS n_addrs
+FROM ac LEFT JOIN mm ON mm.addr = ac.addr
+GROUP BY 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15882,6 +15961,7 @@ def registry():
         "q_sax": (q_sax, Q_SAX_SQL),
         "q_auc": (q_auc, Q_AUC_SQL),
         "q_geofence": (q_geofence, Q_GEOFENCE_SQL),
+        "q_lpm": (q_lpm, Q_LPM_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
