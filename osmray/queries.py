@@ -15713,6 +15713,72 @@ GROUP BY 1
 """
 
 
+def q_label_noise(sf_dir: str):
+    """Noisy-label detection by k-NN label agreement (the Confident-
+    Learning-style curation screen): embeddings quantize to integer
+    milli-units (floor(x*1000) — IEEE-identical in both engines, and
+    integer dot products < 2^53 are EXACT in DuckDB doubles, so the
+    similarity order is bit-stable, unlike raw float cosine); each
+    vector's 5 nearest neighbors by quantized dot product (self
+    excluded, ties -> smaller vec_id) vote on its label, and a
+    majority disagreement flags the row. Engine: one broadcast of
+    the quantized matrix + vectorized int64 matmul per batch (the
+    scale path is the IVF partition layout already standing in
+    ann.py); emits (vec_id, label, n_agree, flagged)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    all_df = emb.to_pandas()
+    ids = all_df["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = all_df["label"].to_numpy().astype(np.int64)[order]
+    M = np.floor(np.stack(all_df["embedding"].to_numpy()[order]
+                          ).astype(np.float64) * 1000).astype(np.int64)
+    ref = ray.put((ids, labels, M))
+    K = 5
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        aids, albl, amat = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(np.stack([np.asarray(e, np.float64)
+                               for e in batch["embedding"].to_pylist()])
+                     * 1000).astype(np.int64)
+        dots = q @ amat.T  # int64-exact
+        n_agree = np.zeros(len(vid), np.int64)
+        for r in range(len(vid)):
+            d = dots[r]
+            # exclude self by id, order by (-dot, vec_id)
+            sel = aids != vid[r]
+            o = np.lexsort((aids[sel], -d[sel]))[:K]
+            n_agree[r] = int((albl[sel][o] == lbl[r]).sum())
+        return pa.table({
+            "vec_id": pa.array(vid), "label": pa.array(lbl),
+            "n_agree": pa.array(n_agree),
+            "flagged": pa.array((2 * n_agree < K).astype(np.int64))})
+
+    return emb.map_batches(per_batch, batch_format="pyarrow")
+
+
+Q_LABEL_NOISE_SQL = """
+WITH q AS (SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000)) AS v
+           FROM embeddings),
+d AS (SELECT a.vec_id, a.label, b.label AS nlbl,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rnk
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(sum(CASE WHEN nlbl = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(CASE WHEN 2 * sum(CASE WHEN nlbl = label THEN 1 ELSE 0 END)
+                 < 5 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM d WHERE rnk <= 5 GROUP BY vec_id, label
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -15962,6 +16028,7 @@ def registry():
         "q_auc": (q_auc, Q_AUC_SQL),
         "q_geofence": (q_geofence, Q_GEOFENCE_SQL),
         "q_lpm": (q_lpm, Q_LPM_SQL),
+        "q_label_noise": (q_label_noise, Q_LABEL_NOISE_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
