@@ -15779,6 +15779,75 @@ FROM d WHERE rnk <= 5 GROUP BY vec_id, label
 """
 
 
+def q_theil_sen(sf_dir: str):
+    """Robust trend estimation (Theil-Sen over consecutive samples):
+    per user the slopes of consecutive (ts, value) pairs as RATIONALS
+    (dv centi-units, dt seconds — never divided into a lossy float
+    for the result), the median slope picked at rank ceil(m/2) under
+    the order (IEEE dv/dt, dv, dt) — the float is used for ORDERING
+    only, where both engines compute the identical correctly-rounded
+    quotient, and the lexicographic tail breaks float ties
+    deterministically. Emits (user_id, n_slopes, med_dv, med_dt).
+    One keyed shuffle, vectorized diff + argsort per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.floor(g["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, vi = tv[order], vi[order]
+        uid = int(g["user_id"][0].as_py())
+        dt = np.diff(tv)
+        dv = np.diff(vi)
+        keep = dt > 0  # coincident-second samples define no slope
+        dv, dt = dv[keep], dt[keep]
+        m = len(dv)
+        if m == 0:
+            return pa.table({"user_id": pa.array([uid], pa.int64()),
+                             "n_slopes": pa.array([0], pa.int64()),
+                             "med_dv": pa.array([0], pa.int64()),
+                             "med_dt": pa.array([0], pa.int64())})
+        o = np.lexsort((dt, dv, dv.astype(np.float64) / dt))
+        k = (m + 1) // 2 - 1
+        return pa.table({"user_id": pa.array([uid], pa.int64()),
+                         "n_slopes": pa.array([m], pa.int64()),
+                         "med_dv": pa.array([int(dv[o[k]])], pa.int64()),
+                         "med_dt": pa.array([int(dt[o[k]])], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+Q_THEIL_SEN_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vi,
+         epoch_us(ts) // 1000000 AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) // 1000000, event_id) AS i
+  FROM events),
+sl AS (SELECT a.user_id, b.vi - a.vi AS dv, b.s - a.s AS dt
+       FROM base a JOIN base b
+         ON b.user_id = a.user_id AND b.i = a.i + 1
+       WHERE b.s - a.s > 0),
+rk AS (SELECT user_id, dv, dt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY CAST(dv AS DOUBLE) / dt, dv, dt) AS r,
+         count(*) OVER (PARTITION BY user_id) AS m
+       FROM sl),
+med AS (SELECT user_id, m AS n_slopes, dv AS med_dv, dt AS med_dt
+        FROM rk WHERE r = (m + 1) // 2),
+uni AS (SELECT DISTINCT user_id FROM events)
+SELECT uni.user_id,
+  CAST(coalesce(med.n_slopes, 0) AS BIGINT) AS n_slopes,
+  CAST(coalesce(med.med_dv, 0) AS BIGINT) AS med_dv,
+  CAST(coalesce(med.med_dt, 0) AS BIGINT) AS med_dt
+FROM uni LEFT JOIN med ON med.user_id = uni.user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16029,6 +16098,7 @@ def registry():
         "q_geofence": (q_geofence, Q_GEOFENCE_SQL),
         "q_lpm": (q_lpm, Q_LPM_SQL),
         "q_label_noise": (q_label_noise, Q_LABEL_NOISE_SQL),
+        "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
