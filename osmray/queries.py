@@ -15848,6 +15848,84 @@ FROM uni LEFT JOIN med ON med.user_id = uni.user_id
 """
 
 
+def q_zonemap(sf_dir: str):
+    """Zone-map pruning statistics (the min/max fragment-skipping
+    analysis every columnar store runs at planning time): fragments
+    are l_orderkey // 4096 ranges; each keeps (min, max, n) of the
+    centi-quantized extendedprice; against the predicate
+    1e6 <= price_centi <= 2e6 a fragment is SKIP (disjoint), FULL
+    (contained) or PARTIAL, and the answer reports fragment counts
+    plus exact matching rows — the number a zone-map-pruned scan must
+    reproduce. One keyed (min/max/sum) fold over fragment partials,
+    one O(#frags) classification pass."""
+    from osmray.tableops import sorted_fold
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    P1, P2 = 1_000_000, 2_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vi = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        frag = ok // 4096
+        u, inv = np.unique(frag, return_inverse=True)
+        lo = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        hi = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(lo, inv, vi)
+        np.maximum.at(hi, inv, vi)
+        nm = np.bincount(inv, weights=((vi >= P1) & (vi <= P2)).astype(
+            np.int64)).astype(np.int64)
+        return pa.table({"frag": pa.array(u), "lo": pa.array(lo),
+                         "hi": pa.array(hi),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "nm": pa.array(nm)})
+
+    folded = sorted_fold(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "frag", ["lo", "hi", "n", "nm"], ["min", "max", "sum", "sum"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = batch["nm"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skip = (hi < P1) | (lo > P2)
+        full = (lo >= P1) & (hi <= P2)
+        return pa.table({
+            "n_frags": pa.array([len(lo)], pa.int64()),
+            "n_skip": pa.array([int(skip.sum())], pa.int64()),
+            "n_full": pa.array([int(full.sum())], pa.int64()),
+            "n_partial": pa.array([int((~skip & ~full).sum())],
+                                  pa.int64()),
+            "n_match": pa.array([int(nm.sum())], pa.int64())})
+
+    parts = folded.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
+                     for c in ("n_frags", "n_skip", "n_full",
+                               "n_partial", "n_match")})
+
+
+Q_ZONEMAP_SQL = """
+WITH v AS (SELECT l_orderkey // 4096 AS frag,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS vi
+           FROM lineitem),
+f AS (SELECT frag, min(vi) AS lo, max(vi) AS hi,
+             sum(CASE WHEN vi BETWEEN 1000000 AND 2000000
+                      THEN 1 ELSE 0 END) AS nm
+      FROM v GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_frags,
+  CAST(sum(CASE WHEN hi < 1000000 OR lo > 2000000 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_skip,
+  CAST(sum(CASE WHEN lo >= 1000000 AND hi <= 2000000 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_full,
+  CAST(sum(CASE WHEN NOT (hi < 1000000 OR lo > 2000000)
+                 AND NOT (lo >= 1000000 AND hi <= 2000000)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+  CAST(sum(nm) AS BIGINT) AS n_match
+FROM f
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16099,6 +16177,7 @@ def registry():
         "q_lpm": (q_lpm, Q_LPM_SQL),
         "q_label_noise": (q_label_noise, Q_LABEL_NOISE_SQL),
         "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
+        "q_zonemap": (q_zonemap, Q_ZONEMAP_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
