@@ -15926,6 +15926,83 @@ FROM f
 """
 
 
+def q_cluster_quality(sf_dir: str):
+    """Cluster-quality evaluation of the spherical k-means fit (the
+    silhouette-style cohesion/separation screen run after any
+    embedding clustering): per cluster — member count, summed
+    milli-quantized cosine of members to their OWN centroid
+    (cohesion), and the max milli-cosine of the centroid to any
+    OTHER centroid (separation). Rides the exact kmeans_fit the
+    q_ivf_ann twin replays; one streaming assignment pass with
+    broadcast centroids + a k-group fold; the 16x16 separation
+    matrix is driver-trivial. Float note: cosines milli-quantized
+    like the other embedding twins."""
+    import ray
+
+    from osmray.ann import _norm_rows, kmeans_fit
+    from osmray.tableops import sorted_fold_sums
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(emb, n_centroids=16, n_iters=3)
+    cref = ray.put(cent)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        E = _norm_rows(np.asarray(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        sims = E @ c.T
+        lid = np.argmax(sims, axis=1).astype(np.int64)
+        mil = np.floor(sims[np.arange(len(lid)), lid] * 1000
+                       + 0.5).astype(np.int64)
+        u, inv = np.unique(lid, return_inverse=True)
+        return pa.table({
+            "list_id": pa.array(u),
+            "n_members": pa.array(np.bincount(inv).astype(np.int64)),
+            "intra_mil_sum": pa.array(
+                np.bincount(inv, weights=mil).astype(np.int64))})
+
+    per = sorted_fold_sums(
+        emb.map_batches(partials, batch_format="pyarrow"),
+        "list_id", ["n_members", "intra_mil_sum"]).to_pandas()
+    cc = cent @ cent.T
+    np.fill_diagonal(cc, -np.inf)
+    sep = np.floor(cc.max(axis=1) * 1000 + 0.5).astype(np.int64)
+    per = per.sort_values("list_id")
+    lids = per["list_id"].to_numpy().astype(np.int64)
+    return pa.table({
+        "list_id": pa.array(lids),
+        "n_members": pa.array(per["n_members"].to_numpy().astype(
+            np.int64)),
+        "intra_mil_sum": pa.array(per["intra_mil_sum"].to_numpy().astype(
+            np.int64)),
+        "max_other_mil": pa.array(sep[lids])})
+
+
+def _cluster_quality_sql(n_iters: int = 3) -> str:
+    parts = _ivf_fit_ctes(16, n_iters, 64)
+    n = n_iters
+    parts.append(f"""per AS (
+  SELECT a.list_id, count(*) AS n_members,
+    sum(CAST(floor(list_dot_product(a.e, c.c) * 1000 + 0.5) AS BIGINT))
+      AS intra_mil_sum
+  FROM assign a JOIN cent{n} c USING (list_id) GROUP BY 1),
+sep AS (
+  SELECT c1.list_id,
+    max(CAST(floor(list_dot_product(c1.c, c2.c) * 1000 + 0.5) AS BIGINT))
+      AS max_other_mil
+  FROM cent{n} c1 JOIN cent{n} c2 ON c2.list_id <> c1.list_id
+  GROUP BY 1)""")
+    return ",\n".join(parts) + """
+SELECT per.list_id, CAST(per.n_members AS BIGINT) AS n_members,
+       CAST(per.intra_mil_sum AS BIGINT) AS intra_mil_sum,
+       CAST(sep.max_other_mil AS BIGINT) AS max_other_mil
+FROM per JOIN sep ON sep.list_id = per.list_id
+"""
+
+
+Q_CLUSTER_QUALITY_SQL = _cluster_quality_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16178,6 +16255,7 @@ def registry():
         "q_label_noise": (q_label_noise, Q_LABEL_NOISE_SQL),
         "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
         "q_zonemap": (q_zonemap, Q_ZONEMAP_SQL),
+        "q_cluster_quality": (q_cluster_quality, Q_CLUSTER_QUALITY_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
