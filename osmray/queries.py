@@ -16003,6 +16003,78 @@ FROM per JOIN sep ON sep.list_id = per.list_id
 Q_CLUSTER_QUALITY_SQL = _cluster_quality_sql()
 
 
+_NDCG_DISC = [1_000_000 * 1000 // int(np.floor(np.log2(i + 1) * 1000))
+              if i > 1 else 1_000_000 for i in range(1, 11)]
+# D_i = floor(1e9 / floor(log2(i+1)*1000)): both engines use the same
+# 10 precomputed integer literals, so no float log enters the compare
+
+
+def q_ndcg(sf_dir: str):
+    """Retrieval-quality NDCG@10 components (the ranking-evaluation
+    primitive): queries are vec_id < 5; candidates rank by the
+    MILLI-QUANTIZED integer dot product (bit-stable order, ties ->
+    smaller vec_id, self excluded); relevance = label equality; DCG
+    uses the 10 shared integer discount literals and IDCG re-sorts
+    the retrieved relevance descending — emitted as exact integers
+    (NDCG = dcg/idcg). Broadcast quantized matrix + one vectorized
+    pass, like q_label_noise."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    df = emb.to_pandas()
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = df["label"].to_numpy().astype(np.int64)[order]
+    M = np.floor(np.stack(df["embedding"].to_numpy()[order]
+                          ).astype(np.float64) * 1000).astype(np.int64)
+    qsel = ids < 5
+    disc = np.asarray(_NDCG_DISC, np.int64)
+    rows = {"query_id": [], "dcg": [], "idcg": []}
+    dots = M[qsel] @ M.T
+    for r, qid in enumerate(ids[qsel]):
+        d = dots[r]
+        sel = ids != qid
+        o = np.lexsort((ids[sel], -d[sel]))[:10]
+        rel = (labels[sel][o] == labels[ids == qid][0]).astype(np.int64)
+        rows["query_id"].append(int(qid))
+        rows["dcg"].append(int((rel * disc[:len(rel)]).sum()))
+        rows["idcg"].append(int((np.sort(rel)[::-1]
+                                 * disc[:len(rel)]).sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+_NDCG_DISC_SQL = ", ".join(f"({i + 1}, {d})"
+                           for i, d in enumerate(_NDCG_DISC))
+
+Q_NDCG_SQL = f"""
+WITH q AS (SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000)) AS v
+           FROM embeddings),
+qq AS (SELECT * FROM q WHERE vec_id < 5),
+d AS (SELECT a.vec_id AS query_id, a.label AS qlbl, b.label AS nlbl,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rnk
+      FROM qq a JOIN q b ON b.vec_id <> a.vec_id),
+top AS (SELECT query_id,
+          CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END AS rel, rnk
+        FROM d WHERE rnk <= 10),
+disc(rnk, w) AS (VALUES {_NDCG_DISC_SQL}),
+dcg AS (SELECT t.query_id, sum(t.rel * disc.w) AS dcg
+        FROM top t JOIN disc ON disc.rnk = t.rnk GROUP BY 1),
+ideal AS (SELECT query_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, rnk ASC) AS irnk
+          FROM top),
+idcg AS (SELECT i.query_id, sum(i.rel * disc.w) AS idcg
+         FROM ideal i JOIN disc ON disc.rnk = i.irnk GROUP BY 1)
+SELECT dcg.query_id, CAST(dcg.dcg AS BIGINT) AS dcg,
+       CAST(idcg.idcg AS BIGINT) AS idcg
+FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16256,6 +16328,7 @@ def registry():
         "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
         "q_zonemap": (q_zonemap, Q_ZONEMAP_SQL),
         "q_cluster_quality": (q_cluster_quality, Q_CLUSTER_QUALITY_SQL),
+        "q_ndcg": (q_ndcg, Q_NDCG_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
