@@ -15012,19 +15012,30 @@ def q_st_join(sf_dir: str):
         cx0, cx1 = (x - D) >> 6, (x + D) >> 6
         cy0, cy1 = (y - D) >> 6, (y + D) >> 6
         ct0, ct1 = (s - T) >> 14, (s + T) >> 14
-        out = {"iid": [], "ix": [], "iy": [], "is_": [], "cell": []}
-        for k in range(len(ii)):
-            for ct in range(int(ct0[k]), int(ct1[k]) + 1):
-                for cx in range(int(cx0[k]), int(cx1[k]) + 1):
-                    for cy in range(int(cy0[k]), int(cy1[k]) + 1):
-                        out["iid"].append(int(ii[k]))
-                        out["ix"].append(int(x[k]))
-                        out["iy"].append(int(y[k]))
-                        out["is_"].append(int(s[k]))
-                        out["cell"].append(
-                            (ct + 2) * 64 + (cx + 1) * 8 + (cy + 1))
-        return pa.table({k: pa.array(v, pa.int64())
-                         for k, v in out.items()})
+        # vectorized variable-count replication (the distance_join
+        # explode pattern lifted to 3-D): per incident the covering
+        # box is (nt x nx x ny) cells; local offsets come from a
+        # global arange minus each incident's start offset
+        nt, nx, ny = ct1 - ct0 + 1, cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nt * nx * ny
+        total = int(rep.sum())
+        if total == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("iid", "ix", "iy", "is_", "cell")})
+        ri = np.repeat(np.arange(len(ii)), rep)
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(rep)[:-1])), rep)
+        ct = ct0[ri] + off // (nx * ny)[ri]
+        rem = off % (nx * ny)[ri]
+        cx = cx0[ri] + rem // ny[ri]
+        cy = cy0[ri] + rem % ny[ri]
+        return pa.table({
+            "iid": pa.array(ii[ri].astype(np.int64)),
+            "ix": pa.array(x[ri].astype(np.int64)),
+            "iy": pa.array(y[ri].astype(np.int64)),
+            "is_": pa.array(s[ri].astype(np.int64)),
+            "cell": pa.array(((ct + 2) * 64 + (cx + 1) * 8
+                              + (cy + 1)).astype(np.int64))})
 
     inc = points.map_batches(explode_inc, batch_format="pyarrow")
     j = bucketed_join(points, inc, on="cell", num_buckets=32)
