@@ -475,7 +475,10 @@ def boilerplate_coverage(docs, n: int = 3, min_docs: int = 2,
         return pa.table({"g": pa.array(gs[new][keep], pa.string())})
 
     pairs = docs.map_batches(pair_partials, batch_format="pyarrow")
-    bp = pairs.groupby("b").map_groups(bp_in_group, batch_format="pyarrow")
+    # materialized: the auto-mode size probe and the chosen engine
+    # both consume bp — without this the groupby would run twice
+    bp = pairs.groupby("b").map_groups(
+        bp_in_group, batch_format="pyarrow").materialize()
 
     eng = mode
     if mode == "auto":
