@@ -14712,7 +14712,8 @@ def hits_scores(packed_edges, mode: str = "auto",
     auth1 = sorted_fold_sums(
         e.map_batches(indeg, batch_format="pyarrow"), "node", ["a1"])
     hub1 = fold_over("v", auth1, "a1", "u", "h1")
-    auth2 = fold_over("u", hub1, "h1", "v", "a2")
+    # auth2 feeds BOTH the hub2 round and the final attach — pin it
+    auth2 = fold_over("u", hub1, "h1", "v", "a2").materialize()
     hub2 = fold_over("v", auth2, "a2", "u", "h2")
 
     def universe(batch: pa.Table) -> pa.Table:
