@@ -1488,3 +1488,37 @@ def _assortativity(p: dict) -> Stage:
 
 STAGES.update({"hits": _hits, "ppr": _ppr,
                "assortativity": _assortativity})
+
+
+def _cusum(p: dict) -> Stage:
+    """{"op": "cusum", "k": 7500?, "h": 40000?, "key": "user_id"?,
+    "ts": "ts"?, "val": "value"?, "id": "event_id"?}"""
+    from osmray.windows import cusum_alarms
+
+    return lambda ds: cusum_alarms(
+        ds, k=int(p.get("k", 7500)), h=int(p.get("h", 40000)),
+        key=p.get("key", "user_id"), ts_col=p.get("ts", "ts"),
+        val_col=p.get("val", "value"), id_col=p.get("id", "event_id"))
+
+
+def _stay_points(p: dict) -> Stage:
+    """{"op": "stay_points", "d2": 25?, "t_min": 900?, ...cols}"""
+    from osmray.windows import stay_points
+
+    return lambda ds: stay_points(
+        ds, d2=int(p.get("d2", 25)), t_min=int(p.get("t_min", 900)),
+        key=p.get("key", "user_id"), ts_col=p.get("ts", "ts"),
+        id_col=p.get("id", "event_id"))
+
+
+def _geofence(p: dict) -> Stage:
+    """{"op": "geofence", "box": 10?, ...cols}"""
+    from osmray.windows import geofence_transitions
+
+    return lambda ds: geofence_transitions(
+        ds, box=int(p.get("box", 10)), key=p.get("key", "user_id"),
+        ts_col=p.get("ts", "ts"), id_col=p.get("id", "event_id"))
+
+
+STAGES.update({"cusum": _cusum, "stay_points": _stay_points,
+               "geofence": _geofence})

@@ -14802,35 +14802,10 @@ def q_stay_points(sf_dir: str):
     over ANCHORS not points); the twin replays it as a recursive CTE
     carrying (anchor, anchor_x, anchor_y) and groups rows by their
     anchor."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    D2, T = 25, 900
+    from osmray.windows import stay_points
 
-    def per_user(g: pa.Table) -> pa.Table:
-        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
-            zero_copy_only=False) // 1_000_000
-        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ii, tv))
-        tv, ii = tv[order], ii[order]
-        x = np.cumsum(ii * 7919 % 5 - 2)
-        y = np.cumsum(ii * 104729 % 5 - 2)
-        uid = int(g["user_id"][0].as_py())
-        out = {"user_id": [], "start_event": [], "n_pts": [], "dur_s": []}
-        i, n = 0, len(ii)
-        while i < n:
-            dx, dy = x[i:] - x[i], y[i:] - y[i]
-            far = dx * dx + dy * dy > D2
-            j = i + (int(np.argmax(far)) if far.any() else n - i)
-            dur = int(tv[j - 1] - tv[i])
-            if dur >= T:
-                out["user_id"].append(uid)
-                out["start_event"].append(int(ii[i]))
-                out["n_pts"].append(j - i)
-                out["dur_s"].append(dur)
-            i = j
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
-
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pyarrow")
+    return stay_points(_read(sf_dir, "events",
+                             ["event_id", "user_id", "ts"]))
 
 
 Q_STAY_POINTS_SQL = """
@@ -15378,33 +15353,10 @@ def q_cusum(sf_dir: str):
     scan non-associative — q_debounce's class: one keyed shuffle, one
     O(group) pass). Emits per user (n_alarms, max_s); the twin
     replays the scan as a recursive CTE."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    K, H = 7500, 40000
+    from osmray.windows import cusum_alarms
 
-    def per_user(g: pa.Table) -> pa.Table:
-        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vi = np.floor(g["value"].to_numpy(
-            zero_copy_only=False) * 100).astype(np.int64)
-        order = np.lexsort((ii, tv))
-        vi = vi[order]
-        uid = int(g["user_id"][0].as_py())
-        s = 0
-        n_alarms = 0
-        max_s = 0
-        for x in vi:
-            s = max(0, s + int(x) - K)
-            if s > H:
-                n_alarms += 1
-                s = 0
-            max_s = max(max_s, s)
-        return pa.table({"user_id": pa.array([uid], pa.int64()),
-                         "n_alarms": pa.array([n_alarms], pa.int64()),
-                         "max_s": pa.array([max_s], pa.int64())})
-
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pyarrow")
+    return cusum_alarms(_read(sf_dir, "events",
+                              ["event_id", "user_id", "ts", "value"]))
 
 
 Q_CUSUM_SQL = """
@@ -15596,27 +15548,10 @@ def q_geofence(sf_dir: str):
     ENTER transitions (outside -> inside), EXIT transitions and
     total inside samples. One keyed shuffle, vectorized lag compare
     per group; lag-window SQL twin."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    from osmray.windows import geofence_transitions
 
-    def per_user(g: pa.Table) -> pa.Table:
-        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ii, tv))
-        ii = ii[order]
-        x = np.cumsum(ii * 7919 % 5 - 2)
-        y = np.cumsum(ii * 104729 % 5 - 2)
-        inside = (np.abs(x) <= 10) & (np.abs(y) <= 10)
-        prev = np.concatenate(([False], inside[:-1]))
-        uid = int(g["user_id"][0].as_py())
-        return pa.table({
-            "user_id": pa.array([uid], pa.int64()),
-            "n_enter": pa.array([int((inside & ~prev).sum())], pa.int64()),
-            "n_exit": pa.array([int((~inside & prev).sum())], pa.int64()),
-            "n_inside": pa.array([int(inside.sum())], pa.int64())})
-
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pyarrow")
+    return geofence_transitions(_read(sf_dir, "events",
+                                      ["event_id", "user_id", "ts"]))
 
 
 Q_GEOFENCE_SQL = """

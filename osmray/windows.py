@@ -648,3 +648,91 @@ def resample_fill(ds, key: str, ts: str, val_col: str,
         })
 
     return ds.groupby(key).map_groups(fill, batch_format="pyarrow")
+
+
+def cusum_alarms(ds, k: int = 7500, h: int = 40000,
+                 key: str = "user_id", ts_col: str = "ts",
+                 val_col: str = "value", id_col: str = "event_id"):
+    """One-sided CUSUM drift alarms per key stream — see
+    queries.q_cusum (centi-unit quantization, reset-on-alarm scan)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.floor(g[val_col].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        vi = vi[order]
+        kid = int(g[key][0].as_py())
+        s = n_alarms = max_s = 0
+        for x in vi:
+            s = max(0, s + int(x) - k)
+            if s > h:
+                n_alarms += 1
+                s = 0
+            max_s = max(max_s, s)
+        return pa.table({key: pa.array([kid], pa.int64()),
+                         "n_alarms": pa.array([n_alarms], pa.int64()),
+                         "max_s": pa.array([max_s], pa.int64())})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def stay_points(ds, d2: int = 25, t_min: int = 900,
+                key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id"):
+    """Anchor-scan stay-point detection over the deterministic
+    random-walk trajectories — see queries.q_stay_points."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, ii = tv[order], ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2)
+        y = np.cumsum(ii * 104729 % 5 - 2)
+        kid = int(g[key][0].as_py())
+        out = {key: [], "start_event": [], "n_pts": [], "dur_s": []}
+        i, n = 0, len(ii)
+        while i < n:
+            dx, dy = x[i:] - x[i], y[i:] - y[i]
+            far = dx * dx + dy * dy > d2
+            j = i + (int(np.argmax(far)) if far.any() else n - i)
+            dur = int(tv[j - 1] - tv[i])
+            if dur >= t_min:
+                out[key].append(kid)
+                out["start_event"].append(int(ii[i]))
+                out["n_pts"].append(j - i)
+                out["dur_s"].append(dur)
+            i = j
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def geofence_transitions(ds, box: int = 10, key: str = "user_id",
+                         ts_col: str = "ts", id_col: str = "event_id"):
+    """Geofence enter/exit counts per key over the random-walk
+    trajectories — see queries.q_geofence."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        ii = ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2)
+        y = np.cumsum(ii * 104729 % 5 - 2)
+        inside = (np.abs(x) <= box) & (np.abs(y) <= box)
+        prev = np.concatenate(([False], inside[:-1]))
+        kid = int(g[key][0].as_py())
+        return pa.table({
+            key: pa.array([kid], pa.int64()),
+            "n_enter": pa.array([int((inside & ~prev).sum())], pa.int64()),
+            "n_exit": pa.array([int((~inside & prev).sum())], pa.int64()),
+            "n_inside": pa.array([int(inside.sum())], pa.int64())})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -628,3 +628,27 @@ def test_declarative_graph_score_steps(ray_session):
 
     got = run_pipeline([{"op": "assortativity"}], ds=ds).to_pandas()
     assert list(got.columns) == ["m", "sx", "sxx", "sxy"]
+
+
+def test_declarative_stream_steps(ray_session):
+    import ray.data
+
+    from osmray.pipelines import run_pipeline
+    from osmray.windows import (cusum_alarms, geofence_transitions,
+                                stay_points)
+
+    base = [{"op": "read_parquet",
+             "path": "/root/testdata/sf0.001/events.parquet"}]
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    for extra, direct in [
+        ([{"op": "cusum"}], cusum_alarms(ds)),
+        ([{"op": "stay_points"}], stay_points(ds)),
+        ([{"op": "geofence", "box": 12}],
+         geofence_transitions(ds, box=12)),
+    ]:
+        got = (run_pipeline(base + extra)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        want = (direct.to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        assert got.equals(want)
