@@ -16022,6 +16022,71 @@ FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id
 """
 
 
+def q_text_aug(sf_dir: str):
+    """Deterministic text augmentation (seeded token dropout — the
+    EDA-style corpus-expansion op, with the hash playing the RNG so
+    replays are exact): token at position i of doc d drops iff
+    pmod(hash64(d * 100003 + i), 10) == 0; emits per doc the kept
+    count and an order-sensitive integer checksum of the kept tokens
+    (char-fold rolling combine mod 2^31-1) so the twin verifies the
+    exact output sequence, not just counts. One vectorized
+    map_batches, no shuffle."""
+    from osmray.stages import hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        n_in = np.asarray([len(ws) for ws in toks], np.int64)
+        n_kept = np.zeros(len(ids), np.int64)
+        csum = np.zeros(len(ids), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            hu = _char_fold_hash(u)
+            for k, ws in enumerate(toks):
+                pos = np.arange(len(ws), dtype=np.int64)
+                keep = hash64(ids[k] * 100003 + pos, 0) % 10 != 0
+                hws = hu[np.searchsorted(u, np.asarray(ws))][keep]
+                acc = 0
+                for hv in hws:
+                    acc = (acc * 131 + int(hv)) % _CF_MOD
+                n_kept[k] = int(keep.sum())
+                csum[k] = acc
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n_in),
+                         "n_kept": pa.array(n_kept),
+                         "kept_csum": pa.array(csum)})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+Q_TEXT_AUG_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+idx AS (SELECT CAST(t.range AS INT) AS i FROM range(1, 4096) t),
+tw AS (SELECT doc_id, idx.i AS i, ws[idx.i] AS w,
+              doc_id * 100003 + (idx.i - 1) AS seedk
+       FROM toks JOIN idx ON idx.i <= len(ws)),
+{hash64_ctes('th', 'tw', 'doc_id, i, w', 'seedk', 0)},
+kept AS (SELECT doc_id, i,
+           {_CF_HASH_LAMBDA.format(w='w')} AS wh
+         FROM th5 WHERE ((h % 10) + 10) % 10 <> 0),
+cs AS (SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list(wh ORDER BY i)),
+           (a, c) -> (a * 131 + c) % 2147483647) AS kept_csum
+       FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks)
+SELECT nt.doc_id, nt.n_tokens,
+       CAST(coalesce(cs.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(cs.kept_csum, 0) AS BIGINT) AS kept_csum
+FROM nt LEFT JOIN cs ON cs.doc_id = nt.doc_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16276,6 +16341,7 @@ def registry():
         "q_zonemap": (q_zonemap, Q_ZONEMAP_SQL),
         "q_cluster_quality": (q_cluster_quality, Q_CLUSTER_QUALITY_SQL),
         "q_ndcg": (q_ndcg, Q_NDCG_SQL),
+        "q_text_aug": (q_text_aug, Q_TEXT_AUG_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
