@@ -14238,20 +14238,16 @@ def q_link_predict(sf_dir: str):
     duplicate-safe); existing edges leave via a grace ANTI join on
     the packed pair key (no broadcast edge set); the top-k is a
     distributed sort + limit with a fully deterministic tie-break."""
-    from osmray.joins import bucketed_join
-    from osmray.tableops import cooccur_pairs
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-
     def adj(batch: pa.Table) -> pa.Table:
-        p = _li_points(batch)
-        u, v = p["m1"] % 65536, p["m2"] % 65536
-        keep = u != v
-        u, v = u[keep], v[keep]
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
         return pa.table({"via": pa.array(np.concatenate((u, v))),
                          "nb": pa.array(np.concatenate((v, u)))})
 
-    adj_ds = ds.map_batches(adj, batch_format="pyarrow").materialize()
+    # the session-cached DISTINCT undirected view: cooccur is
+    # duplicate-safe either way, but deduped input skips that work
+    adj_ds = _li_hash_edges(sf_dir, undirected=True).map_batches(
+        adj, batch_format="pyarrow").materialize()
     return link_predict_topk(adj_ds, k=50)
 
 
