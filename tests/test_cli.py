@@ -652,3 +652,45 @@ def test_declarative_stream_steps(ray_session):
         want = (direct.to_pandas()
                 .sort_values("user_id").reset_index(drop=True))
         assert got.equals(want)
+
+
+def test_curation_pipeline_composes(ray_session):
+    """A full text-curation pipeline as ONE declarative spec:
+    read -> quality stats -> length gate -> repetition scoring (and
+    the dedup branch of the same prefix). Each hop's schema feeds
+    the next; the end-to-end result equals running the final kernel
+    on the gated subset."""
+    import ray.data
+
+    from osmray import text
+    from osmray.pipelines import run_pipeline
+
+    base = [
+        {"op": "read_parquet",
+         "path": "/root/testdata/sf0.001/documents.parquet",
+         "columns": ["doc_id", "text"]},
+        {"op": "quality_stats"},
+        {"op": "filter", "column": "n_tokens", "cmp": ">=", "value": 10},
+    ]
+    gated = (run_pipeline(base)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (gated["n_tokens"] >= 10).all() and len(gated) > 0
+
+    scored = (run_pipeline(base + [{"op": "gopher_rules"}])
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert set(scored["doc_id"]) == set(gated["doc_id"])
+    direct = (text.gopher_repetition(
+        ray.data.from_pandas(gated[["doc_id", "text"]]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert scored.equals(direct)
+
+    deduped = (run_pipeline(base + [{"op": "exact_dedup"}])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert deduped["doc_id"].is_unique
+    assert set(deduped["doc_id"]) <= set(gated["doc_id"])
+    assert (deduped["n_dups"] >= 1).all()
+
+    # determinism: the whole spec replays identically
+    again = (run_pipeline(base + [{"op": "gopher_rules"}])
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert scored.equals(again)
