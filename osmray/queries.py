@@ -16082,6 +16082,82 @@ FROM nt LEFT JOIN cs ON cs.doc_id = nt.doc_id
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Dataset-version diff (the table-format audit op: what changed
+    between snapshot T1 and T2): each snapshot is the latest
+    (ts, event_id)-ordered centi-value per user at its cutoff;
+    users classify as added / removed /
+    changed / same and the answer is the four counts — the audit
+    summary a data-versioning layer prints per commit. One keyed
+    pass computes BOTH snapshots (latest-at-cutoff is a per-group
+    scan), then a driver-free classify fold."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    T1 = 1_704_088_800  # 2024-01-01 04:00 UTC — four classes at the
+    T2 = 1_704_110_400  # test scales: added / none / changed / same
+
+    def per_user(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.floor(g["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, vi = tv[order], vi[order]
+        uid = int(g["user_id"][0].as_py())
+
+        def latest(cut):
+            k = np.searchsorted(tv, cut, side="right")
+            return int(vi[k - 1]) if k > 0 else None
+
+        v1, v2 = latest(T1), latest(T2)
+        if v1 is None and v2 is None:
+            st = "none"
+        elif v1 is None:
+            st = "added"
+        elif v2 is None:
+            st = "removed"
+        else:
+            st = "same" if v1 == v2 else "changed"
+        return pa.table({"status": pa.array([st], pa.string()),
+                         "n": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = per.groupby("status").aggregate(Sum("n", alias_name="n_users"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "status": b["status"],
+            "n_users": b["n_users"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH v AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vi,
+                  epoch_us(ts) // 1000000 AS s, event_id
+           FROM events),
+s1 AS (SELECT user_id, vi FROM (
+  SELECT user_id, vi, ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY s DESC, event_id DESC) AS rn
+  FROM v WHERE s <= 1704088800) WHERE rn = 1),
+s2 AS (SELECT user_id, vi FROM (
+  SELECT user_id, vi, ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY s DESC, event_id DESC) AS rn
+  FROM v WHERE s <= 1704110400) WHERE rn = 1),
+uni AS (SELECT DISTINCT user_id FROM v),
+cls AS (SELECT
+    CASE WHEN s1.vi IS NULL AND s2.vi IS NULL THEN 'none'
+         WHEN s1.vi IS NULL THEN 'added'
+         WHEN s2.vi IS NULL THEN 'removed'
+         WHEN s1.vi = s2.vi THEN 'same' ELSE 'changed' END AS status
+  FROM uni LEFT JOIN s1 ON s1.user_id = uni.user_id
+  LEFT JOIN s2 ON s2.user_id = uni.user_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_users
+FROM cls GROUP BY status
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16337,6 +16413,7 @@ def registry():
         "q_cluster_quality": (q_cluster_quality, Q_CLUSTER_QUALITY_SQL),
         "q_ndcg": (q_ndcg, Q_NDCG_SQL),
         "q_text_aug": (q_text_aug, Q_TEXT_AUG_SQL),
+        "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
