@@ -15670,6 +15670,11 @@ def q_label_noise(sf_dir: str):
     import ray
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    # brute-force engine = broadcast matrix build: loud cap, not a
+    # silent driver OOM — above it, route through ann.ivf_partition
+    if emb.count() > 2_000_000:
+        raise ValueError("label_noise brute engine caps at 2e6 vectors; "
+                         "use the IVF-partitioned layout for more")
     all_df = emb.to_pandas()
     ids = all_df["vec_id"].to_numpy().astype(np.int64)
     order = np.argsort(ids)
@@ -15963,6 +15968,9 @@ def q_ndcg(sf_dir: str):
     import ray
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    if emb.count() > 2_000_000:  # same loud cap as q_label_noise
+        raise ValueError("ndcg brute ranking caps at 2e6 vectors; "
+                         "use the IVF-partitioned layout for more")
     df = emb.to_pandas()
     ids = df["vec_id"].to_numpy().astype(np.int64)
     order = np.argsort(ids)
