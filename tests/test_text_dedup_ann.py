@@ -900,3 +900,25 @@ def test_cdc_chunks_resync_and_pipeline(ray_session):
         assert row.n_dup == n_dup
     assert got[got.doc_id == 2].iloc[0].n_dup == 0
     assert got[got.doc_id == 0].iloc[0].n_dup > 0
+
+
+def test_session3_ops_block_invariant(ray_session):
+    """Corpus-level session-3 kernels give identical results across
+    block layouts (1 block vs many small blocks) — no block-local
+    semantics leak into the answer."""
+    import ray.data
+
+    from osmray import dedup, text
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+
+    for fn in (lambda d: text.boilerplate_coverage(d, n=3, min_docs=2),
+               lambda d: dedup.cdc_chunk_dups(d, num_buckets=7),
+               text.gopher_repetition):
+        a = (fn(docs.repartition(1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (fn(docs.repartition(13)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
