@@ -16166,6 +16166,87 @@ FROM cls GROUP BY status
 """
 
 
+def q_assoc_rules(sf_dir: str):
+    """Association rules over the market baskets (the A-Priori
+    completion of q_item_pairs): from pair supports n_ab (>= 2
+    common orders, via the same sorted-run cooccur fold) and item
+    supports n_a, emit DIRECTED rules a -> b with integer-exact
+    confidence gate n_ab * 10 >= n_a (conf >= 0.1, no float
+    division) plus the components (n_ab, n_a) so lift is derivable.
+    Item supports attach by one grace join per rule side — bounded
+    rule set, never the basket table, leaves the shuffle."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import cooccur_pairs, sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(ds, "l_orderkey", "l_partkey", min_count=2)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lhs": pa.array(np.concatenate([a, b])),
+                         "rhs": pa.array(np.concatenate([b, a])),
+                         "n_ab": pa.array(np.concatenate([n, n]))})
+
+    rules = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    # exact item supports: distinct (order, item) via one packed-key
+    # dedup shuffle (partkey < 2^21 at every TPC-H scale here)
+    from ray.data.aggregate import Count
+
+    def pack(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(np.unique((o << 21) | p))})
+
+    supp = (ds.map_batches(pack, batch_format="pyarrow")
+            .groupby("pk").aggregate(Count(alias_name="_n"))
+            .map_batches(lambda b: pa.table({
+                "item": pa.array(b["pk"].to_numpy(
+                    zero_copy_only=False) & ((1 << 21) - 1))}),
+                batch_format="pyarrow"))
+    supp = sorted_fold_sums(supp.map_batches(
+        lambda b: pa.table({
+            "item": b["item"],
+            "n_a": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), "item", ["n_a"])
+
+    j = bucketed_join(rules, supp, on="lhs", right_on="item",
+                      num_buckets=16)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lhs = batch["lhs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rhs = batch["rhs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nab * 10 >= na
+        return pa.table({"lhs": pa.array(lhs[keep]),
+                         "rhs": pa.array(rhs[keep]),
+                         "n_ab": pa.array(nab[keep]),
+                         "n_a": pa.array(na[keep])})
+
+    return j.map_batches(gate, batch_format="pyarrow")
+
+
+Q_ASSOC_RULES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n
+       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+rules AS (SELECT a AS lhs, b AS rhs, n AS n_ab FROM pc
+          UNION ALL SELECT b, a, n FROM pc),
+supp AS (SELECT l_partkey AS item, count(*) AS n_a FROM d GROUP BY 1)
+SELECT r.lhs, r.rhs, CAST(r.n_ab AS BIGINT) AS n_ab,
+       CAST(s.n_a AS BIGINT) AS n_a
+FROM rules r JOIN supp s ON s.item = r.lhs
+WHERE r.n_ab * 10 >= s.n_a
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16422,6 +16503,7 @@ def registry():
         "q_ndcg": (q_ndcg, Q_NDCG_SQL),
         "q_text_aug": (q_text_aug, Q_TEXT_AUG_SQL),
         "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
+        "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
