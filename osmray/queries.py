@@ -16247,6 +16247,89 @@ WHERE r.n_ab * 10 >= s.n_a
 """
 
 
+def q_kd_parts(sf_dir: str):
+    """Adaptive kd-median spatial partitioning (the data-driven
+    complement to the static z-order/Hilbert/range partitioners):
+    split the point cloud at the EXACT global median x (rank
+    max(1, n*50//100) — tableops.exact_order_stats, one distributed
+    sort + O(#blocks) driver state), then each half at its exact
+    median y, giving 4 balanced regions; emits per region the count
+    and integer coordinate sums (the balance + centroid audit a
+    spatial partitioner is judged by). Ties split LOW (x <= mx goes
+    left) so both engines agree exactly."""
+    from osmray.tableops import exact_order_stats
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        return pa.table({"x": pa.array(p["m1"] % 8192),
+                         "y": pa.array(p["m2"] % 8192)})
+
+    pds = ds.map_batches(pts, batch_format="pyarrow").materialize()
+    mx = int(exact_order_stats(pds, "x", [50])
+             .to_pandas()["value"].iloc[0])
+
+    def side(lo: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            keep = x <= mx if lo else x > mx
+            return batch.filter(pa.array(keep))
+        return f
+
+    out = {"region": [], "n_pts": [], "sum_x": [], "sum_y": []}
+    for li, lo in ((0, True), (1, False)):
+        half = pds.map_batches(side(lo), batch_format="pyarrow") \
+                  .materialize()
+        my = int(exact_order_stats(half, "y", [50])
+                 .to_pandas()["value"].iloc[0])
+
+        def stats(batch: pa.Table, my=my) -> pa.Table:
+            x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            below = y <= my
+            return pa.table({
+                "q": pa.array([0, 1], pa.int64()),
+                "n": pa.array([int(below.sum()),
+                               int((~below).sum())], pa.int64()),
+                "sx": pa.array([int(x[below].sum()),
+                                int(x[~below].sum())], pa.int64()),
+                "sy": pa.array([int(y[below].sum()),
+                                int(y[~below].sum())], pa.int64())})
+
+        parts = half.map_batches(stats, batch_format="pyarrow").to_pandas()
+        for qy in (0, 1):
+            sel = parts["q"] == qy
+            out["region"].append(li * 2 + qy)
+            out["n_pts"].append(int(parts["n"][sel].sum()))
+            out["sum_x"].append(int(parts["sx"][sel].sum()))
+            out["sum_y"].append(int(parts["sy"][sel].sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+Q_KD_PARTS_SQL = f"""
+WITH p0 AS ({_LI_SQL}),
+p AS (SELECT m1 % 8192 AS x, m2 % 8192 AS y FROM p0),
+mx AS (SELECT x AS v FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+         count(*) OVER () AS n FROM p)
+       WHERE r = greatest(1, n * 50 // 100)),
+lab AS (SELECT p.x, p.y,
+          CASE WHEN p.x <= mx.v THEN 0 ELSE 1 END AS side
+        FROM p, mx),
+my AS (SELECT side, v FROM (SELECT side, y AS v,
+         ROW_NUMBER() OVER (PARTITION BY side ORDER BY y) AS r,
+         count(*) OVER (PARTITION BY side) AS n FROM lab)
+       WHERE r = greatest(1, n * 50 // 100)),
+q AS (SELECT lab.side * 2
+        + CASE WHEN lab.y <= my.v THEN 0 ELSE 1 END AS region,
+        lab.x, lab.y
+      FROM lab JOIN my ON my.side = lab.side)
+SELECT region, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+FROM q GROUP BY region
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16504,6 +16587,7 @@ def registry():
         "q_text_aug": (q_text_aug, Q_TEXT_AUG_SQL),
         "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
         "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
+        "q_kd_parts": (q_kd_parts, Q_KD_PARTS_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
