@@ -16330,6 +16330,112 @@ FROM q GROUP BY region
 """
 
 
+def q_winsorize(sf_dir: str):
+    """Winsorized robust aggregation: clip centi-quantized event
+    values at the EXACT global p5 / p95 (rank max(1, n*p//100) via
+    the distributed order-stats sort), then per event_type emit
+    (n, clipped sum, n_clipped_low, n_clipped_high) — the
+    outlier-robust mean components. One sort for the two ranks + one
+    pre-aggregated keyed fold."""
+    from osmray.tableops import exact_order_stats, sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def vi_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"vi": pa.array(np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64))})
+
+    qs = exact_order_stats(
+        ds.map_batches(vi_col, batch_format="pyarrow"),
+        "vi", [5, 95]).to_pandas().sort_values("p")
+    lo, hi = (int(v) for v in qs["value"].to_numpy())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        vi = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        clip = np.clip(vi, lo, hi)
+        u, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "b": pa.array(np.zeros(len(u), np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "clip_sum": pa.array(np.bincount(
+                inv, weights=clip).astype(np.int64)),
+            "n_lo": pa.array(np.bincount(
+                inv, weights=(vi < lo).astype(np.int64)).astype(np.int64)),
+            "n_hi": pa.array(np.bincount(
+                inv, weights=(vi > hi).astype(np.int64)).astype(np.int64))})
+
+    # event_type cardinality is bounded; one tiny keyed groupby
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("clip_sum", alias_name="clip_sum"),
+                      Sum("n_lo", alias_name="n_lo"),
+                      Sum("n_hi", alias_name="n_hi")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].cast(pa.int64()),
+            "clip_sum": b["clip_sum"].cast(pa.int64()),
+            "n_lo": b["n_lo"].cast(pa.int64()),
+            "n_hi": b["n_hi"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+Q_WINSORIZE_SQL = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS vi FROM events),
+r AS (SELECT vi, ROW_NUMBER() OVER (ORDER BY vi) AS rn,
+             count(*) OVER () AS n FROM v),
+lo AS (SELECT vi AS v FROM r WHERE rn = greatest(1, n * 5 // 100)),
+hi AS (SELECT vi AS v FROM r WHERE rn = greatest(1, n * 95 // 100))
+SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(least(greatest(v.vi, lo.v), hi.v)) AS BIGINT) AS clip_sum,
+  CAST(sum(CASE WHEN v.vi < lo.v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+  CAST(sum(CASE WHEN v.vi > hi.v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM v, lo, hi GROUP BY v.event_type
+"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit (the classic numeric-fraud screen):
+    leading decimal digit of the integer part of each positive
+    extendedprice, counted per digit 1..9 — emitted as exact counts
+    so any chi-square test downstream starts from the same integers.
+    First digit by arithmetic (divide by 10 until < 10), not string
+    ops — vectorized; pre-aggregated 9-cell fold."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        v = v[v > 0]
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table({"digit": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from osmray.tableops import sorted_fold_sums
+
+    return sorted_fold_sums(
+        ds.map_batches(partials, batch_format="pyarrow"), "digit", ["n"])
+
+
+Q_BENFORD_SQL = """
+WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS vi
+           FROM lineitem WHERE floor(l_extendedprice) > 0),
+d AS (SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v)
+SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16588,6 +16694,8 @@ def registry():
         "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
         "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
         "q_kd_parts": (q_kd_parts, Q_KD_PARTS_SQL),
+        "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
+        "q_benford": (q_benford, Q_BENFORD_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
