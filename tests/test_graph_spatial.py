@@ -499,3 +499,19 @@ def test_hits_assortativity_two_engines(ray_session):
     sb = assortativity_sums(und, mode="broadcast").to_pandas()
     sk = assortativity_sums(und, mode="keyed").to_pandas()
     assert sb.equals(sk)
+
+
+def test_li_hash_edges_cached_and_distinct(ray_session):
+    from osmray import queries as Q
+
+    Q._EDGE_CACHE.clear()
+    e1 = Q._li_hash_edges("/root/testdata/sf0.001")
+    e2 = Q._li_hash_edges("/root/testdata/sf0.001")
+    assert e1 is e2  # session cache hit
+    df = e1.to_pandas()
+    assert not df.duplicated(["u", "v"]).any()
+    assert (df["u"] != df["v"]).all()
+    eu = Q._li_hash_edges("/root/testdata/sf0.001", undirected=True)
+    du = eu.to_pandas()
+    assert (du["u"] <= du["v"]).all()
+    assert not du.duplicated(["u", "v"]).any()
