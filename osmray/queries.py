@@ -16436,6 +16436,76 @@ SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
 """
 
 
+def q_mutual_nn(sf_dir: str):
+    """Mutual nearest neighbors over the embedding table (the
+    dataset-alignment / batch-correction primitive: pairs (a, b)
+    where each is the other's single nearest neighbor): similarity
+    is the milli-quantized integer dot product (bit-stable order,
+    ties -> smaller vec_id, self excluded), NN ids come from one
+    broadcast-matrix pass (same engine shape and 2e6-vector loud cap
+    as q_label_noise; IVF is the scale path), and the mutual filter
+    is a vectorized involution check nn[nn[a]] == a, emitted once
+    per pair with a < b."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if emb.count() > 2_000_000:
+        raise ValueError("mutual_nn brute engine caps at 2e6 vectors; "
+                         "use the IVF-partitioned layout for more")
+    df = emb.to_pandas()
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.floor(np.stack(df["embedding"].to_numpy()[order]
+                          ).astype(np.float64) * 1000).astype(np.int64)
+    ref = ray.put((ids, M))
+
+    def nn_of(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(np.stack([np.asarray(e, np.float64)
+                               for e in batch["embedding"].to_pylist()])
+                     * 1000).astype(np.int64)
+        dots = q @ amat.T
+        # exclude self, argmax by (dot, -id): ties -> smaller vec_id
+        self_pos = np.searchsorted(aids, vid)
+        # self-mask: far below any real dot (|dot| <= 64e6) yet safe
+        # against int64 overflow after the *n rank-scaling below
+        dots[np.arange(len(vid)), self_pos] = -(np.int64(1) << 40)
+        # lexicographic argmax: scale dot by n and subtract the id RANK
+        rank = np.arange(len(aids), dtype=np.int64)
+        key = dots * np.int64(len(aids)) - rank
+        best = np.argmax(key, axis=1)
+        return pa.table({"a": pa.array(vid),
+                         "nb": pa.array(aids[best])})
+
+    nn = emb.map_batches(nn_of, batch_format="pyarrow").to_pandas()
+    a = nn["a"].to_numpy().astype(np.int64)
+    nb = nn["nb"].to_numpy().astype(np.int64)
+    o = np.argsort(a)
+    a, nb = a[o], nb[o]
+    # involution check via positional lookup (ids are the sorted a)
+    pos = np.searchsorted(a, nb)
+    mutual = (a[pos] == nb) & (nb[pos] == a) & (a < nb)
+    return pa.table({"a": pa.array(a[mutual]),
+                     "b": pa.array(nb[mutual])})
+
+
+Q_MUTUAL_NN_SQL = """
+WITH q AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000)) AS v
+           FROM embeddings),
+r1 AS (SELECT a, b FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+      ORDER BY list_dot_product(x.v, y.v) DESC, y.vec_id) AS rn
+  FROM q x JOIN q y ON y.vec_id <> x.vec_id) WHERE rn = 1)
+SELECT p.a, p.b FROM r1 p JOIN r1 r ON r.a = p.b AND r.b = p.a
+WHERE p.a < p.b
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16696,6 +16766,7 @@ def registry():
         "q_kd_parts": (q_kd_parts, Q_KD_PARTS_SQL),
         "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
         "q_benford": (q_benford, Q_BENFORD_SQL),
+        "q_mutual_nn": (q_mutual_nn, Q_MUTUAL_NN_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
