@@ -528,3 +528,51 @@ def ivf_search_partitioned(root: str, query_ids: np.ndarray, queries: np.ndarray
     )
     partials = work.map_batches(search, batch_format="pyarrow", batch_size=1)
     return _merge_topk(partials, query_ids, k, id_col)
+
+
+def mutual_nn(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
+              cap: int = 2_000_000):
+    """Mutual nearest neighbors (see queries.q_mutual_nn): integer
+    milli-quantized dot-product NN per vector from one broadcast-
+    matrix pass (loud ``cap``; IVF is the scale path), then the
+    vectorized involution filter nn[nn[a]] == a, emitted once per
+    pair with a < b."""
+    import ray
+
+    import pyarrow as pa
+
+    if emb_ds.count() > cap:
+        raise ValueError(f"mutual_nn brute engine caps at {cap} vectors; "
+                         "use the IVF-partitioned layout for more")
+    df = emb_ds.to_pandas()
+    ids = df[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.floor(np.stack(df[vec_col].to_numpy()[order]
+                          ).astype(np.float64) * 1000).astype(np.int64)
+    ref = ray.put((ids, M))
+
+    def nn_of(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)
+        vid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(np.stack([np.asarray(e, np.float64)
+                               for e in batch[vec_col].to_pylist()])
+                     * 1000).astype(np.int64)
+        dots = q @ amat.T
+        self_pos = np.searchsorted(aids, vid)
+        dots[np.arange(len(vid)), self_pos] = -(np.int64(1) << 40)
+        rank = np.arange(len(aids), dtype=np.int64)
+        best = np.argmax(dots * np.int64(len(aids)) - rank, axis=1)
+        return pa.table({"a": pa.array(vid), "nb": pa.array(aids[best])})
+
+    nn = emb_ds.map_batches(nn_of, batch_format="pyarrow").to_pandas()
+    a = nn["a"].to_numpy().astype(np.int64)
+    nb = nn["nb"].to_numpy().astype(np.int64)
+    o = np.argsort(a)
+    a, nb = a[o], nb[o]
+    pos = np.searchsorted(a, nb)
+    mutual = (a[pos] == nb) & (nb[pos] == a) & (a < nb)
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({"a": pa.array(a[mutual]),
+                                         "b": pa.array(nb[mutual])}))

@@ -1522,3 +1522,14 @@ def _geofence(p: dict) -> Stage:
 
 STAGES.update({"cusum": _cusum, "stay_points": _stay_points,
                "geofence": _geofence})
+
+
+def _mutual_nn(p: dict) -> Stage:
+    """{"op": "mutual_nn", "id": "vec_id"?, "vec": "embedding"?}"""
+    from osmray.ann import mutual_nn
+
+    return lambda ds: mutual_nn(ds, id_col=p.get("id", "vec_id"),
+                                vec_col=p.get("vec", "embedding"))
+
+
+STAGES.update({"mutual_nn": _mutual_nn})

@@ -16446,49 +16446,10 @@ def q_mutual_nn(sf_dir: str):
     as q_label_noise; IVF is the scale path), and the mutual filter
     is a vectorized involution check nn[nn[a]] == a, emitted once
     per pair with a < b."""
-    import ray
+    from osmray.ann import mutual_nn
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    if emb.count() > 2_000_000:
-        raise ValueError("mutual_nn brute engine caps at 2e6 vectors; "
-                         "use the IVF-partitioned layout for more")
-    df = emb.to_pandas()
-    ids = df["vec_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    M = np.floor(np.stack(df["embedding"].to_numpy()[order]
-                          ).astype(np.float64) * 1000).astype(np.int64)
-    ref = ray.put((ids, M))
-
-    def nn_of(batch: pa.Table) -> pa.Table:
-        aids, amat = ray.get(ref)
-        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        q = np.floor(np.stack([np.asarray(e, np.float64)
-                               for e in batch["embedding"].to_pylist()])
-                     * 1000).astype(np.int64)
-        dots = q @ amat.T
-        # exclude self, argmax by (dot, -id): ties -> smaller vec_id
-        self_pos = np.searchsorted(aids, vid)
-        # self-mask: far below any real dot (|dot| <= 64e6) yet safe
-        # against int64 overflow after the *n rank-scaling below
-        dots[np.arange(len(vid)), self_pos] = -(np.int64(1) << 40)
-        # lexicographic argmax: scale dot by n and subtract the id RANK
-        rank = np.arange(len(aids), dtype=np.int64)
-        key = dots * np.int64(len(aids)) - rank
-        best = np.argmax(key, axis=1)
-        return pa.table({"a": pa.array(vid),
-                         "nb": pa.array(aids[best])})
-
-    nn = emb.map_batches(nn_of, batch_format="pyarrow").to_pandas()
-    a = nn["a"].to_numpy().astype(np.int64)
-    nb = nn["nb"].to_numpy().astype(np.int64)
-    o = np.argsort(a)
-    a, nb = a[o], nb[o]
-    # involution check via positional lookup (ids are the sorted a)
-    pos = np.searchsorted(a, nb)
-    mutual = (a[pos] == nb) & (nb[pos] == a) & (a < nb)
-    return pa.table({"a": pa.array(a[mutual]),
-                     "b": pa.array(nb[mutual])})
+    return mutual_nn(_read(sf_dir, "embeddings",
+                           ["vec_id", "embedding"]))
 
 
 Q_MUTUAL_NN_SQL = """

@@ -694,3 +694,24 @@ def test_curation_pipeline_composes(ray_session):
     again = (run_pipeline(base + [{"op": "gopher_rules"}])
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert scored.equals(again)
+
+
+def test_declarative_mutual_nn_step(ray_session):
+    import ray.data
+
+    from osmray.ann import mutual_nn
+    from osmray.pipelines import run_pipeline
+
+    got = (run_pipeline([
+        {"op": "read_parquet",
+         "path": "/root/testdata/sf0.001/embeddings.parquet",
+         "columns": ["vec_id", "embedding"]},
+        {"op": "mutual_nn"},
+    ]).to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    want = (mutual_nn(ds).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert got.equals(want) and len(got) > 0
+    # mutual-NN is symmetric by construction: no id repeats side-swapped
+    assert (got["a"] < got["b"]).all()
