@@ -16467,6 +16467,80 @@ WHERE p.a < p.b
 """
 
 
+def q_calibration(sf_dir: str):
+    """Calibration / reliability bins for the quality classifier
+    (completing the eval suite with q_auc and q_ndcg): scores bin by
+    the EXACT global deciles (9 cut points at ranks
+    max(1, n*p//100), p = 10..90 — one distributed order-stats
+    sort), bin id = number of cuts strictly below the score, and
+    each bin reports (n, n_pos) — the integers a reliability diagram
+    or ECE computation starts from. One pre-aggregated 10-cell
+    fold."""
+    from osmray.tableops import exact_order_stats, sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def scored(batch: pa.Table) -> pa.Table:
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        lbl = np.asarray(
+            [1 if l == "en" else 0 for l in batch["lang"].to_pylist()],
+            np.int64)
+        flat = [w for ws in toks for w in ws]
+        sc = np.zeros(len(toks), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            wt = (_char_fold_hash(u) % 256) * 2654435761 % (1 << 32) \
+                % 2001 - 1000
+            for k, ws in enumerate(toks):
+                sc[k] = int(wt[np.searchsorted(u, np.asarray(ws))].sum())
+        return pa.table({"score": pa.array(sc), "lbl": pa.array(lbl)})
+
+    sds = docs.map_batches(scored, batch_format="pyarrow").materialize()
+    cuts = np.sort(exact_order_stats(
+        sds, "score", [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    ).to_pandas()["value"].to_numpy().astype(np.int64))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sc = batch["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bin = #cuts strictly below the score (score == cut lands in
+        # the LOWER bin, matching the twin); duplicate cut values
+        # count individually on both sides
+        b = np.sum(sc[:, None] > cuts[None, :], axis=1)
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "bin": pa.array(u.astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_pos": pa.array(np.bincount(
+                inv, weights=lbl).astype(np.int64))})
+
+    return sorted_fold_sums(
+        sds.map_batches(partials, batch_format="pyarrow"),
+        "bin", ["n", "n_pos"])
+
+
+Q_CALIBRATION_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id, lang,
+        {_CF_HASH_LAMBDA.format(w='w')} % 256 AS b FROM toks),
+s AS (SELECT doc_id, max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS lbl,
+        sum(b * 2654435761 % 4294967296 % 2001 - 1000) AS score
+      FROM h GROUP BY doc_id),
+r AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score) AS rn,
+             count(*) OVER () AS n FROM s),
+cuts AS (SELECT p.p, r.score AS c FROM (VALUES (10), (20), (30), (40),
+           (50), (60), (70), (80), (90)) p(p)
+         JOIN r ON r.rn = greatest(1, r.n * p.p // 100)),
+binned AS (SELECT s.doc_id, s.lbl,
+             (SELECT count(*) FROM cuts WHERE s.score > cuts.c) AS bin
+           FROM s)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(lbl) AS BIGINT) AS n_pos
+FROM binned GROUP BY bin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16728,6 +16802,7 @@ def registry():
         "q_winsorize": (q_winsorize, Q_WINSORIZE_SQL),
         "q_benford": (q_benford, Q_BENFORD_SQL),
         "q_mutual_nn": (q_mutual_nn, Q_MUTUAL_NN_SQL),
+        "q_calibration": (q_calibration, Q_CALIBRATION_SQL),
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
