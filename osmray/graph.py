@@ -1351,3 +1351,107 @@ def _lpa_keyed(edges, rounds: int, num_partitions: int):
                   .materialize())
 
     return labels
+
+
+def ktruss(edges_ds, k: int = 4, rounds: int = 2,
+           src_col: str = "u", dst_col: str = "v",
+           num_buckets: int = 8, spill_root: str | None = None):
+    """Bounded-round k-truss peeling — per-EDGE triangle support with
+    iterative pruning (``rounds`` fixed peels, the bounded-round
+    iterative contract of q_hits/q_lpa): each round recomputes every
+    edge's support = #triangles containing it on the CURRENT edge set
+    via the :func:`triangles` two-join plan (wedge grace join on the
+    shared middle vertex, closing-edge grace join), then keeps edges
+    with support >= k-2. Support counting is one high-cardinality
+    ``sorted_fold_sums`` over packed edge keys — edges absent from
+    any triangle never materialize a zero row, they are simply
+    dropped by the filter (k >= 3). No driver state beyond O(1)
+    scalars; the per-round working set is the surviving edge list.
+    Returns (u, v, support) for the edges kept after the final peel,
+    with the support that justified keeping them. Skew note: like
+    triangle counting, wedge fan-out is sum_b deg(b)^2 — salt or cap
+    hot middle vertices upstream for near-star graphs."""
+    from ray.data.aggregate import Count
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    assert k >= 3, k
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = u != v
+        u, v = u[sel], v[sel]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"ek": pa.array(np.unique((lo << 32) | hi))})
+
+    ekeys = (edges_ds.map_batches(orient, batch_format="pyarrow")
+             .groupby("ek").aggregate(Count(alias_name="_n"))
+             .select_columns(["ek"])).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        ek = batch["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ek >> 32),
+                         "b": pa.array(ek & 0xFFFFFFFF)})
+
+    def _empty() -> pa.Table:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+
+    import ray.data as _rd
+
+    kept = None
+    for _ in range(rounds):
+        if ekeys.count() == 0:  # fixpoint: peeled to the empty graph
+            return _rd.from_arrow(_empty())
+        E = ekeys.map_batches(unpack, batch_format="pyarrow")
+        wedges = bucketed_join(E, E, on="b", right_on="a",
+                               num_buckets=num_buckets,
+                               spill_root=spill_root)
+        # columns: a, b, a_r (== b), b_r (== c); keep all three ids
+
+        def wedge_key(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            c = batch["b_r"].to_numpy(zero_copy_only=False)
+            return pa.table({"ek": pa.array((a << 32) | c),
+                             "a": pa.array(a), "b": pa.array(b),
+                             "c": pa.array(c)})
+
+        wk = wedges.map_batches(wedge_key, batch_format="pyarrow")
+        closed = bucketed_join(wk, ekeys, on="ek", right_on="ek",
+                               num_buckets=num_buckets,
+                               spill_root=spill_root)
+
+        def tri_edge_partials(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            eks = np.concatenate([(a << 32) | b, (b << 32) | c,
+                                  (a << 32) | c])
+            u, cnt = np.unique(eks, return_counts=True)
+            return pa.table({"ek": pa.array(u),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        support = sorted_fold_sums(
+            closed.map_batches(tri_edge_partials, batch_format="pyarrow"),
+            "ek", ["n"])
+        kept = support.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["n"], k - 2)),
+            batch_format="pyarrow").materialize()
+        ekeys = kept.select_columns(["ek"]).materialize()
+
+    if ekeys.count() == 0:  # final peel emptied the graph
+        return _rd.from_arrow(_empty())
+
+    def unpack_out(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return _empty()
+        ek = batch["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(ek >> 32),
+                         "v": pa.array(ek & 0xFFFFFFFF),
+                         "support": batch["n"].cast(pa.int64())})
+
+    return kept.map_batches(unpack_out, batch_format="pyarrow")

@@ -1533,3 +1533,47 @@ def _mutual_nn(p: dict) -> Stage:
 
 
 STAGES.update({"mutual_nn": _mutual_nn})
+
+
+def _bpe_train(p: dict) -> Stage:
+    """{"op": "bpe_train", "rounds": 4?} — BPE merge training over a
+    ``text`` column; emits (merge_rank, lhs, rhs, n)."""
+    import ray.data as _rd
+
+    from osmray.text import bpe_train
+
+    return lambda ds: _rd.from_arrow(
+        bpe_train(ds, rounds=int(p.get("rounds", 4))))
+
+
+def _url_canon(p: dict) -> Stage:
+    """{"op": "url_canon", "col": "url"?} — canonicalize a URL column
+    and count rows per canonical url; emits (url, n)."""
+    from osmray.text import url_canon_counts
+
+    return lambda ds: url_canon_counts(ds, url_col=p.get("col", "url"))
+
+
+def _stump(p: dict) -> Stage:
+    """{"op": "stump", "feat": "feat"?, "label": "pos"?} — exact
+    best-threshold decision stump; emits one row
+    (threshold, acc, n_left, pos_left)."""
+    from osmray.tableops import best_split_stump
+
+    return lambda ds: best_split_stump(
+        ds, p.get("feat", "feat"), p.get("label", "pos"))
+
+
+def _ktruss(p: dict) -> Stage:
+    """{"op": "ktruss", "k": 4?, "rounds": 2?, "src": "u"?,
+    "dst": "v"?} — bounded-round k-truss peeling; emits kept edges
+    (u, v, support)."""
+    from osmray.graph import ktruss
+
+    return lambda ds: ktruss(
+        ds, k=int(p.get("k", 4)), rounds=int(p.get("rounds", 2)),
+        src_col=p.get("src", "u"), dst_col=p.get("dst", "v"))
+
+
+STAGES.update({"bpe_train": _bpe_train, "url_canon": _url_canon,
+               "stump": _stump, "ktruss": _ktruss})

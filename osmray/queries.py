@@ -16541,6 +16541,235 @@ FROM binned GROUP BY bin
 """
 
 
+def q_bpe_train(sf_dir: str):
+    """Byte-pair-encoding merge TRAINING over the corpus — the
+    tokenizer-learning operator (q_wordpiece is the runtime side): 4
+    greedy merge rounds, each = exact weighted adjacent-symbol-pair
+    counts over the DISTINCT word vocabulary (corpus word counts come
+    from ONE hashed-count shuffle up front; no round ever
+    re-tokenizes the document stream), global argmax pair (count
+    desc, pair asc — a keys-only sort+limit(1), O(1) driver state per
+    round), then a LEFTMOST NON-OVERLAPPING merge applied over the
+    vocab (text.bpe_train). The double-space pad trick makes python
+    ``str.replace`` and DuckDB ``replace()`` the SAME scan (both
+    replace non-overlapping occurrences left to right), so the SQL
+    twin replays all 4 rounds bit-exactly, including the
+    'a a a' -> 'aa a' overlap case. Emits (merge_rank, lhs, rhs, n).
+    Scale: the per-round working set is the vocab (distinct words x
+    counts), orders smaller than the corpus; pair counting re-buckets
+    by hashed pair string so no round ships strings to the driver."""
+    from osmray.text import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["text"]), rounds=4)
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: pair counts over v{i}, argmax b{i+1},
+    merged vocab v{i+1} (the same double-space replace as the
+    engine)."""
+    j = i + 1
+    return f"""
+p{j} AS (SELECT ws[i] || ' ' || ws[i+1] AS pair, sum(n) AS cnt
+       FROM (SELECT string_split(sym, ' ') AS ws, n FROM v{i}),
+            unnest(generate_series(1, len(ws) - 1)) AS g(i)
+       GROUP BY 1),
+b{j} AS (SELECT pair, cnt FROM p{j} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{j} AS (SELECT trim(replace(replace(
+           ' ' || replace(sym, ' ', '  ') || ' ',
+           ' ' || replace(b{j}.pair, ' ', '  ') || ' ',
+           ' ' || replace(b{j}.pair, ' ', '') || ' '),
+           '  ', ' ')) AS sym, n
+       FROM v{i} CROSS JOIN b{j})"""
+
+
+Q_BPE_TRAIN_SQL = f"""
+WITH w0 AS (SELECT w, count(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY 1),
+v0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sym, n FROM w0),
+{",".join(_bpe_round_sql(i) for i in range(4))}
+SELECT * FROM (
+  SELECT 1 AS merge_rank, string_split(pair, ' ')[1] AS lhs,
+         string_split(pair, ' ')[2] AS rhs, CAST(cnt AS BIGINT) AS n FROM b1
+  UNION ALL
+  SELECT 2, string_split(pair, ' ')[1], string_split(pair, ' ')[2],
+         CAST(cnt AS BIGINT) FROM b2
+  UNION ALL
+  SELECT 3, string_split(pair, ' ')[1], string_split(pair, ' ')[2],
+         CAST(cnt AS BIGINT) FROM b3
+  UNION ALL
+  SELECT 4, string_split(pair, ' ')[1], string_split(pair, ' ')[2],
+         CAST(cnt AS BIGINT) FROM b4)
+"""
+
+
+def q_ktruss(sf_dir: str):
+    """4-truss peeling (2 bounded rounds) on the dense 512-node
+    lineitem graph (denser sibling of the q_triangles graph): per-edge triangle
+    support via the two-grace-join plan, keep support >= 2, recompute
+    on the survivors (graph.ktruss). The cohesive-subgraph primitive
+    community/spam detection runs at scale; the SQL twin unrolls both
+    peels as chained three-way self-joins."""
+    from osmray.graph import ktruss
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        return pa.table({"u": pa.array(p["m1"] % 512),
+                         "v": pa.array(p["m2"] % 512)})
+
+    return ktruss(ds.map_batches(edges, batch_format="pyarrow"),
+                  k=4, rounds=2, num_buckets=8)
+
+
+Q_KTRUSS_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 512 AS u, m2 % 512 AS v FROM p
+        WHERE m1 % 512 <> m2 % 512),
+e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+t0 AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+       JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+s0 AS (SELECT a, b, count(*) AS sup FROM (
+         SELECT a, b FROM t0
+         UNION ALL SELECT b, c FROM t0
+         UNION ALL SELECT a, c FROM t0) GROUP BY 1, 2),
+e1 AS (SELECT a, b FROM s0 WHERE sup >= 2),
+t1 AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       FROM e1 JOIN e1 e2 ON e2.a = e1.b
+       JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+s1 AS (SELECT a, b, count(*) AS sup FROM (
+         SELECT a, b FROM t1
+         UNION ALL SELECT b, c FROM t1
+         UNION ALL SELECT a, c FROM t1) GROUP BY 1, 2)
+SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v,
+       CAST(sup AS BIGINT) AS support
+FROM s1 WHERE sup >= 2
+"""
+
+
+def q_stump(sf_dir: str):
+    """Exact best-split decision stump — the feature-screening /
+    tree-induction primitive: over a 100k-cardinality hashed integer
+    feature and a binary target, find the threshold t maximizing
+    split ACCURACY max(posL, nL-posL) + max(posR, nR-posR) for the
+    partition feat <= t (pure integers — no Gini floats, so the twin
+    is bit-exact). Engine = tableops.best_split_stump: per-block
+    (feat -> n, pos) partials, one high-cardinality sorted fold, a
+    distributed prefix-scan over sorted distinct feats (block-local
+    cumsum + O(#blocks) driver offsets), per-block argmax, keys-only
+    global sort+limit(1). Tie-break: max acc, min threshold. Emits
+    ONE row (threshold, acc, n_left, pos_left)."""
+    from osmray.tableops import best_split_stump
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "feat": pa.array((ok * 7919 + ln) % 100000),
+            "pos": pa.array((ok * 104729 % 7 < 3).astype(np.int64))})
+
+    return best_split_stump(
+        ds.map_batches(featurize, batch_format="pyarrow"), "feat", "pos")
+
+
+Q_STUMP_SQL = """
+WITH f AS (SELECT (l_orderkey * 7919 + l_linenumber) % 100000 AS feat,
+                  CASE WHEN l_orderkey * 104729 % 7 < 3
+                       THEN 1 ELSE 0 END AS pos
+           FROM lineitem),
+g AS (SELECT feat, count(*) AS n, sum(pos) AS p FROM f GROUP BY 1),
+c AS (SELECT feat,
+             SUM(n) OVER (ORDER BY feat ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(p) OVER (ORDER BY feat ROWS UNBOUNDED PRECEDING) AS pl,
+             (SELECT sum(n) FROM g) AS nt,
+             (SELECT sum(p) FROM g) AS pt
+      FROM g)
+SELECT CAST(feat AS BIGINT) AS threshold,
+       CAST(greatest(pl, nl - pl)
+            + greatest(pt - pl, (nt - nl) - (pt - pl)) AS BIGINT) AS acc,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left
+FROM c ORDER BY acc DESC, threshold ASC LIMIT 1
+"""
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization + dedup counting — the CommonCrawl-style
+    frontier/dedup primitive: each doc carries a deterministically
+    MESSY url (mixed-case scheme/host, default and non-default
+    explicit ports, tracking params, fragments, two raw query-param
+    orders), the engine REALLY parses it (text.canonicalize_urls —
+    compiled regex, the same grammar the twin uses), canonicalizes —
+    lowercase scheme+host, drop the scheme-default port only, drop
+    the fragment, drop utm_* params, sort surviving params — and
+    counts docs per canonical url through the unbounded-vocabulary
+    hashed-count shuffle (text.url_canon_counts). The twin parses
+    with regexp_extract + list_filter/list_sort over the SAME
+    strings, so both sides are real parsers. Emits (url, n)."""
+    from osmray.text import url_canon_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def raw_urls(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for k in d.tolist():
+            scheme = "HTTP" if k % 2 == 0 else "https"
+            host = (f"WWW.Site{k % 7}.COM" if k % 3 == 0
+                    else f"site{k % 7}.com")
+            port = ":80" if k % 5 == 0 else (":8443" if k % 5 == 1 else "")
+            qs = (f"?b={k % 3}&utm_source=feed&a={k % 4}" if k % 13 < 6
+                  else f"?a={k % 4}&utm_medium=email&b={k % 3}")
+            out.append(f"{scheme}://{host}{port}/p/{k % 11}{qs}#sec{k % 5}")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return url_canon_counts(
+        docs.map_batches(raw_urls, batch_format="pyarrow"), "url")
+
+
+from osmray.text import URL_RE as _URL_RE  # noqa: E402  (twin shares the engine grammar)
+
+Q_URL_CANON_SQL = rf"""
+WITH raw AS (SELECT
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0
+          THEN 'WWW.Site' || (doc_id % 7) || '.COM'
+          ELSE 'site' || (doc_id % 7) || '.com' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN ':80'
+          WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END) ||
+    '/p/' || (doc_id % 11) ||
+    (CASE WHEN doc_id % 13 < 6
+          THEN '?b=' || (doc_id % 3) || '&utm_source=feed&a=' || (doc_id % 4)
+          ELSE '?a=' || (doc_id % 4) || '&utm_medium=email&b=' || (doc_id % 3)
+     END) || '#sec' || (doc_id % 5) AS u
+  FROM documents),
+parts AS (SELECT
+    lower(regexp_extract(u, '{_URL_RE}', 1)) AS sch,
+    lower(regexp_extract(u, '{_URL_RE}', 2)) AS hst,
+    regexp_extract(u, '{_URL_RE}', 3) AS prt,
+    regexp_extract(u, '{_URL_RE}', 4) AS pth,
+    regexp_extract(u, '{_URL_RE}', 5) AS qs
+  FROM raw),
+canon AS (SELECT
+    sch || '://' || hst ||
+    (CASE WHEN (sch = 'http' AND prt = ':80')
+            OR (sch = 'https' AND prt = ':443') THEN '' ELSE prt END) ||
+    pth ||
+    (CASE WHEN len(kept) > 0
+          THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url
+  FROM (SELECT sch, hst, prt, pth,
+          list_sort(list_filter(string_split(substr(qs, 2), '&'),
+            x -> len(x) > 0 AND NOT starts_with(x, 'utm_'))) AS kept
+        FROM parts))
+SELECT url, CAST(count(*) AS BIGINT) AS n FROM canon GROUP BY url
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -16806,4 +17035,8 @@ def registry():
         "q_lm_score": (q_lm_score, Q_LM_SCORE_SQL),
         "q_link_predict": (q_link_predict, Q_LINK_PREDICT_SQL),
         "q_dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
+        "q_bpe_train": (q_bpe_train, Q_BPE_TRAIN_SQL),
+        "q_ktruss": (q_ktruss, Q_KTRUSS_SQL),
+        "q_stump": (q_stump, Q_STUMP_SQL),
+        "q_url_canon": (q_url_canon, Q_URL_CANON_SQL),
     }

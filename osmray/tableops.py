@@ -820,3 +820,79 @@ def sorted_fold(ds, key_col: str, val_cols: list[str], ops: list[str]):
         .groupby(key_col).map_groups(fix, batch_format="pyarrow"))
 
     return interior.union(boundary)
+
+
+def best_split_stump(ds, feat_col: str, label_col: str):
+    """EXACT best-threshold decision stump over an integer feature
+    and a 0/1 label — the feature-screening / tree-induction
+    primitive. Maximizes split ACCURACY
+    ``max(posL, nL-posL) + max(posR, nR-posR)`` for the partition
+    ``feat <= t`` over every distinct feature value t (pure integers,
+    no Gini floats). Plan: per-block (feat -> n, pos) partials, one
+    high-cardinality ``sorted_fold`` (distinct feats thereafter
+    globally unique), a distributed prefix-scan over the sorted feats
+    (block-local cumsum + O(#blocks) driver offsets keyed by block
+    min — unique feats mean block mins never collide), a per-block
+    argmax, then a keys-only global sort+limit(1). Tie-break: max
+    acc, then min threshold. Returns a 1-row Dataset
+    (threshold, acc, n_left, pos_left)."""
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        f = batch[feat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(f, return_inverse=True)
+        return pa.table({
+            "feat": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "pos": pa.array(np.bincount(inv, weights=y).astype(np.int64))})
+
+    agg = sorted_fold_sums(ds.map_batches(partials, batch_format="pyarrow"),
+                           "feat", ["n", "pos"])
+    sds = agg.sort("feat").materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        f = batch["feat"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "mn": pa.array([int(f[0])]),
+            "n": pa.array([int(batch["n"].to_numpy(
+                zero_copy_only=False).sum())]),
+            "pos": pa.array([int(batch["pos"].to_numpy(
+                zero_copy_only=False).sum())])})
+
+    stats = (sds.map_batches(block_stats, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas().sort_values("mn"))
+    n_tot = int(stats["n"].sum())
+    p_tot = int(stats["pos"].sum())
+    offs_n = np.concatenate(([0], np.cumsum(stats["n"].to_numpy())[:-1]))
+    offs_p = np.concatenate(([0], np.cumsum(stats["pos"].to_numpy())[:-1]))
+    off_ref = ray.put({int(m): (int(a), int(b)) for m, a, b in zip(
+        stats["mn"], offs_n, offs_p)})
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"threshold": pa.array([], pa.int64()),
+                          "acc": pa.array([], pa.int64()),
+                          "n_left": pa.array([], pa.int64()),
+                          "pos_left": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        f = batch["feat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        on, op = ray.get(off_ref)[int(f[0])]
+        nl = np.cumsum(batch["n"].to_numpy(zero_copy_only=False)) + on
+        pl = np.cumsum(batch["pos"].to_numpy(zero_copy_only=False)) + op
+        acc = (np.maximum(pl, nl - pl)
+               + np.maximum(p_tot - pl, (n_tot - nl) - (p_tot - pl)))
+        i = np.lexsort((f, -acc))[0]
+        return pa.table({"threshold": pa.array([int(f[i])]),
+                         "acc": pa.array([int(acc[i])]),
+                         "n_left": pa.array([int(nl[i])]),
+                         "pos_left": pa.array([int(pl[i])])})
+
+    return (sds.map_batches(block_best, batch_format="pyarrow",
+                            batch_size=None)
+            .sort(["acc", "threshold"], descending=[True, False]).limit(1))

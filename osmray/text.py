@@ -668,3 +668,122 @@ class HashedEncoderStage:
         for d in range(self.dim):
             cols[f"e{d}"] = pa.array(emb[:, d])
         return pa.table(cols)
+
+
+def bpe_train(docs, rounds: int = 4):
+    """Byte-pair-encoding merge training — see queries.q_bpe_train
+    for the full contract (leftmost non-overlapping merges via the
+    double-space replace trick, argmax tie-break count desc / pair
+    asc). ``docs`` needs a ``text`` column. Returns a pyarrow Table
+    (merge_rank, lhs, rhs, n) of the learned merges — O(rounds)
+    rows. Scale: per-round working set is the distinct-word vocab;
+    pair counts shuffle by hashed pair string, never to the driver."""
+    from osmray.queries import _hashed_string_counts, _token_block_partials
+    from osmray.stages import hash_str
+
+    words = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, False),
+                         batch_format="pyarrow"), ["w"])
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "sym": pa.array([" ".join(w) for w in batch["w"].to_pylist()]),
+            "n": batch["n"]})
+
+    vocab = words.map_batches(to_sym, batch_format="pyarrow").materialize()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, rounds + 1):
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            nn = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pairs: list[str] = []
+            wts: list[int] = []
+            for sym, n in zip(batch["sym"].to_pylist(), nn):
+                ts = sym.split(" ")
+                pairs.extend(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+                wts.extend([int(n)] * (len(ts) - 1))
+            if not pairs:
+                return pa.table({"w": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64())})
+            u, inv = np.unique(np.asarray(pairs), return_inverse=True)
+            cnt = np.bincount(inv, weights=np.asarray(wts, np.float64))
+            return pa.table({"w": pa.array(u),
+                             "cnt": pa.array(cnt.astype(np.int64)),
+                             "k": pa.array(hash_str(list(u), 11))})
+
+        pc_tab = _hashed_string_counts(
+            vocab.map_batches(pair_partials, batch_format="pyarrow"), ["w"])
+        best = pc_tab.sort(["n", "w"],
+                           descending=[True, False]).limit(1).take(1)
+        if not best:
+            break
+        lhs, rhs = best[0]["w"].split(" ")
+        merges.append((rank, lhs, rhs, int(best[0]["n"])))
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+
+        def merge(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            out = [(" " + s.replace(" ", "  ") + " ")
+                   .replace(pat, rep).replace("  ", " ").strip()
+                   for s in batch["sym"].to_pylist()]
+            return pa.table({"sym": pa.array(out), "n": batch["n"]})
+
+        vocab = vocab.map_batches(merge, batch_format="pyarrow").materialize()
+    return pa.table({
+        "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+        "lhs": pa.array([m[1] for m in merges], pa.string()),
+        "rhs": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64())})
+
+
+URL_RE = (r"^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)"
+          r"(\?[^#]*)?(#.*)?$")
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_urls(urls: list[str]) -> list[str]:
+    """Canonicalize raw URLs: lowercase scheme+host, drop the
+    scheme-DEFAULT explicit port only, drop the fragment, drop
+    ``utm_*`` tracking params, sort surviving params by their full
+    ``k=v`` string. Unparseable strings pass through unchanged (the
+    conservative frontier choice: never silently merge garbage)."""
+    rx = re.compile(URL_RE)
+    out = []
+    for raw in urls:
+        m = rx.match(raw)
+        if m is None:
+            out.append(raw)
+            continue
+        sch = m.group(1).lower()
+        hst = m.group(2).lower()
+        prt = m.group(3) or ""
+        if _DEFAULT_PORTS.get(sch) == prt:
+            prt = ""
+        params = sorted(p for p in (m.group(5) or "?")[1:].split("&")
+                        if p and not p.startswith("utm_"))
+        q = "?" + "&".join(params) if params else ""
+        out.append(f"{sch}://{hst}{prt}{m.group(4)}{q}")
+    return out
+
+
+def url_canon_counts(ds, url_col: str = "url"):
+    """Canonicalize a URL column and count rows per canonical url —
+    the crawl-dedup primitive: canonicalization is a pure per-row
+    kernel (block-local, pre-aggregated per distinct canonical), the
+    count is one unbounded-vocabulary hashed-string shuffle. Emits
+    (url, n)."""
+    from osmray.queries import _hashed_string_counts
+    from osmray.stages import hash_str
+
+    def canon(batch: pa.Table) -> pa.Table:
+        out = canonicalize_urls(batch[url_col].to_pylist())
+        u, inv = np.unique(np.asarray(out), return_inverse=True)
+        return pa.table({"w": pa.array(u),
+                         "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                         "k": pa.array(hash_str(list(u), 11))})
+
+    counted = _hashed_string_counts(
+        ds.map_batches(canon, batch_format="pyarrow"), ["w"])
+    return counted.map_batches(
+        lambda t: t.rename_columns(["url", "n"]), batch_format="pyarrow")

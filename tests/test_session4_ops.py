@@ -1,0 +1,182 @@
+"""Round-4 session-4 operator conformance: BPE merge training,
+k-truss peeling, exact decision stump, URL canonicalization — each
+against an independent brute-force reference on small inputs."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _brute_bpe(texts: list[str], rounds: int):
+    """Independent BPE reference: symbol-LIST scan (the engine merges
+    via string replace on double-spaced text — a different mechanism
+    that must agree)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" "))
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (lhs, rhs), n = best
+        merges.append((rank, lhs, rhs, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import ray.data
+
+    from osmray.text import bpe_train
+
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "aaa aa aaaa the the", "banana bandana"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = bpe_train(ds, rounds=5).to_pylist()
+    want = [{"merge_rank": r, "lhs": l, "rhs": rr, "n": n}
+            for r, l, rr, n in _brute_bpe(texts, 5)]
+    assert got == want
+
+
+def test_bpe_overlap_semantics(ray_session):
+    """'a a a' merges leftmost non-overlapping: (a,a) -> ['aa','a']."""
+    import ray.data
+
+    from osmray.text import bpe_train
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["aaa aaa"])}))
+    got = bpe_train(ds, rounds=2).to_pylist()
+    # word 'aaa' (count 2): pairs (a,a) x2 -> merge1 ('a','a') n=4;
+    # then symbols ['aa','a']: merge2 ('aa','a') n=2
+    assert got == [
+        {"merge_rank": 1, "lhs": "a", "rhs": "a", "n": 4},
+        {"merge_rank": 2, "lhs": "aa", "rhs": "a", "n": 2}]
+
+
+def _brute_ktruss(pairs, k: int, rounds: int):
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    sup: dict = {}
+    for _ in range(rounds):
+        if not edges:
+            return {}
+        nbr: dict = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sup = {(a, b): len(nbr[a] & nbr[b]) for a, b in edges}
+        edges = {e for e, s in sup.items() if s >= k - 2}
+    return {e: sup[e] for e in edges}
+
+
+def test_ktruss_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.graph import ktruss
+
+    rng = np.random.RandomState(7)
+    u = rng.randint(0, 30, 200).astype(np.int64)
+    v = rng.randint(0, 30, 200).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(u),
+                                       "v": pa.array(v)}))
+    got = {(r["u"], r["v"]): r["support"]
+           for r in ktruss(ds, k=4, rounds=2, num_buckets=4).take_all()}
+    want = _brute_ktruss(zip(u.tolist(), v.tolist()), 4, 2)
+    assert got == want
+
+
+def test_ktruss_empty_fixpoint(ray_session):
+    """A triangle-free graph peels to empty without crashing."""
+    import ray.data
+
+    from osmray.graph import ktruss
+
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    out = ktruss(ds, k=4, rounds=2, num_buckets=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"u", "v", "support"}
+
+
+def test_stump_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.tableops import best_split_stump
+
+    rng = np.random.RandomState(3)
+    feat = rng.randint(0, 50, 400).astype(np.int64)
+    # correlated label so the split is informative
+    pos = ((feat > 23).astype(np.int64) ^ (rng.rand(400) < 0.2)).astype(
+        np.int64)
+    ds = ray.data.from_arrow(pa.table({"feat": pa.array(feat),
+                                       "pos": pa.array(pos)}))
+    got = best_split_stump(ds, "feat", "pos").take_all()[0]
+
+    n_tot, p_tot = len(feat), int(pos.sum())
+    best = None
+    for t in sorted(set(feat.tolist())):
+        nl = int((feat <= t).sum())
+        pl = int(pos[feat <= t].sum())
+        acc = max(pl, nl - pl) + max(p_tot - pl, (n_tot - nl) - (p_tot - pl))
+        cand = (-acc, t, nl, pl)
+        if best is None or cand < best:
+            best = cand
+    assert got == {"threshold": best[1], "acc": -best[0],
+                   "n_left": best[2], "pos_left": best[3]}
+
+
+def test_url_canon_kernel():
+    from osmray.text import canonicalize_urls
+
+    raw = [
+        "HTTP://WWW.Ex.COM:80/a/b?utm_source=x&b=2&a=1#frag",
+        "https://ex.com:443/p?z=1&utm_medium=m",
+        "https://ex.com:8443/p?z=1",
+        "http://EX.com/p",
+        "not a url at all",
+        "http://ex.com/p?",
+    ]
+    assert canonicalize_urls(raw) == [
+        "http://www.ex.com/a/b?a=1&b=2",
+        "https://ex.com/p?z=1",
+        "https://ex.com:8443/p?z=1",
+        "http://ex.com/p",
+        "not a url at all",
+        "http://ex.com/p",
+    ]
+
+
+def test_session4_steps(ray_session, tmp_path):
+    from osmray.pipelines.declarative import STAGES, run_pipeline
+
+    for op in ("bpe_train", "url_canon", "stump", "ktruss"):
+        assert op in STAGES
+
+    docs = pa.table({"text": pa.array(["ab ab ab", "ab cd"])})
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    got = run_pipeline([
+        {"op": "read_parquet", "path": str(tmp_path / "docs.parquet")},
+        {"op": "bpe_train", "rounds": 1}]).take_all()
+    assert got == [{"merge_rank": 1, "lhs": "a", "rhs": "b", "n": 4}]
+
+    urls = pa.table({"url": pa.array(
+        ["HTTP://A.com:80/x?utm_a=1&k=2", "http://a.COM/x?k=2"])})
+    pq.write_table(urls, str(tmp_path / "urls.parquet"))
+    got = run_pipeline([
+        {"op": "read_parquet", "path": str(tmp_path / "urls.parquet")},
+        {"op": "url_canon"}]).take_all()
+    assert got == [{"url": "http://a.com/x?k=2", "n": 2}]
