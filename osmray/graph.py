@@ -1455,3 +1455,78 @@ def ktruss(edges_ds, k: int = 4, rounds: int = 2,
                          "support": batch["n"].cast(pa.int64())})
 
     return kept.map_batches(unpack_out, batch_format="pyarrow")
+
+
+def stitch_chains(segs_ds, id_col: str = "s", p1_col: str = "p1",
+                  p2_col: str = "p2", len_col: str = "len",
+                  num_buckets: int = 4096, mode: str = "auto"):
+    """Polyline / way stitching — the OSM road-network conflation
+    primitive: segments sharing an endpoint of TOTAL degree exactly 2
+    (the unambiguous-continuation rule) merge into chains; junctions
+    (degree >= 3) and dead ends break chains. Plan: explode endpoint
+    rows, co-locate each endpoint's rows by a bounded hashed-bucket
+    groupby (pt % num_buckets — per-group work is vectorized run
+    detection, never per-endpoint task overhead), emit one segment-
+    graph edge per degree-2 endpoint, run :func:`connected_components`
+    over segment ids (components are paths/cycles, so min-label CC
+    converges in O(log chain length) pointer-jumped rounds), LEFT-
+    attach labels back so isolated segments keep their own id, and
+    fold (count, total length, id min) per chain. Emits
+    (chain_id, n_segs, total_len); chain_id = min segment id."""
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold
+
+    def ends(batch: pa.Table) -> pa.Table:
+        s = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p1 = batch[p1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p2 = batch[p2_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pt": pa.array(np.concatenate([p1, p2])),
+            "s": pa.array(np.concatenate([s, s])),
+            "bk": pa.array(np.concatenate([p1, p2]) % num_buckets)})
+
+    def deg2_pairs(g: pa.Table) -> pa.Table:
+        pt = g["pt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, pt))
+        pt, s = pt[order], s[order]
+        new = np.concatenate(([True], pt[1:] != pt[:-1]))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(pt)])))
+        two = starts[cnt == 2]
+        a, b = s[two], s[two + 1]
+        keep = a != b
+        return pa.table({"u": pa.array(a[keep]), "v": pa.array(b[keep])})
+
+    edges = (segs_ds.map_batches(ends, batch_format="pyarrow")
+             .groupby("bk").map_groups(deg2_pairs, batch_format="pyarrow"))
+    comps = connected_components(edges, mode=mode)
+
+    attach = bucketed_join(
+        segs_ds.map_batches(
+            lambda t: pa.table({
+                "s": t[id_col].cast(pa.int64()),
+                "len": t[len_col].cast(pa.int64()),
+                "one": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow"),
+        comps, on="s", right_on="node", how="left",
+        num_buckets=max(8, num_buckets // 256))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["comp"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = _pc.is_null(col).to_numpy(zero_copy_only=False)
+        comp = _pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        comp = np.where(isnull, s, comp)
+        return pa.table({"comp": pa.array(comp), "one": batch["one"],
+                         "len": batch["len"], "s": batch["s"]})
+
+    folded = sorted_fold(
+        attach.map_batches(resolve, batch_format="pyarrow"),
+        "comp", ["one", "len"], ["sum", "sum"])
+    return folded.map_batches(
+        lambda t: t.rename_columns(["chain_id", "n_segs", "total_len"]),
+        batch_format="pyarrow")

@@ -1577,3 +1577,27 @@ def _ktruss(p: dict) -> Stage:
 
 STAGES.update({"bpe_train": _bpe_train, "url_canon": _url_canon,
                "stump": _stump, "ktruss": _ktruss})
+
+
+def _stitch_chains(p: dict) -> Stage:
+    """{"op": "stitch_chains", "id": "s"?, "p1": "p1"?, "p2": "p2"?,
+    "len": "len"?} — degree-2 polyline stitching; emits
+    (chain_id, n_segs, total_len)."""
+    from osmray.graph import stitch_chains
+
+    return lambda ds: stitch_chains(
+        ds, id_col=p.get("id", "s"), p1_col=p.get("p1", "p1"),
+        p2_col=p.get("p2", "p2"), len_col=p.get("len", "len"))
+
+
+def _interleave(p: dict) -> Stage:
+    """{"op": "interleave", "key": "source"?, "id": "doc_id"?} —
+    proportional stride interleave; emits (id, key, rk, pos)."""
+    from osmray.windows import interleave_positions
+
+    return lambda ds: interleave_positions(
+        ds, key=p.get("key", "source"), id_col=p.get("id", "doc_id"))
+
+
+STAGES.update({"stitch_chains": _stitch_chains,
+               "interleave": _interleave})

@@ -16770,6 +16770,83 @@ SELECT url, CAST(count(*) AS BIGINT) AS n FROM canon GROUP BY url
 """
 
 
+def q_polyline_stitch(sf_dir: str):
+    """Polyline / way stitching — the OSM road-network conflation
+    primitive (graph.stitch_chains): hashed segments over a 2^20
+    endpoint universe merge wherever an endpoint has TOTAL degree
+    exactly 2 (unambiguous continuation; junctions and dead ends
+    break chains). Endpoint co-location is a bounded hashed-bucket
+    groupby with vectorized run detection; chains are min-label CC
+    over segment ids (paths/cycles only, so pointer-jumped rounds
+    converge fast); isolated segments keep their own id via a LEFT
+    grace join; one keyed fold emits (chain_id, n_segs, total_len).
+    The twin replays the degree-2 rule + a recursive-CTE closure."""
+    from osmray.graph import stitch_chains
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def segs(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        p1, p2 = p["m1"] % 1048576, p["m2"] % 1048576
+        keep = p1 != p2
+        s = p["pid"][keep]
+        return pa.table({"s": pa.array(s), "p1": pa.array(p1[keep]),
+                         "p2": pa.array(p2[keep]),
+                         "len": pa.array(1 + s % 97)})
+
+    return stitch_chains(ds.map_batches(segs, batch_format="pyarrow"))
+
+
+Q_POLYLINE_STITCH_SQL = f"""
+WITH RECURSIVE p AS ({_LI_SQL}),
+seg AS (SELECT pid AS s, m1 % 1048576 AS p1, m2 % 1048576 AS p2,
+               1 + pid % 97 AS len
+        FROM p WHERE m1 % 1048576 <> m2 % 1048576),
+ends AS (SELECT s, p1 AS pt FROM seg UNION ALL SELECT s, p2 AS pt FROM seg),
+deg2 AS (SELECT pt, min(s) AS a, max(s) AS b FROM ends GROUP BY pt
+         HAVING count(*) = 2 AND min(s) <> max(s)),
+e0 AS (SELECT DISTINCT a AS u, b AS v FROM deg2),
+ee AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+r AS (
+  SELECT s AS node, s AS label FROM seg
+  UNION
+  SELECT ee.v AS node, r.label FROM r JOIN ee ON ee.u = r.node
+  WHERE r.label < ee.v),
+comp AS (SELECT node, min(label) AS c FROM r GROUP BY node)
+SELECT CAST(c AS BIGINT) AS chain_id, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(seg.len) AS BIGINT) AS total_len
+FROM comp JOIN seg ON seg.s = comp.node GROUP BY c
+"""
+
+
+def q_interleave(sf_dir: str):
+    """Deterministic proportional source interleaving — the
+    training-data MIXING-ORDER operator (windows.interleave_positions):
+    per-source rank rk (ordered by doc_id, computed by the sorted-scan
+    block-offset pattern — no task holds a whole source) and global
+    stride position pos = ((2*rk - 1) * n_total) // (2 * n_source)
+    (Bresenham midpoint: reading by pos interleaves every source
+    evenly through one epoch at any mix skew). Pure-integer, so the
+    ROW_NUMBER window twin is bit-exact."""
+    from osmray.windows import interleave_positions
+
+    return interleave_positions(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        key="source", id_col="doc_id")
+
+
+Q_INTERLEAVE_SQL = """
+WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS nt FROM documents),
+r AS (SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents)
+SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS rk,
+       CAST(((2 * rk - 1) * t.nt) // (2 * c.ns) AS BIGINT) AS pos
+FROM r JOIN c USING(source) CROSS JOIN t
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17039,4 +17116,6 @@ def registry():
         "q_ktruss": (q_ktruss, Q_KTRUSS_SQL),
         "q_stump": (q_stump, Q_STUMP_SQL),
         "q_url_canon": (q_url_canon, Q_URL_CANON_SQL),
+        "q_polyline_stitch": (q_polyline_stitch, Q_POLYLINE_STITCH_SQL),
+        "q_interleave": (q_interleave, Q_INTERLEAVE_SQL),
     }

@@ -736,3 +736,82 @@ def geofence_transitions(ds, box: int = 10, key: str = "user_id",
             "n_inside": pa.array([int(inside.sum())], pa.int64())})
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def interleave_positions(ds, key: str = "source", id_col: str = "doc_id"):
+    """Deterministic proportional interleave of sources — the
+    training-data MIXING-ORDER operator: each row gets its per-source
+    rank ``rk`` (1-based, ordered by ``id_col``) and a global stride
+    position ``pos = ((2*rk - 1) * n_total) // (2 * n_source)`` (the
+    Bresenham / stride-scheduling midpoint: reading rows by pos
+    interleaves every source evenly through one epoch, whatever the
+    mix skew). Ranks come from the sorted-scan pattern, NOT a
+    per-source map_groups: one sort by (key, id), block-local run
+    positions, and O(#blocks x #key-runs-per-block) driver offsets —
+    no task ever holds a whole source. Per-source totals are a
+    bounded groupby (#sources is small; their SIZES are not).
+    Overflow note: the product (2*rk-1)*n_total needs int128 beyond
+    ~3e9 rows; swap in a per-source precomputed stride decomposition
+    there. Emits (id, key, rk, pos)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    totals = {r[key]: r["count()"] for r in
+              ds.groupby(key).aggregate(Count()).take_all()}
+    n_total = int(sum(totals.values()))
+
+    sds = (ds.select_columns([id_col, key])
+           .sort([key, id_col]).materialize())
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"k0": pa.array([], pa.string()),
+                             "i0": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = np.asarray(batch[key].to_pylist())
+        ii = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(ks, return_counts=True)
+        m = len(u)
+        return pa.table({"k0": pa.array([str(ks[0])] * m),
+                         "i0": pa.array([int(ii[0])] * m),
+                         "src": pa.array(u),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    stats = (sds.map_batches(block_stats, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas().sort_values(["k0", "i0"]))
+    # running per-source offsets in global block order; blocks are
+    # contiguous ranges of the (key, id) sort, identified by their
+    # first row (id_col values are unique)
+    run: dict = {}
+    offsets: dict = {}
+    for _, r in stats.iterrows():
+        bk = (r["k0"], int(r["i0"]))
+        offsets.setdefault(bk, {})[r["src"]] = run.get(r["src"], 0)
+        run[r["src"]] = run.get(r["src"], 0) + int(r["cnt"])
+    off_ref = ray.put((offsets, totals, n_total))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], pa.string()),
+                             "rk": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        offs, tot, nt = ray.get(off_ref)
+        ks = np.asarray(batch[key].to_pylist())
+        ii = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = (str(ks[0]), int(ii[0]))
+        # local rank within each source run
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        local = np.arange(len(ks), dtype=np.int64) - starts[gid]
+        base = np.asarray([offs[bk][ks[s]] for s in starts], np.int64)
+        rk = local + base[gid] + 1
+        ns = np.asarray([tot[ks[s]] for s in starts], np.int64)[gid]
+        pos = ((2 * rk - 1) * nt) // (2 * ns)
+        return pa.table({id_col: batch[id_col], key: batch[key],
+                         "rk": pa.array(rk), "pos": pa.array(pos)})
+
+    return sds.map_batches(emit, batch_format="pyarrow", batch_size=None)

@@ -180,3 +180,86 @@ def test_session4_steps(ray_session, tmp_path):
         {"op": "read_parquet", "path": str(tmp_path / "urls.parquet")},
         {"op": "url_canon"}]).take_all()
     assert got == [{"url": "http://a.com/x?k=2", "n": 2}]
+
+
+def test_stitch_chains_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.graph import stitch_chains
+
+    rng = np.random.RandomState(11)
+    s = np.arange(120, dtype=np.int64) + 1
+    p1 = rng.randint(0, 80, 120).astype(np.int64)
+    p2 = (p1 + 1 + rng.randint(0, 79, 120)) % 80
+    keep = p1 != p2
+    s, p1, p2 = s[keep], p1[keep], p2[keep]
+    ln = 1 + s % 7
+    ds = ray.data.from_arrow(pa.table({
+        "s": pa.array(s), "p1": pa.array(p1), "p2": pa.array(p2),
+        "len": pa.array(ln)})).repartition(4)
+    got = {r["chain_id"]: (r["n_segs"], r["total_len"])
+           for r in stitch_chains(ds, num_buckets=16).take_all()}
+
+    # brute: degree-2 endpoints connect their two segments; CC
+    from collections import Counter
+
+    deg = Counter(np.concatenate([p1, p2]).tolist())
+    parent = {int(x): int(x) for x in s}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    at: dict = {}
+    for si, a, b in zip(s.tolist(), p1.tolist(), p2.tolist()):
+        for pt in (a, b):
+            if deg[pt] == 2:
+                if pt in at:
+                    ra, rb = find(at[pt]), find(si)
+                    parent[max(ra, rb)] = min(ra, rb)
+                else:
+                    at[pt] = si
+    want: dict = {}
+    for si, li in zip(s.tolist(), ln.tolist()):
+        c = find(si)
+        n, t = want.get(c, (0, 0))
+        want[c] = (n + 1, t + li)
+    assert got == want
+
+
+def test_interleave_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.windows import interleave_positions
+
+    rng = np.random.RandomState(2)
+    did = rng.permutation(300).astype(np.int64)
+    src = np.asarray(["abc"[i % 3] * (1 + i % 2) for i in
+                      rng.randint(0, 6, 300)])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(did), "source": pa.array(src)})).repartition(7)
+    got = sorted((r["doc_id"], r["source"], r["rk"], r["pos"])
+                 for r in interleave_positions(ds).take_all())
+
+    nt = len(did)
+    want = []
+    for sname in np.unique(src):
+        ids = np.sort(did[src == sname])
+        ns = len(ids)
+        for i, d in enumerate(ids.tolist(), start=1):
+            want.append((d, str(sname), i, ((2 * i - 1) * nt) // (2 * ns)))
+    assert got == sorted(want)
+    # stride property: per-source positions spread across [0, nt)
+    pos_a = sorted(p for d, sn, r, p in got if sn == "a")
+    assert pos_a[0] < nt // len(pos_a) and pos_a[-1] >= nt - 2 * (
+        nt // len(pos_a)) - 1
+
+
+def test_session4_new_steps_registered():
+    from osmray.pipelines.declarative import STAGES
+
+    for op in ("stitch_chains", "interleave"):
+        assert op in STAGES
+        assert callable(STAGES[op]({"op": op}))
