@@ -576,3 +576,54 @@ def mutual_nn(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     return ray.data.from_arrow(pa.table({"a": pa.array(a[mutual]),
                                          "b": pa.array(nb[mutual])}))
+
+
+def hard_negatives(emb_ds, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   cap: int = 2_000_000):
+    """Hard-negative mining for contrastive training: for every
+    vector, the single MOST-similar vector with a DIFFERENT label
+    (milli-quantized integer dot product — bit-stable order, exact in
+    DuckDB doubles below 2^53; ties -> smaller neighbor id). Engine:
+    one broadcast of the quantized matrix + labels with a loud
+    ``cap`` (the scale path is the ivf_partition layout), vectorized
+    int64 matmul per batch, same-label entries masked before the
+    rank-packed argmax. Emits (vec_id, label, neg_id, neg_label,
+    sim)."""
+    import ray
+    import ray.data
+
+    if emb_ds.count() > cap:
+        raise ValueError(f"hard_negatives brute engine caps at {cap} "
+                         "vectors; use the IVF-partitioned layout for more")
+    df = emb_ds.to_pandas()
+    ids = df[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = df[label_col].to_numpy().astype(np.int64)[order]
+    M = np.floor(np.stack(df[vec_col].to_numpy()[order]
+                          ).astype(np.float64) * 1000).astype(np.int64)
+    ref = ray.put((ids, labels, M))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        aids, albl, amat = ray.get(ref)
+        vid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch[label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        q = np.floor(np.stack([np.asarray(e, np.float64)
+                               for e in batch[vec_col].to_pylist()])
+                     * 1000).astype(np.int64)
+        dots = q @ amat.T  # int64-exact
+        sims = dots.copy()
+        dots[lbl[:, None] == albl[None, :]] = -(np.int64(1) << 40)
+        rank = np.arange(len(aids), dtype=np.int64)
+        best = np.argmax(dots * np.int64(len(aids)) - rank, axis=1)
+        rows = np.arange(len(vid))
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "label": pa.array(lbl),
+            "neg_id": pa.array(aids[best]),
+            "neg_label": pa.array(albl[best]),
+            "sim": pa.array(sims[rows, best])})
+
+    return emb_ds.map_batches(per_batch, batch_format="pyarrow")

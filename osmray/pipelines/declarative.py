@@ -1601,3 +1601,39 @@ def _interleave(p: dict) -> Stage:
 
 STAGES.update({"stitch_chains": _stitch_chains,
                "interleave": _interleave})
+
+
+def _bpe_apply(p: dict) -> Stage:
+    """{"op": "bpe_apply", "rounds": 4?} — train BPE merges on the
+    corpus and tokenize each doc; emits
+    (doc_id, n_tokens, n_subtokens)."""
+    from osmray.text import bpe_apply
+
+    return lambda ds: bpe_apply(ds, rounds=int(p.get("rounds", 4)))
+
+
+def _hard_negatives(p: dict) -> Stage:
+    """{"op": "hard_negatives", "id": "vec_id"?, "vec": "embedding"?,
+    "label": "label"?} — nearest different-label neighbor per
+    vector."""
+    from osmray.ann import hard_negatives
+
+    return lambda ds: hard_negatives(
+        ds, id_col=p.get("id", "vec_id"), vec_col=p.get("vec", "embedding"),
+        label_col=p.get("label", "label"))
+
+
+def _od_flows(p: dict) -> Stage:
+    """{"op": "od_flows", "key": "user_id"?, "ts": "ts"?,
+    "id": "event_id"?, "cell_shift": 3?} — origin-destination cell
+    transition counts."""
+    from osmray.windows import od_flows
+
+    return lambda ds: od_flows(
+        ds, key=p.get("key", "user_id"), ts_col=p.get("ts", "ts"),
+        id_col=p.get("id", "event_id"),
+        cell_shift=int(p.get("cell_shift", 3)))
+
+
+STAGES.update({"bpe_apply": _bpe_apply, "hard_negatives": _hard_negatives,
+               "od_flows": _od_flows})

@@ -16563,18 +16563,20 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(_read(sf_dir, "documents", ["text"]), rounds=4)
 
 
-def _bpe_round_sql(i: int) -> str:
+def _bpe_round_sql(i: int, carry_w: bool = False) -> str:
     """One unrolled BPE round: pair counts over v{i}, argmax b{i+1},
     merged vocab v{i+1} (the same double-space replace as the
-    engine)."""
+    engine). ``carry_w`` keeps the original word through the rounds
+    (the apply twin needs the word -> merged-symbols mapping)."""
     j = i + 1
+    w = "w, " if carry_w else ""
     return f"""
 p{j} AS (SELECT ws[i] || ' ' || ws[i+1] AS pair, sum(n) AS cnt
        FROM (SELECT string_split(sym, ' ') AS ws, n FROM v{i}),
             unnest(generate_series(1, len(ws) - 1)) AS g(i)
        GROUP BY 1),
 b{j} AS (SELECT pair, cnt FROM p{j} ORDER BY cnt DESC, pair ASC LIMIT 1),
-v{j} AS (SELECT trim(replace(replace(
+v{j} AS (SELECT {w}trim(replace(replace(
            ' ' || replace(sym, ' ', '  ') || ' ',
            ' ' || replace(b{j}.pair, ' ', '  ') || ' ',
            ' ' || replace(b{j}.pair, ' ', '') || ' '),
@@ -16844,6 +16846,98 @@ r AS (SELECT doc_id, source,
 SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS rk,
        CAST(((2 * rk - 1) * t.nt) // (2 * c.ns) AS BIGINT) AS pos
 FROM r JOIN c USING(source) CROSS JOIN t
+"""
+
+
+def q_bpe_apply(sf_dir: str):
+    """Tokenizer compression under the trained BPE vocabulary — the
+    apply-side of q_bpe_train (text.bpe_apply): learn 4 merges on the
+    corpus, then tokenize every doc with them. The merges are
+    O(rounds) driver state, so the apply pass is one fully
+    distributed map (merges replay per block-DISTINCT word, per-doc
+    counts via searchsorted gather — the q_wordpiece shape). The twin
+    carries the word through the same 4 unrolled merge rounds and
+    joins costs back per doc. Emits (doc_id, n_tokens, n_subtokens)."""
+    from osmray.text import bpe_apply
+
+    return bpe_apply(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     rounds=4)
+
+
+Q_BPE_APPLY_SQL = f"""
+WITH w0 AS (SELECT w, count(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY 1),
+v0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS sym, n
+       FROM w0),
+{",".join(_bpe_round_sql(i, carry_w=True) for i in range(4))},
+costs AS (SELECT w, len(string_split(sym, ' ')) AS ns FROM v4),
+tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(costs.ns) AS BIGINT) AS n_subtokens
+FROM tw JOIN costs USING (w) GROUP BY 1
+"""
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training
+    (ann.hard_negatives): per vector, the single most-similar vector
+    with a DIFFERENT label — milli-quantized integer dot products
+    (bit-stable order, exact in DuckDB doubles), ties -> smaller
+    neighbor id, same broadcast-matrix engine shape and loud 2e6 cap
+    as q_label_noise/q_mutual_nn (IVF partition is the scale path).
+    Emits (vec_id, label, neg_id, neg_label, sim)."""
+    from osmray.ann import hard_negatives
+
+    return hard_negatives(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding", "label"]))
+
+
+Q_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000)) AS v
+           FROM embeddings),
+r1 AS (SELECT a, la, b, lb, s FROM (
+  SELECT x.vec_id AS a, x.label AS la, y.vec_id AS b, y.label AS lb,
+         list_dot_product(x.v, y.v) AS s,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id
+           ORDER BY list_dot_product(x.v, y.v) DESC, y.vec_id) AS rn
+  FROM q x JOIN q y ON y.label <> x.label) WHERE rn = 1)
+SELECT a AS vec_id, CAST(la AS BIGINT) AS label, b AS neg_id,
+       CAST(lb AS BIGINT) AS neg_label, CAST(s AS BIGINT) AS sim
+FROM r1
+"""
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix over the per-user random-walk
+    trajectories (windows.od_flows — the mobility-analytics
+    primitive): walks coarsen to 8-unit grid cells and every
+    consecutive cell CHANGE is one trip; flows are global (from, to)
+    transition counts via block-partial + one packed-key fold. The
+    twin is cumsum-window + LAG + group count."""
+    from osmray.windows import od_flows
+
+    return od_flows(_read(sf_dir, "events",
+                          ["event_id", "user_id", "ts"]))
+
+
+Q_OD_FLOWS_SQL = """
+WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+    SUM(event_id * 7919 % 5 - 2) OVER w + 100000 AS x,
+    SUM(event_id * 104729 % 5 - 2) OVER w + 100000 AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT x // 8 AS cx, y // 8 AS cy,
+    LAG(x // 8) OVER v AS px, LAG(y // 8) OVER v AS py
+  FROM base WINDOW v AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT CAST(px AS BIGINT) AS fx, CAST(py AS BIGINT) AS fy,
+       CAST(cx AS BIGINT) AS tx, CAST(cy AS BIGINT) AS ty,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM c WHERE px IS NOT NULL AND (px <> cx OR py <> cy)
+GROUP BY 1, 2, 3, 4
 """
 
 
@@ -17118,4 +17212,7 @@ def registry():
         "q_url_canon": (q_url_canon, Q_URL_CANON_SQL),
         "q_polyline_stitch": (q_polyline_stitch, Q_POLYLINE_STITCH_SQL),
         "q_interleave": (q_interleave, Q_INTERLEAVE_SQL),
+        "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
+        "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
+        "q_od_flows": (q_od_flows, Q_OD_FLOWS_SQL),
     }

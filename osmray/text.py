@@ -691,6 +691,14 @@ def bpe_train(docs, rounds: int = 4):
             "n": batch["n"]})
 
     vocab = words.map_batches(to_sym, batch_format="pyarrow").materialize()
+    return _bpe_rounds(vocab, rounds)
+
+
+def _bpe_rounds(vocab, rounds: int):
+    """Shared BPE merge loop over a materialized (sym, n) vocab —
+    see :func:`bpe_train`."""
+    from osmray.queries import _hashed_string_counts
+    from osmray.stages import hash_str
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, rounds + 1):
 
@@ -787,3 +795,46 @@ def url_canon_counts(ds, url_col: str = "url"):
         ds.map_batches(canon, batch_format="pyarrow"), ["w"])
     return counted.map_batches(
         lambda t: t.rename_columns(["url", "n"]), batch_format="pyarrow")
+
+
+def bpe_apply_merges(word: str, merges: list[tuple[str, str]]) -> int:
+    """Subtoken count of ``word`` after applying learned BPE merges
+    in rank order (same leftmost non-overlapping double-space scan
+    the trainer used)."""
+    s = " ".join(word)
+    for lhs, rhs in merges:
+        s = ((" " + s.replace(" ", "  ") + " ")
+             .replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+             .replace("  ", " ").strip())
+    return s.count(" ") + 1
+
+
+def bpe_apply(docs, rounds: int = 4):
+    """Tokenizer compression under a trained BPE vocabulary — the
+    tokenizer-budget counterpart of :func:`bpe_train`: learn
+    ``rounds`` merges on the corpus, then tokenize every doc with
+    them. The learned merges are O(rounds) driver state, so the
+    apply pass is a single fully-distributed map: per block, merges
+    replay on the block-DISTINCT words only (np.unique first, like
+    q_wordpiece), and per-doc counts come from a searchsorted
+    gather. Emits (doc_id, n_tokens, n_subtokens)."""
+    merges_tab = bpe_train(docs, rounds=rounds)
+    merges = list(zip(merges_tab["lhs"].to_pylist(),
+                      merges_tab["rhs"].to_pylist()))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        nt = np.asarray([len(ws) for ws in toks], np.int64)
+        ns = np.zeros(len(ids), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            costs = np.asarray([bpe_apply_merges(w, merges) for w in u],
+                               np.int64)
+            for k, ws in enumerate(toks):
+                ns[k] = int(costs[np.searchsorted(u, np.asarray(ws))].sum())
+        return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(nt),
+                         "n_subtokens": pa.array(ns)})
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")

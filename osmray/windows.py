@@ -815,3 +815,51 @@ def interleave_positions(ds, key: str = "source", id_col: str = "doc_id"):
                          "rk": pa.array(rk), "pos": pa.array(pos)})
 
     return sds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def od_flows(ds, key: str = "user_id", ts_col: str = "ts",
+             id_col: str = "event_id", cell_shift: int = 3,
+             offset: int = 100000):
+    """Origin-destination flow matrix over the deterministic
+    random-walk trajectories (the mobility-analytics primitive):
+    per key, the walk (cumsum of hashed ±2 steps, as stay_points /
+    geofence) coarsens to 2^cell_shift-unit grid cells, and every
+    consecutive CELL CHANGE emits one (from, to) transition; flows
+    are the global transition counts. Per-key scan is the family's
+    established map_groups shape (user streams are bounded; the
+    walk's cumsum is order-dependent) with block-local pre-aggregated
+    partials; the global count is one high-cardinality packed-key
+    fold. ``offset`` keeps coordinates positive so >>shift and SQL
+    // agree. Emits (fx, fy, tx, ty, n_trips)."""
+    from osmray.tableops import sorted_fold_sums
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        ii = ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2) + offset
+        y = np.cumsum(ii * 104729 % 5 - 2) + offset
+        cx, cy = x >> cell_shift, y >> cell_shift
+        moved = (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+        pk = (((cx[:-1][moved] << 45) | (cy[:-1][moved] << 30))
+              | (cx[1:][moved] << 15) | cy[1:][moved])
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        ds.groupby(key).map_groups(per_key, batch_format="pyarrow"),
+        "pk", ["n"])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (1 << 15) - 1
+        return pa.table({"fx": pa.array((pk >> 45) & m),
+                         "fy": pa.array((pk >> 30) & m),
+                         "tx": pa.array((pk >> 15) & m),
+                         "ty": pa.array(pk & m),
+                         "n_trips": batch["n"]})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")

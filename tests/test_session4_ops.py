@@ -263,3 +263,120 @@ def test_session4_new_steps_registered():
     for op in ("stitch_chains", "interleave"):
         assert op in STAGES
         assert callable(STAGES[op]({"op": op}))
+
+
+def _brute_bpe_apply(texts, rounds):
+    merges = [(l, r) for _, l, r, _ in _brute_bpe(texts, rounds)]
+    out = []
+    for t in texts:
+        n_sub = 0
+        for w in t.split(" "):
+            syms = list(w)
+            for lhs, rhs in merges:
+                o, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == lhs
+                            and syms[i + 1] == rhs):
+                        o.append(lhs + rhs)
+                        i += 2
+                    else:
+                        o.append(syms[i])
+                        i += 1
+                syms = o
+            n_sub += len(syms)
+        out.append((len(t.split(" ")), n_sub))
+    return out
+
+
+def test_bpe_apply_matches_reference(ray_session):
+    import ray.data
+
+    from osmray.text import bpe_apply
+
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "aaa aa aaaa the the", "banana bandana"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}))
+    got = sorted((r["doc_id"], r["n_tokens"], r["n_subtokens"])
+                 for r in bpe_apply(ds, rounds=5).take_all())
+    want = [(i, nt, ns)
+            for i, (nt, ns) in enumerate(_brute_bpe_apply(texts, 5))]
+    assert got == want
+
+
+def test_hard_negatives_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.ann import hard_negatives
+
+    rng = np.random.RandomState(9)
+    n, d = 60, 8
+    vecs = rng.randn(n, d).astype(np.float32)
+    lbl = rng.randint(0, 3, n).astype(np.int64)
+    ids = (np.arange(n, dtype=np.int64) * 7 + 3)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(lbl)})).repartition(3)
+    got = {r["vec_id"]: (r["neg_id"], r["neg_label"], r["sim"])
+           for r in hard_negatives(ds).take_all()}
+
+    M = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    want = {}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if lbl[j] == lbl[i]:
+                continue
+            s = int(M[i] @ M[j])
+            cand = (-s, ids[j])
+            if best is None or cand < best:
+                best = cand
+        want[ids[i]] = (best[1], int(lbl[ids.tolist().index(best[1])]),
+                        -best[0])
+    assert got == want
+
+
+def test_od_flows_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.windows import od_flows
+
+    rng = np.random.RandomState(4)
+    n = 400
+    eid = rng.permutation(n).astype(np.int64)
+    uid = rng.randint(0, 5, n).astype(np.int64)
+    ts = pa.array((np.arange(n, dtype=np.int64) * 1_000_000 * 60),
+                  pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(eid), "user_id": pa.array(uid),
+        "ts": ts})).repartition(4)
+    got = {(r["fx"], r["fy"], r["tx"], r["ty"]): r["n_trips"]
+           for r in od_flows(ds).take_all()}
+
+    from collections import Counter
+
+    want: Counter = Counter()
+    tsv = np.arange(n, dtype=np.int64) * 60_000_000
+    for u in np.unique(uid):
+        sel = uid == u
+        ii = eid[sel]
+        order = np.lexsort((ii, tsv[sel]))
+        ii = ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2) + 100000
+        y = np.cumsum(ii * 104729 % 5 - 2) + 100000
+        cx, cy = x >> 3, y >> 3
+        for a in range(1, len(ii)):
+            if cx[a] != cx[a - 1] or cy[a] != cy[a - 1]:
+                want[(cx[a - 1], cy[a - 1], cx[a], cy[a])] += 1
+    assert got == dict(want)
+
+
+def test_session4_wave3_steps_registered():
+    from osmray.pipelines.declarative import STAGES
+
+    for op in ("bpe_apply", "hard_negatives", "od_flows"):
+        assert op in STAGES
+        assert callable(STAGES[op]({"op": op}))
