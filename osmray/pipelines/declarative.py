@@ -1637,3 +1637,17 @@ def _od_flows(p: dict) -> Stage:
 
 STAGES.update({"bpe_apply": _bpe_apply, "hard_negatives": _hard_negatives,
                "od_flows": _od_flows})
+
+
+def _epoch_shuffle(p: dict) -> Stage:
+    """{"op": "epoch_shuffle", "id": "doc_id"?, "seed": 17?,
+    "shard_size": 1024?} — deterministic seeded epoch permutation
+    into training shards."""
+    from osmray.tableops import epoch_shuffle
+
+    return lambda ds: epoch_shuffle(
+        ds, id_col=p.get("id", "doc_id"), seed=int(p.get("seed", 17)),
+        shard_size=int(p.get("shard_size", 1024)))
+
+
+STAGES.update({"epoch_shuffle": _epoch_shuffle})

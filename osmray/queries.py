@@ -16941,6 +16941,30 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (tableops.epoch_shuffle): rows
+    rank by (hash64(doc_id, seed=17), doc_id) — a seeded, stable,
+    cluster-size-independent permutation — and chunk into 1024-row
+    shards with in-shard positions. One distributed sort + the
+    block-offset prefix pattern; the twin replays hash64 bit-exactly
+    via hash64_ctes + ROW_NUMBER."""
+    from osmray.tableops import epoch_shuffle
+
+    return epoch_shuffle(_read(sf_dir, "documents", ["doc_id"]),
+                         id_col="doc_id", seed=17, shard_size=1024)
+
+
+Q_EPOCH_SHUFFLE_SQL = f"""
+WITH {hash64_ctes('eh', 'documents', 'doc_id', 'doc_id', 17)},
+r AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rk
+      FROM eh5)
+SELECT doc_id, CAST(rk // 1024 AS BIGINT) AS shard,
+       CAST(rk % 1024 AS BIGINT) AS pos
+FROM r
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17215,4 +17239,5 @@ def registry():
         "q_bpe_apply": (q_bpe_apply, Q_BPE_APPLY_SQL),
         "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
         "q_od_flows": (q_od_flows, Q_OD_FLOWS_SQL),
+        "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
     }

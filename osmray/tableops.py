@@ -896,3 +896,62 @@ def best_split_stump(ds, feat_col: str, label_col: str):
     return (sds.map_batches(block_best, batch_format="pyarrow",
                             batch_size=None)
             .sort(["acc", "threshold"], descending=[True, False]).limit(1))
+
+
+def epoch_shuffle(ds, id_col: str = "doc_id", seed: int = 17,
+                  shard_size: int = 1024):
+    """Deterministic epoch shuffle for training — the global-order
+    primitive every 1e12-row dataloader needs: rows rank by
+    (hash64(id, seed), id) — a seeded permutation that is stable,
+    resumable, and reproducible across runs — then chunk into shards
+    of ``shard_size`` with an in-shard position. One distributed sort
+    + the block-offset prefix pattern (blocks are contiguous ranges
+    of the hash order, identified by their first (h, id) pair — ids
+    unique, so never colliding); O(#blocks) driver state. Emits
+    (id, shard, pos); writing shard-partitioned output from it gives
+    byte-identical epochs on any cluster size."""
+    import ray
+
+    from osmray.stages import hash64
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "h": pa.array(hash64(ids, seed))})
+
+    sds = (ds.select_columns([id_col])
+           .map_batches(hashed, batch_format="pyarrow")
+           .sort(["h", id_col]).materialize())
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"h0": pa.array([], pa.int64()),
+                             "i0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        ii = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"h0": pa.array([int(h[0])]),
+                         "i0": pa.array([int(ii[0])]),
+                         "n": pa.array([len(h)])})
+
+    stats = (sds.map_batches(block_stats, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas().sort_values(["h0", "i0"]))
+    offs = np.concatenate(([0], np.cumsum(stats["n"].to_numpy())[:-1]))
+    off_ref = ray.put({(int(h), int(i)): int(o) for h, i, o in zip(
+        stats["h0"], stats["i0"], offs)})
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(off_ref)[(int(h[0]), int(ii[0]))]
+        rk = np.arange(len(h), dtype=np.int64) + base
+        return pa.table({id_col: pa.array(ii),
+                         "shard": pa.array(rk // shard_size),
+                         "pos": pa.array(rk % shard_size)})
+
+    return sds.map_batches(emit, batch_format="pyarrow", batch_size=None)

@@ -380,3 +380,26 @@ def test_session4_wave3_steps_registered():
     for op in ("bpe_apply", "hard_negatives", "od_flows"):
         assert op in STAGES
         assert callable(STAGES[op]({"op": op}))
+
+
+def test_epoch_shuffle_is_seeded_permutation(ray_session):
+    import ray.data
+
+    from osmray.stages import hash64
+    from osmray.tableops import epoch_shuffle
+
+    ids = np.random.RandomState(6).permutation(500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)})
+                             ).repartition(5)
+    got = sorted((r["doc_id"], r["shard"], r["pos"])
+                 for r in epoch_shuffle(ds, shard_size=64).take_all())
+    order = np.lexsort((np.sort(ids), hash64(np.sort(ids), 17)))
+    want = sorted((int(np.sort(ids)[o]), i // 64, i % 64)
+                  for i, o in enumerate(order.tolist()))
+    assert got == want
+    # determinism across block layouts
+    got2 = sorted((r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(
+        ds.repartition(2), shard_size=64).take_all())
+    assert got2 == got
+    from osmray.pipelines.declarative import STAGES
+    assert "epoch_shuffle" in STAGES
