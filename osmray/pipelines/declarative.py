@@ -1651,3 +1651,15 @@ def _epoch_shuffle(p: dict) -> Stage:
 
 
 STAGES.update({"epoch_shuffle": _epoch_shuffle})
+
+
+def _expectations(p: dict) -> Stage:
+    """{"op": "expectations", "sf_dir": "..."} — the data-quality
+    expectation suite over lineitem+orders under ``sf_dir``; source
+    step (ignores upstream ds) for pipeline composition."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_expectations(p["sf_dir"])
+
+
+STAGES.update({"expectations": _expectations})

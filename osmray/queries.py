@@ -16965,6 +16965,117 @@ FROM r
 """
 
 
+def q_expectations(sf_dir: str):
+    """Data-quality expectation suite (the Great-Expectations-style
+    validation pass every ingest pipeline runs): four rule classes
+    over lineitem, each a different engine shape — referential
+    integrity (l_orderkey ∈ orders: grace ANTI join, no broadcast),
+    range (1 <= l_quantity <= 50: block-local vectorized count),
+    uniqueness ((l_orderkey, l_linenumber) appears once: packed-key
+    count fold, violations = rows in groups > 1), and a skew-guard
+    expectation (no single l_partkey holds > 0.1% of rows: the same
+    fold, keyed by part). Emits (rule, n_violations) — tiny output,
+    fully distributed checks."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    # r1: referential integrity via anti join (unmatched rows)
+    anti = bucketed_join(
+        li.map_batches(lambda t: t.select(["l_orderkey"]),
+                       batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey", how="anti",
+        num_buckets=16, right_dedup=True)
+    n_ref = anti.count()
+
+    # r2: range violations, block-local vectorized
+    def range_viol(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int(((q < 1) | (q > 50)).sum())], pa.int64())})
+
+    n_range = li.map_batches(range_viol, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="s"))["s"]
+
+    # r3: uniqueness of (orderkey, linenumber): packed-key fold
+    def pk_partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(ok * 10 + ln, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    dup = sorted_fold_sums(
+        li.map_batches(pk_partials, batch_format="pyarrow"), "pk", ["n"])
+
+    def dup_viol(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(n[n > 1].sum())], pa.int64())})
+
+    n_dup = dup.map_batches(dup_viol, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="s"))["s"]
+
+    # r4: hot-key skew guard — parts holding > 0.1% of all rows
+    n_total = li.count()
+
+    def part_partials(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = sorted_fold_sums(
+        li.map_batches(part_partials, batch_format="pyarrow"), "pk", ["n"])
+
+    def hot_viol(batch: pa.Table, cap=n_total) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int((n * 1000 > cap).sum())], pa.int64())})
+
+    n_hot = parts.map_batches(hot_viol, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="s"))["s"]
+
+    return ray.data.from_arrow(pa.table({
+        "rule": pa.array(["ref_integrity", "quantity_range",
+                          "pk_unique", "hot_partkey"]),
+        "n_violations": pa.array([int(n_ref), int(n_range or 0),
+                                  int(n_dup or 0), int(n_hot or 0)],
+                                 pa.int64())}))
+
+
+Q_EXPECTATIONS_SQL = """
+SELECT 'ref_integrity' AS rule, CAST((
+    SELECT count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+  ) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'quantity_range', CAST((
+    SELECT count(*) FROM lineitem
+    WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+UNION ALL
+SELECT 'pk_unique', CAST((
+    SELECT coalesce(sum(c), 0) FROM (
+      SELECT count(*) AS c FROM lineitem
+      GROUP BY l_orderkey * 10 + l_linenumber HAVING count(*) > 1)
+  ) AS BIGINT)
+UNION ALL
+SELECT 'hot_partkey', CAST((
+    SELECT count(*) FROM (
+      SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+    WHERE c * 1000 > (SELECT count(*) FROM lineitem)) AS BIGINT)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17240,4 +17351,5 @@ def registry():
         "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
         "q_od_flows": (q_od_flows, Q_OD_FLOWS_SQL),
         "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
+        "q_expectations": (q_expectations, Q_EXPECTATIONS_SQL),
     }

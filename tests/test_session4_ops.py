@@ -403,3 +403,27 @@ def test_epoch_shuffle_is_seeded_permutation(ray_session):
     assert got2 == got
     from osmray.pipelines.declarative import STAGES
     assert "epoch_shuffle" in STAGES
+
+
+def test_expectations_clean_and_planted(ray_session):
+    """At sf0.001 the synthetic tables are referentially clean and
+    in-range; the (orderkey*10+linenumber) pack COLLIDES by design in
+    the synthetic data, so pk_unique reports real violations — pin
+    the exact count against DuckDB."""
+    import duckdb
+
+    from osmray import queries as Q
+
+    got = {r["rule"]: r["n_violations"]
+           for r in Q.q_expectations("/root/testdata/sf0.001").take_all()}
+    assert set(got) == {"ref_integrity", "quantity_range", "pk_unique",
+                        "hot_partkey"}
+    assert got["ref_integrity"] == 0 and got["quantity_range"] == 0
+    want_dup = duckdb.sql(
+        "SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
+        "GROUP BY l_orderkey * 10 + l_linenumber HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert got["pk_unique"] == want_dup
+    from osmray.pipelines.declarative import STAGES
+    assert "expectations" in STAGES
