@@ -1353,9 +1353,47 @@ def _lpa_keyed(edges, rounds: int, num_partitions: int):
     return labels
 
 
+_POP8 = None
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a (rows, words) uint64 matrix."""
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+    return _POP8[x.view(np.uint8)].sum(axis=1).astype(np.int64)
+
+
+def _ktruss_broadcast(eks: np.ndarray, k: int, rounds: int):
+    """Driver-array k-truss peel for graphs under the broadcast cap:
+    node-id remap + per-node neighbor BITSETS, support(a,b) =
+    popcount(nbr[a] & nbr[b]) fully vectorized. O(V*V/8 + E*W) bytes;
+    the auto policy bounds V so the mask matrix stays small."""
+    a, b = eks >> 32, eks & np.int64(0xFFFFFFFF)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    n = len(nodes)
+    W = max(1, (n + 63) // 64)
+    sup = np.zeros(0, np.int64)
+    for _ in range(rounds):
+        if len(ai) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), sup
+        masks = np.zeros((n, W), np.uint64)
+        np.bitwise_or.at(masks, (ai, bi >> 6),
+                         np.uint64(1) << (bi & 63).astype(np.uint64))
+        np.bitwise_or.at(masks, (bi, ai >> 6),
+                         np.uint64(1) << (ai & 63).astype(np.uint64))
+        sup = _popcount_rows(masks[ai] & masks[bi])
+        keep = sup >= k - 2
+        ai, bi, sup = ai[keep], bi[keep], sup[keep]
+    return nodes[ai], nodes[bi], sup
+
+
 def ktruss(edges_ds, k: int = 4, rounds: int = 2,
            src_col: str = "u", dst_col: str = "v",
-           num_buckets: int = 8, spill_root: str | None = None):
+           num_buckets: int = 8, spill_root: str | None = None,
+           mode: str = "auto", broadcast_cap: int = 2_000_000,
+           node_cap: int = 16384):
     """Bounded-round k-truss peeling — per-EDGE triangle support with
     iterative pruning (``rounds`` fixed peels, the bounded-round
     iterative contract of q_hits/q_lpa): each round recomputes every
@@ -1390,6 +1428,37 @@ def ktruss(edges_ds, k: int = 4, rounds: int = 2,
              .groupby("ek").aggregate(Count(alias_name="_n"))
              .select_columns(["ek"])).materialize()
 
+    import ray.data as _rd
+
+    if mode == "auto":
+        n_e = ekeys.count()
+        if n_e <= broadcast_cap:
+            from ray.data.aggregate import Max
+
+            mx = ekeys.map_batches(
+                lambda t: pa.table({"m": pa.array(
+                    [int(t["ek"].to_numpy(zero_copy_only=False)
+                         .max() & 0xFFFFFFFF)] if len(t) else [],
+                    pa.int64())}),
+                batch_format="pyarrow").aggregate(Max("m", alias_name="m"))
+            mode = ("broadcast"
+                    if (mx["m"] or 0) < node_cap else "shuffle")
+        else:
+            mode = "shuffle"
+    if mode == "broadcast":
+        # O(E) driver arrays under the cap, O(V^2/8) bitset matrix
+        # under node_cap — the small-graph fast path; the shuffle
+        # engine below is the 1e9+-edge path (engines pinned equal
+        # in tests/test_session4_ops.py)
+        eks = np.sort(np.concatenate(
+            [b["ek"].to_numpy(zero_copy_only=False)
+             for b in ekeys.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, np.int64)])).astype(np.int64)
+        u, v, sup = _ktruss_broadcast(eks, k, rounds)
+        return _rd.from_arrow(pa.table({
+            "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+            "support": pa.array(sup, pa.int64())}))
+
     def unpack(batch: pa.Table) -> pa.Table:
         ek = batch["ek"].to_numpy(zero_copy_only=False)
         return pa.table({"a": pa.array(ek >> 32),
@@ -1399,8 +1468,6 @@ def ktruss(edges_ds, k: int = 4, rounds: int = 2,
         return pa.table({"u": pa.array([], pa.int64()),
                          "v": pa.array([], pa.int64()),
                          "support": pa.array([], pa.int64())})
-
-    import ray.data as _rd
 
     kept = None
     for _ in range(rounds):

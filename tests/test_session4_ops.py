@@ -427,3 +427,21 @@ def test_expectations_clean_and_planted(ray_session):
     assert got["pk_unique"] == want_dup
     from osmray.pipelines.declarative import STAGES
     assert "expectations" in STAGES
+
+
+def test_ktruss_engines_pinned_equal(ray_session):
+    import ray.data
+
+    from osmray.graph import ktruss
+
+    rng = np.random.RandomState(13)
+    u = rng.randint(0, 40, 300).astype(np.int64)
+    v = rng.randint(0, 40, 300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(u),
+                                       "v": pa.array(v)}))
+
+    def run(mode):
+        return sorted((r["u"], r["v"], r["support"]) for r in ktruss(
+            ds, k=4, rounds=2, num_buckets=4, mode=mode).take_all())
+
+    assert run("broadcast") == run("shuffle")
