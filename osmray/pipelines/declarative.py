@@ -1663,3 +1663,14 @@ def _expectations(p: dict) -> Stage:
 
 
 STAGES.update({"expectations": _expectations})
+
+
+def _star_revenue(p: dict) -> Stage:
+    """{"op": "star_revenue", "sf_dir": "..."} — TPC-H-Q5-shape
+    star join composition (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_star_revenue(p["sf_dir"])
+
+
+STAGES.update({"star_revenue": _star_revenue})

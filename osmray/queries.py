@@ -17093,6 +17093,83 @@ SELECT 'hot_partkey', CAST((
 """
 
 
+def q_star_revenue(sf_dir: str):
+    """Multi-way star join (the TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer ⋈ nation -> revenue per nation. Join ORDER is the plan:
+    revenue pre-aggregates per orderkey INSIDE the first map (one
+    partial-sum pass collapses ~4 lineitems/order before any
+    shuffle), two grace joins walk the key chain
+    (orderkey -> custkey -> nationkey) with ``right_dedup`` on the
+    dimension side, the 25-row nation table broadcasts, and the
+    final fold groups by nationkey. Revenue is INTEGER micro-units
+    cents(extprice) * (100 - cents_discount) so the sum is
+    associative-exact and the twin hash-matches. Emits
+    (n_name, revenue)."""
+    import ray
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].astype(int),
+                    nation["n_name"]))
+    nref = ray.put(nmap)
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ep = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dc = np.floor(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        rev = ep * (100 - dc)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({"l_orderkey": pa.array(u),
+                         "rev": pa.array(np.bincount(
+                             inv, weights=rev).astype(np.int64))})
+
+    li_agg = li.map_batches(rev_partials, batch_format="pyarrow")
+    j1 = bucketed_join(li_agg, orders, on="l_orderkey",
+                       right_on="o_orderkey", num_buckets=16,
+                       right_dedup=True)
+    j2 = bucketed_join(
+        j1.map_batches(lambda t: t.select(["o_custkey", "rev"]),
+                       batch_format="pyarrow"),
+        cust, on="o_custkey", right_on="c_custkey", num_buckets=16,
+        right_dedup=True)
+    folded = sorted_fold_sums(
+        j2.map_batches(lambda t: pa.table({
+            "nk": t["c_nationkey"].cast(pa.int64()), "rev": t["rev"]}),
+            batch_format="pyarrow"), "nk", ["rev"])
+
+    def name(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = batch["nk"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_name": pa.array([nm[int(x)] for x in nk]),
+                         "revenue": batch["rev"]})
+
+    return folded.map_batches(name, batch_format="pyarrow")
+
+
+Q_STAR_REVENUE_SQL = """
+WITH r AS (SELECT l_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+             AS rev
+           FROM lineitem)
+SELECT n.n_name, CAST(sum(r.rev) AS BIGINT) AS revenue
+FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17369,4 +17446,5 @@ def registry():
         "q_od_flows": (q_od_flows, Q_OD_FLOWS_SQL),
         "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
         "q_expectations": (q_expectations, Q_EXPECTATIONS_SQL),
+        "q_star_revenue": (q_star_revenue, Q_STAR_REVENUE_SQL),
     }

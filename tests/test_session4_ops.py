@@ -445,3 +445,21 @@ def test_ktruss_engines_pinned_equal(ray_session):
             ds, k=4, rounds=2, num_buckets=4, mode=mode).take_all())
 
     assert run("broadcast") == run("shuffle")
+
+
+def test_star_revenue_matches_duckdb(ray_session):
+    import duckdb
+
+    from osmray import queries as Q
+
+    got = {r["n_name"]: r["revenue"]
+           for r in Q.q_star_revenue("/root/testdata/sf0.001").take_all()}
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    want = {n: int(v) for n, v in con.sql(
+        Q.Q_STAR_REVENUE_SQL).fetchall()}
+    assert got == want
+    from osmray.pipelines.declarative import STAGES
+    assert "star_revenue" in STAGES
