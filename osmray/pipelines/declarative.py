@@ -1674,3 +1674,22 @@ def _star_revenue(p: dict) -> Stage:
 
 
 STAGES.update({"star_revenue": _star_revenue})
+
+
+def _confusion(p: dict) -> Stage:
+    """{"op": "confusion", "sf_dir": "..."} — quality-classifier
+    confusion matrix (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_confusion(p["sf_dir"])
+
+
+def _ab_metrics(p: dict) -> Stage:
+    """{"op": "ab_metrics", "sf_dir": "..."} — deterministic A/B
+    bucketing + per-arm metric sums (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_ab_metrics(p["sf_dir"])
+
+
+STAGES.update({"confusion": _confusion, "ab_metrics": _ab_metrics})

@@ -17170,6 +17170,165 @@ GROUP BY n.n_name
 """
 
 
+def q_confusion(sf_dir: str):
+    """Confusion matrix for the hashed quality classifier against the
+    lang=='en' labels — completing the eval suite (q_auc roc,
+    q_calibration reliability, q_ndcg ranking, now the raw confusion
+    counts precision/recall/F1 derive from): per block, score docs
+    (the q_quality_clf kernel), pre-aggregate the four (pred, actual)
+    cells, one bounded 4-cell fold. Emits (pred, actual, n)."""
+    from osmray.tableops import sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        lbl = np.asarray([1 if l == "en" else 0
+                          for l in batch["lang"].to_pylist()], np.int64)
+        flat = [wd for ws in toks for wd in ws]
+        pred = np.zeros(len(toks), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            wt = (_char_fold_hash(u) % 256) * 2654435761 % (1 << 32) \
+                % 2001 - 1000
+            for k, ws in enumerate(toks):
+                pred[k] = 1 if int(
+                    wt[np.searchsorted(u, np.asarray(ws))].sum()) >= 0 else 0
+        cell = pred * 2 + lbl
+        u2, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u2.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        docs.map_batches(partials, batch_format="pyarrow"), "cell", ["n"])
+    return folded.map_batches(
+        lambda t: pa.table({
+            "pred": pa.array(t["cell"].to_numpy(
+                zero_copy_only=False) // 2),
+            "actual": pa.array(t["cell"].to_numpy(
+                zero_copy_only=False) % 2),
+            "n": t["n"]}), batch_format="pyarrow")
+
+
+Q_CONFUSION_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id, lang,
+        {_CF_HASH_LAMBDA.format(w='w')} % 256 AS b FROM toks),
+s AS (SELECT doc_id,
+        max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS actual,
+        CASE WHEN sum(b * 2654435761 % 4294967296 % 2001 - 1000) >= 0
+             THEN 1 ELSE 0 END AS pred
+      FROM h GROUP BY doc_id)
+SELECT CAST(pred AS BIGINT) AS pred, CAST(actual AS BIGINT) AS actual,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_ab_metrics(sf_dir: str):
+    """Deterministic A/B experiment analysis — the
+    experimentation-platform primitive: users bucket by
+    hash64(user_id, seed=23) parity (stable, uncorrelated with
+    anything), each arm reports users, events, and integer
+    centi-value sums per event_type. One block-partial pass + a
+    bounded (arm x type) fold; distinct users per arm via a packed
+    dedup fold. Emits (arm, event_type, n_events, value_cents,
+    n_users)."""
+    from ray.data.aggregate import Count
+
+    from osmray.stages import hash64
+    from osmray.tableops import sorted_fold_sums
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        arm = (hash64(uid, 23) & 1).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist())
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(arm.astype("U1"), "\x1f"), et)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "k": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents).astype(np.int64))})
+
+    def fold_groups(g: pa.Table) -> pa.Table:
+        ks = np.asarray(g["k"].to_pylist())
+        n = g["n"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ks, return_inverse=True)
+        return pa.table({
+            "k": pa.array(u),
+            "n": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=c).astype(np.int64))})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        return batch.append_column("g", pa.array(
+            np.abs(hash_str(batch["k"].to_pylist(), 3)) % 64))
+
+    per_cell = (ev.map_batches(partials, batch_format="pyarrow")
+                .map_batches(bucket, batch_format="pyarrow")
+                .groupby("g").map_groups(
+                    lambda t: fold_groups(t.drop_columns(["g"])),
+                    batch_format="pyarrow"))
+
+    # distinct users per arm: keyed dedup on user, then a 2-cell fold
+    users = (ev.map_batches(
+        lambda t: pa.table({"u": pa.array(np.unique(t["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)))}),
+        batch_format="pyarrow")
+        .groupby("u").aggregate(Count(alias_name="_n")))
+    arm_users = sorted_fold_sums(users.map_batches(
+        lambda t: pa.table({
+            "arm": pa.array((hash64(t["u"].to_numpy(
+                zero_copy_only=False).astype(np.int64), 23) & 1
+            ).astype(np.int64)),
+            "n": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow"), "arm", ["n"]).take_all()
+    au = {int(r["arm"]): int(r["n"]) for r in arm_users}
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ks = [k.split("\x1f") for k in batch["k"].to_pylist()]
+        arms = np.asarray([int(a) for a, _ in ks], np.int64)
+        return pa.table({
+            "arm": pa.array(arms),
+            "event_type": pa.array([t for _, t in ks]),
+            "n_events": batch["n"],
+            "value_cents": batch["cents"],
+            "n_users": pa.array([au.get(int(a), 0) for a in arms],
+                                pa.int64())})
+
+    return per_cell.map_batches(emit, batch_format="pyarrow")
+
+
+Q_AB_METRICS_SQL = f"""
+WITH {hash64_ctes('ab', 'events', 'user_id, event_type, value',
+                  'user_id', 23)},
+e AS (SELECT user_id, event_type,
+        abs(h % 2) AS arm,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM ab5),
+cells AS (SELECT arm, event_type, count(*) AS n_events,
+                 sum(cents) AS value_cents
+          FROM e GROUP BY 1, 2),
+ua AS (SELECT arm, count(DISTINCT user_id) AS n_users
+       FROM e GROUP BY 1)
+SELECT CAST(cells.arm AS BIGINT) AS arm, cells.event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(value_cents AS BIGINT) AS value_cents,
+       CAST(ua.n_users AS BIGINT) AS n_users
+FROM cells JOIN ua ON ua.arm = cells.arm
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17447,4 +17606,6 @@ def registry():
         "q_epoch_shuffle": (q_epoch_shuffle, Q_EPOCH_SHUFFLE_SQL),
         "q_expectations": (q_expectations, Q_EXPECTATIONS_SQL),
         "q_star_revenue": (q_star_revenue, Q_STAR_REVENUE_SQL),
+        "q_confusion": (q_confusion, Q_CONFUSION_SQL),
+        "q_ab_metrics": (q_ab_metrics, Q_AB_METRICS_SQL),
     }

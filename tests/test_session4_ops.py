@@ -463,3 +463,30 @@ def test_star_revenue_matches_duckdb(ray_session):
     assert got == want
     from osmray.pipelines.declarative import STAGES
     assert "star_revenue" in STAGES
+
+
+def test_confusion_and_ab_metrics_consistency(ray_session):
+    """Cross-op invariants: confusion cells sum to the doc count;
+    A/B arms partition users and events."""
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    conf = Q.q_confusion(sf).take_all()
+    n_docs = pqt.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert sum(r["n"] for r in conf) == n_docs
+    assert {(r["pred"], r["actual"]) for r in conf} <= {
+        (0, 0), (0, 1), (1, 0), (1, 1)}
+
+    ab = Q.q_ab_metrics(sf).take_all()
+    ev = pqt.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    assert sum(r["n_events"] for r in ab) == len(ev)
+    import numpy as _np
+    arms = {r["arm"] for r in ab}
+    assert arms == {0, 1}
+    users_per_arm = {r["arm"]: r["n_users"] for r in ab}
+    assert sum(users_per_arm.values()) == len(
+        _np.unique(ev["user_id"].to_numpy()))
+    from osmray.pipelines.declarative import STAGES
+    assert {"confusion", "ab_metrics"} <= set(STAGES)
