@@ -1597,3 +1597,140 @@ def stitch_chains(segs_ds, id_col: str = "s", p1_col: str = "p1",
     return folded.map_batches(
         lambda t: t.rename_columns(["chain_id", "n_segs", "total_len"]),
         batch_format="pyarrow")
+
+
+def bipartite_audit(edges_ds, src_col: str = "u", dst_col: str = "v",
+                    mode: str = "auto", max_hops: int = 16,
+                    broadcast_cap: int = 2_000_000, num_buckets: int = 8):
+    """Per-component bipartiteness audit (odd-cycle detection):
+    components + parity 2-coloring (BFS hop parity from each
+    component's min node) + equal-parity edge counts. TWO engines
+    behind one API: ``broadcast`` (edge list under ``broadcast_cap``
+    collects to driver arrays; vectorized scatter-min CC with pointer
+    jumping, vectorized frontier BFS — one O(E) pass per round) and
+    ``shuffle`` (connected_components + bfs_hops + grace joins —
+    nothing O(V) on the driver; RAISES if BFS needs more than
+    ``max_hops`` rounds). Emits (comp, n_nodes, n_conflicts);
+    bipartite iff n_conflicts = 0. Engines pinned equal in
+    tests/test_session4_ops.py."""
+    import ray.data as _rd
+
+    from ray.data.aggregate import Count
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = u != v
+        lo = np.minimum(u[sel], v[sel])
+        hi = np.maximum(u[sel], v[sel])
+        return pa.table({"ek": pa.array(np.unique((lo << 32) | hi))})
+
+    ekeys = (edges_ds.map_batches(orient, batch_format="pyarrow")
+             .groupby("ek").aggregate(Count(alias_name="_n"))
+             .select_columns(["ek"])).materialize()
+    if mode == "auto":
+        mode = "broadcast" if ekeys.count() <= broadcast_cap else "shuffle"
+
+    E = ekeys.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(t["ek"].to_numpy(zero_copy_only=False) >> 32),
+            "v": pa.array(t["ek"].to_numpy(
+                zero_copy_only=False) & 0xFFFFFFFF)}),
+        batch_format="pyarrow").materialize()
+
+    if mode == "broadcast":
+        eks = np.concatenate(
+            [b["ek"].to_numpy(zero_copy_only=False)
+             for b in ekeys.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, np.int64)]).astype(np.int64)
+        a, b = eks >> 32, eks & np.int64(0xFFFFFFFF)
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ui, vi = inv[: len(a)], inv[len(a):]
+        n = len(nodes)
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            m = np.minimum(lab[ui], lab[vi])
+            np.minimum.at(lab, ui, m)
+            np.minimum.at(lab, vi, m)
+            lab = lab[lab]
+            if np.array_equal(lab, prev):
+                break
+        dist = np.full(n, -1, np.int64)
+        dist[lab == np.arange(n)] = 0
+        h = 0
+        while True:
+            fr = dist == h
+            if not fr.any():
+                break
+            hit = np.zeros(n, bool)
+            sel = fr[ui] & (dist[vi] < 0)
+            hit[vi[sel]] = True
+            sel = fr[vi] & (dist[ui] < 0)
+            hit[ui[sel]] = True
+            if not hit.any() and not (dist < 0).any():
+                break
+            dist[hit] = h + 1
+            h += 1
+        conf = (dist[ui] % 2) == (dist[vi] % 2)
+        n_nodes = np.bincount(lab, minlength=n)
+        n_conf = np.bincount(lab[ui], weights=conf, minlength=n)
+        reps = np.flatnonzero(lab == np.arange(n))
+        return _rd.from_arrow(pa.table({
+            "comp": pa.array(nodes[reps].astype(np.int64)),
+            "n_nodes": pa.array(n_nodes[reps].astype(np.int64)),
+            "n_conflicts": pa.array(n_conf[reps].astype(np.int64))}))
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    comps = connected_components(E).materialize()
+    seeds = comps.map_batches(
+        lambda t: t.filter(_pc.equal(t["node"], t["comp"]))
+        .select(["node"]), batch_format="pyarrow")
+    hops = bfs_hops(E, seeds, max_hops=max_hops).materialize()
+    n_nodes, n_hop = comps.count(), hops.count()
+    if n_hop != n_nodes:
+        raise RuntimeError(
+            f"bfs did not cover the graph in {max_hops} hops "
+            f"({n_hop}/{n_nodes}); raise max_hops")
+    colors = hops.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "c": pa.array(t["hop"].to_numpy(
+                zero_copy_only=False).astype(np.int64) % 2)}),
+        batch_format="pyarrow")
+    j1 = bucketed_join(E, colors, on="u", right_on="node",
+                       num_buckets=num_buckets).map_batches(
+        lambda t: t.select(["u", "v", "c"]), batch_format="pyarrow")
+    j2 = bucketed_join(j1, colors, on="v", right_on="node",
+                       num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({"u": t["u"], "cu": t["c"],
+                            "cv": t["c_r"]}), batch_format="pyarrow")
+    j3 = bucketed_join(j2, comps, on="u", right_on="node",
+                       num_buckets=num_buckets)
+
+    def conf_partials(batch: pa.Table) -> pa.Table:
+        cu = batch["cu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = batch["cv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = batch["comp"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, inv2 = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "comp": pa.array(u),
+            "n_nodes": pa.array(np.zeros(len(u), np.int64)),
+            "n_conflicts": pa.array(np.bincount(
+                inv2, weights=(cu == cv).astype(np.int64)
+            ).astype(np.int64))})
+
+    sizes = comps.map_batches(
+        lambda t: pa.table({
+            "comp": t["comp"],
+            "n_nodes": pa.array(np.ones(len(t), np.int64)),
+            "n_conflicts": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow")
+    return sorted_fold_sums(
+        sizes.union(j3.map_batches(conf_partials,
+                                   batch_format="pyarrow")),
+        "comp", ["n_nodes", "n_conflicts"])

@@ -1693,3 +1693,17 @@ def _ab_metrics(p: dict) -> Stage:
 
 
 STAGES.update({"confusion": _confusion, "ab_metrics": _ab_metrics})
+
+
+def _bipartite(p: dict) -> Stage:
+    """{"op": "bipartite", "src": "u"?, "dst": "v"?, "mode":
+    "auto"?} — per-component bipartiteness audit; emits
+    (comp, n_nodes, n_conflicts)."""
+    from osmray.graph import bipartite_audit
+
+    return lambda ds: bipartite_audit(
+        ds, src_col=p.get("src", "u"), dst_col=p.get("dst", "v"),
+        mode=p.get("mode", "auto"))
+
+
+STAGES.update({"bipartite": _bipartite})

@@ -17329,6 +17329,60 @@ FROM cells JOIN ua ON ua.arm = cells.arm
 """
 
 
+def q_bipartite(sf_dir: str):
+    """Bipartiteness audit per component — odd-cycle detection, the
+    graph-quality screen (graph.bipartite_audit): components + parity
+    2-coloring (BFS hop parity from each component's min node; an odd
+    cycle exists iff some edge joins equal-parity endpoints) +
+    per-component conflict counts. Two-engine: vectorized driver
+    arrays under the broadcast cap (scatter-min CC + frontier BFS),
+    CC + bfs_hops + grace joins above it (loud max_hops contract).
+    Emits (comp, n_nodes, n_conflicts); bipartite iff
+    n_conflicts = 0."""
+    from osmray.graph import bipartite_audit
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        keep = p["pid"] % 13 == 0
+        u, v = p["m1"][keep] % 8192, p["m2"][keep] % 8192
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    return bipartite_audit(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+Q_BIPARTITE_SQL = f"""
+WITH RECURSIVE p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 8192 AS u, m2 % 8192 AS v FROM p
+        WHERE pid % 13 = 0 AND m1 % 8192 <> m2 % 8192),
+e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+ee AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+r AS (
+  SELECT u AS node, u AS label FROM (SELECT u FROM ee UNION SELECT v FROM ee)
+  UNION
+  SELECT ee.v, r.label FROM r JOIN ee ON ee.u = r.node
+  WHERE r.label < ee.v),
+comp AS (SELECT node, min(label) AS c FROM r GROUP BY node),
+bf AS (
+  SELECT node AS n, CAST(0 AS BIGINT) AS hop FROM comp WHERE node = c
+  UNION
+  SELECT ee.v, bf.hop + 1 FROM bf JOIN ee ON ee.u = bf.n
+  WHERE bf.hop < 16),
+hops AS (SELECT n, min(hop) AS h FROM bf GROUP BY n),
+conf AS (SELECT comp.c AS comp, count(*) AS n_conflicts
+         FROM e0 JOIN hops h1 ON h1.n = e0.a
+         JOIN hops h2 ON h2.n = e0.b
+         JOIN comp ON comp.node = e0.a
+         WHERE h1.h % 2 = h2.h % 2 GROUP BY 1)
+SELECT CAST(comp.c AS BIGINT) AS comp,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(coalesce(max(conf.n_conflicts), 0) AS BIGINT) AS n_conflicts
+FROM comp LEFT JOIN conf ON conf.comp = comp.c
+GROUP BY comp.c
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -17608,4 +17662,5 @@ def registry():
         "q_star_revenue": (q_star_revenue, Q_STAR_REVENUE_SQL),
         "q_confusion": (q_confusion, Q_CONFUSION_SQL),
         "q_ab_metrics": (q_ab_metrics, Q_AB_METRICS_SQL),
+        "q_bipartite": (q_bipartite, Q_BIPARTITE_SQL),
     }

@@ -490,3 +490,48 @@ def test_confusion_and_ab_metrics_consistency(ray_session):
         _np.unique(ev["user_id"].to_numpy()))
     from osmray.pipelines.declarative import STAGES
     assert {"confusion", "ab_metrics"} <= set(STAGES)
+
+
+def test_bipartite_engines_and_brute(ray_session):
+    import ray.data
+
+    from osmray.graph import bipartite_audit
+
+    rng = np.random.RandomState(21)
+    u = rng.randint(0, 60, 150).astype(np.int64)
+    v = rng.randint(0, 60, 150).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(u),
+                                       "v": pa.array(v)}))
+
+    def run(mode):
+        return sorted((r["comp"], r["n_nodes"], r["n_conflicts"])
+                      for r in bipartite_audit(ds, mode=mode).take_all())
+
+    bc = run("broadcast")
+    assert bc == run("shuffle")
+
+    # brute: parity BFS per component on the deduped simple graph
+    edges = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(u, v) if a != b}
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    seen, want = set(), []
+    for s0 in sorted(nbr):
+        if s0 in seen:
+            continue
+        dist = {s0: 0}
+        q = [s0]
+        while q:
+            x = q.pop(0)
+            for y in sorted(nbr[x]):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        seen |= set(dist)
+        conf = sum(1 for a, b in edges
+                   if a in dist and b in dist
+                   and dist[a] % 2 == dist[b] % 2)
+        want.append((s0, len(dist), conf))
+    assert bc == sorted(want)
