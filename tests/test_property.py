@@ -255,3 +255,58 @@ def test_wordpiece_greedy_partition(word, vocab):
     assert "".join(pieces) == word
     for p in pieces:
         assert len(p) == 1 or p in vs
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=1, max_size=12),
+                min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_bpe_merge_scan_equals_symbol_scan(texts):
+    """The engine's double-space string-replace merge == the
+    symbol-list leftmost non-overlapping scan, on arbitrary small
+    corpora (the mechanism equivalence q_bpe_train rests on)."""
+    from collections import Counter
+
+    from osmray.text import bpe_apply_merges
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    if not wc:
+        return
+    # one deterministic merge: most frequent adjacent pair
+    pc = Counter()
+    for w, n in wc.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += n
+    if not pc:
+        return
+    (lhs, rhs), _ = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+    for w in wc:
+        # engine mechanism
+        got = bpe_apply_merges(w, [(lhs, rhs)])
+        # reference symbol scan
+        syms, out, i = list(w), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        assert got == len(out), (w, lhs, rhs)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=50, deadline=None)
+def test_url_canonicalization_idempotent(k):
+    """canon(canon(u)) == canon(u) for the messy-url family — the
+    frontier-dedup invariant (a canonical url must map to itself)."""
+    from osmray.text import canonicalize_urls
+
+    scheme = "HTTP" if k % 2 == 0 else "https"
+    host = f"WWW.Site{k % 7}.COM" if k % 3 == 0 else f"site{k % 7}.com"
+    port = ":80" if k % 5 == 0 else (":8443" if k % 5 == 1 else "")
+    qs = (f"?b={k % 3}&utm_source=feed&a={k % 4}" if k % 13 < 6
+          else f"?a={k % 4}&utm_medium=email&b={k % 3}")
+    raw = f"{scheme}://{host}{port}/p/{k % 11}{qs}#sec{k % 5}"
+    c1 = canonicalize_urls([raw])
+    assert canonicalize_urls(c1) == c1
