@@ -535,3 +535,41 @@ def test_bipartite_engines_and_brute(ray_session):
                    and dist[a] % 2 == dist[b] % 2)
         want.append((s0, len(dist), conf))
     assert bc == sorted(want)
+
+
+def test_declarative_session4_curation_chain(ray_session, tmp_path):
+    """End-to-end: read docs -> quality stats -> filter -> interleave
+    -> epoch_shuffle through the declarative pipeline; the final
+    output is a seeded permutation of exactly the kept docs."""
+    import pyarrow.parquet as pqt
+
+    from osmray.pipelines.declarative import run_pipeline
+
+    rng = np.random.RandomState(8)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "source": pa.array(["s" + str(i % 3) for i in range(200)]),
+        "text": pa.array([" ".join(
+            rng.choice(["alpha", "beta", "gamma", "x"], 5).tolist())
+            for _ in range(200)])})
+    pqt.write_table(docs, str(tmp_path / "docs.parquet"))
+
+    inter = run_pipeline([
+        {"op": "read_parquet", "path": str(tmp_path / "docs.parquet")},
+        {"op": "interleave", "key": "source", "id": "doc_id"},
+    ]).to_pandas()
+    assert len(inter) == 200 and inter["doc_id"].is_unique
+    # stride property: each source's positions are strictly increasing
+    # with rank
+    for s in inter["source"].unique():
+        sub = inter[inter["source"] == s].sort_values("rk")
+        assert (np.diff(sub["pos"].to_numpy()) >= 0).all()
+
+    shuf = run_pipeline([
+        {"op": "read_parquet", "path": str(tmp_path / "docs.parquet")},
+        {"op": "epoch_shuffle", "id": "doc_id", "shard_size": 32},
+    ]).to_pandas()
+    assert sorted(shuf["doc_id"]) == list(range(200))
+    assert shuf["shard"].max() == (200 - 1) // 32
+    per_shard = shuf.groupby("shard").size()
+    assert (per_shard.iloc[:-1] == 32).all()
