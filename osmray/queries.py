@@ -3214,13 +3214,35 @@ def q_knn_cells(sf_dir: str):
 Q_KNN_CELLS_SQL = f"""
 WITH p AS ({_LI_SQL}), f AS ({_PART_SQL}),
 q AS (SELECT DISTINCT pid, m1 / 262144.0 AS wx, m2 / 262144.0 AS wy FROM p WHERE pid % 7 = 0),
+-- banded candidate pass (IEJoin, not a cross join): a query whose
+-- 3rd-nearest CIRCLE distance is <= R is guaranteed its true top-3
+-- inside the R-box; the rare unsatisfied queries fall back to the
+-- exact cross join below, so results are IDENTICAL to the naive
+-- twin at a fraction of the intermediate size
+near AS (
+  SELECT q.pid, q.wx, q.wy, f.p_partkey AS feature_id,
+    (q.wx - f.fx) * (q.wx - f.fx) + (q.wy - f.fy) * (q.wy - f.fy) AS d2
+  FROM q JOIN f ON f.fx BETWEEN q.wx - 5.0 AND q.wx + 5.0
+               AND f.fy BETWEEN q.wy - 5.0 AND q.wy + 5.0),
+nr AS (SELECT pid, feature_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY pid
+           ORDER BY d2, feature_id) AS rank
+       FROM near),
+ok AS (SELECT pid FROM nr WHERE rank = 3 AND d2 <= 25.0),
+good AS (SELECT nr.pid, nr.rank, nr.feature_id FROM nr
+         JOIN ok ON ok.pid = nr.pid WHERE nr.rank <= 3),
+rest AS (SELECT * FROM q WHERE pid NOT IN (SELECT pid FROM ok)),
 d AS (
-  SELECT q.pid, f.p_partkey AS feature_id,
-    ROW_NUMBER() OVER (PARTITION BY q.pid ORDER BY
-      (q.wx - f.fx) * (q.wx - f.fx) + (q.wy - f.fy) * (q.wy - f.fy), f.p_partkey) AS rank
-  FROM q CROSS JOIN f
+  SELECT rest.pid, f.p_partkey AS feature_id,
+    ROW_NUMBER() OVER (PARTITION BY rest.pid ORDER BY
+      (rest.wx - f.fx) * (rest.wx - f.fx)
+      + (rest.wy - f.fy) * (rest.wy - f.fy), f.p_partkey) AS rank
+  FROM rest CROSS JOIN f
 )
-SELECT pid, CAST(rank AS BIGINT) AS rank, feature_id FROM d WHERE rank <= 3
+SELECT pid, CAST(rank AS BIGINT) AS rank, feature_id FROM good
+UNION ALL
+SELECT pid, CAST(rank AS BIGINT) AS rank, feature_id FROM d
+WHERE rank <= 3
 """
 
 
