@@ -918,3 +918,74 @@ class AudioPitchStage:
         return pa.table({"media_id": pa.array(ids, pa.string()),
                          "pitch_lag": pa.array(lags, pa.int64()),
                          "amdf_min": pa.array(mins, pa.int64())})
+
+
+def hist_match_metrics(images_ds, n_total: int, num_buckets: int = 8):
+    """Histogram matching (specification) — the photometric
+    normalization primitive: each image's gray histogram maps onto
+    its REFERENCE image's histogram (ref = idx+1 mod n_total) by the
+    classic inverse-CDF rule g' = min{g : CDF_ref(g) >= CDF_src(g)}.
+    Distributed shape: decode ONCE into nonzero-bin histogram ROWS
+    (idx, g, c) — histograms as first-class data, no image ever
+    decoded twice and no broadcast — one grace self-join pairs each
+    image's bins with its reference's bins, and a per-image
+    map_groups computes the remap vectorized (searchsorted on the
+    two CDFs). Emits (idx, remapped_sum) = sum over source pixels of
+    their matched gray — the observable a planted two-level fixture
+    turns into a closed form."""
+    from osmray import codecs
+    from osmray.joins import bucketed_join
+
+    def hist_rows(batch: pa.Table) -> pa.Table:
+        out_i, out_g, out_c = [], [], []
+        for blob, idx in zip(batch["bytes"].to_pylist(),
+                             batch["idx"].to_pylist()):
+            img = codecs.decode(blob, "png")
+            h = np.bincount(img[:, :, 0].reshape(-1), minlength=256)
+            nz = np.flatnonzero(h)
+            out_i.extend([int(idx)] * len(nz))
+            out_g.extend(nz.tolist())
+            out_c.extend(h[nz].tolist())
+        return pa.table({"idx": pa.array(out_i, pa.int64()),
+                         "g": pa.array(out_g, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    hists = images_ds.map_batches(
+        hist_rows, batch_format="pyarrow").materialize()
+    refs = hists.map_batches(
+        lambda t: pa.table({
+            "ridx": pa.array((t["idx"].to_numpy(zero_copy_only=False)
+                              - 1) % n_total),
+            "g_r": t["g"], "c_r": t["c"]}),
+        batch_format="pyarrow")
+    joined = bucketed_join(hists, refs, on="idx", right_on="ridx",
+                           num_buckets=num_buckets)
+
+    def remap(g: pa.Table) -> pa.Table:
+        idx = int(g["idx"][0].as_py())
+        src = {}
+        ref = {}
+        for gg, cc, gr, cr in zip(
+                g["g"].to_numpy(zero_copy_only=False),
+                g["c"].to_numpy(zero_copy_only=False),
+                g["g_r"].to_numpy(zero_copy_only=False),
+                g["c_r"].to_numpy(zero_copy_only=False)):
+            src[int(gg)] = int(cc)
+            ref[int(gr)] = int(cr)
+        sg = np.asarray(sorted(src), np.int64)
+        sc = np.asarray([src[int(x)] for x in sg], np.int64)
+        rg = np.asarray(sorted(ref), np.int64)
+        rc = np.asarray([ref[int(x)] for x in rg], np.int64)
+        # the join replicates rows (src bins x ref bins); the dicts
+        # above dedup back to the two true histograms
+        cdf_s = np.cumsum(sc)
+        cdf_r = np.cumsum(rc)
+        # min ref gray whose CDF >= source CDF at each source bin
+        pos = np.searchsorted(cdf_r, cdf_s, side="left")
+        pos = np.minimum(pos, len(rg) - 1)
+        matched = rg[pos]
+        total = int((sc * matched).sum())
+        return pa.table({"idx": pa.array([idx], pa.int64()),
+                         "remapped_sum": pa.array([total], pa.int64())})
+
+    return joined.groupby("idx").map_groups(remap, batch_format="pyarrow")

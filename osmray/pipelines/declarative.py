@@ -1707,3 +1707,14 @@ def _bipartite(p: dict) -> Stage:
 
 
 STAGES.update({"bipartite": _bipartite})
+
+
+def _hist_match(p: dict) -> Stage:
+    """{"op": "hist_match", "n_total": N} — inverse-CDF histogram
+    matching metrics over an images dataset with (bytes, idx)."""
+    from osmray.multimodal import hist_match_metrics
+
+    return lambda ds: hist_match_metrics(ds, n_total=int(p["n_total"]))
+
+
+STAGES.update({"hist_match": _hist_match})

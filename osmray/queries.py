@@ -18135,6 +18135,39 @@ GROUP BY comp.c
 """
 
 
+def q_hist_match(sf_dir: str):
+    """Histogram matching (specification) over the planted-phash
+    fixture (multimodal.hist_match_metrics): each image's gray
+    histogram maps onto its reference's (idx+1 mod 1024) by the
+    inverse-CDF rule, computed GENERICALLY over 256 bins — decode
+    once into histogram ROWS, one grace self-join, per-image
+    vectorized searchsorted remap. The two-level fixture (dark 40 /
+    bright 200, n1 bright blocks) collapses the rule to a closed
+    form the twin replays from the planted bit pattern: match(40) =
+    40 iff n1_ref <= n1_src else 200; match(200) = 200 iff
+    n1_ref > 0. Emits (idx, remapped_sum)."""
+    from osmray import oraclefix
+    from osmray.multimodal import hist_match_metrics
+
+    images = oraclefix.load_phash()
+    keep = images.map_batches(
+        lambda t: t.select(["bytes", "idx"]), batch_format="pyarrow")
+    return hist_match_metrics(keep, n_total=1024)
+
+
+Q_HIST_MATCH_SQL = f"""
+WITH {_PH_CTES},
+pc AS (SELECT i, CAST(SUM(bit) AS BIGINT) AS n1 FROM phbits GROUP BY i)
+SELECT a.i AS idx,
+  CAST((64 - a.n1) * 1024
+         * (CASE WHEN b.n1 <= a.n1 THEN 40 ELSE 200 END)
+     + a.n1 * 1024
+         * (CASE WHEN b.n1 > 0 THEN 200 ELSE 40 END) AS BIGINT)
+  AS remapped_sum
+FROM pc a JOIN pc b ON b.i = (a.i + 1) % 1024
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18415,4 +18448,5 @@ def registry():
         "q_confusion": (q_confusion, Q_CONFUSION_SQL),
         "q_ab_metrics": (q_ab_metrics, Q_AB_METRICS_SQL),
         "q_bipartite": (q_bipartite, Q_BIPARTITE_SQL),
+        "q_hist_match": (q_hist_match, Q_HIST_MATCH_SQL),
     }

@@ -573,3 +573,30 @@ def test_declarative_session4_curation_chain(ray_session, tmp_path):
     assert shuf["shard"].max() == (200 - 1) // 32
     per_shard = shuf.groupby("shard").size()
     assert (per_shard.iloc[:-1] == 32).all()
+
+
+def test_hist_match_matches_brute(ray_session):
+    """Engine inverse-CDF matching == per-image numpy reference on
+    the real decoded fixture images."""
+    from osmray import codecs, oraclefix
+    from osmray.multimodal import hist_match_metrics
+
+    oraclefix.write_phash()
+    images = oraclefix.load_phash().map_batches(
+        lambda t: t.select(["bytes", "idx"]), batch_format="pyarrow")
+    got = {r["idx"]: r["remapped_sum"]
+           for r in hist_match_metrics(images, n_total=1024).take_all()}
+
+    blobs = {r["idx"]: r["bytes"]
+             for r in oraclefix.load_phash().select_columns(
+                 ["bytes", "idx"]).take_all()}
+    for i in [0, 1, 5, 63, 512, 1023]:
+        a = codecs.decode(blobs[i], "png")[:, :, 0].reshape(-1)
+        b = codecs.decode(blobs[(i + 1) % 1024], "png")[:, :, 0].reshape(-1)
+        ha = np.bincount(a, minlength=256)
+        hb = np.bincount(b, minlength=256)
+        ca, cb = np.cumsum(ha), np.cumsum(hb)
+        lut = np.searchsorted(cb, ca, side="left")
+        lut = np.minimum(lut, 255)
+        want = int(lut[a].sum())
+        assert got[i] == want, i
