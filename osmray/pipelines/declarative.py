@@ -1718,3 +1718,42 @@ def _hist_match(p: dict) -> Stage:
 
 
 STAGES.update({"hist_match": _hist_match})
+
+
+def _target_encode(p: dict) -> Stage:
+    """{"op": "target_encode", "cat": "cat"?, "label": "pos"?,
+    "prior_milli": 500?, "m": 20?} — smoothed integer target
+    encoding per category."""
+    from osmray.tableops import sorted_fold_sums
+
+    cat, lbl = p.get("cat", "cat"), p.get("label", "pos")
+    prior, m = int(p.get("prior_milli", 500)), int(p.get("m", 20))
+
+    def run(ds):
+        import numpy as np
+        import pyarrow as pa
+
+        def partials(batch):
+            c = batch[cat].to_numpy(zero_copy_only=False).astype("int64")
+            y = batch[lbl].to_numpy(zero_copy_only=False).astype("int64")
+            u, inv = np.unique(c, return_inverse=True)
+            return pa.table({
+                "cat": pa.array(u),
+                "n": pa.array(np.bincount(inv).astype("int64")),
+                "pos": pa.array(np.bincount(
+                    inv, weights=y).astype("int64"))})
+
+        folded = sorted_fold_sums(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            "cat", ["n", "pos"])
+        return folded.map_batches(
+            lambda t: t.append_column("enc_milli", pa.array(
+                (t["pos"].to_numpy(zero_copy_only=False) * 1000
+                 + prior * m)
+                // (t["n"].to_numpy(zero_copy_only=False) + m))),
+            batch_format="pyarrow")
+
+    return run
+
+
+STAGES.update({"target_encode": _target_encode})

@@ -18168,6 +18168,54 @@ FROM pc a JOIN pc b ON b.i = (a.i + 1) % 1024
 """
 
 
+def q_target_encode(sf_dir: str):
+    """Smoothed target encoding — the categorical-feature-engineering
+    primitive: per category (10k-cardinality hashed key), event count
+    n, positive count pos, and the m-smoothed encoding in EXACT
+    integer milli-units enc_milli = (pos*1000 + prior_milli*m) //
+    (n + m) with prior 500, m = 20 (one integer division, identical
+    both sides — no float means). One block-partial pass + a
+    high-cardinality sorted fold. Emits (cat, n, pos, enc_milli)."""
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cat = pk % 10000
+        pos = (ok * 104729 % 7 < 3).astype(np.int64)
+        u, inv = np.unique(cat, return_inverse=True)
+        return pa.table({
+            "cat": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "pos": pa.array(np.bincount(inv, weights=pos).astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "cat", ["n", "pos"])
+    return folded.map_batches(
+        lambda t: t.append_column("enc_milli", pa.array(
+            (t["pos"].to_numpy(zero_copy_only=False) * 1000 + 500 * 20)
+            // (t["n"].to_numpy(zero_copy_only=False) + 20))),
+        batch_format="pyarrow")
+
+
+Q_TARGET_ENCODE_SQL = """
+WITH f AS (SELECT l_partkey % 10000 AS cat,
+                  CASE WHEN l_orderkey * 104729 % 7 < 3
+                       THEN 1 ELSE 0 END AS pos
+           FROM lineitem)
+SELECT CAST(cat AS BIGINT) AS cat, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS pos,
+       CAST((sum(pos) * 1000 + 500 * 20) // (count(*) + 20) AS BIGINT)
+       AS enc_milli
+FROM f GROUP BY cat
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18449,4 +18497,5 @@ def registry():
         "q_ab_metrics": (q_ab_metrics, Q_AB_METRICS_SQL),
         "q_bipartite": (q_bipartite, Q_BIPARTITE_SQL),
         "q_hist_match": (q_hist_match, Q_HIST_MATCH_SQL),
+        "q_target_encode": (q_target_encode, Q_TARGET_ENCODE_SQL),
     }
