@@ -69,7 +69,7 @@ def main() -> int:
     # the whole gate; optional per-twin timeout for twins that are
     # intractable at the larger scale factors (recorded, not fatal)
     con.sql(f"SET memory_limit='{os.environ.get('OSMRAY_GATE_SQL_MEM', '24GB')}'")
-    con.sql("SET temp_directory='/tmp/osmray_gate_duck_tmp'")
+    con.sql(f"SET temp_directory='/tmp/osmray_gate_duck_tmp_{os.getpid()}'")  # per-process: concurrent gates must not share spill
     sql_timeout = float(os.environ.get("OSMRAY_GATE_SQL_TIMEOUT", "0"))
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
