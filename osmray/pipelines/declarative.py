@@ -1757,3 +1757,14 @@ def _target_encode(p: dict) -> Stage:
 
 
 STAGES.update({"target_encode": _target_encode})
+
+
+def _lru_hits(p: dict) -> Stage:
+    """{"op": "lru_hits", "sf_dir": "..."} — exact LRU(8) hit-rate
+    simulation per user stream (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_lru_hits(p["sf_dir"])
+
+
+STAGES.update({"lru_hits": _lru_hits})

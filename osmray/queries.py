@@ -18216,6 +18216,73 @@ FROM f GROUP BY cat
 """
 
 
+def q_lru_hits(sf_dir: str):
+    """Exact LRU cache hit-rate simulation per stream — the
+    working-set / cache-sizing primitive: per user, items
+    (event_id % 97) access in (ts, id) order; an access HITS an
+    LRU(8) iff its STACK DISTANCE (# distinct items since the
+    previous access of the same item, exclusive) is < 8 — the
+    classic inclusion-property equivalence, which is also what makes
+    the op SQL-expressible (the twin counts DISTINCT items in the
+    (prev, cur) index range via a range join, no cache state). The
+    engine computes stack distances per key stream in one
+    sorted-group pass (the cusum/stay_points family shape). Emits
+    (user_id, n_accesses, n_cold, n_hits)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        items = (ii[order] % 97)
+        uid = int(g["user_id"][0].as_py())
+        last: dict = {}
+        n_cold = n_hits = 0
+        for i, it in enumerate(items.tolist()):
+            pi = last.get(it)
+            if pi is None:
+                n_cold += 1
+            else:
+                dist = len(set(items[pi + 1:i].tolist()))
+                if dist < 8:
+                    n_hits += 1
+            last[it] = i
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_accesses": pa.array([len(items)], pa.int64()),
+            "n_cold": pa.array([n_cold], pa.int64()),
+            "n_hits": pa.array([n_hits], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(
+        per_key, batch_format="pyarrow")
+
+
+Q_LRU_HITS_SQL = """
+WITH seq AS (SELECT user_id, event_id % 97 AS item,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS i
+      FROM events),
+prev AS (SELECT user_id, item, i,
+           LAG(i) OVER (PARTITION BY user_id, item ORDER BY i) AS pi
+         FROM seq),
+sd AS (SELECT p.user_id, p.i,
+         (SELECT count(DISTINCT s.item) FROM seq s
+          WHERE s.user_id = p.user_id
+            AND s.i > p.pi AND s.i < p.i) AS dist
+       FROM prev p WHERE p.pi IS NOT NULL)
+SELECT q.user_id,
+       CAST(count(*) AS BIGINT) AS n_accesses,
+       CAST(count(*) - count(p.pi) AS BIGINT) AS n_cold,
+       CAST(coalesce(sum(CASE WHEN sd.dist < 8 THEN 1 END), 0)
+            AS BIGINT) AS n_hits
+FROM seq q
+JOIN prev p ON p.user_id = q.user_id AND p.i = q.i
+LEFT JOIN sd ON sd.user_id = q.user_id AND sd.i = q.i
+GROUP BY q.user_id
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18498,4 +18565,5 @@ def registry():
         "q_bipartite": (q_bipartite, Q_BIPARTITE_SQL),
         "q_hist_match": (q_hist_match, Q_HIST_MATCH_SQL),
         "q_target_encode": (q_target_encode, Q_TARGET_ENCODE_SQL),
+        "q_lru_hits": (q_lru_hits, Q_LRU_HITS_SQL),
     }

@@ -600,3 +600,40 @@ def test_hist_match_matches_brute(ray_session):
         lut = np.minimum(lut, 255)
         want = int(lut[a].sum())
         assert got[i] == want, i
+
+
+def test_lru_hits_matches_true_lru_simulation(ray_session):
+    """Stack-distance rule == an ACTUAL LRU(8) cache simulation
+    (inclusion property), on the real sf0.001 event streams."""
+    from collections import OrderedDict
+
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    got = {r["user_id"]: (r["n_accesses"], r["n_cold"], r["n_hits"])
+           for r in Q.q_lru_hits("/root/testdata/sf0.001").take_all()}
+
+    ev = pqt.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["tsu"] = ev["ts"].astype("int64")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["tsu", "event_id"])
+        cache: OrderedDict = OrderedDict()
+        n_cold = n_hits = n = 0
+        seen = set()
+        for item in (g["event_id"].to_numpy() % 97).tolist():
+            n += 1
+            if item in cache:
+                n_hits += 1
+                cache.move_to_end(item)
+            else:
+                if item not in seen:
+                    n_cold += 1
+                seen.add(item)
+                cache[item] = True
+                if len(cache) > 8:
+                    cache.popitem(last=False)
+        want[int(uid)] = (n, n_cold, n_hits)
+    assert got == want
