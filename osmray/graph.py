@@ -1734,3 +1734,64 @@ def bipartite_audit(edges_ds, src_col: str = "u", dst_col: str = "v",
         sizes.union(j3.map_batches(conf_partials,
                                    batch_format="pyarrow")),
         "comp", ["n_nodes", "n_conflicts"])
+
+
+def triangles_per_vertex(edges_ds, src_col: str = "u", dst_col: str = "v",
+                         num_buckets: int = 32,
+                         spill_root: str | None = None):
+    """Exact triangle counts per vertex with ALL-CORNER attribution
+    (each triangle counts at a, b AND c — the local-clustering-
+    coefficient numerator), vs :func:`triangles`' min-vertex
+    attribution. Same two-grace-join plan; the close join keeps the
+    middle vertex so each surviving wedge emits its three corners
+    into one keyed count fold. Returns (u, n_tri)."""
+    from ray.data.aggregate import Count
+
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = u != v
+        u, v = u[sel], v[sel]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"ek": pa.array(np.unique((lo << 32) | hi))})
+
+    ekeys = (edges_ds.map_batches(orient, batch_format="pyarrow")
+             .groupby("ek").aggregate(Count(alias_name="_n"))
+             .select_columns(["ek"])).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        ek = batch["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ek >> 32),
+                         "b": pa.array(ek & 0xFFFFFFFF)})
+
+    E = ekeys.map_batches(unpack, batch_format="pyarrow")
+    wedges = bucketed_join(E, E, on="b", right_on="a",
+                           num_buckets=num_buckets, spill_root=spill_root)
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["b_r"].to_numpy(zero_copy_only=False)
+        return pa.table({"ek": pa.array((a << 32) | c),
+                         "a": pa.array(a), "b": pa.array(b),
+                         "c": pa.array(c)})
+
+    wk = wedges.map_batches(wedge_key, batch_format="pyarrow")
+    closed = bucketed_join(wk, ekeys, on="ek", right_on="ek",
+                           num_buckets=num_buckets, spill_root=spill_root)
+
+    def corner_partials(batch: pa.Table) -> pa.Table:
+        vs = np.concatenate([
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+            batch["c"].to_numpy(zero_copy_only=False)])
+        u, cnt = np.unique(vs, return_counts=True)
+        return pa.table({"u": pa.array(u.astype(np.int64)),
+                         "n_tri": pa.array(cnt.astype(np.int64))})
+
+    return sorted_fold_sums(
+        closed.map_batches(corner_partials, batch_format="pyarrow"),
+        "u", ["n_tri"])

@@ -1768,3 +1768,15 @@ def _lru_hits(p: dict) -> Stage:
 
 
 STAGES.update({"lru_hits": _lru_hits})
+
+
+def _triangles_per_vertex(p: dict) -> Stage:
+    """{"op": "triangles_per_vertex", "src": "u"?, "dst": "v"?} —
+    all-corner triangle counts (clustering-coefficient numerator)."""
+    from osmray.graph import triangles_per_vertex
+
+    return lambda ds: triangles_per_vertex(
+        ds, src_col=p.get("src", "u"), dst_col=p.get("dst", "v"))
+
+
+STAGES.update({"triangles_per_vertex": _triangles_per_vertex})

@@ -18283,6 +18283,93 @@ GROUP BY q.user_id
 """
 
 
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per vertex — the
+    graph-cohesion metric: triangles through each vertex (NOT the
+    min-vertex attribution of q_triangles — every triangle counts at
+    ALL THREE corners) over possible wedges deg*(deg-1)/2, emitted
+    as exact integer milli-units 2000*n_tri // (deg*(deg-1)).
+    Composition: the two-grace-join triangle plan emitting per-CORNER
+    partials + a distinct-edge degree fold + one grace join. Emits
+    (u, deg, n_tri, coef_milli) for deg >= 2 vertices."""
+    from ray.data.aggregate import Count
+
+    from osmray.graph import triangles_per_vertex
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        p = _li_points(batch)
+        return pa.table({"u": pa.array(p["m1"] % 1024),
+                         "v": pa.array(p["m2"] % 1024)})
+
+    E = ds.map_batches(edges, batch_format="pyarrow")
+    tri = triangles_per_vertex(E, num_buckets=8).materialize()
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = u != v
+        lo, hi = np.minimum(u[sel], v[sel]), np.maximum(u[sel], v[sel])
+        return pa.table({"ek": pa.array(np.unique(lo * 1024 + hi))})
+
+    dedup = (E.map_batches(orient, batch_format="pyarrow")
+             .groupby("ek").aggregate(Count(alias_name="_n")))
+    deg = sorted_fold_sums(dedup.map_batches(
+        lambda t: pa.table({
+            "u": pa.array(np.concatenate([
+                t["ek"].to_numpy(zero_copy_only=False) // 1024,
+                t["ek"].to_numpy(zero_copy_only=False) % 1024])),
+            "n": pa.array(np.ones(2 * len(t), np.int64))}),
+        batch_format="pyarrow"), "u", ["n"])
+
+    j = bucketed_join(deg, tri, on="u", right_on="u", num_buckets=8,
+                      how="left")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["n_tri"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = _pc2.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({
+            "u": pa.array(u), "deg": pa.array(d), "n_tri": pa.array(t),
+            "coef_milli": pa.array(2000 * t // (d * (d - 1)))})
+
+    return j.map_batches(emit, batch_format="pyarrow")
+
+
+import pyarrow.compute as _pc2  # noqa: E402
+
+
+Q_CLUSTERING_COEF_SQL = f"""
+WITH p AS ({_LI_SQL}),
+raw AS (SELECT m1 % 1024 AS u, m2 % 1024 AS v FROM p
+        WHERE m1 % 1024 <> m2 % 1024),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw),
+t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pt AS (SELECT u, count(*) AS n_tri FROM (
+         SELECT a AS u FROM t UNION ALL SELECT b FROM t
+         UNION ALL SELECT c FROM t) GROUP BY u),
+deg AS (SELECT u, count(*) AS d FROM (
+          SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY u)
+SELECT deg.u, CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2000 * coalesce(pt.n_tri, 0)
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS coef_milli
+FROM deg LEFT JOIN pt ON pt.u = deg.u
+WHERE deg.d >= 2
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18566,4 +18653,5 @@ def registry():
         "q_hist_match": (q_hist_match, Q_HIST_MATCH_SQL),
         "q_target_encode": (q_target_encode, Q_TARGET_ENCODE_SQL),
         "q_lru_hits": (q_lru_hits, Q_LRU_HITS_SQL),
+        "q_clustering_coef": (q_clustering_coef, Q_CLUSTERING_COEF_SQL),
     }

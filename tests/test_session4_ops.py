@@ -637,3 +637,33 @@ def test_lru_hits_matches_true_lru_simulation(ray_session):
                     cache.popitem(last=False)
         want[int(uid)] = (n, n_cold, n_hits)
     assert got == want
+
+
+def test_triangles_per_vertex_matches_brute(ray_session):
+    import ray.data
+
+    from osmray.graph import triangles_per_vertex
+
+    rng = np.random.RandomState(17)
+    u = rng.randint(0, 25, 120).astype(np.int64)
+    v = rng.randint(0, 25, 120).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(u),
+                                       "v": pa.array(v)}))
+    got = {r["u"]: r["n_tri"] for r in triangles_per_vertex(
+        ds, num_buckets=4).take_all()}
+
+    edges = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(u, v) if a != b}
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    want: Counter = Counter()
+    for a, b in edges:
+        for c in nbr[a] & nbr[b]:
+            if c > b:
+                for x in (a, b, c):
+                    want[x] += 1
+    assert got == dict(want)
