@@ -1780,3 +1780,14 @@ def _triangles_per_vertex(p: dict) -> Stage:
 
 
 STAGES.update({"triangles_per_vertex": _triangles_per_vertex})
+
+
+def _bootstrap(p: dict) -> Stage:
+    """{"op": "bootstrap", "sf_dir": "..."} — 8 deterministic
+    half-sample replicates of the per-type metric (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_bootstrap(p["sf_dir"])
+
+
+STAGES.update({"bootstrap": _bootstrap})

@@ -18370,6 +18370,88 @@ WHERE deg.d >= 2
 """
 
 
+def q_bootstrap(sf_dir: str):
+    """Deterministic bootstrap replicates — uncertainty
+    quantification in ONE pass: 8 half-sample replicates, replicate
+    r keeping rows where bit r of hash64(event_id, 101) is set
+    (one hash, 8 independent bits — stable, cluster-size-independent,
+    resumable), each reporting per-event-type count and integer
+    centi-value sum. Block partials compute all 8 replicates
+    vectorized; one bounded (type x replicate) fold. The spread
+    across replicates is the standard-error estimate a 1e12-row job
+    cannot get from a second pass. Emits (event_type, rep, n,
+    cents)."""
+    from osmray.stages import hash64, hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist())
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        h = hash64(eid, 101)
+        ks, ns, cs = [], [], []
+        for r in range(8):
+            keep = ((h >> r) & 1) == 1
+            key = np.char.add(str(r) + "\x1f", et[keep])
+            u, inv = np.unique(key, return_inverse=True)
+            ks.append(u)
+            ns.append(np.bincount(inv).astype(np.int64))
+            cs.append(np.bincount(inv, weights=cents[keep]).astype(np.int64))
+        ku = np.concatenate(ks) if ks else np.asarray([], "U")
+        return pa.table({
+            "k": pa.array(ku),
+            "n": pa.array(np.concatenate(ns) if ns
+                          else np.zeros(0, np.int64)),
+            "cents": pa.array(np.concatenate(cs) if cs
+                              else np.zeros(0, np.int64)),
+            "bk": pa.array(np.abs(hash_str(list(ku), 7)) % 64)})
+
+    per_cell = (ev.map_batches(partials, batch_format="pyarrow")
+                .groupby("bk").map_groups(
+                    lambda g: _fold_str_sums(g, ["n", "cents"]),
+                    batch_format="pyarrow"))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ks = [k.split("\x1f") for k in batch["k"].to_pylist()]
+        return pa.table({
+            "event_type": pa.array([t for _, t in ks]),
+            "rep": pa.array([int(r) for r, _ in ks], pa.int64()),
+            "n": batch["n"], "cents": batch["cents"]})
+
+    return per_cell.map_batches(emit, batch_format="pyarrow")
+
+
+def _fold_str_sums(g: pa.Table, val_cols: list[str]) -> pa.Table:
+    """In-group exact string-keyed integer sums (the
+    _hashed_string_counts verify shape, for pre-aggregated
+    partials)."""
+    ks = np.asarray(g["k"].to_pylist())
+    u, inv = np.unique(ks, return_inverse=True)
+    cols = {"k": pa.array(u)}
+    for c in val_cols:
+        v = g[c].to_numpy(zero_copy_only=False)
+        cols[c] = pa.array(np.bincount(inv, weights=v).astype(np.int64))
+    return pa.table(cols)
+
+
+Q_BOOTSTRAP_SQL = f"""
+WITH {hash64_ctes('bs', 'events', 'event_id, event_type, value',
+                  'event_id', 101)},
+x AS (SELECT event_type, r.range AS rep,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM bs5 CROSS JOIN range(0, 8) r
+      WHERE ((h >> CAST(r.range AS INT)) & 1) = 1)
+SELECT event_type, CAST(rep AS BIGINT) AS rep,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM x GROUP BY 1, 2
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18654,4 +18736,5 @@ def registry():
         "q_target_encode": (q_target_encode, Q_TARGET_ENCODE_SQL),
         "q_lru_hits": (q_lru_hits, Q_LRU_HITS_SQL),
         "q_clustering_coef": (q_clustering_coef, Q_CLUSTERING_COEF_SQL),
+        "q_bootstrap": (q_bootstrap, Q_BOOTSTRAP_SQL),
     }

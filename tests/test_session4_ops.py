@@ -667,3 +667,32 @@ def test_triangles_per_vertex_matches_brute(ray_session):
                 for x in (a, b, c):
                     want[x] += 1
     assert got == dict(want)
+
+
+def test_bootstrap_replicates_are_half_samples(ray_session):
+    """Each replicate keeps ~half the rows (independent hash bits)
+    and replicate 0 equals a direct recount."""
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+    from osmray.stages import hash64
+
+    got = Q.q_bootstrap("/root/testdata/sf0.001").to_pandas()
+    ev = pqt.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "event_type",
+                                 "value"]).to_pandas()
+    h = hash64(ev["event_id"].to_numpy().astype(np.int64), 101)
+    n_total = len(ev)
+    for r in range(8):
+        kept = int((((h >> r) & 1) == 1).sum())
+        assert abs(kept - n_total / 2) < n_total * 0.1
+        assert got[got["rep"] == r]["n"].sum() == kept
+    sub = ev[((h >> 0) & 1) == 1]
+    cents = np.floor(sub["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    g0 = got[got["rep"] == 0].set_index("event_type")
+    import pandas as pd
+    direct = pd.DataFrame({"event_type": sub["event_type"].to_numpy(),
+                           "cents": cents}).groupby("event_type").agg(
+        n=("cents", "size"), cents=("cents", "sum"))
+    assert (g0["n"].sort_index() == direct["n"].sort_index()).all()
+    assert (g0["cents"].sort_index() == direct["cents"].sort_index()).all()
