@@ -1791,3 +1791,14 @@ def _bootstrap(p: dict) -> Stage:
 
 
 STAGES.update({"bootstrap": _bootstrap})
+
+
+def _attribution(p: dict) -> Stage:
+    """{"op": "attribution", "sf_dir": "..."} — linear multi-touch
+    attribution credits (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_attribution(p["sf_dir"])
+
+
+STAGES.update({"attribution": _attribution})

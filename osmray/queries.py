@@ -18452,6 +18452,84 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_attribution(sf_dir: str):
+    """Linear multi-touch attribution — the marketing-analytics
+    primitive: every 'purchase' conversion credits each NON-purchase
+    touch by the same user in the preceding hour [t-3600s, t) with
+    one integer credit. Per-user sorted scan (two-pointer window via
+    searchsorted — the windows-family shape), per-type block
+    partials, one bounded fold. The twin is the textbook interval
+    self-join. Emits (event_type, n_credits, n_conversions_touched)
+    where n_conversions_touched counts conversions with >= 1 credit
+    to that type."""
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((ii, tv))
+        tv, et = tv[order], et[order]
+        conv = np.flatnonzero(et == "purchase")
+        types = np.unique(et[et != "purchase"])
+        credits = np.zeros(len(types), np.int64)
+        convs = np.zeros(len(types), np.int64)
+        lo_all = np.searchsorted(tv, tv[conv] - 3_600_000_000,
+                                 side="left")
+        hi_all = np.searchsorted(tv, tv[conv], side="left")
+        for lo, hi in zip(lo_all.tolist(), hi_all.tolist()):
+            w = et[lo:hi]
+            w = w[w != "purchase"]
+            if len(w) == 0:
+                continue
+            u, cnt = np.unique(w, return_counts=True)
+            pos = np.searchsorted(types, u)
+            credits[pos] += cnt
+            convs[pos] += 1
+        keep = credits > 0
+        return pa.table({
+            "t": pa.array(types[keep]),
+            "credits": pa.array(credits[keep]),
+            "convs": pa.array(convs[keep])})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        return batch.append_column("bk", pa.array(
+            np.abs(hash_str(batch["t"].to_pylist(), 5)) % 16))
+
+    folded = (ds.groupby("user_id")
+              .map_groups(per_key, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("bk").map_groups(
+                  lambda g: _fold_str_sums(
+                      g.rename_columns(["k", "credits", "convs", "bk"])
+                      .drop_columns(["bk"]), ["credits", "convs"]),
+                  batch_format="pyarrow"))
+    return folded.map_batches(
+        lambda t: t.rename_columns(
+            ["event_type", "n_credits", "n_conversions_touched"]),
+        batch_format="pyarrow")
+
+
+Q_ATTRIBUTION_SQL = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS ct, event_id
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, epoch_us(ts) AS tt, event_type
+      FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT c.event_id AS conv, t.event_type
+      FROM c JOIN t ON t.user_id = c.user_id
+       AND t.tt >= c.ct - 3600000000 AND t.tt < c.ct)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(count(DISTINCT conv) AS BIGINT) AS n_conversions_touched
+FROM j GROUP BY event_type
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18737,4 +18815,5 @@ def registry():
         "q_lru_hits": (q_lru_hits, Q_LRU_HITS_SQL),
         "q_clustering_coef": (q_clustering_coef, Q_CLUSTERING_COEF_SQL),
         "q_bootstrap": (q_bootstrap, Q_BOOTSTRAP_SQL),
+        "q_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
     }

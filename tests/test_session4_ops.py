@@ -696,3 +696,30 @@ def test_bootstrap_replicates_are_half_samples(ray_session):
         n=("cents", "size"), cents=("cents", "sum"))
     assert (g0["n"].sort_index() == direct["n"].sort_index()).all()
     assert (g0["cents"].sort_index() == direct["cents"].sort_index()).all()
+
+
+def test_attribution_matches_brute(ray_session):
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    got = {r["event_type"]: (r["n_credits"], r["n_conversions_touched"])
+           for r in Q.q_attribution("/root/testdata/sf0.001").take_all()}
+    ev = pqt.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]).to_pandas()
+    ev["tsu"] = ev["ts"].astype("int64")
+    from collections import Counter
+
+    credits: Counter = Counter()
+    convs: dict = {}
+    for _, c in ev[ev["event_type"] == "purchase"].iterrows():
+        w = ev[(ev["user_id"] == c["user_id"])
+               & (ev["event_type"] != "purchase")
+               & (ev["tsu"] >= c["tsu"] - 3_600_000_000)
+               & (ev["tsu"] < c["tsu"])]
+        for t, n in w["event_type"].value_counts().items():
+            credits[t] += int(n)
+            convs.setdefault(t, set()).add(int(c["event_id"]))
+    want = {t: (credits[t], len(convs[t])) for t in credits}
+    assert got == want
