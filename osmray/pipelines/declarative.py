@@ -1802,3 +1802,55 @@ def _attribution(p: dict) -> Stage:
 
 
 STAGES.update({"attribution": _attribution})
+
+
+def _diversity(p: dict) -> Stage:
+    """{"op": "diversity", "key": "source"?, "cat": "lang"?} —
+    exact integer Gini-Simpson diversity of ``cat`` per ``key``."""
+    from osmray import queries as _Q
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    key, cat = p.get("key", "source"), p.get("cat", "lang")
+
+    def run(ds):
+        import numpy as np
+        import pyarrow as pa
+
+        def partials(batch):
+            kk = np.char.add(np.char.add(
+                np.asarray(batch[key].to_pylist()), "\x1f"),
+                np.asarray(batch[cat].to_pylist()))
+            u, inv = np.unique(kk, return_inverse=True)
+            return pa.table({
+                "k": pa.array(u),
+                "n": pa.array(np.bincount(inv).astype("int64")),
+                "bk": pa.array(np.abs(hash_str(list(u), 9)) % 16)})
+
+        cell = (ds.map_batches(partials, batch_format="pyarrow")
+                .groupby("bk").map_groups(
+                    lambda g: _Q._fold_str_sums(
+                        g.drop_columns(["bk"]), ["n"]),
+                    batch_format="pyarrow"))
+
+        def per_key2(batch):
+            ks = [k.split("\x1f") for k in batch["k"].to_pylist()]
+            src = np.asarray([s for s, _ in ks])
+            n = batch["n"].to_numpy(zero_copy_only=False).astype("int64")
+            u, inv = np.unique(src, return_inverse=True)
+            tot = np.bincount(inv, weights=n).astype("int64")
+            sq = np.bincount(inv, weights=n * n).astype("int64")
+            nl = np.bincount(inv).astype("int64")
+            return pa.table({
+                key: pa.array(u), "n_rows": pa.array(tot),
+                "n_cats": pa.array(nl),
+                "div_micro": pa.array(
+                    1_000_000 * (tot * tot - sq) // (tot * tot))})
+
+        return cell.repartition(1).map_batches(
+            per_key2, batch_format="pyarrow", batch_size=None)
+
+    return run
+
+
+STAGES.update({"diversity": _diversity})

@@ -18530,6 +18530,69 @@ FROM j GROUP BY event_type
 """
 
 
+def q_diversity(sf_dir: str):
+    """Gini-Simpson diversity of the language mix per source — the
+    corpus-composition health metric (probability two random docs of
+    a source differ in language), in EXACT integers: per (source,
+    lang) counts from one bounded fold, then per source
+    div_micro = 1_000_000 * (N^2 - sum n_i^2) // N^2 (one integer
+    division, no float probabilities). Emits (source, n_docs,
+    n_langs, div_micro)."""
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        key = np.char.add(np.char.add(
+            np.asarray(batch["source"].to_pylist()), "\x1f"),
+            np.asarray(batch["lang"].to_pylist()))
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({"k": pa.array(u),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "bk": pa.array(np.abs(hash_str(
+                             list(u), 9)) % 16)})
+
+    cell = (docs.map_batches(partials, batch_format="pyarrow")
+            .groupby("bk").map_groups(
+                lambda g: _fold_str_sums(g.drop_columns(["bk"]), ["n"]),
+                batch_format="pyarrow"))
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        ks = [k.split("\x1f") for k in batch["k"].to_pylist()]
+        src = np.asarray([s for s, _ in ks])
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        sq = np.bincount(inv, weights=n * n).astype(np.int64)
+        nl = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "source": pa.array(u),
+            "n_docs": pa.array(tot),
+            "n_langs": pa.array(nl),
+            "div_micro": pa.array(
+                1_000_000 * (tot * tot - sq) // (tot * tot))})
+
+    # the (source, lang) cell table is tiny (sources x langs); one
+    # driver-side-free coalesce into a single block finishes it
+    return cell.repartition(1).map_batches(
+        per_source, batch_format="pyarrow", batch_size=None)
+
+
+Q_DIVERSITY_SQL = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+s AS (SELECT source, sum(n) AS nd, count(*) AS nl,
+             sum(n * n) AS sq
+      FROM c GROUP BY source)
+SELECT source, CAST(nd AS BIGINT) AS n_docs,
+       CAST(nl AS BIGINT) AS n_langs,
+       CAST(1000000 * (nd * nd - sq) // (nd * nd) AS BIGINT)
+       AS div_micro
+FROM s
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18816,4 +18879,5 @@ def registry():
         "q_clustering_coef": (q_clustering_coef, Q_CLUSTERING_COEF_SQL),
         "q_bootstrap": (q_bootstrap, Q_BOOTSTRAP_SQL),
         "q_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
+        "q_diversity": (q_diversity, Q_DIVERSITY_SQL),
     }
