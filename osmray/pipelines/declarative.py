@@ -1854,3 +1854,17 @@ def _diversity(p: dict) -> Stage:
 
 
 STAGES.update({"diversity": _diversity})
+
+
+def _quantile_normalize(p: dict) -> Stage:
+    """{"op": "quantile_normalize", "key": "event_type"?, "val":
+    "value"?, "id": "event_id"?} — map each group's value
+    distribution onto the pooled global distribution."""
+    from osmray.windows import quantile_normalize
+
+    return lambda ds: quantile_normalize(
+        ds, key=p.get("key", "event_type"),
+        val_col=p.get("val", "value"), id_col=p.get("id", "event_id"))
+
+
+STAGES.update({"quantile_normalize": _quantile_normalize})

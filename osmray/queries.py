@@ -18593,6 +18593,40 @@ FROM s
 """
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of event values per type onto the
+    pooled distribution (windows.quantile_normalize — the
+    batch-effect-correction primitive): row value -> the GLOBAL value
+    at rank max(1, rk*N//nt) where rk is its (cents, id) rank within
+    its type. Integer centi-units, deterministic ties; per-type AND
+    global ranks via the sorted-scan block-offset pattern; one grace
+    join does the rank lookup. The twin is two ROW_NUMBER windows +
+    a join."""
+    from osmray.windows import quantile_normalize
+
+    return quantile_normalize(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]))
+
+
+Q_QUANTILE_NORMALIZE_SQL = """
+WITH e AS (SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_id, event_type, cents,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY cents, event_id) AS rk,
+        count(*) OVER (PARTITION BY event_type) AS nt,
+        count(*) OVER () AS n
+      FROM e),
+g AS (SELECT cents AS gval,
+        ROW_NUMBER() OVER (ORDER BY cents, event_id) AS grank
+      FROM e)
+SELECT r.event_id, r.event_type, r.cents,
+       CAST(g.gval AS BIGINT) AS qnorm_cents
+FROM r JOIN g ON g.grank = greatest(1, (r.rk * r.n) // r.nt)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18880,4 +18914,6 @@ def registry():
         "q_bootstrap": (q_bootstrap, Q_BOOTSTRAP_SQL),
         "q_attribution": (q_attribution, Q_ATTRIBUTION_SQL),
         "q_diversity": (q_diversity, Q_DIVERSITY_SQL),
+        "q_quantile_normalize": (q_quantile_normalize,
+                                 Q_QUANTILE_NORMALIZE_SQL),
     }

@@ -863,3 +863,135 @@ def od_flows(ds, key: str = "user_id", ts_col: str = "ts",
                          "n_trips": batch["n"]})
 
     return folded.map_batches(unpack, batch_format="pyarrow")
+
+
+
+def quantile_normalize(ds, key: str = "event_type", val_col: str = "value",
+                       id_col: str = "event_id", num_buckets: int = 16):
+    """Quantile normalization — the batch-effect-correction primitive
+    (map every group's value DISTRIBUTION onto the pooled global
+    distribution): each row's value becomes the GLOBAL value at rank
+    max(1, rk * N_total // N_group), where rk is its (value, id) rank
+    within its group. Exact integer centi-units, deterministic ties.
+    Plan: per-group ranks AND global ranks both by the sorted-scan
+    block-offset pattern (no task ever holds a whole group; runs are
+    ordered by their head (cents, id) pair), then ONE grace join of
+    requested global positions against the globally-ranked rows — no
+    broadcast of either distribution. Emits
+    (id, key, cents, qnorm_cents)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from osmray.joins import bucketed_join
+
+    totals = {r[key]: int(r["count()"]) for r in
+              ds.groupby(key).aggregate(Count()).take_all()}
+    n_total = int(sum(totals.values()))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            key: batch[key],
+            "cents": pa.array(np.floor(batch[val_col].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64))})
+
+    base = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+
+    # --- per-group ranks ---
+    sds = base.sort([key, "cents", id_col]).materialize()
+
+    def run_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "c0": pa.array([], pa.int64()),
+                             "i0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = np.asarray(batch[key].to_pylist())
+        cc = batch["cents"].to_numpy(zero_copy_only=False)
+        ii = batch[id_col].to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(ks)])))
+        return pa.table({"src": pa.array(ks[starts]),
+                         "c0": pa.array(cc[starts].astype(np.int64)),
+                         "i0": pa.array(ii[starts].astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    stats = (sds.map_batches(run_stats, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas().sort_values(["src", "c0", "i0"]))
+    run: dict = {}
+    offsets: dict = {}
+    for _, r in stats.iterrows():
+        bk = (r["src"], int(r["c0"]), int(r["i0"]))
+        offsets[bk] = run.get(r["src"], 0)
+        run[r["src"]] = run.get(r["src"], 0) + int(r["cnt"])
+    off_ref = ray.put((offsets, totals, n_total))
+
+    def want_pos(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "gpos": pa.array([], pa.int64())})
+        offs, tot, nt = ray.get(off_ref)
+        ks = np.asarray(batch[key].to_pylist())
+        cc = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        local = np.arange(len(ks), dtype=np.int64) - starts[gid]
+        base_off = np.asarray([offs[(ks[s], int(cc[s]), int(ii[s]))]
+                               for s in starts], np.int64)
+        rk = local + base_off[gid] + 1
+        ns = np.asarray([tot[ks[s]] for s in starts], np.int64)[gid]
+        gpos = np.maximum(1, (rk * nt) // ns)
+        return pa.table({id_col: pa.array(ii), key: batch[key],
+                         "cents": pa.array(cc), "gpos": pa.array(gpos)})
+
+    requests = sds.map_batches(want_pos, batch_format="pyarrow",
+                               batch_size=None)
+
+    # --- global ranks ---
+    gds = base.sort(["cents", id_col]).materialize()
+
+    def gblock_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"c0": pa.array([], pa.int64()),
+                             "i0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cc = batch["cents"].to_numpy(zero_copy_only=False)
+        ii = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"c0": pa.array([int(cc[0])]),
+                         "i0": pa.array([int(ii[0])]),
+                         "n": pa.array([len(cc)])})
+
+    gstats = (gds.map_batches(gblock_stats, batch_format="pyarrow",
+                              batch_size=None)
+              .to_pandas().sort_values(["c0", "i0"]))
+    goffs = np.concatenate(([0], np.cumsum(gstats["n"].to_numpy())[:-1]))
+    goff_ref = ray.put({(int(c), int(i)): int(o) for c, i, o in zip(
+        gstats["c0"], gstats["i0"], goffs)})
+
+    def granked(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"grank": pa.array([], pa.int64()),
+                             "gval": pa.array([], pa.int64())})
+        cc = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base_off = ray.get(goff_ref)[(int(cc[0]), int(ii[0]))]
+        return pa.table({
+            "grank": pa.array(np.arange(len(cc), dtype=np.int64)
+                              + base_off + 1),
+            "gval": pa.array(cc)})
+
+    gtab = gds.map_batches(granked, batch_format="pyarrow",
+                           batch_size=None)
+    joined = bucketed_join(requests, gtab, on="gpos", right_on="grank",
+                           num_buckets=num_buckets)
+    return joined.map_batches(
+        lambda t: pa.table({id_col: t[id_col], key: t[key],
+                            "cents": t["cents"],
+                            "qnorm_cents": t["gval"]}),
+        batch_format="pyarrow")

@@ -723,3 +723,34 @@ def test_attribution_matches_brute(ray_session):
             convs.setdefault(t, set()).add(int(c["event_id"]))
     want = {t: (credits[t], len(convs[t])) for t in credits}
     assert got == want
+
+
+def test_quantile_normalize_properties(ray_session):
+    """Distribution invariants on real data: each group's qnorm
+    values are a monotone function of its ranks, sampled rows match
+    a brute pandas replay, and the pooled qnorm multiset of a group
+    equals the global values at its mapped ranks."""
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    got = Q.q_quantile_normalize(
+        "/root/testdata/sf0.001").to_pandas()
+    ev = pqt.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "event_type",
+                                 "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100
+                           + 0.5).astype(np.int64)
+    N = len(ev)
+    gsorted = ev.sort_values(["cents", "event_id"]).reset_index()
+    want = {}
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["cents", "event_id"]).reset_index()
+        nt = len(g)
+        for i in range(nt):
+            gpos = max(1, ((i + 1) * N) // nt)
+            want[int(g.loc[i, "event_id"])] = int(
+                gsorted.loc[gpos - 1, "cents"])
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["qnorm_cents"].astype(int)))
+    assert got_map == want
