@@ -1868,3 +1868,14 @@ def _quantile_normalize(p: dict) -> Stage:
 
 
 STAGES.update({"quantile_normalize": _quantile_normalize})
+
+
+def _holt(p: dict) -> Stage:
+    """{"op": "holt", "sf_dir": "..."} — Holt level+trend smoothing
+    per user stream (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_holt(p["sf_dir"])
+
+
+STAGES.update({"holt": _holt})

@@ -18627,6 +18627,75 @@ FROM r JOIN g ON g.grank = greatest(1, (r.rk * r.n) // r.nt)
 """
 
 
+def q_holt(sf_dir: str):
+    """Holt double-exponential smoothing (level + TREND) with exact
+    integer recurrences — the forecasting upgrade of q_ewma:
+    l_t = l_{t-1} + b_{t-1} + floor((v_t - l_{t-1} - b_{t-1}) / 4)
+    (alpha = 1/4) and
+    b_t = b_{t-1} + floor((l_t - l_{t-1} - b_{t-1}) / 8)
+    (beta = 1/8), both floor-division-exact in numpy and DuckDB,
+    seeded l_1 = v_1, b_1 = 0. Emits per user the final level and
+    trend, the 1-step-ahead forecast l+b, and a full-trajectory
+    checksum (sum of l_t) — the whole recurrence is verified. The
+    twin replays per user with the value list packed into the
+    recursion state (the q_ewma pattern)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def smooth(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        v = (ii[order] * 48271) % 10000
+        lv = int(v[0])
+        b = 0
+        csum = lv
+        for t in range(1, len(v)):
+            pred = lv + b
+            nl = pred + (int(v[t]) - pred) // 4
+            b = b + (nl - pred) // 8
+            lv = nl
+            csum += lv
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_obs": pa.array([len(v)], pa.int64()),
+            "level": pa.array([lv], pa.int64()),
+            "trend": pa.array([b], pa.int64()),
+            "forecast": pa.array([lv + b], pa.int64()),
+            "l_sum": pa.array([csum], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(smooth, batch_format="pyarrow")
+
+
+Q_HOLT_SQL = """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT user_id, ts, event_id, (event_id * 48271) % 10000 AS v
+  FROM events
+),
+ob AS MATERIALIZED (
+  SELECT user_id, list(v ORDER BY ts, event_id) AS vs, count(*) AS n
+  FROM p GROUP BY user_id
+),
+hw AS (
+  SELECT user_id, vs, n, 1 AS t, CAST(vs[1] AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b, CAST(vs[1] AS BIGINT) AS csum
+  FROM ob
+  UNION ALL
+  SELECT user_id, vs, n, t + 1,
+    (l + b) + CAST(floor((vs[t + 1] - l - b) / 4.0) AS BIGINT),
+    b + CAST(floor(CAST(floor((vs[t + 1] - l - b) / 4.0) AS BIGINT)
+                   / 8.0) AS BIGINT),
+    csum + (l + b)
+         + CAST(floor((vs[t + 1] - l - b) / 4.0) AS BIGINT)
+  FROM hw WHERE t < n
+),
+fin AS (SELECT * FROM hw WHERE t = n)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs, l AS level, b AS trend,
+       CAST(l + b AS BIGINT) AS forecast, csum AS l_sum
+FROM fin
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18916,4 +18985,5 @@ def registry():
         "q_diversity": (q_diversity, Q_DIVERSITY_SQL),
         "q_quantile_normalize": (q_quantile_normalize,
                                  Q_QUANTILE_NORMALIZE_SQL),
+        "q_holt": (q_holt, Q_HOLT_SQL),
     }

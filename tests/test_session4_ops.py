@@ -754,3 +754,25 @@ def test_quantile_normalize_properties(ray_session):
     got_map = dict(zip(got["event_id"].astype(int),
                        got["qnorm_cents"].astype(int)))
     assert got_map == want
+
+
+def test_holt_trend_tracks_linear_series(ray_session):
+    """On a clean linear series the Holt trend converges to the true
+    slope and the forecast tracks the next value."""
+    import ray.data
+
+    from osmray import queries as Q
+
+    # engine kernel check via the registry path on real data
+    rows = Q.q_holt("/root/testdata/sf0.001").take_all()
+    assert all(r["forecast"] == r["level"] + r["trend"] for r in rows)
+
+    # direct recurrence on a synthetic linear stream
+    v = np.arange(0, 4000, 40, dtype=np.int64)
+    lv, b = int(v[0]), 0
+    for t in range(1, len(v)):
+        pred = lv + b
+        nl = pred + (int(v[t]) - pred) // 4
+        b = b + (nl - pred) // 8
+        lv = nl
+    assert abs(b - 40) <= 8 and abs((lv + b) - (int(v[-1]) + 40)) <= 160
