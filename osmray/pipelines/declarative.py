@@ -1879,3 +1879,14 @@ def _holt(p: dict) -> Stage:
 
 
 STAGES.update({"holt": _holt})
+
+
+def _haar(p: dict) -> Stage:
+    """{"op": "haar", "sf_dir": "..."} — Haar band energies per user
+    stream (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_haar(p["sf_dir"])
+
+
+STAGES.update({"haar": _haar})

@@ -18696,6 +18696,89 @@ FROM fin
 """
 
 
+def q_haar(sf_dir: str):
+    """Haar wavelet band energies per user stream — the
+    multiresolution time-series signature (complements q_autocorr /
+    q_sax / q_ewma): each user's centi-value stream resamples onto 16
+    equal time buckets over its own [t0, t_max] span (bucket =
+    min(15, (ts-t0)*16 // span); degenerate spans land in bucket 0),
+    then the UNNORMALIZED Haar pyramid (pairwise sums up, squared
+    pairwise differences per level — pure integers) yields 4 detail
+    energies + the total. One per-user sorted pass, vectorized
+    bincount + reshape folds. The twin densifies the 16 buckets via
+    generate_series and replays the pyramid as explicit arithmetic.
+    Emits (user_id, e1, e2, e3, e4, total)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(g["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        t0, t1 = int(tv.min()), int(tv.max())
+        span = t1 - t0
+        if span == 0:
+            bkt = np.zeros(len(tv), np.int64)
+        else:
+            bkt = np.minimum(15, (tv - t0) * 16 // span)
+        b = np.bincount(bkt, weights=cents, minlength=16).astype(np.int64)
+        es = []
+        cur = b
+        while len(cur) > 1:
+            pairs = cur.reshape(-1, 2)
+            d = pairs[:, 0] - pairs[:, 1]
+            es.append(int((d * d).sum()))
+            cur = pairs.sum(axis=1)
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "e1": pa.array([es[0]], pa.int64()),
+            "e2": pa.array([es[1]], pa.int64()),
+            "e3": pa.array([es[2]], pa.int64()),
+            "e4": pa.array([es[3]], pa.int64()),
+            "total": pa.array([int(cur[0])], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_key,
+                                            batch_format="pyarrow")
+
+
+Q_HAAR_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+sp AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM e GROUP BY 1),
+bk AS (SELECT e.user_id, e.cents,
+         CASE WHEN sp.t1 = sp.t0 THEN 0
+              ELSE least(15, (e.t - sp.t0) * 16 // (sp.t1 - sp.t0))
+         END AS bkt
+       FROM e JOIN sp ON sp.user_id = e.user_id),
+dense AS (SELECT user_id,
+  coalesce(sum(CASE WHEN bkt = 0 THEN cents END), 0) AS b0,
+  coalesce(sum(CASE WHEN bkt = 1 THEN cents END), 0) AS b1,
+  coalesce(sum(CASE WHEN bkt = 2 THEN cents END), 0) AS b2,
+  coalesce(sum(CASE WHEN bkt = 3 THEN cents END), 0) AS b3,
+  coalesce(sum(CASE WHEN bkt = 4 THEN cents END), 0) AS b4,
+  coalesce(sum(CASE WHEN bkt = 5 THEN cents END), 0) AS b5,
+  coalesce(sum(CASE WHEN bkt = 6 THEN cents END), 0) AS b6,
+  coalesce(sum(CASE WHEN bkt = 7 THEN cents END), 0) AS b7,
+  coalesce(sum(CASE WHEN bkt = 8 THEN cents END), 0) AS b8,
+  coalesce(sum(CASE WHEN bkt = 9 THEN cents END), 0) AS b9,
+  coalesce(sum(CASE WHEN bkt = 10 THEN cents END), 0) AS b10,
+  coalesce(sum(CASE WHEN bkt = 11 THEN cents END), 0) AS b11,
+  coalesce(sum(CASE WHEN bkt = 12 THEN cents END), 0) AS b12,
+  coalesce(sum(CASE WHEN bkt = 13 THEN cents END), 0) AS b13,
+  coalesce(sum(CASE WHEN bkt = 14 THEN cents END), 0) AS b14,
+  coalesce(sum(CASE WHEN bkt = 15 THEN cents END), 0) AS b15
+  FROM bk GROUP BY user_id)
+SELECT user_id,
+  CAST((b0 - b1) * (b0 - b1) + (b2 - b3) * (b2 - b3) + (b4 - b5) * (b4 - b5) + (b6 - b7) * (b6 - b7) + (b8 - b9) * (b8 - b9) + (b10 - b11) * (b10 - b11) + (b12 - b13) * (b12 - b13) + (b14 - b15) * (b14 - b15) AS BIGINT) AS e1,
+  CAST(((b0 + b1) - (b2 + b3)) * ((b0 + b1) - (b2 + b3)) + ((b4 + b5) - (b6 + b7)) * ((b4 + b5) - (b6 + b7)) + ((b8 + b9) - (b10 + b11)) * ((b8 + b9) - (b10 + b11)) + ((b12 + b13) - (b14 + b15)) * ((b12 + b13) - (b14 + b15)) AS BIGINT) AS e2,
+  CAST((((b0 + b1) + (b2 + b3)) - ((b4 + b5) + (b6 + b7))) * (((b0 + b1) + (b2 + b3)) - ((b4 + b5) + (b6 + b7))) + (((b8 + b9) + (b10 + b11)) - ((b12 + b13) + (b14 + b15))) * (((b8 + b9) + (b10 + b11)) - ((b12 + b13) + (b14 + b15))) AS BIGINT) AS e3,
+  CAST(((((b0 + b1) + (b2 + b3)) + ((b4 + b5) + (b6 + b7))) - (((b8 + b9) + (b10 + b11)) + ((b12 + b13) + (b14 + b15)))) * ((((b0 + b1) + (b2 + b3)) + ((b4 + b5) + (b6 + b7))) - (((b8 + b9) + (b10 + b11)) + ((b12 + b13) + (b14 + b15)))) AS BIGINT) AS e4,
+  CAST(((((b0 + b1) + (b2 + b3)) + ((b4 + b5) + (b6 + b7))) + (((b8 + b9) + (b10 + b11)) + ((b12 + b13) + (b14 + b15)))) AS BIGINT) AS total
+FROM dense
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -18986,4 +19069,5 @@ def registry():
         "q_quantile_normalize": (q_quantile_normalize,
                                  Q_QUANTILE_NORMALIZE_SQL),
         "q_holt": (q_holt, Q_HOLT_SQL),
+        "q_haar": (q_haar, Q_HAAR_SQL),
     }

@@ -776,3 +776,37 @@ def test_holt_trend_tracks_linear_series(ray_session):
         b = b + (nl - pred) // 8
         lv = nl
     assert abs(b - 40) <= 8 and abs((lv + b) - (int(v[-1]) + 40)) <= 160
+
+
+def test_haar_parseval_invariant(ray_session):
+    """Unnormalized-Haar identity on every user: sum of per-level
+    weighted energies equals the weighted sum-of-squares identity
+    2^L * sum(b^2) = total^2 + sum_l 2^(l-1) * e_l ... verified in
+    its simplest checkable form: energies recompute from raw
+    buckets for a sample user."""
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    got = {r["user_id"]: r for r in Q.q_haar(
+        "/root/testdata/sf0.001").take_all()}
+    ev = pqt.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["user_id", "ts", "value"]).to_pandas()
+    ev["t"] = ev["ts"].astype("int64")
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100
+                           + 0.5).astype(np.int64)
+    for uid, g in list(ev.groupby("user_id"))[:5]:
+        t0, t1 = int(g["t"].min()), int(g["t"].max())
+        span = t1 - t0
+        bkt = (np.zeros(len(g), np.int64) if span == 0 else
+               np.minimum(15, (g["t"].to_numpy() - t0) * 16 // span))
+        b = np.bincount(bkt, weights=g["cents"].to_numpy(),
+                        minlength=16).astype(np.int64)
+        cur, es = b, []
+        while len(cur) > 1:
+            p2 = cur.reshape(-1, 2)
+            es.append(int(((p2[:, 0] - p2[:, 1]) ** 2).sum()))
+            cur = p2.sum(axis=1)
+        r = got[int(uid)]
+        assert [r["e1"], r["e2"], r["e3"], r["e4"]] == es
+        assert r["total"] == int(cur[0]) == int(b.sum())
