@@ -1890,3 +1890,24 @@ def _haar(p: dict) -> Stage:
 
 
 STAGES.update({"haar": _haar})
+
+
+def _hll_union(p: dict) -> Stage:
+    """{"op": "hll_union", "group": "event_type"?, "value":
+    "user_id"?} — merge per-group HLL sketches into one global
+    register set (bucketwise max)."""
+    from ray.data.aggregate import Max
+
+    from osmray.sketch import hll_registers
+
+    def run(ds):
+        per = hll_registers(ds, p.get("group", "event_type"),
+                            p.get("value", "user_id"))
+        return (per.select_columns(["bucket", "rho_max"])
+                .groupby("bucket").aggregate(
+                    Max("rho_max", alias_name="rho_max")))
+
+    return run
+
+
+STAGES.update({"hll_union": _hll_union})

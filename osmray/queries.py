@@ -18779,6 +18779,57 @@ FROM dense
 """
 
 
+def q_hll_union(sf_dir: str):
+    """Sketch MERGEABILITY end to end — the property that makes
+    sketches THE 100-TB cardinality tool: per-event_type HLL register
+    tables (the q_hll sketch) union into ONE global register set by
+    bucketwise max — computed here by merging the ALREADY-GROUPED
+    per-type sketches (a second tiny Max fold over at most
+    types x 1024 rows), NOT by re-scanning the input. The twin
+    derives the same global registers directly from the raw rows, so
+    the hash check certifies union(per-type sketches) == sketch(union
+    of inputs) — the merge law itself. Emits (bucket, rho_max)."""
+    from ray.data.aggregate import Max
+
+    from osmray.sketch import hll_registers
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    per_type = hll_registers(ds, "event_type", "user_id")
+    return (per_type.select_columns(["bucket", "rho_max"])
+            .groupby("bucket").aggregate(Max("rho_max",
+                                             alias_name="rho_max")))
+
+
+def _hll_union_sql() -> str:
+    from osmray.sketch import HLL_C1, HLL_C2, HLL_P
+
+    m62 = 1 << 62
+    return f"""
+WITH s1 AS (
+  SELECT CAST((CAST(xor(user_id, user_id >> 31) AS HUGEINT)
+               * {HLL_C1}) % {m62} AS BIGINT) AS h
+  FROM events
+),
+s2 AS (SELECT CAST((CAST(xor(h, h >> 29) AS HUGEINT) * {HLL_C2})
+              % {m62} AS BIGINT) AS h FROM s1),
+hx AS (SELECT xor(h, h >> 32) AS h FROM s2),
+br AS (SELECT h & {(1 << HLL_P) - 1} AS bucket,
+              h >> {HLL_P} AS rest FROM hx),
+p2 AS (SELECT unnest(generate_series(0, 51))::BIGINT AS k,
+              unnest(list_transform(generate_series(0, 51),
+                                    x -> 1::BIGINT << x)) AS v),
+rho_t AS (
+  SELECT bucket,
+    CASE WHEN rest = 0 THEN {62 - HLL_P + 1} ELSE p2.k + 1 END AS rho
+  FROM br LEFT JOIN p2 ON (rest & (-rest)) = p2.v
+)
+SELECT bucket, max(rho) AS rho_max FROM rho_t GROUP BY bucket
+"""
+
+
+Q_HLL_UNION_SQL = _hll_union_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19070,4 +19121,5 @@ def registry():
                                  Q_QUANTILE_NORMALIZE_SQL),
         "q_holt": (q_holt, Q_HOLT_SQL),
         "q_haar": (q_haar, Q_HAAR_SQL),
+        "q_hll_union": (q_hll_union, Q_HLL_UNION_SQL),
     }
