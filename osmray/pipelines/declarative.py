@@ -1911,3 +1911,15 @@ def _hll_union(p: dict) -> Stage:
 
 
 STAGES.update({"hll_union": _hll_union})
+
+
+def _dissolve(p: dict) -> Stage:
+    """{"op": "dissolve", "sf_dir": "..."} — per-attribute
+    connected-region dissolve over the part cell grid (source
+    step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_dissolve(p["sf_dir"])
+
+
+STAGES.update({"dissolve": _dissolve})

@@ -18830,6 +18830,152 @@ SELECT bucket, max(rho) AS rho_max FROM rho_t GROUP BY bucket
 Q_HLL_UNION_SQL = _hll_union_sql()
 
 
+def q_dissolve(sf_dir: str):
+    """Dissolve — the classic GIS generalization op (merge touching
+    same-attribute cells into regions): part-derived cells on a 256
+    grid carry attribute p_partkey % 7 (cell collisions resolve to
+    the MIN attribute — one keyed fold), 4-connected same-attribute
+    adjacency edges feed connected_components (two-engine), isolated
+    cells stay their own region, and one fold per (attr, region)
+    rolls up. Emits per attribute (attr, n_regions, n_cells,
+    max_region). The twin dissolves by alternating per-attribute
+    run-min sweeps (the q_blob_extract technique, PARTITIONed by
+    attr)."""
+    from ray.data.aggregate import Count, Max
+
+    from osmray.graph import connected_components
+    from osmray.joins import bucketed_join
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761) % (1 << 32)
+        cx, cy = h % 256, (h // 256) % 256
+        attr = k % 7
+        u, inv = np.unique(cx * 256 + cy, return_inverse=True)
+        amin = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(amin, inv, attr)
+        return pa.table({"cell": pa.array(u), "attr": pa.array(amin)})
+
+    cell_attr = sorted_fold(
+        parts.map_batches(cells, batch_format="pyarrow"),
+        "cell", ["attr"], ["min"]).materialize()
+
+    def nbr_edges(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = batch["attr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c // 256, c % 256
+        outs = []
+        for dx, dy in ((1, 0), (0, 1)):
+            nx, ny = cx + dx, cy + dy
+            ok = (nx < 256) & (ny < 256)
+            outs.append(pa.table({
+                "u": pa.array(c[ok]),
+                "v": pa.array(nx[ok] * 256 + ny[ok]),
+                "au": pa.array(a[ok])}))
+        return pa.concat_tables(outs)
+
+    cand = bucketed_join(
+        cell_attr.map_batches(nbr_edges, batch_format="pyarrow"),
+        cell_attr, on="v", right_on="cell", num_buckets=8)
+    same = cand.map_batches(
+        lambda t: t.filter(_pc2.equal(t["au"], t["attr"]))
+        .select(["u", "v"]), batch_format="pyarrow").materialize()
+    if same.count() == 0:
+        # no same-attribute adjacency anywhere: every cell is its
+        # own region (sparse small-SF grids)
+        att = cell_attr.map_batches(
+            lambda t: t.append_column(
+                "comp", t["cell"].cast(pa.int64())),
+            batch_format="pyarrow")
+    else:
+        comps = connected_components(same).materialize()
+        att = bucketed_join(cell_attr, comps, on="cell",
+                            right_on="node", num_buckets=8, how="left")
+
+    def region_partials(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = batch["attr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["comp"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = _pc2.is_null(col).to_numpy(zero_copy_only=False)
+        comp = _pc2.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        comp = np.where(isnull, c, comp)
+        pk = a * 65536 + comp
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    regions = sorted_fold_sums(
+        att.map_batches(region_partials, batch_format="pyarrow"),
+        "pk", ["n"])
+
+    def attr_partials(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pk // 65536
+        u, inv = np.unique(a, return_inverse=True)
+        mx = np.zeros(len(u), np.int64)
+        np.maximum.at(mx, inv, n)
+        return pa.table({
+            "attr": pa.array(u),
+            "n_regions": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_cells": pa.array(np.bincount(
+                inv, weights=n).astype(np.int64)),
+            "max_region": pa.array(mx)})
+
+    folded = sorted_fold(
+        regions.map_batches(attr_partials, batch_format="pyarrow"),
+        "attr", ["n_regions", "n_cells", "max_region"],
+        ["sum", "sum", "max"])
+    return folded
+
+
+def _dissolve_sql() -> str:
+    R = 8
+    sweeps = []
+    for i in range(R):
+        sweeps.append(f"""a{i} AS MATERIALIZED (
+  SELECT attr, key, min(lbl) OVER (PARTITION BY attr, key % 256, isl)
+         AS lbl
+  FROM (SELECT attr, key, lbl,
+          key // 256 - ROW_NUMBER() OVER (
+            PARTITION BY attr, key % 256 ORDER BY key // 256) AS isl
+        FROM l{i})),
+l{i + 1} AS MATERIALIZED (
+  SELECT attr, key, min(lbl) OVER (PARTITION BY attr, key // 256, isl)
+         AS lbl
+  FROM (SELECT attr, key, lbl,
+          key % 256 - ROW_NUMBER() OVER (
+            PARTITION BY attr, key // 256 ORDER BY key % 256) AS isl
+        FROM a{i}))""")
+    return f"""
+WITH ca AS MATERIALIZED (
+  SELECT cell AS key, min(attr) AS attr FROM (
+    SELECT ((p_partkey * 2654435761) % 4294967296 % 256) * 256
+           + ((p_partkey * 2654435761) % 4294967296 // 256 % 256)
+           AS cell,
+           p_partkey % 7 AS attr
+    FROM part) GROUP BY cell),
+l0 AS MATERIALIZED (SELECT attr, key, key AS lbl FROM ca),
+{",".join(sweeps)},
+reg AS (SELECT attr, lbl, count(*) AS n FROM l{R} GROUP BY 1, 2)
+SELECT CAST(attr AS BIGINT) AS attr,
+       CAST(count(*) AS BIGINT) AS n_regions,
+       CAST(sum(n) AS BIGINT) AS n_cells,
+       CAST(max(n) AS BIGINT) AS max_region
+FROM reg GROUP BY attr
+"""
+
+
+Q_DISSOLVE_SQL = _dissolve_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19122,4 +19268,5 @@ def registry():
         "q_holt": (q_holt, Q_HOLT_SQL),
         "q_haar": (q_haar, Q_HAAR_SQL),
         "q_hll_union": (q_hll_union, Q_HLL_UNION_SQL),
+        "q_dissolve": (q_dissolve, Q_DISSOLVE_SQL),
     }

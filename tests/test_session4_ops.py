@@ -810,3 +810,22 @@ def test_haar_parseval_invariant(ray_session):
         r = got[int(uid)]
         assert [r["e1"], r["e2"], r["e3"], r["e4"]] == es
         assert r["total"] == int(cur[0]) == int(b.sum())
+
+
+def test_dissolve_region_invariants(ray_session):
+    """Per-attribute invariants at sf0.01: regions partition cells
+    (sum region sizes == n_cells), max_region <= n_cells, and total
+    cells across attributes == distinct occupied cells."""
+    import duckdb
+
+    from osmray import queries as Q
+
+    got = Q.q_dissolve("/root/testdata/sf0.01").to_pandas()
+    assert (got["max_region"] <= got["n_cells"]).all()
+    assert (got["n_regions"] <= got["n_cells"]).all()
+    want_cells = duckdb.sql(
+        "SELECT count(DISTINCT (p_partkey * 2654435761) % 4294967296 "
+        "% 256 * 256 + (p_partkey * 2654435761) % 4294967296 // 256 "
+        "% 256) FROM read_parquet("
+        "'/root/testdata/sf0.01/part.parquet')").fetchone()[0]
+    assert got["n_cells"].sum() == want_cells
