@@ -1923,3 +1923,14 @@ def _dissolve(p: dict) -> Stage:
 
 
 STAGES.update({"dissolve": _dissolve})
+
+
+def _kmv_union(p: dict) -> Stage:
+    """{"op": "kmv_union", "sf_dir": "..."} — two-shard KMV sketch
+    merge certified against the undivided input (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_kmv_union(p["sf_dir"])
+
+
+STAGES.update({"kmv_union": _kmv_union})

@@ -18976,6 +18976,45 @@ FROM reg GROUP BY attr
 Q_DISSOLVE_SQL = _dissolve_sql()
 
 
+def q_kmv_union(sf_dir: str):
+    """KMV merge law certified end to end (the q_hll_union story for
+    bottom-k sketches): the input splits into two shards by
+    l_linenumber parity, each builds its own bottom-256 sketch
+    (sketch.kmv_bottom_k — fully distributed), and the two O(k)
+    sketches merge on the driver (distinct union, keep the 256
+    smallest, re-derive the estimator) — sketches being O(k) driver
+    objects is their POINT. The twin computes the bottom-256 of the
+    UNDIVIDED input, so the hash check certifies
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B). Emits
+    (rank, h, est_distinct) — identical to q_kmv's output."""
+    import pyarrow.compute as pc
+
+    from osmray.sketch import kmv_bottom_k
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    parts = []
+    for parity in (0, 1):
+        shard = ds.map_batches(
+            lambda t, par=parity: t.filter(pc.equal(
+                pc.bit_wise_and(t["l_linenumber"].cast(pa.int64()), 1),
+                par)).select(["l_orderkey"]),
+            batch_format="pyarrow")
+        parts.append(kmv_bottom_k(shard, "l_orderkey", k=256).to_pandas())
+    hs = np.unique(np.concatenate(
+        [p["h"].to_numpy().astype(np.int64) for p in parts]))[:256]
+    nk = len(hs)
+    est = int(255 * 4611686018427387904.0 // hs[-1]) if nk == 256 else nk
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, nk + 1, dtype=np.int64)),
+        "h": pa.array(hs),
+        "est_distinct": pa.array(np.full(nk, est, np.int64))}))
+
+
+Q_KMV_UNION_SQL = _kmv_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19269,4 +19308,5 @@ def registry():
         "q_haar": (q_haar, Q_HAAR_SQL),
         "q_hll_union": (q_hll_union, Q_HLL_UNION_SQL),
         "q_dissolve": (q_dissolve, Q_DISSOLVE_SQL),
+        "q_kmv_union": (q_kmv_union, Q_KMV_UNION_SQL),
     }
