@@ -1934,3 +1934,14 @@ def _kmv_union(p: dict) -> Stage:
 
 
 STAGES.update({"kmv_union": _kmv_union})
+
+
+def _cms_union(p: dict) -> Stage:
+    """{"op": "cms_union", "sf_dir": "..."} — two-shard Count-Min
+    merge certified against the undivided input (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_cms_union(p["sf_dir"])
+
+
+STAGES.update({"cms_union": _cms_union})

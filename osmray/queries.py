@@ -19015,6 +19015,53 @@ def q_kmv_union(sf_dir: str):
 Q_KMV_UNION_SQL = _kmv_sql()
 
 
+def q_cms_union(sf_dir: str):
+    """Count-Min merge law — the third sketch-merge certificate
+    (with q_hll_union / q_kmv_union): the input splits by
+    l_linenumber parity, each shard builds its own 4x1024 CMS
+    (sketch.count_min, fully distributed), and the merged sketch is
+    the ELEMENTWISE SUM of counters — one keyed sum fold over the
+    two bounded counter tables, no raw-row rescan. The twin rebuilds
+    every counter from the undivided input, so the hash check
+    certifies merge(cms(A), cms(B)) == cms(A ∪ B). Emits
+    (d, col, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from osmray.sketch import count_min
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    shards = []
+    for parity in (0, 1):
+        shard = ds.map_batches(
+            lambda t, par=parity: t.filter(pc.equal(
+                pc.bit_wise_and(t["l_linenumber"].cast(pa.int64()), 1),
+                par)).select(["l_orderkey"]),
+            batch_format="pyarrow")
+        shards.append(count_min(shard, "l_orderkey",
+                                depth=4, width=1024))
+    merged = shards[0].union(shards[1])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(d * 1024 + c), "n": batch["n"]})
+
+    summed = (merged.map_batches(pack, batch_format="pyarrow")
+              .groupby("pk").aggregate(Sum("n", alias_name="n")))
+    return summed.map_batches(
+        lambda t: pa.table({
+            "d": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) // 1024),
+            "col": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) % 1024),
+            "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+Q_CMS_UNION_SQL = _count_min_sql()
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19309,4 +19356,5 @@ def registry():
         "q_hll_union": (q_hll_union, Q_HLL_UNION_SQL),
         "q_dissolve": (q_dissolve, Q_DISSOLVE_SQL),
         "q_kmv_union": (q_kmv_union, Q_KMV_UNION_SQL),
+        "q_cms_union": (q_cms_union, Q_CMS_UNION_SQL),
     }
