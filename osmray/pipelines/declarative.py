@@ -1945,3 +1945,14 @@ def _cms_union(p: dict) -> Stage:
 
 
 STAGES.update({"cms_union": _cms_union})
+
+
+def _str_pack(p: dict) -> Stage:
+    """{"op": "str_pack", "sf_dir": "..."} — STR R-tree bulk-load
+    leaf packing with per-node MBRs (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_str_pack(p["sf_dir"])
+
+
+STAGES.update({"str_pack": _str_pack})

@@ -19062,6 +19062,186 @@ def q_cms_union(sf_dir: str):
 Q_CMS_UNION_SQL = _count_min_sql()
 
 
+def q_str_pack(sf_dir: str):
+    """STR (sort-tile-recursive) R-tree bulk-load packing — the
+    spatial-index construction the north-star's STRtree bucketing
+    rests on: N part points pack into leaf nodes of capacity 64 by
+    the classic two-phase recipe — global x-rank slices into
+    S = ceil(sqrt(ceil(N/64))) vertical strips of ceil(N/S) points,
+    each strip y-sorts and chunks into nodes of 64 — and every leaf
+    reports its MBR + count (the index statistics a query planner
+    prunes with). Ranks by the sorted-scan block-offset pattern
+    (both phases; ties (coord, key) deterministic), MBRs by one
+    min/max fold. Emits (strip, node, n, x0, x1, y0, y1)."""
+    import math
+
+    import ray
+
+    from osmray.tableops import sorted_fold
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "x": pa.array((k * 48271) % 67108864),
+                         "y": pa.array((k * 16807) % 67108864)})
+
+    base = ds.map_batches(pts, batch_format="pyarrow").materialize()
+    n_total = base.count()
+    m = (n_total + 63) // 64
+    s0 = math.isqrt(m)
+    S = s0 if s0 * s0 >= m else s0 + 1
+    C = (n_total + S - 1) // S
+
+    # phase 1: global x-rank -> strip
+    xs = base.sort(["x", "k"]).materialize()
+
+    def xblock(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"x0": pa.array([], pa.int64()),
+                             "k0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "x0": pa.array([int(batch["x"][0].as_py())]),
+            "k0": pa.array([int(batch["k"][0].as_py())]),
+            "n": pa.array([len(batch)])})
+
+    st = (xs.map_batches(xblock, batch_format="pyarrow",
+                         batch_size=None)
+          .to_pandas().sort_values(["x0", "k0"]))
+    offs = np.concatenate(([0], np.cumsum(st["n"].to_numpy())[:-1]))
+    off_ref = ray.put({(int(a), int(b)): int(o) for a, b, o in zip(
+        st["x0"], st["k0"], offs)})
+
+    def strip_of(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "strip": pa.array([], pa.int64())})
+        base_off = ray.get(off_ref)[(int(batch["x"][0].as_py()),
+                                     int(batch["k"][0].as_py()))]
+        rk = np.arange(len(batch), dtype=np.int64) + base_off
+        return pa.table({"k": batch["k"], "x": batch["x"],
+                         "y": batch["y"],
+                         "strip": pa.array(rk // C)})
+
+    striped = xs.map_batches(strip_of, batch_format="pyarrow",
+                             batch_size=None)
+
+    # phase 2: per-strip y-rank -> node
+    ys = striped.sort(["strip", "y", "k"]).materialize()
+
+    def yruns(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"strip": pa.array([], pa.int64()),
+                             "y0": pa.array([], pa.int64()),
+                             "k0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sp = batch["strip"].to_numpy(zero_copy_only=False)
+        yy = batch["y"].to_numpy(zero_copy_only=False)
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], sp[1:] != sp[:-1]))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(sp)])))
+        return pa.table({"strip": pa.array(sp[starts].astype(np.int64)),
+                         "y0": pa.array(yy[starts].astype(np.int64)),
+                         "k0": pa.array(kk[starts].astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    st2 = (ys.map_batches(yruns, batch_format="pyarrow",
+                          batch_size=None)
+           .to_pandas().sort_values(["strip", "y0", "k0"]))
+    run2: dict = {}
+    offs2: dict = {}
+    for _, r in st2.iterrows():
+        bk = (int(r["strip"]), int(r["y0"]), int(r["k0"]))
+        offs2[bk] = run2.get(int(r["strip"]), 0)
+        run2[int(r["strip"])] = run2.get(int(r["strip"]), 0) + int(r["n"])
+    off2_ref = ray.put(offs2)
+
+    def node_partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "x0": pa.array([], pa.int64()),
+                             "x1": pa.array([], pa.int64()),
+                             "y0": pa.array([], pa.int64()),
+                             "y1": pa.array([], pa.int64())})
+        sp = batch["strip"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        yy = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xx = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs_d = ray.get(off2_ref)
+        new = np.concatenate(([True], sp[1:] != sp[:-1]))
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        local = np.arange(len(sp), dtype=np.int64) - starts[gid]
+        base_off = np.asarray(
+            [offs_d[(int(sp[s]), int(yy[s]), int(kk[s]))]
+             for s in starts], np.int64)
+        node = (local + base_off[gid]) // 64
+        pk = sp * 65536 + node
+        u, inv = np.unique(pk, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        yn = mn.copy()
+        yx = mx.copy()
+        np.minimum.at(mn, inv, xx)
+        np.maximum.at(mx, inv, xx)
+        np.minimum.at(yn, inv, yy)
+        np.maximum.at(yx, inv, yy)
+        return pa.table({"pk": pa.array(u),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "x0": pa.array(mn), "x1": pa.array(mx),
+                         "y0": pa.array(yn), "y1": pa.array(yx)})
+
+    folded = sorted_fold(
+        ys.map_batches(node_partials, batch_format="pyarrow",
+                       batch_size=None),
+        "pk", ["n", "x0", "x1", "y0", "y1"],
+        ["sum", "min", "max", "min", "max"])
+    return folded.map_batches(
+        lambda t: pa.table({
+            "strip": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) // 65536),
+            "node": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) % 65536),
+            "n": t["n"], "x0": t["x0"], "x1": t["x1"],
+            "y0": t["y0"], "y1": t["y1"]}),
+        batch_format="pyarrow")
+
+
+Q_STR_PACK_SQL = """
+WITH p AS (SELECT p_partkey AS k,
+             (p_partkey * 48271) % 67108864 AS x,
+             (p_partkey * 16807) % 67108864 AS y
+           FROM part),
+n AS (SELECT count(*) AS nt FROM p),
+sz AS (SELECT nt, (nt + 63) // 64 AS m,
+         (SELECT min(s.range) FROM range(1, 4096) s
+          WHERE s.range * s.range >= (nt + 63) // 64) AS S
+       FROM n),
+xr AS (SELECT k, x, y,
+         ROW_NUMBER() OVER (ORDER BY x, k) - 1 AS xrk
+       FROM p),
+sp AS (SELECT xr.*, xrk // ((sz.nt + sz.S - 1) // sz.S) AS strip
+       FROM xr CROSS JOIN sz),
+yr AS (SELECT strip, x, y,
+         (ROW_NUMBER() OVER (PARTITION BY strip ORDER BY y, k) - 1)
+         // 64 AS node
+       FROM sp)
+SELECT CAST(strip AS BIGINT) AS strip, CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
+       CAST(min(y) AS BIGINT) AS y0, CAST(max(y) AS BIGINT) AS y1
+FROM yr GROUP BY 1, 2
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19357,4 +19537,5 @@ def registry():
         "q_dissolve": (q_dissolve, Q_DISSOLVE_SQL),
         "q_kmv_union": (q_kmv_union, Q_KMV_UNION_SQL),
         "q_cms_union": (q_cms_union, Q_CMS_UNION_SQL),
+        "q_str_pack": (q_str_pack, Q_STR_PACK_SQL),
     }

@@ -829,3 +829,28 @@ def test_dissolve_region_invariants(ray_session):
         "% 256) FROM read_parquet("
         "'/root/testdata/sf0.01/part.parquet')").fetchone()[0]
     assert got["n_cells"].sum() == want_cells
+
+
+def test_str_pack_invariants(ray_session):
+    """STR leaves partition the points (counts sum to N), every node
+    holds <= 64, MBRs nest inside the strip x-ranges (x-slicing
+    precedes y-chunking)."""
+    import pyarrow.parquet as pqt
+
+    from osmray import queries as Q
+
+    got = Q.q_str_pack("/root/testdata/sf0.01").to_pandas()
+    n_parts = pqt.read_metadata(
+        "/root/testdata/sf0.01/part.parquet").num_rows
+    assert got["n"].sum() == n_parts
+    assert (got["n"] <= 64).all()
+    assert (got["x0"] <= got["x1"]).all() and (got["y0"] <= got["y1"]).all()
+    # strips are x-ordered: strip i's max x <= strip i+1's min x
+    sx = got.groupby("strip").agg(lo=("x0", "min"), hi=("x1", "max"))
+    his = sx["hi"].to_numpy()[:-1]
+    los = sx["lo"].to_numpy()[1:]
+    assert (his <= los).all()
+    # nodes within a strip are y-ordered the same way
+    for s, g in got.groupby("strip"):
+        g = g.sort_values("node")
+        assert (g["y1"].to_numpy()[:-1] <= g["y0"].to_numpy()[1:]).all()
