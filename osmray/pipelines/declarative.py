@@ -1956,3 +1956,14 @@ def _str_pack(p: dict) -> Stage:
 
 
 STAGES.update({"str_pack": _str_pack})
+
+
+def _rtree_probe(p: dict) -> Stage:
+    """{"op": "rtree_probe", "sf_dir": "..."} — STR-leaf selectivity
+    probe for order-derived query boxes (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_rtree_probe(p["sf_dir"])
+
+
+STAGES.update({"rtree_probe": _rtree_probe})

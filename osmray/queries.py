@@ -19242,6 +19242,66 @@ FROM yr GROUP BY 1, 2
 """
 
 
+def q_rtree_probe(sf_dir: str):
+    """Index-pruning selectivity — probe the STR-packed leaves
+    (q_str_pack) with order-derived query boxes and count
+    intersecting leaf MBRs per query: the number a planner uses to
+    decide scan-vs-index, and the leaf-level I/O bound of the query.
+    The leaf table is O(N/64) and BROADCASTS (one ray.put); probes
+    stream through one vectorized map_batches — no shuffle at all.
+    Emits (qid, n_leaves_hit, n_pts_bound) where n_pts_bound sums
+    the hit leaves' counts (the I/O upper bound)."""
+    import ray
+
+    leaves = q_str_pack(sf_dir).to_pandas()
+    lx0 = leaves["x0"].to_numpy().astype(np.int64)
+    lx1 = leaves["x1"].to_numpy().astype(np.int64)
+    ly0 = leaves["y0"].to_numpy().astype(np.int64)
+    ly1 = leaves["y1"].to_numpy().astype(np.int64)
+    ln = leaves["n"].to_numpy().astype(np.int64)
+    ref = ray.put((lx0, lx1, ly0, ly1, ln))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ax0, ax1, ay0, ay1, an = ray.get(ref)
+        k = batch["o_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = k[k % 199 == 0]
+        cx = (k * 104729) % 67108864
+        cy = (k * 99991) % 67108864
+        h = 1 + k % 1048576
+        qx0, qx1 = cx - h, cx + h
+        qy0, qy1 = cy - h, cy + h
+        hit = ((qx0[:, None] <= ax1[None, :])
+               & (qx1[:, None] >= ax0[None, :])
+               & (qy0[:, None] <= ay1[None, :])
+               & (qy1[:, None] >= ay0[None, :]))
+        return pa.table({
+            "qid": pa.array(k),
+            "n_leaves_hit": pa.array(hit.sum(axis=1).astype(np.int64)),
+            "n_pts_bound": pa.array(
+                (hit * an[None, :]).sum(axis=1).astype(np.int64))})
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+Q_RTREE_PROBE_SQL = f"""
+WITH leaves AS ({Q_STR_PACK_SQL}),
+qb AS (SELECT o_orderkey AS qid,
+         (o_orderkey * 104729) % 67108864 AS cx,
+         (o_orderkey * 99991) % 67108864 AS cy,
+         1 + o_orderkey % 1048576 AS h
+       FROM orders WHERE o_orderkey % 199 = 0)
+SELECT qb.qid, CAST(coalesce(count(l.n), 0) AS BIGINT) AS n_leaves_hit,
+       CAST(coalesce(sum(l.n), 0) AS BIGINT) AS n_pts_bound
+FROM qb LEFT JOIN leaves l
+  ON qb.cx - qb.h <= l.x1 AND qb.cx + qb.h >= l.x0
+ AND qb.cy - qb.h <= l.y1 AND qb.cy + qb.h >= l.y0
+GROUP BY qb.qid
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19538,4 +19598,5 @@ def registry():
         "q_kmv_union": (q_kmv_union, Q_KMV_UNION_SQL),
         "q_cms_union": (q_cms_union, Q_CMS_UNION_SQL),
         "q_str_pack": (q_str_pack, Q_STR_PACK_SQL),
+        "q_rtree_probe": (q_rtree_probe, Q_RTREE_PROBE_SQL),
     }
