@@ -1967,3 +1967,38 @@ def _rtree_probe(p: dict) -> Stage:
 
 
 STAGES.update({"rtree_probe": _rtree_probe})
+
+
+def _freq_spectrum(p: dict) -> Stage:
+    """{"op": "freq_spectrum"} — quarter-log word frequency spectrum
+    over a text column."""
+    from osmray.queries import (_hashed_string_counts,
+                                _token_block_partials)
+    from osmray.tableops import sorted_fold_sums
+
+    def run(ds):
+        import numpy as np
+        import pyarrow as pa
+
+        counts = _hashed_string_counts(
+            ds.map_batches(lambda b: _token_block_partials(b, False),
+                           batch_format="pyarrow"), ["w"])
+
+        def bins(batch):
+            n = batch["n"].to_numpy(zero_copy_only=False).astype("int64")
+            b = np.floor(4 * np.log2(n.astype("float64"))).astype("int64")
+            u, inv = np.unique(b, return_inverse=True)
+            return pa.table({
+                "b": pa.array(u),
+                "n_words": pa.array(np.bincount(inv).astype("int64")),
+                "n_tokens": pa.array(np.bincount(
+                    inv, weights=n).astype("int64"))})
+
+        return sorted_fold_sums(
+            counts.map_batches(bins, batch_format="pyarrow"),
+            "b", ["n_words", "n_tokens"])
+
+    return run
+
+
+STAGES.update({"freq_spectrum": _freq_spectrum})

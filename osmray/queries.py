@@ -19302,6 +19302,47 @@ GROUP BY qb.qid
 """
 
 
+def q_freq_spectrum(sf_dir: str):
+    """Word frequency spectrum — the Zipf/Heaps corpus diagnostic
+    (how many distinct words occur ~2^(b/4) times; hapax counts,
+    tail mass): exact word counts at unbounded vocabulary (the hashed
+    string-count shuffle), binned by floor(4*log2(count)) —
+    quarter-log bins, the SAME IEEE double arithmetic on both sides,
+    exact at the power-of-two boundaries — into one bounded fold.
+    Emits (b, n_words, n_tokens)."""
+    from osmray.tableops import sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["text"])
+    counts = _hashed_string_counts(
+        docs.map_batches(lambda b: _token_block_partials(b, False),
+                         batch_format="pyarrow"), ["w"])
+
+    def bins(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.floor(4 * np.log2(n.astype(np.float64))).astype(np.int64)
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "b": pa.array(u),
+            "n_words": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(
+                inv, weights=n).astype(np.int64))})
+
+    return sorted_fold_sums(
+        counts.map_batches(bins, batch_format="pyarrow"),
+        "b", ["n_words", "n_tokens"])
+
+
+Q_FREQ_SPECTRUM_SQL = """
+WITH c AS (SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1)
+SELECT CAST(floor(4 * log2(CAST(n AS DOUBLE))) AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19599,4 +19640,5 @@ def registry():
         "q_cms_union": (q_cms_union, Q_CMS_UNION_SQL),
         "q_str_pack": (q_str_pack, Q_STR_PACK_SQL),
         "q_rtree_probe": (q_rtree_probe, Q_RTREE_PROBE_SQL),
+        "q_freq_spectrum": (q_freq_spectrum, Q_FREQ_SPECTRUM_SQL),
     }
