@@ -2002,3 +2002,14 @@ def _freq_spectrum(p: dict) -> Stage:
 
 
 STAGES.update({"freq_spectrum": _freq_spectrum})
+
+
+def _rfm(p: dict) -> Stage:
+    """{"op": "rfm", "sf_dir": "..."} — RFM quintile segmentation per
+    user (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_rfm(p["sf_dir"])
+
+
+STAGES.update({"rfm": _rfm})

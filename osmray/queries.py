@@ -19343,6 +19343,99 @@ FROM c GROUP BY 1
 """
 
 
+def q_rfm(sf_dir: str):
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores, the classic lifecycle-marketing primitive: per
+    user one fold gives (last_us, n_events, cents); each dimension
+    cuts at the EXACT global quintile ranks max(1, n*p//100)
+    (p = 20,40,60,80 — the distributed order-stats sort, as
+    q_calibration), score = #cuts strictly below the value (ties
+    land low, both sides), rfm = 100*r + 10*f + m. Emits
+    (user_id, r_score, f_score, m_score, rfm)."""
+    from osmray.tableops import exact_order_stats, sorted_fold
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tv = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, tv)
+        return pa.table({
+            "user_id": pa.array(u),
+            "last_us": pa.array(mx),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents).astype(np.int64))})
+
+    per_user = sorted_fold(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        "user_id", ["last_us", "n_events", "cents"],
+        ["max", "sum", "sum"]).materialize()
+
+    cuts = {}
+    for col in ("last_us", "n_events", "cents"):
+        cuts[col] = np.sort(exact_order_stats(
+            per_user, col, [20, 40, 60, 80]
+        ).to_pandas()["value"].to_numpy().astype(np.int64))
+
+    import ray
+
+    cref = ray.put(cuts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cu = ray.get(cref)
+        out = {"user_id": batch["user_id"]}
+        sc = {}
+        for col, nm in (("last_us", "r_score"), ("n_events", "f_score"),
+                        ("cents", "m_score")):
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sc[nm] = np.sum(v[:, None] > cu[col][None, :],
+                            axis=1).astype(np.int64)
+            out[nm] = pa.array(sc[nm])
+        out["rfm"] = pa.array(100 * sc["r_score"] + 10 * sc["f_score"]
+                              + sc["m_score"])
+        return pa.table(out)
+
+    return per_user.map_batches(score, batch_format="pyarrow")
+
+
+Q_RFM_SQL = """
+WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+              count(*) AS n_events,
+              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY user_id),
+n AS (SELECT count(*) AS nt FROM pu),
+cr AS (SELECT p.p, r.v AS c FROM (VALUES (20), (40), (60), (80)) p(p)
+       JOIN (SELECT last_us AS v,
+               ROW_NUMBER() OVER (ORDER BY last_us) AS rn FROM pu) r
+         ON r.rn = greatest(1, (SELECT nt FROM n) * p.p // 100)),
+cf AS (SELECT p.p, r.v AS c FROM (VALUES (20), (40), (60), (80)) p(p)
+       JOIN (SELECT n_events AS v,
+               ROW_NUMBER() OVER (ORDER BY n_events) AS rn FROM pu) r
+         ON r.rn = greatest(1, (SELECT nt FROM n) * p.p // 100)),
+cm AS (SELECT p.p, r.v AS c FROM (VALUES (20), (40), (60), (80)) p(p)
+       JOIN (SELECT cents AS v,
+               ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM pu) r
+         ON r.rn = greatest(1, (SELECT nt FROM n) * p.p // 100)),
+sc AS (SELECT pu.user_id,
+         (SELECT count(*) FROM cr WHERE pu.last_us > cr.c) AS r_score,
+         (SELECT count(*) FROM cf WHERE pu.n_events > cf.c) AS f_score,
+         (SELECT count(*) FROM cm WHERE pu.cents > cm.c) AS m_score
+       FROM pu)
+SELECT user_id, CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
+FROM sc
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19641,4 +19734,5 @@ def registry():
         "q_str_pack": (q_str_pack, Q_STR_PACK_SQL),
         "q_rtree_probe": (q_rtree_probe, Q_RTREE_PROBE_SQL),
         "q_freq_spectrum": (q_freq_spectrum, Q_FREQ_SPECTRUM_SQL),
+        "q_rfm": (q_rfm, Q_RFM_SQL),
     }
