@@ -2013,3 +2013,14 @@ def _rfm(p: dict) -> Stage:
 
 
 STAGES.update({"rfm": _rfm})
+
+
+def _dwell(p: dict) -> Stage:
+    """{"op": "dwell", "sf_dir": "..."} — time-weighted dwell per
+    walk cell (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_dwell(p["sf_dir"])
+
+
+STAGES.update({"dwell": _dwell})

@@ -19436,6 +19436,69 @@ FROM sc
 """
 
 
+def q_dwell(sf_dir: str):
+    """Dwell-time rollup — the TIME-WEIGHTED spatial aggregation
+    (seconds spent per cell, not visit counts): per user, each
+    event's dwell = gap to the NEXT event (last event contributes
+    none), attributed to the random-walk cell occupied at the event
+    (the od_flows walk, 8-unit cells). One per-user sorted pass
+    emitting per-cell partials, one packed-key fold. The twin is
+    cumsum-window + LEAD + group. Emits (cx, cy, n_visits,
+    dwell_us)."""
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ii, tv))
+        tv, ii = tv[order], ii[order]
+        x = np.cumsum(ii * 7919 % 5 - 2) + 100000
+        y = np.cumsum(ii * 104729 % 5 - 2) + 100000
+        cx, cy = (x >> 3)[:-1], (y >> 3)[:-1]
+        dwell = np.diff(tv)
+        pk = cx * 65536 + cy
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "pk": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "us": pa.array(np.bincount(
+                inv, weights=dwell).astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        ds.groupby("user_id").map_groups(per_key,
+                                         batch_format="pyarrow"),
+        "pk", ["n", "us"])
+    return folded.map_batches(
+        lambda t: pa.table({
+            "cx": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) // 65536),
+            "cy": pa.array(t["pk"].to_numpy(
+                zero_copy_only=False) % 65536),
+            "n_visits": t["n"], "dwell_us": t["us"]}),
+        batch_format="pyarrow")
+
+
+Q_DWELL_SQL = """
+WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+    SUM(event_id * 7919 % 5 - 2) OVER w + 100000 AS x,
+    SUM(event_id * 104729 % 5 - 2) OVER w + 100000 AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING)),
+d AS (SELECT x // 8 AS cx, y // 8 AS cy,
+        LEAD(t) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) - t AS dwell
+      FROM base)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(sum(dwell) AS BIGINT) AS dwell_us
+FROM d WHERE dwell IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19735,4 +19798,5 @@ def registry():
         "q_rtree_probe": (q_rtree_probe, Q_RTREE_PROBE_SQL),
         "q_freq_spectrum": (q_freq_spectrum, Q_FREQ_SPECTRUM_SQL),
         "q_rfm": (q_rfm, Q_RFM_SQL),
+        "q_dwell": (q_dwell, Q_DWELL_SQL),
     }
