@@ -2024,3 +2024,14 @@ def _dwell(p: dict) -> Stage:
 
 
 STAGES.update({"dwell": _dwell})
+
+
+def _slack(p: dict) -> Stage:
+    """{"op": "slack", "sf_dir": "..."} — per-task critical-path
+    slack (forward + backward longest paths; source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_slack(p["sf_dir"])
+
+
+STAGES.update({"slack": _slack})

@@ -19499,6 +19499,89 @@ FROM d WHERE dwell IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_slack(sf_dir: str):
+    """Critical-path SLACK per task — the scheduling metric that
+    actually drives pipeline tuning (slack 0 = on the critical path;
+    positive slack = free float): forward longest-finish f(v) and
+    backward longest-tail b(v) from TWO runs of the
+    graph.dag_longest_path broadcast kernel (the backward pass is
+    the same kernel on reversed edges), then
+    slack = L - (f + b - dur) with L = max f. Same 120-task DAG as
+    q_critical_path; both per-task vectors are O(N) driver arrays by
+    the kernel's design. Emits (task, f_lp, b_lp, slack)."""
+    import ray.data
+
+    from osmray.graph import dag_longest_path
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    N = 120
+    dur = (np.arange(N, dtype=np.int64) * 7919) % 16 + 1
+
+    def mk(batch: pa.Table, rev: bool = False) -> pa.Table:
+        p = _li_points(batch)
+        pid = p["pid"][p["pid"] % 101 == 0]
+        a = (pid * 2654435761) % 4294967296
+        u = ((a >> 16) ^ (a & 65535)) % N
+        b = (pid * 48271 + 99) % 4294967296
+        v = ((b >> 16) ^ (b & 65535)) % N
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        uu, vv = (hi, lo) if rev else (lo, hi)
+        return pa.table({"u": pa.array(uu[keep]),
+                         "v": pa.array(vv[keep])})
+
+    fwd = dag_longest_path(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        dur, max_rounds=N + 2).to_pandas().sort_values("task")
+    bwd = dag_longest_path(
+        ds.map_batches(lambda t: mk(t, rev=True),
+                       batch_format="pyarrow"),
+        dur, max_rounds=N + 2).to_pandas().sort_values("task")
+    f = fwd["lp"].to_numpy().astype(np.int64)
+    b = bwd["lp"].to_numpy().astype(np.int64)
+    L = int(f.max())
+    slack = L - (f + b - dur)
+    return ray.data.from_arrow(pa.table({
+        "task": pa.array(np.arange(N, dtype=np.int64)),
+        "f_lp": pa.array(f), "b_lp": pa.array(b),
+        "slack": pa.array(slack)}))
+
+
+Q_SLACK_SQL = """
+WITH RECURSIVE ids AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+sel AS MATERIALIZED (SELECT pid FROM ids WHERE pid % 101 = 0),
+hs AS MATERIALIZED (SELECT pid, (pid * 2654435761) % 4294967296 AS a,
+              (pid * 48271 + 99) % 4294967296 AS b FROM sel),
+g0 AS MATERIALIZED (SELECT xor(a // 65536, a % 65536) % 120 AS u0,
+              xor(b // 65536, b % 65536) % 120 AS v0 FROM hs),
+e AS MATERIALIZED (SELECT DISTINCT least(u0, v0) AS u,
+                     greatest(u0, v0) AS v
+                   FROM g0 WHERE u0 <> v0),
+tasks AS MATERIALIZED (SELECT range AS task, (range * 7919) % 16 + 1 AS d
+                       FROM range(0, 120)),
+lp AS (
+  SELECT task, d AS lp FROM tasks
+  UNION
+  SELECT e.v, lp.lp + t.d
+  FROM lp JOIN e ON e.u = lp.task JOIN tasks t ON t.task = e.v
+),
+bp AS (
+  SELECT task, d AS bp FROM tasks
+  UNION
+  SELECT e.u, bp.bp + t.d
+  FROM bp JOIN e ON e.v = bp.task JOIN tasks t ON t.task = e.u
+),
+f AS (SELECT task, max(lp) AS f FROM lp GROUP BY task),
+bq AS (SELECT task, max(bp) AS b FROM bp GROUP BY task)
+SELECT f.task, CAST(f.f AS BIGINT) AS f_lp, CAST(bq.b AS BIGINT) AS b_lp,
+       CAST((SELECT max(f) FROM f) - (f.f + bq.b - t.d) AS BIGINT)
+       AS slack
+FROM f JOIN bq ON bq.task = f.task JOIN tasks t ON t.task = f.task
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19799,4 +19882,5 @@ def registry():
         "q_freq_spectrum": (q_freq_spectrum, Q_FREQ_SPECTRUM_SQL),
         "q_rfm": (q_rfm, Q_RFM_SQL),
         "q_dwell": (q_dwell, Q_DWELL_SQL),
+        "q_slack": (q_slack, Q_SLACK_SQL),
     }

@@ -854,3 +854,18 @@ def test_str_pack_invariants(ray_session):
     for s, g in got.groupby("strip"):
         g = g.sort_values("node")
         assert (g["y1"].to_numpy()[:-1] <= g["y0"].to_numpy()[1:]).all()
+
+
+def test_slack_invariants(ray_session):
+    """Slack >= 0 everywhere; at least one zero-slack (critical)
+    task; f+b-dur <= L with equality exactly on the critical path."""
+    from osmray import queries as Q
+
+    rows = Q.q_slack("/root/testdata/sf0.001").take_all()
+    dur = (np.arange(120, dtype=np.int64) * 7919) % 16 + 1
+    L = max(r["f_lp"] for r in rows)
+    assert all(r["slack"] >= 0 for r in rows)
+    assert any(r["slack"] == 0 for r in rows)
+    for r in rows:
+        assert r["slack"] == L - (r["f_lp"] + r["b_lp"]
+                                  - int(dur[r["task"]]))
