@@ -2035,3 +2035,14 @@ def _slack(p: dict) -> Stage:
 
 
 STAGES.update({"slack": _slack})
+
+
+def _outliers(p: dict) -> Stage:
+    """{"op": "outliers", "sf_dir": "..."} — MAD-rule outlier counts
+    per event type (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_outliers(p["sf_dir"])
+
+
+STAGES.update({"outliers": _outliers})

@@ -19582,6 +19582,122 @@ FROM f JOIN bq ON bq.task = f.task JOIN tasks t ON t.task = f.task
 """
 
 
+def q_outliers(sf_dir: str):
+    """Robust outlier screening with the MAD rule — the
+    distribution-free anomaly gate (|x - median| > 3 * MAD), per
+    event_type over integer centi-values: two grouped-order-stats
+    passes give each type's exact discrete median and MAD
+    (tableops.grouped_order_stats — no task holds a group), the tiny
+    per-type (median, MAD) table broadcasts, one vectorized pass
+    counts violations. Emits (event_type, n, med, mad, n_outliers)."""
+    import ray
+
+    from osmray.tableops import grouped_order_stats, sorted_fold_sums
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "c": pa.array(np.floor(batch["value"].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64))})
+
+    base = ev.map_batches(cents, batch_format="pyarrow").materialize()
+    med = {r["event_type"]: int(r["value"]) for r in
+           grouped_order_stats(base, "event_type", "c",
+                               [50]).take_all()}
+    mref = ray.put(med)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        et = np.asarray(batch["event_type"].to_pylist())
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        meds = np.asarray([m[t] for t in et], np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "c": pa.array(np.abs(c - meds))})
+
+    mad = {r["event_type"]: int(r["value"]) for r in
+           grouped_order_stats(
+               base.map_batches(absdev, batch_format="pyarrow"),
+               "event_type", "c", [50]).take_all()}
+    sref = ray.put((med, mad))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m, s = ray.get(sref)
+        et = np.asarray(batch["event_type"].to_pylist())
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(et, return_inverse=True)
+        meds = np.asarray([m[t] for t in u], np.int64)[inv]
+        mads = np.asarray([s[t] for t in u], np.int64)[inv]
+        out = (np.abs(c - meds) > 3 * mads).astype(np.int64)
+        from osmray.stages import hash_str
+
+        return pa.table({
+            "k": pa.array(u[inv]),
+            "n": pa.array(np.ones(len(c), np.int64)),
+            "n_out": pa.array(out),
+            "bk": pa.array(np.abs(hash_str(list(u[inv]), 3)) % 8)})
+
+    # block-collapse then bounded fold
+    def collapse(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch["k"].to_pylist())
+        u, inv = np.unique(ks, return_inverse=True)
+        from osmray.stages import hash_str
+
+        return pa.table({
+            "k": pa.array(u),
+            "n": pa.array(np.bincount(
+                inv, weights=batch["n"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "n_out": pa.array(np.bincount(
+                inv, weights=batch["n_out"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+            "bk": pa.array(np.abs(hash_str(list(u), 3)) % 8)})
+
+    folded = (base.map_batches(partials, batch_format="pyarrow")
+              .map_batches(lambda t: collapse(t.drop_columns(["bk"])),
+                           batch_format="pyarrow")
+              .groupby("bk").map_groups(
+                  lambda g: _fold_str_sums(g.drop_columns(["bk"]),
+                                           ["n", "n_out"]),
+                  batch_format="pyarrow"))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        m, s = ray.get(sref)
+        ks = batch["k"].to_pylist()
+        return pa.table({
+            "event_type": pa.array(ks),
+            "n": batch["n"],
+            "med": pa.array([m[t] for t in ks], pa.int64()),
+            "mad": pa.array([s[t] for t in ks], pa.int64()),
+            "n_outliers": batch["n_out"]})
+
+    return folded.map_batches(emit, batch_format="pyarrow")
+
+
+Q_OUTLIERS_SQL = """
+WITH e AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+             AS BIGINT) AS med
+      FROM e GROUP BY 1),
+a AS (SELECT e.event_type, abs(e.c - m.med) AS ad, e.c, m.med
+      FROM e JOIN m USING (event_type)),
+s AS (SELECT event_type,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)
+             AS BIGINT) AS mad
+      FROM a GROUP BY 1)
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(a.med) AS BIGINT) AS med,
+       CAST(max(s.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN a.ad > 3 * s.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM a JOIN s USING (event_type) GROUP BY a.event_type
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -19883,4 +19999,5 @@ def registry():
         "q_rfm": (q_rfm, Q_RFM_SQL),
         "q_dwell": (q_dwell, Q_DWELL_SQL),
         "q_slack": (q_slack, Q_SLACK_SQL),
+        "q_outliers": (q_outliers, Q_OUTLIERS_SQL),
     }
