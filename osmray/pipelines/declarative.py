@@ -2046,3 +2046,40 @@ def _outliers(p: dict) -> Stage:
 
 
 STAGES.update({"outliers": _outliers})
+
+
+def _lorenz(p: dict) -> Stage:
+    """{"op": "lorenz", "sf_dir": "..."} — Lorenz curve deciles
+    (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_lorenz(p["sf_dir"])
+
+
+def _vocab_growth(p: dict) -> Stage:
+    """{"op": "vocab_growth", "sf_dir": "..."} — Heaps vocabulary
+    growth checkpoints (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_vocab_growth(p["sf_dir"])
+
+
+def _first_touch(p: dict) -> Stage:
+    """{"op": "first_touch", "sf_dir": "..."} — first-touch
+    attribution counts (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_first_touch(p["sf_dir"])
+
+
+def _canonical_docs(p: dict) -> Stage:
+    """{"op": "canonical_docs", "sf_dir": "..."} — quality-canonical
+    exact-dup selection (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_canonical_docs(p["sf_dir"])
+
+
+STAGES.update({"lorenz": _lorenz, "vocab_growth": _vocab_growth,
+               "first_touch": _first_touch,
+               "canonical_docs": _canonical_docs})

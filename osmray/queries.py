@@ -19698,6 +19698,341 @@ FROM a JOIN s USING (event_type) GROUP BY a.event_type
 """
 
 
+def q_lorenz(sf_dir: str):
+    """Lorenz curve deciles — the inequality-profile companion of
+    q_gini (WHERE the concentration sits, not just how much): users
+    rank by their centi-value totals (ties -> smaller user id), and
+    each decile rank cut max(1, n*d//10) reports the cumulative
+    share numerator (cum_cents at the cut; the denominator is the
+    d=10 row). One per-user fold, one distributed sort with
+    block-offset cumulative sums, O(#blocks) driver state. Emits
+    (decile, rank, cum_cents)."""
+    import ray
+
+    from osmray.tableops import sorted_fold_sums
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table({"user_id": pa.array(u),
+                         "cents": pa.array(np.bincount(
+                             inv, weights=cents).astype(np.int64))})
+
+    per_user = sorted_fold_sums(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        "user_id", ["cents"])
+    sds = per_user.sort(["cents", "user_id"]).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"c0": pa.array([], pa.int64()),
+                             "u0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"c0": pa.array([int(c[0])]),
+                         "u0": pa.array([int(u[0])]),
+                         "n": pa.array([len(c)]),
+                         "s": pa.array([int(c.sum())])})
+
+    st = (sds.map_batches(block_stats, batch_format="pyarrow",
+                          batch_size=None)
+          .to_pandas().sort_values(["c0", "u0"]))
+    n_total = int(st["n"].sum())
+    offs_n = np.concatenate(([0], np.cumsum(st["n"].to_numpy())[:-1]))
+    offs_s = np.concatenate(([0], np.cumsum(st["s"].to_numpy())[:-1]))
+    cuts = {d: max(1, n_total * d // 10) for d in range(1, 11)}
+    ref = ray.put(({(int(a), int(b)): (int(x), int(y)) for a, b, x, y
+                    in zip(st["c0"], st["u0"], offs_n, offs_s)}, cuts))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "cum_cents": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        offs_d, cuts_d = ray.get(ref)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        on, os_ = offs_d[(int(c[0]), int(u[0]))]
+        cum = np.cumsum(c) + os_
+        lo, hi = on + 1, on + len(c)
+        out_d, out_r, out_c = [], [], []
+        for d, r in cuts_d.items():
+            if lo <= r <= hi:
+                out_d.append(d)
+                out_r.append(r)
+                out_c.append(int(cum[r - on - 1]))
+        if not out_d:
+            return empty
+        return pa.table({"decile": pa.array(out_d, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64()),
+                         "cum_cents": pa.array(out_c, pa.int64())})
+
+    return sds.map_batches(emit, batch_format="pyarrow",
+                           batch_size=None)
+
+
+Q_LORENZ_SQL = """
+WITH pu AS (SELECT user_id,
+              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY user_id),
+r AS (SELECT cents,
+        ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn,
+        SUM(cents) OVER (ORDER BY cents, user_id
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+        count(*) OVER () AS n
+      FROM pu)
+SELECT CAST(d.d AS BIGINT) AS decile,
+       CAST(r.rn AS BIGINT) AS rank,
+       CAST(r.cum AS BIGINT) AS cum_cents
+FROM (SELECT unnest(generate_series(1, 10)) AS d) d
+JOIN r ON r.rn = greatest(1, r.n * d.d // 10)
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth — distinct words seen after the
+    first k docs, k at the powers-of-two checkpoints: per word ONE
+    min fold finds its first doc (first_doc = min doc_id containing
+    it), then |vocab at k| = #words with first_doc <= k — a second
+    bounded fold over the checkpoint bins (no sequential scan over
+    the corpus order anywhere). Emits (k, vocab)."""
+    from osmray.tableops import sorted_fold, sorted_fold_sums
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def word_first(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pairs = {}
+        for did, text in zip(ids.tolist(), batch["text"].to_pylist()):
+            for w in text.split(" "):
+                if w not in pairs or did < pairs[w]:
+                    pairs[w] = did
+        ws = sorted(pairs)
+        return pa.table({"w": pa.array(ws),
+                         "cnt": pa.array([pairs[w] for w in ws],
+                                         pa.int64()),
+                         "k": pa.array(hash_str(ws, 11))})
+
+    # reuse the hashed-count shuffle shape with a MIN fold in-group
+    def verify_min(g: pa.Table) -> pa.Table:
+        ws = np.asarray(g["w"].to_pylist())
+        fd = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(ws, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, fd)
+        return pa.table({"w": pa.array(u), "first_doc": pa.array(mn)})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.set_column(
+            batch.schema.get_field_index("k"), "k",
+            pa.array(np.abs(k) % 1024))
+
+    firsts = (docs.map_batches(word_first, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("k").map_groups(verify_min,
+                                       batch_format="pyarrow"))
+
+    def bins(batch: pa.Table) -> pa.Table:
+        fd = batch["first_doc"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.floor(np.log2(np.maximum(fd, 1))).astype(np.int64)
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({"b": pa.array(u),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    binned = sorted_fold_sums(
+        firsts.map_batches(bins, batch_format="pyarrow"), "b", ["n"])
+    df = binned.to_pandas().sort_values("b")
+    bs = df["b"].to_numpy().astype(np.int64)
+    ns = df["n"].to_numpy().astype(np.int64)
+    ks, vocab = [], []
+    for b in range(int(bs.max()) + 1):
+        ks.append(2 ** (b + 1) - 1)
+        vocab.append(int(ns[bs <= b].sum()))
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "vocab": pa.array(vocab, pa.int64())}))
+
+
+Q_VOCAB_GROWTH_SQL = """
+WITH wf AS (SELECT w, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) GROUP BY w),
+mb AS (SELECT CAST(max(floor(log2(CAST(greatest(first_doc, 1)
+        AS DOUBLE)))) AS BIGINT) AS bmax FROM wf),
+ck AS (SELECT unnest(generate_series(0, (SELECT bmax FROM mb))) AS b)
+SELECT CAST(power(2, b + 1) - 1 AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM wf
+             WHERE floor(log2(CAST(greatest(first_doc, 1) AS DOUBLE)))
+                   <= ck.b) AS BIGINT) AS vocab
+FROM ck
+"""
+
+
+def q_first_touch(sf_dir: str):
+    """First-touch attribution — the companion rule to q_attribution
+    (linear): each 'purchase' credits ONLY the EARLIEST non-purchase
+    touch in its preceding hour (ties -> smaller event_id). Same
+    per-user two-pointer scan, but the window reduces to one argmin
+    instead of a histogram. Emits (event_type, n_first_touch)."""
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tv = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ii = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist())
+        order = np.lexsort((ii, tv))
+        tv, ii, et = tv[order], ii[order], et[order]
+        conv = np.flatnonzero(et == "purchase")
+        lo_all = np.searchsorted(tv, tv[conv] - 3_600_000_000,
+                                 side="left")
+        hi_all = np.searchsorted(tv, tv[conv], side="left")
+        from collections import Counter
+
+        cr: Counter = Counter()
+        for lo, hi in zip(lo_all.tolist(), hi_all.tolist()):
+            w = np.flatnonzero(et[lo:hi] != "purchase")
+            if len(w) == 0:
+                continue
+            # earliest by (ts, id): the sort order IS (ts, id), so
+            # the first non-purchase index wins
+            cr[et[lo + w[0]]] += 1
+        if not cr:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks = sorted(cr)
+        return pa.table({"t": pa.array(ks),
+                         "n": pa.array([cr[t] for t in ks], pa.int64())})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from osmray.stages import hash_str
+
+        return pa.table({
+            "k": batch["t"], "n": batch["n"],
+            "bk": pa.array(np.abs(hash_str(
+                batch["t"].to_pylist(), 5)) % 8)})
+
+    folded = (ds.groupby("user_id")
+              .map_groups(per_key, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("bk").map_groups(
+                  lambda g: _fold_str_sums(g.drop_columns(["bk"]),
+                                           ["n"]),
+                  batch_format="pyarrow"))
+    return folded.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_first_touch"]),
+        batch_format="pyarrow")
+
+
+Q_FIRST_TOUCH_SQL = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS ct, event_id
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, epoch_us(ts) AS tt, event_id, event_type
+      FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT c.event_id AS conv, t.event_type,
+        ROW_NUMBER() OVER (PARTITION BY c.event_id
+          ORDER BY t.tt, t.event_id) AS rn
+      FROM c JOIN t ON t.user_id = c.user_id
+       AND t.tt >= c.ct - 3600000000 AND t.tt < c.ct)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_first_touch
+FROM j WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def q_canonical_docs(sf_dir: str):
+    """Quality-canonical dedup selection — 'keep the BEST duplicate,
+    not the first': exact-duplicate groups (full-text fingerprint)
+    each keep the doc with the highest quality score (the
+    q_quality_clf linear scorer), ties -> smaller doc_id. One pass
+    computes (fingerprint, score) per doc; a packed (score, doc_id)
+    lexicographic max fold picks winners (no per-group map_groups).
+    Emits per group (fp_bucket-free) the winner:
+    (doc_id, n_dups, score). Scale note: the fold key is the 64-bit
+    text fingerprint, high-cardinality by construction."""
+    from osmray.stages import hash_str
+    from osmray.tableops import sorted_fold
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scored(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        fp = hash_str(texts, 13)
+        toks = [t.split(" ") for t in texts]
+        flat = [w for ws in toks for w in ws]
+        sc = np.zeros(len(ids), np.int64)
+        if flat:
+            u = np.unique(np.asarray(flat))
+            wt = (_char_fold_hash(u) % 256) * 2654435761 % (1 << 32) \
+                % 2001 - 1000
+            for k, ws in enumerate(toks):
+                sc[k] = int(wt[np.searchsorted(u, np.asarray(ws))].sum())
+        # pack (score, doc_id) so one int64 MAX picks (max score,
+        # then MIN id): key = score * 2^32 + (2^32 - 1 - doc_id)
+        assert np.abs(sc).max(initial=0) < (1 << 20), "score overflow"
+        packed = (sc + (1 << 20)) * (1 << 32) + ((1 << 32) - 1 - ids)
+        u2, inv = np.unique(fp, return_inverse=True)
+        mx = np.full(len(u2), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, packed)
+        return pa.table({"fp": pa.array(u2),
+                         "win": pa.array(mx),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    folded = sorted_fold(
+        docs.map_batches(scored, batch_format="pyarrow"),
+        "fp", ["win", "n"], ["max", "sum"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        w = batch["win"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = (1 << 32) - 1 - (w % (1 << 32))
+        sc = w // (1 << 32) - (1 << 20)
+        return pa.table({"doc_id": pa.array(doc),
+                         "n_dups": batch["n"],
+                         "score": pa.array(sc)})
+
+    return folded.map_batches(emit, batch_format="pyarrow")
+
+
+Q_CANONICAL_DOCS_SQL = f"""
+WITH toks AS (SELECT doc_id, text,
+                unnest(string_split(text, ' ')) AS w
+              FROM documents),
+h AS (SELECT doc_id, text,
+        {_CF_HASH_LAMBDA.format(w='w')} % 256 AS b FROM toks),
+s AS (SELECT doc_id, max(text) AS text,
+        sum(b * 2654435761 % 4294967296 % 2001 - 1000) AS score
+      FROM h GROUP BY doc_id),
+w AS (SELECT text, doc_id, score,
+        ROW_NUMBER() OVER (PARTITION BY text
+          ORDER BY score DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY text) AS n
+      FROM s)
+SELECT doc_id, CAST(n AS BIGINT) AS n_dups,
+       CAST(score AS BIGINT) AS score
+FROM w WHERE rn = 1
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -20000,4 +20335,8 @@ def registry():
         "q_dwell": (q_dwell, Q_DWELL_SQL),
         "q_slack": (q_slack, Q_SLACK_SQL),
         "q_outliers": (q_outliers, Q_OUTLIERS_SQL),
+        "q_lorenz": (q_lorenz, Q_LORENZ_SQL),
+        "q_vocab_growth": (q_vocab_growth, Q_VOCAB_GROWTH_SQL),
+        "q_first_touch": (q_first_touch, Q_FIRST_TOUCH_SQL),
+        "q_canonical_docs": (q_canonical_docs, Q_CANONICAL_DOCS_SQL),
     }
