@@ -2083,3 +2083,14 @@ def _canonical_docs(p: dict) -> Stage:
 STAGES.update({"lorenz": _lorenz, "vocab_growth": _vocab_growth,
                "first_touch": _first_touch,
                "canonical_docs": _canonical_docs})
+
+
+def _change_pyramid(p: dict) -> Stage:
+    """{"op": "change_pyramid", "sf_dir": "..."} — per-zoom
+    re-render workload after a change set (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_change_pyramid(p["sf_dir"])
+
+
+STAGES.update({"change_pyramid": _change_pyramid})

@@ -20033,6 +20033,83 @@ FROM w WHERE rn = 1
 """
 
 
+def q_change_pyramid(sf_dir: str):
+    """Incremental re-render workload per zoom — after a change set
+    touches base tiles, HOW MANY tiles at each pyramid level contain at
+    least one change (the bill for updating a tile pyramid, the
+    operation an incremental tiling service runs on every diff):
+    changed base cells = occupied part cells passing a hash64 mask
+    (1/8), each emits its 9 ancestors (z = 8 down to 0, one shift
+    per level), one packed (level, parent) dedup + per-level count.
+    Emits (z, n_tiles). The twin replays hash64 via hash64_ctes and
+    counts DISTINCT parents per level."""
+    from ray.data.aggregate import Count
+
+    from osmray.stages import hash64
+    from osmray.tableops import sorted_fold_sums
+
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def changed_cells(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = (k * 2654435761) % (1 << 32)
+        cell = (h % 256) * 256 + (h // 256) % 256
+        cell = np.unique(cell)
+        keep = (hash64(cell, 31) & 7) == 0
+        return pa.table({"cell": pa.array(cell[keep])})
+
+    cells = (parts.map_batches(changed_cells, batch_format="pyarrow")
+             .groupby("cell").aggregate(Count(alias_name="_n"))
+             .select_columns(["cell"]))
+
+    def ancestors(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = c // 256, c % 256
+        pks = []
+        for z in range(9):
+            sh = 8 - z
+            pk = (np.int64(z) << 32) | ((cx >> sh) << 16) | (cy >> sh)
+            pks.append(np.unique(pk))
+        return pa.table({"pk": pa.array(np.concatenate(pks))})
+
+    anc = (cells.map_batches(ancestors, batch_format="pyarrow")
+           .groupby("pk").aggregate(Count(alias_name="_n"))
+           .select_columns(["pk"]))
+
+    def level_partials(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = pk >> 32
+        u, inv = np.unique(z, return_inverse=True)
+        return pa.table({"z": pa.array(u),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    folded = sorted_fold_sums(
+        anc.map_batches(level_partials, batch_format="pyarrow"),
+        "z", ["n"])
+    return folded.map_batches(
+        lambda t: t.rename_columns(["z", "n_tiles"]),
+        batch_format="pyarrow")
+
+
+Q_CHANGE_PYRAMID_SQL = f"""
+WITH occ AS (SELECT DISTINCT
+    ((p_partkey * 2654435761) % 4294967296 % 256) * 256
+    + ((p_partkey * 2654435761) % 4294967296 // 256 % 256) AS cell
+  FROM part),
+{hash64_ctes('cp', 'occ', 'cell', 'cell', 31)},
+ch AS (SELECT cell FROM cp5 WHERE (h & 7) = 0),
+lv AS (SELECT unnest(generate_series(0, 8)) AS z),
+par AS (SELECT lv.z,
+          (cell // 256) // power(2, 8 - lv.z)::BIGINT AS px,
+          (cell % 256) // power(2, 8 - lv.z)::BIGINT AS py
+        FROM ch CROSS JOIN lv)
+SELECT CAST(z AS BIGINT) AS z,
+       CAST(count(DISTINCT px * 65536 + py) AS BIGINT) AS n_tiles
+FROM par GROUP BY z
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -20339,4 +20416,5 @@ def registry():
         "q_vocab_growth": (q_vocab_growth, Q_VOCAB_GROWTH_SQL),
         "q_first_touch": (q_first_touch, Q_FIRST_TOUCH_SQL),
         "q_canonical_docs": (q_canonical_docs, Q_CANONICAL_DOCS_SQL),
+        "q_change_pyramid": (q_change_pyramid, Q_CHANGE_PYRAMID_SQL),
     }
