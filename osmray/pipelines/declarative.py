@@ -2094,3 +2094,14 @@ def _change_pyramid(p: dict) -> Stage:
 
 
 STAGES.update({"change_pyramid": _change_pyramid})
+
+
+def _merkle(p: dict) -> Stage:
+    """{"op": "merkle", "sf_dir": "..."} — content-addressed
+    partition digests + exact root (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_merkle(p["sf_dir"])
+
+
+STAGES.update({"merkle": _merkle})

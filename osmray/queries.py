@@ -20110,6 +20110,77 @@ FROM par GROUP BY z
 """
 
 
+def q_merkle(sf_dir: str):
+    """Content-addressed partition checksums + root — the
+    dataset-integrity primitive (localize WHICH partition changed
+    between versions without re-reading the data): every lineitem
+    row hashes (hash64 of its pid, masked to 40 bits so per-partition
+    integer sums cannot overflow), partitions = pid % 64, level-0 =
+    per-partition (n_rows, csum) via one bounded fold, level-1 = the
+    root over partition digests. Emits 64 partition rows + 1 root row
+    as (level, part, n_rows, csum); hash64_ctes twin."""
+    from osmray.stages import hash64
+    from osmray.tableops import sorted_fold_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pid = ok * 10 + ln
+        h = hash64(pid, 41) & ((1 << 40) - 1)
+        part = pid % 64
+        u, inv = np.unique(part, return_inverse=True)
+        return pa.table({
+            "part": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "csum": pa.array(np.bincount(inv, weights=h).astype(np.int64))})
+
+    lvl0 = sorted_fold_sums(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "part", ["n", "csum"]).materialize()
+
+    def as_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "level": pa.array(np.zeros(len(batch), np.int64)),
+            "part": batch["part"],
+            "n_rows": batch["n"], "csum": batch["csum"]})
+
+    # the root folds 64 tiny digests whose sum exceeds 2^53 — the
+    # generic fold's float-weighted bincount would round it, so the
+    # O(levels) root is EXACT python-int driver math over the
+    # materialized 64-row digest table
+    import ray.data
+
+    l0df = lvl0.to_pandas()
+    root = ray.data.from_arrow(pa.table({
+        "level": pa.array([1], pa.int64()),
+        "part": pa.array([-1], pa.int64()),
+        "n_rows": pa.array([int(sum(int(x) for x in l0df["n"]))],
+                           pa.int64()),
+        "csum": pa.array([int(sum(int(x) for x in l0df["csum"]))],
+                         pa.int64())}))
+    return lvl0.map_batches(as_rows, batch_format="pyarrow").union(root)
+
+
+Q_MERKLE_SQL = f"""
+WITH ids AS (SELECT l_orderkey * 10 + l_linenumber AS pid
+             FROM lineitem),
+{hash64_ctes('mk', 'ids', 'pid', 'pid', 41)},
+h40 AS (SELECT pid, h & {(1 << 40) - 1} AS h40 FROM mk5),
+l0 AS (SELECT pid % 64 AS part, count(*) AS n, sum(h40) AS csum
+       FROM h40 GROUP BY 1)
+SELECT CAST(0 AS BIGINT) AS level, CAST(part AS BIGINT) AS part,
+       CAST(n AS BIGINT) AS n_rows, CAST(csum AS BIGINT) AS csum
+FROM l0
+UNION ALL
+SELECT 1, -1, CAST(sum(n) AS BIGINT), CAST(sum(csum) AS BIGINT)
+FROM l0
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -20417,4 +20488,5 @@ def registry():
         "q_first_touch": (q_first_touch, Q_FIRST_TOUCH_SQL),
         "q_canonical_docs": (q_canonical_docs, Q_CANONICAL_DOCS_SQL),
         "q_change_pyramid": (q_change_pyramid, Q_CHANGE_PYRAMID_SQL),
+        "q_merkle": (q_merkle, Q_MERKLE_SQL),
     }

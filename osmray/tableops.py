@@ -756,6 +756,15 @@ def sorted_fold_sums(ds, key_col: str, val_cols: list[str]):
 
 def _fold_col(inv: np.ndarray, nu: int, v: np.ndarray, op: str) -> np.ndarray:
     if op == "sum":
+        # bincount accumulates in float64 — exact only while every
+        # partial sum stays under 2^53. Large-magnitude values (e.g.
+        # 40-bit content digests) take the slower int64 scatter-add,
+        # which is exact at any magnitude (found via q_merkle: a
+        # 3.3e16 root rounded by 8).
+        if len(v) and int(np.abs(v).max()) > (1 << 36):
+            out = np.zeros(nu, np.int64)
+            np.add.at(out, inv, v)
+            return out
         return np.bincount(inv, weights=v, minlength=nu).astype(np.int64)
     out = np.full(nu, np.iinfo(np.int64).max if op == "min"
                   else np.iinfo(np.int64).min, dtype=np.int64)

@@ -869,3 +869,19 @@ def test_slack_invariants(ray_session):
     for r in rows:
         assert r["slack"] == L - (r["f_lp"] + r["b_lp"]
                                   - int(dur[r["task"]]))
+
+
+def test_fold_sum_exact_above_2_53(ray_session):
+    """The sorted_fold sum path must be exact for digest-scale
+    values (the q_merkle regression: float bincount rounded a 3.3e16
+    sum by 8)."""
+    import ray.data
+
+    from osmray.tableops import sorted_fold_sums
+
+    v = np.full(64, (1 << 52) + 1, np.int64)
+    k = np.zeros(64, np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(k),
+                                       "v": pa.array(v)})).repartition(4)
+    got = sorted_fold_sums(ds, "k", ["v"]).take_all()
+    assert got == [{"k": 0, "v": 64 * ((1 << 52) + 1)}]
