@@ -2105,3 +2105,14 @@ def _merkle(p: dict) -> Stage:
 
 
 STAGES.update({"merkle": _merkle})
+
+
+def _time_to_convert(p: dict) -> Stage:
+    """{"op": "time_to_convert", "sf_dir": "..."} — survival
+    quantiles of signup->purchase latency (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_time_to_convert(p["sf_dir"])
+
+
+STAGES.update({"time_to_convert": _time_to_convert})

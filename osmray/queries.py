@@ -20181,6 +20181,110 @@ FROM l0
 """
 
 
+def q_time_to_convert(sf_dir: str):
+    """Time-to-convert survival quantiles — the onboarding-funnel
+    latency profile: per user, delta = first 'purchase' AFTER the
+    first 'signup' minus that signup (converted users only; one
+    min-fold pass each), then the exact q25/q50/q75/q90 of the
+    per-user deltas via the distributed order-stats sort. Emits
+    (p, rank, delta_us) + one (p=0, rank=n_converted,
+    delta_us=n_signup) cardinality row so conversion RATE is also
+    checked."""
+    import ray.data
+
+    from osmray.tableops import exact_order_stats, sorted_fold
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tv = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist())
+        BIG = np.int64(1) << 62
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.full(len(u), BIG, np.int64)
+        sel = et == "signup"
+        np.minimum.at(s, inv[sel], tv[sel])
+        return pa.table({"user_id": pa.array(u), "s": pa.array(s)})
+
+    signup = sorted_fold(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        "user_id", ["s"], ["min"]).materialize()
+    if signup.count() > 5_000_000:
+        raise ValueError("time_to_convert broadcast signup map caps at "
+                         "5e6 users; route the attach through "
+                         "joins.bucketed_join beyond it")
+    smap = {int(r["user_id"]): int(r["s"])
+            for r in signup.take_all()}
+    BIG = 1 << 62
+    n_signup = sum(1 for v in smap.values() if v < BIG)
+    import ray
+
+    sref = ray.put(smap)
+
+    def conv_partials(batch: pa.Table) -> pa.Table:
+        m = ray.get(sref)
+        tv = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist())
+        sel = et == "purchase"
+        uid, tv = uid[sel], tv[sel]
+        su = np.asarray([m.get(int(x), BIG) for x in uid], np.int64)
+        keep = tv >= su
+        u, inv = np.unique(uid[keep], return_inverse=True)
+        p = np.full(len(u), np.int64(BIG), np.int64)
+        np.minimum.at(p, inv, tv[keep])
+        return pa.table({"user_id": pa.array(u), "p": pa.array(p)})
+
+    conv = sorted_fold(
+        ev.map_batches(conv_partials, batch_format="pyarrow"),
+        "user_id", ["p"], ["min"]).materialize()
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        m = ray.get(sref)
+        uid = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = p - np.asarray([m[int(x)] for x in uid], np.int64)
+        return pa.table({"d": pa.array(d)})
+
+    dds = conv.map_batches(deltas, batch_format="pyarrow").materialize()
+    n_conv = dds.count()
+    qs = exact_order_stats(dds, "d", [25, 50, 75, 90]).to_pandas()
+    card = ray.data.from_arrow(pa.table({
+        "p": pa.array([0], pa.int64()),
+        "rank": pa.array([n_conv], pa.int64()),
+        "value": pa.array([n_signup], pa.int64())}))
+    return ray.data.from_pandas(qs).union(card).map_batches(
+        lambda t: t.rename_columns(["p", "rank", "delta_us"]),
+        batch_format="pyarrow")
+
+
+Q_TIME_TO_CONVERT_SQL = """
+WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p
+       FROM events e JOIN su ON su.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+       GROUP BY e.user_id),
+d AS (SELECT pu.p - su.s AS delta FROM pu JOIN su USING (user_id)),
+r AS (SELECT delta, ROW_NUMBER() OVER (ORDER BY delta) AS rn,
+             count(*) OVER () AS n FROM d)
+SELECT CAST(q.p AS BIGINT) AS p, CAST(r.rn AS BIGINT) AS rank,
+       CAST(r.delta AS BIGINT) AS delta_us
+FROM (VALUES (25), (50), (75), (90)) q(p)
+JOIN r ON r.rn = greatest(1, r.n * q.p // 100)
+UNION ALL
+SELECT 0, (SELECT count(*) FROM d),
+       (SELECT count(*) FROM su)
+"""
+
+
 def registry():
     """name -> (ray_fn, sql_or_None)"""
     return {
@@ -20489,4 +20593,5 @@ def registry():
         "q_canonical_docs": (q_canonical_docs, Q_CANONICAL_DOCS_SQL),
         "q_change_pyramid": (q_change_pyramid, Q_CHANGE_PYRAMID_SQL),
         "q_merkle": (q_merkle, Q_MERKLE_SQL),
+        "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),
     }
