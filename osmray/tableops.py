@@ -642,7 +642,8 @@ def cube_agg(ds, c1: str, c2: str, val_col: str, all_token: str = "ALL"):
     return sums.map_batches(split, batch_format="pyarrow")
 
 
-def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
+def cooccur_pairs(ds, key: str, item: str, min_count: int = 2,
+                  max_pairs_per_key: int | None = 20_000_000):
     """Market-basket co-occurrence: counts of unordered DISTINCT item
     pairs appearing under the same key (a < b), kept at
     count >= min_count. The group-local self-join is fully
@@ -653,8 +654,29 @@ def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
     <= 2 runs touching each block edge go through the per-key fix-up
     (group count O(#blocks)). Pair counts fold in ONE keyed groupby
     over packed (a << 32 | b) keys — raw rows shuffle once (the
-    sort), pairs once."""
+    sort), pairs once.
+
+    The expansion is inherently sum(n_k^2) over key group sizes: ONE
+    hot key (a celebrity common-neighbor, a mega-basket) with 1e6
+    distinct items would expand ~5e11 pair indexes inside a single
+    task. ``max_pairs_per_key`` makes that fail LOUDLY (naming the
+    hot key) instead of grinding the task to an OOM: pre-split the
+    hot baskets, salt the key (pair counts then need a cross-salt
+    fix-up, see the triangles docstring in graph.py for the recipe),
+    or raise/None the cap if the blow-up is intended.
+    """
     import pyarrow.compute as _pc
+
+    def _guard(hot_key: int, k_items: int, where: str) -> None:
+        raise RuntimeError(
+            f"cooccur_pairs: key {hot_key} holds {k_items} distinct "
+            f"items -> {k_items * (k_items - 1) // 2} pairs, over "
+            f"max_pairs_per_key={max_pairs_per_key} (in {where}). "
+            f"This single group would dominate the pair expansion "
+            f"(sum n_k^2 pathology). Remedies: filter or split the "
+            f"hot group upstream, salt the key and fix up cross-salt "
+            f"pairs, or pass a larger / None cap if the cost is "
+            f"intended.")
 
     def gen(kk, it):
         """Pairs within runs of kk (sorted, may contain dups)."""
@@ -663,6 +685,12 @@ def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
         kk, it = kk[keep], it[keep]
         b = np.concatenate(
             ([0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]))
+        if max_pairs_per_key is not None and len(b) > 1:
+            lens = np.diff(b)
+            hot = int(lens.argmax())
+            m = int(lens[hot])
+            if m * (m - 1) // 2 > max_pairs_per_key:
+                _guard(int(kk[b[hot]]), m, "in-block run expansion")
         starts = np.repeat(b[:-1], np.diff(b))
         pos = np.arange(len(kk), dtype=np.int64) - starts
         total = int(pos.sum())
@@ -721,6 +749,8 @@ def cooccur_pairs(ds, key: str, item: str, min_count: int = 2):
         if k < 2:
             return pa.table({"pk": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
+        if max_pairs_per_key is not None and k * (k - 1) // 2 > max_pairs_per_key:
+            _guard(int(g["bk"][0].as_py()), k, "block-edge fix-up group")
         I, J = np.triu_indices(k, 1)
         pk = (it[I] << 32) | it[J]
         return pa.table({"pk": pa.array(pk),

@@ -322,3 +322,39 @@ def test_new_family_declarative_steps(ray_session):
         {"op": "read_parquet", "path": "/tmp/step_docs.parquet"},
         {"op": "oov_rate", "k": 2}]).to_pandas()
     assert (oov["n_oov"] == 1).all() and (oov["n_tokens"] == 7).all()
+
+
+def test_cooccur_pairs_hot_key_guard(ray_session):
+    # VERDICT r4 ask #2: a planted hot basket must fail LOUDLY with
+    # the hot key named, not grind through a quadratic expansion.
+    import pytest
+    import ray.data
+
+    from osmray.tableops import cooccur_pairs
+
+    hot = pd.DataFrame({
+        "k": np.repeat(np.int64(7), 40),
+        "i": np.arange(40, dtype=np.int64)})  # 780 pairs under key 7
+    # single block, single run -> the block-edge fix-up path
+    ds = ray.data.from_pandas(hot)
+    # Ray re-raises user errors wrapped (RayTaskError(UserCodeException));
+    # match on the diagnostic text, which must name the hot key
+    with pytest.raises(Exception, match=r"key 7 holds 40 distinct"):
+        cooccur_pairs(ds, "k", "i", max_pairs_per_key=100).to_pandas()
+    # sandwich the hot key between cold runs in one block -> the
+    # in-block (gen) expansion path fires instead
+    sandwich = pd.concat([
+        pd.DataFrame({"k": np.int64([1, 1]), "i": np.int64([0, 1])}),
+        hot,
+        pd.DataFrame({"k": np.int64([9, 9]), "i": np.int64([0, 1])}),
+    ]).sort_values(["k", "i"]).reset_index(drop=True)
+    ds2 = ray.data.from_pandas(sandwich).repartition(1)
+    with pytest.raises(Exception, match=r"key 7 holds 40 distinct"):
+        cooccur_pairs(ds2, "k", "i", max_pairs_per_key=100).to_pandas()
+    # same inputs under the default / loosened cap: correct counts
+    got = cooccur_pairs(ds2, "k", "i", min_count=1,
+                        max_pairs_per_key=1000).to_pandas()
+    # 780 distinct pairs from key 7; pair (0,1) also occurs under
+    # keys 1 and 9 and merges into the same row with n=3
+    assert len(got) == 780 and int(got["n"].sum()) == 782
+    assert int(got.set_index(["a", "b"])["n"].loc[(0, 1)]) == 3
