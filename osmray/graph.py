@@ -1414,7 +1414,8 @@ def ktruss(edges_ds, k: int = 4, rounds: int = 2,
     from osmray.joins import bucketed_join
     from osmray.tableops import sorted_fold_sums
 
-    assert k >= 3, k
+    if k < 3:
+        raise ValueError(f"ktruss: k must be >= 3, got {k}")
 
     def orient(batch: pa.Table) -> pa.Table:
         u = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)

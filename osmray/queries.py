@@ -14428,7 +14428,13 @@ def q_profile(sf_dir: str):
         kparts = []
         for ci, name in enumerate(_PROFILE_COLS):
             v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
-            assert (v >= 0).all() and (v < 1 << 48).all(), name
+            # typed (survives python -O): out-of-range values would
+            # silently alias packed (col_id << 48 | value) keys
+            if len(v) and not ((v >= 0).all() and (v < 1 << 48).all()):
+                raise ValueError(
+                    f"q_profile: column {name!r} has values outside "
+                    f"[0, 2^48) — they would alias packed profile keys; "
+                    f"widen the packing or pre-normalize the column")
             kparts.append(np.unique(v) | (np.int64(ci) << 48))
         k = np.concatenate(kparts) if kparts else np.array([], np.int64)
         return pa.table({"k": pa.array(k),
@@ -19989,7 +19995,11 @@ def q_canonical_docs(sf_dir: str):
                 sc[k] = int(wt[np.searchsorted(u, np.asarray(ws))].sum())
         # pack (score, doc_id) so one int64 MAX picks (max score,
         # then MIN id): key = score * 2^32 + (2^32 - 1 - doc_id)
-        assert np.abs(sc).max(initial=0) < (1 << 20), "score overflow"
+        if int(np.abs(sc).max(initial=0)) >= (1 << 20):
+            raise ValueError(
+                "canonical_docs: quality score exceeds the 20-bit "
+                "packing budget — (score,id) lexicographic max would "
+                "be wrong; rescale the score or widen the packing")
         packed = (sc + (1 << 20)) * (1 << 32) + ((1 << 32) - 1 - ids)
         u2, inv = np.unique(fp, return_inverse=True)
         mx = np.full(len(u2), np.iinfo(np.int64).min, np.int64)

@@ -814,8 +814,10 @@ def sorted_fold(ds, key_col: str, val_cols: list[str], ops: list[str]):
     partial-then-refold is exact. Emits (key_col, *val_cols)."""
     import pyarrow.compute as _pc
 
-    assert len(ops) == len(val_cols) and all(
-        o in ("sum", "min", "max") for o in ops), ops
+    if len(ops) != len(val_cols) or any(
+            o not in ("sum", "min", "max") for o in ops):
+        raise ValueError(f"sorted_fold: ops {ops} must match "
+                         f"{val_cols} 1:1 from sum/min/max")
     by_col = dict(zip(val_cols, ops))
 
     def fold(batch: pa.Table) -> pa.Table:

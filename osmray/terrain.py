@@ -269,7 +269,11 @@ def flow_accumulation(codes, mode: str = "auto",
         drain = pack(cx[m] + dirs[code[m] - 1, 0],
                      cy[m] + dirs[code[m] - 1, 1])
         pos = np.searchsorted(cells, drain)
-        assert np.array_equal(cells[pos], drain), "drain must exist"
+        if not np.array_equal(cells[pos], drain):
+            raise ValueError(
+                "flow accumulation: a cell drains to a coordinate "
+                "absent from the DEM — the D8 codes are inconsistent "
+                "with the cell set (typed so python -O cannot skip it)")
         succ[m] = pos
         acc = np.ones(len(cells), dtype=np.int64)
         mass = np.ones(len(cells), dtype=np.int64)
