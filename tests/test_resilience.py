@@ -81,3 +81,242 @@ def test_grace_join_survives_spill_worker_death(ray_session, tmp_path):
     want = want.sort_values(cols).reset_index(drop=True)
     got = got.sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _guard_joins():
+    import ray.data
+
+    from osmray.joins import bucketed_join
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    bucketed_join(ray.data.from_arrow(t), ray.data.from_arrow(t), on="k")
+
+
+def _guard_dedup():
+    import ray.data
+
+    from osmray import dedup
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb cc", "aa bb cc"])}))
+    dedup.minhash_lsh_candidates(ds)
+
+
+def _guard_ann():
+    import ray.data
+
+    from osmray.ann import ivf_partition
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2]], pa.list_(pa.float64()))}))
+    ivf_partition(ds, np.eye(2))
+
+
+def _guard_simjoin():
+    import ray.data
+
+    from osmray.simjoin import jaccard_join
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "toks": pa.array([["a", "b"], ["a", "b"]],
+                         pa.list_(pa.string()))}))
+    jaccard_join(ds, "doc_id", "toks")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("entry", [
+    _guard_joins, _guard_dedup, _guard_ann, _guard_simjoin],
+    ids=["joins", "dedup-lsh", "ann-ivf", "simjoin-jaccard"])
+def test_spill_guard_fires_per_family(ray_session, monkeypatch, entry):
+    """r4 verdict #4: EVERY spill-entry family (grace joins, LSH
+    pair-gen, IVF layout, similarity join) must refuse a simulated
+    multi-node cluster when no shared spill_root is given — the
+    node-local tempdir default silently reads empty fragments on
+    remote nodes otherwise."""
+    import ray
+
+    monkeypatch.setattr(
+        ray, "nodes",
+        lambda: [{"Alive": True, "NodeID": "a"},
+                 {"Alive": True, "NodeID": "b"}])
+    with _pytest.raises(ValueError, match="spill_root"):
+        entry()
+
+
+# ---------------------------------------------------------------------------
+# Flagship chaos (r4 verdict #6): the 100-TB guarantee is that a job
+# losing a WORKER mid-flight, or losing the DRIVER and being rerun over
+# the same out_dir, still produces byte-identical output.
+
+_CHAOS_FX = "/tmp/osmray_chaos_fx"
+
+
+def _chaos_fixture():
+    from osmray import synth
+
+    synth.write_fixture(_CHAOS_FX, n_images=512, n_nodes=200,
+                        n_ways=40, n_polygons=50)
+    return _CHAOS_FX
+
+
+def _flagship_hash(out_dir: str) -> tuple[str, int]:
+    """Canonical content hash of a flagship output dataset: every
+    manifest-referenced block, rows sorted by (image_id, tile_key),
+    all columns hashed in name order."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osmray import lancelike
+
+    m = lancelike.read_manifest(out_dir)
+    assert m is not None
+    files = [os.path.join(out_dir, f"part={r['part_id']}", b)
+             for r in m["partitions"] for b in r["blocks"]]
+    assert files and all(os.path.exists(f) for f in files)
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().sort_values(["image_id", "tile_key"]).reset_index(drop=True)
+    h = hashlib.sha256()
+    for col in sorted(df.columns):
+        h.update(col.encode())
+        for v in df[col]:
+            h.update(repr(v).encode())
+    return h.hexdigest(), len(df)
+
+
+def _run_flagship(images, out_dir: str):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osmray import pipeline, synth
+    from osmray.pipeline import LabelJobConfig
+
+    cfg = LabelJobConfig(bbox=synth.fixture_bbox(_CHAOS_FX), limit=48,
+                         mask_concurrency=2, mask_batch=32)
+    feats = pq.read_table(os.path.join(_CHAOS_FX, "features.parquet"))
+    return pipeline.run_label_job(images, feats, cfg, out_dir=out_dir)
+
+
+def test_flagship_survives_worker_death(ray_session, tmp_path):
+    """SIGKILL one worker process mid-job: Ray retries the dead task
+    and the final dataset is byte-identical to an undisturbed run."""
+    import glob
+
+    import ray.data
+
+    root = _chaos_fixture()
+    files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
+    sentinel = str(tmp_path / "chaos_died_once")
+
+    def faulty(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(sentinel):
+            try:
+                fd = os.open(sentinel, os.O_CREAT | os.O_EXCL)
+                os.close(fd)
+                os._exit(1)  # hard worker death, not an exception
+            except FileExistsError:
+                pass
+        return batch
+
+    _run_flagship(ray.data.read_parquet(files), str(tmp_path / "clean"))
+    want, n_want = _flagship_hash(str(tmp_path / "clean"))
+
+    images = ray.data.read_parquet(files).map_batches(
+        faulty, batch_format="pyarrow")
+    _run_flagship(images, str(tmp_path / "chaos"))
+    assert os.path.exists(sentinel)  # a worker really died
+    got, n_got = _flagship_hash(str(tmp_path / "chaos"))
+    assert n_got == n_want > 0
+    assert got == want
+
+
+_DRIVER_SCRIPT = r"""
+import glob, os, sys, time
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray, ray.data
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from osmray import pipeline, synth
+from osmray.pipeline import LabelJobConfig
+root, out = sys.argv[1], sys.argv[2]
+cfg = LabelJobConfig(bbox=synth.fixture_bbox(root), limit=48,
+                     mask_concurrency=2, mask_batch=32)
+files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
+def slow(b):
+    time.sleep(0.05)  # stretch the job so blocks land before the kill
+    return b
+images = ray.data.read_parquet(files).map_batches(slow, batch_format="pyarrow")
+feats = pq.read_table(os.path.join(root, "features.parquet"))
+ds, lineage = pipeline.run_label_job(images, feats, cfg, out_dir=out)
+print("DONE", int(lineage["rows_out"].sum()), flush=True)
+ray.shutdown()
+"""
+
+
+def test_flagship_driver_kill_then_rerun(ray_session, tmp_path):
+    """SIGKILL the whole driver process group once block fragments are
+    on disk but before the manifest commits; rerunning over the same
+    out_dir must clear the stale partial blocks and produce output
+    byte-identical to an undisturbed run (no duplicated rows)."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import ray.data
+
+    root = _chaos_fixture()
+    files = sorted(glob.glob(os.path.join(root, "images", "*.parquet")))
+    _run_flagship(ray.data.read_parquet(files), str(tmp_path / "clean"))
+    want, n_want = _flagship_hash(str(tmp_path / "clean"))
+
+    script = tmp_path / "driver.py"
+    script.write_text(_DRIVER_SCRIPT)
+    out = str(tmp_path / "chaos_out")
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="")
+
+    def launch():
+        return subprocess.Popen(
+            [sys.executable, str(script), root, out],
+            env=env, start_new_session=True,  # killpg reaps ray children
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+    killed = False
+    proc = launch()
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline and proc.poll() is None:
+            blocks = glob.glob(os.path.join(out, "part=*", "block-*.parquet"))
+            if blocks and not os.path.exists(os.path.join(out, "manifest.json")):
+                os.killpg(proc.pid, signal.SIGKILL)
+                killed = True
+                break
+            time.sleep(0.05)
+    finally:
+        if proc.poll() is None and not killed:
+            os.killpg(proc.pid, signal.SIGKILL)
+    assert killed, "job finished before any block landed — enlarge fixture"
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+    proc2 = launch()
+    out2, _ = proc2.communicate(timeout=600)
+    try:  # reap any ray daemons the finished driver left behind
+        os.killpg(proc2.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    assert proc2.returncode == 0 and "DONE" in out2
+    got, n_got = _flagship_hash(out)
+    assert n_got == n_want > 0
+    assert got == want
