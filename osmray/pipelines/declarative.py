@@ -2116,3 +2116,85 @@ def _time_to_convert(p: dict) -> Stage:
 
 
 STAGES.update({"time_to_convert": _time_to_convert})
+
+
+def _profile(p: dict) -> Stage:
+    """{"op": "profile", "columns": [int64 cols]} — catalog profile
+    (n, min, max, exact n_distinct) of the upstream dataset's integer
+    columns, all columns in one packed-key fold."""
+    from osmray.tableops import profile_columns
+
+    return lambda ds: profile_columns(ds, list(p["columns"]))
+
+
+def _assoc_rules(p: dict) -> Stage:
+    """{"op": "assoc_rules", "key": col, "item": col, "min_count": 2?,
+    "conf_num": 1?, "conf_den": 10?, "item_bits": 21?} — directed
+    association rules lhs -> rhs over upstream (key, item) baskets
+    with integer-exact confidence gate."""
+    from osmray.tableops import assoc_rules
+
+    return lambda ds: assoc_rules(
+        ds, p["key"], p["item"], min_count=int(p.get("min_count", 2)),
+        conf_num=int(p.get("conf_num", 1)),
+        conf_den=int(p.get("conf_den", 10)),
+        item_bits=int(p.get("item_bits", 21)))
+
+
+def _substring_dups(p: dict) -> Stage:
+    """{"op": "substring_dups", "id": "doc_id"?, "text": "text"?,
+    "gram_len": 32?, "stride": 8?, "min_docs": 2?} — exact repeated
+    substrings shared by >= min_docs upstream documents."""
+    from osmray.text import substring_dups
+
+    return lambda ds: substring_dups(
+        ds, p.get("id", "doc_id"), p.get("text", "text"),
+        gram_len=int(p.get("gram_len", 32)),
+        stride=int(p.get("stride", 8)),
+        min_docs=int(p.get("min_docs", 2)))
+
+
+def _link_predict(p: dict) -> Stage:
+    """{"op": "link_predict", "k": 50?, "src": "u"?, "dst": "v"?} —
+    top-k common-neighbor link prediction over the upstream edge
+    dataset (symmetrized internally)."""
+    import pyarrow as _pa
+
+    from osmray.queries import link_predict_topk
+
+    def s(ds):
+        src, dst = p.get("src", "u"), p.get("dst", "v")
+
+        def sym(batch: _pa.Table) -> _pa.Table:
+            import numpy as _np
+
+            u = batch[src].to_numpy(zero_copy_only=False)
+            v = batch[dst].to_numpy(zero_copy_only=False)
+            return _pa.table({"via": _pa.array(_np.concatenate((u, v))),
+                              "nb": _pa.array(_np.concatenate((v, u)))})
+
+        return link_predict_topk(
+            ds.map_batches(sym, batch_format="pyarrow"),
+            k=int(p.get("k", 50)))
+
+    return s
+
+
+def _containment_join(p: dict) -> Stage:
+    """{"op": "containment_join", "id": "doc_id"?, "toks": "toks"?,
+    "t_num": 4?, "t_den": 5?} — directional containment self-join
+    (quote / excerpt detection) over upstream (id, token-list)."""
+    from osmray.simjoin import containment_join
+
+    return lambda ds: containment_join(
+        ds, p.get("id", "doc_id"), p.get("toks", "toks"),
+        t_num=int(p.get("t_num", 4)), t_den=int(p.get("t_den", 5)))
+
+
+STAGES.update({
+    "profile": _profile,
+    "assoc_rules": _assoc_rules,
+    "substring_dups": _substring_dups,
+    "link_predict": _link_predict,
+    "containment_join": _containment_join,
+})

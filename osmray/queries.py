@@ -12181,53 +12181,16 @@ FROM r WHERE pcode = 0
 
 
 def q_substring_dups(sf_dir: str):
-    """Exact repeated-substring detection over the corpus — the
-    substring-level dedup signal (the "train-data memorization"
-    shape): every document emits its 32-char grams at stride 8; grams
-    shuffle keyed by their FIRST-8-BYTES packed int64 (keys-only —
-    the 32-char gram rides as the verification payload), and one
-    map_groups verifies full-gram equality per prefix group, emitting
-    (gram, n_docs, n_occ) for grams shared by >= 2 documents. No
-    pair expansion anywhere — group summaries, not doc pairs, leave
-    the shuffle. ASCII corpus: character == byte offsets, so the
-    twin's substr() replay is exact."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    L, S = 32, 8
+    """Exact repeated-substring detection over the corpus (32-char
+    grams at stride 8, prefix-keyed shuffle, group summaries only —
+    no pair expansion). ASCII corpus: character == byte offsets, so
+    the twin's substr() replay is exact. Kernel lives in
+    text.substring_dups (declarative step "substring_dups")."""
+    from osmray.text import substring_dups
 
-    def windows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ks, grams, docs = [], [], []
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            n = len(text)
-            for off in range(0, n - L + 1, S):
-                g = text[off:off + L]
-                ks.append(int.from_bytes(g[:8].encode(), "big", signed=True))
-                grams.append(g)
-                docs.append(did)
-        return pa.table({
-            "k": pa.array(ks, pa.int64()),
-            "gram": pa.array(grams, pa.string()),
-            "doc_id": pa.array(docs, pa.int64())})
-
-    def verify(g: pa.Table) -> pa.Table:
-        grams = np.asarray(g["gram"].to_pylist())
-        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((docs, grams))
-        gs, ds_ = grams[order], docs[order]
-        # per full gram: total occurrences + distinct docs
-        new_gram = np.concatenate(([True], gs[1:] != gs[:-1]))
-        gid = np.cumsum(new_gram) - 1
-        n_occ = np.bincount(gid).astype(np.int64)
-        new_pair = new_gram | np.concatenate(([True], ds_[1:] != ds_[:-1]))
-        n_docs = np.bincount(gid[new_pair]).astype(np.int64)
-        keep = n_docs >= 2
-        return pa.table({
-            "gram": pa.array(gs[new_gram][keep]),
-            "n_docs": pa.array(n_docs[keep]),
-            "n_occ": pa.array(n_occ[keep])})
-
-    return (ds.map_batches(windows, batch_format="pyarrow")
-            .groupby("k").map_groups(verify, batch_format="pyarrow"))
+    return substring_dups(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          "doc_id", "text", gram_len=32, stride=8,
+                          min_docs=2)
 
 
 Q_SUBSTRING_DUPS_SQL = """
@@ -14404,70 +14367,12 @@ def q_profile(sf_dir: str):
     distinct count per column via one keyed fold over (col_id <<
     48 | value) packed keys (values here fit 48 bits) — one shuffle
     profiles every column at once instead of one groupby per
-    column."""
-    from osmray.tableops import sorted_fold, sorted_fold_sums
+    column. Kernel lives in tableops.profile_columns (declarative
+    step "profile")."""
+    from osmray.tableops import profile_columns
 
-    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
-
-    # two passes (stats + distinct) keep each output single-schema
-    def stat_partials(batch: pa.Table) -> pa.Table:
-        mins, maxs, ns = [], [], []
-        for name in _PROFILE_COLS:
-            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
-            mins.append(v.min() if len(v) else 0)
-            maxs.append(v.max() if len(v) else 0)
-            ns.append(len(v))
-        return pa.table({
-            "col_id": pa.array(np.arange(len(_PROFILE_COLS),
-                                         dtype=np.int64)),
-            "n": pa.array(np.asarray(ns, np.int64)),
-            "mn": pa.array(np.asarray(mins, np.int64)),
-            "mx": pa.array(np.asarray(maxs, np.int64))})
-
-    def key_partials(batch: pa.Table) -> pa.Table:
-        kparts = []
-        for ci, name in enumerate(_PROFILE_COLS):
-            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
-            # typed (survives python -O): out-of-range values would
-            # silently alias packed (col_id << 48 | value) keys
-            if len(v) and not ((v >= 0).all() and (v < 1 << 48).all()):
-                raise ValueError(
-                    f"q_profile: column {name!r} has values outside "
-                    f"[0, 2^48) — they would alias packed profile keys; "
-                    f"widen the packing or pre-normalize the column")
-            kparts.append(np.unique(v) | (np.int64(ci) << 48))
-        k = np.concatenate(kparts) if kparts else np.array([], np.int64)
-        return pa.table({"k": pa.array(k),
-                         "one": pa.array(np.ones(len(k), np.int64))})
-
-    stats = sorted_fold(
-        ds.map_batches(stat_partials, batch_format="pyarrow"),
-        "col_id", ["n", "mn", "mx"], ["sum", "min", "max"])
-    dk = sorted_fold_sums(
-        ds.map_batches(key_partials, batch_format="pyarrow"), "k", ["one"])
-
-    def dist_partials(batch: pa.Table) -> pa.Table:
-        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ci, cnt = np.unique(k >> 48, return_counts=True)
-        return pa.table({"col_id": pa.array(ci),
-                         "n_distinct": pa.array(cnt.astype(np.int64))})
-
-    nd = sorted_fold_sums(
-        dk.map_batches(dist_partials, batch_format="pyarrow"),
-        "col_id", ["n_distinct"])
-    nd_map = {r["col_id"]: r["n_distinct"] for r in nd.take_all()}
-
-    def finish(batch: pa.Table) -> pa.Table:
-        ci = batch["col_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "col_name": pa.array([_PROFILE_COLS[i] for i in ci]),
-            "n": batch["n"].cast(pa.int64()),
-            "mn": batch["mn"].cast(pa.int64()),
-            "mx": batch["mx"].cast(pa.int64()),
-            "n_distinct": pa.array([nd_map[int(i)] for i in ci],
-                                   pa.int64())})
-
-    return stats.map_batches(finish, batch_format="pyarrow")
+    return profile_columns(_read(sf_dir, "lineitem", _PROFILE_COLS),
+                           _PROFILE_COLS)
 
 
 Q_PROFILE_SQL = """
@@ -16943,67 +16848,17 @@ FROM cls GROUP BY status
 
 def q_assoc_rules(sf_dir: str):
     """Association rules over the market baskets (the A-Priori
-    completion of q_item_pairs): from pair supports n_ab (>= 2
-    common orders, via the same sorted-run cooccur fold) and item
-    supports n_a, emit DIRECTED rules a -> b with integer-exact
-    confidence gate n_ab * 10 >= n_a (conf >= 0.1, no float
-    division) plus the components (n_ab, n_a) so lift is derivable.
-    Item supports attach by one grace join per rule side — bounded
-    rule set, never the basket table, leaves the shuffle."""
-    from osmray.joins import bucketed_join
-    from osmray.tableops import cooccur_pairs, sorted_fold_sums
+    completion of q_item_pairs) — directed rules a -> b from pair
+    supports (>= 2 common orders) with the integer-exact confidence
+    gate n_ab * 10 >= n_a (conf >= 0.1, no float division) plus the
+    components (n_ab, n_a) so lift is derivable. Kernel lives in
+    tableops.assoc_rules (declarative step "assoc_rules")."""
+    from osmray.tableops import assoc_rules
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    pairs = cooccur_pairs(ds, "l_orderkey", "l_partkey", min_count=2)
-
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"lhs": pa.array(np.concatenate([a, b])),
-                         "rhs": pa.array(np.concatenate([b, a])),
-                         "n_ab": pa.array(np.concatenate([n, n]))})
-
-    rules = pairs.map_batches(both_dirs, batch_format="pyarrow")
-
-    # exact item supports: distinct (order, item) via one packed-key
-    # dedup shuffle (partkey < 2^21 at every TPC-H scale here)
-    from ray.data.aggregate import Count
-
-    def pack(batch: pa.Table) -> pa.Table:
-        o = batch["l_orderkey"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        p = batch["l_partkey"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        return pa.table({"pk": pa.array(np.unique((o << 21) | p))})
-
-    supp = (ds.map_batches(pack, batch_format="pyarrow")
-            .groupby("pk").aggregate(Count(alias_name="_n"))
-            .map_batches(lambda b: pa.table({
-                "item": pa.array(b["pk"].to_numpy(
-                    zero_copy_only=False) & ((1 << 21) - 1))}),
-                batch_format="pyarrow"))
-    supp = sorted_fold_sums(supp.map_batches(
-        lambda b: pa.table({
-            "item": b["item"],
-            "n_a": pa.array(np.ones(b.num_rows, np.int64))}),
-        batch_format="pyarrow"), "item", ["n_a"])
-
-    j = bucketed_join(rules, supp, on="lhs", right_on="item",
-                      num_buckets=16)
-
-    def gate(batch: pa.Table) -> pa.Table:
-        lhs = batch["lhs"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rhs = batch["rhs"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = nab * 10 >= na
-        return pa.table({"lhs": pa.array(lhs[keep]),
-                         "rhs": pa.array(rhs[keep]),
-                         "n_ab": pa.array(nab[keep]),
-                         "n_a": pa.array(na[keep])})
-
-    return j.map_batches(gate, batch_format="pyarrow")
+    return assoc_rules(_read(sf_dir, "lineitem",
+                             ["l_orderkey", "l_partkey"]),
+                       "l_orderkey", "l_partkey", min_count=2,
+                       conf_num=1, conf_den=10, item_bits=21)
 
 
 Q_ASSOC_RULES_SQL = """

@@ -996,3 +996,138 @@ def epoch_shuffle(ds, id_col: str = "doc_id", seed: int = 17,
                          "pos": pa.array(rk % shard_size)})
 
     return sds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def profile_columns(ds, cols: list[str]):
+    """Catalog-style profile of integer columns: per column (n, min,
+    max) from per-block partials plus an EXACT distinct count, all
+    columns in ONE keyed fold over (col_id << 48 | value) packed keys
+    (values must fit 48 bits — typed error otherwise). The driver
+    sees O(#columns) rows; nothing else leaves the shuffle. Extracted
+    from q_profile for declarative-step reuse (reference parity:
+    there is no profiling in shrddr/osmml; engine add)."""
+    cols = list(cols)
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        mins, maxs, ns = [], [], []
+        for name in cols:
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            mins.append(v.min() if len(v) else 0)
+            maxs.append(v.max() if len(v) else 0)
+            ns.append(len(v))
+        return pa.table({
+            "col_id": pa.array(np.arange(len(cols), dtype=np.int64)),
+            "n": pa.array(np.asarray(ns, np.int64)),
+            "mn": pa.array(np.asarray(mins, np.int64)),
+            "mx": pa.array(np.asarray(maxs, np.int64))})
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        kparts = []
+        for ci, name in enumerate(cols):
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            # typed (survives python -O): out-of-range values would
+            # silently alias packed (col_id << 48 | value) keys
+            if len(v) and not ((v >= 0).all() and (v < 1 << 48).all()):
+                raise ValueError(
+                    f"profile_columns: column {name!r} has values outside "
+                    f"[0, 2^48) — they would alias packed profile keys; "
+                    f"widen the packing or pre-normalize the column")
+            kparts.append(np.unique(v) | (np.int64(ci) << 48))
+        k = np.concatenate(kparts) if kparts else np.array([], np.int64)
+        return pa.table({"k": pa.array(k),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    stats = sorted_fold(
+        ds.map_batches(stat_partials, batch_format="pyarrow"),
+        "col_id", ["n", "mn", "mx"], ["sum", "min", "max"])
+    dk = sorted_fold_sums(
+        ds.map_batches(key_partials, batch_format="pyarrow"), "k", ["one"])
+
+    def dist_partials(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci, cnt = np.unique(k >> 48, return_counts=True)
+        return pa.table({"col_id": pa.array(ci),
+                         "n_distinct": pa.array(cnt.astype(np.int64))})
+
+    nd = sorted_fold_sums(
+        dk.map_batches(dist_partials, batch_format="pyarrow"),
+        "col_id", ["n_distinct"])
+    nd_map = {r["col_id"]: r["n_distinct"] for r in nd.take_all()}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ci = batch["col_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "col_name": pa.array([cols[i] for i in ci]),
+            "n": batch["n"].cast(pa.int64()),
+            "mn": batch["mn"].cast(pa.int64()),
+            "mx": batch["mx"].cast(pa.int64()),
+            "n_distinct": pa.array([nd_map[int(i)] for i in ci],
+                                   pa.int64())})
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def assoc_rules(ds, key: str, item: str, min_count: int = 2,
+                conf_num: int = 1, conf_den: int = 10,
+                item_bits: int = 21):
+    """Association rules over (key, item) baskets — the A-Priori
+    completion of :func:`cooccur_pairs`: from pair supports n_ab and
+    item supports n_a, emit DIRECTED rules lhs -> rhs with the
+    integer-exact confidence gate ``n_ab * conf_den >= n_a *
+    conf_num`` (conf >= conf_num/conf_den, no float division) plus
+    the components (n_ab, n_a) so lift is derivable. Item supports
+    attach by one grace join per rule side — the bounded rule set,
+    never the basket table, leaves the shuffle. ``item`` values must
+    fit ``item_bits`` bits (packed (key << item_bits | item) distinct
+    dedup)."""
+    from osmray.joins import bucketed_join
+    from ray.data.aggregate import Count
+
+    pairs = cooccur_pairs(ds, key, item, min_count=min_count)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lhs": pa.array(np.concatenate([a, b])),
+                         "rhs": pa.array(np.concatenate([b, a])),
+                         "n_ab": pa.array(np.concatenate([n, n]))})
+
+    rules = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        o = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch[item].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and int(p.max()) >= (1 << item_bits):
+            raise ValueError(
+                f"assoc_rules: item values exceed item_bits={item_bits} "
+                f"— distinct (key,item) packing would alias; raise item_bits")
+        return pa.table({"pk": pa.array(np.unique((o << item_bits) | p))})
+
+    supp = (ds.map_batches(pack, batch_format="pyarrow")
+            .groupby("pk").aggregate(Count(alias_name="_n"))
+            .map_batches(lambda b: pa.table({
+                "item": pa.array(b["pk"].to_numpy(
+                    zero_copy_only=False) & ((1 << item_bits) - 1))}),
+                batch_format="pyarrow"))
+    supp = sorted_fold_sums(supp.map_batches(
+        lambda b: pa.table({
+            "item": b["item"],
+            "n_a": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow"), "item", ["n_a"])
+
+    j = bucketed_join(rules, supp, on="lhs", right_on="item",
+                      num_buckets=16)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lhs = batch["lhs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rhs = batch["rhs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nab * conf_den >= na * conf_num
+        return pa.table({"lhs": pa.array(lhs[keep]),
+                         "rhs": pa.array(rhs[keep]),
+                         "n_ab": pa.array(nab[keep]),
+                         "n_a": pa.array(na[keep])})
+
+    return j.map_batches(gate, batch_format="pyarrow")

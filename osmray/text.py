@@ -838,3 +838,55 @@ def bpe_apply(docs, rounds: int = 4):
                          "n_subtokens": pa.array(ns)})
 
     return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def substring_dups(ds, id_col: str = "doc_id", text_col: str = "text",
+                   gram_len: int = 32, stride: int = 8,
+                   min_docs: int = 2):
+    """Exact repeated-substring detection — the substring-level dedup
+    signal ("train-data memorization" shape): every document emits
+    its ``gram_len``-char grams at ``stride``; grams shuffle keyed by
+    their FIRST-8-BYTES packed int64 (keys-only — the full gram rides
+    as the verification payload), and one map_groups verifies
+    full-gram equality per prefix group, emitting (gram, n_docs,
+    n_occ) for grams shared by >= ``min_docs`` documents. No pair
+    expansion anywhere — group summaries, not doc pairs, leave the
+    shuffle. Extracted from q_substring_dups for declarative-step
+    reuse (engine add; no counterpart in shrddr/osmml)."""
+    import pyarrow as pa
+
+    L, S = gram_len, stride
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, grams, docs = [], [], []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            n = len(text)
+            for off in range(0, n - L + 1, S):
+                g = text[off:off + L]
+                ks.append(int.from_bytes(g[:8].encode(), "big", signed=True))
+                grams.append(g)
+                docs.append(did)
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+            "doc_id": pa.array(docs, pa.int64())})
+
+    def verify(g: pa.Table) -> pa.Table:
+        grams = np.asarray(g["gram"].to_pylist())
+        docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, grams))
+        gs, ds_ = grams[order], docs[order]
+        new_gram = np.concatenate(([True], gs[1:] != gs[:-1]))
+        gid = np.cumsum(new_gram) - 1
+        n_occ = np.bincount(gid).astype(np.int64)
+        new_pair = new_gram | np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        n_docs = np.bincount(gid[new_pair]).astype(np.int64)
+        keep = n_docs >= min_docs
+        return pa.table({
+            "gram": pa.array(gs[new_gram][keep]),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_occ": pa.array(n_occ[keep])})
+
+    return (ds.map_batches(windows, batch_format="pyarrow")
+            .groupby("k").map_groups(verify, batch_format="pyarrow"))

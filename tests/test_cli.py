@@ -715,3 +715,78 @@ def test_declarative_mutual_nn_step(ray_session):
     assert got.equals(want) and len(got) > 0
     # mutual-NN is symmetric by construction: no id repeats side-swapped
     assert (got["a"] < got["b"]).all()
+
+
+def test_declarative_round5_analytics_steps(ray_session):
+    """r4 verdict #5: step parity for the analytics tail — profile /
+    assoc_rules / substring_dups / link_predict / containment_join
+    steps equal their direct kernel calls."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray.pipelines import run_pipeline
+    from osmray.queries import link_predict_topk
+    from osmray.simjoin import containment_join
+    from osmray.tableops import assoc_rules, profile_columns
+    from osmray.text import substring_dups
+
+    li = [{"op": "read_parquet",
+           "path": "/root/testdata/sf0.001/lineitem.parquet",
+           "columns": ["l_orderkey", "l_partkey"]}]
+    li_ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"])
+
+    got = (run_pipeline(li + [{"op": "profile",
+                               "columns": ["l_orderkey", "l_partkey"]}])
+           .to_pandas().sort_values("col_name").reset_index(drop=True))
+    want = (profile_columns(li_ds, ["l_orderkey", "l_partkey"])
+            .to_pandas().sort_values("col_name").reset_index(drop=True))
+    assert got.equals(want) and len(got) == 2
+
+    key = ["lhs", "rhs"]
+    got = (run_pipeline(li + [{"op": "assoc_rules", "key": "l_orderkey",
+                               "item": "l_partkey"}])
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    want = (assoc_rules(li_ds, "l_orderkey", "l_partkey")
+            .to_pandas().sort_values(key).reset_index(drop=True))
+    assert got.equals(want)
+
+    docs = [{"op": "read_parquet",
+             "path": "/root/testdata/sf0.001/documents.parquet",
+             "columns": ["doc_id", "text"]}]
+    docs_ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    got = (run_pipeline(docs + [{"op": "substring_dups"}])
+           .to_pandas().sort_values("gram").reset_index(drop=True))
+    want = (substring_dups(docs_ds)
+            .to_pandas().sort_values("gram").reset_index(drop=True))
+    assert got.equals(want)
+
+    edges = ray.data.from_items(
+        [{"u": i % 9, "v": (i * 5 + 2) % 9} for i in range(40)
+         if i % 9 != (i * 5 + 2) % 9])
+    got = (run_pipeline([{"op": "link_predict", "k": 10}], ds=edges)
+           .to_pandas().reset_index(drop=True))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"via": pa.array(np.concatenate((u, v))),
+                         "nb": pa.array(np.concatenate((v, u)))})
+
+    want = (link_predict_topk(edges.map_batches(sym, batch_format="pyarrow"),
+                              k=10).to_pandas().reset_index(drop=True))
+    assert got.equals(want)
+
+    toks = ray.data.from_items([
+        {"doc_id": 1, "toks": ["a", "b", "c", "d", "e"]},
+        {"doc_id": 2, "toks": ["a", "b", "c", "d"]},  # contained in 1
+        {"doc_id": 3, "toks": ["x", "y"]}])
+    got = (run_pipeline([{"op": "containment_join"}], ds=toks)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = (containment_join(toks, "doc_id", "toks", t_num=4, t_den=5)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert got.equals(want) and len(got) >= 1
