@@ -351,4 +351,9 @@ def read_dataset(root: str, columns: list[str] | None = None,
         frags = sorted(
             os.path.join(root, f"part={int(rec['part_id'])}", b)
             for rec in m.get("partitions", []) for b in rec.get("blocks", []))
-    return ray.data.read_parquet(frags, columns=columns)
+    # bulk read = metadata-SKIPPING: the manifest already is the file
+    # list, so the default read_parquet's per-fragment footer fetch
+    # (measured 1.9 s serial for ~1.5k fragments — a config-independent
+    # cost that suppresses N->4N scaling) buys nothing here. One block
+    # per fragment matches the sink's write granularity.
+    return ray.data.read_parquet_bulk(frags, columns=columns)

@@ -918,8 +918,15 @@ def run_label_job(
 
     lineage = None
     if out_dir is not None:
+        # dynamic sink sizing: bigger write batches on bigger clusters
+        # coalesce each batch's per-part fragments (16-row fragments
+        # observed at fixed 1024) without adding a shuffle; the part
+        # remains the resume granule either way
+        sink_rows = 1024 * max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
         try:
-            lineage = lancelike.write_dataset(ds, out_dir, part_col="part_id", sort_key="tile_key")
+            lineage = lancelike.write_dataset(
+                ds, out_dir, part_col="part_id", sort_key="tile_key",
+                batch_rows=sink_rows)
         except BaseException:
             # a mask-thread failure surfaces in the sink as the cell's
             # generic error: prefer the real traceback
