@@ -2198,3 +2198,24 @@ STAGES.update({
     "link_predict": _link_predict,
     "containment_join": _containment_join,
 })
+
+
+def _pq_encode(p: dict) -> Stage:
+    """{"op": "pq_encode", "id": "vec_id"?, "vec": "embedding"?} —
+    product-quantization codes (4x16x16 hash-derived codebook, exact
+    integer milli-space) for the upstream (id, vector) dataset."""
+    from osmray.queries import pq_encode
+
+    return lambda ds: pq_encode(ds, id_col=p.get("id", "vec_id"),
+                                vec_col=p.get("vec", "embedding"))
+
+
+def _record_linkage(p: dict) -> Stage:
+    """{"op": "record_linkage", "sf_dir": "..."} — blocked entity
+    resolution of the dirty customer clone (source step)."""
+    from osmray import queries as _Q
+
+    return lambda ds: _Q.q_record_linkage(p["sf_dir"])
+
+
+STAGES.update({"pq_encode": _pq_encode, "record_linkage": _record_linkage})

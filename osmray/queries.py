@@ -20459,4 +20459,233 @@ def registry():
         "q_change_pyramid": (q_change_pyramid, Q_CHANGE_PYRAMID_SQL),
         "q_merkle": (q_merkle, Q_MERKLE_SQL),
         "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),
+        "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
+        "q_pq_encode": (q_pq_encode, Q_PQ_ENCODE_SQL),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: entity resolution (blocked record linkage) and
+# product-quantization codes — two large-scale curation staples not yet
+# in the registry. No counterpart in shrddr/osmml (engine adds).
+
+
+def q_record_linkage(sf_dir: str):
+    """Blocked record linkage (entity resolution): a dirty CLONE of the
+    customer table (one hash-chosen digit of ``c_name`` rewritten,
+    replayed identically in the twin) links back to its sources via
+    interleaved-half blocking — two equality-join passes on
+    (nationkey, odd-position digits) and (nationkey, even-position
+    digits). Equal-length edit distance <= 1 is exactly ONE
+    substitution, which leaves one interleaved half intact, so the two
+    passes are a complete pigeonhole cover: no all-pairs comparison
+    anywhere, candidate groups bounded by (nation x 4-5 specific
+    digits). A verified pair agrees on exactly one half (both halves
+    => identical names, impossible), so the pass union is
+    duplicate-free without a dedup shuffle. Links include planted
+    clone->source matches AND accidental near-collisions between
+    sequential ids — both sides derive them identically."""
+    from osmray.joins import bucketed_join
+    from osmray.stages import hash64
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def chars(names: list) -> np.ndarray:
+        return np.frombuffer(
+            np.array(names, dtype="S18").tobytes(), dtype=np.uint8
+        ).reshape(-1, 18)
+
+    def digits_int(ch: np.ndarray, cols: list[int]) -> np.ndarray:
+        v = np.zeros(len(ch), dtype=np.int64)
+        for c in cols:
+            v = v * 10 + (ch[:, c].astype(np.int64) - 48)
+        return v
+
+    ODD = [9, 11, 13, 15, 17]   # 0-based digit positions (name[9:18])
+    EVEN = [10, 12, 14, 16]
+
+    def a_side(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = chars(batch["c_name"].to_pylist())
+        k_odd = nat * 100000 + digits_int(ch, ODD)
+        k_even = nat * 10000 + digits_int(ch, EVEN)
+        names = batch["c_name"]
+        return pa.table({
+            "bk": pa.array(np.concatenate([k_odd * 2, k_even * 2 + 1])),
+            "a_id": pa.array(np.concatenate([ids, ids])),
+            "a_name": pa.concat_arrays([names.combine_chunks()] * 2),
+            "nat": pa.array(np.concatenate([nat, nat]))})
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = chars(batch["c_name"].to_pylist()).copy()
+        # dirty clone: digit position 9 + h%9 rewritten to a FORCED
+        # different digit (old + 1 + h2%9) % 10
+        h = hash64(ids, seed=11)
+        h2 = hash64(ids, seed=12)
+        pos = (9 + (h % 9)).astype(np.int64)
+        rows = np.arange(len(ids))
+        old = ch[rows, pos].astype(np.int64) - 48
+        ch[rows, pos] = (48 + (old + 1 + (h2 % 9)) % 10).astype(np.uint8)
+        names = pa.array([b.decode() for b in
+                          np.frombuffer(ch.tobytes(), dtype="S18")])
+        k_odd = nat * 100000 + digits_int(ch, ODD)
+        k_even = nat * 10000 + digits_int(ch, EVEN)
+        return pa.table({
+            "bk": pa.array(np.concatenate([k_odd * 2, k_even * 2 + 1])),
+            "b_id": pa.array(np.concatenate([ids, ids]) + 1_000_000),
+            "b_name": pa.concat_arrays([names] * 2)})
+
+    a = ds.map_batches(a_side, batch_format="pyarrow")
+    b = ds.map_batches(b_side, batch_format="pyarrow")
+    j = bucketed_join(a, b, on="bk", num_buckets=16)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        an = chars(batch["a_name"].to_pylist())
+        bn = chars(batch["b_name"].to_pylist())
+        ham = (an != bn).sum(axis=1).astype(np.int64)
+        keep = ham <= 1
+        aid = batch["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        bid = batch["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({
+            "pk": pa.array((aid << 32) | bid),
+            "nat": batch["nat"].filter(pa.array(keep)).cast(pa.int64()),
+            "edits": pa.array(ham[keep])})
+
+    # a lev-0 link (a clone colliding with a DIFFERENT original's
+    # name) agrees on BOTH halves and surfaces in both passes — one
+    # keyed min-fold dedups; (nat, edits) are constant per pair
+    from osmray.tableops import sorted_fold
+
+    u = sorted_fold(j.map_batches(verify, batch_format="pyarrow"),
+                    "pk", ["nat", "edits"], ["min", "min"])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a_id": pa.array(pk >> 32),
+            "b_id": pa.array(pk & 0xFFFFFFFF),
+            "nat": batch["nat"].cast(pa.int64()),
+            "edits": batch["edits"].cast(pa.int64())})
+
+    return u.map_batches(unpack, batch_format="pyarrow")
+
+
+def _record_linkage_sql() -> str:
+    odd_sql = " || ".join(f"substr(c_name, {c + 1}, 1)" for c in (9, 11, 13, 15, 17))
+    even_sql = " || ".join(f"substr(c_name, {c + 1}, 1)" for c in (10, 12, 14, 16))
+    return f"""
+WITH a0 AS (SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nat
+            FROM customer),
+{hash64_ctes('rh', 'a0', 'c_custkey, c_name, nat', 'c_custkey', 11)},
+{hash64_ctes('sh', 'a0', 'c_custkey', 'c_custkey', 12)},
+b0 AS (
+  SELECT r.c_custkey + 1000000 AS b_id, r.nat,
+    substr(r.c_name, 1, CAST(9 + ((r.h % 9) + 9) % 9 AS BIGINT))
+    || CAST((CAST(substr(r.c_name, CAST(10 + ((r.h % 9) + 9) % 9 AS BIGINT), 1) AS BIGINT)
+             + 1 + ((s.h % 9) + 9) % 9) % 10 AS VARCHAR)
+    || substr(r.c_name, CAST(11 + ((r.h % 9) + 9) % 9 AS BIGINT)) AS c_name
+  FROM rh5 r JOIN sh5 s ON s.c_custkey = r.c_custkey),
+ak AS (SELECT c_custkey AS a_id, c_name AS a_name, nat,
+         (nat * 100000 + CAST({odd_sql} AS BIGINT)) * 2 AS bk FROM a0
+       UNION ALL
+       SELECT c_custkey, c_name, nat,
+         (nat * 10000 + CAST({even_sql} AS BIGINT)) * 2 + 1 FROM a0),
+bk AS (SELECT b_id, c_name AS b_name,
+         (nat * 100000 + CAST({odd_sql} AS BIGINT)) * 2 AS bk FROM b0
+       UNION ALL
+       SELECT b_id, c_name,
+         (nat * 10000 + CAST({even_sql} AS BIGINT)) * 2 + 1 FROM b0)
+SELECT DISTINCT a.a_id, b.b_id, a.nat,
+  CAST(levenshtein(a.a_name, b.b_name) AS BIGINT) AS edits
+FROM ak a JOIN bk b ON b.bk = a.bk
+WHERE levenshtein(a.a_name, b.b_name) <= 1
+"""
+
+
+Q_RECORD_LINKAGE_SQL = _record_linkage_sql()
+
+_PQ_M, _PQ_K, _PQ_SD = 4, 16, 16  # subspaces x codes x dims-per-subspace
+
+
+def _pq_codebook() -> np.ndarray:
+    """Deterministic hash-derived codebook in milli-units, identical
+    on both sides: c[sub, code, d] = hash64(gid, 7) mod 2001 - 1000."""
+    from osmray.stages import hash64
+
+    gid = np.arange(_PQ_M * _PQ_K * _PQ_SD, dtype=np.int64)
+    return (hash64(gid, seed=7) % 2001 - 1000).reshape(_PQ_M, _PQ_K, _PQ_SD)
+
+
+def pq_encode(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization transform over any (id, vector) dataset —
+    see q_pq_encode. Declarative step "pq_encode"."""
+    C = _pq_codebook()  # (M, K, SD)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sub": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+        e = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        e = e.reshape(len(ids), _PQ_M, 1, _PQ_SD)
+        diff = e - C[None]                      # (n, M, K, SD)
+        d2 = np.einsum("nmks,nmks->nmk", diff, diff)
+        code = d2.argmin(axis=2)                # first min = smallest code
+        best = np.take_along_axis(d2, code[:, :, None], 2)[:, :, 0]
+        m = np.broadcast_to(np.arange(_PQ_M), code.shape)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, _PQ_M)),
+            "sub": pa.array(m.ravel().astype(np.int64)),
+            "code": pa.array(code.ravel().astype(np.int64)),
+            "d2": pa.array(best.ravel().astype(np.int64))})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encoding of the embeddings table — the
+    memory-compression layer big ANN deployments put UNDER an IVF
+    index (64-dim vector -> 4 bytes of codes): each 16-dim subvector
+    maps to its nearest of 16 codebook centroids in EXACT integer
+    milli-space (embedding quantized floor(1000 e + 0.5); hash-derived
+    codebook, replayed bit-exactly in the twin). Emits (vec_id, sub,
+    code, d2) with the argmin tie broken toward the smallest code.
+    Scale design: the codebook is O(M K D) tiny and rides the closure;
+    per batch the distance tensor (n, M, K) is one vectorized einsum —
+    the corpus never shuffles at all."""
+    return pq_encode(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def _pq_encode_sql() -> str:
+    M, K, SD = _PQ_M, _PQ_K, _PQ_SD
+    return f"""
+WITH g AS (SELECT t.range AS gid FROM range({M * K * SD}) t),
+{hash64_ctes('pq', 'g', 'gid', 'gid', 7)},
+cent AS (SELECT gid // {K * SD} AS sub, (gid // {SD}) % {K} AS code,
+                gid % {SD} AS d, ((h % 2001) + 2001) % 2001 - 1000 AS c
+         FROM pq5),
+e AS (SELECT vec_id, t.range AS d,
+        CAST(floor(CAST(embedding[t.range + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS em
+      FROM embeddings, range({M * SD}) t),
+dist AS (
+  SELECT e.vec_id, c.sub, c.code,
+         sum((e.em - c.c) * (e.em - c.c)) AS d2
+  FROM e JOIN cent c ON c.sub = e.d // {SD} AND c.d = e.d % {SD}
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, sub, code, d2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+  FROM dist)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       CAST(d2 AS BIGINT) AS d2
+FROM best WHERE rn = 1
+"""
+
+
+Q_PQ_ENCODE_SQL = _pq_encode_sql()

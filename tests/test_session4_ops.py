@@ -885,3 +885,66 @@ def test_fold_sum_exact_above_2_53(ray_session):
                                        "v": pa.array(v)})).repartition(4)
     got = sorted_fold_sums(ds, "k", ["v"]).take_all()
     assert got == [{"k": 0, "v": 64 * ((1 << 52) + 1)}]
+
+
+def test_record_linkage_planted_recall(ray_session):
+    """Every dirty clone must link back to its source with edits=1
+    (the pigeonhole blocking is a complete cover for 1 substitution),
+    and every emitted link must verify at edit distance <= 1."""
+    from osmray.queries import q_record_linkage
+
+    df = q_record_linkage("/root/testdata/sf0.001").to_pandas()
+    n = 150  # sf0.001 customer count
+    planted = df[df["b_id"] == df["a_id"] + 1_000_000]
+    assert len(planted) == n and (planted["edits"] == 1).all()
+    assert df["edits"].isin([0, 1]).all()
+    # lev-0 cross-collisions (a clone equal to ANOTHER original's
+    # name) are found by both passes; the min-fold dedups them
+    assert not df.duplicated(["a_id", "b_id"]).any()
+
+
+def test_pq_encode_matches_bruteforce(ray_session):
+    """pq_encode equals the direct argmin over the full codebook in
+    integer milli-space (ties toward the smallest code)."""
+    import numpy as np
+    import ray.data
+
+    from osmray.queries import _pq_codebook, pq_encode
+
+    rng = np.random.default_rng(3)
+    n, dim = 40, 64
+    emb = rng.normal(0, 0.3, (n, dim)).astype(np.float32)
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": emb[i].tolist()} for i in range(n)])
+    got = (pq_encode(ds).to_pandas()
+           .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    C = _pq_codebook()
+    e = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    e = e.reshape(n, 4, 1, 16)
+    d2 = ((e - C[None]) ** 2).sum(-1)
+    code = d2.argmin(2)
+    assert (got["code"].to_numpy() == code.ravel()).all()
+    assert (got["d2"].to_numpy()
+            == np.take_along_axis(d2, code[:, :, None], 2).ravel()).all()
+
+
+def test_declarative_pq_record_linkage_steps(ray_session):
+    from osmray.pipelines import run_pipeline
+    from osmray.queries import q_pq_encode, q_record_linkage
+
+    got = (run_pipeline([
+        {"op": "read_parquet",
+         "path": "/root/testdata/sf0.001/embeddings.parquet",
+         "columns": ["vec_id", "embedding"]},
+        {"op": "pq_encode"}]).to_pandas()
+        .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    want = (q_pq_encode("/root/testdata/sf0.001").to_pandas()
+            .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    assert got.equals(want)
+
+    got = (run_pipeline([{"op": "record_linkage",
+                          "sf_dir": "/root/testdata/sf0.001"}])
+           .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    want = (q_record_linkage("/root/testdata/sf0.001").to_pandas()
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert got.equals(want)
