@@ -46,6 +46,15 @@ def main(argv=None) -> int:
     pp.add_argument("--spec", required=True, help="path to a JSON list of steps")
     pp.add_argument("--out", default=None, help="optional parquet output path")
     pp.add_argument("--num-cpus", type=int, default=None)
+    cp = sub.add_parser("compact", help="merge a lancelike dataset's block "
+                                        "fragments (one per part); old "
+                                        "fragments stay until vacuum")
+    cp.add_argument("--root", required=True)
+    cp.add_argument("--sort-key", default=None)
+    cp.add_argument("--min-blocks", type=int, default=2)
+    cp.add_argument("--vacuum", action="store_true",
+                    help="also drop old versions + unreferenced fragments")
+    cp.add_argument("--num-cpus", type=int, default=None)
     for name in ("label", "expand", "roofshapes"):
         p = sub.add_parser(name)
         _common(p)
@@ -78,6 +87,20 @@ def main(argv=None) -> int:
     import ray.data
 
     from osmray import pipeline
+
+    if args.cmd == "compact":
+        from osmray import lancelike
+
+        ldf = lancelike.compact(args.root, min_blocks=args.min_blocks,
+                                sort_key=args.sort_key)
+        summary = {"cmd": "compact",
+                   "parts": int(len(ldf)),
+                   "compacted": int(ldf["compacted"].sum()),
+                   "blocks_before": int(ldf["n_blocks_before"].sum())}
+        if args.vacuum:
+            summary["vacuum"] = lancelike.vacuum(args.root)
+        print(json.dumps(summary))
+        return 0
 
     if args.cmd == "pipeline":
         from osmray.pipelines import run_pipeline

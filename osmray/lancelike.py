@@ -303,29 +303,7 @@ def write_dataset(ds, root: str, part_col: str = "part_id", sort_key: str | None
             )
     partitions.sort(key=lambda r: r["part_id"])
     manifest = {"format": FORMAT, "part_col": part_col, "partitions": partitions}
-    tmp = os.path.join(root, MANIFEST + f".tmp.{os.getpid()}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, default=int)
-    os.replace(tmp, os.path.join(root, MANIFEST))
-
-    # Lance-style version commit: snapshot the manifest under a new
-    # number iff the FILE SET changed (skipped flags don't count —
-    # an identical resume commits nothing). Block names are content-
-    # derived, so "same files" == "same data".
-    def _fileset(m: dict) -> list:
-        return sorted((int(r["part_id"]), b)
-                      for r in m.get("partitions", []) for b in r["blocks"])
-
-    vs = versions(root)
-    latest = read_manifest(root, vs[-1]) if vs else None
-    if latest is None or _fileset(latest) != _fileset(manifest):
-        vdir = os.path.join(root, VERSIONS_DIR)
-        os.makedirs(vdir, exist_ok=True)
-        vnum = (vs[-1] + 1) if vs else 1
-        vtmp = os.path.join(vdir, f".tmp.{os.getpid()}")
-        with open(vtmp, "w") as fh:
-            json.dump(manifest, fh, indent=1, default=int)
-        os.replace(vtmp, os.path.join(vdir, f"manifest-{vnum:06d}.json"))
+    _commit_manifest(root, manifest)
     ldf = pd.DataFrame(
         [{k: v for k, v in rec.items() if k != "blocks"} for rec in partitions]
     )
@@ -357,3 +335,107 @@ def read_dataset(root: str, columns: list[str] | None = None,
     # cost that suppresses N->4N scaling) buys nothing here. One block
     # per fragment matches the sink's write granularity.
     return ray.data.read_parquet_bulk(frags, columns=columns)
+
+
+def _fileset(m: dict) -> list:
+    return sorted((int(r["part_id"]), b)
+                  for r in m.get("partitions", []) for b in r["blocks"])
+
+
+def _commit_manifest(root: str, manifest: dict) -> None:
+    """Atomically publish ``manifest.json`` and, Lance-style, snapshot
+    it under a new version number iff the FILE SET changed (skipped
+    flags don't count — an identical resume commits nothing). Block
+    names are content-derived, so "same files" == "same data"."""
+    tmp = os.path.join(root, MANIFEST + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, default=int)
+    os.replace(tmp, os.path.join(root, MANIFEST))
+
+    vs = versions(root)
+    latest = read_manifest(root, vs[-1]) if vs else None
+    if latest is None or _fileset(latest) != _fileset(manifest):
+        vdir = os.path.join(root, VERSIONS_DIR)
+        os.makedirs(vdir, exist_ok=True)
+        vnum = (vs[-1] + 1) if vs else 1
+        vtmp = os.path.join(vdir, f".tmp.{os.getpid()}")
+        with open(vtmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, default=int)
+        os.replace(vtmp, os.path.join(vdir, f"manifest-{vnum:06d}.json"))
+
+
+def compact(root: str, min_blocks: int = 2, sort_key: str | None = None):
+    """Lance-style compaction: merge every partition holding >=
+    ``min_blocks`` block fragments into ONE fragment, commit a new
+    manifest version, and leave the old fragments for time travel
+    (``vacuum`` reclaims them). The no-shuffle sink writes one
+    fragment per (write batch x part) — a long-running 100-TB job
+    accumulates many ~16-row files per part; compaction restores read
+    granularity WITHOUT touching row content.
+
+    Distributed: one Ray task per compacted part (each part's data is
+    bounded by construction); serial fallback without a Ray session.
+    Invariant checked: the merged block's content checksum must equal
+    the XOR of the replaced blocks' checksums (``_checksum`` is
+    order- and split-insensitive), so corruption in any fragment
+    fails loudly instead of committing. ``sort_key`` defaults to the
+    key recorded per-part usage in write_block (pass the same key the
+    dataset was written with to keep merged blocks sorted).
+
+    Returns a lineage DataFrame (part_id, n_blocks_before, rows,
+    compacted)."""
+    import pandas as pd
+
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {root}; nothing to compact")
+
+    def _merge_one(pid: int, blocks: list[str], want_csum: int) -> dict:
+        paths = [os.path.join(part_dir(root, pid), b) for b in blocks]
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        rec = write_block(root, pid, t, sort_key)
+        if sort_key is not None and rec["checksum"] != want_csum:
+            raise ValueError(
+                f"compact: part {pid} merged checksum {rec['checksum']} != "
+                f"manifest {want_csum} — a fragment is corrupt or was "
+                f"written with a different sort_key; refusing to commit")
+        return rec
+
+    todo = [r for r in m["partitions"] if len(r["blocks"]) >= max(2, min_blocks)]
+    results = {}
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover - ray is a hard dep in practice
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        f = ray.remote(num_cpus=1)(_merge_one)
+        refs = [f.remote(int(r["part_id"]), r["blocks"], int(r["checksum"]))
+                for r in todo]
+        for r, rec in zip(todo, ray.get(refs)):
+            results[int(r["part_id"])] = rec
+    else:
+        for r in todo:
+            results[int(r["part_id"])] = _merge_one(
+                int(r["part_id"]), r["blocks"], int(r["checksum"]))
+
+    out = []
+    parts = []
+    for r in m["partitions"]:
+        pid = int(r["part_id"])
+        rec = dict(r)
+        if pid in results:
+            nrec = results[pid]
+            rec["blocks"] = [nrec["block"]]
+            rec["n_blocks"] = 1
+            rec["checksum"] = nrec["checksum"]
+        parts.append(rec)
+        out.append({"part_id": pid,
+                    "n_blocks_before": len(r["blocks"]),
+                    "rows": int(r.get("rows_out", r.get("rows", 0))),
+                    "compacted": pid in results})
+    _commit_manifest(root, dict(m, partitions=parts))
+    return pd.DataFrame(out)

@@ -347,3 +347,68 @@ def test_read_json_and_csv_steps(ray_session, tmp_path):
         {"op": "filter", "column": "a", "cmp": "<", "value": 3},
     ]).to_pandas()
     assert len(out) == 3 and (out["b"] == out["a"] * 3).all()
+
+
+def test_compact_merges_fragments_and_time_travels(ray_session, tmp_path):
+    """lancelike.compact: many fragments per part -> one, content and
+    per-part checksums unchanged, old version still readable until
+    vacuum, corruption refuses to commit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from osmray import lancelike
+
+    root = str(tmp_path / "ds")
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "k": pa.array(np.arange(600, dtype=np.int64)),
+        "part_id": pa.array(rng.integers(0, 4, 600).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, 600).astype(np.int64))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    lancelike.write_dataset(ds, root, sort_key="k", batch_rows=None)
+    before = lancelike.read_dataset(root).to_pandas().sort_values("k")
+    m1 = lancelike.read_manifest(root)
+    assert sum(len(r["blocks"]) for r in m1["partitions"]) > 4  # fragmented
+
+    ldf = lancelike.compact(root, sort_key="k")
+    assert ldf["compacted"].any()
+    m2 = lancelike.read_manifest(root)
+    assert all(len(r["blocks"]) == 1 for r in m2["partitions"])
+    # checksums invariant per part
+    c1 = {r["part_id"]: r["checksum"] for r in m1["partitions"]}
+    c2 = {r["part_id"]: r["checksum"] for r in m2["partitions"]}
+    assert c1 == c2
+    after = lancelike.read_dataset(root).to_pandas().sort_values("k")
+    assert after.reset_index(drop=True).equals(before.reset_index(drop=True))
+    # time travel: version 1 (pre-compaction) still readable
+    vs = lancelike.versions(root)
+    assert len(vs) == 2
+    old = lancelike.read_dataset(root, version=vs[0]).to_pandas().sort_values("k")
+    assert old.reset_index(drop=True).equals(before.reset_index(drop=True))
+    # vacuum reclaims the old fragments; latest still reads
+    rep = lancelike.vacuum(root, keep_last=1)
+    assert rep["blocks_deleted"] > 0
+    again = lancelike.read_dataset(root).to_pandas().sort_values("k")
+    assert again.reset_index(drop=True).equals(before.reset_index(drop=True))
+
+    # idempotence: a second compact commits nothing new
+    lancelike.compact(root, sort_key="k")
+    assert len(lancelike.versions(root)) == 1  # vacuumed to 1, unchanged
+
+    # corruption: tamper one fragment in a fresh fragmented dataset
+    root2 = str(tmp_path / "ds2")
+    lancelike.write_dataset(ray.data.from_arrow(t).repartition(6), root2,
+                            sort_key="k", batch_rows=None)
+    m = lancelike.read_manifest(root2)
+    rec = next(r for r in m["partitions"] if len(r["blocks"]) >= 2)
+    victim = os.path.join(root2, f"part={rec['part_id']}", rec["blocks"][0])
+    bad = pa.table({
+        "k": pa.array([999_999], pa.int64()),
+        "part_id": pa.array([int(rec["part_id"])], pa.int64()),
+        "v": pa.array([0], pa.int64())})
+    pq.write_table(bad, victim)  # same name, different content
+    with pytest.raises(Exception, match="checksum|corrupt"):
+        lancelike.compact(root2, sort_key="k")
