@@ -333,7 +333,9 @@ def read_dataset(root: str, columns: list[str] | None = None,
     # list, so the default read_parquet's per-fragment footer fetch
     # (measured 1.9 s serial for ~1.5k fragments — a config-independent
     # cost that suppresses N->4N scaling) buys nothing here. One block
-    # per fragment matches the sink's write granularity.
+    # per fragment matches the sink's write granularity. Unlike the
+    # default reader it does NOT invent a hive "part" column from the
+    # part=<id> directory names — part_id is a real column.
     return ray.data.read_parquet_bulk(frags, columns=columns)
 
 

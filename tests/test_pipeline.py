@@ -412,3 +412,37 @@ def test_compact_merges_fragments_and_time_travels(ray_session, tmp_path):
     pq.write_table(bad, victim)  # same name, different content
     with pytest.raises(Exception, match="checksum|corrupt"):
         lancelike.compact(root2, sort_key="k")
+
+
+def test_read_dataset_bulk_matches_default_read(ray_session, tmp_path):
+    """The metadata-skipping bulk re-open must return exactly the
+    rows/schema the default read_parquet would (it only skips footer
+    prefetch, not data)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmray import lancelike
+
+    root = str(tmp_path / "ds")
+    t = pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "part_id": pa.array((np.arange(100) % 3).astype(np.int64)),
+        "s": pa.array([f"r{i}" for i in range(100)])})
+    lancelike.write_dataset(ray.data.from_arrow(t).repartition(4), root,
+                            sort_key="k", batch_rows=None)
+    got = lancelike.read_dataset(root).to_pandas().sort_values("k").reset_index(drop=True)
+    m = lancelike.read_manifest(root)
+    frags = sorted(
+        os.path.join(root, f"part={int(r['part_id'])}", b)
+        for r in m["partitions"] for b in r["blocks"])
+    want = (ray.data.read_parquet(frags).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    # the default reader invents a hive "part" column from the
+    # part=<id> directory names; the bulk path does not (part_id is a
+    # real column — the invented one was never part of the contract)
+    want = want.drop(columns=["part"])
+    assert got.equals(want)
+    # column projection works through the bulk path too
+    sub = lancelike.read_dataset(root, columns=["k"]).to_pandas()
+    assert list(sub.columns) == ["k"] and len(sub) == 100
