@@ -265,11 +265,20 @@ ray.shutdown()
 
 
 def test_flagship_driver_kill_then_rerun(ray_session, tmp_path):
-    """SIGKILL the whole driver process group once block fragments are
-    on disk but before the manifest commits; rerunning over the same
-    out_dir must clear the stale partial blocks and produce output
-    byte-identical to an undisturbed run (no duplicated rows)."""
+    """A run that dies after block fragments land but before the
+    manifest commits leaves blocks-without-manifest (plus possibly
+    partial tmp files). Rerunning over that dirty out_dir must clear
+    the stale fragments and produce output byte-identical to an
+    undisturbed run. Two layers:
+
+    1. DETERMINISTIC: construct the exact crashed state (blocks on
+       disk, no manifest, plus a corrupt stray fragment) and rerun.
+    2. BEST-EFFORT REAL KILL: SIGKILL the driver process group inside
+       the block->manifest window when timing allows (the window is
+       ~100 ms for this small fixture, so missing it is tolerated —
+       the run that completed is then itself verified identical)."""
     import glob
+    import shutil
     import signal
     import subprocess
     import sys
@@ -282,6 +291,24 @@ def test_flagship_driver_kill_then_rerun(ray_session, tmp_path):
     _run_flagship(ray.data.read_parquet(files), str(tmp_path / "clean"))
     want, n_want = _flagship_hash(str(tmp_path / "clean"))
 
+    # --- layer 1: deterministic crashed-state rerun -------------------
+    dirty = str(tmp_path / "dirty")
+    _run_flagship(ray.data.read_parquet(files), dirty)
+    os.remove(os.path.join(dirty, "manifest.json"))
+    shutil.rmtree(os.path.join(dirty, "_versions"))
+    victims = glob.glob(os.path.join(dirty, "part=*", "block-*.parquet"))
+    with open(victims[0], "r+b") as fh:  # truncate = simulated torn write
+        fh.truncate(max(1, os.path.getsize(victims[0]) // 2))
+    stray = os.path.join(os.path.dirname(victims[0]),
+                         "block-deadbeefdeadbeef-7.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not parquet")
+    _run_flagship(ray.data.read_parquet(files), dirty)
+    got, n_got = _flagship_hash(dirty)
+    assert not os.path.exists(stray)  # stale fragment cleared
+    assert n_got == n_want > 0 and got == want
+
+    # --- layer 2: best-effort real SIGKILL mid-window -----------------
     script = tmp_path / "driver.py"
     script.write_text(_DRIVER_SCRIPT)
     out = str(tmp_path / "chaos_out")
@@ -294,21 +321,28 @@ def test_flagship_driver_kill_then_rerun(ray_session, tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
 
     killed = False
-    proc = launch()
-    try:
-        deadline = time.time() + 300
-        while time.time() < deadline and proc.poll() is None:
-            blocks = glob.glob(os.path.join(out, "part=*", "block-*.parquet"))
-            if blocks and not os.path.exists(os.path.join(out, "manifest.json")):
+    for _attempt in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        proc = launch()
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline and proc.poll() is None:
+                blocks = glob.glob(os.path.join(out, "part=*", "block-*.parquet"))
+                if blocks and not os.path.exists(os.path.join(out, "manifest.json")):
+                    os.killpg(proc.pid, signal.SIGKILL)
+                    killed = True
+                    break
+                time.sleep(0.01)
+        finally:
+            if proc.poll() is None and not killed:
                 os.killpg(proc.pid, signal.SIGKILL)
-                killed = True
-                break
-            time.sleep(0.05)
-    finally:
-        if proc.poll() is None and not killed:
-            os.killpg(proc.pid, signal.SIGKILL)
-    assert killed, "job finished before any block landed — enlarge fixture"
-    assert not os.path.exists(os.path.join(out, "manifest.json"))
+        if killed:
+            assert not os.path.exists(os.path.join(out, "manifest.json"))
+            break
+        # job finished before the poller saw a block: its completed
+        # output must itself be correct; try the kill once more
+        got, n_got = _flagship_hash(out)
+        assert n_got == n_want and got == want
 
     proc2 = launch()
     out2, _ = proc2.communicate(timeout=600)
