@@ -20461,6 +20461,7 @@ def registry():
         "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),
         "q_record_linkage": (q_record_linkage, Q_RECORD_LINKAGE_SQL),
         "q_pq_encode": (q_pq_encode, Q_PQ_ENCODE_SQL),
+        "q_ivfpq_ann": (q_ivfpq_ann, Q_IVFPQ_ANN_SQL),
     }
 
 
@@ -20689,3 +20690,174 @@ FROM best WHERE rn = 1
 
 
 Q_PQ_ENCODE_SQL = _pq_encode_sql()
+
+
+_IVFPQ_NC = 8  # coarse lists
+
+
+def _ivfpq_coarse_mil() -> np.ndarray:
+    """Hash-derived coarse quantizer in milli-units (integer-exact on
+    both sides; a trained k-means coarse quantizer is q_ivf_ann's
+    territory — here the MECHANISM under test is residual-PQ ADC)."""
+    from osmray.stages import hash64
+
+    gid = np.arange(_IVFPQ_NC * 64, dtype=np.int64)
+    return (hash64(gid, seed=5) % 2001 - 1000).reshape(_IVFPQ_NC, 64)
+
+
+def q_ivfpq_ann(sf_dir: str):
+    """IVF-PQ approximate nearest neighbour — the FAISS-style memory-
+    compressed index: quantize each vector to its nearest of 8 coarse
+    cells (integer milli-space), PQ-encode the RESIDUAL (4 subspaces x
+    16 codes, hash-derived codebook), then answer the first 5 vectors
+    as queries by probing their 2 nearest coarse cells and ranking
+    candidates by the ADC distance (query residual vs each
+    candidate's RECONSTRUCTED residual centroid) — top 10 per query
+    by (adc_d2, vec_id). Every step is integer-exact, so the twin
+    replays it bit-for-bit.
+
+    Scale design: both quantizers are O(KB) closure constants; the
+    corpus maps once to (list_id, codes) — 4 bytes of codes per
+    vector is what makes 10^12-vector indexes fit in RAM — and the
+    search streams candidate lists through per-batch partial top-k;
+    nothing shuffles but the bounded result."""
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    CC = _ivfpq_coarse_mil()                      # (NC, 64)
+    PQ = _pq_codebook()                           # (M, K, SD)
+
+    def assign_codes(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "list_id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        e = np.floor(emb.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        d2c = ((e[:, None, :] - CC[None]) ** 2).sum(-1)     # (n, NC)
+        lst = d2c.argmin(1)                                  # ties -> smallest
+        r = (e - CC[lst]).reshape(len(ids), _PQ_M, 1, _PQ_SD)
+        dd = ((r - PQ[None]) ** 2).sum(-1)                   # (n, M, K)
+        codes = dd.argmin(2)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "list_id": pa.array(lst.astype(np.int64)),
+            "codes": pa.array(codes.tolist(), pa.list_(pa.int64()))})
+
+    enc = ds.map_batches(assign_codes, batch_format="pyarrow").materialize()
+
+    # queries: vec_id < 5, exact residuals against their 2 nearest lists
+    import ray
+
+    qt = enc  # small probe metadata comes from the corpus itself
+    q_emb = (ds.filter(expr="vec_id < 5").to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    qe = np.floor(np.stack(q_emb["embedding"].to_numpy()).astype(np.float64)
+                  * 1000 + 0.5).astype(np.int64)
+    qd2 = ((qe[:, None, :] - CC[None]) ** 2).sum(-1)
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :2]   # (nq, 2)
+    qids = q_emb["vec_id"].to_numpy().astype(np.int64)
+
+    # ADC lookup tables: for each (query, probed list): the query
+    # residual in that list, expanded to per-(sub, code) distances
+    luts = {}
+    for qi, qid in enumerate(qids):
+        for li in probes[qi]:
+            r = (qe[qi] - CC[li]).reshape(_PQ_M, 1, _PQ_SD)
+            luts[(int(qid), int(li))] = ((r - PQ) ** 2).sum(-1)  # (M, K)
+    lut_ref = ray.put(luts)
+
+    def search(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lst = batch["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.array(batch["codes"].to_pylist(), dtype=np.int64).reshape(
+            len(ids), _PQ_M) if len(ids) else np.zeros((0, _PQ_M), np.int64)
+        out_q, out_v, out_d = [], [], []
+        for (qid, li), lut in lt.items():
+            sel = lst == li
+            if not sel.any():
+                continue
+            d = lut[np.arange(_PQ_M)[None, :], codes[sel]].sum(1)
+            out_q.append(np.full(int(sel.sum()), qid, np.int64))
+            out_v.append(ids[sel])
+            out_d.append(d)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc_d2": pa.array([], pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "adc_d2": pa.array(np.concatenate(out_d))})
+
+    cand = enc.map_batches(search, batch_format="pyarrow")
+    top = cand.sort(["query_id", "adc_d2", "vec_id"]).groupby(
+        "query_id").map_groups(
+        lambda g: g.slice(0, 10), batch_format="pyarrow")
+
+    def rank(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(q)) + 1))
+        rk = np.arange(len(q), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(q)])))) + 1
+        return batch.append_column("rank", pa.array(rk))
+
+    return top.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+def _ivfpq_sql() -> str:
+    M, K, SD, NC = _PQ_M, _PQ_K, _PQ_SD, _IVFPQ_NC
+    return f"""
+WITH cg AS (SELECT t.range AS gid FROM range({NC * 64}) t),
+{hash64_ctes('cq', 'cg', 'gid', 'gid', 5)},
+coarse AS (SELECT gid // 64 AS list_id, gid % 64 AS d,
+                  ((h % 2001) + 2001) % 2001 - 1000 AS c FROM cq5),
+pg AS (SELECT t.range AS gid FROM range({M * K * SD}) t),
+{hash64_ctes('pq', 'pg', 'gid', 'gid', 7)},
+book AS (SELECT gid // {K * SD} AS sub, (gid // {SD}) % {K} AS code,
+                gid % {SD} AS d, ((h % 2001) + 2001) % 2001 - 1000 AS c
+         FROM pq5),
+e AS (SELECT vec_id, t.range AS d,
+        CAST(floor(CAST(embedding[t.range + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS em
+      FROM embeddings, range({M * SD}) t),
+cdist AS (SELECT e.vec_id, c.list_id, sum((e.em - c.c) * (e.em - c.c)) AS d2
+          FROM e JOIN coarse c ON c.d = e.d GROUP BY 1, 2),
+crank AS (SELECT vec_id, list_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, list_id) AS rn FROM cdist),
+assign AS (SELECT vec_id, list_id FROM crank WHERE rn = 1),
+res AS (SELECT e.vec_id, a.list_id, e.d, e.em - c.c AS r
+        FROM e JOIN assign a ON a.vec_id = e.vec_id
+        JOIN coarse c ON c.list_id = a.list_id AND c.d = e.d),
+pdist AS (SELECT r.vec_id, b.sub, b.code, sum((r.r - b.c) * (r.r - b.c)) AS d2
+          FROM res r JOIN book b ON b.sub = r.d // {SD} AND b.d = r.d % {SD}
+          GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pdist)
+          WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, list_id FROM crank
+           WHERE vec_id < 5 AND rn <= 2),
+qres AS (SELECT p.query_id, p.list_id, e.d, e.em - c.c AS r
+         FROM probes p JOIN e ON e.vec_id = p.query_id
+         JOIN coarse c ON c.list_id = p.list_id AND c.d = e.d),
+lut AS (SELECT q.query_id, q.list_id, b.sub, b.code,
+               sum((q.r - b.c) * (q.r - b.c)) AS d2
+        FROM qres q JOIN book b ON b.sub = q.d // {SD} AND b.d = q.d % {SD}
+        GROUP BY 1, 2, 3, 4),
+adc AS (SELECT l.query_id, a.vec_id, sum(l.d2) AS adc_d2
+        FROM assign a
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN lut l ON l.list_id = a.list_id AND l.sub = k.sub
+                   AND l.code = k.code
+        GROUP BY 1, 2),
+ranked AS (SELECT query_id, vec_id, adc_d2, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+           FROM adc)
+SELECT query_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+Q_IVFPQ_ANN_SQL = _ivfpq_sql()

@@ -948,3 +948,19 @@ def test_declarative_pq_record_linkage_steps(ray_session):
     want = (q_record_linkage("/root/testdata/sf0.001").to_pandas()
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_ivfpq_self_recall_and_ranks(ray_session):
+    """IVF-PQ ADC: each query (a corpus member) finds ITSELF at rank 1
+    (its ADC distance is its own PQ quantization error, the smallest
+    by construction on this data), ranks are 1..10 per query, and
+    adc_d2 is monotone within each query."""
+    from osmray.queries import q_ivfpq_ann
+
+    df = q_ivfpq_ann("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 50
+    for q in range(5):
+        g = df[df["query_id"] == q]
+        assert list(g["rank"]) == list(range(1, 11))
+        assert g["adc_d2"].is_monotonic_increasing
+        assert g[g["rank"] == 1]["vec_id"].iloc[0] == q
