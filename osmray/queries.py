@@ -20750,7 +20750,6 @@ def q_ivfpq_ann(sf_dir: str):
     # queries: vec_id < 5, exact residuals against their 2 nearest lists
     import ray
 
-    qt = enc  # small probe metadata comes from the corpus itself
     q_emb = (ds.filter(expr="vec_id < 5").to_pandas()
              .sort_values("vec_id").reset_index(drop=True))
     qe = np.floor(np.stack(q_emb["embedding"].to_numpy()).astype(np.float64)
