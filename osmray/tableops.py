@@ -1081,7 +1081,6 @@ def assoc_rules(ds, key: str, item: str, min_count: int = 2,
     fit ``item_bits`` bits (packed (key << item_bits | item) distinct
     dedup)."""
     from osmray.joins import bucketed_join
-    from ray.data.aggregate import Count
 
     pairs = cooccur_pairs(ds, key, item, min_count=min_count)
 
@@ -1104,16 +1103,22 @@ def assoc_rules(ds, key: str, item: str, min_count: int = 2,
                 f"— distinct (key,item) packing would alias; raise item_bits")
         return pa.table({"pk": pa.array(np.unique((o << item_bits) | p))})
 
-    supp = (ds.map_batches(pack, batch_format="pyarrow")
-            .groupby("pk").aggregate(Count(alias_name="_n"))
-            .map_batches(lambda b: pa.table({
-                "item": pa.array(b["pk"].to_numpy(
-                    zero_copy_only=False) & ((1 << item_bits) - 1))}),
-                batch_format="pyarrow"))
-    supp = sorted_fold_sums(supp.map_batches(
+    # distinct (key, item) via the sorted-fold idiom, NOT Ray's
+    # generic groupby-Count: per-GROUP Python overhead at ~1 distinct
+    # pk per row is the measured-ruinous pattern (see cooccur_pairs);
+    # MIN over per-block-unique pks is a pure dedup, then one more
+    # fold counts distinct keys per item
+    dpk = sorted_fold(
+        ds.map_batches(pack, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "pk", ["one"], ["min"])
+    supp = sorted_fold_sums(dpk.map_batches(
         lambda b: pa.table({
-            "item": b["item"],
-            "n_a": pa.array(np.ones(b.num_rows, np.int64))}),
+            "item": pa.array(b["pk"].to_numpy(
+                zero_copy_only=False) & ((1 << item_bits) - 1)),
+            "n_a": b["one"]}),
         batch_format="pyarrow"), "item", ["n_a"])
 
     j = bucketed_join(rules, supp, on="lhs", right_on="item",
